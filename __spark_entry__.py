@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 to a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` provides
+the DuckDB-runnable ANSI-SQL twin for the hash-compare correctness
+gate. Column names/types are aligned engine-to-engine (ints are int64,
+ratios/scores are rounded doubles, buckets are strings).
 """
 
 from __future__ import annotations
@@ -13,26 +13,478 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jobsity_data_pipeline_spark.operators import dedup as D
+from jobsity_data_pipeline_spark.operators import relational as R
+from jobsity_data_pipeline_spark.operators import similarity as S
+from jobsity_data_pipeline_spark.operators import textops as TO
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's summarized_trip_data materialized view
+    (weekly avg per region) on sf0.001."""
+    return R.weekly_avg_by_region(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # A. reference-parity (events mapping, SURVEY §4)
+        "trip_ingest_dedup": R.trip_ingest_dedup,
+        "weekly_avg_by_region": R.weekly_avg_by_region,
+        "regions_for_datasource": R.regions_for_datasource,
+        "latest_datasource": R.latest_datasource,
+        "trip_grouping_bins": R.trip_grouping_bins,
+        "bbox_weekly_avg": R.bbox_weekly_avg,
+        # B. core relational/analytical
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_local_supplier": R.q5_local_supplier,
+        "top_customers_per_nation": R.top_customers_per_nation,
+        "orders_rollup": R.orders_rollup,
+        "customers_without_orders": R.customers_without_orders,
+        "suppliers_with_returns": R.suppliers_with_returns,
+        "orders_percentiles": R.orders_percentiles,
+        "events_sessionization": R.events_sessionization,
+        "events_hourly": R.events_hourly,
+        "events_running_total": R.events_running_total,
+        # C. LLM-training-data ops
+        "docs_exact_dedup": TO.docs_exact_dedup,
+        "docs_token_stats": TO.docs_token_stats,
+        "docs_quality": TO.docs_quality,
+        "docs_lang_id": TO.docs_lang_id,
+        "docs_fingerprint": TO.docs_fingerprint,
+        "docs_ngram_jaccard": D.docs_ngram_jaccard,
+        "docs_minhash_bands": D.docs_minhash_bands,
+        "docs_minhash_pairs": D.docs_minhash_pairs,
+        "docs_simhash": D.docs_simhash,
+        "emb_near_dup": S.emb_near_dup,
+        "emb_cosine_topk": S.emb_cosine_topk,
+        "emb_lsh_ann": S.emb_lsh_ann,  # rows-only (no SQL oracle): approximate op
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# Shared SQL fragments (kept identical across oracle queries).
+_TRIPS = (
+    "SELECT 'region_' || CAST(user_id % 8 AS VARCHAR) AS region, "
+    "event_type AS datasource, ts AS date_time, user_id, event_id, value "
+    "FROM events"
+)
+_WOM = (
+    "strftime({c}, '%Y-%m') || '-0' || "
+    "CAST(CAST(ceil(day({c}) / 7.0) AS INT) AS VARCHAR)"
+)
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+_SH4 = (
+    "CASE WHEN len(w) >= 4 THEN "
+    "list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+_STOP = {
+    "en": "['the','and','of','to','a','in','is','it','for','on']",
+    "es": "['el','la','de','que','y','en','un','por','con','los']",
+    "fr": "['le','la','de','et','les','des','en','un','du','que']",
+    "de": "['der','die','und','das','von','zu','mit','den','ein','ist']",
+}
+_ZH_CLASS = "[的是了在我有和就不人]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    wom_dt = _WOM.format(c="date_time")
+    sw_hits = (
+        f"len(list_filter(tk, t -> list_contains({_STOP['en']}, lower(t))))"
+    )
+    lang_scores = ", ".join(
+        f"len(list_filter(tk, t -> list_contains({_STOP[lang]}, lower(t)))) AS s_{lang}"
+        for lang in ("de", "en", "es", "fr")
+    ) + f", len(regexp_extract_all(text, '{_ZH_CLASS}')) AS s_zh"
+    return {
+        "trip_ingest_dedup": f"""
+            WITH t AS ({_TRIPS})
+            SELECT count(*) AS n_total,
+                   count(DISTINCT md5(region || '|' || datasource)) AS n_unique,
+                   count(*) - count(DISTINCT md5(region || '|' || datasource))
+                       AS n_conflict_skipped
+            FROM t
+        """,
+        "weekly_avg_by_region": f"""
+            WITH t AS ({_TRIPS}),
+            c AS (
+                SELECT region, {wom_dt} AS week_of_month, count(*) AS cnt
+                FROM t GROUP BY 1, 2
+            )
+            SELECT region, week_of_month,
+                   CAST(ceil(avg(cnt)) AS BIGINT) AS weekly_avg
+            FROM c GROUP BY 1, 2
+        """,
+        "regions_for_datasource": f"""
+            WITH t AS ({_TRIPS})
+            SELECT region FROM t WHERE datasource = 'purchase' GROUP BY region
+        """,
+        "latest_datasource": f"""
+            WITH t AS ({_TRIPS}),
+            r AS (
+                SELECT region, count(*) AS appearance FROM t
+                GROUP BY region ORDER BY appearance DESC, region LIMIT 2
+            ),
+            l AS (
+                SELECT max(t.date_time) AS last_occ
+                FROM t JOIN r ON t.region = r.region
+            )
+            SELECT t.datasource FROM t JOIN l ON t.date_time = l.last_occ
+        """,
+        "trip_grouping_bins": f"""
+            WITH t AS ({_TRIPS})
+            SELECT region,
+                   CAST(floor(value / 25.0) AS BIGINT) AS value_bin,
+                   CAST(hour(date_time) AS BIGINT) AS hour_of_day,
+                   count(*) AS n_trips
+            FROM t GROUP BY 1, 2, 3
+        """,
+        "bbox_weekly_avg": f"""
+            WITH t AS ({_TRIPS}),
+            c AS (
+                SELECT {wom_dt} AS week_of_month, count(*) AS cnt
+                FROM t WHERE value >= 10.0 AND value <= 100.0 GROUP BY 1
+            )
+            SELECT round(avg(cnt), 4) AS weekly_avg_trips FROM c
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "top_customers_per_nation": """
+            WITH ranked AS (
+                SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+                       row_number() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey
+                       ) AS rnk
+                FROM customer
+            )
+            SELECT n_name, CAST(rnk AS BIGINT) AS rnk, c_custkey,
+                   round(c_acctbal, 2) AS c_acctbal
+            FROM ranked JOIN nation ON c_nationkey = n_nationkey
+            WHERE rnk <= 3
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+        """,
+        "suppliers_with_returns": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+            )
+        """,
+        "orders_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "events_sessionization": """
+            WITH g AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                                     PARTITION BY user_id ORDER BY ts, event_id
+                                 ) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id, es,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY es, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM g
+            ),
+            per AS (
+                SELECT user_id, session_id, count(*) AS n_events,
+                       max(es) - min(es) AS dur_s
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   round(avg(dur_s), 4) AS avg_session_s
+            FROM per GROUP BY user_id
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_value
+            FROM events
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "docs_token_stats": f"""
+            WITH per AS (
+                SELECT lang,
+                       len({_TOKS}) AS ws_tokens,
+                       len(regexp_extract_all(
+                           text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+                       length(text) AS n_chars
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+                   CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM per GROUP BY lang
+        """,
+        "docs_quality": f"""
+            WITH raw AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       {_TOKS} AS tk,
+                       (length(text) - length(regexp_replace(
+                            text, '[^A-Za-z0-9\\s]', '', 'g')))
+                           / greatest(length(text), 1) AS praw
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, n_chars, praw,
+                       CAST(len(tk) AS BIGINT) AS n_tokens,
+                       {sw_hits} / greatest(len(tk), 1) AS sraw
+                FROM raw
+            )
+            SELECT doc_id, n_tokens,
+                   round(praw, 4) AS punct_ratio,
+                   round(sraw, 4) AS stopword_ratio,
+                   CAST(round(
+                       (CASE WHEN n_chars >= 100 AND n_chars <= 20000
+                             THEN 1.0 ELSE 0.3 END)
+                       * (CASE WHEN sraw >= 0.05 THEN 1.0 ELSE 0.5 END)
+                       * (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.4 END),
+                   4) AS DOUBLE) AS quality
+            FROM feat
+        """,
+        "docs_lang_id": f"""
+            WITH t AS (
+                SELECT lang, text, {_TOKS} AS tk FROM documents
+            ),
+            sc AS (
+                SELECT lang, {lang_scores} FROM t
+            ),
+            pred AS (
+                SELECT lang,
+                       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0
+                                THEN 'und'
+                            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                                THEN 'de'
+                            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                                THEN 'en'
+                            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                                THEN 'es'
+                            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                                THEN 'fr'
+                            ELSE 'zh' END AS pred_lang
+                FROM sc
+            )
+            SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+        """,
+        "docs_fingerprint": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOKS} AS w FROM documents
+            )
+            SELECT doc_id, md5(text) AS full_hash,
+                   coalesce(
+                       list_min(list_transform(
+                           CASE WHEN len(w) >= 4 THEN range(1, len(w) - 2)
+                                ELSE []::BIGINT[] END,
+                           i -> md5(array_to_string(w[i:i+3], ' ')))),
+                       md5(text)
+                   ) AS min_shingle_hash
+            FROM t
+        """,
+        "docs_ngram_jaccard": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            s AS (
+                SELECT doc_id, list_distinct({_SH4}) AS sh FROM t
+            ),
+            f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            e AS (SELECT doc_id, unnest(sh) AS shingle FROM f),
+            c AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM e a JOIN e b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT doc_a, doc_b,
+                       round(n_common / (na.n_sh + nb.n_sh - n_common), 4)
+                           AS jaccard
+                FROM c
+                JOIN (SELECT doc_id, len(sh) AS n_sh FROM f) na
+                  ON c.doc_a = na.doc_id
+                JOIN (SELECT doc_id, len(sh) AS n_sh FROM f) nb
+                  ON c.doc_b = nb.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.12
+        """,
+        "docs_minhash_bands": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            s AS (
+                SELECT doc_id, list_distinct({_SH4}) AS sh FROM t
+            ),
+            f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), i ->
+                           list_min(list_transform(sh, x ->
+                               md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM f
+            )
+            SELECT doc_id, band_id,
+                   md5(sg[band_id * 4 + 1] || '|' || sg[band_id * 4 + 2]
+                       || '|' || sg[band_id * 4 + 3] || '|' || sg[band_id * 4 + 4])
+                       AS band_hash
+            FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+        """,
+        "docs_minhash_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            s AS (
+                SELECT doc_id, list_distinct({_SH4}) AS sh FROM t
+            ),
+            f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), i ->
+                           list_min(list_transform(sh, x ->
+                               md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM f
+            ),
+            bands AS (
+                SELECT doc_id, band_id,
+                       md5(sg[band_id * 4 + 1] || '|' || sg[band_id * 4 + 2]
+                           || '|' || sg[band_id * 4 + 3]
+                           || '|' || sg[band_id * 4 + 4]) AS band_hash
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        """,
+        "docs_simhash": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       list_transform(tk, x ->
+                           ('0x' || substr(md5(x), 1, 8))::BIGINT) AS th
+                FROM t
+            ),
+            bits AS (
+                SELECT doc_id, b,
+                       CASE WHEN coalesce(list_sum(list_transform(th, v ->
+                                CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                            THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bitval
+                FROM h, (SELECT unnest(range(0, 32)) AS b)
+            )
+            SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "emb_near_dup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            p AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos6
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, round(cos6, 4) AS cos
+            FROM p WHERE cos6 >= 0.8
+        """,
+        "emb_cosine_topk": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+            s AS (
+                SELECT qid, e.vec_id AS nid,
+                       round(list_cosine_similarity(qv, v), 6) AS cos
+                FROM e JOIN q ON e.vec_id <> q.qid
+            ),
+            r AS (
+                SELECT qid, nid, cos,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY cos DESC, nid
+                       ) AS rnk
+                FROM s
+            )
+            SELECT qid, nid, round(cos, 4) AS cos, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 5
+        """,
+    }

@@ -1,0 +1,86 @@
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-training-data pipeline surface: token accounting, quality scoring,
+language ID, fingerprinting. All pure Catalyst expressions (functions/
+text.py) — a 100 TB documents scan never leaves the JVM, and every
+operator is a single scan + (at most) one partial-agg shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..session import read_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy, keep-lowest-id semantics —
+    the trips trip_key upsert (populate_postgres.sql:16-31) generalized
+    to document text. One shuffle on the hash key."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per language: whitespace tokens + BPE-ish
+    subword proxy + char totals."""
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang",
+        TX.token_count("text").alias("ws_tokens"),
+        TX.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (functions/text.py)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID, reported as a confusion matrix
+    against the labeled ``lang`` column."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", TX.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content hash + min-shingle rolling
+    hash (winnowing-style min fingerprint over 4-gram shingles)."""
+    d = _docs(spark, sf_dir)
+    sh = TX.shingles("text", 4)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("full_hash"),
+        F.coalesce(
+            F.array_min(F.transform(sh, lambda s: F.md5(s))), F.md5("text")
+        ).alias("min_shingle_hash"),
+    )
