@@ -44,21 +44,30 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
-def shingles(col: Column | str, k: int = 4) -> Column:
-    """Array of k-word shingles (space-joined); empty array if < k tokens.
+def shingles_from_tokens(tok_col: Column, k: int = 4) -> Column:
+    """Array of k-word shingles from a MATERIALIZED token-array column.
 
-    Built with sequence+transform+slice over the token array — pure
-    Catalyst expressions, no UDF, no explode until the caller wants one.
+    ``tok_col`` must be a plain column reference (built by a previous
+    ``select``), not a nested expression: Catalyst does not eliminate
+    common subexpressions inside higher-order-function lambdas, so a
+    nested ``tokens(text)`` here would re-run the regex tokenization on
+    every slice iteration — O(n_tokens^2) per document.
     """
-    toks = tokens(col)
-    n = F.size(toks)
+    n = F.size(tok_col)
     return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column | str, k: int = 4) -> Column:
+    """Shingles straight from a text column. Convenience for small
+    inputs/tests — hot paths should stage ``tokens`` first and use
+    ``shingles_from_tokens`` (see that docstring for why)."""
+    return shingles_from_tokens(tokens(col), k)
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -68,12 +77,18 @@ def punct_ratio(col: Column | str) -> Column:
     return n_punct / F.greatest(F.length(c), F.lit(1))
 
 
-def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
-    """Fraction of tokens that are (lowercased) stopwords for ``lang``."""
-    toks = tokens(col)
+def stopword_hits(tok_col: Column, lang: str = "en") -> Column:
+    """Count of (lowercased) stopword tokens in a materialized token
+    array column."""
     words = STOPWORDS[lang]
-    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    return F.size(F.filter(tok_col, lambda t: F.lower(t).isin(*words)))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are (lowercased) stopwords for ``lang``.
+    Convenience form; hot paths stage ``tokens`` and use stopword_hits."""
+    toks = tokens(col)
+    return stopword_hits(toks, lang) / F.greatest(F.size(toks), F.lit(1))
 
 
 def quality_score(col: Column | str) -> Column:
@@ -89,9 +104,12 @@ def quality_score(col: Column | str) -> Column:
     return F.round(len_ok * sw_ok * punct_ok, 4)
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Per-language stopword-hit counts (the lang-id features)."""
-    toks = tokens(col)
+def lang_scores(text_col: Column, tok_col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the lang-id features).
+
+    ``tok_col`` must be a materialized token-array column (see
+    shingles_from_tokens for the CSE rationale)."""
+
     def hit(words: tuple[str, ...]):
         return lambda t: F.lower(t).isin(*words)
 
@@ -99,18 +117,19 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     for lang, words in STOPWORDS.items():
         if lang == "zh":
             # zh has no whitespace tokens; count character hits instead.
-            c = F.col(col) if isinstance(col, str) else col
-            score = F.size(F.regexp_extract_all(c, F.lit("[" + "".join(words) + "]"), 0))
+            score = F.size(
+                F.regexp_extract_all(text_col, F.lit("[" + "".join(words) + "]"), 0)
+            )
         else:
-            score = F.size(F.filter(toks, hit(words)))
+            score = F.size(F.filter(tok_col, hit(words)))
         out[lang] = score
     return out
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(text_col: Column, tok_col: Column) -> Column:
     """Pick the language with the max stopword-profile score (ties break
     by language code ascending, 'und' if all scores are 0)."""
-    scores = lang_scores(col)
+    scores = lang_scores(text_col, tok_col)
     pairs = sorted(scores.items())  # deterministic tie-break: code asc
     best_lang = F.lit("und")
     best_score = F.lit(0)

@@ -2,11 +2,16 @@
 MinHash+LSH, SimHash.
 
 Scale design: nothing here is ever all-pairs on the full corpus —
-candidates come from equi-joins on shingle / band-hash / simhash-band
-keys (one hash shuffle each), and the exact Jaccard verify runs only on
-candidate pairs. At 100 TB the only knobs are the shingle width, the
-number of bands, and a frequency cap on hot shingles (drop shingles
-shared by >F docs before the self-join to bound skew).
+candidates come from equi-joins on shingle / band-hash keys (one hash
+shuffle each), and the exact Jaccard verify runs only on candidate
+pairs. At 100 TB the knobs are the shingle width, the number of bands,
+and a frequency cap on hot shingles (drop shingles shared by >F docs
+before the self-join to bound skew).
+
+MinHash is computed as explode(shingles) -> 16 md5 projections -> one
+hash-aggregate with 16 min()s: every expression stays inside
+whole-stage codegen with map-side partial aggregation, instead of 16
+interpreted higher-order transforms per document.
 """
 
 from __future__ import annotations
@@ -15,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.hashing import lsh_bands, minhash_signature, simhash32, token_hashes32
-from ..session import read_table
+from ..functions.hashing import simhash32, token_hashes32
+from ..session import ensure_parallelism, read_table
 
 SHINGLE_K = 4
 NUM_HASHES = 16
@@ -25,22 +30,37 @@ ROWS_PER_BAND = 4
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.array_distinct(TX.shingles("text", SHINGLE_K)).alias("sh")
-    ).where(F.size("sh") > 0)
+    """(doc_id, sh: array<string>) with sh the DISTINCT k-shingle set.
+
+    Tokens are materialized in their own projection before the shingle
+    transform iterates (no CSE inside HOF lambdas — see functions/text).
+
+    Deliberately NO ``size(sh) > 0`` filter here: predicate pushdown
+    would substitute the whole shingle expression into a Filter below
+    the repartition (single partition, quadratic retokenization).
+    Downstream explodes/inner-joins drop empty-shingle docs anyway.
+    """
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", TX.tokens("text").alias("tk"))
+    return toks.select(
+        "doc_id",
+        F.array_distinct(TX.shingles_from_tokens(F.col("tk"), SHINGLE_K)).alias("sh"),
+    )
 
 
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.12) -> DataFrame:
     """N-gram-shingle Jaccard near-dup pairs (doc_a < doc_b).
 
-    Explode distinct shingles -> self-equi-join on shingle (shuffle on
-    the shingle key; Catalyst plans a shuffled hash join) -> count
-    common -> Jaccard = common / (|A| + |B| - common). The join fans out
+    Explode distinct shingles -> self-equi-join on shingle (one shuffle
+    on the shingle key; the two sides are identical subplans, so the
+    exchange is reused) -> count common -> Jaccard. The join fans out
     only where shingles collide, so cost tracks true overlap, not n^2.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # Materialize the shingle sets once (lineage truncation): the plan
+    # references them four times (two join sides + two size lookups),
+    # and re-deriving interpreted HOF shingles per reference dominates.
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
     a = exploded.alias("a")
@@ -71,22 +91,48 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
 
 
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m15): md5-permutation minima via explode + min-agg.
+
+    One shuffle on doc_id with map-side partial mins; each shingle's 16
+    md5s are computed exactly once in a codegen projection.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s"))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
+    )
+
+
 def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash LSH band hashes (doc_id, band_id, band_hash).
 
-    The signature is NUM_HASHES md5-permutation minima computed with
-    array expressions (no explode); bands hash ROWS_PER_BAND signature
-    rows together. This is the shuffle key for candidate generation.
+    band_hash b = md5 over signature rows [b*R, (b+1)*R) — the shuffle
+    key for candidate generation.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    sig = sh.select(
-        "doc_id", minhash_signature(F.col("sh"), NUM_HASHES).alias("sig")
+    sig = _minhash_sig(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(NUM_BANDS)
+        ]
     )
-    banded = sig.select(
-        "doc_id",
-        F.explode(lsh_bands(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)).alias("band"),
-    )
-    return banded.select(
+    return sig.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id",
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"),
@@ -96,10 +142,13 @@ def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing >=1 band bucket.
 
-    Equi-join on (band_id, band_hash) — one shuffle, never all-pairs.
+    Equi-join on (band_id, band_hash) — one shuffle, never all-pairs;
+    identical subplans on both sides let Spark reuse the exchange.
     Downstream exact-Jaccard verify would run on exactly these pairs.
     """
-    bands = docs_minhash_bands(spark, sf_dir)
+    # Materialized once — the self-join would otherwise recompute the
+    # whole shingle+minhash lineage for each side.
+    bands = docs_minhash_bands(spark, sf_dir).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -124,7 +173,7 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle. Near-dup retrieval at scale joins on rotated band keys
     of the simhash (round 2); hamming distance is bit_count(xor).
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", TX.tokens("text").alias("toks"))
-    hashed = toks.withColumn("th", token_hashes32(F.col("toks")))
+    hashed = toks.select("doc_id", token_hashes32(F.col("toks")).alias("th"))
     return hashed.select("doc_id", simhash32(F.col("th")).alias("simhash"))

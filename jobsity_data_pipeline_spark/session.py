@@ -100,3 +100,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
     """Read the driver-generated parquet tables as a dict of DataFrames."""
     return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def ensure_parallelism(spark: SparkSession, df):
+    """Repartition a too-few-partitions input up to the session's core
+    count.
+
+    Small local test files arrive as a single scan partition, which
+    serializes expression-heavy operators (minhash, lang-id, cosine) on
+    one core. At 100 TB the scan is already split by
+    spark.sql.files.maxPartitionBytes so this is a no-op there — the
+    shuffle only triggers when the input underuses the cluster.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
