@@ -1,0 +1,59 @@
+"""Batch sources: schema-on-read CSV/JSON/Parquet with explicit schemas.
+
+The reference ingests CSV with header into typed staging
+(insert_postgres.py:21-23, create_objects.sql:2-9). Here every reader
+takes an explicit schema — no inference pass over 100 TB — and returns
+a lazy scan that Catalyst can prune and push filters into.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True, delimiter: str = ",") -> DataFrame:
+    """CSV with explicit schema; malformed rows go to PERMISSIVE nulls
+    (the reference's staging table is all-VARCHAR for the same reason:
+    never drop rows at ingest)."""
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              properties: dict[str, str] | None = None,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int | None = None) -> DataFrame:
+    """JDBC source (the reference's Postgres tables, insert_postgres.py).
+
+    For any real volume pass partition_column/bounds so the read is
+    split across executors instead of a single connection. Requires a
+    JDBC driver jar on the classpath — not bundled in this environment,
+    so tests only assert plan construction.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()

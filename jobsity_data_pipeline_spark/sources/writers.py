@@ -1,0 +1,43 @@
+"""Batch sinks: partitioned/bucketed parquet hist tables, gated JDBC.
+
+The reference persists to Postgres via COPY + upsert
+(populate_postgres.sql) and suggests parquet-on-S3 for cloud (README
+"cloud environment" sketch). The Spark-native hist store is a parquet
+table partitioned by a date column (partition pruning for time-range
+queries) and optionally bucketed by trip_key (shuffle-free upsert
+anti-joins at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_hist_parquet(df: DataFrame, path: str,
+                       partition_by: tuple[str, ...] = (),
+                       mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_hist_bucketed(df: DataFrame, table: str, key: str = "trip_key",
+                        buckets: int = 64, mode: str = "overwrite") -> None:
+    """Bucketed managed table: co-locates rows by key so the upsert
+    anti-join (pipeline.trips.upsert) needs no shuffle on the hist side."""
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               properties: dict[str, str] | None = None,
+               mode: str = "append") -> None:
+    """JDBC sink (insert_postgres.py:24 ``df.write.jdbc``). Requires a
+    driver jar; gated behind the caller in this environment."""
+    df.write.jdbc(url, table, mode=mode, properties=properties or {})

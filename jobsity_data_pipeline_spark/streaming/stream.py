@@ -1,0 +1,95 @@
+"""Structured Streaming twin of the batch trips pipeline.
+
+The reference's ingest is a batch cron job (Makefile `all`), with the
+README noting Spark UI as the non-polling status channel. Re-expressed
+for streams: a file-source readStream feeds the same trip_key dedup and
+weekly aggregation as declarative streaming plans —
+``dropDuplicatesWithinWatermark`` gives the staging->hist ON CONFLICT
+DO NOTHING semantics with bounded state, and foreachBatch applies the
+idempotent upsert to the hist store. Progress (StreamingQuery.status /
+lastProgress) replaces UI polling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import record_key
+from ..pipeline.trips import TRIPS_SCHEMA
+
+
+def read_trips_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of trips CSV drops (the S3-landing pattern the
+    reference sketches with Lambda+EMR)."""
+    reader = (
+        spark.readStream.option("header", "true")
+        .schema(TRIPS_SCHEMA)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.csv(path)
+
+
+def with_event_time(trips: DataFrame) -> DataFrame:
+    return trips.withColumn("event_time", F.col("datetime").cast("timestamp"))
+
+
+def dedup_stream(trips: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming trip_key dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped exactly like the unique
+    index in populate_postgres.sql:16-31; state older than the
+    watermark is evicted (unbounded-state dedup cannot run forever)."""
+    keyed = with_event_time(trips).withColumn(
+        "trip_key",
+        record_key("region", "origin_coord", "destination_coord", "datetime",
+                   "datasource"),
+    )
+    return keyed.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["trip_key"]
+    )
+
+
+def windowed_trip_counts(trips: DataFrame, window: str = "1 hour",
+                         watermark: str = "1 day") -> DataFrame:
+    """Tumbling-window trip counts per region with late-data handling —
+    the streaming twin of the weekly_avg materialized view."""
+    return (
+        with_event_time(trips)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("region"))
+        .agg(F.count("*").alias("n_trips"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "region",
+            "n_trips",
+        )
+    )
+
+
+def start_hist_upsert(dedup: DataFrame, hist_path: str, checkpoint: str,
+                      trigger_available_now: bool = False):
+    """foreachBatch idempotent upsert into the parquet hist store.
+
+    Each micro-batch anti-joins the existing hist keys (ON CONFLICT DO
+    NOTHING) then appends — combined with dropDuplicatesWithinWatermark
+    upstream this is exactly-once per trip_key end-to-end.
+    """
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            hist_keys = spark.read.parquet(hist_path).select("trip_key")
+            new_rows = batch.join(hist_keys, "trip_key", "left_anti")
+        except Exception:  # first batch: hist does not exist yet
+            new_rows = batch
+        new_rows.write.mode("append").parquet(hist_path)
+
+    writer = dedup.writeStream.foreachBatch(upsert_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

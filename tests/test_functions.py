@@ -1,0 +1,122 @@
+"""Property/unit tests for the expression libraries (hashing, text,
+vectors) — cross-checked against plain-Python reference implementations
+on hypothesis-generated inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from jobsity_data_pipeline_spark.functions import text as TX
+from jobsity_data_pipeline_spark.functions.hashing import (
+    hamming32,
+    record_key,
+    simhash32,
+    token_hashes32,
+)
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=0, max_size=30
+)
+
+
+def _py_tokens(s: str) -> list[str]:
+    return [t for t in __import__("re").split(r"\s+", s) if t != ""]
+
+
+def _py_simhash32(tokens: list[str]) -> int:
+    hashes = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in tokens]
+    out = 0
+    for bit in range(32):
+        vote = sum(1 if (h >> bit) & 1 else -1 for h in hashes)
+        if vote > 0:
+            out |= 1 << bit
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(WORDS)
+def test_simhash_matches_python(spark, words):
+    text = " ".join(words)
+    df = spark.createDataFrame([Row(text=text)])
+    toks = df.select(TX.tokens("text").alias("tk"))
+    hashed = toks.select(token_hashes32(F.col("tk")).alias("th"))
+    got = hashed.select(simhash32(F.col("th")).alias("sh")).first().sh
+    assert got == _py_simhash32(_py_tokens(text))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.text(alphabet="ab \t\nxyz.", max_size=60))
+def test_tokens_match_python(spark, text):
+    df = spark.createDataFrame([Row(text=text)])
+    got = df.select(TX.tokens("text").alias("t")).first().t
+    assert got == _py_tokens(text)
+
+
+def test_record_key_is_md5_of_pipe_join(spark):
+    df = spark.createDataFrame([Row(a="x", b="y")])
+    got = df.select(record_key("a", "b").alias("k")).first().k
+    assert got == hashlib.md5(b"x|y").hexdigest()
+
+
+def test_hamming32(spark):
+    df = spark.createDataFrame([Row(a=0b1011, b=0b0001)])
+    got = df.select(hamming32(F.col("a"), F.col("b")).alias("h")).first().h
+    assert got == 2
+
+
+def test_shingles_window(spark):
+    df = spark.createDataFrame([Row(text="a b c d e")])
+    staged = df.select(TX.tokens("text").alias("tk"))
+    got = staged.select(
+        TX.shingles_from_tokens(F.col("tk"), 4).alias("s")
+    ).first().s
+    assert got == ["a b c d", "b c d e"]
+    short = spark.createDataFrame([Row(text="a b c")])
+    got2 = (
+        short.select(TX.tokens("text").alias("tk"))
+        .select(TX.shingles_from_tokens(F.col("tk"), 4).alias("s"))
+        .first()
+        .s
+    )
+    assert got2 == []
+
+
+def test_lang_id_basics(spark):
+    rows = [
+        Row(text="the cat and the dog is on it"),
+        Row(text="el que la de y en un por"),
+        Row(text="我是人了的"),
+        Row(text="qqq zzz www"),
+    ]
+    df = spark.createDataFrame(rows)
+    staged = df.select("text", TX.tokens("text").alias("tk"))
+    got = [
+        r.p
+        for r in staged.select(
+            TX.lang_id(F.col("text"), F.col("tk")).alias("p")
+        ).collect()
+    ]
+    assert got == ["en", "es", "zh", "und"]
+
+
+def test_quality_monotonicity(spark):
+    good = "the quick brown fox jumps over the lazy dog and it is fine " * 5
+    bad = "!!! ??? ### $$$ %%%"
+    df = spark.createDataFrame([Row(text=good), Row(text=bad)])
+    got = [r.q for r in df.select(TX.quality_score("text").alias("q")).collect()]
+    assert got[0] > got[1]
+
+
+def test_bpe_ish_counts(spark):
+    df = spark.createDataFrame([Row(text="hello world42, x!")])
+    got = df.select(TX.bpe_ish_token_count("text").alias("n")).first().n
+    # hello | world | 42 | , | x | !
+    assert got == 6

@@ -1,0 +1,75 @@
+"""Physical-plan quality gates: the optimizations SURVEY §6 promises
+must be visible in explain() output — filters reach the parquet scan,
+projections prune the read schema, small dims broadcast, and hot paths
+stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobsity_data_pipeline_spark.operators import relational as R
+from jobsity_data_pipeline_spark.session import read_table
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    df = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # scan must read only the projected columns, not all 11
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(R.q5_local_supplier(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the big fact-fact join (lineitem x orders) must NOT be nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_aggregate_is_partial(spark):
+    plan = _plan(R.q1_pricing_summary(spark, SF_SMOKE))
+    # partial_ prefix = map-side combine before the exchange
+    assert "partial_sum" in plan
+
+
+def test_q1_stays_in_codegen(spark):
+    import contextlib
+    import io
+
+    df = R.q1_pricing_summary(spark, SF_SMOKE)
+    df.collect()  # AQE only finalizes (and shows codegen) post-execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode: '*(n)' marks whole-stage-codegen spans
+    assert "*(" in buf.getvalue()
+
+
+def test_anti_join_not_cartesian(spark):
+    plan = _plan(R.customers_without_orders(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_date_filter_pushdown_q3(spark):
+    plan = _plan(R.q3_shipping_priority(spark, SF_SMOKE))
+    # timestamp predicates pushed into both fact scans
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "LessThan(o_orderdate" in plan
