@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from jobsity_data_pipeline_spark.operators import dedup as D
 from jobsity_data_pipeline_spark.operators import relational as R
+from jobsity_data_pipeline_spark.operators import relational2 as R2
 from jobsity_data_pipeline_spark.operators import similarity as S
 from jobsity_data_pipeline_spark.operators import textops as TO
 
@@ -46,6 +47,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": R.events_sessionization,
         "events_hourly": R.events_hourly,
         "events_running_total": R.events_running_total,
+        "q7_volume_shipping": R2.q7_volume_shipping,
+        "q10_returned_items": R2.q10_returned_items,
+        "q18_large_orders": R2.q18_large_orders,
+        "promo_revenue_ratio": R2.promo_revenue_ratio,
+        "events_user_daily": R2.events_user_daily,
+        "events_funnel": R2.events_funnel,
+        "docs_top_tokens": R2.docs_top_tokens,
+        "docs_len_percentiles": R2.docs_len_percentiles,
+        "emb_label_centroids": R2.emb_label_centroids,
         # C. LLM-training-data ops
         "docs_exact_dedup": TO.docs_exact_dedup,
         "docs_token_stats": TO.docs_token_stats,
@@ -274,6 +284,114 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 2) AS running_value
             FROM events
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                       l_extendedprice, l_discount
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+                   OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 2) > 60
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice, total_qty
+            FROM big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "promo_revenue_ratio": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   round(
+                       sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END) * 100.0
+                       / sum(l_extendedprice * (1 - l_discount)),
+                   4) AS promo_pct
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "events_user_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "events_funnel": """
+            WITH stage_min AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS t_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT count(*) AS n_users,
+                   CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                                  AND t_view < t_click THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view_click,
+                   CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                                  AND t_view < t_click
+                                  AND t_purchase IS NOT NULL
+                                  AND t_click < t_purchase THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view_click_purchase
+            FROM stage_min
+        """,
+        "docs_top_tokens": f"""
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "docs_len_percentiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "emb_label_centroids": """
+            WITH x AS (
+                SELECT label,
+                       unnest(range(0, len(embedding))) AS pos,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings
+            )
+            SELECT label, pos, round(avg(x), 6) AS centroid
+            FROM x GROUP BY label, pos
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

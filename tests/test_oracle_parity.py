@@ -14,7 +14,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
@@ -48,7 +48,9 @@ def _norm_rows(cols, rows):
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_parity(spark, name):
-    sf = SF_SMOKE
+    import os
+
+    sf = os.environ.get("PARITY_SF_DIR", SF_SMOKE)
     sdf = QUERIES[name](spark, sf)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
