@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from jobsity_data_pipeline_spark.operators import dedup as D
 from jobsity_data_pipeline_spark.operators import relational as R
 from jobsity_data_pipeline_spark.operators import relational2 as R2
+from jobsity_data_pipeline_spark.operators import relational3 as R3
 from jobsity_data_pipeline_spark.operators import similarity as S
 from jobsity_data_pipeline_spark.operators import textops as TO
 
@@ -56,6 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_tokens": R2.docs_top_tokens,
         "docs_len_percentiles": R2.docs_len_percentiles,
         "emb_label_centroids": R2.emb_label_centroids,
+        "events_asof_view_purchase": R3.events_asof_view_purchase,
+        "events_pivot": R3.events_pivot,
+        "events_daily_moving_avg": R3.events_daily_moving_avg,
+        "docs_near_dup_verified": R3.docs_near_dup_verified,
+        "sql_weekly_avg": R3.sql_weekly_avg,
         # C. LLM-training-data ops
         "docs_exact_dedup": TO.docs_exact_dedup,
         "docs_token_stats": TO.docs_token_stats,
@@ -392,6 +398,101 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT label, pos, round(avg(x), 6) AS centroid
             FROM x GROUP BY label, pos
+        """,
+        "events_asof_view_purchase": """
+            WITH tagged AS (
+                SELECT event_id, user_id, ts, event_type, value,
+                       CASE WHEN event_type = 'view' THEN value END AS view_val
+                FROM events
+            ),
+            carried AS (
+                SELECT event_id, user_id, event_type, value,
+                       last_value(view_val IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS last_view_value
+                FROM tagged
+            )
+            SELECT event_id, user_id, value AS purchase_value, last_view_value
+            FROM carried WHERE event_type = 'purchase'
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "events_daily_moving_avg": """
+            WITH daily AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT day, event_type, n,
+                   round(avg(n) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ), 4) AS ma7
+            FROM daily
+        """,
+        "docs_near_dup_verified": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            s AS (
+                SELECT doc_id, list_distinct({_SH4}) AS sh FROM t
+            ),
+            f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), i ->
+                           list_min(list_transform(sh, x ->
+                               md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM f
+            ),
+            bands AS (
+                SELECT doc_id, band_id,
+                       md5(sg[band_id * 4 + 1] || '|' || sg[band_id * 4 + 2]
+                           || '|' || sg[band_id * 4 + 3]
+                           || '|' || sg[band_id * 4 + 4]) AS band_hash
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+            ),
+            verified AS (
+                SELECT doc_a, doc_b,
+                       round(
+                           CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE)
+                           / (len(fa.sh) + len(fb.sh)
+                              - len(list_intersect(fa.sh, fb.sh))),
+                       4) AS jaccard
+                FROM pairs
+                JOIN f fa ON pairs.doc_a = fa.doc_id
+                JOIN f fb ON pairs.doc_b = fb.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.12
+        """,
+        "sql_weekly_avg": f"""
+            WITH t AS ({_TRIPS}),
+            c AS (
+                SELECT region, {wom_dt} AS week_of_month, count(*) AS cnt
+                FROM t GROUP BY 1, 2
+            )
+            SELECT region, week_of_month,
+                   CAST(ceil(avg(cnt)) AS BIGINT) AS weekly_avg
+            FROM c GROUP BY 1, 2
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
