@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_moving_avg": R3.events_daily_moving_avg,
         "docs_near_dup_verified": R3.docs_near_dup_verified,
         "sql_weekly_avg": R3.sql_weekly_avg,
+        "orders_cube": R3.orders_cube,
+        "events_enriched": R3.events_enriched,
+        "docs_clean_corpus_stats": R3.docs_clean_corpus_stats,
         # C. LLM-training-data ops
         "docs_exact_dedup": TO.docs_exact_dedup,
         "docs_token_stats": TO.docs_token_stats,
@@ -493,6 +496,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT region, week_of_month,
                    CAST(ceil(avg(cnt)) AS BIGINT) AS weekly_avg
             FROM c GROUP BY 1, 2
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "events_enriched": """
+            SELECT c_mktsegment,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 2) AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "docs_clean_corpus_stats": f"""
+            WITH feat AS (
+                SELECT doc_id, lang, length(text) AS n_chars, md5(text) AS h,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                       len(list_filter({_TOKS}, t ->
+                           list_contains({_STOP['en']}, lower(t))))
+                           / greatest(len({_TOKS}), 1) AS sraw
+                FROM documents
+            ),
+            keeper AS (
+                SELECT h, min(doc_id) AS keep_id FROM feat GROUP BY h
+            ),
+            cleaned AS (
+                SELECT f.* FROM feat f
+                JOIN keeper k ON f.h = k.h AND f.doc_id = k.keep_id
+                WHERE f.n_chars >= 100 AND f.n_tokens >= 10
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   round(avg(sraw), 4) AS avg_stopword_ratio
+            FROM cleaned GROUP BY lang
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

@@ -48,6 +48,32 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows — DISTINCT k-shingles, one per row.
+
+    Built with posexplode(tokens) + window lead()s: every expression is
+    whole-stage codegen (the array/HOF path evaluates interpreted at
+    ~100x the cost). Costs one shuffle on doc_id, which the downstream
+    dedup aggregations/joins were going to pay anyway.
+    """
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)
+    ]
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *leads).alias("shingle"),
+        leads[-1].alias("_last"),
+    )
+    return sh.where(F.col("_last").isNotNull()).select("doc_id", "shingle").distinct()
+
+
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.12) -> DataFrame:
     """N-gram-shingle Jaccard near-dup pairs (doc_a < doc_b).
@@ -57,12 +83,11 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
     exchange is reused) -> count common -> Jaccard. The join fans out
     only where shingles collide, so cost tracks true overlap, not n^2.
     """
-    # Materialize the shingle sets once (lineage truncation): the plan
-    # references them four times (two join sides + two size lookups),
-    # and re-deriving interpreted HOF shingles per reference dominates.
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # Materialize the exploded shingle set once (lineage truncation):
+    # the plan references it four times (two join sides + two size
+    # lookups), and re-deriving it per reference dominates.
+    exploded = _doc_shingles_exploded(spark, sf_dir).localCheckpoint()
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
@@ -97,12 +122,11 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on doc_id with map-side partial mins; each shingle's 16
     md5s are computed exactly once in a codegen projection.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    ex = _doc_shingles_exploded(spark, sf_dir)
     hashed = ex.select(
         "doc_id",
         *[
-            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s"))).alias(f"h{i}")
+            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
             for i in range(NUM_HASHES)
         ],
     )

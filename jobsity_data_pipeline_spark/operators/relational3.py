@@ -8,8 +8,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _doc_shingles, docs_minhash_pairs
-from ..session import read_table
+from .dedup import docs_minhash_pairs
+from ..functions import text as TX
+from ..session import ensure_parallelism, read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -95,16 +96,36 @@ def docs_near_dup_verified(spark: SparkSession, sf_dir: str,
     This is the 100 TB pattern — the exact set intersection runs on the
     (tiny) candidate set, never all pairs; both stages are equi-joins.
     """
+    from .dedup import _doc_shingles_exploded
+
     pairs = docs_minhash_pairs(spark, sf_dir)
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    ex = _doc_shingles_exploded(spark, sf_dir).localCheckpoint()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = ex.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("shingle_b"))
+    common = (
+        pairs.join(ea, "doc_a")
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("_db"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        joined.select(
-            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -149,3 +170,56 @@ WEEKLY_AVG_SQL = """
 
 def sql_weekly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, WEEKLY_AVG_SQL)
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all grouping-set combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension enrichment: events joined to the customer dim
+    (user_id as customer key) — broadcast the dim, aggregate revenue
+    proxy per market segment."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def docs_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data cleaning pipeline: exact-dedup (keep
+    lowest doc_id per content hash), drop low-quality docs, then report
+    per-language corpus stats — the end-to-end shape of a data-prep
+    job, still one declarative plan (dedup via min-id semi filter,
+    quality as a scan-stage predicate)."""
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    staged = d.select(
+        "doc_id", "lang", F.length("text").alias("n_chars"),
+        F.md5("text").alias("h"), TX.tokens("text").alias("tk"),
+    )
+    feat = staged.select(
+        "doc_id", "lang", "n_chars", "h",
+        F.size("tk").cast("long").alias("n_tokens"),
+        (TX.stopword_hits(F.col("tk")) / F.greatest(F.size("tk"), F.lit(1))).alias("sraw"),
+    )
+    keeper = feat.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    kept = feat.join(keeper, (feat["h"] == keeper["h"]) & (feat["doc_id"] == keeper["keep_id"]))
+    cleaned = kept.where((F.col("n_chars") >= 100) & (F.col("n_tokens") >= 10))
+    return cleaned.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("sraw"), 4).alias("avg_stopword_ratio"),
+    )
