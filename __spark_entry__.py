@@ -17,6 +17,7 @@ from jobsity_data_pipeline_spark.operators import dedup as D
 from jobsity_data_pipeline_spark.operators import relational as R
 from jobsity_data_pipeline_spark.operators import relational2 as R2
 from jobsity_data_pipeline_spark.operators import relational3 as R3
+from jobsity_data_pipeline_spark.operators import relational4 as R4
 from jobsity_data_pipeline_spark.operators import similarity as S
 from jobsity_data_pipeline_spark.operators import textops as TO
 
@@ -65,6 +66,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": R3.orders_cube,
         "events_enriched": R3.events_enriched,
         "docs_clean_corpus_stats": R3.docs_clean_corpus_stats,
+        "docs_sample_stratified": R4.docs_sample_stratified,
+        "docs_train_val_test": R4.docs_train_val_test,
+        "docs_repetition": R4.docs_repetition,
+        "events_value_histogram": R4.events_value_histogram,
+        "events_top_type_per_user": R4.events_top_type_per_user,
+        "docs_top_bigrams": R4.docs_top_bigrams,
+        "orders_price_corr": R4.orders_price_corr,
+        "emb_kmeans_assign": R4.emb_kmeans_assign,  # rows-only: iterative numeric op
         # C. LLM-training-data ops
         "docs_exact_dedup": TO.docs_exact_dedup,
         "docs_token_stats": TO.docs_token_stats,
@@ -534,6 +543,84 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 4) AS avg_chars,
                    round(avg(sraw), 4) AS avg_stopword_ratio
             FROM cleaned GROUP BY lang
+        """,
+        "docs_sample_stratified": """
+            WITH b AS (
+                SELECT lang,
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT % 100) < 20 AS in_sample
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_total,
+                   CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sampled
+            FROM b GROUP BY lang
+        """,
+        "docs_train_val_test": """
+            WITH b AS (
+                SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::BIGINT % 100 AS bk
+                FROM documents
+            )
+            SELECT CASE WHEN bk < 80 THEN 'train'
+                        WHEN bk < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs
+            FROM b GROUP BY 1
+        """,
+        "docs_repetition": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            per_tok AS (
+                SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
+                   round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS distinct_ratio,
+                   round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_share
+            FROM per_tok GROUP BY doc_id
+        """,
+        "events_value_histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "events_top_type_per_user": """
+            WITH counts AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT user_id, event_type, c,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY c DESC, event_type
+                       ) AS rnk
+                FROM counts
+            )
+            SELECT user_id, event_type AS top_type, c AS n
+            FROM ranked WHERE rnk = 1
+        """,
+        "docs_top_bigrams": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ),
+            p AS (
+                SELECT doc_id, unnest(range(1, len(tk))) AS i, tk FROM t
+            )
+            SELECT tk[i] || ' ' || tk[i + 1] AS bigram, count(*) AS n
+            FROM p GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30
+        """,
+        "orders_price_corr": """
+            WITH qty AS (
+                SELECT l_orderkey, sum(l_quantity) AS qty
+                FROM lineitem GROUP BY 1
+            )
+            SELECT round(corr(o_totalprice, qty), 3) AS price_qty_corr,
+                   count(*) AS n_orders
+            FROM orders JOIN qty ON o_orderkey = l_orderkey
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

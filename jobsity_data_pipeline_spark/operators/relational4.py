@@ -1,0 +1,183 @@
+"""Fourth operator wave: deterministic sampling/splits, repetition
+quality signals, histograms, group-wise mode, bigram stats, correlation,
+and k-means assignment.
+
+Sampling is hash-based (md5 of the key), not RNG-based: at 100 TB a
+sample must be reproducible across retries/executors and joinable
+across tables — properties rand() cannot give. The same trick yields
+stable train/val/test splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..session import ensure_parallelism, read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _hash_bucket(col: F.Column, buckets: int = 100) -> F.Column:
+    """Deterministic [0, buckets) bucket from md5 of the key column."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % buckets
+
+
+def docs_sample_stratified(spark: SparkSession, sf_dir: str,
+                           pct: int = 20) -> DataFrame:
+    """Deterministic ~pct% sample per language (hash-mod on doc_id) —
+    reports per-lang sampled counts vs totals."""
+    d = _t(spark, sf_dir, "documents")
+    bucketed = d.select(
+        "lang", (_hash_bucket(F.col("doc_id")) < pct).alias("in_sample")
+    )
+    return bucketed.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).cast("long").alias(
+            "n_sampled"
+        ),
+    )
+
+
+def docs_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 split assignment counts (hash buckets 0-79/80-89/
+    90-99). The same doc lands in the same split on every run/cluster."""
+    d = _t(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select(split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per doc: distinct-token ratio and
+    top-token frequency share (Gopher-style repetition filters)."""
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.count("*") / F.sum("c"), 4).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_share"),
+    )
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str,
+                           bin_width: float = 25.0) -> DataFrame:
+    """Fixed-width histogram of event values per type — single
+    partial-agg pass, bins derived arithmetically (no UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(bin_width)).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def events_top_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise mode: each user's most frequent event type (ties break
+    by type ascending) via count + row_number window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), F.col("c").alias("n"))
+    )
+
+
+def docs_top_bigrams(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
+    """Corpus bigram frequency top-k via posexplode + lead window (the
+    codegen shingle path at width 2)."""
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).alias("_n"),
+    ).where(F.col("_n").isNotNull())
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
+def orders_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between order totalprice and its lineitem
+    quantity sum — two partial-agg passes + one scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    qty = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    joined = orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"])
+    return joined.agg(
+        F.round(F.corr("o_totalprice", "qty"), 3).alias("price_qty_corr"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step: nearest label-centroid per vector
+    (centroids from the labeled data), reported as a label x assigned
+    confusion matrix. Iterating = re-running assign + centroid update;
+    state is k x dim, broadcast each round. Rows-only check (iterative
+    numeric algorithm; not oracle-SQL-expressible at reasonable cost).
+    """
+    import numpy as np
+
+    emb = ensure_parallelism(spark, read_table(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"),
+                   "label")
+    cents = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    k = max(r.label for r in cents) + 1
+    dim = max(r.pos for r in cents) + 1
+    C = np.zeros((k, dim))
+    for r in cents:
+        C[r.label, r.pos] = r.c
+    bc = spark.sparkContext.broadcast(C)
+
+    def gen(batches):
+        import pandas as pd
+
+        M = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_numpy())
+            d2 = ((A[:, None, :] - M[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"].to_numpy(dtype="int32"),
+                    "assigned": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    assigned = e.mapInPandas(gen, "label int, assigned int")
+    return assigned.groupBy("label", "assigned").agg(F.count("*").alias("n"))

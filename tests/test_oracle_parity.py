@@ -72,8 +72,8 @@ def test_parity(spark, name):
 
 
 def test_every_query_has_oracle_or_is_declared():
-    # emb_lsh_ann is the only declared rows-only (approximate) op in r1
-    assert set(QUERIES) - set(ORACLES) == {"emb_lsh_ann"}
+    # declared rows-only ops: approximate ANN + iterative numeric
+    assert set(QUERIES) - set(ORACLES) == {"emb_lsh_ann", "emb_kmeans_assign"}
 
 
 def test_entry_smoke(spark):
