@@ -20,6 +20,7 @@ from jobsity_data_pipeline_spark.operators import relational3 as R3
 from jobsity_data_pipeline_spark.operators import relational4 as R4
 from jobsity_data_pipeline_spark.operators import similarity as S
 from jobsity_data_pipeline_spark.operators import textops as TO
+from jobsity_data_pipeline_spark.streaming import stream as STR
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_bigrams": R4.docs_top_bigrams,
         "orders_price_corr": R4.orders_price_corr,
         "emb_kmeans_assign": R4.emb_kmeans_assign,  # rows-only: iterative numeric op
+        "stream_events_hourly": STR.stream_events_hourly,
         # C. LLM-training-data ops
         "docs_exact_dedup": TO.docs_exact_dedup,
         "docs_token_stats": TO.docs_token_stats,
@@ -289,6 +291,13 @@ def oracle_sql() -> dict[str, str]:
             FROM per GROUP BY user_id
         """,
         "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type,
                    count(*) AS n_events,

@@ -23,16 +23,20 @@ def write_hist_parquet(df: DataFrame, path: str,
 
 
 def write_hist_bucketed(df: DataFrame, table: str, key: str = "trip_key",
-                        buckets: int = 64, mode: str = "overwrite") -> None:
-    """Bucketed managed table: co-locates rows by key so the upsert
-    anti-join (pipeline.trips.upsert) needs no shuffle on the hist side."""
-    (
+                        buckets: int = 64, mode: str = "overwrite",
+                        path: str | None = None) -> None:
+    """Bucketed table: co-locates rows by key so the upsert anti-join
+    (pipeline.trips.upsert) needs no shuffle on the hist side. Pass
+    ``path`` for an external-location table (else the warehouse dir)."""
+    w = (
         df.write.mode(mode)
         .bucketBy(buckets, key)
         .sortBy(key)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def write_jdbc(df: DataFrame, url: str, table: str,

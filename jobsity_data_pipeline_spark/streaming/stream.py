@@ -93,3 +93,61 @@ def start_hist_upsert(dedup: DataFrame, hist_path: str, checkpoint: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_STREAM_QUERY_SEQ = [0]
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of relational.events_hourly, run to
+    completion over the events parquet via availableNow + memory sink —
+    the streaming engine's answer hash-matches the batch SQL oracle.
+
+    Complete-mode + memory sink is the test harness; a deployment swaps
+    in update mode + a real sink with a watermark. The aggregation
+    itself (tumbling hour window per type) is identical streaming or
+    batch — that is the point of the declarative plan.
+    """
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # file-stream sources want a directory: stream the sf dir with a
+    # glob filter selecting only the events table file(s)
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_events_hourly_{_STREAM_QUERY_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -1,0 +1,57 @@
+"""Sink tests: partitioned hist store with partition pruning, and the
+bucketed-table path for shuffle-free upserts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobsity_data_pipeline_spark.pipeline import trips as TP
+from jobsity_data_pipeline_spark.sources import writers as W
+
+
+def _trips(spark):
+    rows = [
+        ("Prague", "POINT (14.49 50.00)", "POINT (14.43 50.04)",
+         "2018-05-28 09:03:40", "funny_car"),
+        ("Turin", "POINT (7.67 44.99)", "POINT (7.72 45.06)",
+         "2018-06-02 10:54:04", "baba_car"),
+    ]
+    df = spark.createDataFrame(
+        rows, "region string, origin_coord string, destination_coord string, "
+              "datetime string, datasource string"
+    )
+    return TP.with_trip_key(df).withColumn(
+        "trip_date", F.to_date(F.col("datetime").cast("timestamp"))
+    )
+
+
+def test_partitioned_hist_prunes(spark, tmp_path):
+    hist = str(tmp_path / "hist")
+    W.write_hist_parquet(_trips(spark), hist, partition_by=("region",))
+    got = spark.read.parquet(hist)
+    assert got.count() == 2
+
+    # partition filter must prune to one directory, visible in the plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.where(F.col("region") == "Prague").explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(region" in plan
+    assert got.where(F.col("region") == "Prague").count() == 1
+
+
+def test_bucketed_hist_table(spark, tmp_path):
+    table = "hist_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    W.write_hist_bucketed(_trips(spark).drop("trip_date"), table, buckets=4,
+                          path=str(tmp_path / "hist_bucketed"))
+    got = spark.table(table)
+    assert got.count() == 2
+    desc = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in desc}
+    assert info.get("Num Buckets") == "4"
+    assert info.get("Bucket Columns") == "[`trip_key`]"
+    spark.sql(f"DROP TABLE {table}")
