@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_corr": R4.orders_price_corr,
         "emb_kmeans_assign": R4.emb_kmeans_assign,  # rows-only: iterative numeric op
         "stream_events_hourly": STR.stream_events_hourly,
+        "events_props_json": R4.events_props_json,
+        "customer_balance_deciles": R4.customer_balance_deciles,
+        "order_aging_buckets": R4.order_aging_buckets,
+        "parts_top_by_brand": R4.parts_top_by_brand,
         # C. LLM-training-data ops
         "docs_exact_dedup": TO.docs_exact_dedup,
         "docs_token_stats": TO.docs_token_stats,
@@ -630,6 +634,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(corr(o_totalprice, qty), 3) AS price_qty_corr,
                    count(*) AS n_orders
             FROM orders JOIN qty ON o_orderkey = l_orderkey
+        """,
+        "events_props_json": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)
+                       AS avg_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "customer_balance_deciles": """
+            WITH d AS (
+                SELECT c_acctbal,
+                       CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey)
+                            AS BIGINT) AS decile
+                FROM customer
+            )
+            SELECT decile, count(*) AS n,
+                   round(min(c_acctbal), 2) AS min_bal,
+                   round(max(c_acctbal), 2) AS max_bal
+            FROM d GROUP BY decile
+        """,
+        "order_aging_buckets": """
+            WITH mx AS (SELECT max(o_orderdate) AS _mx FROM orders),
+            aged AS (
+                SELECT o_orderstatus,
+                       date_diff('day', o_orderdate, _mx) AS age_days
+                FROM orders, mx
+            )
+            SELECT o_orderstatus,
+                   CASE WHEN age_days < 365 THEN '0-1y'
+                        WHEN age_days < 730 THEN '1-2y'
+                        WHEN age_days < 1460 THEN '2-4y'
+                        ELSE '4y+' END AS age_bucket,
+                   count(*) AS n_orders
+            FROM aged GROUP BY 1, 2
+        """,
+        "parts_top_by_brand": """
+            WITH r AS (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       CAST(dense_rank() OVER (
+                           PARTITION BY p_brand ORDER BY p_retailprice DESC
+                       ) AS BIGINT) AS rnk
+                FROM part
+            )
+            SELECT p_brand, rnk, p_partkey,
+                   round(p_retailprice, 2) AS p_retailprice
+            FROM r WHERE rnk <= 2
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

@@ -181,3 +181,68 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = e.mapInPandas(gen, "label int, assigned int")
     return assigned.groupBy("label", "assigned").agg(F.count("*").alias("n"))
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull k out of the JSON props column
+    and aggregate — get_json_object stays JVM-side (Jackson), no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment over account balance (ntile window) with
+    per-decile stats — ordered analytics over the full table."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    deciled = cust.select(
+        "c_acctbal", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    return deciled.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+def order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic bucketing: order age (days to the dataset max
+    date) classified into aging buckets — datediff against a scalar
+    aggregate, broadcast back (no second scan shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    max_d = orders.agg(F.max("o_orderdate").alias("_mx"))
+    aged = orders.join(F.broadcast(max_d)).select(
+        "o_orderstatus",
+        F.datediff(F.col("_mx"), F.col("o_orderdate")).alias("age_days"),
+    )
+    bucket = (
+        F.when(F.col("age_days") < 365, F.lit("0-1y"))
+        .when(F.col("age_days") < 730, F.lit("1-2y"))
+        .when(F.col("age_days") < 1460, F.lit("2-4y"))
+        .otherwise(F.lit("4y+"))
+    )
+    return aged.select("o_orderstatus", bucket.alias("age_bucket")).groupBy(
+        "o_orderstatus", "age_bucket"
+    ).agg(F.count("*").alias("n_orders"))
+
+
+def parts_top_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank per brand by retail price: all parts tied at the top
+    two price points per brand."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        part.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 2)
+        .select("p_brand", "rnk", "p_partkey",
+                F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
