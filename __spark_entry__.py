@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": TO.docs_quality,
         "docs_lang_id": TO.docs_lang_id,
         "docs_fingerprint": TO.docs_fingerprint,
+        "docs_redact_pii": TO.docs_redact_pii,
         "docs_ngram_jaccard": D.docs_ngram_jaccard,
         "docs_minhash_bands": D.docs_minhash_bands,
         "docs_minhash_pairs": D.docs_minhash_pairs,
@@ -680,6 +681,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, rnk, p_partkey,
                    round(p_retailprice, 2) AS p_retailprice
             FROM r WHERE rnk <= 2
+        """,
+        "docs_redact_pii": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                   length(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+                       AS redacted_len
+            FROM documents
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

@@ -119,3 +119,34 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text"),
         ).alias("min_shingle_hash"),
     )
+
+
+# PII patterns kept to constructs with identical semantics in Java and
+# RE2 regex dialects (no \b, no lookaround) so the oracle matches.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(col):
+    """Redact emails/phones from a text column — scan-stage
+    regexp_replace chain, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing accounting: per-doc email/phone hit counts and the
+    redacted length — the LLM-data-prep privacy pass as one projection.
+    (The synthetic corpus contains no PII, so counts are zero at the
+    gate scale; tests/test_functions.py proves the redaction on literal
+    frames.)"""
+    d = _docs(spark, sf_dir)
+    n_email = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0))
+    return d.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        F.length(redact_pii("text")).alias("redacted_len"),
+    )

@@ -88,8 +88,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     # Runtime-set so sessions not built by get_spark (e.g. the driver's)
-    # can still scan the nanos-timestamp parquet.
+    # can still scan the nanos-timestamp parquet; UTC pins hour/date
+    # derivations to the oracle's naive-timestamp semantics regardless
+    # of the host/session zone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

@@ -111,6 +111,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

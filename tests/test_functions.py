@@ -120,3 +120,13 @@ def test_bpe_ish_counts(spark):
     got = df.select(TX.bpe_ish_token_count("text").alias("n")).first().n
     # hello | world | 42 | , | x | !
     assert got == 6
+
+
+def test_redact_pii(spark):
+    from jobsity_data_pipeline_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [Row(text="mail a.b+c@ex-1.com or call 555-123-4567 ok")]
+    )
+    got = df.select(redact_pii("text").alias("t")).first().t
+    assert got == "mail <EMAIL> or call <PHONE> ok"
