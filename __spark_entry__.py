@@ -9,7 +9,14 @@ ratios/scores are rounded doubles, buckets are strings).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# import-safe regardless of the host process's cwd/sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -886,7 +893,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, round(cos6, 4) AS cos
-            FROM p WHERE cos6 >= 0.8
+            FROM p WHERE cos6 >= 0.35
         """,
         "emb_cosine_topk": """
             WITH e AS (

@@ -64,7 +64,7 @@ def _matrix(df: DataFrame, cache_key: tuple | None = None):
 
 
 def emb_near_dup(spark: SparkSession, sf_dir: str,
-                 threshold: float = 0.8) -> DataFrame:
+                 threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= t).
 
     Each Arrow batch of the distributed side GEMMs against the
