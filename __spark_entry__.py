@@ -506,11 +506,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             verified AS (
                 SELECT doc_a, doc_b,
-                       round(
-                           CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE)
-                           / (len(fa.sh) + len(fb.sh)
-                              - len(list_intersect(fa.sh, fb.sh))),
-                       4) AS jaccard
+                       floor(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE)
+                             / (len(fa.sh) + len(fb.sh)
+                                - len(list_intersect(fa.sh, fb.sh)))
+                             * 10000.0 + 0.5) / 10000.0 AS jaccard
                 FROM pairs
                 JOIN f fa ON pairs.doc_a = fa.doc_id
                 JOIN f fb ON pairs.doc_b = fb.doc_id
@@ -599,8 +598,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum(c) AS BIGINT) AS n_tokens,
                    count(*) AS n_distinct,
-                   round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS distinct_ratio,
-                   round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_share
+                   floor(count(*) / CAST(sum(c) AS DOUBLE) * 10000.0 + 0.5)
+                       / 10000.0 AS distinct_ratio,
+                   floor(max(c) / CAST(sum(c) AS DOUBLE) * 10000.0 + 0.5)
+                       / 10000.0 AS top_token_share
             FROM per_tok GROUP BY doc_id
         """,
         "events_value_histogram": """
@@ -739,8 +740,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM raw
             )
             SELECT doc_id, n_tokens,
-                   round(praw, 4) AS punct_ratio,
-                   round(sraw, 4) AS stopword_ratio,
+                   floor(praw * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                   floor(sraw * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
                    CAST(round(
                        (CASE WHEN n_chars >= 100 AND n_chars <= 20000
                              THEN 1.0 ELSE 0.3 END)
@@ -805,8 +806,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             j AS (
                 SELECT doc_a, doc_b,
-                       round(n_common / (na.n_sh + nb.n_sh - n_common), 4)
-                           AS jaccard
+                       floor(n_common / (na.n_sh + nb.n_sh - n_common)
+                             * 10000.0 + 0.5) / 10000.0 AS jaccard
                 FROM c
                 JOIN (SELECT doc_id, len(sh) AS n_sh FROM f) na
                   ON c.doc_a = na.doc_id
@@ -889,11 +890,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             p AS (
                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                       round(list_cosine_similarity(a.v, b.v), 6) AS cos6
+                       list_cosine_similarity(a.v, b.v) AS raw
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
-            SELECT vec_a, vec_b, round(cos6, 4) AS cos
-            FROM p WHERE cos6 >= 0.35
+            SELECT vec_a, vec_b, round(raw, 4) AS cos
+            FROM p WHERE round(raw, 6) >= 0.35
         """,
         "emb_cosine_topk": """
             WITH e AS (
@@ -902,17 +903,17 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
             s AS (
                 SELECT qid, e.vec_id AS nid,
-                       round(list_cosine_similarity(qv, v), 6) AS cos
+                       list_cosine_similarity(qv, v) AS raw
                 FROM e JOIN q ON e.vec_id <> q.qid
             ),
             r AS (
-                SELECT qid, nid, cos,
+                SELECT qid, nid, raw,
                        row_number() OVER (
-                           PARTITION BY qid ORDER BY cos DESC, nid
+                           PARTITION BY qid ORDER BY round(raw, 6) DESC, nid
                        ) AS rnk
                 FROM s
             )
-            SELECT qid, nid, round(cos, 4) AS cos, CAST(rnk AS BIGINT) AS rnk
+            SELECT qid, nid, round(raw, 4) AS cos, CAST(rnk AS BIGINT) AS rnk
             FROM r WHERE rnk <= 5
         """,
     }

@@ -26,6 +26,21 @@ STOPWORDS = {
 ENGLISH_STOPWORDS = STOPWORDS["en"]
 
 
+def round_ratio(col: Column, digits: int = 4) -> Column:
+    """Engine-stable half-up rounding for NON-NEGATIVE ratios of small
+    integers: ``floor(x*10^d + 0.5)/10^d`` in pure double arithmetic.
+
+    Builtin round() differs across engines exactly on such ratios:
+    p/q with q = 2^a*5^b terminates in decimal, so round() can hit a
+    decimal ".5" tie whose binary neighbor is engine-dependent (Spark
+    rounds the shortest decimal repr HALF_UP; DuckDB scales the binary
+    value). floor(x*s+0.5) is the same double op everywhere. The DuckDB
+    oracle uses the literal same formula.
+    """
+    s = float(10 ** digits)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, empty strings removed (split on ``\\s+``)."""
     c = F.col(col) if isinstance(col, str) else col

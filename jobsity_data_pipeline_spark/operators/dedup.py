@@ -105,10 +105,9 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            TX.round_ratio(
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                4,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ),
         )
         .where(F.col("jaccard") >= threshold)

@@ -121,10 +121,9 @@ def docs_near_dup_verified(spark: SparkSession, sf_dir: str,
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            TX.round_ratio(
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                4,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

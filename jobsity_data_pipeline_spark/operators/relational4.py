@@ -70,8 +70,8 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_tok.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count("*").alias("n_distinct"),
-        F.round(F.count("*") / F.sum("c"), 4).alias("distinct_ratio"),
-        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_share"),
+        TX.round_ratio(F.count("*") / F.sum("c")).alias("distinct_ratio"),
+        TX.round_ratio(F.max("c") / F.sum("c")).alias("top_token_share"),
     )
 
 

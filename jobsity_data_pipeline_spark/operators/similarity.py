@@ -67,12 +67,25 @@ def emb_near_dup(spark: SparkSession, sf_dir: str,
                  threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= t).
 
-    Each Arrow batch of the distributed side GEMMs against the
-    broadcast corpus matrix; only above-threshold pairs are emitted, so
-    the output — not the n^2 score matrix — hits the shuffle.
+    Two stages (the approximate-then-exact pattern):
+    1. GEMM prefilter — each Arrow batch scores against the broadcast
+       corpus matrix and emits candidates above ``threshold - margin``.
+       BLAS uses blocked summation, whose last-bit differences from a
+       sequential loop can flip rounding at the exact threshold
+       boundary (observed ~2 in 12.5M pairs), so it only PREFILTERS.
+    2. Exact verify — candidates join back to their vectors and the
+       cosine is recomputed with the sequential JVM fold, which is
+       bit-identical to the oracle's loop; that value decides
+       membership and is the reported score.
+    The margin (1e-4) is ~1e5x the worst-case GEMM-vs-loop divergence,
+    so stage 1 never drops a true pair; stage 2 runs on only the
+    candidate set.
     """
     import numpy as np
 
+    from ..functions.vectors import dot, norm
+
+    margin = 1e-4
     emb = _emb(spark, sf_dir)
     ids_b, mat_b, norms_b = _matrix(emb, cache_key=(sf_dir, "corpus"))
     bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
@@ -90,17 +103,30 @@ def emb_near_dup(spark: SparkSession, sf_dir: str,
             nn = anorm[:, None] * jnorms[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(nn > 0, (A @ jmat.T) / nn, 0.0)
-            cos6 = np.round(cos, 6)
-            ai, bj = np.nonzero((cos6 >= threshold) & (ids[:, None] < jds[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": ids[ai],
-                    "vec_b": jds[bj],
-                    "cos": np.round(cos6[ai, bj], 4),
-                }
+            ai, bj = np.nonzero(
+                (cos >= threshold - margin) & (ids[:, None] < jds[None, :])
             )
+            yield pd.DataFrame({"vec_a": ids[ai], "vec_b": jds[bj]})
 
-    return emb.mapInPandas(gen, "vec_a long, vec_b long, cos double")
+    cand = emb.mapInPandas(gen, "vec_a long, vec_b long")
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"))
+    joined = cand.join(va, "vec_a").join(vb, "vec_b")
+    nn = norm(F.col("_va")) * norm(F.col("_vb"))
+    exact = F.when(nn > 0, dot(F.col("_va"), F.col("_vb")) / nn).otherwise(F.lit(0.0))
+    # round ONCE from the raw value for both the gate and the output:
+    # round(round(x,6),4) lands on decimal ".50" ties that Spark
+    # (HALF_UP on the decimal repr) and other engines (binary scaling)
+    # resolve differently; a raw cosine never ties at either precision.
+    return (
+        joined.select(
+            "vec_a", "vec_b",
+            F.round(exact, 6).alias("cos6"),
+            F.round(exact, 4).alias("cos"),
+        )
+        .where(F.col("cos6") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = 8,
@@ -108,47 +134,34 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     """Brute-force cosine top-k: for each query vector (vec_id <
     n_queries), the k nearest other vectors.
 
-    The tiny query matrix is broadcast; each corpus batch scores
-    against it (GEMM), and the global top-k per query is one small
-    shuffle on qid. Ties break on neighbor id after rounding so the
-    ranking is stable across engines.
+    The tiny query set is broadcast-joined against the corpus and
+    scored with the sequential JVM fold — n_queries x corpus rows is
+    small enough that exactness beats BLAS here, and the ranking is
+    then bit-identical to any sequential-loop engine. Ties break on
+    neighbor id after rounding. (For huge query sets, score with the
+    GEMM prefilter + fold verify like emb_near_dup.)
     """
-    import numpy as np
-
     from pyspark.sql import Window
 
+    from ..functions.vectors import dot, norm
+
     emb = _emb(spark, sf_dir)
-    qids, qmat, qnorms = _matrix(
-        emb.where(F.col("vec_id") < n_queries),
-        cache_key=(sf_dir, "queries", n_queries),
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    bc = spark.sparkContext.broadcast((qids, qmat, qnorms))
-
-    def gen(batches):
-        import pandas as pd
-
-        qd, qm, qn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy(dtype="int64")
-            A = np.stack(pdf["v"].to_numpy())
-            anorm = np.sqrt((A * A).sum(axis=1))
-            nn = qn[:, None] * anorm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(nn > 0, (qm @ A.T) / nn, 0.0)
-            cos6 = np.round(cos, 6)
-            qi, nj = np.nonzero(qd[:, None] != ids[None, :])
-            yield pd.DataFrame(
-                {"qid": qd[qi], "nid": ids[nj], "cos": cos6[qi, nj]}
-            )
-
-    scored = emb.mapInPandas(gen, "qid long, nid long, cos double")
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    nn = norm(F.col("qv")) * norm(F.col("v"))
+    cos = F.when(nn > 0, dot(F.col("qv"), F.col("v")) / nn).otherwise(F.lit(0.0))
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(cos, 6).alias("cos6"),
+        F.round(cos, 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("nid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
-        .select("qid", "nid", F.round("cos", 4).alias("cos"), "rnk")
+        .select("qid", "nid", "cos", "rnk")
     )
 
 

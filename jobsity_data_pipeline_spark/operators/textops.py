@@ -83,8 +83,8 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.select(
         "doc_id",
         "n_tokens",
-        F.round("praw", 4).alias("punct_ratio"),
-        F.round("sraw", 4).alias("stopword_ratio"),
+        TX.round_ratio(F.col("praw")).alias("punct_ratio"),
+        TX.round_ratio(F.col("sraw")).alias("stopword_ratio"),
         F.round(len_ok * sw_ok * punct_ok, 4).alias("quality"),
     )
 
