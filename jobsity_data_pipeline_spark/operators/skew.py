@@ -1,0 +1,41 @@
+"""Skew-handling join utilities.
+
+AQE's skew-join split handles most cases at runtime; explicit salting is
+for the pathological key (one region/null-bucket holding half the data)
+where even split partitions overwhelm a task. Salting the big side and
+exploding the small side keeps the join an equi-join with S-way key
+fan-out — the standard remedy when a broadcast is impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join ``big`` with ``small`` on ``key``, spreading each hot
+    key over ``salt`` sub-keys.
+
+    The big side gets a deterministic salt from md5(key-row identity is
+    NOT needed — any per-row spreader works; hash of all columns keeps
+    it deterministic); the small side is exploded salt-fold. Output
+    columns match a plain ``big.join(small, key, how)``.
+    """
+    b = big.withColumn(
+        "_salt",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in big.columns])), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % salt
+        ).cast("int"),
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = b.join(s, on=[key, "_salt"], how=how)
+    return joined.drop("_salt")

@@ -152,3 +152,83 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def sessionize_stream(trips: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator: gap-based session windows per
+    region via ``applyInPandasWithState`` — the escape hatch for
+    semantics Spark's built-in windowed aggs can't express.
+
+    State per key is one open session (start, end, count); an event
+    extends the session if within ``gap`` of its end, else the closed
+    session is emitted and a new one opens. Watermarked event time
+    bounds state: on timeout the open session flushes and state clears
+    — so memory is O(active keys), not O(stream).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    gap_s = 1800 if "30" in gap else 3600
+
+    out_schema = T.StructType([
+        T.StructField("region", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_trips", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        import datetime as dt
+
+        import pandas as pd
+
+        (region,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {"region": [region],
+                     "session_start": [dt.datetime.utcfromtimestamp(s / 1e6)],
+                     "session_end": [dt.datetime.utcfromtimestamp(e / 1e6)],
+                     "n_trips": [n]}
+                )
+            return
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf["event_time"])
+            )
+        ts_all.sort()
+        if state.exists:
+            s, e, n = state.get
+        else:
+            s, e, n = ts_all[0], ts_all[0], 0
+        closed = []
+        for t in ts_all:
+            if t - e > gap_s * 1_000_000:
+                closed.append((s, e, n))
+                s, e, n = t, t, 1
+            else:
+                e = max(e, t)
+                n += 1
+        state.update((s, e, n))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {"region": [region] * len(closed),
+                 "session_start": [dt.datetime.utcfromtimestamp(a / 1e6) for a, _, _ in closed],
+                 "session_end": [dt.datetime.utcfromtimestamp(b / 1e6) for _, b, _ in closed],
+                 "n_trips": [n_ for _, _, n_ in closed]}
+            )
+
+    evt = with_event_time(trips).withWatermark("event_time", watermark)
+    return evt.groupBy("region").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

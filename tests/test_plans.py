@@ -73,3 +73,20 @@ def test_date_filter_pushdown_q3(spark):
     plan = _plan(R.q3_shipping_priority(spark, SF_SMOKE))
     # timestamp predicates pushed into both fact scans
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "LessThan(o_orderdate" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from jobsity_data_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(50 if k == "hot" else 3)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, grp int")
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    salted = {tuple(r) for r in salted_join(big, small, "k", salt=4).collect()}
+    assert salted == plain
+    # the salted small side fans out by the salt factor before the join
+    from pyspark.sql import functions as F
+    s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+    assert s.count() == small.count() * 4

@@ -92,3 +92,32 @@ def test_stream_is_streaming(spark, src_dir):
     _write_csv(src_dir, "b1.csv", BATCH1)
     trips = ST.read_trips_stream(spark, str(src_dir))
     assert trips.isStreaming
+
+
+def test_stateful_sessionize_stream(spark, src_dir, tmp_path):
+    rows = [
+        'Prague,"POINT (14.49 50.00)","POINT (14.43 50.04)",2018-05-28 09:00:00,funny_car',
+        'Prague,"POINT (14.49 50.00)","POINT (14.43 50.04)",2018-05-28 09:10:00,funny_car',
+        # > 30 min gap -> session closes, new one opens
+        'Prague,"POINT (14.49 50.00)","POINT (14.43 50.04)",2018-05-28 11:00:00,funny_car',
+        'Turin,"POINT (7.67 44.99)","POINT (7.72 45.06)",2018-05-28 09:05:00,baba_car',
+    ]
+    _write_csv(src_dir, "b1.csv", rows)
+    trips = ST.read_trips_stream(spark, str(src_dir))
+    sessions = ST.sessionize_stream(trips, watermark="0 seconds")
+    out = str(tmp_path / "sess_out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    # the closed Prague session (09:00-09:10, 2 trips) must be emitted;
+    # open sessions stay in state
+    closed = {(r.region, str(r.session_start), str(r.session_end), r.n_trips)
+              for r in got}
+    assert ("Prague", "2018-05-28 09:00:00", "2018-05-28 09:10:00", 2) in closed
