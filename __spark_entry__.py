@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": S.emb_near_dup,
         "emb_cosine_topk": S.emb_cosine_topk,
         "emb_lsh_ann": S.emb_lsh_ann,  # rows-only (no SQL oracle): approximate op
+        "emb_ivf_ann": S.emb_ivf_ann,  # rows-only (no SQL oracle): approximate op
     }
 
 

@@ -130,3 +130,15 @@ def test_redact_pii(spark):
     )
     got = df.select(redact_pii("text").alias("t")).first().t
     assert got == "mail <EMAIL> or call <PHONE> ok"
+
+
+def test_ivf_ann_structure_and_recall(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    ivf = {(r.qid, r.nid) for r in E.queries()["emb_ivf_ann"](spark, sf).collect()}
+    exact = {(r.qid, r.nid) for r in E.queries()["emb_cosine_topk"](spark, sf).collect()}
+    assert len(ivf) > 0
+    # approximate: some overlap with exact neighbors, never more rows
+    assert len(ivf & exact) / len(exact) >= 0.2
+    assert len(ivf) <= len(exact)

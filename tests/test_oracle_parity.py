@@ -73,7 +73,9 @@ def test_parity(spark, name):
 
 def test_every_query_has_oracle_or_is_declared():
     # declared rows-only ops: approximate ANN + iterative numeric
-    assert set(QUERIES) - set(ORACLES) == {"emb_lsh_ann", "emb_kmeans_assign"}
+    assert set(QUERIES) - set(ORACLES) == {
+        "emb_lsh_ann", "emb_ivf_ann", "emb_kmeans_assign",
+    }
 
 
 def test_entry_smoke(spark):
