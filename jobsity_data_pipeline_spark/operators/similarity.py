@@ -1,17 +1,30 @@
 """Similarity search over the ``embeddings`` table (array<float>).
 
-Brute-force cosine is computed with Arrow-batched ``mapInPandas`` +
-numpy GEMM against a broadcast matrix: per-pair JVM expressions cannot
-express a 64-wide dot product efficiently (the unrolled expression
-exceeds HotSpot's JIT method limits and runs as interpreted bytecode at
-~2 us/pair; the BLAS path is ~3 orders of magnitude faster and is the
-standard Spark pattern for dense vector math). The broadcast side is
-the whole corpus here — the CORRECTNESS baseline; the 100 TB scale path
-is emb_lsh_buckets: hash-partition by bucket, then run the same GEMM
-verify per bucket's bounded candidate set.
+No operator here ever collects the corpus to the driver. The three
+shapes, each the Spark-native form of its algorithm:
 
-Cosine is dot/(|a||b|) in float64, rounded to 6 before thresholding and
-4 in output — numerically aligned with the DuckDB oracle.
+- **Exact all-pairs** (emb_near_dup): block-pair GEMM. Vectors are
+  packed into B block matrices (one groupBy shuffle), the B*(B+1)/2
+  unordered block pairs meet through an equi-join on the pair key, and
+  each task GEMMs exactly two blocks. Task memory is O(2*N/B*dim)
+  regardless of N; the driver holds nothing. The O(N^2/B) pair fan-out
+  is the irreducible cost of an EXACT all-pairs answer — the scale
+  escape hatch is the LSH/IVF family below.
+- **Bucketed ANN** (emb_lsh_ann): random-hyperplane buckets are a JOIN
+  KEY, not a post-filter — only same-bucket (query, corpus) pairs are
+  ever scored; multi-probe (flip one plane bit) buys recall without
+  widening the scan.
+- **IVF ANN** (emb_ivf_ann): centroids come from a distributed
+  posexplode+avg aggregation (only k*dim rows reach the driver), cell
+  assignment is one Arrow pass, and a query scores only rows whose
+  cell is among its n_probe probes — again a join predicate applied
+  BEFORE any cosine is computed.
+
+Dense math runs in Arrow-batched numpy (BLAS) where it is all-pairs,
+and in the JVM fold (functions/vectors.py) where exactness vs the
+DuckDB oracle's sequential loop matters: BLAS blocked summation can
+flip the last bit at a threshold boundary, so GEMM only PREFILTERS
+with a margin and the fold decides membership.
 """
 
 from __future__ import annotations
@@ -23,9 +36,12 @@ from ..functions.vectors import as_double
 from ..session import ensure_parallelism, read_table
 
 N_PLANES = 8
+N_BLOCKS = 8
 
 # embedding width per sf_dir, probed once per process (one head() job)
 _DIM_CACHE: dict[str, int] = {}
+# label-mean coarse-quantizer centroids per sf_dir (k x dim ndarray)
+_CENTROID_CACHE: dict[str, object] = {}
 
 
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
@@ -40,46 +56,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", as_double("embedding").alias("v"), "label")
 
 
-_MATRIX_CACHE: dict[tuple, tuple] = {}
-
-
-def _matrix(df: DataFrame, cache_key: tuple | None = None):
-    """Driver-side (ids, matrix, norms) of a SMALL embedding set, sorted
-    by id for determinism. This is the broadcast side of the GEMM —
-    same role as the build side of a broadcast join. Cached per key so
-    repeated invocations (bench, retries) skip the collect."""
-    import numpy as np
-
-    if cache_key is not None and cache_key in _MATRIX_CACHE:
-        return _MATRIX_CACHE[cache_key]
-    rows = df.select("vec_id", "v").collect()
-    rows.sort(key=lambda r: r[0])
-    ids = np.array([r[0] for r in rows], dtype="int64")
-    mat = np.array([r[1] for r in rows], dtype="float64")
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    out = (ids, mat, norms)
-    if cache_key is not None:
-        _MATRIX_CACHE[cache_key] = out
-    return out
-
-
 def emb_near_dup(spark: SparkSession, sf_dir: str,
-                 threshold: float = 0.35) -> DataFrame:
+                 threshold: float = 0.35, n_blocks: int = N_BLOCKS) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= t).
 
-    Two stages (the approximate-then-exact pattern):
-    1. GEMM prefilter — each Arrow batch scores against the broadcast
-       corpus matrix and emits candidates above ``threshold - margin``.
-       BLAS uses blocked summation, whose last-bit differences from a
-       sequential loop can flip rounding at the exact threshold
-       boundary (observed ~2 in 12.5M pairs), so it only PREFILTERS.
-    2. Exact verify — candidates join back to their vectors and the
-       cosine is recomputed with the sequential JVM fold, which is
-       bit-identical to the oracle's loop; that value decides
+    Distributed block-pair GEMM, then exact verify:
+    1. Pack: vectors land in ``n_blocks`` blocks (vec_id % B); one
+       applyInPandas turns each block into a single packed-matrix row.
+    2. Pair: each block row explodes to its unordered pair keys
+       ((a,b), a <= b) and the two sides meet in an EQUI-join on the
+       key — a shuffle of O(N*B) rows, never a broadcast of the corpus
+       and never a driver collect.
+    3. GEMM prefilter: each pair-task scores its two blocks with BLAS
+       and emits candidates above ``threshold - margin``. Blocked BLAS
+       summation can differ from a sequential loop in the last bit
+       (observed ~2 in 12.5M pairs), so it only prefilters.
+    4. Exact verify: candidates join back to their vectors and the
+       JVM fold — bit-identical to the oracle's loop — decides
        membership and is the reported score.
     The margin (1e-4) is ~1e5x the worst-case GEMM-vs-loop divergence,
-    so stage 1 never drops a true pair; stage 2 runs on only the
-    candidate set.
+    so stage 3 never drops a true pair. At 100 TB, size B so a block
+    is tens of MB; per-task memory stays two blocks.
     """
     import numpy as np
 
@@ -87,28 +84,74 @@ def emb_near_dup(spark: SparkSession, sf_dir: str,
 
     margin = 1e-4
     emb = _emb(spark, sf_dir)
-    ids_b, mat_b, norms_b = _matrix(emb, cache_key=(sf_dir, "corpus"))
-    bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
+    blocked = emb.withColumn(
+        "block", (F.col("vec_id") % n_blocks).cast("int")
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["block"].iloc[0])],
+                "ids": [pdf["vec_id"].to_numpy(dtype="int64").tolist()],
+                "vecs": [[list(map(float, v)) for v in pdf["v"]]],
+            }
+        )
+
+    packed = blocked.groupBy("block").applyInPandas(
+        pack, "block int, ids array<long>, vecs array<array<double>>"
+    )
+    # explode each block to its unordered pair keys; equi-join the two
+    # sides on (pa, pb) so Catalyst plans a hash join, not a broadcast
+    # nested loop over packed matrices.
+    left = packed.select(
+        F.col("block").alias("pa"),
+        F.explode(F.sequence(F.col("block"), F.lit(n_blocks - 1))).alias("pb"),
+        F.col("ids").alias("aids"),
+        F.col("vecs").alias("avecs"),
+    )
+    right = packed.select(
+        F.explode(F.sequence(F.lit(0), F.col("block"))).alias("pa"),
+        F.col("block").alias("pb"),
+        F.col("ids").alias("bids"),
+        F.col("vecs").alias("bvecs"),
+    )
+    # pin a shuffled hash join: packed-matrix rows sit above a Python
+    # node whose stats Catalyst can't estimate, and a broadcast build
+    # here would ship the whole packed corpus to every executor
+    pairs = left.join(right.hint("shuffle_hash"), ["pa", "pb"]).select(
+        "aids", "avecs", "bids", "bvecs"
+    )
 
     def gen(batches):
         import pandas as pd
 
-        jds, jmat, jnorms = bc.value
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy(dtype="int64")
-            A = np.stack(pdf["v"].to_numpy())
-            anorm = np.sqrt((A * A).sum(axis=1))
-            nn = anorm[:, None] * jnorms[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(nn > 0, (A @ jmat.T) / nn, 0.0)
-            ai, bj = np.nonzero(
-                (cos >= threshold - margin) & (ids[:, None] < jds[None, :])
-            )
-            yield pd.DataFrame({"vec_a": ids[ai], "vec_b": jds[bj]})
+            for aids, avecs, bids, bvecs in zip(
+                pdf["aids"], pdf["avecs"], pdf["bids"], pdf["bvecs"]
+            ):
+                ai = np.asarray(aids, dtype="int64")
+                bi = np.asarray(bids, dtype="int64")
+                A = np.array([np.asarray(v) for v in avecs], dtype="float64")
+                Bm = np.array([np.asarray(v) for v in bvecs], dtype="float64")
+                an = np.sqrt((A * A).sum(axis=1))
+                bn = np.sqrt((Bm * Bm).sum(axis=1))
+                nn = an[:, None] * bn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(nn > 0, (A @ Bm.T) / nn, 0.0)
+                # either side of the pair may hold the smaller id, so
+                # normalize to (min, max) and dedupe — the diagonal
+                # block sees each unordered pair twice ((i,j) and (j,i))
+                ia, jb = np.nonzero(
+                    (cos >= threshold - margin) & (ai[:, None] != bi[None, :])
+                )
+                lo = np.minimum(ai[ia], bi[jb])
+                hi = np.maximum(ai[ia], bi[jb])
+                uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+                yield pd.DataFrame({"vec_a": uniq[:, 0], "vec_b": uniq[:, 1]})
 
-    cand = emb.mapInPandas(gen, "vec_a long, vec_b long")
+    cand = pairs.mapInPandas(gen, "vec_a long, vec_b long")
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"))
     vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"))
     joined = cand.join(va, "vec_a").join(vb, "vec_b")
@@ -177,14 +220,12 @@ def _hyperplane(plane: int, dim: int = 64) -> list[float]:
     return out
 
 
-def emb_lsh_buckets(spark: SparkSession, sf_dir: str,
-                    n_planes: int = N_PLANES) -> DataFrame:
-    """Random-hyperplane LSH signature per vector: n_planes sign bits
-    packed into one long bucket id (sign of dot(v, ±1-plane)).
+def _bucketed(spark: SparkSession, sf_dir: str,
+              n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, v, bucket, label): corpus with its LSH bucket attached.
 
-    Computed in the same Arrow batch pass (signs = V @ P.T >= 0) — one
-    scan, no shuffle; the bucket id is the partition key for the
-    scale-path ANN.
+    Signs are computed in one Arrow pass (V @ P.T >= 0) that carries
+    the vector through — no second scan or join to re-attach ``v``.
     """
     import numpy as np
 
@@ -206,135 +247,177 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str,
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "v": pdf["v"],
                     "bucket": bucket.astype("int64"),
                     "label": pdf["label"].to_numpy(dtype="int32"),
                 }
             )
 
-    return emb.mapInPandas(gen, "vec_id long, bucket long, label int")
+    return emb.mapInPandas(
+        gen, "vec_id long, v array<double>, bucket long, label int"
+    )
+
+
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str,
+                    n_planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane LSH signature per vector: n_planes sign bits
+    packed into one long bucket id (sign of dot(v, ±1-plane)).
+
+    Computed in the same Arrow batch pass (signs = V @ P.T >= 0) — one
+    scan, no shuffle; the bucket id is the partition key for the
+    scale-path ANN.
+    """
+    return _bucketed(spark, sf_dir, n_planes).select("vec_id", "bucket", "label")
 
 
 def emb_lsh_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
-                k: int = 5) -> DataFrame:
-    """LSH-bucketed approximate top-k: candidates share the query's
-    bucket; cosine rank within candidates only.
+                k: int = 5, n_planes: int = N_PLANES) -> DataFrame:
+    """LSH-bucketed approximate top-k: the bucket is a JOIN predicate —
+    only corpus rows sharing one of the query's probe buckets are ever
+    scored.
 
-    The scale path: the corpus is hash-partitioned by bucket once; each
-    query touches one bucket instead of the whole corpus. Recall is
-    tunable via n_planes / multi-probe. The per-bucket scoring reuses
-    the same GEMM verify as the exact operators.
+    Multi-probe: each query probes its own bucket plus the n_planes
+    one-bit flips (the next-likeliest buckets under the hyperplane
+    model), recovering most of the recall lost to hard bucketing at
+    ~ (n_planes+1)/2^n_planes of the exact scan cost. The probe set
+    (n_queries x (n_planes+1) rows) broadcasts; the corpus side stays
+    put. Scoring is the JVM cosine fold on candidates only — the plan
+    is scan -> bucket hash-join -> project(cosine) -> window top-k,
+    with no full-corpus scoring stage anywhere.
     """
-    import numpy as np
-
     from pyspark.sql import Window
 
-    emb = _emb(spark, sf_dir)
-    buckets = emb_lsh_buckets(spark, sf_dir)
-    vecs = emb.join(buckets.select("vec_id", "bucket"), "vec_id")
-    qside = vecs.where(F.col("vec_id") < n_queries)
-    qrows = qside.select("vec_id", "v", "bucket").collect()
-    qrows.sort(key=lambda r: r[0])
-    qids = np.array([r[0] for r in qrows], dtype="int64")
-    qmat = np.array([r[1] for r in qrows], dtype="float64")
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
-    qbucket = np.array([r[2] for r in qrows], dtype="int64")
-    bc = spark.sparkContext.broadcast((qids, qmat, qnorm, qbucket))
+    from ..functions.vectors import cosine
 
-    def gen(batches):
-        import pandas as pd
-
-        qd, qm, qn, qb = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy(dtype="int64")
-            bk = pdf["bucket"].to_numpy(dtype="int64")
-            A = np.stack(pdf["v"].to_numpy())
-            anorm = np.sqrt((A * A).sum(axis=1))
-            nn = qn[:, None] * anorm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(nn > 0, (qm @ A.T) / nn, 0.0)
-            cos6 = np.round(cos, 6)
-            mask = (qb[:, None] == bk[None, :]) & (qd[:, None] != ids[None, :])
-            qi, nj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"qid": qd[qi], "nid": ids[nj], "cos": cos6[qi, nj]}
-            )
-
-    scored = vecs.select("vec_id", "v", "bucket").mapInPandas(
-        gen, "qid long, nid long, cos double"
+    corpus = _bucketed(spark, sf_dir, n_planes)
+    # tiny filtered collect: just the n_queries query rows
+    qrows = sorted(
+        corpus.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "v", "bucket").collect(),
+        key=lambda r: r[0],
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    probes = []
+    for r in qrows:
+        qid, qv, b = int(r[0]), [float(x) for x in r[1]], int(r[2])
+        bucks = sorted({b} | {b ^ (1 << p) for p in range(n_planes)})
+        probes.extend((qid, qv, pb) for pb in bucks)
+    probe_df = spark.createDataFrame(
+        probes, "qid long, qv array<double>, bucket long"
+    )
+    cand = corpus.join(F.broadcast(probe_df), "bucket").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = cosine(F.col("qv"), F.col("v"))
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(cos, 6).alias("cos6"),
+        F.round(cos, 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("nid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
-        .select("qid", "nid", F.round("cos", 4).alias("cos"), "rnk")
+        .select("qid", "nid", "cos", "rnk")
     )
+
+
+def _centroids(spark: SparkSession, sf_dir: str):
+    """k x dim label-mean centroid matrix via the DISTRIBUTED
+    posexplode+avg aggregation (the relational2.emb_label_centroids
+    shape) — only k*dim scalar rows are ever collected, never vectors.
+    """
+    import numpy as np
+
+    if sf_dir in _CENTROID_CACHE:
+        return _CENTROID_CACHE[sf_dir]
+    rows = (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    k = max(r.label for r in rows) + 1
+    dim = max(r.pos for r in rows) + 1
+    C = np.zeros((k, dim))
+    for r in rows:
+        C[r.label, r.pos] = r.c
+    _CENTROID_CACHE[sf_dir] = C
+    return C
 
 
 def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
                 k: int = 5, n_probe: int = 2) -> DataFrame:
     """IVF (inverted-file) approximate top-k: label-centroids act as the
     coarse quantizer; each vector is assigned to its nearest centroid
-    cell, and a query scans only its ``n_probe`` nearest cells.
+    cell, and a query scores ONLY rows in its ``n_probe`` nearest cells.
 
-    The Spark shape of FAISS-style IVF: cell assignment is one Arrow
-    batch pass (GEMM against the small centroid matrix), the corpus is
-    then hash-partitioned by cell, and each query's candidate set is
-    bounded by its probed cells instead of the whole table. Rows-only
-    check (approximate op). Recall rises with n_probe; n_probe = #cells
+    The Spark shape of FAISS-style IVF with no full-corpus collect:
+    centroids come from a distributed aggregate (k*dim rows to the
+    driver), cell assignment is one Arrow pass against the broadcast
+    k x dim matrix, and the probe set joins in as a broadcast equi-join
+    on cell BEFORE any cosine is computed — candidate work per query is
+    bounded by its probed cells, not the table. Rows-only check
+    (approximate op). Recall rises with n_probe; n_probe = #cells
     degenerates to exact brute force.
     """
     import numpy as np
 
     from pyspark.sql import Window
 
+    from ..functions.vectors import cosine
+
     emb = _emb(spark, sf_dir)
-    ids, mat, norms = _matrix(emb, cache_key=(sf_dir, "corpus"))
-    # coarse quantizer: per-label mean vectors (deterministic, no RNG)
-    lab_rows = emb.select("vec_id", "label").collect()
-    lab = {r.vec_id: r.label for r in lab_rows}
-    klabels = sorted({r.label for r in lab_rows})
-    C = np.stack([
-        mat[[i for i, v in enumerate(ids) if lab[v] == kl]].mean(axis=0)
-        for kl in klabels
-    ])
-    bc = spark.sparkContext.broadcast((ids, mat, norms, C))
+    C = _centroids(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(C)
 
-    qmask = ids < n_queries
-    qids, qmat, qnorms = ids[qmask], mat[qmask], norms[qmask]
-    # query-side probe cells (distances to centroids; tiny, driver-side)
-    qd2 = ((qmat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    qcells = np.argsort(qd2, axis=1)[:, :n_probe]
-    bq = spark.sparkContext.broadcast((qids, qmat, qnorms, qcells))
-
-    def gen(batches):
+    def assign(batches):
         import pandas as pd
 
-        jds, jmat, jnorms, cen = bc.value
-        qd, qm, qn, qc = bq.value
+        cen = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            bids = pdf["vec_id"].to_numpy(dtype="int64")
             A = np.stack(pdf["v"].to_numpy())
-            anorm = np.sqrt((A * A).sum(axis=1))
             cell = ((A[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-            nn = qn[:, None] * anorm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(nn > 0, (qm @ A.T) / nn, 0.0)
-            # candidate mask: corpus row's cell is among the query's probes
-            probe = (qc[:, :, None] == cell[None, None, :]).any(axis=1)
-            mask = probe & (qd[:, None] != bids[None, :])
-            qi, nj = np.nonzero(mask)
             yield pd.DataFrame(
-                {"qid": qd[qi], "nid": bids[nj], "cos": np.round(cos[qi, nj], 6)}
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "v": pdf["v"],
+                    "cell": cell.astype("int32"),
+                }
             )
 
-    scored = emb.mapInPandas(gen, "qid long, nid long, cos double")
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    assigned = emb.mapInPandas(assign, "vec_id long, v array<double>, cell int")
+
+    # tiny filtered collect: the n_queries query vectors; probe cells
+    # computed driver-side against the k x dim centroids
+    qrows = sorted(
+        emb.where(F.col("vec_id") < n_queries).select("vec_id", "v").collect(),
+        key=lambda r: r[0],
+    )
+    probes = []
+    for r in qrows:
+        qid, qv = int(r[0]), [float(x) for x in r[1]]
+        d2 = ((np.asarray(qv)[None, :] - C) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probes.append((qid, qv, int(cell)))
+    probe_df = spark.createDataFrame(probes, "qid long, qv array<double>, cell int")
+
+    cand = assigned.join(F.broadcast(probe_df), "cell").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = cosine(F.col("qv"), F.col("v"))
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(cos, 6).alias("cos6"),
+        F.round(cos, 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("nid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
-        .select("qid", "nid", F.round("cos", 4).alias("cos"), "rnk")
+        .select("qid", "nid", F.col("cos"), "rnk")
     )

@@ -75,6 +75,46 @@ def test_date_filter_pushdown_q3(spark):
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "LessThan(o_orderdate" in plan
 
 
+def _plan_simple(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode: node lines carry join keys inline
+    return buf.getvalue()
+
+
+def test_lsh_ann_bucket_join_before_scoring(spark):
+    from jobsity_data_pipeline_spark.operators import similarity as S
+
+    plan = _plan_simple(S.emb_lsh_ann(spark, SF_SMOKE))
+    # the bucket must be a JOIN key (probe set broadcast), not a
+    # post-scoring filter; scoring (zip_with/aggregate cosine) sits in
+    # a Project ABOVE the join, so only same-bucket pairs are scored
+    assert "BroadcastHashJoin [bucket" in plan
+    assert plan.index("zip_with") < plan.index("BroadcastHashJoin [bucket")
+
+
+def test_ivf_ann_cell_join_before_scoring(spark):
+    from jobsity_data_pipeline_spark.operators import similarity as S
+
+    plan = _plan_simple(S.emb_ivf_ann(spark, SF_SMOKE))
+    assert "BroadcastHashJoin [cell" in plan
+    assert plan.index("zip_with") < plan.index("BroadcastHashJoin [cell")
+
+
+def test_near_dup_block_pair_join_not_broadcast(spark):
+    from jobsity_data_pipeline_spark.operators import similarity as S
+
+    plan = _plan_simple(S.emb_near_dup(spark, SF_SMOKE))
+    # the packed block-pair join must be a shuffled equi-join — a
+    # broadcast build would ship the whole packed corpus per executor
+    assert "ShuffledHashJoin [pa" in plan or "SortMergeJoin [pa" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_join_matches_plain_join(spark):
     from jobsity_data_pipeline_spark.operators.skew import salted_join
 
