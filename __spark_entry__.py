@@ -81,7 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_type_per_user": R4.events_top_type_per_user,
         "docs_top_bigrams": R4.docs_top_bigrams,
         "orders_price_corr": R4.orders_price_corr,
-        "emb_kmeans_assign": R4.emb_kmeans_assign,  # rows-only: iterative numeric op
+        "emb_kmeans_assign": R4.emb_kmeans_assign,
         "stream_events_hourly": STR.stream_events_hourly,
         "events_props_json": R4.events_props_json,
         "customer_balance_deciles": R4.customer_balance_deciles,
@@ -896,6 +896,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(raw, 4) AS cos
             FROM p WHERE round(raw, 6) >= 0.35
+        """,
+        "emb_kmeans_assign": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            x AS (
+                SELECT label, unnest(range(0, len(v))) AS pos,
+                       unnest(v) AS x
+                FROM e
+            ),
+            cent AS (
+                SELECT label AS cl, pos, avg(x) AS c FROM x GROUP BY 1, 2
+            ),
+            carr AS (
+                SELECT cl, list(c ORDER BY pos) AS cv FROM cent GROUP BY cl
+            ),
+            d AS (
+                SELECT e.vec_id, e.label, carr.cl,
+                       list_sum(list_transform(range(1, len(v) + 1),
+                           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d2
+                FROM e CROSS JOIN carr
+            ),
+            a AS (
+                SELECT vec_id, label, cl,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d2, cl
+                       ) AS rnk
+                FROM d
+            )
+            SELECT label, CAST(cl AS INTEGER) AS assigned, count(*) AS n
+            FROM a WHERE rnk = 1 GROUP BY 1, 2
         """,
         "emb_cosine_topk": """
             WITH e AS (

@@ -144,9 +144,9 @@ def orders_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means assignment step: nearest label-centroid per vector
     (centroids from the labeled data), reported as a label x assigned
-    confusion matrix. Iterating = re-running assign + centroid update;
-    state is k x dim, broadcast each round. Rows-only check (iterative
-    numeric algorithm; not oracle-SQL-expressible at reasonable cost).
+    confusion matrix. Iterating = re-running assign + centroid update
+    (operators/kmeans.py); state is k x dim, broadcast each round.
+    Oracle: argmin over k centroid distances via unnest/list ops.
     """
     import numpy as np
 

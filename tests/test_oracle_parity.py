@@ -72,10 +72,9 @@ def test_parity(spark, name):
 
 
 def test_every_query_has_oracle_or_is_declared():
-    # declared rows-only ops: approximate ANN + iterative numeric
-    assert set(QUERIES) - set(ORACLES) == {
-        "emb_lsh_ann", "emb_ivf_ann", "emb_kmeans_assign",
-    }
+    # declared rows-only ops: approximate ANN (bucket membership is
+    # plane-order-dependent; no affordable SQL twin)
+    assert set(QUERIES) - set(ORACLES) == {"emb_lsh_ann", "emb_ivf_ann"}
 
 
 def test_entry_smoke(spark):
