@@ -276,7 +276,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionization": """
             WITH g AS (
-                SELECT user_id, event_id,
+                SELECT user_id, event_id, ts,
                        CAST(floor(epoch(ts)) AS BIGINT) AS es,
                        CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
                                  - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
@@ -288,7 +288,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (
                 SELECT user_id, event_id, es,
                        sum(new_session) OVER (
-                           PARTITION BY user_id ORDER BY es, event_id
+                           PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                        ) AS session_id
                 FROM g
@@ -798,22 +798,28 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
             e AS (SELECT doc_id, unnest(sh) AS shingle FROM f),
+            ec AS (
+                SELECT doc_id, shingle FROM (
+                    SELECT doc_id, shingle,
+                           count(*) OVER (PARTITION BY shingle) AS df
+                    FROM e
+                ) WHERE df <= 50
+            ),
             c AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        count(*) AS n_common
-                FROM e a JOIN e b
+                FROM ec a JOIN ec b
                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ),
+            nsz AS (SELECT doc_id, count(*) AS n_sh FROM ec GROUP BY doc_id),
             j AS (
                 SELECT doc_a, doc_b,
                        floor(n_common / (na.n_sh + nb.n_sh - n_common)
                              * 10000.0 + 0.5) / 10000.0 AS jaccard
                 FROM c
-                JOIN (SELECT doc_id, len(sh) AS n_sh FROM f) na
-                  ON c.doc_a = na.doc_id
-                JOIN (SELECT doc_id, len(sh) AS n_sh FROM f) nb
-                  ON c.doc_b = nb.doc_id
+                JOIN nsz na ON c.doc_a = na.doc_id
+                JOIN nsz nb ON c.doc_b = nb.doc_id
             )
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.12
         """,

@@ -74,19 +74,37 @@ def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.where(F.col("_last").isNotNull()).select("doc_id", "shingle").distinct()
 
 
+MAX_SHINGLE_DOC_FREQ = 50
+
+
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
-                       threshold: float = 0.12) -> DataFrame:
+                       threshold: float = 0.12,
+                       max_doc_freq: int = MAX_SHINGLE_DOC_FREQ) -> DataFrame:
     """N-gram-shingle Jaccard near-dup pairs (doc_a < doc_b).
 
-    Explode distinct shingles -> self-equi-join on shingle (one shuffle
-    on the shingle key; the two sides are identical subplans, so the
-    exchange is reused) -> count common -> Jaccard. The join fans out
-    only where shingles collide, so cost tracks true overlap, not n^2.
+    Explode distinct shingles -> drop HOT shingles (doc frequency >
+    ``max_doc_freq``) -> self-equi-join on shingle -> count common ->
+    Jaccard over the capped shingle sets. The join fans out only where
+    shingles collide, so cost tracks true overlap, not n^2 — but a
+    boilerplate shingle shared by D docs alone contributes D^2 join
+    rows (a stop-phrase in 10^6 docs is 10^12 rows at 100 TB), so the
+    frequency cap is load-bearing, not an optimization. A shingle that
+    common carries no near-dup signal anyway (inverse-document-
+    frequency intuition). The doc-frequency count is a window over the
+    same shingle key the self-join shuffles on.
     """
-    # Materialize the exploded shingle set once (lineage truncation):
-    # the plan references it four times (two join sides + two size
-    # lookups), and re-deriving it per reference dominates.
-    exploded = _doc_shingles_exploded(spark, sf_dir).localCheckpoint()
+    from pyspark.sql import Window
+
+    # Materialize the exploded+capped shingle set once (lineage
+    # truncation): the plan references it four times (two join sides +
+    # two size lookups), and re-deriving it per reference dominates.
+    exploded = (
+        _doc_shingles_exploded(spark, sf_dir)
+        .withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+        .where(F.col("_df") <= max_doc_freq)
+        .drop("_df")
+        .localCheckpoint()
+    )
     sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -142,3 +142,22 @@ def test_ivf_ann_structure_and_recall(spark):
     # approximate: some overlap with exact neighbors, never more rows
     assert len(ivf & exact) / len(exact) >= 0.2
     assert len(ivf) <= len(exact)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path):
+    from jobsity_data_pipeline_spark.operators.dedup import docs_ngram_jaccard
+
+    # 60 docs sharing an 8-token boilerplate prefix + unique tails: the
+    # 5 boilerplate shingles have doc-frequency 60 and would alone fan
+    # the self-join out to 60^2 rows each at scale
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [(i, f"{shared} u{i}a u{i}b u{i}c u{i}d") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # capped (default 50): hot shingles dropped, no surviving overlap
+    assert docs_ngram_jaccard(spark, str(tmp_path)).count() == 0
+    # cap disabled: every pair shares the boilerplate (jaccard 5/13)
+    uncapped = docs_ngram_jaccard(spark, str(tmp_path), max_doc_freq=10**9)
+    assert uncapped.count() == 60 * 59 // 2
