@@ -21,10 +21,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7_volume_shipping(spark: SparkSession, sf_dir: str,
+                       nation_a: str = "NATION_9",
+                       nation_b: str = "NATION_10") -> DataFrame:
     """TPC-H Q7 shape: revenue between two nations by year (supplier
-    nation -> customer nation flows, both directions)."""
-    nation = _t(spark, sf_dir, "nation")
+    nation -> customer nation flows, both directions).
+
+    The nation pair is filtered on the NATION DIM SCAN (pushed-down
+    In-filter), and supplier/customer join the reduced dim FIRST — so
+    the lineitem-side joins see only the ~2/N of suppliers/customers in
+    the named nations, instead of filtering after all five joins.
+    """
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
     n1 = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
@@ -35,15 +45,19 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     sup = _t(spark, sf_dir, "supplier")
+    sup_n = sup.join(F.broadcast(n1), sup["s_nationkey"] == F.col("s_nkey")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust_n = cust.join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nkey")).select(
+        "c_custkey", "cust_nation"
+    )
     joined = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
-        .join(F.broadcast(n1), sup["s_nationkey"] == F.col("s_nkey"))
-        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nkey"))
+        li.join(F.broadcast(sup_n), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust_n), orders["o_custkey"] == F.col("c_custkey"))
         .where(
-            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
-            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
         )
     )
     return (

@@ -13,18 +13,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+SALT_COL = "__jdp_salt"
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join ``big`` with ``small`` on ``key``, spreading each hot
     key over ``salt`` sub-keys.
 
-    The big side gets a deterministic salt from md5(key-row identity is
-    NOT needed — any per-row spreader works; hash of all columns keeps
-    it deterministic); the small side is exploded salt-fold. Output
-    columns match a plain ``big.join(small, key, how)``.
+    The big side gets a deterministic salt from md5 of all its columns
+    (row identity is NOT needed — any per-row spreader works; hashing
+    keeps it deterministic); the small side is exploded salt-fold.
+    Output columns match a plain ``big.join(small, key, how)``.
+
+    Only ``inner`` and ``left`` are sound: the small side is exploded
+    ``salt`` times, so right/full outer would emit each UNMATCHED
+    small-side row once per salt replica. For those, salt the other
+    way around or fall back to AQE skew-join handling.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "outer joins would duplicate unmatched exploded small-side rows"
+        )
+    for df, side in ((big, "big"), (small, "small")):
+        if SALT_COL in df.columns:
+            raise ValueError(f"{side} side already has a {SALT_COL} column")
     b = big.withColumn(
-        "_salt",
+        SALT_COL,
         (
             F.conv(
                 F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in big.columns])), 1, 8),
@@ -35,7 +51,7 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         ).cast("int"),
     )
     s = small.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    joined = b.join(s, on=[key, "_salt"], how=how)
-    return joined.drop("_salt")
+    joined = b.join(s, on=[key, SALT_COL], how=how)
+    return joined.drop(SALT_COL)

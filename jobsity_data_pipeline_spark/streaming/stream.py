@@ -74,17 +74,27 @@ def start_hist_upsert(dedup: DataFrame, hist_path: str, checkpoint: str,
     """foreachBatch idempotent upsert into the parquet hist store.
 
     Each micro-batch anti-joins the existing hist keys (ON CONFLICT DO
-    NOTHING) then appends — combined with dropDuplicatesWithinWatermark
-    upstream this is exactly-once per trip_key end-to-end.
+    NOTHING) then appends. Duplicate-safety caveat: parquet appends are
+    not transactional, so a batch that is retried AFTER its append
+    partially landed can re-append rows the anti-join did not yet see —
+    at-least-once per trip_key on retry, exactly-once in steady state.
+    A transactional table format (or partition-overwrite by batch_id)
+    is the deployment-grade sink. Only a genuinely-missing hist path
+    falls back to the full append; any other read failure (perms,
+    corrupt footer, transient IO) must fail the batch loudly rather
+    than silently duplicating it.
     """
 
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             hist_keys = spark.read.parquet(hist_path).select("trip_key")
-            new_rows = batch.join(hist_keys, "trip_key", "left_anti")
-        except Exception:  # first batch: hist does not exist yet
+        except AnalysisException:  # first batch: hist does not exist yet
             new_rows = batch
+        else:
+            new_rows = batch.join(hist_keys, "trip_key", "left_anti")
         new_rows.write.mode("append").parquet(hist_path)
 
     writer = dedup.writeStream.foreachBatch(upsert_batch).option(
@@ -96,6 +106,17 @@ def start_hist_upsert(dedup: DataFrame, hist_path: str, checkpoint: str,
 
 
 _STREAM_QUERY_SEQ = [0]
+
+
+def parse_duration_seconds(duration: str) -> int:
+    """Parse a Spark-style duration string ('30 minutes', '45 seconds',
+    '2 hours') into seconds. Strict: anything else raises."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour)s?\s*", duration)
+    if not m:
+        raise ValueError(f"unparseable duration: {duration!r}")
+    return int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600}[m.group(2)]
 
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +190,7 @@ def sessionize_stream(trips: DataFrame, gap: str = "30 minutes",
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
-    gap_s = 1800 if "30" in gap else 3600
+    gap_s = parse_duration_seconds(gap)
 
     out_schema = T.StructType([
         T.StructField("region", T.StringType()),

@@ -130,3 +130,25 @@ def test_salted_join_matches_plain_join(spark):
     from pyspark.sql import functions as F
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(4)])))
     assert s.count() == small.count() * 4
+
+
+def test_q7_nation_filter_pushed_to_dim_scan(spark):
+    from jobsity_data_pipeline_spark.operators import relational2 as R2
+
+    plan = _plan(R2.q7_volume_shipping(spark, SF_SMOKE))
+    # the nation-pair predicate must reach the nation parquet scan, not
+    # sit above all five joins
+    assert "In(n_name" in plan
+
+
+def test_salted_join_rejects_outer_and_collision(spark):
+    import pytest
+
+    from jobsity_data_pipeline_spark.operators.skew import SALT_COL, salted_join
+
+    big = spark.createDataFrame([("a", 1)], "k string, v int")
+    small = spark.createDataFrame([("a", 2)], "k string, g int")
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(big.withColumn(SALT_COL, big.v), small, "k")

@@ -121,3 +121,13 @@ def test_stateful_sessionize_stream(spark, src_dir, tmp_path):
     closed = {(r.region, str(r.session_start), str(r.session_end), r.n_trips)
               for r in got}
     assert ("Prague", "2018-05-28 09:00:00", "2018-05-28 09:10:00", 2) in closed
+
+
+def test_parse_duration_seconds():
+    assert ST.parse_duration_seconds("30 seconds") == 30
+    assert ST.parse_duration_seconds("45 minutes") == 2700
+    assert ST.parse_duration_seconds("2 hours") == 7200
+    # the old substring heuristic mapped '130 minutes' to 1800s
+    assert ST.parse_duration_seconds("130 minutes") == 7800
+    with pytest.raises(ValueError):
+        ST.parse_duration_seconds("a while")
