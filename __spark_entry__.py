@@ -38,6 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Heaviest first: the round-1 driver run stopped before the
+        # dedup/similarity tail, leaving it without CORRECTNESS rows.
+        # Fronting the expensive family guarantees it gets verified even
+        # if a time budget truncates the sweep (the remaining queries
+        # are all sub-second at the gate scale factor).
+        "emb_near_dup": S.emb_near_dup,
+        "emb_cosine_topk": S.emb_cosine_topk,
+        "emb_lsh_ann": S.emb_lsh_ann,  # rows-only (no SQL oracle): approximate op
+        "emb_ivf_ann": S.emb_ivf_ann,  # rows-only (no SQL oracle): approximate op
+        "docs_ngram_jaccard": D.docs_ngram_jaccard,
+        "docs_minhash_bands": D.docs_minhash_bands,
+        "docs_minhash_pairs": D.docs_minhash_pairs,
+        "docs_simhash": D.docs_simhash,
+        "docs_lang_id": TO.docs_lang_id,
+        "docs_fingerprint": TO.docs_fingerprint,
+        "docs_redact_pii": TO.docs_redact_pii,
         # A. reference-parity (events mapping, SURVEY §4)
         "trip_ingest_dedup": R.trip_ingest_dedup,
         "weekly_avg_by_region": R.weekly_avg_by_region,
@@ -87,21 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_deciles": R4.customer_balance_deciles,
         "order_aging_buckets": R4.order_aging_buckets,
         "parts_top_by_brand": R4.parts_top_by_brand,
-        # C. LLM-training-data ops
+        # C. LLM-training-data ops (near-dup/similarity family fronted
+        # above)
         "docs_exact_dedup": TO.docs_exact_dedup,
         "docs_token_stats": TO.docs_token_stats,
         "docs_quality": TO.docs_quality,
-        "docs_lang_id": TO.docs_lang_id,
-        "docs_fingerprint": TO.docs_fingerprint,
-        "docs_redact_pii": TO.docs_redact_pii,
-        "docs_ngram_jaccard": D.docs_ngram_jaccard,
-        "docs_minhash_bands": D.docs_minhash_bands,
-        "docs_minhash_pairs": D.docs_minhash_pairs,
-        "docs_simhash": D.docs_simhash,
-        "emb_near_dup": S.emb_near_dup,
-        "emb_cosine_topk": S.emb_cosine_topk,
-        "emb_lsh_ann": S.emb_lsh_ann,  # rows-only (no SQL oracle): approximate op
-        "emb_ivf_ann": S.emb_ivf_ann,  # rows-only (no SQL oracle): approximate op
     }
 
 
