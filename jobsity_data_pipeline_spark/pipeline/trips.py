@@ -63,6 +63,34 @@ def upsert(hist: DataFrame, staging: DataFrame) -> DataFrame:
     return hist.unionByName(new_rows)
 
 
+def upsert_bucketed(spark: SparkSession, staging: DataFrame,
+                    table: str = "trips_hist", buckets: int = 64) -> None:
+    """Co-located ON CONFLICT (trip_key) DO NOTHING against a BUCKETED
+    hist table (written by sources.writers.write_hist_bucketed).
+
+    The hist side arrives pre-hash-partitioned on trip_key straight off
+    disk — the anti-join plan has NO Exchange on the hist side — so
+    each batch costs one shuffle of the (small) staging batch, never a
+    reshuffle of the accumulated history. The append preserves the
+    bucket spec, so every subsequent upsert stays co-located. This is
+    the scale form of populate_postgres.sql:16-31 unique-index
+    semantics: hist grows to 100 TB, per-batch work stays O(batch).
+    """
+    hist = spark.table(table)
+    new_rows = (
+        dedup_staging(staging)
+        .join(hist.select("trip_key"), "trip_key", "left_anti")
+        .select(hist.columns)
+    )
+    (
+        new_rows.write.mode("append")
+        .bucketBy(buckets, "trip_key")
+        .sortBy("trip_key")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def week_of_month(ts: Column) -> Column:
     """Postgres ``to_char(ts,'YYYY-MM') || '-0' || to_char(ts,'W')``
     (create_objects.sql:28-31): W = ceil(day_of_month / 7)."""

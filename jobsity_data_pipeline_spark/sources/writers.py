@@ -26,8 +26,12 @@ def write_hist_bucketed(df: DataFrame, table: str, key: str = "trip_key",
                         buckets: int = 64, mode: str = "overwrite",
                         path: str | None = None) -> None:
     """Bucketed table: co-locates rows by key so the upsert anti-join
-    (pipeline.trips.upsert) needs no shuffle on the hist side. Pass
-    ``path`` for an external-location table (else the warehouse dir)."""
+    (pipeline.trips.upsert_bucketed) needs no shuffle on the hist side.
+    Pass ``path`` for an external-location table (else the warehouse
+    dir). Size ``buckets`` to the join parallelism
+    (spark.sql.shuffle.partitions): if they differ, EnsureRequirements
+    re-shuffles the bucketed side to match the other side's
+    partition count and the co-location is wasted."""
     w = (
         df.write.mode(mode)
         .bucketBy(buckets, key)

@@ -141,3 +141,42 @@ def test_read_trips_csv_roundtrip(spark, tmp_path):
     assert df.columns == [
         "region", "origin_coord", "destination_coord", "datetime", "datasource"
     ]
+
+
+def test_bucketed_upsert_is_colocated_and_idempotent(spark, trips_df, tmp_path):
+    import contextlib
+    import io
+
+    from jobsity_data_pipeline_spark.sources.writers import write_hist_bucketed
+
+    table = "trips_hist_buckettest"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # buckets must equal the join parallelism (session shuffle
+    # partitions = 8): a mismatch makes EnsureRequirements re-shuffle
+    # the bucketed side instead of the batch
+    write_hist_bucketed(
+        TP.dedup_staging(trips_df).limit(3), table, buckets=8,
+        path=str(tmp_path / "hist"),
+    )
+    hist = spark.table(table)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        anti = TP.dedup_staging(trips_df).join(
+            hist.select("trip_key"), "trip_key", "left_anti"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            anti.explain("formatted")
+        plan = buf.getvalue()
+        # hist is read pre-partitioned off disk; only staging shuffles
+        assert "Bucketed: true" in plan
+        assert plan.count("hashpartitioning(trip_key") == 1
+        TP.upsert_bucketed(spark, trips_df, table=table, buckets=8)
+        assert spark.table(table).count() == 5
+        # re-ingesting the same batch adds nothing (ON CONFLICT DO NOTHING)
+        TP.upsert_bucketed(spark, trips_df, table=table, buckets=8)
+        assert spark.table(table).count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
