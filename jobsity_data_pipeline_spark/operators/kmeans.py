@@ -1,0 +1,125 @@
+"""Iterative k-means over an embedding DataFrame.
+
+The Spark shape of Lloyd's algorithm: per round, the k x dim centroid
+matrix broadcasts out, ONE Arrow pass assigns every vector to its
+nearest centroid, and the centroid update is a distributed
+posexplode+sum/count aggregation (map-side partial agg) whose result —
+k x dim scalar rows — is all that ever crosses back to the driver. No
+vector is ever collected; per-round driver state is k x dim + k counts,
+so the loop is identical at 500 rows and at 100 TB (each round = one
+scan + one shuffle of (cell, pos, x) triples).
+
+Determinism: initialization is the label-mean centroid (no RNG), float
+math is fixed-order within the aggregation tree up to Spark's partial
+aggregation, and ties in argmin break toward the lower cell index —
+the same corpus converges to the same centroids on every run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _centroid_matrix(rows, k: int, dim: int):
+    import numpy as np
+
+    C = np.zeros((k, dim))
+    for r in rows:
+        C[r[0], r[1]] = r[2]
+    return C
+
+
+def label_mean_init(emb: DataFrame):
+    """Deterministic init: per-label mean vectors via distributed
+    posexplode+avg; collects only k x dim scalars."""
+    rows = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    k = max(r.label for r in rows) + 1
+    dim = max(r.pos for r in rows) + 1
+    return _centroid_matrix([(r.label, r.pos, r.c) for r in rows], k, dim)
+
+
+def assign_cells(spark: SparkSession, emb: DataFrame, C) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment in one Arrow pass
+    against the broadcast k x dim matrix (numpy argmin breaks ties
+    toward the lower cell)."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(np.asarray(C, dtype="float64"))
+
+    def gen(batches):
+        import pandas as pd
+
+        cen = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_numpy())
+            cell = ((A[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "v": pdf["v"],
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    return emb.mapInPandas(gen, "vec_id long, v array<double>, cell int")
+
+
+def kmeans_fit(spark: SparkSession, emb: DataFrame, max_iter: int = 20,
+               tol: float = 1e-8):
+    """Lloyd iterations until the max centroid movement is < ``tol``
+    or ``max_iter`` rounds.
+
+    ``emb`` needs (vec_id, v: array<double>, label); k comes from the
+    label-mean init. Empty cells retain their previous centroid (the
+    deterministic alternative to re-seeding). Returns (C, n_iters,
+    last_delta) with C the final k x dim numpy matrix.
+    """
+    import numpy as np
+
+    C = label_mean_init(emb)
+    k, dim = C.shape
+    delta = float("inf")
+    it = 0
+    for it in range(1, max_iter + 1):
+        assigned = assign_cells(spark, emb, C)
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_C = C.copy()  # empty cells keep their previous centroid
+        for r in stats:
+            new_C[r.cell, r.pos] = r.s / r.n
+        delta = float(np.abs(new_C - C).max())
+        C = new_C
+        if delta < tol:
+            break
+    return C, it, delta
+
+
+def emb_kmeans_fit(spark: SparkSession, sf_dir: str, max_iter: int = 20,
+                   tol: float = 1e-8) -> DataFrame:
+    """Converged k-means centroids of the embeddings table as a
+    DataFrame (cell, pos, centroid) — the iterative extension of
+    relational4.emb_kmeans_assign's single assignment step."""
+    from ..session import ensure_parallelism, read_table
+
+    e = ensure_parallelism(spark, read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    C, _, _ = kmeans_fit(spark, e, max_iter=max_iter, tol=tol)
+    rows = [
+        (int(cell), int(pos), float(C[cell, pos]))
+        for cell in range(C.shape[0])
+        for pos in range(C.shape[1])
+    ]
+    return spark.createDataFrame(rows, "cell int, pos int, centroid double")
