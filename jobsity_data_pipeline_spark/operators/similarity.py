@@ -99,9 +99,12 @@ def emb_near_dup(spark: SparkSession, sf_dir: str,
             }
         )
 
+    # materialize the packed blocks once (lineage truncation): both
+    # explode sides reference them, and re-running the scan+pack per
+    # side doubles the corpus read
     packed = blocked.groupBy("block").applyInPandas(
         pack, "block int, ids array<long>, vecs array<array<double>>"
-    )
+    ).localCheckpoint()
     # explode each block to its unordered pair keys; equi-join the two
     # sides on (pa, pb) so Catalyst plans a hash join, not a broadcast
     # nested loop over packed matrices.
