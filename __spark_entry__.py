@@ -25,6 +25,7 @@ from jobsity_data_pipeline_spark.operators import relational as R
 from jobsity_data_pipeline_spark.operators import relational2 as R2
 from jobsity_data_pipeline_spark.operators import relational3 as R3
 from jobsity_data_pipeline_spark.operators import relational4 as R4
+from jobsity_data_pipeline_spark.operators import relational5 as R5
 from jobsity_data_pipeline_spark.operators import similarity as S
 from jobsity_data_pipeline_spark.operators import textops as TO
 from jobsity_data_pipeline_spark.streaming import stream as STR
@@ -103,6 +104,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_deciles": R4.customer_balance_deciles,
         "order_aging_buckets": R4.order_aging_buckets,
         "parts_top_by_brand": R4.parts_top_by_brand,
+        # B2. round-2 relational wave: remaining expressible TPC-H
+        # shapes + range/session windows + unpivot
+        "q6_forecast_revenue": R5.q6_forecast_revenue,
+        "q8_market_share": R5.q8_market_share,
+        "q13_customer_distribution": R5.q13_customer_distribution,
+        "q15_top_supplier": R5.q15_top_supplier,
+        "q17_small_quantity_revenue": R5.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": R5.q19_disjunctive_revenue,
+        "q22_wealthy_inactive": R5.q22_wealthy_inactive,
+        "events_value_rolling_1h": R5.events_value_rolling_1h,
+        "events_session_window": R5.events_session_window,
+        "events_unpivot_metrics": R5.events_unpivot_metrics,
         # C. LLM-training-data ops (near-dup/similarity family fronted
         # above)
         "docs_exact_dedup": TO.docs_exact_dedup,
@@ -908,6 +921,141 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(raw, 4) AS cos
             FROM p WHERE round(raw, 6) >= 0.35
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q8_market_share": """
+            WITH cust_r AS (
+                SELECT c_custkey FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ),
+            sup_n AS (
+                SELECT s_suppkey, n_name AS supp_nation FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+            )
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_9'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN cust_r ON o_custkey = c_custkey
+            JOIN sup_n ON l_suppkey = s_suppkey
+            GROUP BY 1
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH thr AS (
+                SELECT l_partkey AS t_partkey,
+                       avg(l_quantity) * 0.2 AS qty_thr
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN thr ON l_partkey = t_partkey
+            WHERE p_brand = 'Brand#3' AND l_quantity < qty_thr
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 30)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 40)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 50)
+        """,
+        "q22_wealthy_inactive": """
+            WITH a AS (
+                SELECT avg(c_acctbal) AS avg_bal FROM customer
+                WHERE c_acctbal > 0.0
+            )
+            SELECT count(*) AS n_cust,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer, a
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              )
+        """,
+        "events_value_rolling_1h": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+                   ), 2) AS rolling_1h
+            FROM events
+        """,
+        "events_session_window": """
+            WITH g AS (
+                SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) >= 1800000000 THEN 1 ELSE 0 END AS ns
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, value, us,
+                       sum(ns) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS sid
+                FROM g
+            )
+            SELECT user_id, min(us) AS session_start_us,
+                   max(us) + 1800000000 AS session_end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_unpivot_metrics": """
+            WITH m AS (
+                SELECT event_type, 'value' AS metric, value AS x FROM events
+                UNION ALL
+                SELECT event_type, 'k' AS metric,
+                       CAST(json_extract(props, '$.k') AS DOUBLE) AS x
+                FROM events
+            )
+            SELECT event_type, metric, count(x) AS n,
+                   round(avg(x), 4) AS avg_x
+            FROM m GROUP BY 1, 2
         """,
         "emb_kmeans_assign": """
             WITH e AS (

@@ -1,0 +1,266 @@
+"""Fifth operator wave: the remaining TPC-H query shapes expressible on
+the driver tables (scan-only q6, market-share q8, outer-join
+distribution q13, scalar-max q15, correlated-avg q17, disjunctive q19,
+anti-join + scalar subquery q22) plus range-frame rolling windows,
+built-in session windows, and unpivot.
+
+Same conventions as relational.py: (spark, sf_dir) -> lazy DataFrame,
+broadcast the dimension side, alias every output to the oracle's name,
+keep integers int64 and round floats. Timestamps that must survive the
+cross-engine hash compare are emitted as unix microseconds (longs), not
+formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+_REV = None  # populated below; F must be imported first
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-and-aggregate — every predicate is a
+    min/max-prunable range that reaches the parquet scan (the canonical
+    'is pushdown working' probe), no join, one partial-agg exchange."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str, region: str = "ASIA",
+                    nation: str = "NATION_9") -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of supplier revenue into a
+    region's customers, per order year — conditional-aggregate ratio
+    over a star join (no self-join, single pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == region)
+    # customers restricted to the target region (dim-side reduction
+    # BEFORE touching the fact table, as in q7)
+    cust_r = (
+        cust.join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("c_custkey")
+    )
+    sup_n = sup.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                               F.col("n_name").alias("supp_nation"))),
+        sup["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust_r), orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(sup_n), li["l_suppkey"] == F.col("s_suppkey"))
+    )
+    rev = _rev()
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == nation, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer — LEFT
+    OUTER join (customers with zero orders count as 0) then a
+    double aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the scalar-subquery-on-an-aggregate pattern (broadcast the 1-row
+    max back against the per-supplier revenue)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_rev()), 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == F.col("_mx"))
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str,
+                               brand: str = "Brand#3") -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's parts, where 'small' is a correlated per-part threshold
+    (0.2 * avg quantity of THAT part) — decorrelated into a per-part
+    aggregate joined back on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == brand)
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thr")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(thr, li["l_partkey"] == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides —
+    the disjunction stays a single join with a composite residual
+    filter (no union-of-three-scans rewrite needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .where(cond)
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average (positive) balance
+    and no orders — scalar aggregate subquery + left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders.select("o_custkey"),
+              cust["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def events_value_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window: per event, the sum of the same user's values
+    in the trailing hour — RANGE BETWEEN on unix microseconds, the
+    time-based frame ROWS frames cannot express (peers at the same
+    timestamp are all included, and gaps are real gaps)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
+    )
+
+
+def events_session_window(spark: SparkSession, sf_dir: str,
+                          gap: str = "30 minutes") -> DataFrame:
+    """Built-in session windows (F.session_window): per-user gap-merged
+    sessions with start/end/count/value — the declarative twin of the
+    applyInPandasWithState sessionizer, usable identically in batch and
+    streaming. Window end is last-event-time + gap (half-open), so two
+    events exactly ``gap`` apart do NOT merge."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the value column and the JSON props.k field
+    become (metric, x) rows via stack() — one scan, no union of two
+    reads — then per (event_type, metric) stats."""
+    ev = _t(spark, sf_dir, "events")
+    melted = ev.select(
+        "event_type",
+        F.expr(
+            "stack(2, 'value', value, "
+            "'k', cast(get_json_object(props, '$.k') as double)) "
+            "as (metric, x)"
+        ),
+    )
+    return melted.groupBy("event_type", "metric").agg(
+        F.count("x").alias("n"),
+        F.round(F.avg("x"), 4).alias("avg_x"),
+    )
