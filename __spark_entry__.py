@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": TO.docs_exact_dedup,
         "docs_token_stats": TO.docs_token_stats,
         "docs_quality": TO.docs_quality,
+        # C2. round-2 LLM-data wave
+        "docs_decontaminate": D.docs_decontaminate,
+        "docs_dedup_clusters": D.docs_dedup_clusters,
+        "emb_quantize_int8": S.emb_quantize_int8,
+        "docs_zipf_slope": TO.docs_zipf_slope,
     }
 
 
@@ -921,6 +926,110 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(raw, 4) AS cos
             FROM p WHERE round(raw, 6) >= 0.35
+        """,
+        "docs_decontaminate": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            s AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(w) >= 8 THEN
+                        list_transform(range(1, len(w) - 6),
+                                       i -> array_to_string(w[i:i+7], ' '))
+                    ELSE []::VARCHAR[] END) AS sh
+                FROM t
+            ),
+            e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+            tr AS (SELECT doc_id, shingle FROM e WHERE doc_id % 97 <> 0),
+            pr AS (SELECT doc_id AS probe_doc, shingle FROM e
+                   WHERE doc_id % 97 = 0)
+            SELECT tr.doc_id AS doc_id, count(*) AS n_hit_shingles,
+                   count(DISTINCT probe_doc) AS n_probe_docs
+            FROM tr JOIN pr ON tr.shingle = pr.shingle
+            GROUP BY 1
+        """,
+        "docs_dedup_clusters": f"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            s AS (
+                SELECT doc_id, list_distinct({_SH4}) AS sh FROM t
+            ),
+            f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), i ->
+                           list_min(list_transform(sh, x ->
+                               md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM f
+            ),
+            bands AS (
+                SELECT doc_id, band_id,
+                       md5(sg[band_id * 4 + 1] || '|' || sg[band_id * 4 + 2]
+                           || '|' || sg[band_id * 4 + 3]
+                           || '|' || sg[band_id * 4 + 4]) AS band_hash
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_id
+            FROM reach GROUP BY u
+        """,
+        "emb_quantize_int8": """
+            WITH e AS (
+                SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (
+                SELECT label, v, list_min(v) AS mn,
+                       (list_max(v) - list_min(v)) / 255.0 AS scale
+                FROM e
+            ),
+            err AS (
+                SELECT label,
+                       sqrt(list_sum(list_transform(v, x ->
+                           CASE WHEN scale > 0
+                                THEN (x - (mn + round((x - mn) / scale, 0)
+                                           * scale))
+                                     * (x - (mn + round((x - mn) / scale, 0)
+                                             * scale))
+                                ELSE 0.0 END))) AS l2_err
+                FROM q
+            )
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(l2_err), 6) AS avg_l2_err,
+                   round(max(l2_err), 6) AS max_l2_err
+            FROM err GROUP BY label
+        """,
+        "docs_zipf_slope": f"""
+            WITH freq AS (
+                SELECT token, count(*) AS n
+                FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+                GROUP BY token ORDER BY n DESC, token LIMIT 500
+            ),
+            ranked AS (
+                SELECT CAST(row_number() OVER (ORDER BY n DESC, token)
+                            AS DOUBLE) AS rnk,
+                       CAST(n AS DOUBLE) AS freq
+                FROM freq
+            )
+            SELECT round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+                   count(*) AS n_tokens
+            FROM ranked
         """,
         "q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -48,7 +48,8 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles_exploded(spark: SparkSession, sf_dir: str,
+                           k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) rows — DISTINCT k-shingles, one per row.
 
     Built with posexplode(tokens) + window lead()s: every expression is
@@ -64,7 +65,7 @@ def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)
+        F.lead("tok", i).over(w) for i in range(1, k)
     ]
     sh = toks.select(
         "doc_id",
@@ -204,6 +205,91 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+DECONTAM_SHINGLE_K = 8
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str,
+                       probe_mod: int = 97,
+                       k: int = DECONTAM_SHINGLE_K) -> DataFrame:
+    """Training-set decontamination: which training docs contain any
+    ``k``-token shingle of the held-out probe set (doc_id % probe_mod
+    == 0 plays the eval set here; in production the probe side is the
+    benchmark corpus).
+
+    The industry-standard n-gram overlap check as one equi-join: probe
+    shingles (tiny side — eval sets are orders of magnitude smaller
+    than training corpora) broadcast against the training shingles; per
+    contaminated training doc, the number of matching shingles and of
+    distinct probe docs hit. One scan feeds both sides.
+    """
+    ex = _doc_shingles_exploded(spark, sf_dir, k=k).localCheckpoint()
+    probe = F.col("doc_id") % probe_mod == 0
+    train = ex.where(~probe)
+    probes = ex.where(probe).select(
+        F.col("doc_id").alias("probe_doc"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(probes), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_shingles"),
+            F.countDistinct("probe_doc").alias("n_probe_docs"),
+        )
+    )
+
+
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str,
+                        max_iter: int = 20) -> DataFrame:
+    """Connected components over the MinHash-LSH pair graph: every doc
+    that shares a band bucket with another lands in a cluster labeled
+    by the component's minimum doc_id — the step that turns pairwise
+    near-dup hits into 'keep one doc per duplicate group'.
+
+    Iterative min-label propagation (the standard Spark CC without a
+    graph library): each round, every vertex takes the min of its own
+    label and its neighbors' labels; converged when no label changes.
+    Rounds = graph diameter (near-dup clusters are shallow — tiny in
+    practice); each round is one join + one aggregate on the edge list,
+    checkpointed to keep lineage flat. Deterministic: min() over a
+    fixed vertex set.
+    """
+    pairs = docs_minhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

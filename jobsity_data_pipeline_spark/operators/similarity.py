@@ -325,6 +325,42 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     )
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min/max int8 scalar quantization with reconstruction
+    error, aggregated per label — the storage-compression step of an
+    embedding store (4x smaller vectors; the ANN ops rerank the
+    shortlist against the full-precision side).
+
+    Everything is JVM array expressions (array_min/max, transform,
+    aggregate) inside the scan projection — no Python, no shuffle
+    before the tiny per-label aggregate. Zero-range vectors quantize to
+    their constant value with zero error.
+    """
+    emb = _emb(spark, sf_dir)
+    v = F.col("v")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    # q = round((x-mn)/scale) in [0,255]; dequantized back to mn+q*scale
+    deq = F.transform(
+        v,
+        lambda x: F.when(
+            scale > 0, mn + F.round((x - mn) / scale, 0) * scale
+        ).otherwise(mn),
+    )
+    sq_err = F.aggregate(
+        F.zip_with(v, deq, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = emb.select("label", F.sqrt(sq_err).alias("l2_err"))
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("l2_err"), 6).alias("avg_l2_err"),
+        F.round(F.max("l2_err"), 6).alias("max_l2_err"),
+    )
+
+
 def _centroids(spark: SparkSession, sf_dir: str):
     """k x dim label-mean centroid matrix via the DISTRIBUTED
     posexplode+avg aggregation (the relational2.emb_label_centroids

@@ -150,3 +150,34 @@ def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phone.cast("long").alias("n_phones"),
         F.length(redact_pii("text")).alias("redacted_len"),
     )
+
+
+def docs_zipf_slope(spark: SparkSession, sf_dir: str, top_n: int = 500) -> DataFrame:
+    """Zipf fit over the corpus token distribution: regression slope of
+    ln(frequency) against ln(rank) for the top ``top_n`` tokens — a
+    one-number corpus-health signal (natural text sits near -1; heavily
+    templated or synthetic corpora drift off).
+
+    Token counting is the partial-agg word count; the top-N + rank is a
+    single WindowGroupLimit-style top-k (tiny), and the slope is one
+    regr_slope aggregate. Ties rank deterministically by token.
+    """
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    freq = (
+        d.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = freq.select(
+        F.row_number().over(w).cast("double").alias("rnk"),
+        F.col("n").cast("double").alias("freq"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.count("*").alias("n_tokens"),
+    )
