@@ -126,6 +126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_clusters": D.docs_dedup_clusters,
         "emb_quantize_int8": S.emb_quantize_int8,
         "docs_zipf_slope": TO.docs_zipf_slope,
+        "docs_minhash_est_vs_exact": D.docs_minhash_est_vs_exact,
+        # B3. round-2 analytics wave
+        "events_retention": R5.events_retention,
+        "orders_yoy_growth": R5.orders_yoy_growth,
+        "events_anomaly_zscore": R5.events_anomaly_zscore,
     }
 
 
@@ -926,6 +931,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(raw, 4) AS cos
             FROM p WHERE round(raw, 6) >= 0.35
+        """,
+        "events_retention": """
+            WITH activity AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            fd AS (
+                SELECT user_id, min(day) AS cohort_day
+                FROM activity GROUP BY user_id
+            )
+            SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+                   CAST(date_diff('day', cohort_day, day) AS BIGINT) AS k,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM activity a JOIN fd ON a.user_id = fd.user_id
+            WHERE date_diff('day', cohort_day, day) <= 14
+            GROUP BY 1, 2
+        """,
+        "orders_yoy_growth": """
+            WITH yearly AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT o_year, revenue,
+                   round(revenue / lag(revenue) OVER (ORDER BY o_year)
+                         - 1.0, 4) AS yoy_growth
+            FROM yearly
+        """,
+        "events_anomaly_zscore": """
+            WITH daily AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT day, event_type, n,
+                       round((n - avg(n) OVER (PARTITION BY event_type))
+                             / stddev_samp(n) OVER (PARTITION BY event_type),
+                             3) AS zscore
+                FROM daily
+            )
+            SELECT day, event_type, n, zscore
+            FROM scored WHERE abs(zscore) >= 2.0
+        """,
+        "docs_minhash_est_vs_exact": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            s AS (
+                SELECT doc_id, list_distinct({_SH4}) AS sh FROM t
+            ),
+            f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), i ->
+                           list_min(list_transform(sh, x ->
+                               md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM f
+            ),
+            bands AS (
+                SELECT doc_id, band_id,
+                       md5(sg[band_id * 4 + 1] || '|' || sg[band_id * 4 + 2]
+                           || '|' || sg[band_id * 4 + 3]
+                           || '|' || sg[band_id * 4 + 4]) AS band_hash
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   floor(len(list_filter(range(1, 17),
+                             i -> sa.sg[i] = sb.sg[i])) / 16.0
+                         * 10000.0 + 0.5) / 10000.0 AS est_jaccard,
+                   floor(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE)
+                         / (len(fa.sh) + len(fb.sh)
+                            - len(list_intersect(fa.sh, fb.sh)))
+                         * 10000.0 + 0.5) / 10000.0 AS exact_jaccard
+            FROM pairs
+            JOIN sig sa ON pairs.doc_a = sa.doc_id
+            JOIN sig sb ON pairs.doc_b = sb.doc_id
+            JOIN f fa ON pairs.doc_a = fa.doc_id
+            JOIN f fb ON pairs.doc_b = fb.doc_id
         """,
         "docs_decontaminate": f"""
             WITH t AS (

@@ -325,3 +325,42 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise(0) branch of every bit term.
     ids = d.select("doc_id")
     return ids.join(votes, "doc_id", "left").select("doc_id", sim.alias("simhash"))
+
+
+def docs_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy report: for every MinHash-LSH candidate pair,
+    the Jaccard ESTIMATE from signature agreement (matching components
+    / 16) next to the EXACT Jaccard of the shingle sets — the op that
+    tells you whether 16 permutations are enough before you trust the
+    sketch at 100 TB (where the exact join is unaffordable corpus-wide
+    but affordable on the candidate set).
+    """
+    sig = _minhash_sig(spark, sf_dir).localCheckpoint()
+    pairs = docs_minhash_pairs(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_int = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = n_int / (F.size("sh_a") + F.size("sh_b") - n_int)
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .join(ha, "doc_a").join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            TX.round_ratio(agree / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+            TX.round_ratio(exact).alias("exact_jaccard"),
+        )
+    )

@@ -264,3 +264,66 @@ def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("x").alias("n"),
         F.round(F.avg("x"), 4).alias("avg_x"),
     )
+
+
+def events_retention(spark: SparkSession, sf_dir: str,
+                     max_k: int = 14) -> DataFrame:
+    """Cohort retention: users grouped by their first active day; for
+    each cohort, how many are active again k days later (k <= max_k).
+    Two aggregates + one join — the (user, day) activity set is derived
+    once and reused for both the cohort assignment and the return
+    visits."""
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first_day = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = activity.join(first_day, "user_id").select(
+        "user_id",
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+        F.datediff("day", "cohort_day").cast("long").alias("k"),
+    )
+    return (
+        joined.where(F.col("k") <= max_k)
+        .groupBy("cohort", "k")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly aggregate then a lag
+    window over the (tiny) per-year frame — the window runs on an
+    already-reduced input, never on the fact table."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_year",
+        "revenue",
+        F.round(F.col("revenue") / prev - 1.0, 4).alias("yoy_growth"),
+    )
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str,
+                          threshold: float = 2.0) -> DataFrame:
+    """Daily-volume anomalies per event type: z-score of each day's
+    count against the type's mean/stddev (window over the small
+    per-type-day aggregate), keeping |z| >= threshold. The filter
+    applies to the ROUNDED z so the survivor set is engine-stable."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    scored = daily.select(
+        "day", "event_type", "n", F.round(z, 3).alias("zscore")
+    )
+    return scored.where(F.abs(F.col("zscore")) >= threshold)
