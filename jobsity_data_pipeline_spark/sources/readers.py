@@ -34,6 +34,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (columnar like parquet: predicate pushdown + column
+    pruning both apply; the reader is built into Spark)."""
+    return spark.read.orc(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str,
               properties: dict[str, str] | None = None,
               partition_column: str | None = None,

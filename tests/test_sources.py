@@ -55,3 +55,46 @@ def test_bucketed_hist_table(spark, tmp_path):
     assert info.get("Num Buckets") == "4"
     assert info.get("Bucket Columns") == "[`trip_key`]"
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from jobsity_data_pipeline_spark.sources import readers as R
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "event_type": "view", "value": 1.5}\n'
+        '{"event_id": 2, "event_type": "click", "value": 2.5}\n'
+        '{"event_id": 3, "event_type": "view"}\n'  # missing field -> null
+        'not json at all\n'  # corrupt line -> permissive nulls
+    )
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    got = R.read_json(spark, str(p), schema).collect()
+    assert len(got) == 4
+    by_id = {r.event_id: r for r in got if r.event_id is not None}
+    assert by_id[1].value == 1.5
+    assert by_id[3].value is None
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    import contextlib
+    import io
+
+    from jobsity_data_pipeline_spark.sources import readers as R
+
+    p = str(tmp_path / "hist_orc")
+    _trips(spark).write.mode("overwrite").orc(p)
+    got = R.read_orc(spark, p)
+    assert got.count() == 2
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.where(F.col("region") == "Prague").select("trip_key").explain("formatted")
+    plan = buf.getvalue()
+    # same pushdown + pruning contract as parquet
+    assert "PushedFilters: [IsNotNull(region), EqualTo(region,Prague)]" in plan
+    assert "ReadSchema: struct<region:string,trip_key:string>" in plan
