@@ -175,6 +175,48 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_trip_chains(trips: DataFrame, horizon: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream self-join: pairs of same-region trips where the
+    second starts within ``horizon`` of the first — chained-trip
+    detection as Structured Streaming's interval join.
+
+    Both sides carry a watermark and the join condition includes the
+    time-range predicate, so the state store only retains ``horizon``
+    (+ watermark delay) worth of rows per side — the bounded-state
+    contract stream-stream joins require. Inner-join results emit as
+    soon as both rows arrive; the watermark only bounds eviction.
+    """
+    horizon_s = parse_duration_seconds(horizon)
+    base = with_event_time(trips).withColumn(
+        "trip_key",
+        record_key("region", "origin_coord", "destination_coord", "datetime",
+                   "datasource"),
+    )
+    a = base.withWatermark("event_time", watermark).select(
+        "region",
+        F.col("event_time").alias("first_time"),
+        F.col("trip_key").alias("first_key"),
+    )
+    b = base.withWatermark("event_time", watermark).select(
+        F.col("region").alias("region_b"),
+        F.col("event_time").alias("next_time"),
+        F.col("trip_key").alias("next_key"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("region") == F.col("region_b"))
+            & (F.col("next_time") > F.col("first_time"))
+            & (
+                F.col("next_time")
+                <= F.col("first_time") + F.expr(f"INTERVAL {horizon_s} SECONDS")
+            ),
+        )
+        .select("region", "first_key", "next_key", "first_time", "next_time")
+    )
+
+
 def sessionize_stream(trips: DataFrame, gap: str = "30 minutes",
                       watermark: str = "1 hour") -> DataFrame:
     """Custom stateful streaming operator: gap-based session windows per

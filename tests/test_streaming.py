@@ -131,3 +131,30 @@ def test_parse_duration_seconds():
     assert ST.parse_duration_seconds("130 minutes") == 7800
     with pytest.raises(ValueError):
         ST.parse_duration_seconds("a while")
+
+
+def test_stream_stream_interval_join(spark, src_dir, tmp_path):
+    rows = [
+        'Prague,"POINT (14.49 50.00)","POINT (14.43 50.04)",2018-05-28 09:00:00,funny_car',
+        # within 1h of the first -> chained
+        'Prague,"POINT (14.30 50.10)","POINT (14.40 50.20)",2018-05-28 09:30:00,cheap_mobile',
+        # 2h after the second -> NOT chained (horizon exceeded)
+        'Prague,"POINT (14.31 50.11)","POINT (14.41 50.21)",2018-05-28 11:30:00,funny_car',
+        'Turin,"POINT (7.67 44.99)","POINT (7.72 45.06)",2018-05-28 09:05:00,baba_car',
+    ]
+    _write_csv(src_dir, "b1.csv", rows)
+    trips = ST.read_trips_stream(spark, str(src_dir))
+    chains = ST.stream_trip_chains(trips, horizon="1 hour")
+    out = str(tmp_path / "chain_out")
+    q = (
+        chains.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "chain_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.region, str(r.first_time), str(r.next_time))
+           for r in spark.read.parquet(out).collect()]
+    assert got == [("Prague", "2018-05-28 09:00:00", "2018-05-28 09:30:00")]
