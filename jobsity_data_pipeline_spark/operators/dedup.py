@@ -334,9 +334,69 @@ def docs_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tells you whether 16 permutations are enough before you trust the
     sketch at 100 TB (where the exact join is unaffordable corpus-wide
     but affordable on the candidate set).
+
+    Everything derives from ONE checkpointed exploded-shingle set:
+    signatures (md5 min-agg), bands/pairs, set sizes, and the exact
+    common-shingle counts (self-equi-join on shingle, the codegen path
+    — never the interpreted array-HOF intersect).
     """
-    sig = _minhash_sig(spark, sf_dir).localCheckpoint()
-    pairs = docs_minhash_pairs(spark, sf_dir)
+    ex = _doc_shingles_exploded(spark, sf_dir).localCheckpoint()
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
+    ).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"m{b * ROWS_PER_BAND + r}")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # exact common counts for CANDIDATE pairs only — route the pair
+    # list through the shingle join instead of counting every colliding
+    # pair corpus-wide (the candidate set is what LSH bought us)
+    pairs = pairs.localCheckpoint()
+    exa = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    exb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(exa, "doc_a")
+        .join(exb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
@@ -349,14 +409,15 @@ def docs_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(NUM_HASHES)
     )
-    sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
-    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    n_int = F.size(F.array_intersect("sh_a", "sh_b"))
-    exact = n_int / (F.size("sh_a") + F.size("sh_b") - n_int)
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    exact = nc / (F.col("n_a") + F.col("n_b") - nc)
     return (
         pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .join(ha, "doc_a").join(hb, "doc_b")
+        .join(common, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
