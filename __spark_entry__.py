@@ -26,6 +26,7 @@ from jobsity_data_pipeline_spark.operators import relational2 as R2
 from jobsity_data_pipeline_spark.operators import relational3 as R3
 from jobsity_data_pipeline_spark.operators import relational4 as R4
 from jobsity_data_pipeline_spark.operators import relational5 as R5
+from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
 from jobsity_data_pipeline_spark.operators import textops as TO
 from jobsity_data_pipeline_spark.streaming import stream as STR
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": S.emb_quantize_int8,
         "docs_zipf_slope": TO.docs_zipf_slope,
         "docs_minhash_est_vs_exact": D.docs_minhash_est_vs_exact,
+        "media_features": MM.media_features,
         # B3. round-2 analytics wave
         "events_retention": R5.events_retention,
         "orders_yoy_growth": R5.orders_yoy_growth,
@@ -931,6 +933,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(raw, 4) AS cos
             FROM p WHERE round(raw, 6) >= 0.35
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha,
+                   round(CAST(('0x' || substr(sha256(text), 1, 2))::INT
+                              AS DOUBLE) / 256.0, 6) AS f0
+            FROM documents
         """,
         "events_retention": """
             WITH activity AS (

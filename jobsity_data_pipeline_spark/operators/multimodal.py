@@ -143,6 +143,26 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(gen, FRAME_SCHEMA)
 
 
+def media_features(spark, sf_dir: str) -> DataFrame:
+    """Driver-verifiable slice of the multimodal pipeline: documents ->
+    media payloads -> Arrow feature extraction, reporting byte counts,
+    content sha, and the first fake-embedding component. Everything up
+    to the codec boundary is the production path (binary column through
+    mapInPandas); the oracle recomputes the same bytes/sha/feature in
+    SQL, proving the Spark-side plumbing bit-exact."""
+    from ..session import ensure_parallelism, read_table
+
+    docs = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    feats = extract_features(media_from_documents(docs))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha",
+        F.round(F.element_at(F.col("feat"), 1).cast("double"), 6).alias("f0"),
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from documents (test fixture:
     payload := utf-8 text bytes) with the production MEDIA_SCHEMA."""
