@@ -133,6 +133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": R5.events_retention,
         "orders_yoy_growth": R5.orders_yoy_growth,
         "events_anomaly_zscore": R5.events_anomaly_zscore,
+        "events_grouping_sets": R5.events_grouping_sets,
+        "orders_part_pairs": R5.orders_part_pairs,
+        "events_transition_matrix": R5.events_transition_matrix,
+        "docs_tfidf_top_terms": TO.docs_tfidf_top_terms,
     }
 
 
@@ -933,6 +937,68 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(raw, 4) AS cos
             FROM p WHERE round(raw, 6) >= 0.35
+        """,
+        "events_grouping_sets": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY GROUPING SETS ((event_type),
+                                    (strftime(ts, '%Y-%m-%d')), ())
+        """,
+        "orders_part_pairs": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_orders
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+        """,
+        "events_transition_matrix": """
+            WITH seq AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type,
+                       event_type AS next_type
+                FROM events
+            ),
+            counts AS (
+                SELECT prev_type, next_type, count(*) AS n FROM seq
+                WHERE prev_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT prev_type, next_type, n,
+                   round(n / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                  AS DOUBLE), 4) AS p
+            FROM counts
+        """,
+        "docs_tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, token,
+                       tf * ln(CAST(n_docs AS DOUBLE) / df) AS raw
+                FROM tf JOIN dfreq USING (token), nd
+            )
+            SELECT doc_id, token, round(raw, 4) AS tfidf,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT doc_id, token, raw,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY raw DESC, token
+                       ) AS rnk
+                FROM scored
+            )
+            WHERE rnk <= 3
         """,
         "media_features": """
             SELECT doc_id AS media_id,

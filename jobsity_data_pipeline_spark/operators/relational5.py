@@ -327,3 +327,69 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str,
         "day", "event_type", "n", F.round(z, 3).alias("zscore")
     )
     return scored.where(F.abs(F.col("zscore")) >= threshold)
+
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    per-type totals, per-day totals, and the grand total in ONE pass —
+    via the SQL interface, like the reference's .sql workflow."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs_src")
+    return spark.sql(
+        """
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events_gs_src
+        GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')), ())
+        """
+    )
+
+
+def orders_part_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs appearing in the
+    same order — distinct items self-joined on the order key. Fan-out
+    per order is items² (orders hold a handful of lines), so the join
+    grows linearly in orders; a hot-part cap is unnecessary because the
+    key is the ORDER, not the part."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(k)
+    )
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral first-order transition matrix: counts and
+    probabilities of event-type bigrams per user stream (lag window
+    ordered by time, then two aggregates). The probability denominator
+    is a window over the already-tiny transition-count frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
+    )

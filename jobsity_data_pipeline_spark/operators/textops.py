@@ -181,3 +181,34 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str, top_n: int = 500) -> DataF
         F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 4).alias("zipf_slope"),
         F.count("*").alias("n_tokens"),
     )
+
+
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str,
+                         k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: term frequency (per-doc token
+    counts) x inverse document frequency (ln(N/df)), ranked per doc.
+    Both aggregates are partial-agg shuffles on token keys; the scalar
+    corpus size broadcasts. Deterministic ties: score desc, token asc.
+    """
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("raw"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "token", F.round("raw", 4).alias("tfidf"), "rnk")
+    )
