@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_part_pairs": R5.orders_part_pairs,
         "events_transition_matrix": R5.events_transition_matrix,
         "docs_tfidf_top_terms": TO.docs_tfidf_top_terms,
+        "events_kmv_distinct": R5.events_kmv_distinct,
     }
 
 
@@ -937,6 +938,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(raw, 4) AS cos
             FROM p WHERE round(raw, 6) >= 0.35
+        """,
+        "events_kmv_distinct": """
+            WITH du AS (
+                SELECT DISTINCT event_type, user_id FROM events
+            ),
+            h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                           ::BIGINT / 4294967296.0 AS hv
+                FROM du
+            ),
+            r AS (
+                SELECT event_type, hv,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY hv
+                       ) AS rn
+                FROM h
+            ),
+            agg AS (
+                SELECT event_type, max(hv) AS h_k, count(*) AS m
+                FROM r WHERE rn <= 64 GROUP BY 1
+            ),
+            ex AS (
+                SELECT event_type, count(*) AS n_exact FROM du GROUP BY 1
+            )
+            SELECT ex.event_type, n_exact,
+                   round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                              ELSE 63.0 / h_k END, 2) AS kmv_est
+            FROM ex JOIN agg USING (event_type)
         """,
         "events_grouping_sets": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -393,3 +393,39 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
     )
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type,
+    next to the exact count: estimate = (k-1)/h_k where h_k is the
+    k-th smallest normalized hash of the distinct members.
+
+    The deterministic alternative to HLL when results must be
+    reproducible across engines/runs (md5, no RNG): the sketch is
+    mergeable (k smallest of a union = k smallest of the per-partition
+    k-smallest), so at 100 TB each partition keeps a k-element heap and
+    only k values per group cross the network. When a group has fewer
+    than k members the sketch is exact by construction.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    hv = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    hashed = du.select("event_type", hv.alias("hv"))
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kmin = hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    agg = kmin.groupBy("event_type").agg(
+        F.max("hv").alias("h_k"), F.count("*").alias("m")
+    )
+    exact = du.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("h_k"))
+    return exact.join(agg, "event_type").select(
+        "event_type", "n_exact", F.round(est, 2).alias("kmv_est")
+    )
