@@ -21,6 +21,7 @@ if _HERE not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 
 from jobsity_data_pipeline_spark.operators import dedup as D
+from jobsity_data_pipeline_spark.operators import dq as DQ
 from jobsity_data_pipeline_spark.operators import relational as R
 from jobsity_data_pipeline_spark.operators import relational2 as R2
 from jobsity_data_pipeline_spark.operators import relational3 as R3
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_matrix": R5.events_transition_matrix,
         "docs_tfidf_top_terms": TO.docs_tfidf_top_terms,
         "events_kmv_distinct": R5.events_kmv_distinct,
+        "dq_report": DQ.dq_report,
     }
 
 
@@ -938,6 +940,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(raw, 4) AS cos
             FROM p WHERE round(raw, 6) >= 0.35
+        """,
+        "dq_report": """
+            SELECT 'orders_null_custkey' AS check,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bad FROM orders
+            UNION ALL
+            SELECT 'orders_nonpositive_price',
+                   CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'orders_dup_orderkey',
+                   count(*) - count(DISTINCT o_orderkey) FROM orders
+            UNION ALL
+            SELECT 'lineitem_nonpositive_price',
+                   CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_bad_discount',
+                   CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_nonpositive_qty',
+                   CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'customer_dup_custkey',
+                   count(*) - count(DISTINCT c_custkey) FROM customer
+            UNION ALL
+            SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+            )
+            UNION ALL
+            SELECT 'orders_orphan_custkey', count(*) FROM orders
+            WHERE NOT EXISTS (
+                SELECT 1 FROM customer WHERE c_custkey = o_custkey
+            )
         """,
         "events_kmv_distinct": """
             WITH du AS (
