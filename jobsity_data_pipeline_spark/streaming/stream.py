@@ -175,6 +175,27 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def session_window_stream(trips: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "0 seconds") -> DataFrame:
+    """Built-in session windows on a STREAM: the declarative
+    alternative to the applyInPandasWithState sessionizer for the
+    common gap-merge case (custom state logic only pays off once the
+    semantics leave what session_window expresses). Append mode emits a
+    session once the watermark passes its close."""
+    return (
+        with_event_time(trips)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.session_window(F.col("event_time"), gap), F.col("region"))
+        .agg(F.count("*").alias("n_trips"))
+        .select(
+            "region",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_trips",
+        )
+    )
+
+
 def stream_trip_chains(trips: DataFrame, horizon: str = "1 hour",
                        watermark: str = "2 hours") -> DataFrame:
     """Stream-stream self-join: pairs of same-region trips where the

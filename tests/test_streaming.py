@@ -158,3 +158,29 @@ def test_stream_stream_interval_join(spark, src_dir, tmp_path):
     got = [(r.region, str(r.first_time), str(r.next_time))
            for r in spark.read.parquet(out).collect()]
     assert got == [("Prague", "2018-05-28 09:00:00", "2018-05-28 09:30:00")]
+
+
+def test_session_window_stream(spark, src_dir, tmp_path):
+    rows = [
+        'Prague,"POINT (14.49 50.00)","POINT (14.43 50.04)",2018-05-28 09:00:00,funny_car',
+        'Prague,"POINT (14.49 50.00)","POINT (14.43 50.04)",2018-05-28 09:10:00,funny_car',
+        # > 30 min gap -> second session (stays open past the watermark)
+        'Prague,"POINT (14.49 50.00)","POINT (14.43 50.04)",2018-05-28 11:00:00,funny_car',
+    ]
+    _write_csv(src_dir, "b1.csv", rows)
+    trips = ST.read_trips_stream(spark, str(src_dir))
+    sessions = ST.session_window_stream(trips)
+    out = str(tmp_path / "sw_out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.region, str(r.session_start), str(r.session_end), r.n_trips)
+           for r in spark.read.parquet(out).collect()}
+    # closed session: 09:00-09:10 merged (gap < 30m), window end = last + gap
+    assert ("Prague", "2018-05-28 09:00:00", "2018-05-28 09:40:00", 2) in got
