@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_top_terms": TO.docs_tfidf_top_terms,
         "events_kmv_distinct": R5.events_kmv_distinct,
         "dq_report": DQ.dq_report,
+        "docs_dedup_keep": D.docs_dedup_keep,
+        "emb_dedup_stats": D.emb_dedup_stats,
+        "parts_pagerank": R5.parts_pagerank,
     }
 
 
@@ -166,6 +169,23 @@ _STOP = {
     "de": "['der','die','und','das','von','zu','mit','den','ein','ist']",
 }
 _ZH_CLASS = "[的是了在我有和就不人]"
+
+# PageRank oracle: 10 power iterations unrolled as chained CTEs (std
+# SQL forbids aggregation in a recursive term). Constants are written
+# as the same arithmetic the Spark side evaluates ((1.0 - 0.85), 1.0/n)
+# so both engines derive bit-identical teleport terms.
+_PR_CHAIN = "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+for _i in range(1, 11):
+    _PR_CHAIN += f""",
+            pr{_i} AS (
+                SELECT e.v AS node,
+                       (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p.rank / d.d) AS rank
+                FROM edges e
+                JOIN pr{_i - 1} p ON e.u = p.node
+                JOIN deg d ON e.u = d.u
+                GROUP BY e.v
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -940,6 +960,107 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(raw, 4) AS cos
             FROM p WHERE round(raw, 6) >= 0.35
+        """,
+        "parts_pagerank": f"""
+            WITH items AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            prs AS (
+                SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM items a JOIN items b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            edges AS (
+                SELECT pa AS u, pb AS v FROM prs
+                UNION ALL
+                SELECT pb AS u, pa AS v FROM prs
+            ),
+            deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            {_PR_CHAIN}
+            SELECT node AS p_partkey, round(rank, 6) AS rank
+            FROM pr10 ORDER BY rank DESC, p_partkey LIMIT 20
+        """,
+        "docs_dedup_keep": f"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            s AS (
+                SELECT doc_id, list_distinct({_SH4}) AS sh FROM t
+            ),
+            f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), i ->
+                           list_min(list_transform(sh, x ->
+                               md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM f
+            ),
+            bands AS (
+                SELECT doc_id, band_id,
+                       md5(sg[band_id * 4 + 1] || '|' || sg[band_id * 4 + 2]
+                           || '|' || sg[band_id * 4 + 3]
+                           || '|' || sg[band_id * 4 + 4]) AS band_hash
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+            ),
+            comp AS (
+                SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+            ),
+            dropped AS (
+                SELECT doc_id AS drop_id FROM comp WHERE doc_id <> cluster_id
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN drop_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM documents LEFT JOIN dropped ON doc_id = drop_id
+            GROUP BY lang
+        """,
+        "emb_dedup_stats": """
+            WITH RECURSIVE e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            p AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       list_cosine_similarity(a.v, b.v) AS raw
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ),
+            pr AS (SELECT vec_a, vec_b FROM p WHERE round(raw, 6) >= 0.35),
+            edges AS (
+                SELECT vec_a AS u, vec_b AS v FROM pr
+                UNION
+                SELECT vec_b AS u, vec_a AS v FROM pr
+            ),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u
+            ),
+            comp AS (SELECT u, min(v) AS c FROM reach GROUP BY u),
+            sizes AS (SELECT c, count(*) AS sz FROM comp GROUP BY c)
+            SELECT CAST(sum(sz) AS BIGINT) AS n_vecs_clustered,
+                   count(*) AS n_clusters,
+                   CAST(sum(sz) - count(*) AS BIGINT) AS n_dropped,
+                   CAST(max(sz) AS BIGINT) AS max_cluster_size
+            FROM sizes
         """,
         "dq_report": """
             SELECT 'orders_null_custkey' AS check,

@@ -247,49 +247,62 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str,
     by the component's minimum doc_id — the step that turns pairwise
     near-dup hits into 'keep one doc per duplicate group'.
 
-    Iterative min-label propagation (the standard Spark CC without a
-    graph library): each round, every vertex takes the min of its own
-    label and its neighbors' labels; converged when no label changes.
-    Rounds = graph diameter (near-dup clusters are shallow — tiny in
-    practice); each round is one join + one aggregate on the edge list,
-    checkpointed to keep lineage flat. Deterministic: min() over a
-    fixed vertex set.
+    Iterative min-label propagation via graph.connected_components
+    (rounds = graph diameter; near-dup clusters are shallow in
+    practice). Deterministic: min() over a fixed vertex set.
     """
+    from .graph import connected_components, undirect
+
     pairs = docs_minhash_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .localCheckpoint()
+    cc = connected_components(undirect(pairs, "doc_a", "doc_b"), max_iter)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
-    ).localCheckpoint()
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
+
+
+def docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: per language, corpus size vs docs kept after
+    collapsing every MinHash near-dup cluster to its minimum doc_id —
+    the number that tells you what the dedup pass will actually delete.
+    Composition: pairs -> connected components -> anti-keep join."""
+    clusters = docs_dedup_clusters(spark, sf_dir)
+    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept_flag = F.when(F.col("drop_id").isNull(), 1).otherwise(0)
+    return (
+        docs.join(
+            dropped.select(F.col("doc_id").alias("drop_id")),
+            docs["doc_id"] == F.col("drop_id"),
+            "left",
         )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept_flag).cast("long").alias("n_kept"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    )
+
+
+def emb_dedup_stats(spark: SparkSession, sf_dir: str,
+                    threshold: float = 0.35) -> DataFrame:
+    """Embedding-side dedup summary: cosine near-dup pairs -> connected
+    components -> one row of (vectors in clusters, clusters, vectors a
+    keep-one pass would drop, largest cluster). The same composition as
+    the docs path, over the block-pair GEMM candidates."""
+    from .graph import connected_components, undirect
+    from .similarity import emb_near_dup
+
+    pairs = emb_near_dup(spark, sf_dir, threshold=threshold)
+    cc = connected_components(undirect(pairs, "vec_a", "vec_b"))
+    sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.sum("sz").cast("long").alias("n_vecs_clustered"),
+        F.count("*").alias("n_clusters"),
+        (F.sum("sz") - F.count("*")).cast("long").alias("n_dropped"),
+        F.max("sz").alias("max_cluster_size"),
+    )
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

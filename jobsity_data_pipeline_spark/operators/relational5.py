@@ -429,3 +429,37 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFr
     return exact.join(agg, "event_type").select(
         "event_type", "n_exact", F.round(est, 2).alias("kmv_est")
     )
+
+
+def parts_pagerank(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """PageRank over the part co-occurrence graph (parts linked when
+    they appear in the same order): 10 fixed power iterations of
+    join + aggregate per round (operators/graph.py). Ranks round to 6
+    decimals and tie-break on part key so the top-k is engine-stable."""
+    from .graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).union(
+        pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    ranks = pagerank(edges)
+    return (
+        ranks.select(F.col("node").alias("p_partkey"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "p_partkey")
+        .limit(k)
+    )
