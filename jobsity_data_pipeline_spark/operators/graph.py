@@ -75,14 +75,15 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     """
     edges = edges.localCheckpoint()
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    # degree is loop-invariant: attach it to the edge list ONCE so each
+    # iteration is exactly one join (ranks) + one aggregate
+    ed = edges.join(deg, "u").localCheckpoint()
     nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges["u"] == ranks["node"])
-            .join(deg, "u")
-            .select(F.col("v").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
+        contrib = ed.join(ranks, ed["u"] == ranks["node"]).select(
+            F.col("v").alias("node"), (F.col("rank") / F.col("d")).alias("c")
         )
         ranks = (
             contrib.groupBy("node")
