@@ -27,6 +27,7 @@ from jobsity_data_pipeline_spark.operators import relational2 as R2
 from jobsity_data_pipeline_spark.operators import relational3 as R3
 from jobsity_data_pipeline_spark.operators import relational4 as R4
 from jobsity_data_pipeline_spark.operators import relational5 as R5
+from jobsity_data_pipeline_spark.operators import relational6 as R6
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
 from jobsity_data_pipeline_spark.operators import textops as TO
@@ -143,6 +144,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_keep": D.docs_dedup_keep,
         "emb_dedup_stats": D.emb_dedup_stats,
         "parts_pagerank": R5.parts_pagerank,
+        # B4. round-2 final TPC-H wave (adapted: no partsupp/commitdate/
+        # shipmode in the testdata schema — see operators/relational6.py)
+        "q2_min_cost_supplier": R6.q2_min_cost_supplier,
+        "q4_order_priority": R6.q4_order_priority,
+        "q9_product_profit": R6.q9_product_profit,
+        "q11_important_stock": R6.q11_important_stock,
+        "q12_ship_latency": R6.q12_ship_latency,
+        "q16_supplier_count": R6.q16_supplier_count,
+        "q20_dominant_suppliers": R6.q20_dominant_suppliers,
+        "q21_waiting_suppliers": R6.q21_waiting_suppliers,
     }
 
 
@@ -1576,5 +1587,164 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, nid, round(raw, 4) AS cos, CAST(rnk AS BIGINT) AS rnk
             FROM r WHERE rnk <= 5
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem GROUP BY 1, 2
+            ),
+            pp AS (
+                SELECT p_partkey FROM part
+                WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+            ),
+            sp AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ),
+            cand AS (
+                SELECT pp.p_partkey, sp.s_name, sp.s_acctbal, sp.n_name,
+                       ps.unit_cost,
+                       min(ps.unit_cost) OVER (PARTITION BY pp.p_partkey)
+                           AS min_cost
+                FROM ps
+                JOIN pp ON ps.l_partkey = pp.p_partkey
+                JOIN sp ON ps.l_suppkey = sp.s_suppkey
+            )
+            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                   p_partkey, round(unit_cost, 4) AS supply_cost
+            FROM cand WHERE unit_cost = min_cost
+            ORDER BY round(s_acctbal, 2) DESC, s_name, p_partkey LIMIT 50
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 2)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "q11_important_stock": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost,
+                       sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY 1, 2
+            ),
+            ns AS (
+                SELECT s_suppkey FROM supplier JOIN nation
+                  ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+            ),
+            val AS (
+                SELECT l_partkey,
+                       sum(unit_cost * total_qty) AS value
+                FROM ps WHERE l_suppkey IN (SELECT s_suppkey FROM ns)
+                GROUP BY 1
+            ),
+            tot AS (SELECT avg(value) AS mean_value FROM val)
+            SELECT l_partkey AS p_partkey, round(value, 2) AS value
+            FROM val, tot
+            WHERE value > mean_value * 2.0
+            ORDER BY round(value, 2) DESC, p_partkey
+        """,
+        "q12_ship_latency": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                        THEN 'FAST' ELSE 'SLOW' END AS ship_class,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY ship_class
+        """,
+        "q16_supplier_count": """
+            WITH ps AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM ps JOIN part ON l_partkey = p_partkey
+            WHERE p_type <> 'PROMO'
+              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+              )
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_dominant_suppliers": """
+            WITH li AS (
+                SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                  )
+            ),
+            pair AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+                FROM li GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT l_partkey, sum(l_quantity) AS part_qty
+                FROM li GROUP BY 1
+            ),
+            dom AS (
+                SELECT DISTINCT pair.l_suppkey
+                FROM pair JOIN tot ON pair.l_partkey = tot.l_partkey
+                WHERE pair_qty > part_qty * 0.2
+            )
+            SELECT s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+            ORDER BY s_name
+        """,
+        "q21_waiting_suppliers": """
+            WITH per_supp AS (
+                SELECT l_orderkey, l_suppkey,
+                       CASE WHEN max(date_diff('day', o_orderdate, l_shipdate))
+                                 > 60 THEN 1 ELSE 0 END AS is_late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY 1, 2
+            ),
+            per_order AS (
+                SELECT l_orderkey, count(*) AS n_supp,
+                       sum(is_late) AS n_late,
+                       max(CASE WHEN is_late = 1 THEN l_suppkey END)
+                           AS late_supp
+                FROM per_supp GROUP BY 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20
         """,
     }
