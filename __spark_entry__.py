@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": R6.q16_supplier_count,
         "q20_dominant_suppliers": R6.q20_dominant_suppliers,
         "q21_waiting_suppliers": R6.q21_waiting_suppliers,
+        # C3. round-2 final LLM-data wave
+        "docs_char_entropy": TO.docs_char_entropy,
+        "docs_weighted_sample": R4.docs_weighted_sample,
+        "emb_label_affinity": S.emb_label_affinity,
     }
 
 
@@ -1746,5 +1750,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_supp >= 2 AND n_late = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "docs_char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, lang,
+                       unnest(string_split(text, '')) AS ch
+                FROM documents
+            ),
+            per_dc AS (
+                SELECT doc_id, lang, ch, count(*) AS c
+                FROM ch WHERE ch <> '' GROUP BY 1, 2, 3
+            ),
+            per_doc AS (
+                SELECT doc_id, lang,
+                       log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy
+                FROM per_dc GROUP BY 1, 2
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(entropy), 4) AS avg_entropy_bits,
+                   round(min(entropy), 4) AS min_entropy_bits,
+                   round(max(entropy), 4) AS max_entropy_bits
+            FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, lang, n_chars,
+                   round(pow(
+                       (('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT + 0.5) / 4294967296.0,
+                       1.0 / n_chars), 6) AS draw_key
+            FROM documents
+            ORDER BY draw_key DESC, doc_id LIMIT 20
+        """,
+        "emb_label_affinity": """
+            WITH x AS (
+                SELECT label,
+                       unnest(range(0, len(embedding))) AS pos,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings
+            ),
+            c AS (SELECT label, pos, avg(x) AS c FROM x GROUP BY 1, 2),
+            cv AS (
+                SELECT label, list(c ORDER BY pos) AS v FROM c GROUP BY label
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos
+            FROM cv a JOIN cv b ON a.label < b.label
+            ORDER BY label_a, label_b
         """,
     }

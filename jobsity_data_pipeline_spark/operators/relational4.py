@@ -253,3 +253,39 @@ def parts_top_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "rnk", "p_partkey",
                 F.round("p_retailprice", 2).alias("p_retailprice"))
     )
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str,
+                         k: int = 20) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each doc gets key u^(1/w) with w = n_chars and u a deterministic
+    md5-derived uniform; the global top-k by key IS a weighted sample.
+    Longer documents are proportionally more likely to be drawn, and
+    the draw is reproducible across runs/engines (no RNG state).
+
+    Scale shape: one full scan emitting (key, row), then a top-k —
+    Spark's sort+limit does per-partition partial top-k before the
+    single-partition final, so the shuffle carries k rows per task,
+    not the corpus.
+    """
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.pow(u, 1.0 / F.col("n_chars")), 6).alias("draw_key"),
+        )
+        .orderBy(F.desc("draw_key"), "doc_id")
+        .limit(k)
+    )

@@ -460,3 +460,40 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         .where(F.col("rnk") <= k)
         .select("qid", "nid", F.col("cos"), "rnk")
     )
+
+
+def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the
+    cluster-confusability matrix used to pick merge candidates before
+    training-data stratification.
+
+    Centroids come from the distributed posexplode+avg aggregate (k*dim
+    rows total), re-assembled into arrays with an order-stable
+    array_sort(collect_list(struct(pos, c))); the k x k pairing is a
+    self-join over k rows (tiny, broadcast) and the cosine is the JVM
+    aggregate fold. No vector ever reaches the driver.
+    """
+    from ..functions.vectors import cosine
+
+    cent = (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label", F.transform("pc", lambda s: s["c"]).alias("cv")
+        )
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )

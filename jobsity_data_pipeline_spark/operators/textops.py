@@ -212,3 +212,43 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str,
         .where(F.col("rnk") <= k)
         .select("doc_id", "token", F.round("raw", 4).alias("tfidf"), "rnk")
     )
+
+
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-entropy profile: Shannon entropy (bits)
+    of each document's character distribution, averaged per language —
+    a cheap gibberish/compression-ratio quality signal for corpus
+    filtering (low entropy = repetitive filler, high = random noise).
+
+    Entropy is computed from exact per-(doc, char) counts with the
+    log-sum identity H = log2(n) - sum(c*log2(c))/n, so the whole
+    pipeline is two partial-agg hash shuffles (doc x char, then doc)
+    plus a per-lang rollup; no UDFs, no collection. At 100 TB the char
+    alphabet bounds the first aggregate's map-side combine output to
+    ~alphabet-size rows per doc.
+    """
+    d = _docs(spark, sf_dir)
+    chars = d.select(
+        "doc_id", "lang", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    per_dc = chars.groupBy("doc_id", "lang", "ch").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = (
+        per_dc.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("s"),
+        )
+        .withColumn("entropy", F.log2("n") - F.col("s") / F.col("n"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("entropy"), 4).alias("avg_entropy_bits"),
+            F.round(F.min("entropy"), 4).alias("min_entropy_bits"),
+            F.round(F.max("entropy"), 4).alias("max_entropy_bits"),
+        )
+        .orderBy("lang")
+    )
