@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_char_entropy": TO.docs_char_entropy,
         "docs_weighted_sample": R4.docs_weighted_sample,
         "emb_label_affinity": S.emb_label_affinity,
+        "docs_simhash_pairs": D.docs_simhash_pairs,
     }
 
 
@@ -1796,5 +1797,44 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 4) AS cos
             FROM cv a JOIN cv b ON a.label < b.label
             ORDER BY label_a, label_b
+        """,
+        "docs_simhash_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       list_transform(tk, x ->
+                           ('0x' || substr(md5(x), 1, 8))::BIGINT) AS th
+                FROM t
+            ),
+            bits AS (
+                SELECT doc_id, b,
+                       CASE WHEN coalesce(list_sum(list_transform(th, v ->
+                                CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                            THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bitval
+                FROM h, (SELECT unnest(range(0, 32)) AS b)
+            ),
+            sims AS (
+                SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, simhash, band,
+                       simhash & (255::BIGINT << (8 * band)) AS val
+                FROM sims, (SELECT unnest([0, 1, 2, 3]) AS band)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sim_a, b.simhash AS sim_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.val = b.val
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sim_a, sim_b)) <= 3
+            ORDER BY doc_a, doc_b
         """,
     }

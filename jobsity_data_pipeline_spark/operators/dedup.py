@@ -438,3 +438,61 @@ def docs_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.round_ratio(exact).alias("exact_jaccard"),
         )
     )
+
+
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Banded SimHash near-dup retrieval: split each 32-bit simhash into
+    4 bands of 8 bits and equi-join on (band, value) — by pigeonhole,
+    any pair within hamming distance 3 shares at least one identical
+    band, so the banded join is EXACT for ``max_hamming`` <= 3 while
+    only ever shuffling band-key groups (never all-pairs). Candidates
+    are deduped and filtered by true hamming distance
+    (bit_count(xor)).
+
+    The simhash signatures are computed once and localCheckpoint'ed so
+    both join sides reuse the aggregate instead of re-scanning the
+    corpus.
+    """
+    sims = docs_simhash(spark, sf_dir).localCheckpoint()
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("simhash")
+                        .bitwiseAND(F.lit(255 << (8 * b)))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "val",
+    )
+    cand = (
+        a.join(b, on=["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
