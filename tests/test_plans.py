@@ -152,3 +152,47 @@ def test_salted_join_rejects_outer_and_collision(spark):
         salted_join(big, small, "k", how="full")
     with pytest.raises(ValueError):
         salted_join(big.withColumn(SALT_COL, big.v), small, "k")
+
+
+def test_q9_broadcasts_all_dims(spark):
+    from jobsity_data_pipeline_spark.operators import relational6 as R6
+
+    plan = _plan(R6.q9_product_profit(spark, SF_SMOKE))
+    # part/supplier/nation broadcast; the name LIKE filter reaches the
+    # part scan instead of sitting above the joins
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,red)" in plan or "p_name" in plan.split(
+        "PushedFilters", 2
+    )[-1]
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_no_distinct(spark):
+    from jobsity_data_pipeline_spark.operators import relational6 as R6
+
+    plan = _plan(R6.q4_order_priority(spark, SF_SMOKE))
+    # EXISTS = LeftSemi (probe rows never duplicate, no dedup stage)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_scalar_threshold_is_broadcast(spark):
+    from jobsity_data_pipeline_spark.operators import relational6 as R6
+
+    plan = _plan(R6.q11_important_stock(spark, SF_SMOKE))
+    # the one-row mean joins back via broadcast nested loop (1-row
+    # build side), never a collect — and partial aggregation feeds it
+    assert "partial_" in plan
+    assert "collect" not in plan.lower()
+
+
+def test_q21_two_level_agg_no_self_join(spark):
+    from jobsity_data_pipeline_spark.operators import relational6 as R6
+
+    plan = _plan(R6.q21_waiting_suppliers(spark, SF_SMOKE))
+    # the EXISTS/NOT-EXISTS pair is folded into aggregates: exactly one
+    # join with lineitem (orders), one with supplier — no lineitem
+    # self-join fan-out (formatted explain prints each scan twice:
+    # tree + details, so 3 scans = 6 matches)
+    assert plan.count("Scan parquet") <= 6
+    assert "CartesianProduct" not in plan
