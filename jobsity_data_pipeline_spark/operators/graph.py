@@ -29,7 +29,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     list; component = the minimum vertex id reachable. Iterative
     min-label propagation, converged when no label changes — rounds =
     graph diameter. Deterministic: min() over a fixed vertex set."""
-    edges = edges.localCheckpoint()
+    # pre-partition on the per-round join key: localCheckpoint preserves
+    # outputPartitioning (LogicalRDD), so every iteration's edge-label
+    # join is exchange-free on BOTH sides (labels come out of a groupBy
+    # hash-partitioned on id) — one shuffle per round (the groupBy),
+    # not three
+    edges = edges.repartition(F.col("v")).localCheckpoint()
     labels = edges.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     ).localCheckpoint()
@@ -76,23 +81,27 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     edges = edges.localCheckpoint()
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     # degree is loop-invariant: attach it to the edge list ONCE so each
-    # iteration is exactly one join (ranks) + one aggregate
-    ed = edges.join(deg, "u").localCheckpoint()
+    # iteration is exactly one join (ranks) + one aggregate; the join
+    # explicit repartition on u (a broadcast of deg would otherwise
+    # leave ed's partitioning unknown), and localCheckpoint preserves
+    # that partitioning (LogicalRDD) — so the per-round join against
+    # ranks (hash-partitioned on node by its groupBy) is exchange-free
+    # and each iteration costs one shuffle (the groupBy)
+    ed = edges.join(deg, "u").repartition(F.col("u")).localCheckpoint()
     nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # no per-round checkpoint: unlike connected_components there is no
+    # mid-loop action, so the single downstream action runs each round's
+    # join+agg exactly once — eager checkpoints would just add one
+    # materialization job per round
     for _ in range(iters):
         contrib = ed.join(ranks, ed["u"] == ranks["node"]).select(
             F.col("v").alias("node"), (F.col("rank") / F.col("d")).alias("c")
         )
-        ranks = (
-            contrib.groupBy("node")
-            .agg(
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.sum("c")
-                ).alias("rank")
-            )
-            .localCheckpoint()
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")
+            ).alias("rank")
         )
     return ranks
