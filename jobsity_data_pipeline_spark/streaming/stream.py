@@ -316,3 +316,15 @@ def sessionize_stream(trips: DataFrame, gap: str = "30 minutes",
     return evt.groupBy("region").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def enrich_stream(stream_df: DataFrame, dim: DataFrame,
+                  key: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension with an explicit broadcast hint — the streaming twin of
+    the batch events_enriched operator. Stream-static joins are
+    stateless (the dim is re-resolved per micro-batch, so slowly-
+    changing dims pick up updates on the next trigger) and the
+    broadcast keeps the stream side shuffle-free, which is the only
+    sane plan when the stream runs forever."""
+    return stream_df.join(F.broadcast(dim), on=key, how=how)

@@ -98,3 +98,21 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     # same pushdown + pruning contract as parquet
     assert "PushedFilters: [IsNotNull(region), EqualTo(region,Prague)]" in plan
     assert "ReadSchema: struct<region:string,trip_key:string>" in plan
+
+
+def test_compact_parquet_preserves_rows(spark, tmp_path):
+    import os
+
+    from jobsity_data_pipeline_spark.sources.maintenance import compact_parquet
+
+    path = str(tmp_path / "hist")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    df.repartition(20).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 10
+    stats = compact_parquet(spark, path, target_rows_per_file=500)
+    assert stats["rows"] == 1000
+    assert stats["files_after"] == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert set(r.k for r in back.collect()) == set(range(1000))

@@ -184,3 +184,37 @@ def test_session_window_stream(spark, src_dir, tmp_path):
            for r in spark.read.parquet(out).collect()}
     # closed session: 09:00-09:10 merged (gap < 30m), window end = last + gap
     assert ("Prague", "2018-05-28 09:00:00", "2018-05-28 09:40:00", 2) in got
+
+
+def test_enrich_stream_broadcast_join(spark, tmp_path):
+    import os
+
+    from jobsity_data_pipeline_spark.streaming.stream import enrich_stream
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    (src / "a.csv").write_text(
+        "region,origin_coord,destination_coord,datetime,datasource\n"
+        "Prague,POINT (14.4 50.0),POINT (14.5 50.1),2018-05-28 09:03:40,funny_car\n"
+        "Turin,POINT (7.6 45.0),POINT (7.7 45.1),2018-05-28 10:00:00,baba_car\n"
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import read_trips_stream
+
+    dim = spark.createDataFrame(
+        [("Prague", "CZ"), ("Turin", "IT")], "region string, country string"
+    )
+    stream = read_trips_stream(spark, str(src))
+    enriched = enrich_stream(stream, dim, "region")
+    out = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(60)
+    rows = {
+        (r.region, r.country)
+        for r in spark.sql("SELECT region, country FROM enriched_test").collect()
+    }
+    assert rows == {("Prague", "CZ"), ("Turin", "IT")}
