@@ -29,29 +29,25 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     list; component = the minimum vertex id reachable. Iterative
     min-label propagation, converged when no label changes — rounds =
     graph diameter. Deterministic: min() over a fixed vertex set."""
-    # pre-partition on the per-round join key: localCheckpoint preserves
-    # outputPartitioning (LogicalRDD), so every iteration's edge-label
-    # join is exchange-free on BOTH sides (labels come out of a groupBy
-    # hash-partitioned on id) — one shuffle per round (the groupBy),
-    # not three
-    edges = edges.repartition(F.col("v")).localCheckpoint()
-    labels = edges.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
-    ).localCheckpoint()
+    # self-loops fold the "keep my own label" case into the neighbor
+    # min, so a round is ONE join + ONE min-aggregate (no left-join
+    # back). Edges are pre-partitioned on the per-round join key v:
+    # localCheckpoint preserves outputPartitioning (LogicalRDD) and
+    # labels come out of their groupBy hash-partitioned on id, so the
+    # round join is exchange-free on both sides — each round costs
+    # exactly one shuffle (the min-label groupBy).
+    nodes = edges.select(F.col("u").alias("id")).distinct()
+    looped = (
+        edges.union(nodes.select(F.col("id").alias("u"), F.col("id").alias("v")))
+        .repartition(F.col("v"))
+        .localCheckpoint()
+    )
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
-            )
+            looped.join(labels, looped["v"] == labels["id"])
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
         changed = (
