@@ -196,3 +196,41 @@ def test_q21_two_level_agg_no_self_join(spark):
     # tree + details, so 3 scans = 6 matches)
     assert plan.count("Scan parquet") <= 6
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At 100 TB a selective dim predicate on a fact-fact join relies on
+    AQE's runtime bloom filter to prune the big-side scan (the
+    creation/application thresholds keep it off at test sf, so lower
+    them to prove the path; broadcast joins use DPP instead, so force
+    the shuffled plan a real cluster would pick)."""
+    from jobsity_data_pipeline_spark.session import read_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        orders = read_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
