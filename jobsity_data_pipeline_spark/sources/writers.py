@@ -49,3 +49,21 @@ def write_jdbc(df: DataFrame, url: str, table: str,
     """JDBC sink (insert_postgres.py:24 ``df.write.jdbc``). Requires a
     driver jar; gated behind the caller in this environment."""
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+def write_range_clustered(df: DataFrame, path: str, cluster_col: str,
+                          n_files: int = 8, mode: str = "overwrite") -> None:
+    """Range-clustered parquet: repartitionByRange + sortWithinPartitions
+    on the cluster column gives every output file a DISJOINT min/max
+    range, so a point or range predicate prunes to O(1) files via
+    parquet footer stats instead of scanning the table — the
+    single-column analog of Z-ordering, and the difference between
+    reading 1 file and 10,000 at 100 TB for time-range queries on an
+    append-only hist table.
+    """
+    (
+        df.repartitionByRange(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -116,3 +116,55 @@ def test_compact_parquet_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert set(r.k for r in back.collect()) == set(range(1000))
+
+
+def test_range_clustered_write_prunes_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jobsity_data_pipeline_spark.sources.writers import write_range_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    write_range_clustered(df, path, "k", n_files=8)
+    back = spark.read.parquet(path)
+    # disjoint per-file ranges: a point lookup draws rows from ONE file
+    hit_files = (
+        back.where(F.col("k") == 1234)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert hit_files == 1
+    assert back.count() == 10_000
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    import os
+
+    from pyspark.sql import types as T
+
+    from jobsity_data_pipeline_spark.sources.readers import (
+        read_csv_with_quarantine,
+    )
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    (src / "a.csv").write_text(
+        "region,n\n"
+        "Prague,1\n"
+        "BadRow,not_an_int\n"
+        "Turin,2\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("region", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(src), schema)
+    assert {(r.region, r.n) for r in good.collect()} == {
+        ("Prague", 1),
+        ("Turin", 2),
+    }
+    bad_rows = [r.raw_line for r in bad.collect()]
+    assert bad_rows == ["BadRow,not_an_int"]
