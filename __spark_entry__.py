@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_sample": R4.docs_weighted_sample,
         "emb_label_affinity": S.emb_label_affinity,
         "docs_simhash_pairs": D.docs_simhash_pairs,
+        "docs_pack_sequences": TO.docs_pack_sequences,
+        "docs_mix_weights": TO.docs_mix_weights,
     }
 
 
@@ -1836,5 +1838,61 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE bit_count(xor(sim_a, sim_b)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        "docs_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       len({_TOKS}) AS tok
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, shard, tok,
+                       sum(tok) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) - tok AS start
+                FROM t
+            )
+            SELECT shard, CAST(floor(start / 512) AS BIGINT) AS bin,
+                   count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS bin_tokens,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM p GROUP BY 1, 2 ORDER BY shard, bin
+        """,
+        "docs_mix_weights": """
+            WITH w AS (
+                SELECT * FROM (VALUES
+                    ('en', 0.4::DOUBLE), ('de', 0.15::DOUBLE),
+                    ('es', 0.15::DOUBLE), ('fr', 0.15::DOUBLE),
+                    ('zh', 0.15::DOUBLE)) AS t(lang, w)
+            ),
+            counts AS (
+                SELECT d.lang, count(*) AS c, any_value(w.w) AS w
+                FROM documents d JOIN w ON d.lang = w.lang
+                GROUP BY d.lang
+            ),
+            feas AS (SELECT min(c / w) AS t FROM counts),
+            rates AS (
+                SELECT lang, c, w,
+                       least(1.0, w * t / c) AS rate,
+                       CAST(round(least(1.0, w * t / c) * 10000)
+                            AS BIGINT) AS thr
+                FROM counts, feas
+            ),
+            kept AS (
+                SELECT d.lang, count(*) AS n_kept
+                FROM documents d JOIN rates r ON d.lang = r.lang
+                WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          ::BIGINT % 10000 < r.thr
+                GROUP BY d.lang
+            ),
+            tk AS (SELECT sum(n_kept) AS tk FROM kept)
+            SELECT r.lang, r.c AS n_total,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   round(r.w, 4) AS target_w,
+                   round(coalesce(k.n_kept, 0) / tk.tk, 4) AS achieved_w
+            FROM rates r LEFT JOIN kept k ON r.lang = k.lang, tk
+            ORDER BY r.lang
         """,
     }

@@ -252,3 +252,94 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str,
+                        budget: int = 512, shards: int = 8) -> DataFrame:
+    """Training-sequence packing audit: concat-and-chunk docs into
+    fixed token-budget sequences WITHIN deterministic shards (doc_id %
+    shards) and report per-(shard, bin) fill — the op that sizes a
+    pretraining data loader's sample count and waste before any GPU
+    sees a batch.
+
+    The global-concat version needs a single total order (one
+    partition — unusable at 100 TB); sharding first bounds every
+    cumulative-sum window to a shard, which is exactly how packing is
+    run in production (per-worker shards, independent cursors). One
+    window over (shard, doc_id), one aggregate.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        TX.token_count("text").alias("tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    p = t.withColumn("start", F.sum("tok").over(w) - F.col("tok"))
+    return (
+        p.groupBy("shard", F.floor(F.col("start") / budget).alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+def docs_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix rebalancing: given target language weights, compute
+    the largest achievable corpus honoring the mix (the scarcest lang
+    binds), per-lang deterministic-hash down-sampling rates, and the
+    achieved counts — the op that turns "train on 40% en / 15% each
+    rest" into an executable sampling plan.
+
+    Everything is aggregates over a tiny per-lang table plus one
+    broadcast join back to docs for the hash-threshold sample; rates
+    derive from counts, so the plan is reproducible run-to-run and
+    engine-to-engine (no RNG).
+    """
+    weights = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    d = _docs(spark, sf_dir)
+    wcol = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )[F.col("lang")]
+    counts = d.groupBy("lang").agg(F.count("*").alias("c")).withColumn(
+        "w", wcol
+    )
+    # feasible corpus size: the scarcest lang relative to its weight
+    feasible = counts.select((F.col("c") / F.col("w")).alias("ratio")).agg(
+        F.min("ratio").alias("t")
+    )
+    rates = counts.crossJoin(F.broadcast(feasible)).select(
+        "lang",
+        "c",
+        "w",
+        F.least(F.lit(1.0), F.col("w") * F.col("t") / F.col("c")).alias("rate"),
+    ).withColumn("thr", F.round(F.col("rate") * 10000).cast("long"))
+    from .relational4 import _hash_bucket
+
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .where(_hash_bucket(F.col("doc_id"), 10000) < F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    total_kept = kept.agg(F.sum("n_kept").alias("tk"))
+    return (
+        rates.join(kept, "lang", "left")
+        .crossJoin(F.broadcast(total_kept))
+        .select(
+            "lang",
+            F.col("c").alias("n_total"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round("w", 4).alias("target_w"),
+            F.round(F.coalesce("n_kept", F.lit(0)) / F.col("tk"), 4).alias(
+                "achieved_w"
+            ),
+        )
+        .orderBy("lang")
+    )
