@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": D.docs_simhash_pairs,
         "docs_pack_sequences": TO.docs_pack_sequences,
         "docs_mix_weights": TO.docs_mix_weights,
+        "docs_boilerplate_spans": TO.docs_boilerplate_spans,
+        "events_count_min_sketch": TO.events_count_min_sketch,
     }
 
 
@@ -1894,5 +1896,53 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(k.n_kept, 0) / tk.tk, 4) AS achieved_w
             FROM rates r LEFT JOIN kept k ON r.lang = k.lang, tk
             ORDER BY r.lang
+        """,
+        "docs_boilerplate_spans": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) >= 8 THEN
+                           list_transform(range(1, len(w) - 6),
+                               i -> array_to_string(w[i:i+7], ' '))
+                           ELSE []::VARCHAR[] END) AS span
+                FROM t
+            )
+            SELECT span, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM s GROUP BY span
+            ORDER BY n_occurrences DESC, n_docs DESC, span LIMIT 20
+        """,
+        "events_count_min_sketch": """
+            WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            keyed AS (
+                SELECT user_id, r,
+                       ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                            || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 256 AS bucket
+                FROM events, rows_
+            ),
+            cms AS (
+                SELECT r, bucket, count(*) AS cnt FROM keyed GROUP BY 1, 2
+            ),
+            exact AS (
+                SELECT user_id, count(*) AS exact_cnt FROM events
+                GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 10
+            ),
+            probes AS (
+                SELECT e.user_id, e.exact_cnt, r,
+                       ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                            || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 256 AS bucket
+                FROM exact e, rows_
+            ),
+            est AS (
+                SELECT user_id, exact_cnt, min(cnt) AS cms_est
+                FROM probes JOIN cms USING (r, bucket) GROUP BY 1, 2
+            )
+            SELECT user_id, exact_cnt, cms_est,
+                   cms_est - exact_cnt AS overcount
+            FROM est ORDER BY exact_cnt DESC, user_id
         """,
     }

@@ -343,3 +343,95 @@ def docs_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def docs_boilerplate_spans(spark: SparkSession, sf_dir: str,
+                           k: int = 8, top: int = 20) -> DataFrame:
+    """Boilerplate detection: the most-repeated k-word spans across the
+    corpus (count + distinct docs carrying them) — the signal used to
+    strip headers/footers/license blocks before training. Token arrays
+    are staged once (HOF-CSE rule, functions/text.py:62), spans explode
+    to one shuffle on the span string with map-side combine; ties break
+    on the span text for engine-stable top-k.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", TX.tokens("text").alias("w"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(TX.shingles_from_tokens(F.col("w"), k)).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), "span")
+        .limit(top)
+    )
+
+
+def events_count_min_sketch(spark: SparkSession, sf_dir: str,
+                            depth: int = 4, width: int = 256,
+                            top: int = 10) -> DataFrame:
+    """Count-min sketch accuracy report over the event stream's user
+    frequencies: a deterministic md5-hash CMS (depth x width counter
+    matrix, built with ONE aggregate over (row, bucket)) next to the
+    exact count for the top heavy hitters. The sketch is mergeable
+    (counters sum), so the same plan runs partial-agg at 100 TB; the
+    report quantifies collision overestimate before anyone trusts the
+    sketch in a monitoring path.
+    """
+    e = ensure_parallelism(spark, read_table(spark, sf_dir, "events"))
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("r"))
+    keyed = e.select("user_id").crossJoin(F.broadcast(rows)).select(
+        "user_id",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", F.col("r"), F.col("user_id"))
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    cms = keyed.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(top)
+    )
+    probes = exact.crossJoin(F.broadcast(rows)).select(
+        "user_id",
+        "exact_cnt",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", F.col("r"), F.col("user_id"))
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(cms, ["r", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.desc("exact_cnt"), "user_id")
