@@ -161,3 +161,59 @@ def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path):
     # cap disabled: every pair shares the boilerplate (jaccard 5/13)
     uncapped = docs_ngram_jaccard(spark, str(tmp_path), max_doc_freq=10**9)
     assert uncapped.count() == 60 * 59 // 2
+
+
+def test_simhash_banded_retrieval_is_exhaustive(spark):
+    """Pigeonhole guarantee: every pair within hamming distance 3 of
+    32-bit simhashes shares one of the 4 8-bit bands, so the banded
+    equi-join must find EXACTLY the brute-force pair set."""
+    from pyspark.sql import functions as F
+
+    from jobsity_data_pipeline_spark.operators.dedup import (
+        docs_simhash,
+        docs_simhash_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in docs_simhash_pairs(spark, SF_SMOKE).collect()
+    }
+    sims = docs_simhash(spark, SF_SMOKE)
+    a = sims.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.da, r.db, r.h)
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert len(banded) > 0
+
+
+def test_char_entropy_bounds(spark):
+    """Shannon entropy of a char distribution lies in [0, log2(alphabet
+    size)]; uniform text hits the top, single-char text hits 0."""
+    from jobsity_data_pipeline_spark.operators import textops as TO
+
+    df = spark.createDataFrame(
+        [(1, "aaaa", "x", "s", 4), (2, "abab", "x", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import jobsity_data_pipeline_spark.operators.textops as tmod
+    orig = tmod._docs
+    tmod._docs = lambda spark, sf_dir: df
+    try:
+        rows = TO.docs_char_entropy(spark, "ignored").collect()
+    finally:
+        tmod._docs = orig
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.min_entropy_bits == 0.0   # "aaaa"
+    assert r.max_entropy_bits == 1.0   # "abab": two equiprobable chars
