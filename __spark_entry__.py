@@ -28,6 +28,7 @@ from jobsity_data_pipeline_spark.operators import relational3 as R3
 from jobsity_data_pipeline_spark.operators import relational4 as R4
 from jobsity_data_pipeline_spark.operators import relational5 as R5
 from jobsity_data_pipeline_spark.operators import relational6 as R6
+from jobsity_data_pipeline_spark.operators import relational7 as R7
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
 from jobsity_data_pipeline_spark.operators import textops as TO
@@ -163,6 +164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mix_weights": TO.docs_mix_weights,
         "docs_boilerplate_spans": TO.docs_boilerplate_spans,
         "events_count_min_sketch": TO.events_count_min_sketch,
+        # B5. round-2 time-series / sketch / concentration wave
+        "events_daily_gapfill": R7.events_daily_gapfill,
+        "events_concurrency": R7.events_concurrency,
+        "events_hll_distinct": R7.events_hll_distinct,
+        "events_type_runs": R7.events_type_runs,
+        "docs_unigram_logprob": R7.docs_unigram_logprob,
+        "customer_pareto": R7.customer_pareto,
     }
 
 
@@ -1944,5 +1952,168 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, exact_cnt, cms_est,
                    cms_est - exact_cnt AS overcount
             FROM est ORDER BY exact_cnt DESC, user_id
+        """,
+        "events_daily_gapfill": """
+            WITH span AS (
+                SELECT CAST(min(ts) AS DATE) AS d0,
+                       CAST(max(ts) AS DATE) AS d1
+                FROM events
+            ),
+            typ AS (SELECT DISTINCT event_type FROM events),
+            spine AS (
+                SELECT event_type,
+                       CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                            AS DATE) AS d
+                FROM typ, span
+            ),
+            daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                       count(*) AS cnt, round(avg(value), 6) AS avg_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT s.event_type, s.d,
+                   coalesce(cnt, 0) AS cnt,
+                   last_value(avg_value IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS avg_value_ff
+            FROM spine s LEFT JOIN daily USING (event_type, d)
+            ORDER BY 1, 2
+        """,
+        "events_concurrency": """
+            WITH sweep AS (
+                SELECT event_type, ts AS t, 1 AS delta, event_id
+                FROM events
+                UNION ALL
+                SELECT event_type, ts + INTERVAL 1800 SECOND AS t,
+                       -1 AS delta, event_id
+                FROM events
+            ),
+            opened AS (
+                SELECT event_type,
+                       sum(delta) OVER (
+                           PARTITION BY event_type
+                           ORDER BY t, delta, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS open
+                FROM sweep
+            )
+            SELECT event_type, max(open) AS max_concurrent
+            FROM opened GROUP BY 1 ORDER BY 1
+        """,
+        "events_hll_distinct": """
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                           )::BIGINT AS hv,
+                       user_id
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, hv % 256 AS reg,
+                       CASE WHEN hv // 256 = 0 THEN 25
+                            ELSE 25 - length(bin(hv // 256)) END AS rho
+                FROM h
+            ),
+            mx AS (
+                SELECT event_type, reg, max(rho) AS mx
+                FROM r GROUP BY 1, 2
+            ),
+            est0 AS (
+                SELECT event_type,
+                       (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                           / (sum(pow(2.0, -mx)) + (256 - count(*)))
+                           AS raw_est,
+                       count(*) AS used_regs
+                FROM mx GROUP BY 1
+            ),
+            est AS (
+                SELECT event_type,
+                       CASE WHEN raw_est <= 2.5 * 256
+                                 AND (256 - used_regs) > 0
+                            THEN 256.0 * ln(256.0 / (256 - used_regs))
+                            ELSE raw_est END AS raw_est,
+                       used_regs
+                FROM est0
+            ),
+            ex AS (
+                SELECT event_type,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_type,
+                   round(raw_est, 4) AS hll_estimate,
+                   used_regs, exact_distinct,
+                   round(abs(raw_est - exact_distinct) / exact_distinct,
+                         6) AS rel_err
+            FROM est e JOIN ex USING (event_type)
+            ORDER BY 1
+        """,
+        "events_type_runs": """
+            WITH g AS (
+                SELECT user_id, event_type, ts, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       )
+                       - row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS grp
+                FROM events
+            ),
+            runs AS (
+                SELECT user_id, event_type, grp,
+                       min(ts) AS valid_from,
+                       min(event_id) AS first_eid,
+                       count(*) AS n_events
+                FROM g GROUP BY 1, 2, 3
+            )
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY valid_from, first_eid
+                   ) AS valid_to,
+                   n_events
+            FROM runs ORDER BY user_id, valid_from
+        """,
+        "docs_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, unnest({toks}) AS tok FROM documents
+            ),
+            vocab AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+            tot AS (SELECT sum(freq) AS total FROM vocab),
+            model AS (
+                SELECT tok, ln(freq / total) AS logp FROM vocab, tot
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(logp), 6) AS avg_logprob
+            FROM toks JOIN model USING (tok)
+            GROUP BY doc_id ORDER BY doc_id
+        """.format(toks=_TOKS),
+        "customer_pareto": """
+            WITH pc AS (
+                SELECT o_custkey, sum(o_totalprice) AS revenue
+                FROM orders GROUP BY 1
+            ),
+            d AS (
+                SELECT o_custkey, revenue,
+                       ntile(10) OVER (
+                           ORDER BY revenue DESC, o_custkey
+                       ) AS decile
+                FROM pc
+            ),
+            tot AS (SELECT sum(revenue) AS total_rev FROM pc),
+            pd AS (
+                SELECT decile, count(*) AS n_customers,
+                       sum(revenue) AS dec_rev
+                FROM d GROUP BY 1
+            )
+            SELECT decile, n_customers,
+                   round(dec_rev, 2) AS decile_revenue,
+                   round(dec_rev / total_rev, 6) AS rev_share,
+                   round(sum(dec_rev / total_rev) OVER (
+                       ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS cum_share
+            FROM pd, tot ORDER BY decile
         """,
     }

@@ -1,0 +1,312 @@
+"""Round-2 time-series / sketch / concentration wave.
+
+Operators a production analytics stack layers on top of the reference's
+weekly-average views (src/sqls/create_objects.sql:24-38): calendar
+gap-filling with forward-fill, interval-overlap concurrency, a
+mergeable HyperLogLog distinct sketch, SCD2-style run intervals,
+corpus-LM document scoring, and revenue-concentration analytics.
+
+Scale notes (100 TB):
+- gap-fill builds its calendar spine from a one-row min/max aggregate
+  and a tiny distinct-dim list — both broadcast; the fact table is
+  touched once by a partial-agg groupBy.
+- the concurrency sweep is a union of two projections of the same scan
+  with one window shuffle on the sweep key (event_type) — never a
+  self-join of intervals.
+- HLL registers are a (group, 256)-bounded aggregate: map-side combine
+  reduces every partition to ≤ m rows per group before the shuffle,
+  and register maxima are mergeable across shards/streams.
+- SCD2 runs shuffle once on user_id and reuse that partitioning for
+  all three windows.
+- unigram log-prob broadcasts the vocabulary (small by Zipf's law —
+  cap/TOP-K it for open vocabularies) back onto the token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: per event_type daily counts over the FULL
+    [min(ts), max(ts)] span with missing days materialized as cnt=0 and
+    the daily avg(value) forward-filled from the last observed day.
+
+    The spine is sequence(min_day, max_day) exploded from a one-row
+    aggregate cross-joined with the distinct type list — both sides are
+    broadcast-size regardless of fact-table scale; the fact table
+    contributes one partial-agg groupBy. Forward fill is
+    last(ignorenulls) over (type, day) — one window shuffle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    span = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+def events_concurrency(spark: SparkSession, sf_dir: str,
+                       hold_minutes: int = 30) -> DataFrame:
+    """Max concurrent open intervals per event_type, where each event
+    holds a resource for ``hold_minutes``. Classic sweep-line: union of
+    (+1 at ts, -1 at ts+hold) deltas, running sum ordered by
+    (t, delta, event_id) — ends sort before starts at the same instant
+    (delta -1 < +1), making ties deterministic — then max per type.
+
+    No interval self-join: the sweep is two projections of one scan and
+    a single window shuffle on event_type. At 100 TB, sweep per
+    (type, day) instead to bound partition width.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    hold = hold_minutes * 60
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.make_interval(secs=F.lit(hold))).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        starts.unionByName(ends)
+        .withColumn("open", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("open").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user sketch per event_type
+    (p=8, m=256 registers) reported against the exact count.
+
+    hash = first 8 hex chars of md5(user_id) → 32-bit int; register =
+    hash % 256; rho = leading-zero rank of the remaining 24-bit word,
+    computed EXACTLY via bin()-string length (no float log2, whose
+    libm rounding could differ across engines). Raw HLL estimate
+    (alpha_256 · m² / Σ 2^-M_j) with empty registers contributing 2^0;
+    the 2^-k terms are exact dyadic doubles spanning < 53 bits of
+    exponent, so the register sum is order-independent — safe to
+    hash-compare across engines. Below 2.5·m the raw estimator biases
+    high, so the standard linear-counting correction
+    (m · ln(m / empty_registers)) takes over.
+
+    Registers are a (group × 256)-bounded mergeable aggregate: map-side
+    combine caps every shuffle partition's contribution, and sketches
+    merge by register-max — the same property HLL relies on for
+    cross-shard / streaming union at 100 TB.
+    """
+    ev = _t(spark, sf_dir, "events")
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = ev.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("long").alias("hv"),
+    )
+    regs = (
+        h.withColumn("reg", F.col("hv") % m)
+        .withColumn("wrd", (F.col("hv") / m).cast("long"))
+        .withColumn(
+            "rho",
+            F.when(F.col("wrd") == 0, F.lit(25)).otherwise(
+                25 - F.length(F.bin(F.col("wrd")))
+            ),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    est = regs.groupBy("event_type").agg(
+        (
+            F.lit(alpha * m * m)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("mx")))
+                + (F.lit(m) - F.count("*"))
+            )
+        ).alias("raw_est"),
+        F.count("*").alias("used_regs"),
+    )
+    # standard small-range correction: below 2.5m the raw estimator
+    # biases high; linear counting over empty registers is exact-ish
+    empty = F.lit(m) - F.col("used_regs")
+    est = est.withColumn(
+        "raw_est",
+        F.when(
+            (F.col("raw_est") <= 2.5 * m) & (empty > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+        ).otherwise(F.col("raw_est")),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("raw_est", 4).alias("hll_estimate"),
+            "used_regs",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("raw_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals: per user, collapse consecutive
+    events of the same type (ordered by ts, event_id) into runs with
+    [valid_from, valid_to) bounds — valid_to is the next run's start,
+    NULL for the open (current) run — plus the run's event count.
+
+    Gaps-and-islands via the rn - rn_per_type difference; all three
+    windows share the user_id partitioning, so the plan shuffles once
+    on user_id and sorts within partitions. This is the standard
+    dimension-history build for a changelog at scale.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts",
+                                            "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    runs = (
+        ev.withColumn(
+            "grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            # min event_id breaks the tie when two adjacent runs start on
+            # the same timestamp (events sharing a ts within a user)
+            F.min("event_id").alias("first_eid"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from", "first_eid")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w_seq))
+        .select("user_id", "event_type", "valid_from", "valid_to",
+                "n_events")
+        .orderBy("user_id", "valid_from")
+    )
+
+
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: average natural-log unigram probability
+    per document under the corpus's own unigram model (token freq /
+    total tokens). The vocabulary aggregate is broadcast back onto the
+    token stream — vocabularies are Zipf-bounded (cap with a TOP-K +
+    UNK bucket for open web corpora); the heavy side is touched twice
+    but shuffles only on the tiny token key.
+
+    Low (more negative) scores flag documents dominated by rare tokens;
+    near-zero scores flag boilerplate. The standard cheap stand-in for
+    model-based perplexity filtering in training-data pipelines.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("freq") / F.col("total")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: customers ranked by total
+    order revenue into deciles; each decile's revenue share and the
+    cumulative share. Answers "do 10% of customers carry 80% of
+    revenue" — the concentration profile behind the reference's
+    top-2-recurring-regions query (latest_datasource.sql:1-22).
+
+    One partial-agg groupBy on custkey, then window math over the
+    (small) per-customer aggregate; the grand total is a broadcast
+    one-row aggregate, never collected. ntile ties break on custkey so
+    the bucketing is deterministic across engines.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), "o_custkey")
+    dec = per_cust.withColumn("decile", F.ntile(10).over(w))
+    tot = per_cust.agg(F.sum("revenue").alias("total_rev"))
+    per_dec = (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("revenue").alias("dec_rev"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_dec.select(
+        "decile",
+        "n_customers",
+        F.round("dec_rev", 2).alias("decile_revenue"),
+        F.round(F.col("dec_rev") / F.col("total_rev"), 6).alias("rev_share"),
+        F.round(
+            F.sum(F.col("dec_rev") / F.col("total_rev")).over(w_cum), 6
+        ).alias("cum_share"),
+    ).orderBy("decile")

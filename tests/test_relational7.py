@@ -1,0 +1,194 @@
+"""Unit tests for the time-series / sketch / concentration wave
+(operators/relational7.py) on tiny literal frames with exact expected
+rows, plus plan-shape checks for the scale-critical pieces.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from jobsity_data_pipeline_spark.operators import relational7 as R7
+from tests.conftest import SF_SMOKE
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_gapfill_fills_missing_days_and_forward_fills(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (1, t, 1, "a", 10.0, "{}"),
+        (2, t + dt.timedelta(days=3), 1, "a", 20.0, "{}"),
+        (3, t + dt.timedelta(days=1), 2, "b", 5.0, "{}"),
+    ]
+    out = R7.events_daily_gapfill(spark, _write_events(spark, tmp_path, rows))
+    got = {(r.event_type, str(r.d)): (r.cnt, r.avg_value_ff)
+           for r in out.collect()}
+    # spine covers the full global span for every type: 4 days x 2 types
+    assert len(got) == 8
+    # missing day carries cnt=0 and the forward-filled average
+    assert got[("a", "2024-01-02")] == (0, 10.0)
+    assert got[("a", "2024-01-04")] == (1, 20.0)
+    # type b has no observation on day 1 -> leading null, then filled
+    assert got[("b", "2024-01-01")] == (0, None)
+    assert got[("b", "2024-01-03")] == (0, 5.0)
+
+
+def test_concurrency_sweep_counts_overlaps(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        # three events within one 30-min hold window -> concurrency 3
+        (1, t, 1, "a", 1.0, "{}"),
+        (2, t + dt.timedelta(minutes=10), 1, "a", 1.0, "{}"),
+        (3, t + dt.timedelta(minutes=20), 1, "a", 1.0, "{}"),
+        # an isolated later event
+        (4, t + dt.timedelta(hours=4), 1, "a", 1.0, "{}"),
+        # type b: end of 1 coincides exactly with start of 2 -> the end
+        # (delta -1) sorts first, so max concurrency stays 1
+        (5, t, 2, "b", 1.0, "{}"),
+        (6, t + dt.timedelta(minutes=30), 2, "b", 1.0, "{}"),
+    ]
+    out = R7.events_concurrency(spark, _write_events(spark, tmp_path, rows))
+    got = {r.event_type: r.max_concurrent for r in out.collect()}
+    assert got == {"a": 3, "b": 1}
+
+
+def test_hll_registers_merge_across_shards(spark, tmp_path):
+    # sketch mergeability: registers built on two disjoint halves must
+    # max-merge to exactly the registers of the union — the property
+    # that lets HLL union across shards/streams without rescanning
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i % 97,
+         "a", 1.0, "{}")
+        for i in range(400)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    full = R7.events_hll_distinct(spark, sf).collect()[0]
+    assert full.used_regs <= 256
+    assert full.exact_distinct == 97
+    # raw HLL error at n/m ~ 0.4 is loose but bounded
+    assert full.rel_err < 0.5
+
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    def regs(df):
+        h = df.select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long").alias("hv")
+        )
+        r = h.select(
+            (F.col("hv") % 256).alias("reg"),
+            F.when((F.col("hv") / 256).cast("long") == 0, F.lit(25))
+            .otherwise(
+                25 - F.length(F.bin((F.col("hv") / 256).cast("long")))
+            ).alias("rho"),
+        )
+        return {
+            row.reg: row.mx
+            for row in r.groupBy("reg").agg(F.max("rho").alias("mx")).collect()
+        }
+
+    lo = regs(ev.where(F.col("user_id") < 50))
+    hi = regs(ev.where(F.col("user_id") >= 50))
+    merged = dict(lo)
+    for k, v in hi.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == regs(ev)
+
+
+def test_type_runs_partition_history(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t, 1, "view", 1.0, "{}"),
+        (2, t + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (3, t + dt.timedelta(minutes=2), 1, "click", 1.0, "{}"),
+        (4, t + dt.timedelta(minutes=3), 1, "view", 1.0, "{}"),
+        (5, t, 2, "buy", 1.0, "{}"),
+    ]
+    out = R7.events_type_runs(spark, _write_events(spark, tmp_path, rows))
+    u1 = [r for r in out.collect() if r.user_id == 1]
+    assert [r.event_type for r in u1] == ["view", "click", "view"]
+    assert [r.n_events for r in u1] == [2, 1, 1]
+    # intervals chain: each run's valid_to is the next run's valid_from
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None
+    # runs partition the events: counts sum to the user's event total
+    assert sum(r.n_events for r in u1) == 4
+
+
+def test_unigram_logprob_prefers_common_tokens(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the", "en", "s", 15),
+            (2, "rare", "en", "s", 4),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.doc_id: r for r in
+           R7.docs_unigram_logprob(spark, str(tmp_path)).collect()}
+    # p(the)=4/5, p(rare)=1/5 under the corpus model
+    assert got[1].n_tokens == 4
+    assert abs(got[1].avg_logprob - (-0.223144)) < 1e-5
+    assert abs(got[2].avg_logprob - (-1.609438)) < 1e-5
+    assert got[1].avg_logprob > got[2].avg_logprob
+
+
+def test_pareto_shares_telescope_to_one(spark):
+    rows = R7.customer_pareto(spark, SF_SMOKE).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # decile revenue is monotonically non-increasing
+    revs = [r.decile_revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_concurrency_is_sweep_not_self_join(spark):
+    plan = _plan(R7.events_concurrency(spark, SF_SMOKE))
+    # union of two projections + window — no join of intervals anywhere
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert "Window" in plan
+
+
+def test_gapfill_spine_joins_broadcast(spark):
+    plan = _plan(R7.events_daily_gapfill(spark, SF_SMOKE))
+    # the one-row span aggregate reaches the spine via broadcast, and
+    # the spine->daily join needs no cartesian product
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_agg_is_partial(spark):
+    plan = _plan(R7.events_hll_distinct(spark, SF_SMOKE))
+    # register maxima combine map-side before the exchange (mergeable
+    # sketch property visible in the plan as partial_max)
+    assert "partial_max" in plan or "HashAggregate" in plan
