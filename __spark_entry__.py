@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_runs": R7.events_type_runs,
         "docs_unigram_logprob": R7.docs_unigram_logprob,
         "customer_pareto": R7.customer_pareto,
+        "parts_triangles": R7.parts_triangles,
     }
 
 
@@ -2115,5 +2116,58 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 6) AS cum_share
             FROM pd, tot ORDER BY decile
+        """,
+        "parts_triangles": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+                SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM items a
+                JOIN items b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            deg AS (
+                SELECT u, count(*) AS d FROM (
+                    SELECT x AS u FROM pairs
+                    UNION ALL SELECT y AS u FROM pairs
+                ) GROUP BY 1
+            ),
+            oe AS (
+                SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND x < y)
+                            THEN x ELSE y END AS src,
+                       CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND x < y)
+                            THEN y ELSE x END AS dst,
+                       CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND x < y)
+                            THEN dy.d ELSE dx.d END AS ddeg
+                FROM pairs
+                JOIN deg dx ON pairs.x = dx.u
+                JOIN deg dy ON pairs.y = dy.u
+            ),
+            wedge AS (
+                SELECT e1.dst AS src, e2.dst AS dst
+                FROM oe e1
+                JOIN oe e2
+                  ON e1.src = e2.src
+                 AND (e1.ddeg < e2.ddeg
+                      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+            ),
+            tri AS (
+                SELECT count(*) AS triangles FROM wedge w
+                WHERE EXISTS (
+                    SELECT 1 FROM oe
+                    WHERE oe.src = w.src AND oe.dst = w.dst
+                )
+            ),
+            st AS (
+                SELECT count(*) AS nodes,
+                       CAST(sum(d) / 2 AS BIGINT) AS edges,
+                       CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges
+                FROM deg
+            )
+            SELECT nodes, edges, wedges, triangles,
+                   round(3.0 * triangles / wedges, 6) AS global_clustering
+            FROM st, tri
         """,
     }

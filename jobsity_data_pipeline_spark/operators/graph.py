@@ -101,3 +101,70 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             ).alias("rank")
         )
     return ranks
+
+
+def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle count + global clustering coefficient for an
+    undirected graph given as a CANONICAL pair list (a < b, distinct).
+
+    Compact-forward algorithm: orient every edge from its lower-
+    (degree, id) endpoint to the higher one, enumerate wedges only at
+    the lower-ranked apex (self-join on src, ordered dst pair), and
+    close each wedge against the oriented edge list. Orientation caps
+    every vertex's out-degree at O(sqrt(m)) regardless of raw skew —
+    a hub of degree 10^6 contributes no wedges at its apex because all
+    its edges point INTO it — which is what makes exact triangle
+    counting feasible at 100 TB where a naive wedge join on raw
+    adjacency explodes quadratically on hot vertices.
+
+    Returns one row: nodes, edges, wedges (Σ d·(d-1)/2), triangles,
+    and the global clustering coefficient 3·triangles / wedges.
+    """
+    und = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).distinct()
+    deg = (
+        undirect(und, "x", "y").groupBy("u").agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    e = und.join(dx, "x").join(dy, "y")
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oe = e.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("ddeg"),
+    ).localCheckpoint()
+    e1 = oe.alias("e1")
+    e2 = oe.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.ddeg") < F.col("e2.ddeg"))
+            | (
+                (F.col("e1.ddeg") == F.col("e2.ddeg"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(F.col("e1.dst").alias("src"), F.col("e2.dst").alias("dst"))
+    tri = wedge.join(oe.select("src", "dst"), ["src", "dst"], "left_semi")
+    n_tri = tri.count()
+    stats = (
+        deg.agg(
+            F.count("*").alias("nodes"),
+            (F.sum("d") / 2).cast("long").alias("edges"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias(
+                "wedges"
+            ),
+        )
+    )
+    return stats.select(
+        "nodes",
+        "edges",
+        "wedges",
+        F.lit(n_tri).cast("long").alias("triangles"),
+        F.round(F.lit(3.0 * n_tri) / F.col("wedges"), 6).alias(
+            "global_clustering"
+        ),
+    )

@@ -271,6 +271,34 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-occurrence graph (parts
+    linked when they share an order — same edge list as
+    parts_pagerank): node/edge/wedge counts, the exact triangle count,
+    and the global clustering coefficient. Compact-forward wedge
+    enumeration (operators/graph.py:triangle_stats) keeps the wedge
+    join bounded by O(m^1.5) even with hub parts."""
+    from .graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    return triangle_stats(pairs, "pa", "pb")
+
+
 def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Pareto) curve: customers ranked by total
     order revenue into deciles; each decile's revenue share and the

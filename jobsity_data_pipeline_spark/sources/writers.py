@@ -67,3 +67,18 @@ def write_range_clustered(df: DataFrame, path: str, cluster_col: str,
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet (one directory per partition
+    value). Partition columns become directory keys, so a filter on
+    them is resolved from the file LISTING — zero data files are even
+    opened for pruned partitions (``PartitionFilters`` in the scan
+    node, vs ``PushedFilters`` which still opens footers). The layout
+    for append-only time-series at 100 TB: daily ingest appends one
+    new directory, readers touch only the days they ask for, and
+    retention is a directory delete. Keep partition cardinality in the
+    thousands (day, not minute) so the listing itself stays cheap.
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)

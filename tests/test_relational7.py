@@ -192,3 +192,67 @@ def test_hll_register_agg_is_partial(spark):
     # register maxima combine map-side before the exchange (mergeable
     # sketch property visible in the plan as partial_max)
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_triangle_stats_exact_on_known_graph(spark):
+    from jobsity_data_pipeline_spark.operators.graph import triangle_stats
+
+    # K4 minus one edge: nodes 1-4, all pairs except (3,4):
+    # triangles = {1,2,3} and {1,2,4}
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "a long, b long"
+    )
+    row = triangle_stats(pairs).collect()[0]
+    assert (row.nodes, row.edges, row.triangles) == (4, 5, 2)
+    # wedges: deg 3,3,2,2 -> 3+3+1+1 = 8; clustering = 6/8
+    assert row.wedges == 8
+    assert abs(row.global_clustering - 0.75) < 1e-9
+    # a triangle-free star: hub 1 with 4 leaves
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "a long, b long"
+    )
+    assert triangle_stats(star).collect()[0].triangles == 0
+
+
+def test_incremental_merge_equals_batch_recompute(spark, tmp_path):
+    from jobsity_data_pipeline_spark.operators import incremental as INC
+    from jobsity_data_pipeline_spark.session import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    # maintain: state from batch 1, then merge batch 2's partials
+    state = INC.hourly_partials(half1)
+    merged = INC.merge_partials(state, INC.hourly_partials(half2))
+    # must equal the full recompute exactly
+    full = INC.hourly_partials(ev)
+    got = {
+        (r.event_type, r.h): (r.cnt, round(r.sum_value, 6))
+        for r in merged.collect()
+    }
+    want = {
+        (r.event_type, r.h): (r.cnt, round(r.sum_value, 6))
+        for r in full.collect()
+    }
+    assert got == want
+    # derived view exposes avg without storing it
+    view = INC.read_view(merged)
+    assert set(view.columns) == {"event_type", "h", "cnt", "avg_value"}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from jobsity_data_pipeline_spark.session import read_table
+    from jobsity_data_pipeline_spark.sources.writers import write_partitioned
+
+    ev = read_table(spark, SF_SMOKE, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["d"])
+    back = spark.read.parquet(path)
+    one_day = ev.select(F.to_date(F.min("ts")).alias("d")).collect()[0].d
+    q = back.where(F.col("d") == F.lit(one_day))
+    plan = _plan(q)
+    # the day filter resolves at the partition listing, not in data scan
+    assert "PartitionFilters" in plan and str(one_day) in plan
+    assert q.count() == ev.where(F.to_date("ts") == F.lit(one_day)).count()
