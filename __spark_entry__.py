@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": S.emb_cosine_topk,
         "emb_lsh_ann": S.emb_lsh_ann,  # rows-only (no SQL oracle): approximate op
         "emb_ivf_ann": S.emb_ivf_ann,  # rows-only (no SQL oracle): approximate op
+        "emb_ann_recall": S.emb_ann_recall,  # rows-only: recall@k of both ANN paths vs the oracle-checked exact baseline
         "docs_ngram_jaccard": D.docs_ngram_jaccard,
         "docs_minhash_bands": D.docs_minhash_bands,
         "docs_minhash_pairs": D.docs_minhash_pairs,

@@ -116,6 +116,60 @@ def events_concurrency(spark: SparkSession, sf_dir: str,
     )
 
 
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str],
+                  m: int = 256) -> DataFrame:
+    """HyperLogLog register maxima per group: (group_cols..., reg, mx).
+
+    The mergeable sketch state — registers from disjoint shards,
+    streams, or time windows union by max-per-register (see
+    streaming/stream.py:stream_hll_upsert and the merge test). Exact
+    integer rho via bin()-string length keeps the state engine-portable.
+    """
+    h = df.select(
+        *group_cols,
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("long").alias("hv"),
+    )
+    return (
+        h.withColumn("reg", F.col("hv") % m)
+        .withColumn("wrd", (F.col("hv") / m).cast("long"))
+        .withColumn(
+            "rho",
+            F.when(F.col("wrd") == 0, F.lit(25)).otherwise(
+                25 - F.length(F.bin(F.col("wrd")))
+            ),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str],
+                 m: int = 256) -> DataFrame:
+    """Estimate from register state: raw alpha_m·m²/Σ2^-M_j with the
+    linear-counting small-range correction. Pure column math over the
+    (group × ≤m)-bounded state frame."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = regs.groupBy(*group_cols).agg(
+        (
+            F.lit(alpha * m * m)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("mx")))
+                + (F.lit(m) - F.count("*"))
+            )
+        ).alias("raw_est"),
+        F.count("*").alias("used_regs"),
+    )
+    empty = F.lit(m) - F.col("used_regs")
+    return est.withColumn(
+        "raw_est",
+        F.when(
+            (F.col("raw_est") <= 2.5 * m) & (empty > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+        ).otherwise(F.col("raw_est")),
+    )
+
+
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user sketch per event_type
     (p=8, m=256 registers) reported against the exact count.
@@ -137,46 +191,8 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-shard / streaming union at 100 TB.
     """
     ev = _t(spark, sf_dir, "events")
-    m = 256
-    alpha = 0.7213 / (1 + 1.079 / m)
-    h = ev.select(
-        "event_type",
-        "user_id",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-               16, 10).cast("long").alias("hv"),
-    )
-    regs = (
-        h.withColumn("reg", F.col("hv") % m)
-        .withColumn("wrd", (F.col("hv") / m).cast("long"))
-        .withColumn(
-            "rho",
-            F.when(F.col("wrd") == 0, F.lit(25)).otherwise(
-                25 - F.length(F.bin(F.col("wrd")))
-            ),
-        )
-        .groupBy("event_type", "reg")
-        .agg(F.max("rho").alias("mx"))
-    )
-    est = regs.groupBy("event_type").agg(
-        (
-            F.lit(alpha * m * m)
-            / (
-                F.sum(F.pow(F.lit(2.0), -F.col("mx")))
-                + (F.lit(m) - F.count("*"))
-            )
-        ).alias("raw_est"),
-        F.count("*").alias("used_regs"),
-    )
-    # standard small-range correction: below 2.5m the raw estimator
-    # biases high; linear counting over empty registers is exact-ish
-    empty = F.lit(m) - F.col("used_regs")
-    est = est.withColumn(
-        "raw_est",
-        F.when(
-            (F.col("raw_est") <= 2.5 * m) & (empty > 0),
-            F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
-        ).otherwise(F.col("raw_est")),
-    )
+    regs = hll_registers(ev, "user_id", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )

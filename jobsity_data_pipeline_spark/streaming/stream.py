@@ -328,3 +328,43 @@ def enrich_stream(stream_df: DataFrame, dim: DataFrame,
     broadcast keeps the stream side shuffle-free, which is the only
     sane plan when the stream runs forever."""
     return stream_df.join(F.broadcast(dim), on=key, how=how)
+
+
+def stream_hll_upsert(events: DataFrame, state_path: str, checkpoint: str):
+    """Maintain a HyperLogLog distinct-user sketch per event_type over
+    a stream: each micro-batch computes its own register maxima and
+    max-merges them into the parquet state table — O(groups × 256)
+    state regardless of stream volume, and the merge is idempotent
+    under batch replay (max is absorbing), so retries can't inflate
+    the estimate the way a count-merge would.
+
+    The batch twin (operators/relational7.py:events_hll_distinct) reads
+    the same register layout; tests prove stream-maintained state
+    equals the batch registers over the union of all micro-batches.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from ..operators.relational7 import hll_registers
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = hll_registers(batch_df, "user_id", ["event_type"])
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:
+            state = None
+        merged = (
+            delta if state is None else state.unionByName(delta)
+        ).groupBy("event_type", "reg").agg(F.max("mx").alias("mx"))
+        # tiny state table: rewrite atomically via overwrite-after-agg
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(state_path)
+        merged.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

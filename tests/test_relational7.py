@@ -256,3 +256,68 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # the day filter resolves at the partition listing, not in data scan
     assert "PartitionFilters" in plan and str(one_day) in plan
     assert q.count() == ev.where(F.to_date("ts") == F.lit(one_day)).count()
+
+
+def test_ann_recall_report_bounds(spark):
+    from jobsity_data_pipeline_spark.operators.similarity import (
+        emb_ann_recall,
+    )
+
+    rows = emb_ann_recall(spark, SF_SMOKE).collect()
+    # one row per (method, query)
+    assert len(rows) == 16
+    assert {r.method for r in rows} == {"lsh", "ivf"}
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+    # 2-bit multi-probe LSH keeps meaningful recall on the smoke corpus
+    lsh = [r.recall_at_k for r in rows if r.method == "lsh"]
+    assert sum(lsh) / len(lsh) >= 0.25
+
+
+def test_stream_hll_state_equals_batch(spark, tmp_path):
+    import datetime as dt2
+
+    from jobsity_data_pipeline_spark.operators.relational7 import (
+        hll_registers,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import stream_hll_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = dt2.datetime(2024, 1, 1)
+    all_rows = []
+    # three files -> three micro-batches with overlapping users
+    for f in range(3):
+        rows = [
+            (f * 100 + i, base + dt2.timedelta(minutes=i), (f * 37 + i) % 61,
+             "a" if i % 2 == 0 else "b", 1.0, "{}")
+            for i in range(100)
+        ]
+        all_rows += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_hll_upsert(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.reg): r.mx
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    want = {
+        (r.event_type, r.reg): r.mx
+        for r in hll_registers(
+            spark.createDataFrame(all_rows, schema), "user_id",
+            ["event_type"]
+        ).collect()
+    }
+    assert got == want
