@@ -120,9 +120,13 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Returns one row: nodes, edges, wedges (Σ d·(d-1)/2), triangles,
     and the global clustering coefficient 3·triangles / wedges.
     """
+    # deg (node-sized) is checkpointed for its 3 uses; und (edge-sized)
+    # is NOT — re-running its codegen'd upstream twice is cheaper than
+    # materializing millions of pair rows through the block manager
     und = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).distinct()
     deg = (
         undirect(und, "x", "y").groupBy("u").agg(F.count("*").alias("d"))
+        .localCheckpoint()
     )
     dx = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))

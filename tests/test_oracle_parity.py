@@ -73,8 +73,11 @@ def test_parity(spark, name):
 
 def test_every_query_has_oracle_or_is_declared():
     # declared rows-only ops: approximate ANN (bucket membership is
-    # plane-order-dependent; no affordable SQL twin)
-    assert set(QUERIES) - set(ORACLES) == {"emb_lsh_ann", "emb_ivf_ann"}
+    # plane-order-dependent; no affordable SQL twin) and the recall
+    # report scored against the oracle-checked exact baseline
+    assert set(QUERIES) - set(ORACLES) == {
+        "emb_lsh_ann", "emb_ivf_ann", "emb_ann_recall"
+    }
 
 
 def test_entry_smoke(spark):

@@ -168,3 +168,77 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     }
     bad_rows = [r.raw_line for r in bad.collect()]
     assert bad_rows == ["BadRow,not_an_int"]
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from jobsity_data_pipeline_spark.session import read_table
+    from jobsity_data_pipeline_spark.sources.writers import (
+        write_zorder_clustered,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "z")
+    write_zorder_clustered(ev, path, "user_id", "value", n_files=8)
+
+    # footer min/max spans per file: a mid-range point predicate on
+    # EITHER column must exclude most files (Z-order gives both
+    # columns locality; 1-D range clustering would leave one column
+    # with full-span files everywhere)
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = {"user_id": [], "value": []}
+        maxs = {"user_id": [], "value": []}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if name in mins and c.statistics is not None:
+                    mins[name].append(c.statistics.min)
+                    maxs[name].append(c.statistics.max)
+        spans.append({
+            k: (min(mins[k]), max(maxs[k])) for k in mins if mins[k]
+        })
+
+    def hit_count(col, point):
+        return sum(1 for s in spans if s[col][0] <= point <= s[col][1])
+
+    med_u = ev.approxQuantile("user_id", [0.5], 0.0)[0]
+    med_v = ev.approxQuantile("value", [0.5], 0.0)[0]
+    # each dimension's point predicate prunes a meaningful share of
+    # files (interleaving splits the leading bits between the dims)
+    z_u, z_v = hit_count("user_id", med_u), hit_count("value", med_v)
+    assert z_u < len(files)
+    assert z_v < len(files)
+    # the contrast that motivates Z-order: 1-D range clustering on
+    # value leaves a user_id predicate scanning EVERY file
+    from jobsity_data_pipeline_spark.sources.writers import (
+        write_range_clustered,
+    )
+
+    path1d = str(tmp_path / "r")
+    write_range_clustered(ev, path1d, "value", n_files=8)
+    spans1d = []
+    for f in sorted(glob.glob(os.path.join(path1d, "*.parquet"))):
+        md = pq.read_metadata(f)
+        lo = min(md.row_group(rg).column(1).statistics.min
+                 for rg in range(md.num_row_groups))
+        hi = max(md.row_group(rg).column(1).statistics.max
+                 for rg in range(md.num_row_groups))
+        spans1d.append((lo, hi))
+    hits_1d_user = sum(1 for s in spans1d if s[0] <= med_u <= s[1])
+    assert hits_1d_user == len(spans1d)  # no pruning at all
+    assert z_u < hits_1d_user
+    # nothing lost: row count preserved
+    assert spark.read.parquet(path).count() == ev.count()
