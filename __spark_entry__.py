@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_logprob": R7.docs_unigram_logprob,
         "customer_pareto": R7.customer_pareto,
         "parts_triangles": R7.parts_triangles,
+        "events_key_skew": R7.events_key_skew,
+        "docs_bloom_probe": R7.docs_bloom_probe,
     }
 
 
@@ -2170,5 +2172,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT nodes, edges, wedges, triangles,
                    round(3.0 * triangles / wedges, 6) AS global_clustering
             FROM st, tri
+        """,
+        "events_key_skew": """
+            WITH pk AS (
+                SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+            ),
+            r AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt, user_id) AS i,
+                       row_number() OVER (
+                           ORDER BY cnt DESC, user_id
+                       ) AS top_i,
+                       count(*) OVER () AS n
+                FROM pk
+            )
+            SELECT count(*) AS n_keys,
+                   max(cnt) AS max_cnt,
+                   quantile_cont(cnt, 0.5) AS median_cnt,
+                   round(max(cnt) / quantile_cont(cnt, 0.5), 6)
+                       AS skew_ratio,
+                   round(
+                       CAST(sum(CASE WHEN top_i <= 10 THEN cnt
+                                     ELSE 0 END) AS DOUBLE)
+                       / sum(cnt), 6) AS top10_share,
+                   round(
+                       CAST(sum((2 * i - n - 1) * cnt) AS DOUBLE)
+                       / (max(n) * sum(cnt)), 6) AS gini
+            FROM r
+        """,
+        "docs_bloom_probe": """
+            WITH train AS (
+                SELECT * FROM documents WHERE doc_id % 2 = 0
+            ),
+            probe AS (
+                SELECT * FROM documents WHERE doc_id % 2 = 1
+            ),
+            reps AS (SELECT unnest([0, 1, 2]) AS i),
+            tpos AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
+                            || text), 1, 8))::BIGINT % 4096 AS pos
+                FROM train, reps
+            ),
+            ppos AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
+                            || text), 1, 8))::BIGINT % 4096 AS pos
+                FROM probe, reps
+            ),
+            flag AS (
+                SELECT doc_id FROM ppos
+                JOIN tpos USING (pos)
+                GROUP BY doc_id HAVING count(*) = 3
+            ),
+            c AS (
+                SELECT (SELECT count(*) FROM train) AS n_train,
+                       (SELECT count(*) FROM probe) AS n_probe,
+                       (SELECT count(*) FROM flag) AS n_flagged,
+                       (SELECT count(*) FROM probe
+                        WHERE md5(text) IN (
+                            SELECT md5(text) FROM train
+                        )) AS n_member
+            )
+            SELECT n_train, n_probe, n_flagged,
+                   n_member AS n_true_member,
+                   n_flagged - n_member AS false_positives,
+                   round(CAST(n_flagged - n_member AS DOUBLE)
+                         / greatest(n_probe - n_member, 1), 6) AS fp_rate
+            FROM c
         """,
     }

@@ -354,3 +354,114 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dec_rev") / F.col("total_rev")).over(w_cum), 6
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew profile for user_id — the diagnostic that
+    decides between a plain shuffle, AQE skew-join, and the salted_join
+    utility (operators/skew.py). One partial-agg pass builds per-key
+    counts; every metric after that runs on the KEY-sized frame (keys
+    << facts), so the windows here are cheap at any fact scale.
+
+    Reports: key count, max/median count, their ratio (the classic
+    straggler predictor), the share held by the 10 hottest keys, and
+    the Gini coefficient of the count distribution (0 = uniform,
+    -> 1 = one key owns everything). Gini is tie-invariant: the
+    Σ(2i - n - 1)·c_i weights sum identically within a tied count
+    group however row_number breaks the tie.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w_rank = Window.orderBy("cnt", "user_id")
+    w_top = Window.orderBy(F.desc("cnt"), "user_id")
+    ranked = per_key.select(
+        "cnt",
+        F.row_number().over(w_rank).alias("i"),
+        F.row_number().over(w_top).alias("top_i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("median_cnt"),
+        F.round(
+            F.max("cnt") / F.expr("percentile(cnt, 0.5)"), 6
+        ).alias("skew_ratio"),
+        F.round(
+            F.sum(F.when(F.col("top_i") <= 10, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cnt"))
+            / (F.max("n") * F.sum("cnt")),
+            6,
+        ).alias("gini"),
+    )
+
+
+def docs_bloom_probe(spark: SparkSession, sf_dir: str, m_bits: int = 4096,
+                     k_hashes: int = 3) -> DataFrame:
+    """Bloom-filter membership report: build a deterministic k-hash
+    Bloom set from the even-doc_id half of the corpus (training side),
+    probe the odd half, and score flagged probes against exact
+    membership — measuring the false-positive rate the filter pays for
+    its O(m/8)-byte footprint.
+
+    The filter state is the DISTINCT (bit-position) set — a bounded,
+    mergeable aggregate (union across shards = set union), exactly how
+    a pre-join Bloom prune ships: build on the small side, broadcast m
+    bits, drop non-members before the shuffle. Hash positions are
+    md5-derived (engine-portable); a probe is flagged iff all
+    ``k_hashes`` of its positions are present.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+
+    def positions(df: DataFrame) -> DataFrame:
+        reps = F.array(*[F.lit(i) for i in range(k_hashes)])
+        return df.select(
+            "doc_id",
+            F.explode(reps).alias("i"),
+            F.col("text"),
+        ).select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("|", F.col("i").cast("string"),
+                                        F.col("text"))
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long") % m_bits
+            ).alias("pos"),
+        )
+
+    bloom = positions(train).select("pos").distinct()
+    probe_pos = positions(probe)
+    hits = (
+        probe_pos.join(F.broadcast(bloom), "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+        .where(F.col("n_hit") == k_hashes)
+    )
+    exact = probe.join(
+        train.select(F.md5("text").alias("sig")).distinct(),
+        F.md5(probe["text"]) == F.col("sig"),
+        "left_semi",
+    )
+    n_train = train.count()
+    n_probe = probe.count()
+    n_flagged = hits.count()
+    n_member = exact.count()
+    return spark.createDataFrame(
+        [(n_train, n_probe, n_flagged, n_member,
+          n_flagged - n_member,
+          round((n_flagged - n_member) / max(n_probe - n_member, 1), 6))],
+        "n_train long, n_probe long, n_flagged long, n_true_member long, "
+        "false_positives long, fp_rate double",
+    )

@@ -321,3 +321,46 @@ def test_stream_hll_state_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_key_skew_flags_hot_key(spark, tmp_path):
+    import datetime as dt3
+
+    t = dt3.datetime(2024, 1, 1)
+    # one whale (60 events) + 20 uniform keys (2 each)
+    rows = [(i, t, 999, "a", 1.0, "{}") for i in range(60)]
+    rows += [(100 + j, t, j % 20, "a", 1.0, "{}") for j in range(40)]
+    out = R7.events_key_skew(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out.n_keys == 21
+    assert out.max_cnt == 60
+    assert out.median_cnt == 2.0
+    assert out.skew_ratio == 30.0
+    # whale + 9 uniform keys = 60 + 18 of 100 events
+    assert abs(out.top10_share - 0.78) < 1e-9
+    assert 0.0 < out.gini < 1.0
+
+
+def test_bloom_probe_flags_members_and_bounds_fp(spark, tmp_path):
+    # train texts and probe texts: 5 exact duplicates across the split,
+    # the rest disjoint — every true member must be flagged (Bloom has
+    # no false negatives); FP rate stays a rate, not a count
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, f"train text {i}", "en", "s", 10))
+    for i in range(40):
+        txt = f"train text {i}" if i < 5 else f"probe text {i}"
+        rows.append((2 * i + 1, txt, "en", "s", 10))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = R7.docs_bloom_probe(spark, str(tmp_path)).collect()[0]
+    assert (out.n_train, out.n_probe, out.n_true_member) == (40, 40, 5)
+    # no false negatives: flagged >= true members
+    assert out.n_flagged >= 5
+    assert out.false_positives == out.n_flagged - 5
+    assert 0.0 <= out.fp_rate <= 1.0
