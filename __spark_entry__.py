@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_triangles": R7.parts_triangles,
         "events_key_skew": R7.events_key_skew,
         "docs_bloom_probe": R7.docs_bloom_probe,
+        "events_hll_rollup": R7.events_hll_rollup,
+        "trip_geohash_cells": R7.trip_geohash_cells,
     }
 
 
@@ -201,6 +203,25 @@ _STOP = {
     "de": "['der','die','und','das','von','zu','mit','den','ein','ist']",
 }
 _ZH_CLASS = "[的是了在我有和就不人]"
+
+# Geohash oracle fragments (precision 4 = 20 bits, 10 per axis): the
+# bit interleave and base-32 mapping are generated as flat integer
+# expressions so DuckDB evaluates the IDENTICAL arithmetic the Spark
+# column build (functions/geo.py:geohash) performs.
+_GH_TOTAL = 20
+_GH_Z = " | ".join(
+    "(((i{src} >> {sh}) & 1) << {dst})".format(
+        src="lon" if i % 2 == 0 else "lat",
+        sh=10 - 1 - (i // 2),
+        dst=_GH_TOTAL - 1 - i,
+    )
+    for i in range(_GH_TOTAL)
+)
+_GH_CHARS = " || ".join(
+    "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+    f"CAST(((z >> {_GH_TOTAL - 5 * (g + 1)}) & 31) + 1 AS INT), 1)"
+    for g in range(4)
+)
 
 # PageRank oracle: 10 power iterations unrolled as chained CTEs (std
 # SQL forbids aggregation in a recursive term). Constants are written
@@ -2241,4 +2262,96 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(n_probe - n_member, 1), 6) AS fp_rate
             FROM c
         """,
+        "events_hll_rollup": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                           )::BIGINT AS hv,
+                       user_id
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, d, hv % 256 AS reg,
+                       CASE WHEN hv // 256 = 0 THEN 25
+                            ELSE 25 - length(bin(hv // 256)) END AS rho
+                FROM h
+            ),
+            fine AS (
+                SELECT event_type, d, reg, max(rho) AS mx
+                FROM r GROUP BY 1, 2, 3
+            ),
+            fe0 AS (
+                SELECT event_type, d,
+                       (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                           / (sum(pow(2.0, -mx)) + (256 - count(*)))
+                           AS raw_est,
+                       count(*) AS used_regs
+                FROM fine GROUP BY 1, 2
+            ),
+            fe AS (
+                SELECT 'type_day' AS level, event_type, d,
+                       round(CASE WHEN raw_est <= 2.5 * 256
+                                       AND (256 - used_regs) > 0
+                                  THEN 256.0 * ln(256.0 / (256 - used_regs))
+                                  ELSE raw_est END, 4) AS hll_estimate
+                FROM fe0
+            ),
+            coarse AS (
+                SELECT event_type, reg, max(mx) AS mx
+                FROM fine GROUP BY 1, 2
+            ),
+            ce0 AS (
+                SELECT event_type,
+                       (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                           / (sum(pow(2.0, -mx)) + (256 - count(*)))
+                           AS raw_est,
+                       count(*) AS used_regs
+                FROM coarse GROUP BY 1
+            ),
+            ce AS (
+                SELECT 'type' AS level, event_type, '*' AS d,
+                       round(CASE WHEN raw_est <= 2.5 * 256
+                                       AND (256 - used_regs) > 0
+                                  THEN 256.0 * ln(256.0 / (256 - used_regs))
+                                  ELSE raw_est END, 4) AS hll_estimate
+                FROM ce0
+            ),
+            ex AS (
+                SELECT 'type_day' AS level, event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1, 2, 3
+                UNION ALL
+                SELECT 'type' AS level, event_type, '*' AS d,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT e.level, e.event_type, e.d, e.hll_estimate,
+                   x.exact_distinct
+            FROM (SELECT * FROM fe UNION ALL SELECT * FROM ce) e
+            JOIN ex x USING (level, event_type, d)
+            ORDER BY level, event_type, d
+        """,
+        "trip_geohash_cells": """
+            WITH c AS (
+                SELECT CAST((user_id * 7) % 180 - 90 AS DOUBLE) + 0.25
+                           AS lat,
+                       CAST((event_id * 13) % 360 - 180 AS DOUBLE) + 0.25
+                           AS lon
+                FROM events
+            ),
+            q AS (
+                SELECT CAST(least(floor((lon + 180.0) / 360.0 * 1024),
+                                  1023) AS BIGINT) AS ilon,
+                       CAST(least(floor((lat + 90.0) / 180.0 * 1024),
+                                  1023) AS BIGINT) AS ilat
+                FROM c
+            ),
+            zt AS (SELECT ({gh_z}) AS z FROM q),
+            g AS (SELECT {gh_chars} AS cell FROM zt)
+            SELECT cell, count(*) AS n_trips
+            FROM g GROUP BY 1
+            ORDER BY n_trips DESC, cell LIMIT 20
+        """.format(gh_z=_GH_Z, gh_chars=_GH_CHARS),
     }

@@ -465,3 +465,78 @@ def docs_bloom_probe(spark: SparkSession, sf_dir: str, m_bits: int = 4096,
         "n_train long, n_probe long, n_flagged long, n_true_member long, "
         "false_positives long, fp_rate double",
     )
+
+
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical sketch rollup: build HLL registers ONCE at the
+    finest grain (event_type × day), then derive the coarser level
+    (event_type) by max-merging the stored registers — never rescanning
+    the fact table. This is the pre-aggregated sketch-table pattern:
+    at 100 TB the daily sketch table is millions of times smaller than
+    the facts, and every coarser rollup (weekly, all-time, cross-shard)
+    is a register merge over it. countDistinct cannot do this — exact
+    distincts don't re-aggregate.
+
+    Output: one row per (level, event_type, day) with the HLL estimate
+    and the exact distinct for error accounting at both levels.
+    """
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "d", F.to_date("ts").cast("string")
+    )
+    fine = hll_registers(ev, "user_id", ["event_type", "d"])
+    fine_est = hll_estimate(fine, ["event_type", "d"]).select(
+        F.lit("type_day").alias("level"), "event_type", "d",
+        F.round("raw_est", 4).alias("hll_estimate"),
+    )
+    # coarser level: merge stored registers, no fact rescan
+    coarse = fine.groupBy("event_type", "reg").agg(
+        F.max("mx").alias("mx")
+    )
+    coarse_est = hll_estimate(coarse, ["event_type"]).select(
+        F.lit("type").alias("level"), "event_type",
+        F.lit("*").alias("d"),
+        F.round("raw_est", 4).alias("hll_estimate"),
+    )
+    exact = (
+        ev.groupBy("event_type", "d")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .select(F.lit("type_day").alias("level"), "event_type", "d",
+                "exact_distinct")
+        .unionByName(
+            ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_distinct"))
+            .select(F.lit("type").alias("level"), "event_type",
+                    F.lit("*").alias("d"), "exact_distinct")
+        )
+    )
+    return (
+        fine_est.unionByName(coarse_est)
+        .join(exact, ["level", "event_type", "d"])
+        .orderBy("level", "event_type", "d")
+    )
+
+
+def trip_geohash_cells(spark: SparkSession, sf_dir: str,
+                       precision: int = 4, k: int = 20) -> DataFrame:
+    """Geohash-cell trip density: the challenge's "group trips with
+    similar origin" on the standard containment-hierarchy cell id
+    (functions/geo.py:geohash — pure column math, oracle-replicable).
+    Coordinates here are the deterministic events mapping (SURVEY §4:
+    the driver testdata has no real trips table; the WKT path is
+    unit-tested on real coords in tests/test_functions.py).
+
+    One partial-agg groupBy on the cell id; a coarser rollup is a
+    prefix truncation, not a rescan.
+    """
+    from ..functions.geo import geohash
+
+    ev = _t(spark, sf_dir, "events")
+    lat = ((F.col("user_id") * 7) % 180 - 90).cast("double") + 0.25
+    lon = ((F.col("event_id") * 13) % 360 - 180).cast("double") + 0.25
+    return (
+        ev.select(geohash(lat, lon, precision).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_trips"))
+        .orderBy(F.desc("n_trips"), "cell")
+        .limit(k)
+    )

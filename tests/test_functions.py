@@ -217,3 +217,34 @@ def test_char_entropy_bounds(spark):
     r = rows[0]
     assert r.min_entropy_bits == 0.0   # "aaaa"
     assert r.max_entropy_bits == 1.0   # "abab": two equiprobable chars
+
+
+def test_geohash_known_vectors(spark):
+    from jobsity_data_pipeline_spark.functions.geo import geohash
+
+    df = spark.createDataFrame(
+        [
+            (57.64911, 10.40744),  # classic wiki example
+            (48.669, -4.329),
+            (0.0, 0.0),
+            (90.0, 180.0),   # upper edge clamps to all-1 bits
+            (-90.0, -180.0),
+        ],
+        "lat double, lon double",
+    )
+    out = [
+        r.gh for r in df.select(
+            geohash(F.col("lat"), F.col("lon"), 11).alias("gh")
+        ).collect()
+    ]
+    assert out == [
+        "u4pruydqqvj", "gbsuv7ztqzp", "s0000000000",
+        "zzzzzzzzzzz", "00000000000",
+    ]
+    # prefix containment: coarser precision is a strict prefix
+    out5 = [
+        r.gh for r in df.select(
+            geohash(F.col("lat"), F.col("lon"), 5).alias("gh")
+        ).collect()
+    ]
+    assert all(full.startswith(p5) for full, p5 in zip(out, out5))
