@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bloom_probe": R7.docs_bloom_probe,
         "events_hll_rollup": R7.events_hll_rollup,
         "trip_geohash_cells": R7.trip_geohash_cells,
+        "events_quantile_sketch": R7.events_quantile_sketch,
     }
 
 
@@ -2354,4 +2355,66 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY 1
             ORDER BY n_trips DESC, cell LIMIT 20
         """.format(gh_z=_GH_Z, gh_chars=_GH_CHARS),
+        "events_quantile_sketch": """
+            WITH rng AS (
+                SELECT event_type, min(value) AS mn, max(value) AS mx,
+                       count(*) AS n
+                FROM events GROUP BY 1
+            ),
+            bn AS (
+                SELECT e.event_type,
+                       CAST(least(floor((value - mn)
+                                        / ((mx - mn) / 128)), 127)
+                            AS BIGINT) AS b
+                FROM events e JOIN rng USING (event_type)
+            ),
+            bc AS (
+                SELECT event_type, b, count(*) AS cnt
+                FROM bn GROUP BY 1, 2
+            ),
+            cm AS (
+                SELECT event_type, b, cnt,
+                       sum(cnt) OVER (
+                           PARTITION BY event_type ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS cum
+                FROM bc
+            ),
+            j AS (
+                SELECT c.*, mn, mx, n FROM cm c JOIN rng USING (event_type)
+            ),
+            sk AS (
+                SELECT event_type,
+                       min(CASE WHEN cum >= 0.5 * n
+                                     AND (cum - cnt) < 0.5 * n
+                                THEN round(mn + (b + (0.5 * n - (cum - cnt))
+                                                / cnt) * (mx - mn) / 128, 6)
+                           END) AS p50_sketch,
+                       min(CASE WHEN cum >= 0.9 * n
+                                     AND (cum - cnt) < 0.9 * n
+                                THEN round(mn + (b + (0.9 * n - (cum - cnt))
+                                                / cnt) * (mx - mn) / 128, 6)
+                           END) AS p90_sketch,
+                       min(CASE WHEN cum >= 0.99 * n
+                                     AND (cum - cnt) < 0.99 * n
+                                THEN round(mn + (b + (0.99 * n - (cum - cnt))
+                                                / cnt) * (mx - mn) / 128, 6)
+                           END) AS p99_sketch
+                FROM j GROUP BY 1
+            ),
+            ex AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+                       round(quantile_cont(value, 0.9), 6) AS p90_exact,
+                       round(quantile_cont(value, 0.99), 6) AS p99_exact
+                FROM events GROUP BY 1
+            )
+            SELECT s.event_type,
+                   p50_sketch, p50_exact,
+                   p90_sketch, p90_exact,
+                   p99_sketch, p99_exact
+            FROM sk s JOIN ex USING (event_type)
+            ORDER BY 1
+        """,
     }

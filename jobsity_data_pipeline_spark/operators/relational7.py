@@ -540,3 +540,87 @@ def trip_geohash_cells(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("n_trips"), "cell")
         .limit(k)
     )
+
+
+def events_quantile_sketch(spark: SparkSession, sf_dir: str,
+                           n_bins: int = 128) -> DataFrame:
+    """Quantile estimation from a mergeable fixed-bin histogram,
+    scored against the exact percentiles — completing the mergeable-
+    summary trio (HLL = distinct, CMS = frequency, histogram =
+    quantiles). The histogram state is (group × ≤n_bins) counters that
+    ADD across shards/streams/days, so percentile rollups never rescan
+    or re-sort the facts — the property exact percentile (a full sort)
+    fundamentally lacks.
+
+    Per event_type: bin value into n_bins equi-width buckets over the
+    observed [min, max] (one broadcast min/max aggregate), cumulate
+    bin counts, and linearly interpolate p50/p90/p99 inside the first
+    bin whose cumulative count crosses q·n. Every step is deterministic
+    column math, mirrored exactly in the DuckDB oracle.
+
+    Accuracy caveat the report makes visible (exact rides alongside):
+    equi-width bins are tight in dense regions (p50) but interpolate
+    across sparse gaps at tail quantiles of small groups — the upgrade
+    path is a mergeable t-digest/KLL state, same groupBy shape.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    w_bin = (F.col("mx") - F.col("mn")) / n_bins
+    binned = (
+        ev.join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / w_bin),
+                F.lit(n_bins - 1),
+            ).cast("long").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w_cum)).join(
+        F.broadcast(rng), "event_type"
+    )
+
+    def est(q: float) -> F.Column:
+        # first bin whose cumulative count reaches q*n, interpolated
+        target = F.lit(q) * F.col("n")
+        in_bin = (F.col("cum") >= target) & (
+            (F.col("cum") - F.col("cnt")) < target
+        )
+        frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        val = (
+            F.col("mn")
+            + (F.col("b") + frac) * (F.col("mx") - F.col("mn")) / n_bins
+        )
+        return F.min(F.when(in_bin, F.round(val, 6)))
+
+    sketch = cum.groupBy("event_type").agg(
+        est(0.5).alias("p50_sketch"),
+        est(0.9).alias("p90_sketch"),
+        est(0.99).alias("p99_sketch"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_exact"),
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "p50_sketch", "p50_exact",
+            "p90_sketch", "p90_exact",
+            "p99_sketch", "p99_exact",
+        )
+        .orderBy("event_type")
+    )

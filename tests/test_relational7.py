@@ -364,3 +364,57 @@ def test_bloom_probe_flags_members_and_bounds_fp(spark, tmp_path):
     assert out.n_flagged >= 5
     assert out.false_positives == out.n_flagged - 5
     assert 0.0 <= out.fp_rate <= 1.0
+
+
+def test_quantile_sketch_close_to_exact_and_mergeable(spark):
+    rows = R7.events_quantile_sketch(spark, SF_SMOKE).collect()
+    assert len(rows) >= 1
+
+    from jobsity_data_pipeline_spark.session import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    widths = {
+        r.event_type: (r.mx - r.mn) / 128
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for r in rows:
+        # p50 sits in the dense region: crossing-bin interpolation
+        # bounds it within ~2 bin widths. Tail quantiles over tiny
+        # groups interpolate across sparse gaps (the known equi-width
+        # weakness the report surfaces by shipping exact alongside) —
+        # for them assert ordering, not tightness.
+        w = widths[r.event_type]
+        assert abs(r.p50_sketch - r.p50_exact) <= 2 * w + 1e-6
+        assert r.p50_sketch <= r.p90_sketch <= r.p99_sketch
+
+    # histogram counters ADD across disjoint shards — the merge
+    # property exact percentiles (a global sort) cannot offer
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+
+    def hist(df):
+        b = df.join(F.broadcast(rng), "event_type").select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / 128)
+                ),
+                F.lit(127),
+            ).cast("long").alias("b"),
+        )
+        return {
+            (r.event_type, r.b): r.cnt
+            for r in b.groupBy("event_type", "b")
+            .agg(F.count("*").alias("cnt")).collect()
+        }
+
+    lo = hist(ev.where(F.col("event_id") % 2 == 0))
+    hi = hist(ev.where(F.col("event_id") % 2 == 1))
+    merged = dict(lo)
+    for k, v in hi.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == hist(ev)
