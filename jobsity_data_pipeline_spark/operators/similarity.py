@@ -396,7 +396,7 @@ def _centroids(spark: SparkSession, sf_dir: str):
 
 
 def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
-                k: int = 5, n_probe: int = 2) -> DataFrame:
+                k: int = 5, n_probe: int = 3) -> DataFrame:
     """IVF (inverted-file) approximate top-k: label-centroids act as the
     coarse quantizer; each vector is assigned to its nearest centroid
     cell, and a query scores ONLY rows in its ``n_probe`` nearest cells.
