@@ -197,7 +197,8 @@ def session_window_stream(trips: DataFrame, gap: str = "30 minutes",
 
 
 def stream_trip_chains(trips: DataFrame, horizon: str = "1 hour",
-                       watermark: str = "2 hours") -> DataFrame:
+                       watermark: str = "2 hours",
+                       how: str = "inner") -> DataFrame:
     """Stream-stream self-join: pairs of same-region trips where the
     second starts within ``horizon`` of the first — chained-trip
     detection as Structured Streaming's interval join.
@@ -207,7 +208,17 @@ def stream_trip_chains(trips: DataFrame, horizon: str = "1 hour",
     (+ watermark delay) worth of rows per side — the bounded-state
     contract stream-stream joins require. Inner-join results emit as
     soon as both rows arrive; the watermark only bounds eviction.
+
+    ``how="left_outer"`` adds dead-end detection: a first trip with NO
+    chained successor emits (with null next_*) only once the watermark
+    passes its join horizon — the engine must prove no match can still
+    arrive. Outer rows therefore trail the inner ones by the watermark
+    delay; a stream that simply stops strands the last horizon's
+    unmatched rows until new data (or an empty batch in availableNow
+    replay) advances the watermark.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"stream_trip_chains supports inner|left_outer, got {how!r}")
     horizon_s = parse_duration_seconds(horizon)
     base = with_event_time(trips).withColumn(
         "trip_key",
@@ -233,6 +244,7 @@ def stream_trip_chains(trips: DataFrame, horizon: str = "1 hour",
                 F.col("next_time")
                 <= F.col("first_time") + F.expr(f"INTERVAL {horizon_s} SECONDS")
             ),
+            how,
         )
         .select("region", "first_key", "next_key", "first_time", "next_time")
     )

@@ -218,3 +218,48 @@ def test_enrich_stream_broadcast_join(spark, tmp_path):
         for r in spark.sql("SELECT region, country FROM enriched_test").collect()
     }
     assert rows == {("Prague", "CZ"), ("Turin", "IT")}
+
+
+def test_stream_stream_left_outer_emits_dead_ends(spark, src_dir, tmp_path):
+    rows1 = [
+        # has a successor 30 min later -> inner match
+        'Prague,"POINT (14.49 50.00)","POINT (14.43 50.04)",2018-05-28 09:00:00,funny_car',
+        'Prague,"POINT (14.30 50.10)","POINT (14.40 50.20)",2018-05-28 09:30:00,cheap_mobile',
+        # dead end: no same-region trip within the 1h horizon
+        'Turin,"POINT (7.67 44.99)","POINT (7.72 45.06)",2018-05-28 09:05:00,baba_car',
+    ]
+    _write_csv(src_dir, "b1.csv", rows1)
+    trips = ST.read_trips_stream(spark, str(src_dir))
+    chains = ST.stream_trip_chains(
+        trips, horizon="1 hour", watermark="30 minutes", how="left_outer"
+    )
+    out = str(tmp_path / "lo_out")
+    ckpt = str(tmp_path / "lo_ckpt")
+
+    def run():
+        q = (
+            chains.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # a later batch far past every horizon advances the watermark so
+    # the engine can PROVE the Turin trip has no successor and emit it
+    _write_csv(src_dir, "b2.csv", [
+        'Madrid,"POINT (-3.70 40.41)","POINT (-3.68 40.42)",2018-05-29 12:00:00,funny_car',
+    ])
+    run()
+    got = spark.read.parquet(out).collect()
+    matched = [(r.region, str(r.next_time))
+               for r in got if r.next_key is not None]
+    unmatched = sorted(r.region for r in got if r.next_key is None)
+    assert matched == [("Prague", "2018-05-28 09:30:00")]
+    # dead ends emitted with nulls once the watermark passed: the
+    # matched Prague trip's successor (itself a dead end), the Turin
+    # trip, and eventually Madrid stays pending (stream end)
+    assert "Turin" in unmatched
