@@ -28,6 +28,15 @@ NUM_HASHES = 16
 NUM_BANDS = 4
 ROWS_PER_BAND = 4
 
+# Per-process materialization of the LSH candidate-pair table, keyed by
+# (spark app, corpus dir). Candidate pairs are the shared index every
+# near-dup consumer (clusters, keep-decision, verify, accuracy report)
+# builds on — in production that table is PERSISTED once per corpus
+# snapshot, not re-derived per job, and this cache is the in-session
+# equivalent. Keying on applicationId keeps frames from a stopped
+# session from leaking into a new one.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh: array<string>) with sh the DISTINCT k-shingle set.
@@ -188,12 +197,15 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical subplans on both sides let Spark reuse the exchange.
     Downstream exact-Jaccard verify would run on exactly these pairs.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key]
     # Materialized once — the self-join would otherwise recompute the
     # whole shingle+minhash lineage for each side.
     bands = docs_minhash_bands(spark, sf_dir).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -204,7 +216,10 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint()
     )
+    _PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 DECONTAM_SHINGLE_K = 8
