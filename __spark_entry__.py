@@ -29,6 +29,7 @@ from jobsity_data_pipeline_spark.operators import relational4 as R4
 from jobsity_data_pipeline_spark.operators import relational5 as R5
 from jobsity_data_pipeline_spark.operators import relational6 as R6
 from jobsity_data_pipeline_spark.operators import relational7 as R7
+from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
 from jobsity_data_pipeline_spark.operators import textops as TO
@@ -178,6 +179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_rollup": R7.events_hll_rollup,
         "trip_geohash_cells": R7.trip_geohash_cells,
         "events_quantile_sketch": R7.events_quantile_sketch,
+        # rows-only: Lloyd iterations to convergence (iterative float
+        # fixpoint — no affordable SQL twin; the single assignment step
+        # IS oracle-checked as emb_kmeans_assign)
+        "emb_kmeans_fit": KM.emb_kmeans_fit,
     }
 
 
