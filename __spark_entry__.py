@@ -182,7 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
-        "emb_kmeans_fit": KM.emb_kmeans_fit,
+        "emb_kmeans_fit": KM.emb_kmeans_fit_bounded,
     }
 
 

