@@ -29,6 +29,7 @@ from jobsity_data_pipeline_spark.operators import relational4 as R4
 from jobsity_data_pipeline_spark.operators import relational5 as R5
 from jobsity_data_pipeline_spark.operators import relational6 as R6
 from jobsity_data_pipeline_spark.operators import relational7 as R7
+from jobsity_data_pipeline_spark.operators import relational8 as R8
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -179,6 +180,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_rollup": R7.events_hll_rollup,
         "trip_geohash_cells": R7.trip_geohash_cells,
         "events_quantile_sketch": R7.events_quantile_sketch,
+        # B6/C4. round-2 quality-signal wave
+        "docs_dup_ngram_fraction": R8.docs_dup_ngram_fraction,
+        "docs_bigram_logprob": R8.docs_bigram_logprob,
+        "docs_winnow_pairs": R8.docs_winnow_pairs,
+        "emb_cluster_purity": R8.emb_cluster_purity,
+        "events_decayed_value": R8.events_decayed_value,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -2421,5 +2428,130 @@ def oracle_sql() -> dict[str, str]:
                    p99_sketch, p99_exact
             FROM sk s JOIN ex USING (event_type)
             ORDER BY 1
+        """,
+        "docs_dup_ngram_fraction": """
+            WITH tk AS (SELECT doc_id, {toks} AS w FROM documents),
+            sh AS (SELECT doc_id, unnest({sh}) AS s FROM tk),
+            dfq AS (
+                SELECT s, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, s FROM sh) GROUP BY 1
+            )
+            SELECT doc_id, count(*) AS n_shingles,
+                   round(avg(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END),
+                         6) AS dup_frac
+            FROM sh JOIN dfq USING (s)
+            GROUP BY doc_id ORDER BY doc_id
+        """.format(toks=_TOKS, sh=_SH4),
+        "docs_bigram_logprob": """
+            WITH tk AS (SELECT doc_id, {toks} AS w FROM documents),
+            idx AS (
+                SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                FROM tk WHERE len(w) >= 2
+            ),
+            bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idx),
+            pair AS (
+                SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+            ),
+            ctx AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY 1),
+            model AS (
+                SELECT w1, w2, ln(c12 / c1) AS logp
+                FROM pair JOIN ctx USING (w1)
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(logp), 6) AS avg_logprob
+            FROM bg JOIN model USING (w1, w2)
+            GROUP BY doc_id ORDER BY doc_id
+        """.format(toks=_TOKS),
+        "docs_winnow_pairs": """
+            WITH tk AS (SELECT doc_id, {toks} AS w FROM documents),
+            sh AS (SELECT doc_id, {sh} AS s FROM tk),
+            h AS (
+                SELECT doc_id, list_transform(s, x -> md5(x)) AS hl
+                FROM sh
+            ),
+            fps AS (
+                SELECT doc_id,
+                       CASE WHEN len(hl) >= 4 THEN
+                                list_distinct(list_transform(
+                                    range(1, len(hl) - 2),
+                                    j -> list_min(hl[j:j+3])))
+                            WHEN len(hl) > 0 THEN [list_min(hl)]
+                            ELSE []::VARCHAR[] END AS f
+                FROM h
+            ),
+            e AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+            fr AS (SELECT fp, count(*) AS dfreq FROM e GROUP BY 1),
+            ok AS (
+                SELECT e.doc_id, e.fp
+                FROM e JOIN fr USING (fp) WHERE dfreq <= 50
+            ),
+            p AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2,
+                       count(*) AS shared_fps
+                FROM ok a JOIN ok b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id1, id2, shared_fps FROM p
+            WHERE shared_fps >= 2 ORDER BY id1, id2
+        """.format(toks=_TOKS, sh=_SH4),
+        "emb_cluster_purity": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            x AS (
+                SELECT label, unnest(range(0, len(v))) AS pos,
+                       unnest(v) AS x
+                FROM e
+            ),
+            cent AS (
+                SELECT label AS cl, pos, avg(x) AS c FROM x GROUP BY 1, 2
+            ),
+            carr AS (
+                SELECT cl, list(c ORDER BY pos) AS cv FROM cent GROUP BY cl
+            ),
+            d AS (
+                SELECT e.vec_id, e.label, carr.cl,
+                       list_sum(list_transform(range(1, len(v) + 1),
+                           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d2
+                FROM e CROSS JOIN carr
+            ),
+            a AS (
+                SELECT vec_id, label, cl,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d2, cl
+                       ) AS rnk
+                FROM d
+            ),
+            cm AS (
+                SELECT label, CAST(cl AS INTEGER) AS assigned,
+                       count(*) AS n
+                FROM a WHERE rnk = 1 GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT assigned, n, label,
+                       sum(n) OVER (PARTITION BY assigned) AS n_vectors,
+                       row_number() OVER (
+                           PARTITION BY assigned ORDER BY n DESC, label
+                       ) AS rk
+                FROM cm
+            )
+            SELECT assigned, CAST(n_vectors AS BIGINT) AS n_vectors,
+                   CAST(label AS INTEGER) AS majority_label,
+                   round(n / n_vectors, 6) AS purity
+            FROM r WHERE rk = 1 ORDER BY assigned
+        """,
+        "events_decayed_value": """
+            WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+            SELECT event_type, count(*) AS n,
+                   round(sum(exp(-0.6931471805599453
+                                 * (ref_us - epoch_us(ts))
+                                 / 21600000000.0)), 4) AS decayed_count,
+                   round(sum(exp(-0.6931471805599453
+                                 * (ref_us - epoch_us(ts))
+                                 / 21600000000.0) * value),
+                         4) AS decayed_value
+            FROM events, ref GROUP BY event_type ORDER BY event_type
         """,
     }

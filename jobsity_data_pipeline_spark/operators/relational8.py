@@ -1,0 +1,242 @@
+"""Round-2 quality-signal wave: corpus statistics LLM-training-data
+pipelines compute on every crawl snapshot, layered on the reference's
+ingest semantics (src/sqls/create_objects.sql scope), re-expressed as
+single-pass Catalyst plans.
+
+- duplicate-n-gram fraction: the Gopher-style quality gate (fraction of
+  a doc's 4-gram occurrences that also appear in another document).
+- bigram conditional log-prob: one step up from the unigram LM score —
+  the standard cheap stand-in for perplexity filtering.
+- winnowing fingerprints (MOSS): window-min over shingle hashes, the
+  positional local-fingerprint scheme that catches partial overlap
+  exact shingle-set schemes dilute away.
+- k-means cluster purity: label agreement per assigned cluster — the
+  cluster-quality gate over the oracle-checked assignment step.
+- exponentially time-decayed aggregates: recency-weighted per-type
+  activity, the batch twin of a decayed streaming counter.
+
+Scale notes (100 TB):
+- dup-ngram fraction shuffles the shingle stream twice on the shingle
+  key (distinct doc-freq, then the occurrence join) — both partial-agg
+  friendly; no self-join ever materializes doc pairs.
+- the bigram model is a two-key aggregate broadcast back onto the
+  bigram stream; cap contexts with a TOP-K + UNK bucket for open
+  vocabularies (same Zipf argument as the unigram op).
+- winnowing emits ~n_shingles/w fingerprints per doc (w-fold smaller
+  candidate index than full shingling); the pair join is bounded by the
+  same hot-key doc-frequency cap as docs_ngram_jaccard, so a
+  boilerplate fingerprint cannot fan out quadratically.
+- cluster purity adds one k x k-bounded aggregate on top of the
+  broadcast-centroid assignment — no new large shuffle.
+- decayed aggregates are a single groupBy over a scan; the reference
+  instant is a one-row agg broadcast, and decayed sums are mergeable
+  (fold partial sums at a shared reference time) so shards/streams
+  combine exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..session import ensure_parallelism, read_table
+from .dedup import MAX_SHINGLE_DOC_FREQ
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return ensure_parallelism(spark, read_table(spark, sf_dir, name))
+
+
+def docs_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-4-gram fraction per document: the share of a doc's
+    shingle occurrences whose shingle text appears in at least one
+    OTHER document (cross-doc duplication, not within-doc repetition —
+    that signal is docs_repetition). High values flag boilerplate and
+    template pages; the Gopher/MassiveText-style rule drops docs above
+    a threshold.
+
+    Plan: shingle stream -> distinct (doc, shingle) -> doc-freq agg ->
+    broadcast-join back onto occurrences -> per-doc ratio. Both
+    aggregates partial-combine before their single shuffle on the
+    shingle key.
+    """
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", TX.tokens("text").alias("tk"))
+    sh = staged.select(
+        "doc_id", F.explode(TX.shingles_from_tokens(F.col("tk"), 4)).alias("s")
+    )
+    df = (
+        sh.distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("df") >= 2, 1.0).otherwise(0.0)), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average conditional bigram log-probability per document under
+    the corpus's own bigram model: ln(c(w1,w2) / c(w1-as-context)).
+    The next rung above docs_unigram_logprob on the perplexity-filter
+    ladder — repetitive templates score near zero, rare-token soup
+    scores very negative.
+
+    The bigram stream is built with one higher-order transform over the
+    materialized token array (no self-join); the model is two
+    aggregates over that stream, broadcast back. Context counts are
+    derived FROM the bigram counts (sum over w2), so model and stream
+    are consistent by construction.
+    """
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", TX.tokens("text").alias("tk"))
+    bg = staged.where(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                lambda w, i: F.struct(
+                    w.alias("w1"),
+                    F.element_at(F.col("tk"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = pair.join(F.broadcast(ctx), "w1").select(
+        "w1", "w2", F.log(F.col("c12") / F.col("c1")).alias("logp")
+    )
+    return (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def docs_winnow_pairs(spark: SparkSession, sf_dir: str, w: int = 4,
+                      min_shared: int = 2,
+                      max_doc_freq: int = MAX_SHINGLE_DOC_FREQ) -> DataFrame:
+    """Winnowing (MOSS) near-dup candidates: hash every 4-gram shingle,
+    take the minimum hash in each sliding window of ``w`` consecutive
+    shingles, and emit doc pairs sharing >= ``min_shared`` distinct
+    fingerprints. Guarantees any shared run of w+3 tokens yields a
+    shared fingerprint (local, positional), while storing ~1/w of the
+    shingle index.
+
+    The window-min runs inside one higher-order transform per doc (no
+    explode of raw shingles); the pair join is an equi-join on the
+    fingerprint key with the same hot-key doc-frequency cap as
+    docs_ngram_jaccard, so a boilerplate fingerprint cannot create a
+    quadratic bucket.
+    """
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", TX.tokens("text").alias("tk"))
+    sh = staged.select(
+        "doc_id", TX.shingles_from_tokens(F.col("tk"), 4).alias("sh")
+    )
+    h = sh.select(
+        "doc_id", F.transform(F.col("sh"), lambda s: F.md5(s)).alias("hl")
+    )
+    n = F.size("hl")
+    fps = h.select(
+        "doc_id",
+        F.when(
+            n >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (w - 1)),
+                    lambda j: F.array_min(F.slice(F.col("hl"), j, w)),
+                )
+            ),
+        )
+        .when(n > 0, F.array(F.array_min("hl")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("f"),
+    )
+    e = fps.select("doc_id", F.explode("f").alias("fp"))
+    freq = e.groupBy("fp").agg(F.count("*").alias("dfreq"))
+    ok = e.join(freq.where(F.col("dfreq") <= max_doc_freq), "fp")
+    a = ok.select(F.col("fp"), F.col("doc_id").alias("id1"))
+    b = ok.select(F.col("fp"), F.col("doc_id").alias("id2"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+        .orderBy("id1", "id2")
+    )
+
+
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity of the k-means assignment step: per assigned
+    cluster, the vector count, the majority true label (smallest label
+    wins ties), and purity = majority share. The aggregate runs over
+    the k x k confusion matrix emb_kmeans_assign already produces, so
+    it inherits that op's broadcast-centroid scan and adds only a
+    k-bounded reduction.
+    """
+    from .relational4 import emb_kmeans_assign
+
+    cm = emb_kmeans_assign(spark, sf_dir)
+    return (
+        cm.groupBy("assigned")
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.max(
+                F.struct(F.col("n"), (-F.col("label")).alias("neg"))
+            ).alias("m"),
+        )
+        .select(
+            "assigned",
+            "n_vectors",
+            (-F.col("m.neg")).cast("int").alias("majority_label"),
+            F.round(F.col("m.n") / F.col("n_vectors"), 6).alias("purity"),
+        )
+        .orderBy("assigned")
+    )
+
+
+def events_decayed_value(spark: SparkSession, sf_dir: str,
+                         half_life_h: int = 6) -> DataFrame:
+    """Exponentially time-decayed per-type activity, evaluated at the
+    corpus's max timestamp: weight = 2^(-age/half_life). The batch twin
+    of a decayed streaming counter — decayed sums taken at a common
+    reference instant are mergeable across shards by plain addition,
+    so the same definition serves incremental maintenance.
+
+    The reference instant is a one-row aggregate cross-broadcast onto
+    the scan; the rest is a single partial-agg groupBy.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    hl_us = float(half_life_h) * 3_600_000_000.0
+    wgt = F.exp(
+        F.lit(-0.6931471805599453)
+        * (F.col("ref_us") - F.unix_micros(F.col("ts")))
+        / F.lit(hl_us)
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(wgt), 4).alias("decayed_count"),
+            F.round(F.sum(wgt * F.col("value")), 4).alias("decayed_value"),
+        )
+        .orderBy("event_type")
+    )

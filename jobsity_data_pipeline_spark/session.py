@@ -68,8 +68,11 @@ TABLES = (
     "embeddings",
 )
 
-# Columns stored as TIMESTAMP(NANOS) in the driver parquet; read as
-# nano-longs (legacy.parquet.nanosAsLong) and converted here.
+# Timestamp columns in the driver parquet. Depending on the generator
+# run they arrive as TIMESTAMP(NANOS) (read as nano-longs via
+# legacy.parquet.nanosAsLong) or as micros TIMESTAMP_NTZ; both are
+# normalized here to session-UTC TIMESTAMP so downstream instant
+# functions (unix_micros, window, session_window) resolve uniformly.
 _NANO_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -95,8 +98,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # NTZ -> instant under the session's UTC zone: wall-clock
+            # micros are preserved bit-for-bit, matching the oracle's
+            # naive-timestamp semantics.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

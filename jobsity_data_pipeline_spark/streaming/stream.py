@@ -133,10 +133,27 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The generator has shipped ts as TIMESTAMP(NANOS) (surfaced as a
+    # nano-long under nanosAsLong) and as micros TIMESTAMP_NTZ; probe
+    # the file's batch schema and normalize to session-UTC TIMESTAMP
+    # the same way session.read_table does.
+    ts_kind = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"]
+    if ts_kind == "bigint":
+        ts_field, ts_fix = (
+            T.LongType(),
+            F.timestamp_micros(F.expr("ts div 1000")),
+        )
+    else:
+        ts_field, ts_fix = (
+            T.TimestampNTZType(),
+            F.col("ts").cast("timestamp"),
+        )
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("ts", ts_field),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -149,7 +166,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", ts_fix)
     )
     agg = (
         src.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
