@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow_pairs": R8.docs_winnow_pairs,
         "emb_cluster_purity": R8.emb_cluster_purity,
         "events_decayed_value": R8.events_decayed_value,
+        "orders_customer_rfm": R8.orders_customer_rfm,
+        "events_user_paths": R8.events_user_paths,
+        "docs_chunk_windows": R8.docs_chunk_windows,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -2554,4 +2557,64 @@ def oracle_sql() -> dict[str, str]:
                          4) AS decayed_value
             FROM events, ref GROUP BY event_type ORDER BY event_type
         """,
+        "orders_customer_rfm": """
+            WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+            per AS (
+                SELECT o_custkey,
+                       date_diff('day', max(o_orderdate),
+                                 max(ref_date)) AS recency_days,
+                       count(*) AS frequency,
+                       round(sum(o_totalprice), 2) AS monetary
+                FROM orders, ref GROUP BY 1
+            ),
+            scored AS (
+                SELECT *,
+                       ntile(5) OVER (
+                           ORDER BY recency_days, o_custkey) AS r_score,
+                       ntile(5) OVER (
+                           ORDER BY frequency DESC, o_custkey) AS f_score,
+                       ntile(5) OVER (
+                           ORDER BY monetary DESC, o_custkey) AS m_score
+                FROM per
+            )
+            SELECT CAST(r_score AS INT) AS r_score,
+                   CAST(f_score AS INT) AS f_score,
+                   CAST(m_score AS INT) AS m_score,
+                   count(*) AS n_customers,
+                   round(sum(monetary), 2) AS segment_value
+            FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_user_paths": """
+            WITH tri AS (
+                SELECT event_type AS e1,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            t2 AS (SELECT * FROM tri WHERE e3 IS NOT NULL),
+            tot AS (SELECT count(*) AS t FROM t2)
+            SELECT e1, e2, e3, count(*) AS n,
+                   round(count(*) / t, 6) AS share
+            FROM t2, tot GROUP BY e1, e2, e3, t ORDER BY 1, 2, 3
+        """,
+        "docs_chunk_windows": """
+            WITH tk AS (SELECT doc_id, {toks} AS w FROM documents),
+            nz AS (
+                SELECT doc_id, w, len(w) AS n FROM tk WHERE len(w) > 0
+            ),
+            ch AS (
+                SELECT doc_id, w, n,
+                       unnest(range(0,
+                           CASE WHEN n <= 32 THEN 1
+                                ELSE 1 + CAST(ceil((n - 32) / 24.0) AS INT)
+                           END)) AS i
+                FROM nz
+            )
+            SELECT doc_id, i AS chunk_idx,
+                   least(32, n - i * 24) AS chunk_tokens,
+                   w[CAST(i * 24 + 1 AS INT)] AS first_token,
+                   w[CAST(least(32 + i * 24, n) AS INT)] AS last_token
+            FROM ch ORDER BY doc_id, chunk_idx
+        """.format(toks=_TOKS),
     }

@@ -240,3 +240,133 @@ def events_decayed_value(spark: SparkSession, sf_dir: str,
         )
         .orderBy("event_type")
     )
+
+
+def orders_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per-customer
+    order stats scored into quintiles, reported as segment sizes and
+    value. The whole-table reference date is a one-row aggregate; the
+    per-customer rollup is a single partial-agg groupBy; the quintile
+    windows order a customer-cardinality frame (ntile over customers,
+    never over raw orders), with o_custkey as the deterministic
+    tie-break.
+    """
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    per = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("ref_date"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    scored = per.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days"), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+        )
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths: per user, consecutive
+    (e1 -> e2 -> e3) steps ordered by (ts, event_id), counted globally
+    with each path's share of all trigrams. One window shuffle on
+    user_id (two leads share the frame), then a path-key aggregate
+    whose cardinality is bounded by n_event_types^3.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+    )
+    total = tri.agg(F.count("*").alias("t"))
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "e1", "e2", "e3", "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("e1", "e2", "e3")
+    )
+
+
+def docs_chunk_windows(spark: SparkSession, sf_dir: str,
+                       chunk: int = 32, stride: int = 24) -> DataFrame:
+    """Token-window chunking for training-sequence construction:
+    overlapping windows of ``chunk`` tokens every ``stride`` tokens
+    (the last window is short unless the doc length lands on a stride
+    boundary). Emits one row per (doc, chunk) with the chunk's token
+    count and boundary tokens — the downstream text slice is the same
+    arithmetic applied to the token array.
+
+    Chunk enumeration is a per-row sequence+transform (no join, no
+    shuffle); at 100 TB this is a pure map stage whose output is
+    ~n_tokens/stride rows per doc.
+    """
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", TX.tokens("text").alias("tk"))
+    n = F.size("tk")
+    n_chunks = F.when(
+        n <= chunk, F.lit(1)
+    ).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(chunk)) / F.lit(float(stride))).cast("int")
+    )
+    return (
+        staged.where(n > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.struct(
+                        i.cast("long").alias("chunk_idx"),
+                        F.least(
+                            F.lit(chunk), n - i * F.lit(stride)
+                        ).cast("long").alias("chunk_tokens"),
+                        F.element_at(F.col("tk"), i * stride + 1).alias(
+                            "first_token"
+                        ),
+                        F.element_at(
+                            F.col("tk"),
+                            F.least(F.lit(chunk) + i * stride, n).cast("int"),
+                        ).alias("last_token"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.chunk_idx", "c.chunk_tokens", "c.first_token",
+                "c.last_token")
+        .orderBy("doc_id", "chunk_idx")
+    )
