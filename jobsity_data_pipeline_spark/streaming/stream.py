@@ -397,3 +397,85 @@ def stream_hll_upsert(events: DataFrame, state_path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_decayed_upsert(events: DataFrame, state_path: str,
+                          checkpoint: str, half_life_h: int = 6):
+    """Maintain exponentially time-decayed per-type counters over a
+    stream: each micro-batch folds its own partial decayed sums (taken
+    at the batch's max timestamp), then the state merge rescales every
+    row to the newest reference instant and adds — decayed sums at a
+    common reference are mergeable by plain addition, so state stays
+    O(n_event_types) regardless of stream volume.
+
+    The batch twin (operators/relational8.events_decayed_value)
+    computes the same definition in one pass; tests prove the
+    stream-maintained state equals the batch answer over the union of
+    all micro-batches. Unlike the HLL register merge (max is
+    absorbing), an add-merge is NOT idempotent — batch replay after a
+    partial failure double-counts, so deployment needs the
+    transactional-sink / idempotent-write caveat documented on
+    start_hist_upsert.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    ln2 = 0.6931471805599453
+    hl_us = float(half_life_h) * 3_600_000_000.0
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        ref = batch_df.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+        wgt = F.exp(
+            F.lit(-ln2)
+            * (F.col("ref_us") - F.unix_micros(F.col("ts")))
+            / F.lit(hl_us)
+        )
+        delta = (
+            batch_df.crossJoin(F.broadcast(ref))
+            .groupBy("event_type")
+            .agg(
+                F.max("ref_us").alias("ref_us"),
+                F.count("*").alias("n"),
+                F.sum(wgt).alias("dcount"),
+                F.sum(wgt * F.col("value")).alias("dvalue"),
+            )
+        )
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:
+            state = None
+        if state is None:
+            merged = delta
+        else:
+            u = state.unionByName(delta)
+            grp = u.groupBy("event_type").agg(
+                F.max("ref_us").alias("new_ref")
+            )
+            scale = F.exp(
+                F.lit(-ln2)
+                * (F.col("new_ref") - F.col("ref_us"))
+                / F.lit(hl_us)
+            )
+            merged = (
+                u.join(grp, "event_type")
+                .groupBy("event_type")
+                .agg(
+                    F.max("new_ref").alias("ref_us"),
+                    F.sum("n").alias("n"),
+                    F.sum(F.col("dcount") * scale).alias("dcount"),
+                    F.sum(F.col("dvalue") * scale).alias("dvalue"),
+                )
+            )
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(state_path)
+        merged.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
