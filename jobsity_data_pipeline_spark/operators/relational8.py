@@ -137,37 +137,47 @@ def docs_winnow_pairs(spark: SparkSession, sf_dir: str, w: int = 4,
     shared fingerprint (local, positional), while storing ~1/w of the
     shingle index.
 
-    The window-min runs inside one higher-order transform per doc (no
-    explode of raw shingles); the pair join is an equi-join on the
-    fingerprint key with the same hot-key doc-frequency cap as
-    docs_ngram_jaccard, so a boilerplate fingerprint cannot create a
-    quadratic bucket.
+    Fingerprints are built on the EXPLODED shingle stream (posexplode +
+    lead + a rows-frame window min), not array higher-order functions:
+    HOF lambdas evaluate interpreted and projection collapse re-inlines
+    the hash array into every window reference (O(n^2) re-hashing per
+    doc — measured 100x slower at sf0.1). All three windows (shingle
+    leads, window min, per-doc count) share the one doc_id shuffle.
+    The pair join is an equi-join on the fingerprint key with the same
+    hot-key doc-frequency cap as docs_ngram_jaccard, so a boilerplate
+    fingerprint cannot create a quadratic bucket.
     """
+    from pyspark.sql.window import Window
+
     d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", TX.tokens("text").alias("tk"))
-    sh = staged.select(
-        "doc_id", TX.shingles_from_tokens(F.col("tk"), 4).alias("sh")
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
     )
-    h = sh.select(
-        "doc_id", F.transform(F.col("sh"), lambda s: F.md5(s)).alias("hl")
-    )
-    n = F.size("hl")
-    fps = h.select(
-        "doc_id",
-        F.when(
-            n >= w,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n - (w - 1)),
-                    lambda j: F.array_min(F.slice(F.col("hl"), j, w)),
-                )
-            ),
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(wd) for i in range(1, 4)]
+    sh = (
+        toks.select(
+            "doc_id", "pos",
+            F.md5(F.concat_ws(" ", *leads)).alias("h"),
+            leads[-1].alias("_last"),
         )
-        .when(n > 0, F.array(F.array_min("hl")))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("f"),
+        .where(F.col("_last").isNotNull())
     )
-    e = fps.select("doc_id", F.explode("f").alias("fp"))
+    # window-min of w consecutive shingle hashes; a doc with fewer than
+    # w shingles keeps its pos=0 row, whose frame spans the whole doc
+    # (same semantics as min over all its hashes)
+    fp_col = F.min("h").over(wd.rowsBetween(0, w - 1))
+    ns = F.count("*").over(Window.partitionBy("doc_id"))
+    e = (
+        sh.select("doc_id", "pos", fp_col.alias("fp"), ns.alias("_ns"))
+        .where(
+            (F.col("pos") <= F.col("_ns") - w)
+            | ((F.col("_ns") < w) & (F.col("pos") == 0))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     freq = e.groupBy("fp").agg(F.count("*").alias("dfreq"))
     ok = e.join(freq.where(F.col("dfreq") <= max_doc_freq), "fp")
     a = ok.select(F.col("fp"), F.col("doc_id").alias("id1"))
