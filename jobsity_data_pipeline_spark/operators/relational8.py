@@ -91,26 +91,29 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder — repetitive templates score near zero, rare-token soup
     scores very negative.
 
-    The bigram stream is built with one higher-order transform over the
-    materialized token array (no self-join); the model is two
-    aggregates over that stream, broadcast back. Context counts are
+    The bigram stream is posexplode + one lead over the doc_id window
+    (whole-stage codegen; an array higher-order transform here
+    re-indexes the token array interpreted, per element). The model is
+    two aggregates over that stream, broadcast back; context counts are
     derived FROM the bigram counts (sum over w2), so model and stream
-    are consistent by construction.
+    are consistent by construction. The window's doc_id partitioning is
+    the same one the final per-doc aggregate needs.
     """
+    from pyspark.sql.window import Window
+
     d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", TX.tokens("text").alias("tk"))
-    bg = staged.where(F.size("tk") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.slice(F.col("tk"), 1, F.size("tk") - 1),
-                lambda w, i: F.struct(
-                    w.alias("w1"),
-                    F.element_at(F.col("tk"), i + 2).alias("w2"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(wd).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
     pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     ctx = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
     model = pair.join(F.broadcast(ctx), "w1").select(
