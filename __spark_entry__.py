@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_customer_rfm": R8.orders_customer_rfm,
         "events_user_paths": R8.events_user_paths,
         "docs_chunk_windows": R8.docs_chunk_windows,
+        "docs_preprocess_pipeline": R8.docs_preprocess_pipeline,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -2617,4 +2618,67 @@ def oracle_sql() -> dict[str, str]:
                    w[CAST(least(32 + i * 24, n) AS INT)] AS last_token
             FROM ch ORDER BY doc_id, chunk_idx
         """.format(toks=_TOKS),
+        "docs_preprocess_pipeline": f"""
+            WITH raw AS (
+                SELECT doc_id, text, length(text) AS n_chars,
+                       {_TOKS} AS tk, md5(text) AS th,
+                       (length(text) - length(regexp_replace(
+                            text, '[^A-Za-z0-9\\s]', '', 'g')))
+                           / greatest(length(text), 1) AS praw
+                FROM documents
+            ),
+            keepmin AS (
+                SELECT th, min(doc_id) AS keep_id FROM raw GROUP BY th
+            ),
+            feat AS (
+                SELECT r.doc_id, r.tk, r.n_chars, r.praw,
+                       CAST(len(r.tk) AS BIGINT) AS n_tokens,
+                       {{sw}} / greatest(len(r.tk), 1) AS sraw,
+                       (r.doc_id <> k.keep_id) AS is_dup
+                FROM raw r JOIN keepmin k USING (th)
+            ),
+            q AS (
+                SELECT *,
+                       (CASE WHEN n_chars >= 100 AND n_chars <= 20000
+                             THEN 1.0 ELSE 0.3 END)
+                       * (CASE WHEN sraw >= 0.05 THEN 1.0 ELSE 0.5 END)
+                       * (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.4 END)
+                           AS quality
+                FROM feat
+            ),
+            keepers AS (SELECT doc_id, tk AS w FROM q WHERE NOT is_dup),
+            ksh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id, unnest({_SH4}) AS s FROM keepers
+                )
+            ),
+            kdf AS (SELECT s, count(*) AS df FROM ksh GROUP BY 1),
+            dfrac AS (
+                SELECT doc_id,
+                       avg(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END)
+                           AS dup_frac
+                FROM ksh JOIN kdf USING (s) GROUP BY 1
+            ),
+            staged AS (
+                SELECT q.n_tokens,
+                       CASE WHEN is_dup THEN 'drop_exact_dup'
+                            WHEN n_chars < 100 OR n_chars > 20000
+                                THEN 'drop_length'
+                            WHEN quality < 0.5 THEN 'drop_low_quality'
+                            WHEN coalesce(d.dup_frac, 0) >= 0.6
+                                THEN 'drop_dup_ngrams'
+                            ELSE 'kept' END AS stage
+                FROM q LEFT JOIN dfrac d USING (doc_id)
+            )
+            SELECT stage, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM staged GROUP BY 1
+            UNION ALL
+            SELECT 'input', count(*),
+                   CAST(sum(n_tokens) AS BIGINT)
+            FROM feat
+            ORDER BY stage
+        """.replace("{sw}",
+                    "len(list_filter(r.tk, t -> list_contains("
+                    + _STOP["en"] + ", lower(t))))"),
     }

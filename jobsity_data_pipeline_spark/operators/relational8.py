@@ -383,3 +383,106 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str,
                 "c.last_token")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def docs_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preprocessing waterfall — the composition a
+    training-data pipeline actually ships: exact dedup (keep lowest
+    doc_id per content hash), hard length gate, composite quality gate,
+    then fuzzy near-dup gate (duplicate-4-gram fraction over the
+    exact-deduped corpus). Every document is attributed to its FIRST
+    failing rule; output is per-stage doc and token accounting plus the
+    'input' and 'kept' rows, so drop rates are auditable per rule.
+
+    Single pass over the corpus for staging; the content-hash keeper is
+    a window min on md5 (one shuffle); the fuzzy gate reuses the
+    exploded-shingle doc-frequency shape (posexplode + lead, distinct
+    shingles, one shingle-key shuffle) computed only over exact-dedup
+    survivors. All gates are Catalyst expressions — no UDF anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id", "text",
+        F.length("text").alias("n_chars"),
+        TX.tokens("text").alias("tk"),
+        F.md5("text").alias("th"),
+    )
+    feat = raw.select(
+        "doc_id", "tk",
+        "n_chars",
+        F.size("tk").cast("long").alias("n_tokens"),
+        TX.punct_ratio("text").alias("praw"),
+        (
+            TX.stopword_hits(F.col("tk"))
+            / F.greatest(F.size("tk"), F.lit(1))
+        ).alias("sraw"),
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("th"))
+        ).alias("is_dup"),
+    )
+    quality = (
+        F.when(
+            (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.3))
+        * F.when(F.col("sraw") >= 0.05, F.lit(1.0)).otherwise(F.lit(0.5))
+        * F.when(F.col("praw") <= 0.2, F.lit(1.0)).otherwise(F.lit(0.4))
+    )
+    # fuzzy gate input: distinct 4-gram shingles of exact-dedup
+    # survivors (posexplode+lead — codegen, no HOF re-evaluation)
+    keepers = feat.where(~F.col("is_dup")).select(
+        "doc_id", F.posexplode("tk").alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(wd) for i in range(1, 4)]
+    ksh = (
+        keepers.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("s"),
+            leads[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
+    )
+    kdf = ksh.groupBy("s").agg(F.count("*").alias("df"))
+    dfrac = (
+        ksh.join(kdf, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.avg(
+                F.when(F.col("df") >= 2, 1.0).otherwise(0.0)
+            ).alias("dup_frac")
+        )
+    )
+    staged = (
+        feat.join(dfrac, "doc_id", "left")
+        .select(
+            "n_tokens",
+            F.when(F.col("is_dup"), F.lit("drop_exact_dup"))
+            .when(
+                (F.col("n_chars") < 100) | (F.col("n_chars") > 20000),
+                F.lit("drop_length"),
+            )
+            .when(quality < 0.5, F.lit("drop_low_quality"))
+            .when(
+                F.coalesce(F.col("dup_frac"), F.lit(0.0)) >= 0.6,
+                F.lit("drop_dup_ngrams"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+        )
+    )
+    per_stage = staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    input_row = staged.agg(
+        F.lit("input").alias("stage"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return per_stage.unionByName(input_row).orderBy("stage")
