@@ -542,3 +542,81 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str,
         )
         .orderBy("subspace", "code")
     )
+
+
+def emb_pq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
+               k: int = 5, n_subspaces: int = 4) -> DataFrame:
+    """PQ asymmetric-distance ANN: corpus vectors are searched through
+    their PQ codes only — the query computes one small distance table
+    (n_subspaces x codebook entries) and every corpus vector's
+    approximate L2 distance is a sum of n_subspaces table lookups.
+    This is the memory-bound ANN regime: at 100 TB the codes are
+    ~dim/16 of the raw vectors, the distance table broadcasts, and the
+    scan never touches floats — the plan is codes-scan -> broadcast
+    hash-join on (subspace, code) -> partial-agg sum -> per-query
+    top-k window (WindowGroupLimit keeps k rows per partition).
+
+    Deterministic end-to-end (codebooks are label-centroid blocks,
+    argmin ties break on the smaller code, ranking ties on vec_id), so
+    unlike the LSH/IVF paths this ANN variant is fully oracle-checked.
+    """
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    cent = (
+        x.groupBy(F.col("label").alias("code"), "pos")
+        .agg(F.avg("x").alias("c"))
+    )
+    block = 64 // n_subspaces
+    sub = F.expr(f"pos div {block}").cast("int")
+    d = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", sub.alias("subspace"), "code")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    codes = (
+        d.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("m"))
+        .select("vec_id", "subspace", F.col("m.code").alias("code"))
+    )
+    # query-side distance table: ||q_sub - codebook[sub][code]||^2 for
+    # every (query, subspace, code) — n_queries x n_subspaces x k_codes
+    # rows, always broadcastable
+    qd = (
+        x.where(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cent), "pos")
+        .groupBy(
+            F.col("vec_id").alias("qid"), sub.alias("subspace"), "code"
+        )
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+            ).alias("dq")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["subspace", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dq").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        adc.select(
+            "qid", "vec_id", "adc", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", F.round("adc", 6).alias("adc"))
+        .orderBy("qid", "rank")
+    )
