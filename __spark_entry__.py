@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_preprocess_pipeline": R8.docs_preprocess_pipeline,
         "emb_pq_codes": R8.emb_pq_codes,
         "emb_pq_ann": R8.emb_pq_ann,
+        "emb_pq_rerank": R8.emb_pq_rerank,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -2776,6 +2777,80 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, CAST(rank AS INT) AS rank, vec_id,
                    round(adc, 6) AS adc
+            FROM r WHERE rank <= 5 ORDER BY qid, rank
+        """,
+        "emb_pq_rerank": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            x AS (
+                SELECT vec_id, label, unnest(range(0, len(v))) AS pos,
+                       unnest(v) AS x
+                FROM e
+            ),
+            cent AS (
+                SELECT label AS code, pos, avg(x) AS c
+                FROM x GROUP BY 1, 2
+            ),
+            d AS (
+                SELECT x.vec_id, CAST(x.pos // 16 AS INT) AS subspace,
+                       cent.code,
+                       sum((x.x - cent.c) * (x.x - cent.c)) AS d2
+                FROM x JOIN cent ON x.pos = cent.pos
+                GROUP BY 1, 2, 3
+            ),
+            codes AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT vec_id, subspace, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, subspace
+                               ORDER BY d2, code
+                           ) AS rk
+                    FROM d
+                ) WHERE rk = 1
+            ),
+            qd AS (
+                SELECT x.vec_id AS qid,
+                       CAST(x.pos // 16 AS INT) AS subspace,
+                       cent.code,
+                       sum((x.x - cent.c) * (x.x - cent.c)) AS dq
+                FROM x JOIN cent ON x.pos = cent.pos
+                WHERE x.vec_id < 8
+                GROUP BY 1, 2, 3
+            ),
+            adc AS (
+                SELECT qd.qid, codes.vec_id, sum(qd.dq) AS adc
+                FROM codes JOIN qd USING (subspace, code)
+                WHERE codes.vec_id <> qd.qid
+                GROUP BY 1, 2
+            ),
+            short AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id,
+                           row_number() OVER (
+                               PARTITION BY qid ORDER BY adc, vec_id
+                           ) AS rank
+                    FROM adc
+                ) WHERE rank <= 200
+            ),
+            scored AS (
+                SELECT s.qid, s.vec_id,
+                       list_cosine_similarity(qe.v, ce.v) AS raw
+                FROM short s
+                JOIN e qe ON qe.vec_id = s.qid
+                JOIN e ce ON ce.vec_id = s.vec_id
+            ),
+            r AS (
+                SELECT qid, vec_id, raw,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY round(raw, 6) DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+                   round(raw, 4) AS cos
             FROM r WHERE rank <= 5 ORDER BY qid, rank
         """,
     }

@@ -522,11 +522,26 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     oracle by design; the EXACT baseline they are scored against is
     oracle-checked as emb_cosine_topk).
     """
+    from .relational8 import emb_pq_ann, emb_pq_rerank
+
     exact = emb_cosine_topk(spark, sf_dir, n_queries, k).select("qid", "nid")
     out = None
+    # PQ searches by asymmetric L2, scored against the cosine-exact
+    # baseline — equivalent rankings because the embeddings are
+    # unit-norm (L2^2 = 2 - 2cos). PQ-alone documents the
+    # codes-cannot-separate-within-a-cluster floor; pq_rerank shows the
+    # shortlist+exact-refine pattern recovering it.
+    pq = emb_pq_ann(spark, sf_dir, n_queries, k).select(
+        "qid", F.col("vec_id").alias("nid")
+    )
+    pqr = emb_pq_rerank(spark, sf_dir, n_queries, k).select(
+        "qid", F.col("vec_id").alias("nid")
+    )
     for method, res in (
         ("lsh", emb_lsh_ann(spark, sf_dir, n_queries, k)),
         ("ivf", emb_ivf_ann(spark, sf_dir, n_queries, k)),
+        ("pq", pq),
+        ("pq_rerank", pqr),
     ):
         hits = (
             res.select("qid", "nid")

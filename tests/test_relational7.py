@@ -265,12 +265,17 @@ def test_ann_recall_report_bounds(spark):
 
     rows = emb_ann_recall(spark, SF_SMOKE).collect()
     # one row per (method, query)
-    assert len(rows) == 16
-    assert {r.method for r in rows} == {"lsh", "ivf"}
+    assert len(rows) == 32
+    assert {r.method for r in rows} == {"lsh", "ivf", "pq", "pq_rerank"}
     assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
     # 2-bit multi-probe LSH keeps meaningful recall on the smoke corpus
     lsh = [r.recall_at_k for r in rows if r.method == "lsh"]
     assert sum(lsh) / len(lsh) >= 0.25
+    # exact re-rank of the PQ shortlist must dominate PQ-alone
+    by = {}
+    for r in rows:
+        by.setdefault(r.method, []).append(r.recall_at_k)
+    assert sum(by["pq_rerank"]) >= sum(by["pq"])
 
 
 def test_stream_hll_state_equals_batch(spark, tmp_path):
