@@ -268,3 +268,47 @@ def test_cobucketed_fact_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_dup_ngram_fraction_no_pair_join(spark):
+    from jobsity_data_pipeline_spark.operators import relational8 as R8
+
+    plan = _plan(R8.docs_dup_ngram_fraction(spark, SF_SMOKE))
+    # the duplication signal is per-document: no doc-pair join may
+    # appear (a self-join here would be quadratic in corpus size)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before shuffles
+
+
+def test_winnow_pairs_windows_share_one_shuffle(spark):
+    from jobsity_data_pipeline_spark.operators import relational8 as R8
+
+    plan = _plan(R8.docs_winnow_pairs(spark, SF_SMOKE))
+    # the checkpointed fingerprint index enters as one materialized
+    # scan; the pair stage must be a fp-keyed equi-join, never a
+    # cartesian, and HOF-free (no interpreted ArrayTransform anywhere)
+    assert "hashpartitioning(fp" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrayTransform" not in plan
+
+
+def test_pq_ann_joins_codes_before_scoring(spark):
+    from jobsity_data_pipeline_spark.operators import relational8 as R8
+
+    plan = _plan(R8.emb_pq_ann(spark, SF_SMOKE))
+    # the query distance table must broadcast; per-query top-k must be
+    # rank-limited below the final exchange
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_preprocess_pipeline_single_case_chain(spark):
+    from jobsity_data_pipeline_spark.operators import relational8 as R8
+
+    plan = _plan(R8.docs_preprocess_pipeline(spark, SF_SMOKE))
+    # waterfall attribution is expression-level: no join between the
+    # corpus and itself beyond the keeper window + fuzzy-gate left join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
