@@ -623,7 +623,8 @@ def emb_pq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
 
 
 def emb_pq_rerank(spark: SparkSession, sf_dir: str, n_queries: int = 8,
-                  k: int = 5, shortlist: int = 200) -> DataFrame:
+                  k: int = 5, shortlist: int = 200,
+                  shortlist_df: DataFrame | None = None) -> DataFrame:
     """PQ shortlist + exact re-rank — the production ANN pattern
     (IVFADC-with-refine): asymmetric-distance PQ scan produces a
     ``shortlist`` of candidates per query (codes only, no raw floats),
@@ -646,14 +647,19 @@ def emb_pq_rerank(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     The shortlist frame is n_queries x shortlist rows, so the re-rank
     join broadcasts it against the vector table and the exact scoring
     touches a vanishing fraction of the corpus at any scale.
+    ``shortlist_df`` lets a caller that already ran the ADC pass (the
+    recall gate scores PQ-alone and re-rank side by side) hand the
+    ranked shortlist in instead of paying the codes scan twice.
     """
     from pyspark.sql.window import Window
 
     from ..functions.vectors import cosine
 
-    cand = emb_pq_ann(spark, sf_dir, n_queries, k=shortlist).select(
-        "qid", "vec_id"
-    )
+    cand = (
+        shortlist_df
+        if shortlist_df is not None
+        else emb_pq_ann(spark, sf_dir, n_queries, k=shortlist)
+    ).select("qid", "vec_id")
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

@@ -531,12 +531,19 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     # unit-norm (L2^2 = 2 - 2cos). PQ-alone documents the
     # codes-cannot-separate-within-a-cluster floor; pq_rerank shows the
     # shortlist+exact-refine pattern recovering it.
-    pq = emb_pq_ann(spark, sf_dir, n_queries, k).select(
+    # one ADC pass serves both PQ rows: the ranked 200-shortlist's head
+    # IS the PQ-alone top-k (same ordering), and the re-rank rescores
+    # the same shortlist — checkpointed so neither consumer recomputes
+    # the codes scan
+    sl = emb_pq_ann(spark, sf_dir, n_queries, k=200).localCheckpoint(
+        eager=False
+    )
+    pq = sl.where(F.col("rank") <= k).select(
         "qid", F.col("vec_id").alias("nid")
     )
-    pqr = emb_pq_rerank(spark, sf_dir, n_queries, k).select(
-        "qid", F.col("vec_id").alias("nid")
-    )
+    pqr = emb_pq_rerank(
+        spark, sf_dir, n_queries, k, shortlist_df=sl
+    ).select("qid", F.col("vec_id").alias("nid"))
     for method, res in (
         ("lsh", emb_lsh_ann(spark, sf_dir, n_queries, k)),
         ("ivf", emb_ivf_ann(spark, sf_dir, n_queries, k)),
