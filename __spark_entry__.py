@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": R8.emb_pq_codes,
         "emb_pq_ann": R8.emb_pq_ann,
         "emb_pq_rerank": R8.emb_pq_rerank,
+        "events_range_join": R8.events_range_join,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -2852,5 +2853,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, CAST(rank AS INT) AS rank, vec_id,
                    round(raw, 4) AS cos
             FROM r WHERE rank <= 5 ORDER BY qid, rank
+        """,
+        "events_range_join": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS us, value
+                FROM events
+            ),
+            c AS (
+                SELECT a.event_id, count(*) AS n_neighbors,
+                       round(sum(b.value), 2) AS neighbor_value
+                FROM e a JOIN e b
+                  ON a.user_id = b.user_id
+                 AND a.event_id <> b.event_id
+                 AND abs(b.us - a.us) <= 300000000
+                GROUP BY 1
+            )
+            SELECT e.event_id,
+                   coalesce(n_neighbors, 0) AS n_neighbors,
+                   coalesce(neighbor_value, 0.0) AS neighbor_value
+            FROM e LEFT JOIN c USING (event_id)
+            ORDER BY event_id
         """,
     }
