@@ -1,0 +1,139 @@
+"""Manifest-based snapshot table: the transactional-sink answer to
+plain-parquet appends.
+
+The reference gets atomic idempotent ingest from Postgres
+(``ON CONFLICT DO NOTHING``, src/sqls/populate_postgres.sql:16-31); a
+file-based lake must build it: data files are written first, then a
+manifest naming exactly the files of the new table version is
+published with an atomic rename. Readers resolve the highest manifest
+version and read ONLY its file list, so they never observe a
+half-written version — and a writer that crashes between data and
+manifest leaves only orphan files that no reader resolves (the
+Delta/Iceberg commit-protocol core, re-expressed on plain parquet +
+POSIX rename).
+
+Exactly-once streaming upserts fall out of the manifest name carrying
+the micro-batch id: a retried batch finds its own id already published
+and skips, so the at-least-once-on-retry caveat of the plain append
+sink (streaming/stream.py:start_hist_upsert) does not apply here.
+
+At 100 TB the manifest lists file paths (KBs per thousand files), new
+versions reuse prior data files (append = prior list + one new file),
+and the rename happens on the driver against the table's metadata
+directory — object stores swap the rename for a conditional PUT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RE = re.compile(r"manifest-(\d{6})-(.+)\.json$")
+
+
+def _manifests(table_dir: str) -> list[tuple[int, str, str]]:
+    """[(version, batch_token, path)] sorted by version."""
+    out = []
+    if not os.path.isdir(table_dir):
+        return out
+    for name in os.listdir(table_dir):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(
+                (int(m.group(1)), m.group(2), os.path.join(table_dir, name))
+            )
+    return sorted(out)
+
+
+def latest_manifest(table_dir: str) -> dict | None:
+    ms = _manifests(table_dir)
+    if not ms:
+        return None
+    with open(ms[-1][2]) as f:
+        return json.load(f)
+
+
+def _publish(table_dir: str, files: list[str], batch_token: str) -> int:
+    os.makedirs(table_dir, exist_ok=True)
+    version = (_manifests(table_dir)[-1][0] + 1) if _manifests(table_dir) else 1
+    body = {"version": version, "batch": batch_token, "files": files}
+    tmp = os.path.join(table_dir, f".manifest-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    final = os.path.join(
+        table_dir, f"manifest-{version:06d}-{batch_token}.json"
+    )
+    os.rename(tmp, final)  # atomic: readers see all of it or none
+    return version
+
+
+def _write_data(df: DataFrame, table_dir: str) -> list[str]:
+    snap = os.path.join(table_dir, f"data-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(snap)
+    return [
+        os.path.join(snap, n)
+        for n in sorted(os.listdir(snap))
+        if n.endswith(".parquet")
+    ]
+
+
+def publish_snapshot(df: DataFrame, table_dir: str,
+                     batch_token: str = "manual") -> int:
+    """Write ``df`` as a full new table version (data files first,
+    manifest rename last). Returns the published version number."""
+    return _publish(table_dir, _write_data(df, table_dir), batch_token)
+
+
+def read_latest(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    man = latest_manifest(table_dir)
+    if man is None or not man["files"]:
+        return None
+    return spark.read.parquet(*man["files"])
+
+
+def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
+                 key: str = "trip_key") -> str:
+    """Idempotent keyed append: anti-join the batch against the current
+    version's keys, write ONLY the new rows as one data file set, and
+    publish prior-files + new-files as the next version.
+
+    Exactly-once under retry: if any manifest already carries this
+    ``batch_id``, the whole call is a no-op — a batch replayed after a
+    crash-between-data-and-manifest re-writes data (the orphan is
+    unreferenced) but can never double-publish.
+    """
+    token = f"batch{batch_id}"
+    if any(tok == token for _, tok, _ in _manifests(table_dir)):
+        return "skipped_duplicate"
+    spark = batch.sparkSession
+    man = latest_manifest(table_dir)
+    if man is None:
+        new_rows = batch
+        prior: list[str] = []
+    else:
+        prior = man["files"]
+        hist_keys = spark.read.parquet(*prior).select(key)
+        new_rows = batch.join(hist_keys, key, "left_anti")
+    files = _write_data(new_rows, table_dir)
+    _publish(table_dir, prior + files, token)
+    return "published"
+
+
+def start_snapshot_upsert(dedup: DataFrame, table_dir: str,
+                          checkpoint: str, key: str = "trip_key"):
+    """Streaming twin: foreachBatch -> upsert_batch with the engine's
+    batch_id as the idempotence token."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        upsert_batch(batch, batch_id, table_dir, key)
+
+    return (
+        dedup.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

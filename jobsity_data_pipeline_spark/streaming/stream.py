@@ -78,8 +78,9 @@ def start_hist_upsert(dedup: DataFrame, hist_path: str, checkpoint: str,
     not transactional, so a batch that is retried AFTER its append
     partially landed can re-append rows the anti-join did not yet see —
     at-least-once per trip_key on retry, exactly-once in steady state.
-    A transactional table format (or partition-overwrite by batch_id)
-    is the deployment-grade sink. Only a genuinely-missing hist path
+    The deployment-grade sink is sources/snapshot.py
+    (manifest-rename commit protocol, batch-id idempotence): use
+    snapshot.start_snapshot_upsert for exactly-once under replay. Only a genuinely-missing hist path
     falls back to the full append; any other read failure (perms,
     corrupt footer, transient IO) must fail the batch loudly rather
     than silently duplicating it.

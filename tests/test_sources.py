@@ -242,3 +242,63 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert z_u < hits_1d_user
     # nothing lost: row count preserved
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_snapshot_publish_and_read_latest(spark, tmp_path):
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    v1 = SN.publish_snapshot(df1, t, "init")
+    df2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    v2 = SN.publish_snapshot(df2, t, "second")
+    assert (v1, v2) == (1, 2)
+    # reader resolves ONLY the newest manifest's files
+    got = {tuple(r) for r in SN.read_latest(spark, t).collect()}
+    assert got == {(3, "c")}
+
+
+def test_snapshot_upsert_retry_is_exactly_once(spark, tmp_path):
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "trip_key long, v string"
+    )
+    assert SN.upsert_batch(b1, 0, t) == "published"
+    # replay of the SAME batch id (crash-after-publish retry): no-op
+    assert SN.upsert_batch(b1, 0, t) == "skipped_duplicate"
+    # next batch: overlapping key 2 deduped, new key 3 appended
+    b2 = spark.createDataFrame(
+        [(2, "y2"), (3, "z")], "trip_key long, v string"
+    )
+    assert SN.upsert_batch(b2, 1, t) == "published"
+    rows = {r.trip_key: r.v for r in SN.read_latest(spark, t).collect()}
+    assert rows == {1: "x", 2: "y", 3: "z"}
+
+
+def test_snapshot_streaming_upsert_exactly_once(spark, tmp_path):
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "trip_key long, v string"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(2, "b_dup"), (3, "c")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    t = str(tmp_path / "tbl")
+    q = SN.start_snapshot_upsert(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rows = {r.trip_key for r in SN.read_latest(spark, t).collect()}
+    assert rows == {1, 2, 3}
+    # key 2 kept exactly once (first writer wins, like ON CONFLICT DO NOTHING)
+    vals = [r.v for r in SN.read_latest(spark, t).collect() if r.trip_key == 2]
+    assert len(vals) == 1
