@@ -137,3 +137,70 @@ def start_snapshot_upsert(dedup: DataFrame, table_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_version(spark: SparkSession, table_dir: str,
+                 version: int) -> DataFrame | None:
+    """Time travel: read the exact file list manifest ``version``
+    published. Prior versions stay readable because appends and
+    deletes never mutate published data files — they publish new
+    manifests (and new files) on top."""
+    for v, _tok, path in _manifests(table_dir):
+        if v == version:
+            with open(path) as f:
+                man = json.load(f)
+            if not man["files"]:
+                return None
+            return spark.read.parquet(*man["files"])
+    return None
+
+
+def delete_keys(spark: SparkSession, table_dir: str, keys: list,
+                key: str = "trip_key") -> dict:
+    """Targeted delete (GDPR-style): rewrite ONLY the data files whose
+    parquet footer key-range can contain a requested key; untouched
+    files carry over into the new version by reference. With
+    range-clustered data files a delete touches O(files-per-key) of
+    the table, not all of it; the old version remains readable for
+    audit until its manifest is retired.
+
+    Footer pruning happens driver-side via pyarrow metadata (no Spark
+    job for the untouched files)."""
+    import pyarrow.parquet as pq
+
+    man = latest_manifest(table_dir)
+    if man is None:
+        return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
+    want = sorted(set(keys))
+    keep_files: list[str] = []
+    hit_files: list[str] = []
+    for path in man["files"]:
+        meta = pq.ParquetFile(path)
+        idx = meta.schema_arrow.get_field_index(key)
+        hit = False
+        for rg in range(meta.metadata.num_row_groups):
+            st = meta.metadata.row_group(rg).column(idx).statistics
+            if st is None or st.min is None:
+                hit = True  # no stats: must assume the key may be here
+                break
+            if any(st.min <= k <= st.max for k in want):
+                hit = True
+                break
+        (hit_files if hit else keep_files).append(path)
+    rows_deleted = 0
+    new_files: list[str] = []
+    if hit_files:
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(*hit_files)
+        before = df.count()
+        kept = df.where(~F.col(key).isin(want))
+        rows_deleted = before - kept.count()
+        new_files = _write_data(kept, table_dir)
+    _publish(table_dir, keep_files + new_files,
+             f"delete-{uuid.uuid4().hex[:8]}")
+    return {
+        "files_total": len(man["files"]),
+        "files_rewritten": len(hit_files),
+        "rows_deleted": rows_deleted,
+    }

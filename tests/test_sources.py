@@ -302,3 +302,30 @@ def test_snapshot_streaming_upsert_exactly_once(spark, tmp_path):
     # key 2 kept exactly once (first writer wins, like ON CONFLICT DO NOTHING)
     vals = [r.v for r in SN.read_latest(spark, t).collect() if r.trip_key == 2]
     assert len(vals) == 1
+
+
+def test_snapshot_time_travel_and_pruned_delete(spark, tmp_path):
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    # two publishes -> two data file sets with DISJOINT key ranges
+    lo = spark.createDataFrame(
+        [(i, "lo") for i in range(100)], "trip_key long, v string"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [(i, "hi") for i in range(100, 200)], "trip_key long, v string"
+    ).coalesce(1)
+    assert SN.upsert_batch(lo, 0, t) == "published"
+    assert SN.upsert_batch(hi, 1, t) == "published"
+
+    stats = SN.delete_keys(spark, t, [5, 7])
+    # footer pruning: only the low-range file set is rewritten
+    assert stats["rows_deleted"] == 2
+    assert stats["files_rewritten"] < stats["files_total"]
+
+    now = {r.trip_key for r in SN.read_latest(spark, t).collect()}
+    assert 5 not in now and 7 not in now and len(now) == 198
+
+    # time travel: version 2 (pre-delete) still shows the deleted keys
+    v2 = {r.trip_key for r in SN.read_version(spark, t, 2).collect()}
+    assert 5 in v2 and len(v2) == 200
