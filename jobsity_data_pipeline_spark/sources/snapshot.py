@@ -204,3 +204,35 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
         "files_rewritten": len(hit_files),
         "rows_deleted": rows_deleted,
     }
+
+
+def vacuum(table_dir: str, keep_versions: int = 2) -> dict:
+    """Retire old versions: drop all but the newest ``keep_versions``
+    manifests, then delete every data directory no surviving manifest
+    references — which also sweeps orphans from writers that crashed
+    before publishing. Time travel keeps working across the surviving
+    versions; run with a retention matched to the audit window.
+    """
+    ms = _manifests(table_dir)
+    retired, kept = ms[:-keep_versions], ms[-keep_versions:]
+    live: set[str] = set()
+    for _v, _tok, path in kept:
+        with open(path) as f:
+            live.update(
+                os.path.dirname(p) for p in json.load(f)["files"]
+            )
+    removed_files = 0
+    for _v, _tok, path in retired:
+        os.remove(path)
+    import shutil
+
+    for name in os.listdir(table_dir):
+        full = os.path.join(table_dir, name)
+        if name.startswith("data-") and os.path.isdir(full) and full not in live:
+            removed_files += sum(len(fs) for _, _, fs in os.walk(full))
+            shutil.rmtree(full)
+    return {
+        "manifests_retired": len(retired),
+        "data_dirs_live": len(live),
+        "files_removed": removed_files,
+    }

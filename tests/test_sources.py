@@ -329,3 +329,32 @@ def test_snapshot_time_travel_and_pruned_delete(spark, tmp_path):
     # time travel: version 2 (pre-delete) still shows the deleted keys
     v2 = {r.trip_key for r in SN.read_version(spark, t, 2).collect()}
     assert 5 in v2 and len(v2) == 200
+
+
+def test_snapshot_vacuum_sweeps_retired_and_orphans(spark, tmp_path):
+    import os
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    a = spark.createDataFrame(
+        [(i, "a") for i in range(10)], "trip_key long, v string"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(i, "b") for i in range(10, 20)], "trip_key long, v string"
+    ).coalesce(1)
+    SN.upsert_batch(a, 0, t)
+    SN.upsert_batch(b, 1, t)
+    SN.delete_keys(spark, t, [1])  # v3 rewrites the first file set
+    # simulate a crashed writer: data written, manifest never published
+    orphan = SN._write_data(a, t)
+    assert os.path.exists(orphan[0])
+
+    stats = SN.vacuum(t, keep_versions=1)
+    assert stats["manifests_retired"] == 2
+    assert not os.path.exists(orphan[0])
+    # the surviving newest version still reads completely
+    rows = {r.trip_key for r in SN.read_latest(spark, t).collect()}
+    assert rows == set(range(20)) - {1}
+    # retired versions are gone
+    assert SN.read_version(spark, t, 1) is None
