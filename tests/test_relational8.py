@@ -189,3 +189,52 @@ def test_stream_decayed_state_equals_batch(spark, tmp_path):
         # unrounded -> bound = rounding half-step + merge fp noise
         assert abs(g.dcount - w.decayed_count) < 1e-4
         assert abs(g.dvalue - w.decayed_value) < 1e-4
+
+
+def test_preprocess_waterfall_accounting_conserves(spark):
+    rows = {r.stage: r for r in
+            R8.docs_preprocess_pipeline(spark, SF_SMOKE).collect()}
+    inp = rows.pop("input")
+    assert sum(r.n_docs for r in rows.values()) == inp.n_docs
+    assert sum(r.total_tokens for r in rows.values()) == inp.total_tokens
+    assert "kept" in rows and rows["kept"].n_docs > 0
+
+
+def test_range_join_neighbor_counts_symmetric(spark):
+    rows = R8.events_range_join(spark, SF_SMOKE).collect()
+    # neighborhood is symmetric: every (a,b) pair contributes to both
+    # endpoints, so the total neighbor count is even
+    total = sum(r.n_neighbors for r in rows)
+    assert total % 2 == 0 and total > 0
+
+
+def test_chunk_windows_cover_all_tokens(spark, tmp_path):
+    # 80 tokens -> chunks of 32 every 24: starts 0/24/48/72, last short
+    text = " ".join(f"t{i}" for i in range(80))
+    _write_docs(spark, str(tmp_path), [text])
+    rows = sorted(
+        R8.docs_chunk_windows(spark, str(tmp_path)).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts 0/24/48; the last window ends exactly at token 80
+    assert [r.chunk_tokens for r in rows] == [32, 32, 32]
+    assert rows[0].first_token == "t0" and rows[-1].last_token == "t79"
+    # stride overlap: consecutive chunks overlap by chunk - stride = 8,
+    # and the union covers every token exactly once
+    covered = rows[0].chunk_tokens + sum(
+        r.chunk_tokens - 8 for r in rows[1:]
+    )
+    assert covered == 80
+
+
+def test_rfm_segments_partition_customers(spark):
+    from jobsity_data_pipeline_spark.session import read_table
+
+    rows = R8.orders_customer_rfm(spark, SF_SMOKE).collect()
+    n_cust = (
+        read_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
