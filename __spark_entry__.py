@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_ann": R8.emb_pq_ann,
         "emb_pq_rerank": R8.emb_pq_rerank,
         "events_range_join": R8.events_range_join,
+        "events_windowed_funnel": R8.events_windowed_funnel,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -2873,5 +2874,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(neighbor_value, 0.0) AS neighbor_value
             FROM e LEFT JOIN c USING (event_id)
             ORDER BY event_id
+        """,
+        "events_windowed_funnel": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) AS us,
+                       strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS view_hour
+                FROM events
+            ),
+            s AS (
+                SELECT event_type, view_hour, us,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN us END) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN 1 FOLLOWING
+                                    AND UNBOUNDED FOLLOWING
+                       ) AS np_us
+                FROM e
+            )
+            SELECT view_hour, count(*) AS n_views,
+                   CAST(sum(CASE WHEN np_us IS NOT NULL
+                                      AND np_us - us <= 3600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_converted,
+                   round(sum(CASE WHEN np_us IS NOT NULL
+                                       AND np_us - us <= 3600000000
+                                  THEN 1 ELSE 0 END)
+                         / count(*), 6) AS conversion_rate
+            FROM s WHERE event_type = 'view'
+            GROUP BY 1 ORDER BY 1
         """,
     }

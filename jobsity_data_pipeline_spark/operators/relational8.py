@@ -741,3 +741,54 @@ def events_range_join(spark: SparkSession, sf_dir: str,
         )
         .orderBy("event_id")
     )
+
+
+def events_windowed_funnel(spark: SparkSession, sf_dir: str,
+                           window_s: int = 3600) -> DataFrame:
+    """Time-bounded conversion funnel: for every 'view' event, did the
+    SAME user 'purchase' within the next ``window_s`` seconds? Reported
+    per view-hour as views, conversions, and conversion rate — the
+    product-analytics twin of the as-of join (which attributes the
+    nearest prior view to each purchase; this attributes the next
+    purchase to each view and bounds the wait).
+
+    One user-partitioned window computes, at every event, the time of
+    the next purchase at-or-after it (a min over the following rows) —
+    no self-join, no explode; the funnel predicate is a subtraction.
+    The window's user_id shuffle is the only wide operation before the
+    tiny per-hour aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("view_hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("us"))
+    ).over(w)
+    staged = ev.select(
+        "event_type", "view_hour", "us",
+        next_purchase.alias("np_us"),
+    ).where(F.col("event_type") == "view")
+    converted = (
+        F.col("np_us").isNotNull()
+        & (F.col("np_us") - F.col("us") <= window_s * 1_000_000)
+    )
+    return (
+        staged.groupBy("view_hour")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum(converted.cast("long")).alias("n_converted"),
+            F.round(
+                F.sum(converted.cast("long")) / F.count("*"), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("view_hour")
+    )
