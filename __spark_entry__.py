@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_rerank": R8.emb_pq_rerank,
         "events_range_join": R8.events_range_join,
         "events_windowed_funnel": R8.events_windowed_funnel,
+        "events_rolling_7d_users": R8.events_rolling_7d_users,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -2903,6 +2904,19 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END)
                          / count(*), 6) AS conversion_rate
             FROM s WHERE event_type = 'view'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_rolling_7d_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS d
+                FROM events
+            ),
+            days AS (SELECT DISTINCT d FROM ud)
+            SELECT t.d AS target_day,
+                   count(DISTINCT u.user_id) AS rolling_7d_users
+            FROM days t JOIN ud u
+              ON u.d BETWEEN t.d - 6 AND t.d
             GROUP BY 1 ORDER BY 1
         """,
     }

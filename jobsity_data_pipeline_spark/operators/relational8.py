@@ -792,3 +792,34 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str,
         )
         .orderBy("view_hour")
     )
+
+
+def events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct users per active day (the WAU
+    curve). Spark has no COUNT(DISTINCT) OVER a RANGE frame; the scale
+    rewrite is contribution-explode: each (user, active-day) pair —
+    already deduplicated, so the explode runs on the small frame —
+    contributes to the 7 target days it is visible from, and a plain
+    groupBy count-distinct per target day finishes. One dedup shuffle
+    + fan-out-7 + one aggregate, instead of a per-day self-join over
+    the raw stream; the oracle runs the direct range-predicate join.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("target_day"),
+    )
+    return (
+        contrib.join(
+            days.withColumnRenamed("d", "target_day"), "target_day"
+        )
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("rolling_7d_users"))
+        .orderBy("target_day")
+    )
