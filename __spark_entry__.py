@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return R.weekly_avg_by_region(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Heaviest first: the round-1 driver run stopped before the
         # dedup/similarity tail, leaving it without CORRECTNESS rows.
@@ -201,6 +201,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IS oracle-checked as emb_kmeans_assign)
         "emb_kmeans_fit": KM.emb_kmeans_fit_bounded,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The declaration above, reordered for a budget-truncated
+    correctness sweep: queries with no driver CORRECTNESS row yet
+    (every round-2 addition) run first; the round-1 driver-green tail
+    runs last, so a time-boxed sweep verifies new surface before
+    re-verifying known-green queries. Python dicts preserve insertion
+    order, so this is purely a priority permutation.
+    """
+    q = _queries_declared()
+    r1_green = {
+        "bbox_weekly_avg", "customer_balance_deciles",
+        "customers_without_orders", "docs_clean_corpus_stats",
+        "docs_exact_dedup", "docs_len_percentiles",
+        "docs_near_dup_verified", "docs_quality", "docs_repetition",
+        "docs_sample_stratified", "docs_token_stats", "docs_top_bigrams",
+        "docs_top_tokens", "docs_train_val_test", "emb_label_centroids",
+        "events_asof_view_purchase", "events_daily_moving_avg",
+        "events_enriched", "events_funnel", "events_hourly",
+        "events_pivot", "events_props_json", "events_running_total",
+        "events_sessionization", "events_top_type_per_user",
+        "events_user_daily", "events_value_histogram",
+        "latest_datasource", "order_aging_buckets", "orders_cube",
+        "orders_percentiles", "orders_price_corr", "orders_rollup",
+        "parts_top_by_brand", "promo_revenue_ratio", "q10_returned_items",
+        "q18_large_orders", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier", "q7_volume_shipping",
+        "regions_for_datasource", "sql_weekly_avg",
+        "stream_events_hourly", "suppliers_with_returns",
+        "top_customers_per_nation", "trip_grouping_bins",
+        "trip_ingest_dedup", "weekly_avg_by_region",
+    }
+    out = {k: v for k, v in q.items() if k not in r1_green}
+    out.update({k: v for k, v in q.items() if k in r1_green})
+    return out
 
 
 # Shared SQL fragments (kept identical across oracle queries).
