@@ -196,6 +196,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": R8.events_range_join,
         "events_windowed_funnel": R8.events_windowed_funnel,
         "events_rolling_7d_users": R8.events_rolling_7d_users,
+        "orders_association_rules": R8.orders_association_rules,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -2954,5 +2955,51 @@ def oracle_sql() -> dict[str, str]:
             FROM days t JOIN ud u
               ON u.d BETWEEN t.d - 6 AND t.d
             GROUP BY 1 ORDER BY 1
+        """,
+        "orders_association_rules": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            tot AS (
+                SELECT count(DISTINCT l_orderkey) AS n FROM items
+            ),
+            pf AS (
+                SELECT l_partkey, count(*) AS part_orders
+                FROM items GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       count(*) AS pair_orders
+                FROM items a JOIN items b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            scored AS (
+                SELECT part_a, part_b, pair_orders,
+                       fa.part_orders AS a_orders,
+                       fb.part_orders AS b_orders,
+                       (pair_orders / fa.part_orders)
+                           / (fb.part_orders / (SELECT n FROM tot))
+                           AS lift_raw
+                FROM pairs
+                JOIN pf fa ON fa.l_partkey = part_a
+                JOIN pf fb ON fb.l_partkey = part_b
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           ORDER BY round(lift_raw, 6) DESC,
+                                    part_a, part_b
+                       ) AS rank
+                FROM scored
+            )
+            SELECT CAST(rank AS INT) AS rank, part_a, part_b,
+                   pair_orders,
+                   round(pair_orders / (SELECT n FROM tot), 6)
+                       AS support,
+                   round(pair_orders / a_orders, 6) AS confidence,
+                   round(lift_raw, 6) AS lift
+            FROM r WHERE rank <= 25 ORDER BY rank
         """,
     }

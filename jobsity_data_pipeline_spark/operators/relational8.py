@@ -823,3 +823,83 @@ def events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("rolling_7d_users"))
         .orderBy("target_day")
     )
+
+
+def orders_association_rules(spark: SparkSession, sf_dir: str,
+                             min_pair_orders: int = 3,
+                             k: int = 25) -> DataFrame:
+    """Association rules over order baskets: for each directed part
+    pair (a -> b) co-occurring in >= ``min_pair_orders`` orders,
+    support, confidence = P(b | a), and lift = confidence / P(b).
+    The top-k rules by lift are the cross-sell signal the raw
+    co-occurrence counts (orders_part_pairs) cannot rank — a frequent
+    pair of two independently-popular parts has lift ~1.
+
+    Basket items are deduplicated first, the pair join keys on the
+    ORDER (fan-out = items-per-order squared, independent of part
+    popularity), and the per-part frequencies broadcast back onto the
+    pair frame; a one-row total joins the same way. Everything after
+    the basket self-join is bounded by the pair-key cardinality.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders_total = items.select("l_orderkey").distinct().count()
+    part_freq = items.groupBy("l_partkey").agg(
+        F.count("*").alias("part_orders")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_orders"))
+        .where(F.col("pair_orders") >= min_pair_orders)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("part_orders").alias("a_orders"),
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("part_orders").alias("b_orders"),
+    )
+    scored = (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a", "part_b", "pair_orders", "a_orders", "b_orders",
+            (
+                (F.col("pair_orders") / F.col("a_orders"))
+                / (F.col("b_orders") / F.lit(float(n_orders_total)))
+            ).alias("lift_raw"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # rank on the ROUNDED lift (cross-engine ulp differences in the
+    # raw double must not flip adjacent ranks), ties on the pair key
+    w = Window.orderBy(
+        F.round("lift_raw", 6).desc(), F.col("part_a"), F.col("part_b")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select(
+            "rank", "part_a", "part_b", "pair_orders",
+            F.round(
+                F.col("pair_orders") / F.lit(float(n_orders_total)), 6
+            ).alias("support"),
+            F.round(
+                F.col("pair_orders") / F.col("a_orders"), 6
+            ).alias("confidence"),
+            F.round("lift_raw", 6).alias("lift"),
+        )
+        .orderBy("rank")
+    )
