@@ -238,3 +238,77 @@ def test_rfm_segments_partition_customers(spark):
     assert sum(r.n_customers for r in rows) == n_cust
     for r in rows:
         assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+
+
+# --- hypothesis properties -------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PAD = st.lists(
+    st.sampled_from(["red", "blue", "green", "kk", "zz", "top", "mid"]),
+    min_size=0, max_size=10,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_PAD, _PAD)
+def test_winnowing_guarantee_property(spark, tmp_path_factory, pad1, pad2):
+    # ANY shared 7-token run must produce a shared fingerprint,
+    # whatever surrounds it (positional locality of winnowing).
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    t1 = " ".join(pad1 + [shared])
+    t2 = " ".join(pad2 + [shared] + pad1)
+    path = tmp_path_factory.mktemp("winnow")
+    _write_docs(spark, str(path), [t1, t2])
+    pairs = R8.docs_winnow_pairs(spark, str(path), min_shared=1).collect()
+    assert (0, 1) in {(r.id1, r.id2) for r in pairs}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=1, max_value=19))
+def test_decay_merge_property(spark, tmp_path_factory, split):
+    # decayed sums rescaled to a common reference instant add exactly:
+    # state(full) == merge(state(part1), state(part2)) for ANY split
+    import datetime as dt
+    import math
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=17 * i),
+         i % 3, "t", float(i % 7) + 0.5, "{}")
+        for i in range(20)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    path = tmp_path_factory.mktemp("decay")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(path / "events.parquet")
+    )
+    full = R8.events_decayed_value(spark, str(path)).collect()[0]
+
+    # python replica of the op's definition over an arbitrary split,
+    # merged at the global reference
+    ln2 = math.log(2.0)
+    hl = 6 * 3600.0
+    epoch = dt.datetime(1970, 1, 1)
+    ts = [(r[1] - epoch).total_seconds() for r in rows]
+    vals = [r[4] for r in rows]
+    ref = max(ts)
+
+    def part(lo, hi):
+        pref = max(ts[lo:hi])
+        dc = sum(math.exp(-ln2 * (pref - t) / hl) for t in ts[lo:hi])
+        dv = sum(
+            math.exp(-ln2 * (pref - t) / hl) * v
+            for t, v in zip(ts[lo:hi], vals[lo:hi])
+        )
+        return pref, dc, dv
+
+    (r1, c1, v1), (r2, c2, v2) = part(0, split), part(split, 20)
+    s1, s2 = math.exp(-ln2 * (ref - r1) / hl), math.exp(-ln2 * (ref - r2) / hl)
+    merged_count = c1 * s1 + c2 * s2
+    merged_value = v1 * s1 + v2 * s2
+    assert abs(merged_count - full.decayed_count) < 1e-3
+    assert abs(merged_value - full.decayed_value) < 1e-2
