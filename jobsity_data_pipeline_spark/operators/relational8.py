@@ -842,7 +842,13 @@ def orders_association_rules(spark: SparkSession, sf_dir: str,
     the basket self-join is bounded by the pair-key cardinality.
     """
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # the deduplicated basket frame feeds four consumers (order total,
+    # part frequencies, both self-join sides) — materialize it once
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders_total = items.select("l_orderkey").distinct().count()
     part_freq = items.groupBy("l_partkey").agg(
         F.count("*").alias("part_orders")
