@@ -197,6 +197,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_funnel": R8.events_windowed_funnel,
         "events_rolling_7d_users": R8.events_rolling_7d_users,
         "orders_association_rules": R8.orders_association_rules,
+        "emb_label_outliers": R8.emb_label_outliers,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -3001,5 +3002,39 @@ def oracle_sql() -> dict[str, str]:
                    round(pair_orders / a_orders, 6) AS confidence,
                    round(lift_raw, 6) AS lift
             FROM r WHERE rank <= 25 ORDER BY rank
+        """,
+        "emb_label_outliers": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            x AS (
+                SELECT vec_id, label, unnest(range(0, len(v))) AS pos,
+                       unnest(v) AS xv
+                FROM e
+            ),
+            cent AS (
+                SELECT label, pos, avg(xv) AS c FROM x GROUP BY 1, 2
+            ),
+            d AS (
+                SELECT x.vec_id, x.label,
+                       sqrt(sum((x.xv - cent.c) * (x.xv - cent.c)))
+                           AS dist
+                FROM x JOIN cent
+                  ON x.label = cent.label AND x.pos = cent.pos
+                GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd
+                FROM d GROUP BY 1
+            )
+            SELECT d.label, count(*) AS n_vectors,
+                   CAST(sum(CASE WHEN dist > mu + 2.0 * sd
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                   round(max(mu), 6) AS mean_dist,
+                   round(max(sd), 6) AS std_dist
+            FROM d JOIN s USING (label)
+            GROUP BY 1 ORDER BY 1
         """,
     }

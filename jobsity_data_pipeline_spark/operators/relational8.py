@@ -909,3 +909,54 @@ def orders_association_rules(spark: SparkSession, sf_dir: str,
         )
         .orderBy("rank")
     )
+
+
+def emb_label_outliers(spark: SparkSession, sf_dir: str,
+                       z: float = 2.0) -> DataFrame:
+    """Embedding-corpus QA: per label, how many vectors sit more than
+    ``z`` sample standard deviations above the label's mean distance to
+    its own centroid — the mislabeled/corrupt-vector screen an
+    embedding pipeline runs before training on the corpus.
+
+    Distances come from one posexplode + broadcast-centroid join +
+    partial-agg sum (the PQ residual shape restricted to the OWN
+    label); the mean/std gate is a label-cardinality aggregate joined
+    back broadcast. No vector leaves the executors.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    cent = x.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    d = (
+        x.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+            ).alias("dist")
+        )
+    )
+    stats = d.groupBy("label").agg(
+        F.avg("dist").alias("mu"),
+        F.stddev_samp("dist").alias("sd"),
+    )
+    flagged = d.join(F.broadcast(stats), "label").select(
+        "label", "dist", "mu", "sd",
+        (F.col("dist") > F.col("mu") + F.lit(z) * F.col("sd")).alias(
+            "is_outlier"
+        ),
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.round(F.max("mu"), 6).alias("mean_dist"),
+            F.round(F.max("sd"), 6).alias("std_dist"),
+        )
+        .orderBy("label")
+    )
