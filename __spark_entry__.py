@@ -198,6 +198,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_7d_users": R8.events_rolling_7d_users,
         "orders_association_rules": R8.orders_association_rules,
         "emb_label_outliers": R8.emb_label_outliers,
+        "docs_source_divergence": R8.docs_source_divergence,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -3037,4 +3038,27 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN s USING (label)
             GROUP BY 1 ORDER BY 1
         """,
+        "docs_source_divergence": """
+            WITH toks AS (
+                SELECT source, unnest({toks}) AS tok FROM documents
+            ),
+            per AS (
+                SELECT source, tok, count(*) AS c_st
+                FROM toks GROUP BY 1, 2
+            ),
+            st AS (SELECT source, sum(c_st) AS n_s FROM per GROUP BY 1),
+            corp AS (SELECT tok, sum(c_st) AS c_t FROM per GROUP BY 1),
+            n AS (SELECT sum(c_t) AS n FROM corp)
+            SELECT per.source,
+                   CAST(max(n_s) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct_tokens,
+                   round(sum((c_st / n_s)
+                             * ln((c_st / n_s) / (c_t / n.n))),
+                         6) AS kl_vs_corpus
+            FROM per
+            JOIN st USING (source)
+            JOIN corp USING (tok)
+            CROSS JOIN n
+            GROUP BY 1 ORDER BY 1
+        """.format(toks=_TOKS),
     }

@@ -960,3 +960,40 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str,
         )
         .orderBy("label")
     )
+
+
+def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix drift monitor: per source, the KL divergence of its
+    unigram token distribution from the whole-corpus distribution
+    (finite by construction — every source token is a corpus token).
+    A source whose divergence jumps between snapshots changed register,
+    language mix, or got polluted; the standard cheap drift gate before
+    re-weighting the mix (docs_mix_weights).
+
+    Two aggregates over the exploded token stream (per-source and
+    corpus counts partial-agg on the token key), the corpus model
+    broadcast back, then a source-cardinality reduction.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    per = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    src_tot = per.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    corp = per.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    corp_tot = corp.agg(F.sum("c_t").alias("n")).collect()[0].n
+    j = (
+        per.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corp), "tok")
+    )
+    p_s = F.col("c_st") / F.col("n_s")
+    p_c = F.col("c_t") / F.lit(float(corp_tot))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
