@@ -199,6 +199,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_association_rules": R8.orders_association_rules,
         "emb_label_outliers": R8.emb_label_outliers,
         "docs_source_divergence": R8.docs_source_divergence,
+        "orders_cohort_ltv": R8.orders_cohort_ltv,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -3061,4 +3062,40 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN n
             GROUP BY 1 ORDER BY 1
         """.format(toks=_TOKS),
+        "orders_cohort_ltv": """
+            WITH f AS (
+                SELECT o_custkey, o_orderdate, o_totalprice,
+                       min(o_orderdate) OVER (
+                           PARTITION BY o_custkey) AS fd
+                FROM orders
+            ),
+            s AS (
+                SELECT o_custkey, o_totalprice,
+                       date_trunc('quarter', fd) AS cohort_q,
+                       CAST(date_diff('month',
+                                      date_trunc('quarter', fd),
+                                      date_trunc('quarter', o_orderdate))
+                            // 3 AS INT) AS age_q
+                FROM f
+            ),
+            cs AS (
+                SELECT cohort_q,
+                       count(DISTINCT o_custkey) AS cohort_customers
+                FROM s WHERE age_q = 0 GROUP BY 1
+            ),
+            rev AS (
+                SELECT cohort_q, age_q,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM s GROUP BY 1, 2
+            )
+            SELECT strftime(rev.cohort_q, '%Y-%m') AS cohort,
+                   age_q, cohort_customers, revenue,
+                   round(sum(revenue) OVER (
+                             PARTITION BY rev.cohort_q ORDER BY age_q
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                         / cohort_customers, 4) AS cum_ltv_per_customer
+            FROM rev JOIN cs USING (cohort_q)
+            ORDER BY cohort, age_q
+        """,
     }

@@ -997,3 +997,56 @@ def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    quarter, revenue accumulated by quarters-since-first-order — the
+    finance view of retention (events_retention is its activity twin).
+    Cumulative LTV per cohort is a running sum over the tiny
+    cohort x age frame; the heavy work is one window min per customer
+    (first order) reusing the o_custkey partitioning the rollup needs
+    anyway.
+    """
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = F.min("o_orderdate").over(Window.partitionBy("o_custkey"))
+    staged = o.select(
+        "o_custkey", "o_totalprice",
+        F.date_trunc("quarter", first).alias("cohort_q"),
+        (
+            F.floor(
+                F.months_between(
+                    F.date_trunc("quarter", F.col("o_orderdate")),
+                    F.date_trunc("quarter", first),
+                ) / 3
+            ).cast("int")
+        ).alias("age_q"),
+    )
+    cohort_sizes = (
+        staged.where(F.col("age_q") == 0)
+        .groupBy("cohort_q")
+        .agg(F.countDistinct("o_custkey").alias("cohort_customers"))
+    )
+    rev = staged.groupBy("cohort_q", "age_q").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    wc = (
+        Window.partitionBy("cohort_q")
+        .orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(cohort_sizes), "cohort_q")
+        .select(
+            F.date_format("cohort_q", "yyyy-MM").alias("cohort"),
+            "age_q", "cohort_customers", "revenue",
+            F.round(
+                F.sum("revenue").over(wc) / F.col("cohort_customers"), 4
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort", "age_q")
+    )
