@@ -200,6 +200,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_outliers": R8.emb_label_outliers,
         "docs_source_divergence": R8.docs_source_divergence,
         "orders_cohort_ltv": R8.orders_cohort_ltv,
+        "docs_ngram_novelty": R8.docs_ngram_novelty,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -3098,4 +3099,21 @@ def oracle_sql() -> dict[str, str]:
             FROM rev JOIN cs USING (cohort_q)
             ORDER BY cohort, age_q
         """,
+        "docs_ngram_novelty": """
+            WITH tk AS (SELECT doc_id, {toks} AS w FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id, unnest({sh}) AS s FROM tk
+                )
+            ),
+            f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+            SELECT doc_id,
+                   count(*) AS n_distinct_shingles,
+                   CAST(sum(CASE WHEN doc_id = first_doc
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   round(avg(CASE WHEN doc_id = first_doc
+                                  THEN 1.0 ELSE 0.0 END), 6) AS novelty
+            FROM sh JOIN f USING (s)
+            GROUP BY 1 ORDER BY 1
+        """.format(toks=_TOKS, sh=_SH4),
     }

@@ -1050,3 +1050,43 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_q")
     )
+
+
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty curve: per document, the fraction of its
+    distinct 4-gram shingles FIRST introduced by that document (no
+    smaller doc_id contains them). Streaming a crawl in, novelty decay
+    is the diminishing-returns signal that tells you when more of the
+    same source stops adding information (the n-gram view of the
+    dedup saturation curve).
+
+    First-introducer = one min aggregate on the shingle key; the
+    per-doc ratio joins it back on the same key — two partial-agg
+    shuffles on the shingle key, nothing quadratic.
+    """
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", TX.tokens("text").alias("tk"))
+    sh = (
+        staged.select(
+            "doc_id",
+            F.explode(TX.shingles_from_tokens(F.col("tk"), 4)).alias("s"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+            F.round(
+                F.avg(
+                    (F.col("doc_id") == F.col("first_doc")).cast("double")
+                ), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
