@@ -201,6 +201,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_divergence": R8.docs_source_divergence,
         "orders_cohort_ltv": R8.orders_cohort_ltv,
         "docs_ngram_novelty": R8.docs_ngram_novelty,
+        "events_attribution": R8.events_attribution,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -3116,4 +3117,28 @@ def oracle_sql() -> dict[str, str]:
             FROM sh JOIN f USING (s)
             GROUP BY 1 ORDER BY 1
         """.format(toks=_TOKS, sh=_SH4),
+        "events_attribution": """
+            WITH v AS (
+                SELECT user_id, event_id AS vid, epoch_us(ts) AS vus,
+                       CAST(date_trunc('day', ts) AS DATE) AS view_day
+                FROM events WHERE event_type = 'view'
+            ),
+            p AS (
+                SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+                FROM events WHERE event_type = 'purchase'
+            ),
+            cand AS (
+                SELECT p.pid, v.vid, v.view_day
+                FROM p JOIN v
+                  ON p.user_id = v.user_id
+                 AND v.vus < p.pus
+                 AND p.pus - v.vus <= 86400000000
+            ),
+            t AS (SELECT pid, count(*) AS n_touch FROM cand GROUP BY 1)
+            SELECT view_day,
+                   count(DISTINCT vid) AS n_views_touched,
+                   round(sum(1.0 / n_touch), 6) AS credited_conversions
+            FROM cand JOIN t USING (pid)
+            GROUP BY 1 ORDER BY 1
+        """,
     }

@@ -1090,3 +1090,57 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def events_attribution(spark: SparkSession, sf_dir: str,
+                       window_h: int = 24) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit of
+    conversion credit equally across the SAME user's views in the
+    prior ``window_h`` hours; credit is reported per view-day. The
+    marketing twin of the windowed funnel (which asks "did a view
+    convert"; this asks "which views get paid").
+
+    The purchase->prior-views pairing is the banded range-join shape
+    (events_range_join): a window-sized time band makes the non-equi
+    lookback an equi-join with fan-out 2 on the probe side, and the
+    per-purchase touch count is a window over the bounded candidate
+    frame.
+    """
+    from pyspark.sql.window import Window
+
+    wus = window_h * 3_600_000_000
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("vid"),
+        F.unix_micros("ts").alias("vus"),
+        F.to_date("ts").alias("view_day"),
+        F.expr(f"unix_micros(ts) div {wus}").alias("band"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.unix_micros("ts").alias("pus"),
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros(ts) div {wus} - 1"),
+                F.expr(f"unix_micros(ts) div {wus}"),
+            )
+        ).alias("band"),
+    )
+    cand = p.join(v, ["user_id", "band"]).where(
+        (F.col("vus") < F.col("pus"))
+        & (F.col("pus") - F.col("vus") <= wus)
+    )
+    n_touch = F.count("*").over(Window.partitionBy("pid"))
+    credited = cand.select(
+        "view_day", "vid", (F.lit(1.0) / n_touch).alias("credit")
+    )
+    return (
+        credited.groupBy("view_day")
+        .agg(
+            F.countDistinct("vid").alias("n_views_touched"),
+            F.round(F.sum("credit"), 6).alias("credited_conversions"),
+        )
+        .orderBy("view_day")
+    )
