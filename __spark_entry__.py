@@ -202,6 +202,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_ltv": R8.orders_cohort_ltv,
         "docs_ngram_novelty": R8.docs_ngram_novelty,
         "events_attribution": R8.events_attribution,
+        "events_value_cusum": R8.events_value_cusum,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -3140,5 +3141,39 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(1.0 / n_touch), 6) AS credited_conversions
             FROM cand JOIN t USING (pid)
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_value_cusum": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS DATE) AS d,
+                       sum(value) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            mu AS (
+                SELECT event_type, avg(v) AS mu, count(*) AS n_days
+                FROM daily GROUP BY 1
+            ),
+            s AS (
+                SELECT daily.event_type, d, n_days,
+                       sum(v - mu) OVER (
+                           PARTITION BY daily.event_type ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cusum,
+                       abs(v - mu) AS absdev
+                FROM daily JOIN mu USING (event_type)
+            ),
+            r AS (
+                SELECT *,
+                       sum(absdev) OVER (
+                           PARTITION BY event_type) AS total_absdev,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY round(abs(cusum), 2) DESC, d) AS rk
+                FROM s
+            )
+            SELECT event_type, d AS peak_day, n_days,
+                   round(cusum, 2) AS peak_cusum,
+                   round(abs(cusum) / total_absdev, 6) AS peak_share
+            FROM r WHERE rk = 1 ORDER BY event_type
         """,
     }

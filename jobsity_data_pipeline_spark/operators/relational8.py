@@ -1144,3 +1144,64 @@ def events_attribution(spark: SparkSession, sf_dir: str,
         )
         .orderBy("view_day")
     )
+
+
+def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen per event type: the running sum of
+    daily-value deviations from the type's own mean peaks (in absolute
+    value) at the most likely level-shift point. Reports the peak, its
+    day, and the peak normalized by the series' total absolute
+    deviation — the cheap batch screen that decides which series get a
+    real change-point model.
+
+    One daily partial-agg, then every window (mean join-back, running
+    sum, peak argmax) operates on the tiny type x day frame.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("v"))
+    )
+    mu = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.count("*").alias("n_days")
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = (
+        daily.join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type", "d", "n_days",
+            F.sum(F.col("v") - F.col("mu")).over(wrun).alias("cusum"),
+            F.abs(F.col("v") - F.col("mu")).alias("absdev"),
+        )
+    )
+    # rank on the ROUNDED |cusum| (engines accumulate v at ulp
+    # difference; a raw-double argmax can flip near-ties), day breaks
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs(F.col("cusum")), 2).desc(), F.col("d")
+    )
+    return (
+        s.select(
+            "event_type", "d", "n_days", "cusum",
+            F.sum("absdev").over(
+                Window.partitionBy("event_type")
+            ).alias("total_absdev"),
+            F.row_number().over(wpk).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("peak_day"),
+            "n_days",
+            F.round("cusum", 2).alias("peak_cusum"),
+            F.round(
+                F.abs(F.col("cusum")) / F.col("total_absdev"), 6
+            ).alias("peak_share"),
+        )
+        .orderBy("event_type")
+    )
