@@ -203,6 +203,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_novelty": R8.docs_ngram_novelty,
         "events_attribution": R8.events_attribution,
         "events_value_cusum": R8.events_value_cusum,
+        "supplier_scorecard": R8.supplier_scorecard,
         # rows-only: Lloyd iterations to convergence (iterative float
         # fixpoint — no affordable SQL twin; the single assignment step
         # IS oracle-checked as emb_kmeans_assign)
@@ -3175,5 +3176,43 @@ def oracle_sql() -> dict[str, str]:
                    round(cusum, 2) AS peak_cusum,
                    round(abs(cusum) / total_absdev, 6) AS peak_share
             FROM r WHERE rk = 1 ORDER BY event_type
+        """,
+        "supplier_scorecard": """
+            WITH j AS (
+                SELECT l_suppkey, l_returnflag, l_extendedprice,
+                       l_discount,
+                       date_diff('day', o_orderdate,
+                                 l_shipdate) AS latency_days
+                FROM lineitem JOIN orders
+                  ON l_orderkey = o_orderkey
+            ),
+            per AS (
+                SELECT l_suppkey,
+                       count(*) AS n_items,
+                       round(sum(l_extendedprice * (1 - l_discount)),
+                             2) AS revenue,
+                       round(avg(CASE WHEN l_returnflag = 'R'
+                                      THEN 1.0 ELSE 0.0 END),
+                             6) AS return_rate,
+                       round(avg(CAST(latency_days AS DOUBLE)),
+                             4) AS avg_latency_days
+                FROM j GROUP BY 1
+            ),
+            r AS (
+                SELECT n_name, s_suppkey, s_name, n_items, revenue,
+                       return_rate, avg_latency_days,
+                       row_number() OVER (
+                           PARTITION BY n_name
+                           ORDER BY revenue DESC, s_suppkey
+                       ) AS nation_rank
+                FROM per
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+            )
+            SELECT n_name, s_suppkey, s_name, n_items, revenue,
+                   return_rate, avg_latency_days,
+                   CAST(nation_rank AS INT) AS nation_rank
+            FROM r WHERE nation_rank <= 3
+            ORDER BY n_name, nation_rank
         """,
     }

@@ -1205,3 +1205,53 @@ def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier operations scorecard: per supplier, shipped volume,
+    revenue, return rate, and mean order->ship latency, ranked within
+    the supplier's nation by revenue. One partial-agg pass over the
+    lineitem/orders join; the supplier and nation dims broadcast; the
+    rank window runs on the supplier-cardinality frame.
+    """
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_returnflag",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).select(
+        "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount",
+        F.datediff("l_shipdate", "o_orderdate").alias("latency_days"),
+    )
+    per = j.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.round(
+            F.avg((F.col("l_returnflag") == "R").cast("double")), 6
+        ).alias("return_rate"),
+        F.round(F.avg("latency_days"), 4).alias("avg_latency_days"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey")
+    )
+    return (
+        per.join(F.broadcast(s), per.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name", "s_suppkey", "s_name", "n_items", "revenue",
+            "return_rate", "avg_latency_days",
+            F.row_number().over(w).alias("nation_rank"),
+        )
+        .where(F.col("nation_rank") <= 3)
+        .orderBy("n_name", "nation_rank")
+    )
