@@ -213,14 +213,20 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The declaration above, reordered for a budget-truncated
-    correctness sweep: queries with no driver CORRECTNESS row yet
-    (every round-2 addition) run first; the round-1 driver-green tail
-    runs last, so a time-boxed sweep verifies new surface before
-    re-verifying known-green queries. Python dicts preserve insertion
-    order, so this is purely a priority permutation.
+    correctness sweep: queries with no driver CORRECTNESS row yet run
+    first (round-3 additions ahead of everything), then the queries the
+    driver has already sampled (rounds 1+2 — green or declared
+    rows-only) run last, so a time-boxed 50-query sweep verifies
+    never-checked surface before re-verifying known results. Python
+    dicts preserve insertion order, so this is purely a priority
+    permutation.
     """
     q = _queries_declared()
-    r1_green = {
+    # Union of CORRECTNESS_r01 + CORRECTNESS_r02 sampled keys: every
+    # query the driver has already recorded a row for (hash-green or
+    # declared no_oracle). These go to the back of the sweep.
+    driver_sampled = {
+        # round 1 (49 greens)
         "bbox_weekly_avg", "customer_balance_deciles",
         "customers_without_orders", "docs_clean_corpus_stats",
         "docs_exact_dedup", "docs_len_percentiles",
@@ -241,10 +247,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_hourly", "suppliers_with_returns",
         "top_customers_per_nation", "trip_grouping_bins",
         "trip_ingest_dedup", "weekly_avg_by_region",
+        # round 2 (47 greens + 3 rows-only)
+        "docs_char_entropy", "docs_decontaminate", "docs_dedup_clusters",
+        "docs_dedup_keep", "docs_fingerprint", "docs_lang_id",
+        "docs_minhash_bands", "docs_minhash_est_vs_exact",
+        "docs_minhash_pairs", "docs_ngram_jaccard", "docs_redact_pii",
+        "docs_simhash", "docs_tfidf_top_terms", "docs_zipf_slope",
+        "dq_report", "emb_ann_recall", "emb_cosine_topk",
+        "emb_dedup_stats", "emb_ivf_ann", "emb_kmeans_assign",
+        "emb_lsh_ann", "emb_near_dup", "emb_quantize_int8",
+        "events_anomaly_zscore", "events_grouping_sets",
+        "events_kmv_distinct", "events_retention",
+        "events_session_window", "events_transition_matrix",
+        "events_unpivot_metrics", "events_value_rolling_1h",
+        "media_features", "orders_part_pairs", "orders_yoy_growth",
+        "parts_pagerank", "q11_important_stock", "q12_ship_latency",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_count", "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue", "q20_dominant_suppliers",
+        "q21_waiting_suppliers", "q22_wealthy_inactive",
+        "q2_min_cost_supplier", "q4_order_priority",
+        "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
     }
-    out = {k: v for k, v in q.items() if k not in r1_green}
-    out.update({k: v for k, v in q.items() if k in r1_green})
+    # Round-3 debuts run before even the never-sampled round-2 backlog,
+    # so no new query ships without a driver row in its debut round.
+    r3_new = [k for k in q if k in _ROUND3_NEW]
+    out = {k: q[k] for k in r3_new}
+    out.update(
+        {k: v for k, v in q.items()
+         if k not in driver_sampled and k not in _ROUND3_NEW}
+    )
+    out.update({k: v for k, v in q.items() if k in driver_sampled})
     return out
+
+
+# Keys added in round 3 — kept at the very front of the sweep order.
+_ROUND3_NEW: set[str] = set()
 
 
 # Shared SQL fragments (kept identical across oracle queries).
