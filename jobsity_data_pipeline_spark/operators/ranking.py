@@ -1,0 +1,115 @@
+"""Distributed exact global ranking / NTILE.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels the whole frame
+through ONE task — correct, but a single-partition sort that dies at
+100x scale. This module computes the exact same NTILE assignment with
+no global sort:
+
+1. **Monotone value-range blocking**: split the sort-value domain into
+   ``blocks`` ranges via ``percentile_approx`` cutoffs. Exactness does
+   NOT depend on the cutoffs — they only balance work. Equal values
+   always land in the same block (strict ``cut < v`` comparison), so
+   blocks partition the global order.
+2. **Local ranks**: ``row_number`` per block (shuffle on the block key,
+   ``blocks``-way parallel — the only data-sized shuffle).
+3. **Block offsets**: per-block counts (tiny, ``blocks`` rows) expanded
+   to cumulative offsets with a broadcast self-join — no
+   single-partition Exchange anywhere in the plan.
+4. ``global_rank = offset + local_rank``; the NTILE bucket follows from
+   the standard remainder rule (first ``n % k`` buckets get one extra
+   row), evaluated per row from (rank, n).
+
+Matches ANSI/DuckDB ``NTILE(k) OVER (ORDER BY v [DESC], tiebreaks)``
+bit-for-bit, so oracle SQL keeps plain NTILE.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    value_col: str,
+    tiebreak_cols: list[str],
+    *,
+    descending: bool = False,
+    blocks: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append ``out_col`` = exact NTILE(n_buckets) over
+    ORDER BY value_col [DESC], *tiebreak_cols — without a global sort.
+
+    ``value_col`` must be numeric and non-null (negation implements
+    DESC). Ties on the value are broken by ``tiebreak_cols`` ascending,
+    exactly as the equivalent window spec would.
+    """
+    sv = F.col(value_col).cast("double")
+    if descending:
+        sv = -sv
+    d0 = df.withColumn("_sv", sv)
+
+    fracs = [i / blocks for i in range(1, blocks)]
+    cuts = d0.agg(
+        F.percentile_approx("_sv", fracs, 10000).alias("_cuts")
+    )
+    # Strict `c < v`: rows sharing a value can never straddle a block
+    # boundary, so blocks are monotone in the global order. The lambda
+    # runs over a bounded (blocks-1)-element array, not a token stream.
+    d = d0.crossJoin(F.broadcast(cuts)).withColumn(
+        "_blk",
+        F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_sv"))),
+    )
+
+    w_local = Window.partitionBy("_blk").orderBy(
+        F.col("_sv").asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    d = d.withColumn("_lrn", F.row_number().over(w_local))
+
+    sizes = d.groupBy("_blk").agg(F.count("*").alias("_c"))
+    other = sizes.select(
+        F.col("_blk").alias("_blk2"), F.col("_c").alias("_c2")
+    )
+    # blocks x blocks broadcast cross join (<= 64^2 rows): cumulative
+    # offset and grand total in one aggregate, no SinglePartition
+    # Exchange, no driver collect.
+    offs = (
+        sizes.crossJoin(F.broadcast(other))
+        .groupBy("_blk")
+        .agg(
+            F.sum(
+                F.when(F.col("_blk2") < F.col("_blk"), F.col("_c2"))
+                .otherwise(F.lit(0))
+            ).alias("_off"),
+            F.sum("_c2").alias("_n"),
+        )
+    )
+
+    ranked = d.join(F.broadcast(offs), "_blk").withColumn(
+        "_rank", F.col("_off") + F.col("_lrn")
+    )
+
+    k = F.lit(n_buckets)
+    q = F.floor(F.col("_n") / k)
+    r = F.col("_n") % k
+    # First r buckets have q+1 rows, the rest q (ANSI NTILE remainder
+    # rule). greatest(q,1) guards the (n < k) edge where the otherwise
+    # branch is never taken but still type-checked.
+    bucket = (
+        F.when(
+            F.col("_rank") <= (q + 1) * r,
+            F.floor((F.col("_rank") - 1) / (q + 1)) + 1,
+        )
+        .otherwise(
+            r
+            + F.floor(
+                (F.col("_rank") - (q + 1) * r - 1) / F.greatest(q, F.lit(1))
+            )
+            + 1
+        )
+        .cast("int")
+    )
+    return ranked.withColumn(out_col, bucket).drop(
+        "_sv", "_cuts", "_blk", "_lrn", "_off", "_n", "_rank"
+    )

@@ -203,15 +203,17 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile assignment over account balance (ntile window) with
-    per-decile stats — ordered analytics over the full table."""
-    from pyspark.sql import Window
+    """Decile assignment over account balance with per-decile stats.
+    Uses the distributed exact-NTILE operator (operators/ranking.py)
+    instead of a global-orderBy window, so the decile pass scales with
+    partitions rather than funneling the table through one task."""
+    from .ranking import distributed_ntile
 
     cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    deciled = cust.select(
-        "c_acctbal", F.ntile(10).over(w).cast("long").alias("decile")
-    )
+    deciled = distributed_ntile(
+        cust.select("c_acctbal", "c_custkey"),
+        10, "c_acctbal", ["c_custkey"], out_col="_dec",
+    ).select("c_acctbal", F.col("_dec").cast("long").alias("decile"))
     return deciled.groupBy("decile").agg(
         F.count("*").alias("n"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),

@@ -322,17 +322,24 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue" — the concentration profile behind the reference's
     top-2-recurring-regions query (latest_datasource.sql:1-22).
 
-    One partial-agg groupBy on custkey, then window math over the
-    (small) per-customer aggregate; the grand total is a broadcast
-    one-row aggregate, never collected. ntile ties break on custkey so
-    the bucketing is deterministic across engines.
+    One partial-agg groupBy on custkey, then the distributed
+    exact-NTILE operator (operators/ranking.py) for the decile pass —
+    blocked range partitioning, no single-partition sort; the grand
+    total is a broadcast one-row aggregate, never collected. Ties break
+    on custkey so the bucketing is deterministic across engines. The
+    only remaining global window is the cumulative share over the
+    10-row decile frame.
     """
+    from .ranking import distributed_ntile
+
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), "o_custkey")
-    dec = per_cust.withColumn("decile", F.ntile(10).over(w))
+    dec = distributed_ntile(
+        per_cust, 10, "revenue", ["o_custkey"],
+        descending=True, out_col="decile",
+    )
     tot = per_cust.agg(F.sum("revenue").alias("total_rev"))
     per_dec = (
         dec.groupBy("decile")

@@ -260,11 +260,12 @@ def orders_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     order stats scored into quintiles, reported as segment sizes and
     value. The whole-table reference date is a one-row aggregate; the
     per-customer rollup is a single partial-agg groupBy; the quintile
-    windows order a customer-cardinality frame (ntile over customers,
-    never over raw orders), with o_custkey as the deterministic
-    tie-break.
+    scores come from the distributed exact-NTILE operator
+    (operators/ranking.py) — blocked range partitioning + local ranks,
+    never a single-partition global sort — with o_custkey as the
+    deterministic tie-break, bit-identical to the window-NTILE oracle.
     """
-    from pyspark.sql.window import Window
+    from .ranking import distributed_ntile
 
     o = _t(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("ref_date"))
@@ -279,19 +280,16 @@ def orders_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    scored = per.select(
-        "*",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days"), F.col("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(
-            Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-        )
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
-        .alias("m_score"),
+    scored = distributed_ntile(
+        per, 5, "recency_days", ["o_custkey"], out_col="r_score"
+    )
+    scored = distributed_ntile(
+        scored, 5, "frequency", ["o_custkey"],
+        descending=True, out_col="f_score",
+    )
+    scored = distributed_ntile(
+        scored, 5, "monetary", ["o_custkey"],
+        descending=True, out_col="m_score",
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

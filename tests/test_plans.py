@@ -312,3 +312,52 @@ def test_preprocess_pipeline_single_case_chain(spark):
     # corpus and itself beyond the keeper window + fuzzy-gate left join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_distributed_ntile_no_single_partition_sort(spark):
+    """The three former global-ntile operators must not funnel their
+    data-sized frame through one task: no `ntile` window function and
+    no Exchange SinglePartition in the plan (customer_pareto keeps
+    exactly one, for the cumulative share over its 10-row decile
+    frame)."""
+    from jobsity_data_pipeline_spark.operators import relational4 as R4
+    from jobsity_data_pipeline_spark.operators import relational7 as R7
+    from jobsity_data_pipeline_spark.operators import relational8 as R8
+
+    for fn, allowed_single in (
+        (R8.orders_customer_rfm, 0),
+        (R4.customer_balance_deciles, 0),
+        (R7.customer_pareto, 1),
+    ):
+        plan = _plan(fn(spark, SF_SMOKE))
+        # "ntile(" = the window function; percentile_approx is allowed
+        assert "ntile(" not in plan, fn.__name__
+        assert plan.count("Exchange SinglePartition") <= allowed_single, (
+            fn.__name__
+        )
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """Property check on synthetic data with heavy value ties: the
+    blocked exact-NTILE equals the window NTILE bit-for-bit for asc and
+    desc orderings and for n % k != 0."""
+    from pyspark.sql.window import Window
+
+    from jobsity_data_pipeline_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    df = spark.range(0, 1003).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    for desc in (False, True):
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        expected = df.select(
+            "k", F.ntile(5).over(Window.orderBy(order, F.col("k"))).alias("b")
+        )
+        got = distributed_ntile(
+            df, 5, "v", ["k"], descending=desc, out_col="b", blocks=8
+        ).select("k", "b")
+        assert got.subtract(expected).count() == 0
+        assert expected.subtract(got).count() == 0
