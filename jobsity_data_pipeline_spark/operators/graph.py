@@ -152,7 +152,11 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             .alias("c")
         )
     )
-    n_tri = closed.agg(F.sum("c")).collect()[0][0] or 0
+    # one-row lazy aggregate folded in by broadcast crossJoin — keeps
+    # the whole op a single job (no eager scalar fetch on the driver)
+    tri = closed.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("triangles")
+    )
     stats = (
         deg.agg(
             F.count("*").alias("nodes"),
@@ -162,12 +166,12 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             ),
         )
     )
-    return stats.select(
+    return stats.crossJoin(F.broadcast(tri)).select(
         "nodes",
         "edges",
         "wedges",
-        F.lit(n_tri).cast("long").alias("triangles"),
-        F.round(F.lit(3.0 * n_tri) / F.col("wedges"), 6).alias(
+        "triangles",
+        F.round(F.lit(3.0) * F.col("triangles") / F.col("wedges"), 6).alias(
             "global_clustering"
         ),
     )

@@ -461,16 +461,29 @@ def docs_bloom_probe(spark: SparkSession, sf_dir: str, m_bits: int = 4096,
         F.md5(probe["text"]) == F.col("sig"),
         "left_semi",
     )
-    n_train = train.count()
-    n_probe = probe.count()
-    n_flagged = hits.count()
-    n_member = exact.count()
-    return spark.createDataFrame(
-        [(n_train, n_probe, n_flagged, n_member,
-          n_flagged - n_member,
-          round((n_flagged - n_member) / max(n_probe - n_member, 1), 6))],
-        "n_train long, n_probe long, n_flagged long, n_true_member long, "
-        "false_positives long, fp_rate double",
+    # four one-row lazy aggregates combined via broadcast crossJoins:
+    # one job, no eager driver-side counts
+    a = train.agg(F.count("*").alias("n_train"))
+    b = probe.agg(F.count("*").alias("n_probe"))
+    c = hits.agg(F.count("*").alias("n_flagged"))
+    d = exact.agg(F.count("*").alias("n_true_member"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(d))
+        .select(
+            "n_train", "n_probe", "n_flagged", "n_true_member",
+            (F.col("n_flagged") - F.col("n_true_member")).alias(
+                "false_positives"
+            ),
+            F.round(
+                (F.col("n_flagged") - F.col("n_true_member"))
+                / F.greatest(
+                    F.col("n_probe") - F.col("n_true_member"), F.lit(1)
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
     )
 
 

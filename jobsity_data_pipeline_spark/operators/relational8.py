@@ -835,9 +835,13 @@ def orders_association_rules(spark: SparkSession, sf_dir: str,
 
     Basket items are deduplicated first, the pair join keys on the
     ORDER (fan-out = items-per-order squared, independent of part
-    popularity), and the per-part frequencies broadcast back onto the
-    pair frame; a one-row total joins the same way. Everything after
-    the basket self-join is bounded by the pair-key cardinality.
+    popularity), and the per-part frequencies join back onto the pair
+    frame as plain equi-joins (part cardinality is ~20M rows at sf100 —
+    over the broadcast limit; AQE picks the strategy). The grand total
+    is a one-row lazy aggregate folded in by crossJoin — no eager
+    driver count. Everything after the basket self-join is bounded by
+    the pair-key cardinality, and the final top-k is a
+    TakeOrderedAndProject, not a global sort.
     """
     li = _t(spark, sf_dir, "lineitem")
     # the deduplicated basket frame feeds four consumers (order total,
@@ -847,7 +851,9 @@ def orders_association_rules(spark: SparkSession, sf_dir: str,
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_orders_total = items.select("l_orderkey").distinct().count()
+    tot = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders_total")
+    )
     part_freq = items.groupBy("l_partkey").agg(
         F.count("*").alias("part_orders")
     )
@@ -875,30 +881,37 @@ def orders_association_rules(spark: SparkSession, sf_dir: str,
         F.col("part_orders").alias("b_orders"),
     )
     scored = (
-        pairs.join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(tot))
         .select(
             "part_a", "part_b", "pair_orders", "a_orders", "b_orders",
+            "n_orders_total",
             (
                 (F.col("pair_orders") / F.col("a_orders"))
-                / (F.col("b_orders") / F.lit(float(n_orders_total)))
+                / (F.col("b_orders") / F.col("n_orders_total"))
             ).alias("lift_raw"),
         )
     )
     from pyspark.sql.window import Window
 
     # rank on the ROUNDED lift (cross-engine ulp differences in the
-    # raw double must not flip adjacent ranks), ties on the pair key
+    # raw double must not flip adjacent ranks), ties on the pair key.
+    # orderBy().limit(k) compiles to TakeOrderedAndProject (per-
+    # partition top-k merged on one task over num_partitions*k rows);
+    # row_number then runs over the k-row survivor frame only.
+    top = scored.orderBy(
+        F.round("lift_raw", 6).desc(), F.col("part_a"), F.col("part_b")
+    ).limit(k)
     w = Window.orderBy(
         F.round("lift_raw", 6).desc(), F.col("part_a"), F.col("part_b")
     )
     return (
-        scored.select("*", F.row_number().over(w).alias("rank"))
-        .where(F.col("rank") <= k)
+        top.select("*", F.row_number().over(w).alias("rank"))
         .select(
             "rank", "part_a", "part_b", "pair_orders",
             F.round(
-                F.col("pair_orders") / F.lit(float(n_orders_total)), 6
+                F.col("pair_orders") / F.col("n_orders_total"), 6
             ).alias("support"),
             F.round(
                 F.col("pair_orders") / F.col("a_orders"), 6
@@ -969,8 +982,12 @@ def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-weighting the mix (docs_mix_weights).
 
     Two aggregates over the exploded token stream (per-source and
-    corpus counts partial-agg on the token key), the corpus model
-    broadcast back, then a source-cardinality reduction.
+    corpus counts partial-agg on the token key). The corpus vocabulary
+    model joins back via a plain shuffle equi-join on `tok` (at 100 TB
+    the distinct-token table is tens of GB — never broadcast; AQE picks
+    the strategy). Only the genuinely tiny frames broadcast: per-source
+    totals and the one-row corpus grand total (folded in with a
+    crossJoin, no driver collect).
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -979,13 +996,14 @@ def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
     src_tot = per.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     corp = per.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
-    corp_tot = corp.agg(F.sum("c_t").alias("n")).collect()[0].n
+    corp_tot = corp.agg(F.sum("c_t").alias("n"))
     j = (
         per.join(F.broadcast(src_tot), "source")
-        .join(F.broadcast(corp), "tok")
+        .join(corp, "tok")
+        .crossJoin(F.broadcast(corp_tot))
     )
     p_s = F.col("c_st") / F.col("n_s")
-    p_c = F.col("c_t") / F.lit(float(corp_tot))
+    p_c = F.col("c_t") / F.col("n")
     return (
         j.groupBy("source")
         .agg(
