@@ -69,6 +69,7 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n_err = sum(1 for t in timings.values() if t < 0)
     print(
         json.dumps(
             {
@@ -77,6 +78,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    sys.stdout.flush()
+    # The recorder keeps only the tail of the output; repeat the
+    # headline numbers LAST so a truncated capture still has the total.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf else None,
+                "n_queries": len(timings),
+                "n_errors": n_err,
             }
         )
     )
