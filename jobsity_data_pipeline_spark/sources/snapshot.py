@@ -57,18 +57,34 @@ def latest_manifest(table_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _publish(table_dir: str, files: list[str], batch_token: str) -> int:
+def _publish(table_dir: str, files: list[str], batch_token: str,
+             extra: dict | None = None) -> int:
+    """Commit = put-if-absent, not replace-on-rename: two concurrent
+    writers that both compute the same next version must not silently
+    overwrite each other (lost update). os.link refuses an existing
+    destination atomically; on EEXIST we re-read the version and retry,
+    exactly the optimistic-concurrency loop Delta/Iceberg run against a
+    conditional PUT."""
     os.makedirs(table_dir, exist_ok=True)
-    version = (_manifests(table_dir)[-1][0] + 1) if _manifests(table_dir) else 1
-    body = {"version": version, "batch": batch_token, "files": files}
-    tmp = os.path.join(table_dir, f".manifest-{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(body, f)
-    final = os.path.join(
-        table_dir, f"manifest-{version:06d}-{batch_token}.json"
-    )
-    os.rename(tmp, final)  # atomic: readers see all of it or none
-    return version
+    while True:
+        ms = _manifests(table_dir)
+        version = (ms[-1][0] + 1) if ms else 1
+        body = {"version": version, "batch": batch_token, "files": files}
+        if extra:
+            body.update(extra)
+        tmp = os.path.join(table_dir, f".manifest-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(body, f)
+        final = os.path.join(
+            table_dir, f"manifest-{version:06d}-{batch_token}.json"
+        )
+        try:
+            os.link(tmp, final)  # atomic create-exclusive
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the race: recompute version, retry
+        os.remove(tmp)
+        return version
 
 
 def _write_data(df: DataFrame, table_dir: str) -> list[str]:
@@ -110,6 +126,9 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
     if any(tok == token for _, tok, _ in _manifests(table_dir)):
         return "skipped_duplicate"
     spark = batch.sparkSession
+    # like the reference's ON CONFLICT DO NOTHING, intra-batch key
+    # collisions also keep exactly one row
+    batch = batch.dropDuplicates([key])
     man = latest_manifest(table_dir)
     if man is None:
         new_rows = batch
@@ -206,13 +225,22 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
     }
 
 
-def vacuum(table_dir: str, keep_versions: int = 2) -> dict:
+def vacuum(table_dir: str, keep_versions: int = 2,
+           retention_seconds: float = 3600.0) -> dict:
     """Retire old versions: drop all but the newest ``keep_versions``
     manifests, then delete every data directory no surviving manifest
     references — which also sweeps orphans from writers that crashed
     before publishing. Time travel keeps working across the surviving
     versions; run with a retention matched to the audit window.
+
+    Unreferenced dirs younger than ``retention_seconds`` are spared
+    (Delta's VACUUM retention window): an in-flight writer has written
+    data but not yet renamed its manifest, and sweeping its files would
+    publish a manifest referencing nothing. Pass 0 only when no writer
+    can be active.
     """
+    import time
+
     ms = _manifests(table_dir)
     retired, kept = ms[:-keep_versions], ms[-keep_versions:]
     live: set[str] = set()
@@ -226,9 +254,12 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> dict:
         os.remove(path)
     import shutil
 
+    now = time.time()
     for name in os.listdir(table_dir):
         full = os.path.join(table_dir, name)
         if name.startswith("data-") and os.path.isdir(full) and full not in live:
+            if now - os.path.getmtime(full) < retention_seconds:
+                continue  # possibly an in-flight writer's uncommitted files
             removed_files += sum(len(fs) for _, _, fs in os.walk(full))
             shutil.rmtree(full)
     return {

@@ -451,16 +451,18 @@ def stream_decayed_upsert(events: DataFrame, state_path: str,
             merged = delta
         else:
             u = state.unionByName(delta)
-            grp = u.groupBy("event_type").agg(
-                F.max("ref_us").alias("new_ref")
-            )
+            # ONE corpus-wide reference instant (not per-type): a batch
+            # missing some event_type must still advance that type's
+            # reference, or state rows stop being cross-type comparable
+            # and drift from the batch twin events_decayed_value.
+            gref = u.agg(F.max("ref_us").alias("new_ref"))
             scale = F.exp(
                 F.lit(-ln2)
                 * (F.col("new_ref") - F.col("ref_us"))
                 / F.lit(hl_us)
             )
             merged = (
-                u.join(grp, "event_type")
+                u.crossJoin(F.broadcast(gref))
                 .groupBy("event_type")
                 .agg(
                     F.max("new_ref").alias("ref_us"),

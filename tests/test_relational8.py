@@ -147,11 +147,14 @@ def test_stream_decayed_state_equals_batch(spark, tmp_path):
     src.mkdir()
     all_rows = []
     # three files -> three micro-batches, each spanning hours so the
-    # reference instant moves and the merge rescale path is exercised
+    # reference instant moves and the merge rescale path is exercised;
+    # the LAST batch carries no "c" events, so a type absent from the
+    # newest batch must still be rescaled to the global reference
     for f in range(3):
+        types = ("a", "b", "c") if f < 2 else ("a", "b")
         rows = [
             (f * 1000 + i, base + dt.timedelta(hours=f * 8, minutes=7 * i),
-             i % 13, ("a", "b", "c")[i % 3], float(i % 29) + 0.25, "{}")
+             i % 13, types[i % len(types)], float(i % 29) + 0.25, "{}")
             for i in range(120)
         ]
         all_rows += rows

@@ -350,11 +350,55 @@ def test_snapshot_vacuum_sweeps_retired_and_orphans(spark, tmp_path):
     orphan = SN._write_data(a, t)
     assert os.path.exists(orphan[0])
 
+    # within the retention window the orphan is SPARED — it may belong
+    # to an in-flight writer that has not yet renamed its manifest
     stats = SN.vacuum(t, keep_versions=1)
-    assert stats["manifests_retired"] == 2
+    assert os.path.exists(orphan[0])
+    # past retention (0 = no writer can be active) it is swept
+    stats = SN.vacuum(t, keep_versions=1, retention_seconds=0)
+    assert stats["manifests_retired"] == 0  # already retired above
     assert not os.path.exists(orphan[0])
     # the surviving newest version still reads completely
     rows = {r.trip_key for r in SN.read_latest(spark, t).collect()}
     assert rows == set(range(20)) - {1}
     # retired versions are gone
     assert SN.read_version(spark, t, 1) is None
+
+
+def test_snapshot_publish_is_put_if_absent(spark, tmp_path):
+    """Two writers minting the same version must not lose a commit:
+    the loser detects the occupied slot and republishes at the next
+    version."""
+    import json as _json
+    import os
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    SN.publish_snapshot(df, t, "first")
+    # squat on version 2 the way a racing writer would
+    squat = os.path.join(t, "manifest-000002-racer.json")
+    with open(squat, "w") as f:
+        _json.dump({"version": 2, "batch": "racer", "files": []}, f)
+    v = SN.publish_snapshot(df, t, "second")
+    assert v == 3  # retried past the occupied slot, nothing replaced
+    with open(squat) as f:
+        assert _json.load(f)["batch"] == "racer"  # survivor intact
+    assert len(SN._manifests(t)) == 3
+
+
+def test_snapshot_upsert_dedups_within_batch(spark, tmp_path):
+    """A batch carrying the same key twice publishes one row, like the
+    reference's ON CONFLICT DO NOTHING drops intra-statement
+    collisions."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    b = spark.createDataFrame(
+        [(1, "x"), (1, "x_dup"), (2, "y")], "trip_key long, v string"
+    )
+    assert SN.upsert_batch(b, 0, t) == "published"
+    rows = SN.read_latest(spark, t).collect()
+    assert len(rows) == 2
+    assert {r.trip_key for r in rows} == {1, 2}
