@@ -104,11 +104,19 @@ def publish_snapshot(df: DataFrame, table_dir: str,
     return _publish(table_dir, _write_data(df, table_dir), batch_token)
 
 
+def _read_files(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Schema-evolution-aware read: a version's file list may span data
+    file sets written under different (add-column) schemas; mergeSchema
+    unions them, surfacing missing columns as null for older files —
+    the same read-time evolution Delta/Iceberg give an added column."""
+    return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
 def read_latest(spark: SparkSession, table_dir: str) -> DataFrame | None:
     man = latest_manifest(table_dir)
     if man is None or not man["files"]:
         return None
-    return spark.read.parquet(*man["files"])
+    return _read_files(spark, man["files"])
 
 
 def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
@@ -135,7 +143,7 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
         prior: list[str] = []
     else:
         prior = man["files"]
-        hist_keys = spark.read.parquet(*prior).select(key)
+        hist_keys = _read_files(spark, prior).select(key)
         new_rows = batch.join(hist_keys, key, "left_anti")
     files = _write_data(new_rows, table_dir)
     _publish(table_dir, prior + files, token)
@@ -170,7 +178,7 @@ def read_version(spark: SparkSession, table_dir: str,
                 man = json.load(f)
             if not man["files"]:
                 return None
-            return spark.read.parquet(*man["files"])
+            return _read_files(spark, man["files"])
     return None
 
 
@@ -211,7 +219,7 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
     if hit_files:
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(*hit_files)
+        df = _read_files(spark, hit_files)
         before = df.count()
         kept = df.where(~F.col(key).isin(want))
         rows_deleted = before - kept.count()
@@ -222,6 +230,37 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
         "files_total": len(man["files"]),
         "files_rewritten": len(hit_files),
         "rows_deleted": rows_deleted,
+    }
+
+
+def compact(spark: SparkSession, table_dir: str,
+            target_files: int = 1) -> dict:
+    """Small-file compaction inside the manifest protocol: rewrite the
+    CURRENT version's file list into ``target_files`` files and publish
+    the result as a new version. Published data files are never
+    mutated, so every prior version time-travels unchanged across the
+    compaction boundary, and the compaction commit itself goes through
+    the same put-if-absent _publish as any writer. Batch-id idempotence
+    is preserved: compaction tokens live in a separate namespace
+    (``compact-*``), so a replayed micro-batch still finds its own
+    ``batchN`` manifest and skips.
+
+    At scale, run per partition/range and coalesce to a file-size
+    target; here the knob is the file count, which is what the local
+    tests can assert.
+    """
+    man = latest_manifest(table_dir)
+    if man is None or not man["files"]:
+        return {"files_before": 0, "files_after": 0, "version": None}
+    df = _read_files(spark, man["files"])
+    new_files = _write_data(df.repartition(target_files), table_dir)
+    version = _publish(
+        table_dir, new_files, f"compact-{uuid.uuid4().hex[:8]}"
+    )
+    return {
+        "files_before": len(man["files"]),
+        "files_after": len(new_files),
+        "version": version,
     }
 
 

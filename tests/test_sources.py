@@ -388,6 +388,69 @@ def test_snapshot_publish_is_put_if_absent(spark, tmp_path):
     assert len(SN._manifests(t)) == 3
 
 
+def test_snapshot_schema_evolution_add_column(spark, tmp_path):
+    """A later batch may carry an added column: the latest version
+    reads the merged schema (nulls for pre-evolution files), while
+    time travel to the old version still shows the old schema."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    old = spark.createDataFrame([(1, "a")], "trip_key long, v string")
+    assert SN.upsert_batch(old, 0, t) == "published"
+    new = spark.createDataFrame(
+        [(2, "b", 9.5)], "trip_key long, v string, score double"
+    )
+    assert SN.upsert_batch(new, 1, t) == "published"
+
+    latest = SN.read_latest(spark, t)
+    assert set(latest.columns) == {"trip_key", "v", "score"}
+    rows = {r.trip_key: r for r in latest.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+    v1 = SN.read_version(spark, t, 1)
+    assert set(v1.columns) == {"trip_key", "v"}
+
+
+def test_snapshot_compaction_preserves_history_and_idempotence(
+    spark, tmp_path
+):
+    import os
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"b{i}") for j in range(5)],
+            "trip_key long, v string",
+        ).coalesce(1)
+        assert SN.upsert_batch(b, i, t) == "published"
+    before = {tuple(r) for r in SN.read_latest(spark, t).collect()}
+    n_files_before = len(SN.latest_manifest(t)["files"])
+    assert n_files_before >= 3
+
+    stats = SN.compact(spark, t, target_files=1)
+    assert stats["files_before"] == n_files_before
+    assert stats["files_after"] == 1
+    assert stats["version"] == 4
+
+    # same rows, fewer files
+    after = {tuple(r) for r in SN.read_latest(spark, t).collect()}
+    assert after == before
+    # time travel across the compaction boundary: v3 (pre-compaction)
+    # still reads from the original uncompacted files
+    v3 = {tuple(r) for r in SN.read_version(spark, t, 3).collect()}
+    assert v3 == before
+    # batch-id idempotence survives compaction
+    replay = spark.createDataFrame(
+        [(999, "dup")], "trip_key long, v string"
+    )
+    assert SN.upsert_batch(replay, 1, t) == "skipped_duplicate"
+    # and the compacted table keeps upserting normally
+    assert SN.upsert_batch(replay, 7, t) == "published"
+    assert 999 in {r.trip_key for r in SN.read_latest(spark, t).collect()}
+
+
 def test_snapshot_upsert_dedups_within_batch(spark, tmp_path):
     """A batch carrying the same key twice publishes one row, like the
     reference's ON CONFLICT DO NOTHING drops intra-statement
