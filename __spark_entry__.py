@@ -163,6 +163,8 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_sample": R4.docs_weighted_sample,
         "emb_label_affinity": S.emb_label_affinity,
         "docs_simhash_pairs": D.docs_simhash_pairs,
+        # round-3: substring-level exact dedup (duplicated-span cutter)
+        "docs_dup_spans": D.docs_dup_spans,
         "docs_pack_sequences": TO.docs_pack_sequences,
         "docs_mix_weights": TO.docs_mix_weights,
         "docs_boilerplate_spans": TO.docs_boilerplate_spans,
@@ -282,7 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Keys added in round 3 — kept at the very front of the sweep order.
-_ROUND3_NEW: set[str] = set()
+_ROUND3_NEW: set[str] = {"docs_dup_spans"}
 
 
 # Shared SQL fragments (kept identical across oracle queries).
@@ -1940,6 +1942,59 @@ def oracle_sql() -> dict[str, str]:
             FROM cv a JOIN cv b ON a.label < b.label
             ORDER BY label_a, label_b
         """,
+        "docs_dup_spans": """
+            WITH tk AS (SELECT doc_id, {toks} AS w FROM documents),
+            n AS (SELECT doc_id, len(w) AS n_tokens FROM tk),
+            idx AS (
+                SELECT doc_id, w, unnest(range(1, len(w) - {lm1} + 1)) AS i
+                FROM tk WHERE len(w) >= {l}
+            ),
+            g AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(w[i:i+{lm1}], ' ') AS gram
+                FROM idx
+            ),
+            dfq AS (
+                SELECT gram
+                FROM (SELECT DISTINCT doc_id, gram FROM g)
+                GROUP BY gram HAVING count(*) >= 2
+            ),
+            dup AS (SELECT doc_id, pos FROM g JOIN dfq USING (gram)),
+            marked AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) = 1
+                            THEN 0 ELSE 1 END AS brk
+                FROM dup
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM marked
+            ),
+            spans AS (
+                SELECT doc_id, island,
+                       min(pos) AS s, max(pos) + {lm1} AS e
+                FROM isl GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_dup_spans,
+                       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+                       CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens
+                FROM spans GROUP BY 1
+            )
+            SELECT n.doc_id, n.n_tokens,
+                   coalesce(n_dup_spans, 0) AS n_dup_spans,
+                   coalesce(dup_tokens, 0) AS dup_tokens,
+                   coalesce(max_span_tokens, 0) AS max_span_tokens,
+                   round(coalesce(dup_tokens, 0)
+                         / greatest(n.n_tokens, 1), 6) AS dup_frac
+            FROM n LEFT JOIN agg USING (doc_id)
+            ORDER BY doc_id
+        """.format(toks=_TOKS, l=8, lm1=7),
         "docs_simhash_pairs": f"""
             WITH t AS (
                 SELECT doc_id, {_TOKS} AS tk FROM documents

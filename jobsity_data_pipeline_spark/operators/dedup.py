@@ -511,3 +511,101 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str,
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def docs_dup_spans(spark: SparkSession, sf_dir: str,
+                   span_tokens: int = 8) -> DataFrame:
+    """Substring-level exact dedup screen: per document, the maximal
+    token spans whose every ``span_tokens``-gram also occurs in at
+    least one OTHER document — the distributed stand-in for
+    suffix-array substring dedup (find-and-cut repeated passages, not
+    whole-document copies). Reported per doc as span count, covered
+    tokens, longest span, and coverage fraction; a cutter drops or
+    trims docs above a threshold.
+
+    Plan shape (all bucket joins, never doc x doc):
+    posexplode(tokens) + lead window builds positional L-grams in
+    whole-stage codegen (one shuffle on doc_id); distinct (doc, gram)
+    -> gram doc-frequency (one shuffle on the gram key); an equi-join
+    back on gram marks duplicated positions (NO broadcast — the gram
+    table scales with the corpus); gaps-and-islands per doc merges
+    overlapping duplicated grams into maximal spans. Every stage is a
+    hash shuffle on a bounded key; skew is bounded by the gram
+    doc-frequency itself.
+    """
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    n_tok = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, span_tokens)
+    ]
+    g = (
+        toks.select(
+            "doc_id", "pos",
+            F.concat_ws(" ", *leads).alias("gram"),
+            leads[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    cross_doc = (
+        g.select("doc_id", "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    dup = g.join(cross_doc, "gram").select("doc_id", "pos")
+
+    # two selects: lag first, then the cumulative island id (a window
+    # expression can't nest inside another window's aggregate). Both
+    # windows share the doc_id partitioning -> one shuffle.
+    marked = dup.select(
+        "doc_id", "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)
+        ).otherwise(F.lit(1)).alias("brk"),
+    )
+    isl = marked.select(
+        "doc_id", "pos",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(span_tokens - 1)).alias("e"),
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).alias("max_span_tokens"),
+    )
+    return (
+        n_tok.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.coalesce("max_span_tokens", F.lit(0)).cast("long").alias(
+                "max_span_tokens"
+            ),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

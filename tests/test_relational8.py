@@ -315,3 +315,52 @@ def test_decay_merge_property(spark, tmp_path_factory, split):
     merged_value = v1 * s1 + v2 * s2
     assert abs(merged_count - full.decayed_count) < 1e-3
     assert abs(merged_value - full.decayed_value) < 1e-2
+
+
+def test_dup_spans_exact_substring_detection(spark, tmp_path):
+    """Two docs share a 12-token passage (detected, merged into ONE
+    maximal span covering exactly those 12 tokens); a third doc is
+    unique (zero spans)."""
+    from jobsity_data_pipeline_spark.operators.dedup import docs_dup_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    texts = [
+        "unique lead " + shared + " unique tail one",
+        "different prefix words here " + shared,
+        "entirely original content with no overlap whatsoever at all",
+    ]
+    _write_docs(spark, str(tmp_path), texts)
+    rows = {r.doc_id: r for r in
+            docs_dup_spans(spark, str(tmp_path), span_tokens=8).collect()}
+    # doc 0: 12-token shared passage -> one span of 12 tokens
+    assert rows[0].n_dup_spans == 1
+    assert rows[0].dup_tokens == 12
+    assert rows[0].max_span_tokens == 12
+    assert rows[0].n_tokens == 17
+    assert rows[1].n_dup_spans == 1
+    assert rows[1].dup_tokens == 12
+    # doc 2: nothing shared
+    assert rows[2].n_dup_spans == 0
+    assert rows[2].dup_tokens == 0
+    assert rows[2].dup_frac == 0.0
+
+
+def test_dup_spans_merges_overlapping_grams(spark, tmp_path):
+    """Two shared passages separated by a unique middle produce TWO
+    spans, not one — the island merge only bridges consecutive
+    duplicated gram positions."""
+    from jobsity_data_pipeline_spark.operators.dedup import docs_dup_spans
+
+    p1 = "one two three four five six seven eight"          # 8 tokens
+    p2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    texts = [
+        p1 + " UNIQUEMID middle filler words distinct " + p2,
+        p1 + " other entirely different middle section here " + p2,
+    ]
+    _write_docs(spark, str(tmp_path), texts)
+    rows = {r.doc_id: r for r in
+            docs_dup_spans(spark, str(tmp_path), span_tokens=8).collect()}
+    for d in (0, 1):
+        assert rows[d].n_dup_spans == 2
+        assert rows[d].dup_tokens == 16
+        assert rows[d].max_span_tokens == 8
