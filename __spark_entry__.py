@@ -165,6 +165,10 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": D.docs_simhash_pairs,
         # round-3: substring-level exact dedup (duplicated-span cutter)
         "docs_dup_spans": D.docs_dup_spans,
+        # round-3: trained per-subspace PQ codebooks (rows-only: the
+        # k-means training inherits partial-agg float order, like
+        # emb_kmeans_fit; its recall is gated in emb_ann_recall)
+        "emb_pq_trained_ann": R8.emb_pq_trained_ann,
         "docs_pack_sequences": TO.docs_pack_sequences,
         "docs_mix_weights": TO.docs_mix_weights,
         "docs_boilerplate_spans": TO.docs_boilerplate_spans,
@@ -284,7 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Keys added in round 3 — kept at the very front of the sweep order.
-_ROUND3_NEW: set[str] = {"docs_dup_spans"}
+_ROUND3_NEW: set[str] = {"docs_dup_spans", "emb_pq_trained_ann"}
 
 
 # Shared SQL fragments (kept identical across oracle queries).

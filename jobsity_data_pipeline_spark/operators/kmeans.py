@@ -135,3 +135,80 @@ def emb_kmeans_fit_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     production convergence runs use emb_kmeans_fit directly.
     """
     return emb_kmeans_fit(spark, sf_dir, max_iter=6, tol=1e-6)
+
+
+def pq_train_codebooks(spark: SparkSession, emb: DataFrame,
+                       n_subspaces: int = 4, n_codes: int = 16,
+                       iters: int = 2, dim: int = 64) -> DataFrame:
+    """Per-subspace PQ codebook training: independent k-means in each
+    contiguous ``dim // n_subspaces``-wide block, run jointly (the
+    subspace id is just another grouping key). Because the round count
+    is FIXED, the whole training unrolls into ONE lazy Catalyst plan —
+    no driver loop, no collect: per round, assign every (vector,
+    subspace) to its nearest code with a partial-agg min-struct (the
+    same plan shape as relational8.emb_pq_codes) and re-average; empty
+    codes keep their previous centroid via a left-join coalesce.
+    Lineage is truncated per round with a lazy localCheckpoint so the
+    unrolled plan stays linear in ``iters``.
+
+    Init is deterministic (subvectors of the ``n_codes`` lowest
+    vec_ids); argmin ties break toward the lower code. Production uses
+    n_codes=256 — the knob trades distance-table size for
+    within-cluster discrimination (the label-centroid codebooks of
+    emb_pq_ann cannot separate vectors inside one label cluster;
+    trained ones can — measured in emb_ann_recall pq vs pq_trained).
+
+    Returns a DataFrame (subspace, code, pos, c) with ``pos`` the
+    GLOBAL dimension index, ready for the ADC join on pos; only
+    n_subspaces x n_codes x block centroid scalars ever materialize
+    per round, never a vector.
+    """
+    from pyspark.sql.window import Window
+
+    block = dim // n_subspaces
+    x = emb.select(
+        "vec_id", F.posexplode("v").alias("pos", "x")
+    ).withColumn("subspace", F.expr(f"pos div {block}").cast("int"))
+    # seeds: the n_codes lowest vec_ids -> code 0..n_codes-1 (the
+    # row_number window runs over an n_codes-row frame)
+    ids = (
+        emb.select("vec_id").orderBy("vec_id").limit(n_codes)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int").alias("code"),
+        )
+    )
+    cent = (
+        x.join(F.broadcast(ids), "vec_id")
+        .select("subspace", "code", "pos", F.col("x").alias("c"))
+    )
+    for _ in range(iters):
+        d2 = (
+            x.join(F.broadcast(cent), ["subspace", "pos"])
+            .groupBy("vec_id", "subspace", "code")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).alias("d2")
+            )
+        )
+        assigned = (
+            d2.groupBy("vec_id", "subspace")
+            .agg(F.min(F.struct("d2", "code")).alias("m"))
+            .select("vec_id", "subspace", F.col("m.code").alias("code"))
+        )
+        stats = (
+            x.join(assigned, ["vec_id", "subspace"])
+            .groupBy("subspace", "code", "pos")
+            .agg(F.avg("x").alias("cn"))
+        )
+        cent = (
+            cent.join(stats, ["subspace", "code", "pos"], "left")
+            .select(
+                "subspace", "code", "pos",
+                F.coalesce("cn", "c").alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cent

@@ -1271,3 +1271,74 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nation_rank") <= 3)
         .orderBy("n_name", "nation_rank")
     )
+
+
+def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
+                       n_queries: int = 8, k: int = 5,
+                       n_subspaces: int = 4, n_codes: int = 16,
+                       iters: int = 2) -> DataFrame:
+    """PQ asymmetric-distance ANN over TRAINED per-subspace codebooks
+    (operators/kmeans.pq_train_codebooks) instead of emb_pq_ann's
+    label-centroid blocks. Same scan shape — codes scan -> broadcast
+    distance-table join -> partial-agg ADC sum -> per-query top-k —
+    at the same scan fraction, but k-means'd codes discriminate WITHIN
+    a label cluster, which is exactly where the label-centroid
+    codebooks tie (measured side by side in emb_ann_recall's
+    pq vs pq_trained rows). Production: n_codes=256 per subspace.
+
+    Rows-only in the driver gate: the trained codebook inherits
+    k-means's partial-aggregation float-order, like emb_kmeans_fit.
+    """
+    from pyspark.sql.window import Window
+
+    from .kmeans import pq_train_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = pq_train_codebooks(
+        spark, e, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters
+    )
+    x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    d = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "subspace", "code")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    codes = (
+        d.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d2", "code")).alias("m"))
+        .select("vec_id", "subspace", F.col("m.code").alias("code"))
+    )
+    qd = (
+        x.where(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cent), "pos")
+        .groupBy(
+            F.col("vec_id").alias("qid"), "subspace", "code"
+        )
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+            ).alias("dq")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["subspace", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dq").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        adc.select(
+            "qid", "vec_id", "adc", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", F.round("adc", 6).alias("adc"))
+        .orderBy("qid", "rank")
+    )

@@ -522,7 +522,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     oracle by design; the EXACT baseline they are scored against is
     oracle-checked as emb_cosine_topk).
     """
-    from .relational8 import emb_pq_ann, emb_pq_rerank
+    from .relational8 import emb_pq_ann, emb_pq_rerank, emb_pq_trained_ann
 
     exact = emb_cosine_topk(spark, sf_dir, n_queries, k).select("qid", "nid")
     out = None
@@ -544,11 +544,18 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     pqr = emb_pq_rerank(
         spark, sf_dir, n_queries, k, shortlist_df=sl
     ).select("qid", F.col("vec_id").alias("nid"))
+    # trained per-subspace codebooks vs the label-centroid ones, at the
+    # SAME scan fraction (codes-only, no rerank): the trained row is
+    # the codebook-quality A/B the retrain decision reads
+    pqt = emb_pq_trained_ann(spark, sf_dir, n_queries, k).select(
+        "qid", F.col("vec_id").alias("nid")
+    )
     for method, res in (
         ("lsh", emb_lsh_ann(spark, sf_dir, n_queries, k)),
         ("ivf", emb_ivf_ann(spark, sf_dir, n_queries, k)),
         ("pq", pq),
         ("pq_rerank", pqr),
+        ("pq_trained", pqt),
     ):
         hits = (
             res.select("qid", "nid")

@@ -66,3 +66,52 @@ def test_emb_kmeans_fit_table(spark):
     # k labels x 64 dims
     assert len(rows) == len({(r.cell, r.pos) for r in rows})
     assert len({r.cell for r in rows}) >= 2
+
+
+def test_pq_train_codebooks_shape_and_improvement(spark):
+    """Trained per-subspace codebooks: full (subspace, code, pos) grid,
+    global pos indexing, and a recall@k at least as good as the
+    label-centroid codebooks at the SAME scan fraction (codes-only ADC,
+    no rerank) — the reason to train at all."""
+    from pyspark.sql import functions as F
+
+    from jobsity_data_pipeline_spark.operators.kmeans import (
+        pq_train_codebooks,
+    )
+    from jobsity_data_pipeline_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = pq_train_codebooks(spark, emb, n_subspaces=4, n_codes=8,
+                              iters=2).collect()
+    assert len(rows) == 4 * 8 * 16
+    assert {r[0] for r in rows} == set(range(4))
+    assert {r[1] for r in rows} == set(range(8))
+    # pos is the GLOBAL dim index: subspace s covers [16s, 16s+16)
+    for s, c, pos, _ in rows:
+        assert s * 16 <= pos < (s + 1) * 16
+
+    from jobsity_data_pipeline_spark.operators.relational8 import (
+        emb_pq_ann,
+        emb_pq_trained_ann,
+    )
+    from jobsity_data_pipeline_spark.operators.similarity import (
+        emb_cosine_topk,
+    )
+
+    exact = {
+        (r.qid, r.nid)
+        for r in emb_cosine_topk(spark, SF_SMOKE, 8, 5).collect()
+    }
+    plain = {
+        (r.qid, r.vec_id)
+        for r in emb_pq_ann(spark, SF_SMOKE, 8, 5).collect()
+    }
+    trained = {
+        (r.qid, r.vec_id)
+        for r in emb_pq_trained_ann(spark, SF_SMOKE, 8, 5).collect()
+    }
+    assert len(trained & exact) >= len(plain & exact)
+    assert len(trained & exact) > 0
