@@ -47,8 +47,13 @@ def write_hist_bucketed(df: DataFrame, table: str, key: str = "trip_key",
 def write_jdbc(df: DataFrame, url: str, table: str,
                properties: dict[str, str] | None = None,
                mode: str = "append") -> None:
-    """JDBC sink (insert_postgres.py:24 ``df.write.jdbc``). Requires a
-    driver jar; gated behind the caller in this environment."""
+    """JDBC sink (insert_postgres.py:24 ``df.write.jdbc``): append into
+    a PRE-CREATED staging table, mirroring the reference's flow where
+    create_objects.sql provisions the table before the Spark load.
+    Needs the driver jar on the session classpath (``spark.jars``);
+    tests/test_sources.py round-trips this end-to-end against a DuckDB
+    JDBC database when a driver jar is present in the environment, and
+    skips otherwise."""
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
 
 

@@ -465,3 +465,81 @@ def test_snapshot_upsert_dedups_within_batch(spark, tmp_path):
     rows = SN.read_latest(spark, t).collect()
     assert len(rows) == 2
     assert {r.trip_key for r in rows} == {1, 2}
+
+
+def _find_duckdb_jdbc_jar():
+    import glob
+    import os
+
+    roots = [
+        os.path.expanduser("~/.cache/coursier"),
+        os.path.expanduser("~/.m2"),
+        "/opt",
+    ]
+    for root in roots:
+        hits = glob.glob(
+            os.path.join(root, "**", "duckdb_jdbc*.jar"), recursive=True
+        )
+        if hits:
+            return hits[0]
+    return None
+
+
+def test_jdbc_sink_roundtrip_end_to_end(tmp_path):
+    """The reference's JDBC load path (insert_postgres.py:14-24)
+    executed for real: provision the staging table (create_objects.sql
+    role), append via write_jdbc, read back via spark.read.jdbc.
+    Driven against DuckDB's JDBC driver — same Spark JDBC code path as
+    Postgres, different URL. Runs in a subprocess because the driver
+    jar must be on the session classpath at JVM launch; skipped when no
+    jar is present in the environment."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import pytest
+
+    jar = _find_duckdb_jdbc_jar()
+    if jar is None:
+        pytest.skip("no DuckDB JDBC driver jar in environment")
+
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import duckdb
+        db = r"{tmp_path}/stage.db"
+        con = duckdb.connect(db)
+        con.execute(
+            "CREATE TABLE trips_staging ("
+            "region VARCHAR, datasource VARCHAR, trip_key VARCHAR)"
+        )
+        con.close()
+        from pyspark.sql import SparkSession
+        from jobsity_data_pipeline_spark.sources.writers import write_jdbc
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.jars", r"{jar}")
+            .config("spark.driver.extraClassPath", r"{jar}")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.createDataFrame(
+            [("Prague", "funny_car", "k1"), ("Turin", "baba_car", "k2")],
+            "region string, datasource string, trip_key string",
+        ).coalesce(1)
+        url = "jdbc:duckdb:" + db
+        props = {{"driver": "org.duckdb.DuckDBDriver"}}
+        write_jdbc(df, url, "trips_staging", properties=props)
+        back = spark.read.jdbc(url, "trips_staging", properties=props)
+        rows = sorted(tuple(r) for r in back.collect())
+        assert rows == [
+            ("Prague", "funny_car", "k1"), ("Turin", "baba_car", "k2")
+        ], rows
+        print("JDBC_ROUNDTRIP_OK")
+    """)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "JDBC_ROUNDTRIP_OK" in out.stdout, out.stderr[-2000:]
