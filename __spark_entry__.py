@@ -30,6 +30,7 @@ from jobsity_data_pipeline_spark.operators import relational5 as R5
 from jobsity_data_pipeline_spark.operators import relational6 as R6
 from jobsity_data_pipeline_spark.operators import relational7 as R7
 from jobsity_data_pipeline_spark.operators import relational8 as R8
+from jobsity_data_pipeline_spark.operators import relational9 as R9
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -165,6 +166,9 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": D.docs_simhash_pairs,
         # round-3: substring-level exact dedup (duplicated-span cutter)
         "docs_dup_spans": D.docs_dup_spans,
+        # round-3: SemDeDup semantic dedup + CCNet quality tiering
+        "emb_semdedup": R9.emb_semdedup,
+        "docs_quality_tiers": R9.docs_quality_tiers,
         # round-3: trained per-subspace PQ codebooks (rows-only: the
         # k-means training inherits partial-agg float order, like
         # emb_kmeans_fit; its recall is gated in emb_ann_recall)
@@ -288,7 +292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Keys added in round 3 — kept at the very front of the sweep order.
-_ROUND3_NEW: set[str] = {"docs_dup_spans", "emb_pq_trained_ann"}
+_ROUND3_NEW: set[str] = {
+    "docs_dup_spans", "emb_pq_trained_ann", "emb_semdedup",
+    "docs_quality_tiers",
+}
 
 
 # Shared SQL fragments (kept identical across oracle queries).
@@ -1999,6 +2006,111 @@ def oracle_sql() -> dict[str, str]:
             FROM n LEFT JOIN agg USING (doc_id)
             ORDER BY doc_id
         """.format(toks=_TOKS, l=8, lm1=7),
+        "emb_semdedup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings
+            ),
+            x AS (
+                SELECT label, unnest(range(0, len(v))) AS pos,
+                       unnest(v) AS x
+                FROM e
+            ),
+            cent AS (
+                SELECT label AS cl, pos, avg(x) AS c FROM x GROUP BY 1, 2
+            ),
+            carr AS (
+                SELECT cl, list(c ORDER BY pos) AS cv FROM cent GROUP BY cl
+            ),
+            d AS (
+                SELECT e.vec_id, carr.cl,
+                       list_sum(list_transform(range(1, len(v) + 1),
+                           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d2
+                FROM e CROSS JOIN carr
+            ),
+            a AS (
+                SELECT vec_id, cl,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d2, cl
+                       ) AS rnk
+                FROM d
+            ),
+            asg AS (SELECT vec_id, cl FROM a WHERE rnk = 1),
+            ev AS (
+                SELECT e.vec_id, asg.cl, e.v
+                FROM e JOIN asg USING (vec_id)
+            ),
+            p AS (
+                SELECT a.cl, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       list_cosine_similarity(a.v, b.v) AS cos
+                FROM ev a JOIN ev b
+                  ON a.cl = b.cl AND a.vec_id < b.vec_id
+            ),
+            dup AS (
+                SELECT cl, vec_a, vec_b, cos
+                FROM p WHERE round(cos, 6) >= 0.3
+            ),
+            sizes AS (SELECT cl, count(*) AS n_vecs FROM asg GROUP BY cl),
+            ps AS (
+                SELECT cl, count(*) AS n_dup_pairs,
+                       round(avg(cos), 4) AS avg_dup_cos
+                FROM dup GROUP BY cl
+            ),
+            rm AS (
+                SELECT cl, count(*) AS n_removed
+                FROM (SELECT DISTINCT cl, vec_b FROM dup) GROUP BY cl
+            )
+            SELECT CAST(sizes.cl AS INTEGER) AS cl, n_vecs,
+                   coalesce(n_dup_pairs, 0) AS n_dup_pairs,
+                   coalesce(n_removed, 0) AS n_removed,
+                   n_vecs - coalesce(n_removed, 0) AS n_kept,
+                   avg_dup_cos
+            FROM sizes LEFT JOIN ps USING (cl) LEFT JOIN rm USING (cl)
+        """,
+        "docs_quality_tiers": f"""
+            WITH raw AS (
+                SELECT doc_id, source, length(text) AS n_chars,
+                       {_TOKS} AS tk,
+                       (length(text) - length(regexp_replace(
+                            text, '[^A-Za-z0-9\\s]', '', 'g')))
+                           / greatest(length(text), 1) AS praw
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, source, n_chars, praw,
+                       CAST(len(tk) AS BIGINT) AS n_tokens,
+                       {sw_hits} / greatest(len(tk), 1) AS sraw
+                FROM raw
+            ),
+            q AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(round(
+                           (CASE WHEN n_chars >= 100 AND n_chars <= 20000
+                                 THEN 1.0 ELSE 0.3 END)
+                           * (CASE WHEN sraw >= 0.05 THEN 1.0 ELSE 0.5 END)
+                           * (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.4 END),
+                       4) AS DOUBLE) AS quality
+                FROM feat
+            ),
+            t AS (
+                SELECT source, n_tokens, quality,
+                       ntile(3) OVER (
+                           PARTITION BY source
+                           ORDER BY quality DESC, doc_id
+                       ) AS tier
+                FROM q
+            )
+            SELECT source, CAST(tier AS INTEGER) AS tier,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   floor(avg(quality) * 10000.0 + 0.5) / 10000.0
+                       AS avg_quality,
+                   round(min(quality), 4) AS min_quality,
+                   round(max(quality), 4) AS max_quality,
+                   CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS tier_name
+            FROM t GROUP BY source, tier
+        """,
         "docs_simhash_pairs": f"""
             WITH t AS (
                 SELECT doc_id, {_TOKS} AS tk FROM documents

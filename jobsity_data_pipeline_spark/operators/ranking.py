@@ -21,6 +21,13 @@ no global sort:
 
 Matches ANSI/DuckDB ``NTILE(k) OVER (ORDER BY v [DESC], tiebreaks)``
 bit-for-bit, so oracle SQL keeps plain NTILE.
+
+``group_cols`` generalizes this to ``NTILE(k) OVER (PARTITION BY g
+ORDER BY ...)`` for LOW-cardinality groups (sources, segments): a plain
+``Window.partitionBy(g)`` would sort each group's full frame in ONE
+task — the same scale-killer when groups are few and huge. Here the
+cutoffs/blocks/offsets all become per-group, so every group fans out
+over ``blocks`` tasks.
 """
 from __future__ import annotations
 
@@ -37,46 +44,65 @@ def distributed_ntile(
     descending: bool = False,
     blocks: int = 64,
     out_col: str = "bucket",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = exact NTILE(n_buckets) over
-    ORDER BY value_col [DESC], *tiebreak_cols — without a global sort.
+    [PARTITION BY *group_cols] ORDER BY value_col [DESC], *tiebreak_cols
+    — without a global (or per-group single-task) sort.
 
     ``value_col`` must be numeric and non-null (negation implements
     DESC). Ties on the value are broken by ``tiebreak_cols`` ascending,
-    exactly as the equivalent window spec would.
+    exactly as the equivalent window spec would. ``group_cols`` must be
+    low-cardinality (the cutoff/offset side tables are
+    groups x blocks rows and are broadcast).
     """
+    g = list(group_cols or [])
     sv = F.col(value_col).cast("double")
     if descending:
         sv = -sv
     d0 = df.withColumn("_sv", sv)
 
     fracs = [i / blocks for i in range(1, blocks)]
-    cuts = d0.agg(
+    cuts = d0.groupBy(*g).agg(
         F.percentile_approx("_sv", fracs, 10000).alias("_cuts")
     )
     # Strict `c < v`: rows sharing a value can never straddle a block
-    # boundary, so blocks are monotone in the global order. The lambda
-    # runs over a bounded (blocks-1)-element array, not a token stream.
-    d = d0.crossJoin(F.broadcast(cuts)).withColumn(
+    # boundary, so blocks are monotone in the (per-group) order. The
+    # lambda runs over a bounded (blocks-1)-element array, not a token
+    # stream.
+    if g:
+        d = d0.join(F.broadcast(cuts), on=g)
+    else:
+        d = d0.crossJoin(F.broadcast(cuts))
+    d = d.withColumn(
         "_blk",
         F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_sv"))),
     )
 
-    w_local = Window.partitionBy("_blk").orderBy(
+    w_local = Window.partitionBy(*g, "_blk").orderBy(
         F.col("_sv").asc(), *[F.col(c).asc() for c in tiebreak_cols]
     )
     d = d.withColumn("_lrn", F.row_number().over(w_local))
 
-    sizes = d.groupBy("_blk").agg(F.count("*").alias("_c"))
+    sizes = d.groupBy(*g, "_blk").agg(F.count("*").alias("_c"))
     other = sizes.select(
-        F.col("_blk").alias("_blk2"), F.col("_c").alias("_c2")
+        *[F.col(c).alias(f"_g2_{c}") for c in g],
+        F.col("_blk").alias("_blk2"),
+        F.col("_c").alias("_c2"),
     )
-    # blocks x blocks broadcast cross join (<= 64^2 rows): cumulative
-    # offset and grand total in one aggregate, no SinglePartition
+    # (groups x blocks)^2 broadcast join (tiny): per-group cumulative
+    # offset and group total in one aggregate, no SinglePartition
     # Exchange, no driver collect.
+    if g:
+        join_cond = None
+        for c in g:
+            eq = F.col(c) == F.col(f"_g2_{c}")
+            join_cond = eq if join_cond is None else (join_cond & eq)
+        paired = sizes.join(F.broadcast(other), join_cond)
+    else:
+        paired = sizes.crossJoin(F.broadcast(other))
     offs = (
-        sizes.crossJoin(F.broadcast(other))
-        .groupBy("_blk")
+        paired.groupBy(*g, "_blk")
         .agg(
             F.sum(
                 F.when(F.col("_blk2") < F.col("_blk"), F.col("_c2"))
@@ -86,7 +112,7 @@ def distributed_ntile(
         )
     )
 
-    ranked = d.join(F.broadcast(offs), "_blk").withColumn(
+    ranked = d.join(F.broadcast(offs), [*g, "_blk"]).withColumn(
         "_rank", F.col("_off") + F.col("_lrn")
     )
 

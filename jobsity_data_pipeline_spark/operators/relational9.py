@@ -1,0 +1,199 @@
+"""Round-3 close-out wave: semantic dedup and corpus tiering — the two
+standard curation passes (SemDeDup, CCNet) a 100-TB LLM-training-data
+pipeline runs after exact/fuzzy dedup, layered on the reference's
+ingest scope (src/sqls/create_objects.sql) like the rest of the
+LLM-pipeline family.
+
+- emb_semdedup: SemDeDup (Abbas et al., 2023, arXiv:2303.09540) —
+  cluster the embedding space, call a pair of same-cluster vectors
+  semantic duplicates when their cosine exceeds a threshold, keep one
+  representative per duplicated vector set.
+- docs_quality_tiers: CCNet-style (Wenzek et al., 2020) head / middle /
+  tail split of each source by the composite quality score, assigned
+  with the distributed exact NTILE (no per-source single-task sort).
+
+Scale notes (100 TB):
+- semdedup's all-pairs work is *within cluster only* — the published
+  method's point: k grows with N so cluster sizes stay bounded, and the
+  per-cluster GEMM is embarrassingly parallel over clusters
+  (applyInPandas groups). No corpus-wide pair join exists in the plan.
+  Candidate pairs (a sparse set) are re-scored with the sequential-
+  order JVM fold so reported cosines are bit-stable vs the oracle.
+- quality tiering avoids Window.partitionBy(source): with a handful of
+  huge sources that window sorts each source in ONE task. The grouped
+  distributed_ntile fans each source over `blocks` range-partitions
+  (see operators/ranking.py) — identical NTILE semantics, no
+  single-partition Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.vectors import as_double, cosine
+from ..session import ensure_parallelism, read_table
+from .ranking import distributed_ntile
+from .textops import quality_frame
+
+SEMDEDUP_TAU = 0.3
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return ensure_parallelism(spark, read_table(spark, sf_dir, name))
+
+
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cl, v): nearest label-centroid assignment, centroids
+    from a distributed posexplode+avg aggregate (k x dim scalars driver-
+    side, broadcast once). Ties on distance resolve to the lowest
+    cluster id — same rule as the oracle's row_number ORDER BY d2, cl
+    and numpy argmin's first-match."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double("embedding").alias("v"), "label")
+    cents = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    k = max(r.label for r in cents) + 1
+    dim = max(r.pos for r in cents) + 1
+    C = np.zeros((k, dim))
+    for r in cents:
+        C[r.label, r.pos] = r.c
+    bc = spark.sparkContext.broadcast(C)
+
+    def gen(batches):
+        import pandas as pd
+
+        M = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_numpy())
+            d2 = ((A[:, None, :] - M[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cl": d2.argmin(axis=1).astype("int32"),
+                    "v": pdf["v"],
+                }
+            )
+
+    return e.mapInPandas(gen, "vec_id long, cl int, v array<double>")
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str,
+                 tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup per-cluster report: cluster size, semantic-duplicate
+    pairs (same-cluster cosine >= tau), vectors removed under the
+    deterministic keep-lowest-id rule, vectors kept, and the mean
+    duplicate cosine.
+
+    Two-stage scoring keeps it both fast and oracle-exact: a per-
+    cluster float64 GEMM (applyInPandas, vectorized) prefilters pairs
+    with a 1e-3 margin; survivors are re-scored with the sequential
+    JVM fold (functions/vectors.cosine) so the reported value adds
+    terms in the same order as DuckDB's loop, then the exact
+    round(cos, 6) >= tau gate is applied — the emb_near_dup convention
+    (operators/similarity.py).
+    """
+    asg = _assigned(spark, sf_dir)
+
+    def pairs_of(pdf):
+        import numpy as np
+        import pandas as pd
+
+        A = np.stack(pdf["v"].to_numpy())
+        n = A.shape[0]
+        if n < 2:
+            return pd.DataFrame({"cl": [], "vec_a": [], "vec_b": []}).astype(
+                {"cl": "int32", "vec_a": "int64", "vec_b": "int64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.sqrt((A * A).sum(axis=1))
+        norms[norms == 0] = 1.0
+        S = (A / norms[:, None]) @ (A / norms[:, None]).T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = S[iu, ju] >= tau - 1e-3
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"cl": pdf["cl"].iloc[0], "vec_a": lo, "vec_b": hi}
+        )
+
+    cand = asg.groupBy("cl").applyInPandas(
+        pairs_of, "cl int, vec_a long, vec_b long"
+    )
+
+    va = asg.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
+    vb = asg.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
+    scored = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", cosine(F.col("av"), F.col("bv")))
+        .where(F.round("cos", 6) >= tau)
+        .select("cl", "vec_a", "vec_b", "cos")
+    )
+
+    sizes = asg.groupBy("cl").agg(F.count("*").alias("n_vecs"))
+    pair_stats = scored.groupBy("cl").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.round(F.avg("cos"), 4).alias("avg_dup_cos"),
+    )
+    removed = (
+        scored.select("cl", "vec_b").distinct()
+        .groupBy("cl")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    return (
+        sizes.join(pair_stats, "cl", "left")
+        .join(removed, "cl", "left")
+        .select(
+            "cl",
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))).alias(
+                "n_kept"
+            ),
+            "avg_dup_cos",
+        )
+    )
+
+
+def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus tiering: per source, split documents into
+    head / middle / tail thirds by the composite quality score
+    (NTILE(3) PARTITION BY source ORDER BY quality DESC, doc_id), and
+    report each tier's volume and score band. The tier assignment uses
+    the grouped distributed exact NTILE — a per-source window would
+    sort each (huge, low-cardinality) source in one task at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_frame(docs, "source").select(
+        "doc_id", "source", "n_tokens", "quality"
+    )
+    tiered = distributed_ntile(
+        q, 3, "quality", ["doc_id"], descending=True, blocks=16,
+        out_col="tier", group_cols=["source"],
+    )
+    tier_name = (
+        F.when(F.col("tier") == 1, F.lit("head"))
+        .when(F.col("tier") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        tiered.groupBy("source", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            TX.round_ratio(F.avg("quality")).alias("avg_quality"),
+            F.round(F.min("quality"), 4).alias("min_quality"),
+            F.round(F.max("quality"), 4).alias("max_quality"),
+        )
+        .withColumn("tier_name", tier_name)
+    )

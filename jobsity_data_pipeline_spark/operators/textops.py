@@ -55,18 +55,22 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality features + composite score. Raw ratios are staged
-    once, the rounded outputs and the composite derive from them."""
-    d = _docs(spark, sf_dir)
+def quality_frame(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """Per-doc quality features + composite score over a documents
+    frame, carrying ``extra_cols`` through. Raw ratios are staged once,
+    the rounded outputs and the composite derive from them. Shared by
+    docs_quality (the report) and docs_quality_tiers (the CCNet-style
+    head/middle/tail split)."""
     staged = d.select(
         "doc_id",
+        *extra_cols,
         F.length("text").alias("n_chars"),
         TX.punct_ratio("text").alias("praw"),
         TX.tokens("text").alias("tk"),
     )
     feat = staged.select(
         "doc_id",
+        *extra_cols,
         "n_chars",
         "praw",
         F.size("tk").cast("long").alias("n_tokens"),
@@ -82,11 +86,17 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct_ok = F.when(F.col("praw") <= 0.2, F.lit(1.0)).otherwise(F.lit(0.4))
     return feat.select(
         "doc_id",
+        *extra_cols,
         "n_tokens",
         TX.round_ratio(F.col("praw")).alias("punct_ratio"),
         TX.round_ratio(F.col("sraw")).alias("stopword_ratio"),
         F.round(len_ok * sw_ok * punct_ok, 4).alias("quality"),
     )
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score."""
+    return quality_frame(_docs(spark, sf_dir))
 
 
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

