@@ -57,9 +57,10 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles_exploded(spark: SparkSession, sf_dir: str,
-                           k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) rows — DISTINCT k-shingles, one per row.
+def shingles_exploded_frame(docs: DataFrame,
+                            k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) rows — DISTINCT k-shingles, one per row, from
+    any documents frame (batch table or a streaming micro-batch).
 
     Built with posexplode(tokens) + window lead()s: every expression is
     whole-stage codegen (the array/HOF path evaluates interpreted at
@@ -68,8 +69,7 @@ def _doc_shingles_exploded(spark: SparkSession, sf_dir: str,
     """
     from pyspark.sql import Window
 
-    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
-    toks = d.select(
+    toks = docs.select(
         "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -82,6 +82,12 @@ def _doc_shingles_exploded(spark: SparkSession, sf_dir: str,
         leads[-1].alias("_last"),
     )
     return sh.where(F.col("_last").isNotNull()).select("doc_id", "shingle").distinct()
+
+
+def _doc_shingles_exploded(spark: SparkSession, sf_dir: str,
+                           k: int = SHINGLE_K) -> DataFrame:
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    return shingles_exploded_frame(d, k)
 
 
 MAX_SHINGLE_DOC_FREQ = 50
@@ -143,13 +149,14 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
 
 
-def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, m0..m15): md5-permutation minima via explode + min-agg.
+def minhash_sig_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15): md5-permutation minima via explode + min-agg,
+    from any documents frame.
 
     One shuffle on doc_id with map-side partial mins; each shingle's 16
     md5s are computed exactly once in a codegen projection.
     """
-    ex = _doc_shingles_exploded(spark, sf_dir)
+    ex = shingles_exploded_frame(docs)
     hashed = ex.select(
         "doc_id",
         *[
@@ -162,13 +169,19 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash LSH band hashes (doc_id, band_id, band_hash).
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    return minhash_sig_frame(d)
+
+
+def minhash_bands_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash LSH band hashes (doc_id, band_id, band_hash)
+    from any documents frame — the row set an LSH bucket index stores.
 
     band_hash b = md5 over signature rows [b*R, (b+1)*R) — the shuffle
     key for candidate generation.
     """
-    sig = _minhash_sig(spark, sf_dir)
+    sig = minhash_sig_frame(docs)
     bands = F.array(
         *[
             F.struct(
@@ -188,6 +201,11 @@ def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"),
     )
+
+
+def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    return minhash_bands_frame(d)
 
 
 def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

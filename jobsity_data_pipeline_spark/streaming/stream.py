@@ -482,3 +482,76 @@ def stream_decayed_upsert(events: DataFrame, state_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_lsh_index(docs: DataFrame, table_dir: str, checkpoint: str):
+    """Incremental MinHash-LSH index maintenance on a document stream.
+
+    Each micro-batch computes its docs' band hashes
+    (operators/dedup.minhash_bands_frame — the same rows the batch
+    index docs_minhash_bands produces) and appends ONLY new
+    (doc_id, band_id) rows to a snapshot table
+    (sources/snapshot.upsert_batch keyed on band_key), so:
+
+    - per-batch cost is O(batch), never O(index): the prior version's
+      data files are reused by reference in the new manifest;
+    - replay after a crash is exactly-once (batch-id idempotence of the
+      manifest protocol) — proven in tests by re-running the merge;
+    - the index is queryable at any time via read_latest / time travel,
+      and candidates for a probe set come from the same
+      (band_id, band_hash) equi-join the batch path uses
+      (lsh_index_candidates below).
+
+    This is the streaming rung of the dedup family: the batch index is
+    rebuilt per corpus snapshot; the stream keeps it current between
+    snapshots at delta cost. At 100 TB the band rows are ~4 per doc —
+    index growth is linear in NEW docs only.
+    """
+    from ..operators.dedup import minhash_bands_frame
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bands = minhash_bands_frame(batch_df).withColumn(
+            "band_key",
+            F.concat_ws(":", F.col("doc_id"), F.col("band_id")),
+        )
+        upsert_batch(bands, batch_id, table_dir, key="band_key")
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lsh_index_candidates(spark: SparkSession, table_dir: str,
+                         probe_docs: DataFrame) -> DataFrame:
+    """Near-dup candidates for ``probe_docs`` against the maintained
+    index: band the probes, equi-join the bucket index on
+    (band_id, band_hash) — one shuffle, never all-pairs. Self-matches
+    drop; (doc_a < doc_b) normalizes pair order like the batch path."""
+    from ..operators.dedup import minhash_bands_frame
+    from ..sources.snapshot import read_latest
+
+    idx = read_latest(spark, table_dir)
+    if idx is None:
+        raise ValueError(f"no published index at {table_dir}")
+    probes = minhash_bands_frame(probe_docs)
+    p = probes.alias("p")
+    i = idx.alias("i")
+    return (
+        p.join(
+            i,
+            (F.col("p.band_id") == F.col("i.band_id"))
+            & (F.col("p.band_hash") == F.col("i.band_hash"))
+            & (F.col("p.doc_id") != F.col("i.doc_id")),
+        )
+        .select(
+            F.least(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -263,3 +263,85 @@ def test_stream_stream_left_outer_emits_dead_ends(spark, src_dir, tmp_path):
     # matched Prague trip's successor (itself a dead end), the Turin
     # trip, and eventually Madrid stays pending (stream end)
     assert "Turin" in unmatched
+
+
+def test_stream_lsh_index_equals_batch_and_replays_idempotent(spark, tmp_path):
+    from jobsity_data_pipeline_spark.operators.dedup import (
+        minhash_bands_frame,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        lsh_index_candidates, stream_lsh_index,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup of 0
+        "one two three four five six seven eight nine ten",
+        "completely different tokens here with no overlap at all now",
+        "one two three four five six seven eight nine eleven",  # near-dup of 2
+        "yet another unrelated document body of words goes here",
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    # two files -> two micro-batches
+    for half in (0, 1):
+        rows = [
+            (i, t, "en", "test", len(t))
+            for i, t in enumerate(texts)
+            if i % 2 == half
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    table = str(tmp_path / "lsh_index")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_lsh_index(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # 1) maintained index == batch-built band table over the full corpus
+    all_docs = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)], schema
+    )
+    want = {
+        (r.doc_id, r.band_id, r.band_hash)
+        for r in minhash_bands_frame(all_docs).collect()
+    }
+    from jobsity_data_pipeline_spark.sources.snapshot import read_latest
+
+    got_df = read_latest(spark, table)
+    got = {
+        (r.doc_id, r.band_id, r.band_hash) for r in got_df.collect()
+    }
+    assert got == want
+
+    # 2) replaying an already-applied batch is a published no-op
+    v_before = latest_manifest(table)["version"]
+    bands0 = minhash_bands_frame(all_docs.where("doc_id % 2 = 0"))
+    import pyspark.sql.functions as F
+
+    bands0 = bands0.withColumn(
+        "band_key", F.concat_ws(":", F.col("doc_id"), F.col("band_id"))
+    )
+    assert upsert_batch(bands0, 0, table, key="band_key") == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v_before
+
+    # 3) candidates from the index match the batch band self-join
+    probe = all_docs.where("doc_id IN (1, 4)")
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_index_candidates(spark, table, probe).collect()
+    }
+    assert (0, 1) in cand and (2, 4) in cand
+    # unrelated docs never become candidates
+    assert all(3 not in pair and 5 not in pair for pair in cand)
