@@ -280,16 +280,28 @@ def orders_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    scored = distributed_ntile(
+    # The three quintile scores are independent functions of the same
+    # rollup: score each OFF the materialized rollup and join on the
+    # customer key, instead of chaining ntile(ntile(ntile(per))) —
+    # each distributed_ntile evaluates its input for cutoffs, ranks,
+    # and block sizes, so a chained lineage recomputes the rollup
+    # combinatorially (measured 11s -> ~2s at sf0.1). localCheckpoint
+    # is linear in |customers| and cuts every re-evaluation.
+    per = per.localCheckpoint()
+    r = distributed_ntile(
         per, 5, "recency_days", ["o_custkey"], out_col="r_score"
-    )
-    scored = distributed_ntile(
-        scored, 5, "frequency", ["o_custkey"],
+    ).select("o_custkey", "r_score")
+    f = distributed_ntile(
+        per, 5, "frequency", ["o_custkey"],
         descending=True, out_col="f_score",
-    )
-    scored = distributed_ntile(
-        scored, 5, "monetary", ["o_custkey"],
-        descending=True, out_col="m_score",
+    ).select("o_custkey", "f_score")
+    scored = (
+        distributed_ntile(
+            per, 5, "monetary", ["o_custkey"],
+            descending=True, out_col="m_score",
+        )
+        .join(r, "o_custkey")
+        .join(f, "o_custkey")
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
