@@ -169,6 +169,9 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3: SemDeDup semantic dedup + CCNet quality tiering
         "emb_semdedup": R9.emb_semdedup,
         "docs_quality_tiers": R9.docs_quality_tiers,
+        # round-3: IVFADC composition (rows-only: approximate op over
+        # trained codebooks, like the rest of the ANN family)
+        "emb_ivfpq_ann": S.emb_ivfpq_ann,
         # round-3: trained per-subspace PQ codebooks (rows-only: the
         # k-means training inherits partial-agg float order, like
         # emb_kmeans_fit; its recall is gated in emb_ann_recall)
@@ -294,7 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Keys added in round 3 — kept at the very front of the sweep order.
 _ROUND3_NEW: set[str] = {
     "docs_dup_spans", "emb_pq_trained_ann", "emb_semdedup",
-    "docs_quality_tiers",
+    "docs_quality_tiers", "emb_ivfpq_ann",
 }
 
 

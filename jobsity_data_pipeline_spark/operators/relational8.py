@@ -1290,24 +1290,15 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
-                       n_queries: int = 8, k: int = 5,
-                       n_subspaces: int = 4, n_codes: int = 16,
-                       iters: int = 2) -> DataFrame:
-    """PQ asymmetric-distance ANN over TRAINED per-subspace codebooks
-    (operators/kmeans.pq_train_codebooks) instead of emb_pq_ann's
-    label-centroid blocks. Same scan shape — codes scan -> broadcast
-    distance-table join -> partial-agg ADC sum -> per-query top-k —
-    at the same scan fraction, but k-means'd codes discriminate WITHIN
-    a label cluster, which is exactly where the label-centroid
-    codebooks tie (measured side by side in emb_ann_recall's
-    pq vs pq_trained rows). Production: n_codes=256 per subspace.
-
-    Rows-only in the driver gate: the trained codebook inherits
-    k-means's partial-aggregation float-order, like emb_kmeans_fit.
-    """
-    from pyspark.sql.window import Window
-
+def trained_pq_tables(spark: SparkSession, sf_dir: str,
+                      n_queries: int = 8, n_subspaces: int = 4,
+                      n_codes: int = 16,
+                      iters: int = 2) -> tuple[DataFrame, DataFrame]:
+    """(codes, qd) over TRAINED per-subspace codebooks: ``codes`` =
+    (vec_id, subspace, code) for the corpus, ``qd`` = the per-query
+    ADC distance tables (qid, subspace, code, dq). Shared by
+    emb_pq_trained_ann (flat ADC scan) and similarity.emb_ivfpq_ann
+    (cell-pruned ADC scan)."""
     from .kmeans import pq_train_codebooks
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1358,6 +1349,30 @@ def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
                 (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
             ).alias("dq")
         )
+    )
+    return codes, qd
+
+
+def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
+                       n_queries: int = 8, k: int = 5,
+                       n_subspaces: int = 4, n_codes: int = 16,
+                       iters: int = 2) -> DataFrame:
+    """PQ asymmetric-distance ANN over TRAINED per-subspace codebooks
+    (operators/kmeans.pq_train_codebooks) instead of emb_pq_ann's
+    label-centroid blocks. Same scan shape — codes scan -> broadcast
+    distance-table join -> partial-agg ADC sum -> per-query top-k —
+    at the same scan fraction, but k-means'd codes discriminate WITHIN
+    a label cluster, which is exactly where the label-centroid
+    codebooks tie (measured side by side in emb_ann_recall's
+    pq vs pq_trained rows). Production: n_codes=256 per subspace.
+
+    Rows-only in the driver gate: the trained codebook inherits
+    k-means's partial-aggregation float-order, like emb_kmeans_fit.
+    """
+    from pyspark.sql.window import Window
+
+    codes, qd = trained_pq_tables(
+        spark, sf_dir, n_queries, n_subspaces, n_codes, iters
     )
     adc = (
         codes.join(F.broadcast(qd), ["subspace", "code"])

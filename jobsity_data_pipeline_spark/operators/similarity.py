@@ -395,26 +395,15 @@ def _centroids(spark: SparkSession, sf_dir: str):
     return C
 
 
-def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
-                k: int = 5, n_probe: int = 3) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: label-centroids act as the
-    coarse quantizer; each vector is assigned to its nearest centroid
-    cell, and a query scores ONLY rows in its ``n_probe`` nearest cells.
-
-    The Spark shape of FAISS-style IVF with no full-corpus collect:
-    centroids come from a distributed aggregate (k*dim rows to the
-    driver), cell assignment is one Arrow pass against the broadcast
-    k x dim matrix, and the probe set joins in as a broadcast equi-join
-    on cell BEFORE any cosine is computed — candidate work per query is
-    bounded by its probed cells, not the table. Rows-only check
-    (approximate op). Recall rises with n_probe; n_probe = #cells
-    degenerates to exact brute force.
-    """
+def _ivf_assigned_and_probes(
+    spark: SparkSession, sf_dir: str, n_queries: int, n_probe: int
+) -> tuple[DataFrame, DataFrame]:
+    """IVF plumbing shared by emb_ivf_ann and emb_ivfpq_ann:
+    ``assigned`` = (vec_id, v, cell) via one Arrow pass against the
+    broadcast k x dim coarse-centroid matrix; ``probe_df`` = each
+    query's n_probe nearest cells (tiny driver-side set, broadcast at
+    the join)."""
     import numpy as np
-
-    from pyspark.sql import Window
-
-    from ..functions.vectors import cosine
 
     emb = _emb(spark, sf_dir)
     C = _centroids(spark, sf_dir)
@@ -451,8 +440,34 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         d2 = ((np.asarray(qv)[None, :] - C) ** 2).sum(axis=1)
         for cell in np.argsort(d2)[:n_probe]:
             probes.append((qid, qv, int(cell)))
-    probe_df = spark.createDataFrame(probes, "qid long, qv array<double>, cell int")
+    probe_df = spark.createDataFrame(
+        probes, "qid long, qv array<double>, cell int"
+    )
+    return assigned, probe_df
 
+
+def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
+                k: int = 5, n_probe: int = 3) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: label-centroids act as the
+    coarse quantizer; each vector is assigned to its nearest centroid
+    cell, and a query scores ONLY rows in its ``n_probe`` nearest cells.
+
+    The Spark shape of FAISS-style IVF with no full-corpus collect:
+    centroids come from a distributed aggregate (k*dim rows to the
+    driver), cell assignment is one Arrow pass against the broadcast
+    k x dim matrix, and the probe set joins in as a broadcast equi-join
+    on cell BEFORE any cosine is computed — candidate work per query is
+    bounded by its probed cells, not the table. Rows-only check
+    (approximate op). Recall rises with n_probe; n_probe = #cells
+    degenerates to exact brute force.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    assigned, probe_df = _ivf_assigned_and_probes(
+        spark, sf_dir, n_queries, n_probe
+    )
     cand = assigned.join(F.broadcast(probe_df), "cell").where(
         F.col("vec_id") != F.col("qid")
     )
@@ -468,6 +483,58 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
         .select("qid", "nid", F.col("cos"), "rnk")
+    )
+
+
+def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
+                  k: int = 5, n_probe: int = 3) -> DataFrame:
+    """IVF + PQ composition — the FAISS IVFADC production layout: the
+    coarse quantizer prunes to each query's ``n_probe`` cells, then the
+    ADC scan over TRAINED PQ codes ranks ONLY the surviving rows. The
+    two scan reductions multiply: candidate work per query is
+    (probed-cell population) x (codes, not floats) — at 100 TB neither
+    the raw vectors nor the full code table is ever scanned per query.
+
+    Plan shape: Arrow cell-assign -> broadcast probe equi-join on cell
+    (the IVF prune) -> equi-join to the code table on vec_id (bounded
+    by the prune) -> broadcast ADC distance-table join -> partial-agg
+    ADC sum -> per-query top-k. Simplification vs full IVFADC: codes
+    quantize raw vectors, not per-cell residuals — residual encoding
+    is the production refinement on the same plan.
+
+    Rows-only (approximate op; trained codebooks inherit k-means
+    float-order). Recall vs the flat trained-PQ scan is measured side
+    by side in emb_ann_recall (ivfpq probes ~n_probe/k_cells of the
+    code table).
+    """
+    from pyspark.sql import Window
+
+    from .relational8 import trained_pq_tables
+
+    assigned, probe_df = _ivf_assigned_and_probes(
+        spark, sf_dir, n_queries, n_probe
+    )
+    codes, qd = trained_pq_tables(spark, sf_dir, n_queries)
+    cand = (
+        assigned.select("vec_id", "cell")
+        .join(F.broadcast(probe_df.select("qid", "cell")), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qd), ["qid", "subspace", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dq").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        adc.select(
+            "qid", "vec_id", "adc", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", F.round("adc", 6).alias("adc"))
+        .orderBy("qid", "rank")
     )
 
 
@@ -556,6 +623,10 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         ("pq", pq),
         ("pq_rerank", pqr),
         ("pq_trained", pqt),
+        # the IVFADC composition: trained-PQ ranking confined to the
+        # probed cells — scan fraction multiplies both reductions
+        ("ivfpq", emb_ivfpq_ann(spark, sf_dir, n_queries, k).select(
+            "qid", F.col("vec_id").alias("nid"))),
     ):
         hits = (
             res.select("qid", "nid")

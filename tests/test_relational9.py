@@ -91,3 +91,23 @@ def test_quality_tiers_shapes(spark):
         names = {t.tier: t.tier_name for t in tiers.values()}
         assert names.get(1, "head") == "head"
         assert names.get(3, "tail") == "tail"
+
+
+def test_ivfpq_ann_invariants(spark):
+    from jobsity_data_pipeline_spark.operators.similarity import (
+        emb_ivfpq_ann,
+    )
+
+    rows = emb_ivfpq_ann(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= 5
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        # ADC distances ascend with rank; self never returned
+        adcs = [r.adc for r in rs]
+        assert adcs == sorted(adcs)
+        assert all(r.vec_id != qid for r in rs)
