@@ -111,3 +111,18 @@ def test_ivfpq_ann_invariants(spark):
         adcs = [r.adc for r in rs]
         assert adcs == sorted(adcs)
         assert all(r.vec_id != qid for r in rs)
+
+
+def test_semdedup_plan_has_no_corpus_pair_join(spark):
+    # all-pairs work must stay inside the per-cluster applyInPandas
+    # groups; the only joins in the plan are equi-joins (candidates
+    # back to vectors, per-cluster aggregates) — never a cartesian /
+    # nested-loop pair join over the corpus.
+    from jobsity_data_pipeline_spark.operators.relational9 import (
+        emb_semdedup,
+    )
+
+    df = emb_semdedup(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
