@@ -169,6 +169,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3: SemDeDup semantic dedup + CCNet quality tiering
         "emb_semdedup": R9.emb_semdedup,
         "docs_quality_tiers": R9.docs_quality_tiers,
+        "docs_shard_plan": R9.docs_shard_plan,
         # round-3: IVFADC composition (rows-only: approximate op over
         # trained codebooks, like the rest of the ANN family)
         "emb_ivfpq_ann": S.emb_ivfpq_ann,
@@ -297,7 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Keys added in round 3 — kept at the very front of the sweep order.
 _ROUND3_NEW: set[str] = {
     "docs_dup_spans", "emb_pq_trained_ann", "emb_semdedup",
-    "docs_quality_tiers", "emb_ivfpq_ann",
+    "docs_quality_tiers", "emb_ivfpq_ann", "docs_shard_plan",
 }
 
 
@@ -2069,6 +2070,28 @@ def oracle_sql() -> dict[str, str]:
                    n_vecs - coalesce(n_removed, 0) AS n_kept,
                    avg_dup_cos
             FROM sizes LEFT JOIN ps USING (cl) LEFT JOIN rm USING (cl)
+        """,
+        "docs_shard_plan": f"""
+            WITH per AS (
+                SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 16 AS shard,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+                       source
+                FROM documents
+            ),
+            agg AS (
+                SELECT shard, count(*) AS n_docs,
+                       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                       count(DISTINCT source) AS n_sources
+                FROM per GROUP BY shard
+            ),
+            tot AS (SELECT sum(total_tokens) AS grand_tokens FROM agg)
+            SELECT shard, n_docs, total_tokens, n_sources,
+                   floor(total_tokens / grand_tokens * 10000.0 + 0.5)
+                       / 10000.0 AS token_share,
+                   floor(total_tokens / (grand_tokens / 16.0) * 10000.0
+                         + 0.5) / 10000.0 AS balance
+            FROM agg CROSS JOIN tot
         """,
         "docs_quality_tiers": f"""
             WITH raw AS (

@@ -166,6 +166,61 @@ def emb_semdedup(spark: SparkSession, sf_dir: str,
     )
 
 
+N_SHARDS = 16
+
+
+def docs_shard_plan(spark: SparkSession, sf_dir: str,
+                    n_shards: int = N_SHARDS) -> DataFrame:
+    """Deterministic corpus sharding plan + balance audit: assign every
+    doc to md5(doc_id) % n_shards (same doc -> same shard on every
+    run/cluster — the stable-split idiom of docs_train_val_test) and
+    report per-shard volume and its balance against the ideal equal
+    split. The training-job packing question at 100 TB is exactly
+    this: are the shards even enough that no data-parallel worker
+    starves? One scan + one n_shards-row aggregate; the grand total
+    folds in via a one-row broadcast crossJoin (no driver action).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long") % n_shards
+    )
+    per = (
+        docs.select(
+            shard.alias("shard"),
+            F.size(TX.tokens("text")).cast("long").alias("n_toks"),
+            "source",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    tot = per.agg(
+        F.sum("total_tokens").alias("grand_tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "n_sources",
+            TX.round_ratio(
+                F.col("total_tokens") / F.col("grand_tokens")
+            ).alias("token_share"),
+            TX.round_ratio(
+                F.col("total_tokens")
+                / (F.col("grand_tokens") / F.lit(float(n_shards)))
+            ).alias("balance"),
+        )
+    )
+
+
 def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus tiering: per source, split documents into
     head / middle / tail thirds by the composite quality score
