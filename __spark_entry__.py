@@ -285,13 +285,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Round-3 debuts run before even the never-sampled round-2 backlog,
     # so no new query ships without a driver row in its debut round.
+    # Queries REWRITTEN since their last driver-green row come next —
+    # their old row attests code that no longer exists (global-ntile ->
+    # distributed_ntile; band computation refactored frame-level).
     r3_new = [k for k in q if k in _ROUND3_NEW]
     out = {k: q[k] for k in r3_new}
+    out.update({k: q[k] for k in _ROUND3_REWRITTEN})
     out.update(
         {k: v for k, v in q.items()
          if k not in driver_sampled and k not in _ROUND3_NEW}
     )
-    out.update({k: v for k, v in q.items() if k in driver_sampled})
+    out.update(
+        {k: v for k, v in q.items()
+         if k in driver_sampled and k not in _ROUND3_REWRITTEN}
+    )
     return out
 
 
@@ -300,6 +307,13 @@ _ROUND3_NEW: set[str] = {
     "docs_dup_spans", "emb_pq_trained_ann", "emb_semdedup",
     "docs_quality_tiers", "emb_ivfpq_ann", "docs_shard_plan",
 }
+
+# Driver-green queries whose implementation was rewritten in round 3:
+# re-verify ahead of the known-green tail (their old CORRECTNESS rows
+# attest the pre-rewrite code).
+_ROUND3_REWRITTEN: tuple[str, ...] = (
+    "customer_balance_deciles", "docs_minhash_bands",
+)
 
 
 # Shared SQL fragments (kept identical across oracle queries).
@@ -1976,9 +1990,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             dup AS (SELECT doc_id, pos FROM g JOIN dfq USING (gram)),
             marked AS (
+                -- merge gap <= L: covered intervals overlap/abut, so
+                -- coverage is an interval union, never a window sum
                 SELECT doc_id, pos,
                        CASE WHEN pos - lag(pos) OVER (
-                                PARTITION BY doc_id ORDER BY pos) = 1
+                                PARTITION BY doc_id ORDER BY pos) <= {l}
                             THEN 0 ELSE 1 END AS brk
                 FROM dup
             ),

@@ -584,10 +584,14 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str,
     # two selects: lag first, then the cumulative island id (a window
     # expression can't nest inside another window's aggregate). Both
     # windows share the doc_id partitioning -> one shuffle.
+    # Merge when the gap is <= span_tokens: a gram at pos p covers
+    # [p, p+L-1], so positions within L overlap or abut — merging only
+    # gap==1 would sum overlapping windows and dup_tokens could exceed
+    # n_tokens (coverage must be an interval union, not a window sum).
     marked = dup.select(
         "doc_id", "pos",
         F.when(
-            F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)
+            F.col("pos") - F.lag("pos").over(w) <= span_tokens, F.lit(0)
         ).otherwise(F.lit(1)).alias("brk"),
     )
     isl = marked.select(

@@ -45,6 +45,7 @@ def distributed_ntile(
     blocks: int = 64,
     out_col: str = "bucket",
     group_cols: list[str] | None = None,
+    exact_values: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = exact NTILE(n_buckets) over
     [PARTITION BY *group_cols] ORDER BY value_col [DESC], *tiebreak_cols
@@ -63,31 +64,66 @@ def distributed_ntile(
     d0 = df.withColumn("_sv", sv)
 
     fracs = [i / blocks for i in range(1, blocks)]
-    cuts = d0.groupBy(*g).agg(
-        F.percentile_approx("_sv", fracs, 10000).alias("_cuts")
-    )
-    # Strict `c < v`: rows sharing a value can never straddle a block
-    # boundary, so blocks are monotone in the (per-group) order. The
-    # lambda runs over a bounded (blocks-1)-element array, not a token
-    # stream.
-    if g:
-        d = d0.join(F.broadcast(cuts), on=g)
+    if exact_values:
+        # Heavy-tie mode: with a LOW-cardinality sort value (scores,
+        # grades), value-range cutoffs collapse onto the few distinct
+        # values and each tied class still funnels through one task.
+        # Here the primary block IS the exact value class, and each
+        # class fans out over `blocks` ranges of the FIRST tiebreak
+        # (numeric). Sub-splitting by tiebreak is only order-preserving
+        # WITHIN a value class — across classes a high tiebreak in a
+        # lower class would outrank a low tiebreak in a higher class —
+        # which is exactly why the primary key must be the exact value,
+        # not a value range. Side tables grow to
+        # groups x n_distinct_values x blocks rows: the documented
+        # low-cardinality requirement keeps them broadcast-small.
+        tb = F.col(tiebreak_cols[0]).cast("double")
+        d0 = d0.withColumn("_tb", tb)
+        cuts = d0.groupBy(*g).agg(
+            F.percentile_approx("_tb", fracs, 10000).alias("_cuts")
+        )
+        if g:
+            d = d0.join(F.broadcast(cuts), on=g)
+        else:
+            d = d0.crossJoin(F.broadcast(cuts))
+        d = d.withColumn(
+            "_blk",
+            F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_tb"))),
+        )
+        blk_keys = ["_sv", "_blk"]
+        # ordering across composite blocks: value class first, then
+        # tiebreak range
+        before = (F.col("_sv2") < F.col("_sv")) | (
+            (F.col("_sv2") == F.col("_sv")) & (F.col("_blk2") < F.col("_blk"))
+        )
     else:
-        d = d0.crossJoin(F.broadcast(cuts))
-    d = d.withColumn(
-        "_blk",
-        F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_sv"))),
-    )
+        cuts = d0.groupBy(*g).agg(
+            F.percentile_approx("_sv", fracs, 10000).alias("_cuts")
+        )
+        # Strict `c < v`: rows sharing a value can never straddle a
+        # block boundary, so blocks are monotone in the (per-group)
+        # order. The lambda runs over a bounded (blocks-1)-element
+        # array, not a token stream.
+        if g:
+            d = d0.join(F.broadcast(cuts), on=g)
+        else:
+            d = d0.crossJoin(F.broadcast(cuts))
+        d = d.withColumn(
+            "_blk",
+            F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_sv"))),
+        )
+        blk_keys = ["_blk"]
+        before = F.col("_blk2") < F.col("_blk")
 
-    w_local = Window.partitionBy(*g, "_blk").orderBy(
+    w_local = Window.partitionBy(*g, *blk_keys).orderBy(
         F.col("_sv").asc(), *[F.col(c).asc() for c in tiebreak_cols]
     )
     d = d.withColumn("_lrn", F.row_number().over(w_local))
 
-    sizes = d.groupBy(*g, "_blk").agg(F.count("*").alias("_c"))
+    sizes = d.groupBy(*g, *blk_keys).agg(F.count("*").alias("_c"))
     other = sizes.select(
         *[F.col(c).alias(f"_g2_{c}") for c in g],
-        F.col("_blk").alias("_blk2"),
+        *[F.col(k).alias(f"{k}2") for k in blk_keys],
         F.col("_c").alias("_c2"),
     )
     # (groups x blocks)^2 broadcast join (tiny): per-group cumulative
@@ -102,17 +138,16 @@ def distributed_ntile(
     else:
         paired = sizes.crossJoin(F.broadcast(other))
     offs = (
-        paired.groupBy(*g, "_blk")
+        paired.groupBy(*g, *blk_keys)
         .agg(
             F.sum(
-                F.when(F.col("_blk2") < F.col("_blk"), F.col("_c2"))
-                .otherwise(F.lit(0))
+                F.when(before, F.col("_c2")).otherwise(F.lit(0))
             ).alias("_off"),
             F.sum("_c2").alias("_n"),
         )
     )
 
-    ranked = d.join(F.broadcast(offs), [*g, "_blk"]).withColumn(
+    ranked = d.join(F.broadcast(offs), [*g, *blk_keys]).withColumn(
         "_rank", F.col("_off") + F.col("_lrn")
     )
 
@@ -137,5 +172,5 @@ def distributed_ntile(
         .cast("int")
     )
     return ranked.withColumn(out_col, bucket).drop(
-        "_sv", "_cuts", "_blk", "_lrn", "_off", "_n", "_rank"
+        "_sv", "_tb", "_cuts", "_blk", "_lrn", "_off", "_n", "_rank"
     )

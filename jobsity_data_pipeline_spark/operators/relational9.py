@@ -102,7 +102,11 @@ def emb_semdedup(spark: SparkSession, sf_dir: str,
     round(cos, 6) >= tau gate is applied — the emb_near_dup convention
     (operators/similarity.py).
     """
-    asg = _assigned(spark, sf_dir)
+    # four consumers below (pair generation, both vector sides of the
+    # re-score join, cluster sizes) — materialize the assignment once
+    # instead of re-running the scan + Arrow distance pass per consumer
+    # (the orders_customer_rfm lesson: lineage re-evaluation compounds)
+    asg = _assigned(spark, sf_dir).localCheckpoint()
 
     def pairs_of(pdf):
         import numpy as np
@@ -232,9 +236,13 @@ def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_frame(docs, "source").select(
         "doc_id", "source", "n_tokens", "quality"
     )
+    # exact_values: the composite score takes only ~8 distinct values,
+    # so value-range blocking would collapse onto the tied classes and
+    # each class would sort in one task — block on (value class x
+    # doc_id range) instead
     tiered = distributed_ntile(
         q, 3, "quality", ["doc_id"], descending=True, blocks=16,
-        out_col="tier", group_cols=["source"],
+        out_col="tier", group_cols=["source"], exact_values=True,
     )
     tier_name = (
         F.when(F.col("tier") == 1, F.lit("head"))

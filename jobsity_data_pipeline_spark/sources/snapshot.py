@@ -32,20 +32,26 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MANIFEST_RE = re.compile(r"manifest-(\d{6})-(.+)\.json$")
+_MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
 
 
 def _manifests(table_dir: str) -> list[tuple[int, str, str]]:
-    """[(version, batch_token, path)] sorted by version."""
+    """[(version, batch_token, path)] sorted by version.
+
+    The filename carries ONLY the version — the put-if-absent slot must
+    be per-version, or two writers with different batch tokens could
+    both link a same-version manifest and one commit would silently
+    shadow the other. The batch token lives in the manifest body."""
     out = []
     if not os.path.isdir(table_dir):
         return out
     for name in os.listdir(table_dir):
         m = _MANIFEST_RE.match(name)
         if m:
-            out.append(
-                (int(m.group(1)), m.group(2), os.path.join(table_dir, name))
-            )
+            path = os.path.join(table_dir, name)
+            with open(path) as f:
+                token = json.load(f).get("batch", "")
+            out.append((int(m.group(1)), token, path))
     return sorted(out)
 
 
@@ -75,9 +81,7 @@ def _publish(table_dir: str, files: list[str], batch_token: str,
         tmp = os.path.join(table_dir, f".manifest-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(body, f)
-        final = os.path.join(
-            table_dir, f"manifest-{version:06d}-{batch_token}.json"
-        )
+        final = os.path.join(table_dir, f"manifest-{version:06d}.json")
         try:
             os.link(tmp, final)  # atomic create-exclusive
         except FileExistsError:

@@ -506,6 +506,14 @@ def stream_lsh_index(docs: DataFrame, table_dir: str, checkpoint: str):
     rebuilt per corpus snapshot; the stream keeps it current between
     snapshots at delta cost. At 100 TB the band rows are ~4 per doc —
     index growth is linear in NEW docs only.
+
+    PRECONDITION: the stream is append-only with immutable doc bodies
+    (a doc_id's text never changes once emitted) — the idempotence key
+    is (doc_id, band_id), so a re-emitted doc with DIFFERENT text would
+    be anti-joined away and the index would keep the stale band rows.
+    A mutable-doc stream needs delete-then-append per batch
+    (sources/snapshot.delete_keys on the batch's doc keys first), at
+    rewrite cost on the files holding those keys.
     """
     from ..operators.dedup import minhash_bands_frame
     from ..sources.snapshot import upsert_batch

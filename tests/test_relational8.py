@@ -364,3 +364,29 @@ def test_dup_spans_merges_overlapping_grams(spark, tmp_path):
         assert rows[d].n_dup_spans == 2
         assert rows[d].dup_tokens == 16
         assert rows[d].max_span_tokens == 8
+
+
+def test_dup_spans_coverage_never_exceeds_doc(spark, tmp_path):
+    """Duplicated grams at gaps 2..L overlap: coverage must be the
+    interval UNION (dup_frac <= 1), never a sum of overlapping
+    windows. Two docs share two 8-gram windows whose positions differ
+    by 2 (a 10-token shared passage); counting both windows in full
+    would claim 16 duplicated tokens in a 10-token span."""
+    from jobsity_data_pipeline_spark.operators.dedup import docs_dup_spans
+
+    # 10-token shared run -> duplicated 8-grams at positions p, p+1,
+    # p+2; drop the middle gram's duplication by differing docs? keep
+    # simple: the full run duplicates, union must be exactly 10.
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    texts = [
+        "lead " + shared + " tail",
+        "other prefix " + shared + " different ending words",
+    ]
+    _write_docs(spark, str(tmp_path), texts)
+    rows = {r.doc_id: r for r in
+            docs_dup_spans(spark, str(tmp_path), span_tokens=8).collect()}
+    for d in (0, 1):
+        assert rows[d].n_dup_spans == 1
+        assert rows[d].dup_tokens == 10
+        assert rows[d].max_span_tokens == 10
+        assert rows[d].dup_frac <= 1.0

@@ -28,15 +28,18 @@ def test_grouped_ntile_matches_window_spec(spark):
         for i, v in enumerate([5, 5, 5, 3, 3, 2, 2, 2, 2, 1, 1][: 11 - 2 * ord(g) % 3])
     ]
     df = spark.createDataFrame(rows, "g string, id int, v double")
-    got = distributed_ntile(
-        df, 4, "v", ["id"], descending=True, blocks=4,
-        out_col="t", group_cols=["g"],
-    )
     w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
     want = df.withColumn("t", F.ntile(4).over(w))
-    gl = {(r.g, r.id): r.t for r in got.collect()}
     wl = {(r.g, r.id): r.t for r in want.collect()}
-    assert gl == wl
+    # both blocking modes must be bit-equal to the window spec —
+    # exact_values (value class x tiebreak range) is the heavy-tie path
+    for exact in (False, True):
+        got = distributed_ntile(
+            df, 4, "v", ["id"], descending=True, blocks=4,
+            out_col="t", group_cols=["g"], exact_values=exact,
+        )
+        gl = {(r.g, r.id): r.t for r in got.collect()}
+        assert gl == wl, f"exact_values={exact}"
 
 
 def test_grouped_ntile_plan_has_no_single_partition_sort(spark):
@@ -65,14 +68,36 @@ def test_semdedup_accounting(spark):
             assert r.avg_dup_cos is None and r.n_removed == 0
 
 
-def test_semdedup_kept_set_has_no_removed_leaders(spark):
-    # keep-lowest-id: a removed vector always has a smaller-id duplicate
-    # partner, so the minimum vec_id of every cluster is always kept —
-    # re-derive pairs at the operator's tau and check the rule directly.
-    asg = R9._assigned(spark, SF_SMOKE)
-    n = asg.count()
+def test_semdedup_keep_lowest_id_rule(spark):
+    # keep-lowest-id: removed = vectors appearing as the HIGHER id of a
+    # duplicate pair — re-derive the dup pairs with numpy at the
+    # operator's tau and check both the removed count and that the
+    # minimum vec_id of every cluster is never removed.
+    import numpy as np
+
+    rows = R9._assigned(spark, SF_SMOKE).collect()
     per_cl = {r.cl: r.n_vecs for r in R9.emb_semdedup(spark, SF_SMOKE).collect()}
-    assert sum(per_cl.values()) == n
+    assert sum(per_cl.values()) == len(rows)
+
+    by_cl = {}
+    for r in rows:
+        by_cl.setdefault(r.cl, []).append((r.vec_id, np.array(r.v)))
+    want_removed = {}
+    for cl, vs in by_cl.items():
+        vs.sort()
+        removed = set()
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = vs[i][1], vs[j][1]
+                na, nb = np.linalg.norm(a), np.linalg.norm(b)
+                cos = float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+                if round(cos, 6) >= R9.SEMDEDUP_TAU:
+                    removed.add(vs[j][0])  # higher id of the pair
+        # cluster-min id is never the higher element of any pair
+        assert min(v for v, _ in vs) not in removed
+        want_removed[cl] = len(removed)
+    got = {r.cl: r.n_removed for r in R9.emb_semdedup(spark, SF_SMOKE).collect()}
+    assert got == want_removed
 
 
 def test_quality_tiers_shapes(spark):

@@ -377,8 +377,10 @@ def test_snapshot_publish_is_put_if_absent(spark, tmp_path):
     t = str(tmp_path / "tbl")
     df = spark.createDataFrame([(1, "a")], "k long, v string")
     SN.publish_snapshot(df, t, "first")
-    # squat on version 2 the way a racing writer would
-    squat = os.path.join(t, "manifest-000002-racer.json")
+    # squat on version 2 the way a racing writer would — note the slot
+    # is per-version (token only in the body), so writers with
+    # DIFFERENT tokens still contend for the same filename
+    squat = os.path.join(t, "manifest-000002.json")
     with open(squat, "w") as f:
         _json.dump({"version": 2, "batch": "racer", "files": []}, f)
     v = SN.publish_snapshot(df, t, "second")
