@@ -64,17 +64,29 @@ def latest_manifest(table_dir: str) -> dict | None:
 
 
 def _publish(table_dir: str, files: list[str], batch_token: str,
-             extra: dict | None = None) -> int:
+             extra: dict | None = None,
+             expected_version: int | None = None) -> int:
     """Commit = put-if-absent, not replace-on-rename: two concurrent
     writers that both compute the same next version must not silently
     overwrite each other (lost update). os.link refuses an existing
     destination atomically; on EEXIST we re-read the version and retry,
     exactly the optimistic-concurrency loop Delta/Iceberg run against a
-    conditional PUT."""
+    conditional PUT.
+
+    ``expected_version`` is the CAS guard for writers whose file list
+    DERIVES from a read version (upsert's prior-files carryover,
+    delete's keep-list, compact's rewrite): if the table advanced past
+    it, blindly retrying would publish a list computed from stale state
+    and silently drop the interleaved commit's files. Returns -1 so the
+    caller re-reads the new latest and recomputes; pass None only when
+    the file list is version-independent (publish_snapshot's full
+    replace)."""
     os.makedirs(table_dir, exist_ok=True)
     while True:
         ms = _manifests(table_dir)
         version = (ms[-1][0] + 1) if ms else 1
+        if expected_version is not None and version != expected_version + 1:
+            return -1  # table advanced: caller must recompute
         body = {"version": version, "batch": batch_token, "files": files}
         if extra:
             body.update(extra)
@@ -133,25 +145,42 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
     ``batch_id``, the whole call is a no-op — a batch replayed after a
     crash-between-data-and-manifest re-writes data (the orphan is
     unreferenced) but can never double-publish.
+
+    Concurrency-safe under interleaved writers: the anti-join and the
+    prior-files carryover derive from the version read at the start,
+    so the publish is CAS-guarded on that version — if another commit
+    landed in between, the stale attempt's data files are abandoned
+    (unreferenced; vacuum sweeps them) and the whole dedup recomputes
+    against the new latest. Otherwise a racer appending the same key
+    would slip a duplicate past the anti-join, and the stale prior
+    list would drop the racer's files from the new version.
     """
     token = f"batch{batch_id}"
-    if any(tok == token for _, tok, _ in _manifests(table_dir)):
-        return "skipped_duplicate"
     spark = batch.sparkSession
     # like the reference's ON CONFLICT DO NOTHING, intra-batch key
     # collisions also keep exactly one row
     batch = batch.dropDuplicates([key])
-    man = latest_manifest(table_dir)
-    if man is None:
-        new_rows = batch
-        prior: list[str] = []
-    else:
-        prior = man["files"]
-        hist_keys = _read_files(spark, prior).select(key)
-        new_rows = batch.join(hist_keys, key, "left_anti")
-    files = _write_data(new_rows, table_dir)
-    _publish(table_dir, prior + files, token)
-    return "published"
+    for _attempt in range(10):
+        if any(tok == token for _, tok, _ in _manifests(table_dir)):
+            return "skipped_duplicate"
+        man = latest_manifest(table_dir)
+        if man is None:
+            base_version = 0
+            new_rows = batch
+            prior: list[str] = []
+        else:
+            base_version = man["version"]
+            prior = man["files"]
+            hist_keys = _read_files(spark, prior).select(key)
+            new_rows = batch.join(hist_keys, key, "left_anti")
+        files = _write_data(new_rows, table_dir)
+        v = _publish(table_dir, prior + files, token,
+                     expected_version=base_version)
+        if v != -1:
+            return "published"
+    raise RuntimeError(
+        f"upsert_batch: lost the publish race {10} times at {table_dir}"
+    )
 
 
 def start_snapshot_upsert(dedup: DataFrame, table_dir: str,
@@ -199,42 +228,52 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
     job for the untouched files)."""
     import pyarrow.parquet as pq
 
-    man = latest_manifest(table_dir)
-    if man is None:
-        return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
     want = sorted(set(keys))
-    keep_files: list[str] = []
-    hit_files: list[str] = []
-    for path in man["files"]:
-        meta = pq.ParquetFile(path)
-        idx = meta.schema_arrow.get_field_index(key)
-        hit = False
-        for rg in range(meta.metadata.num_row_groups):
-            st = meta.metadata.row_group(rg).column(idx).statistics
-            if st is None or st.min is None:
-                hit = True  # no stats: must assume the key may be here
-                break
-            if any(st.min <= k <= st.max for k in want):
-                hit = True
-                break
-        (hit_files if hit else keep_files).append(path)
-    rows_deleted = 0
-    new_files: list[str] = []
-    if hit_files:
-        from pyspark.sql import functions as F
+    for _attempt in range(10):
+        man = latest_manifest(table_dir)
+        if man is None:
+            return {
+                "files_total": 0, "files_rewritten": 0, "rows_deleted": 0,
+            }
+        keep_files: list[str] = []
+        hit_files: list[str] = []
+        for path in man["files"]:
+            meta = pq.ParquetFile(path)
+            idx = meta.schema_arrow.get_field_index(key)
+            hit = False
+            for rg in range(meta.metadata.num_row_groups):
+                st = meta.metadata.row_group(rg).column(idx).statistics
+                if st is None or st.min is None:
+                    hit = True  # no stats: must assume the key may be here
+                    break
+                if any(st.min <= k <= st.max for k in want):
+                    hit = True
+                    break
+            (hit_files if hit else keep_files).append(path)
+        rows_deleted = 0
+        new_files: list[str] = []
+        if hit_files:
+            from pyspark.sql import functions as F
 
-        df = _read_files(spark, hit_files)
-        before = df.count()
-        kept = df.where(~F.col(key).isin(want))
-        rows_deleted = before - kept.count()
-        new_files = _write_data(kept, table_dir)
-    _publish(table_dir, keep_files + new_files,
-             f"delete-{uuid.uuid4().hex[:8]}")
-    return {
-        "files_total": len(man["files"]),
-        "files_rewritten": len(hit_files),
-        "rows_deleted": rows_deleted,
-    }
+            df = _read_files(spark, hit_files)
+            before = df.count()
+            kept = df.where(~F.col(key).isin(want))
+            rows_deleted = before - kept.count()
+            new_files = _write_data(kept, table_dir)
+        # CAS on the read version: the keep-list derives from it, so a
+        # racing commit means this rewrite would drop its files
+        v = _publish(table_dir, keep_files + new_files,
+                     f"delete-{uuid.uuid4().hex[:8]}",
+                     expected_version=man["version"])
+        if v != -1:
+            return {
+                "files_total": len(man["files"]),
+                "files_rewritten": len(hit_files),
+                "rows_deleted": rows_deleted,
+            }
+    raise RuntimeError(
+        f"delete_keys: lost the publish race {10} times at {table_dir}"
+    )
 
 
 def compact(spark: SparkSession, table_dir: str,
@@ -253,19 +292,28 @@ def compact(spark: SparkSession, table_dir: str,
     target; here the knob is the file count, which is what the local
     tests can assert.
     """
-    man = latest_manifest(table_dir)
-    if man is None or not man["files"]:
-        return {"files_before": 0, "files_after": 0, "version": None}
-    df = _read_files(spark, man["files"])
-    new_files = _write_data(df.repartition(target_files), table_dir)
-    version = _publish(
-        table_dir, new_files, f"compact-{uuid.uuid4().hex[:8]}"
+    for _attempt in range(10):
+        man = latest_manifest(table_dir)
+        if man is None or not man["files"]:
+            return {"files_before": 0, "files_after": 0, "version": None}
+        df = _read_files(spark, man["files"])
+        new_files = _write_data(df.repartition(target_files), table_dir)
+        # CAS on the read version: compaction rewrites EXACTLY the read
+        # file list — publishing over an interleaved append would erase
+        # the appended rows from the latest view
+        version = _publish(
+            table_dir, new_files, f"compact-{uuid.uuid4().hex[:8]}",
+            expected_version=man["version"],
+        )
+        if version != -1:
+            return {
+                "files_before": len(man["files"]),
+                "files_after": len(new_files),
+                "version": version,
+            }
+    raise RuntimeError(
+        f"compact: lost the publish race {10} times at {table_dir}"
     )
-    return {
-        "files_before": len(man["files"]),
-        "files_after": len(new_files),
-        "version": version,
-    }
 
 
 def vacuum(table_dir: str, keep_versions: int = 2,

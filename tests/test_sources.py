@@ -545,3 +545,45 @@ def test_jdbc_sink_roundtrip_end_to_end(tmp_path):
         capture_output=True, text=True, timeout=300,
     )
     assert "JDBC_ROUNDTRIP_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_upsert_recomputes_after_interleaved_commit(spark, tmp_path,
+                                                    monkeypatch):
+    """CAS loop: a commit that lands between upsert_batch's history
+    read and its publish forces a recompute — the racer's files stay
+    referenced AND its keys dedup the stale batch (no duplicate keys,
+    no lost update)."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a")], "trip_key long, v string")
+    assert SN.upsert_batch(base, 0, t) == "published"
+
+    racer = spark.createDataFrame(
+        [(2, "racer"), (3, "racer")], "trip_key long, v string"
+    )
+    racer_files = SN._write_data(racer, t)
+    prior = SN.latest_manifest(t)["files"]
+
+    real_publish = SN._publish
+    fired = {"done": False}
+
+    def race_then_publish(table_dir, files, token, extra=None,
+                          expected_version=None):
+        if not fired["done"] and token == "batch1":
+            fired["done"] = True
+            # interleaved writer commits key 2 first
+            real_publish(table_dir, prior + racer_files, "racerbatch")
+        return real_publish(table_dir, files, token, extra,
+                            expected_version)
+
+    monkeypatch.setattr(SN, "_publish", race_then_publish)
+    # batch 1 carries key 2 (collides with the racer) and key 4 (new)
+    b1 = spark.createDataFrame(
+        [(2, "late"), (4, "new")], "trip_key long, v string"
+    )
+    assert SN.upsert_batch(b1, 1, t) == "published"
+
+    rows = {r.trip_key: r.v for r in SN.read_latest(spark, t).collect()}
+    # every writer's keys present exactly once; racer won key 2
+    assert rows == {1: "a", 2: "racer", 3: "racer", 4: "new"}
