@@ -227,19 +227,43 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The declaration above, reordered for a budget-truncated
-    correctness sweep: queries with no driver CORRECTNESS row yet run
-    first (round-3 additions ahead of everything), then the queries the
-    driver has already sampled (rounds 1+2 — green or declared
-    rows-only) run last, so a time-boxed 50-query sweep verifies
-    never-checked surface before re-verifying known results. Python
-    dicts preserve insertion order, so this is purely a priority
-    permutation.
+    correctness sweep. Priority: (1) queries fixed/added/rewritten this
+    round plus any key with no driver row ever, (2) queries whose most
+    recent driver CORRECTNESS row is oldest (r1 before r2 before r3),
+    so long-unverified greens re-earn their row as testdata
+    regenerates between rounds. Python dicts preserve insertion order,
+    so this is purely a priority permutation.
     """
     q = _queries_declared()
-    # Union of CORRECTNESS_r01 + CORRECTNESS_r02 sampled keys: every
-    # query the driver has already recorded a row for (hash-green or
-    # declared no_oracle). These go to the back of the sweep.
-    driver_sampled = {
+    out = {k: q[k] for k in _ROUND4_PRIORITY if k in q}
+    for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3):
+        out.update(
+            {k: v for k, v in q.items()
+             if k in tier and k not in out and k not in _later_tiers(tier)}
+        )
+    out.update({k: v for k, v in q.items() if k not in out})
+    return out
+
+
+def _later_tiers(tier: frozenset) -> frozenset:
+    """Keys re-sampled in a LATER round than ``tier`` — their freshest
+    row supersedes the older one, so they sort with the later tier."""
+    if tier is _SAMPLED_R1:
+        return _SAMPLED_R2 | _SAMPLED_R3
+    if tier is _SAMPLED_R2:
+        return _SAMPLED_R3
+    return frozenset()
+
+
+# Queries fixed or added in round 4 (driver-red fixes events_concurrency
+# + orders_cohort_ltv), plus emb_kmeans_fit — the only key with no
+# driver row of any kind across rounds 1-3. Front of the sweep.
+_ROUND4_PRIORITY: tuple[str, ...] = (
+    "events_concurrency", "orders_cohort_ltv", "emb_kmeans_fit",
+)
+
+# Keys whose most recent driver CORRECTNESS row is from each round.
+_SAMPLED_R1: frozenset = frozenset({
         # round 1 (49 greens)
         "bbox_weekly_avg", "customer_balance_deciles",
         "customers_without_orders", "docs_clean_corpus_stats",
@@ -261,6 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_hourly", "suppliers_with_returns",
         "top_customers_per_nation", "trip_grouping_bins",
         "trip_ingest_dedup", "weekly_avg_by_region",
+})
+
+_SAMPLED_R2: frozenset = frozenset({
         # round 2 (47 greens + 3 rows-only)
         "docs_char_entropy", "docs_decontaminate", "docs_dedup_clusters",
         "docs_dedup_keep", "docs_fingerprint", "docs_lang_id",
@@ -282,38 +309,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers", "q22_wealthy_inactive",
         "q2_min_cost_supplier", "q4_order_priority",
         "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
-    }
-    # Round-3 debuts run before even the never-sampled round-2 backlog,
-    # so no new query ships without a driver row in its debut round.
-    # Queries REWRITTEN since their last driver-green row come next —
-    # their old row attests code that no longer exists (global-ntile ->
-    # distributed_ntile; band computation refactored frame-level).
-    r3_new = [k for k in q if k in _ROUND3_NEW]
-    out = {k: q[k] for k in r3_new}
-    out.update({k: q[k] for k in _ROUND3_REWRITTEN})
-    out.update(
-        {k: v for k, v in q.items()
-         if k not in driver_sampled and k not in _ROUND3_NEW}
-    )
-    out.update(
-        {k: v for k, v in q.items()
-         if k in driver_sampled and k not in _ROUND3_REWRITTEN}
-    )
-    return out
+})
 
-
-# Keys added in round 3 — kept at the very front of the sweep order.
-_ROUND3_NEW: set[str] = {
-    "docs_dup_spans", "emb_pq_trained_ann", "emb_semdedup",
-    "docs_quality_tiers", "emb_ivfpq_ann", "docs_shard_plan",
-}
-
-# Driver-green queries whose implementation was rewritten in round 3:
-# re-verify ahead of the known-green tail (their old CORRECTNESS rows
-# attest the pre-rewrite code).
-_ROUND3_REWRITTEN: tuple[str, ...] = (
+_SAMPLED_R3: frozenset = frozenset({
+    # round 3 (48 hash rows + 2 no_oracle), from CORRECTNESS_r03.json
+    "docs_dup_spans", "emb_semdedup", "docs_quality_tiers",
+    "docs_shard_plan", "emb_ivfpq_ann", "emb_pq_trained_ann",
     "customer_balance_deciles", "docs_minhash_bands",
-)
+    "docs_weighted_sample", "emb_label_affinity", "docs_simhash_pairs",
+    "docs_pack_sequences", "docs_mix_weights", "docs_boilerplate_spans",
+    "events_count_min_sketch", "events_daily_gapfill",
+    "events_concurrency", "events_hll_distinct", "events_type_runs",
+    "docs_unigram_logprob", "customer_pareto", "parts_triangles",
+    "events_key_skew", "docs_bloom_probe", "events_hll_rollup",
+    "trip_geohash_cells", "events_quantile_sketch",
+    "docs_dup_ngram_fraction", "docs_bigram_logprob",
+    "docs_winnow_pairs", "emb_cluster_purity", "events_decayed_value",
+    "orders_customer_rfm", "events_user_paths", "docs_chunk_windows",
+    "docs_preprocess_pipeline", "emb_pq_codes", "emb_pq_ann",
+    "emb_pq_rerank", "events_range_join", "events_windowed_funnel",
+    "events_rolling_7d_users", "orders_association_rules",
+    "emb_label_outliers", "docs_source_divergence", "orders_cohort_ltv",
+    "docs_ngram_novelty", "events_attribution", "events_value_cusum",
+    "supplier_scorecard",
+})
 
 
 # Shared SQL fragments (kept identical across oracle queries).
@@ -1725,7 +1744,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM e
             ),
             cent AS (
-                SELECT label AS cl, pos, avg(x) AS c FROM x GROUP BY 1, 2
+                SELECT label AS cl, pos, round(avg(x), 6) AS c FROM x GROUP BY 1, 2
             ),
             carr AS (
                 SELECT cl, list(c ORDER BY pos) AS cv FROM cent GROUP BY cl
@@ -1962,7 +1981,7 @@ def oracle_sql() -> dict[str, str]:
                        unnest(CAST(embedding AS DOUBLE[])) AS x
                 FROM embeddings
             ),
-            c AS (SELECT label, pos, avg(x) AS c FROM x GROUP BY 1, 2),
+            c AS (SELECT label, pos, round(avg(x), 6) AS c FROM x GROUP BY 1, 2),
             cv AS (
                 SELECT label, list(c ORDER BY pos) AS v FROM c GROUP BY label
             )
@@ -2037,7 +2056,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM e
             ),
             cent AS (
-                SELECT label AS cl, pos, avg(x) AS c FROM x GROUP BY 1, 2
+                SELECT label AS cl, pos, round(avg(x), 6) AS c FROM x GROUP BY 1, 2
             ),
             carr AS (
                 SELECT cl, list(c ORDER BY pos) AS cv FROM cent GROUP BY cl
@@ -2341,7 +2360,8 @@ def oracle_sql() -> dict[str, str]:
                        ) AS open
                 FROM sweep
             )
-            SELECT event_type, max(open) AS max_concurrent
+            SELECT event_type,
+                   CAST(max(open) AS BIGINT) AS max_concurrent
             FROM opened GROUP BY 1 ORDER BY 1
         """,
         "events_hll_distinct": """
@@ -2811,7 +2831,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM e
             ),
             cent AS (
-                SELECT label AS cl, pos, avg(x) AS c FROM x GROUP BY 1, 2
+                SELECT label AS cl, pos, round(avg(x), 6) AS c FROM x GROUP BY 1, 2
             ),
             carr AS (
                 SELECT cl, list(c ORDER BY pos) AS cv FROM cent GROUP BY cl
@@ -3325,7 +3345,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ),
             s AS (
-                SELECT o_custkey, o_totalprice,
+                SELECT o_custkey,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                           AS cents,
                        date_trunc('quarter', fd) AS cohort_q,
                        CAST(date_diff('month',
                                       date_trunc('quarter', fd),
@@ -3340,17 +3362,25 @@ def oracle_sql() -> dict[str, str]:
             ),
             rev AS (
                 SELECT cohort_q, age_q,
-                       round(sum(o_totalprice), 2) AS revenue
+                       CAST(sum(cents) AS BIGINT) AS rev_cents
                 FROM s GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT rev.cohort_q, age_q, cohort_customers, rev_cents,
+                       CAST(sum(rev_cents) OVER (
+                                PARTITION BY rev.cohort_q ORDER BY age_q
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                           AS cum_cents
+                FROM rev JOIN cs USING (cohort_q)
             )
-            SELECT strftime(rev.cohort_q, '%Y-%m') AS cohort,
-                   age_q, cohort_customers, revenue,
-                   round(sum(revenue) OVER (
-                             PARTITION BY rev.cohort_q ORDER BY age_q
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW)
-                         / cohort_customers, 4) AS cum_ltv_per_customer
-            FROM rev JOIN cs USING (cohort_q)
+            SELECT strftime(cohort_q, '%Y-%m') AS cohort,
+                   age_q, cohort_customers,
+                   rev_cents / 100.0 AS revenue,
+                   ((cum_cents * 200 + cohort_customers)
+                        // (cohort_customers * 2)) / 10000.0
+                       AS cum_ltv_per_customer
+            FROM cum
             ORDER BY cohort, age_q
         """,
         "docs_ngram_novelty": """

@@ -34,6 +34,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "boolean",
+}
+
+
+def _monotone_key(df: DataFrame, col: str) -> Column:
+    """A numeric projection of ``col`` that is monotone non-decreasing
+    in the column's sort order — the block key for exact_values mode.
+
+    Blocking only needs monotonicity, not injectivity: rows tied on
+    the projection stay in one block (strict ``cut < v``), and the
+    in-block row_number orders them by the full tiebreak. A blind
+    ``cast("double")`` on a non-numeric column yields null for every
+    row, silently collapsing each value class back to one task — the
+    exact skew the mode exists to remove — so non-castable types get
+    an explicit projection or a loud error."""
+    dt = df.schema[col].dataType.simpleString()
+    c = F.col(col)
+    if dt in _NUMERIC_TYPES or dt.startswith("decimal"):
+        return c.cast("double")
+    if dt in ("timestamp", "timestamp_ntz"):
+        return c.cast("double")  # epoch seconds — monotone
+    if dt == "date":
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if dt == "string":
+        # Big-endian integer of the first 8 UTF-8 bytes: UTF-8 byte
+        # order equals code-point order, so this is monotone; strings
+        # sharing an 8-byte prefix tie (same block) and resolve via
+        # the in-block sort. Rounding through double keeps monotone.
+        h = F.hex(F.encode(F.substring(c, 1, 8), "UTF-8"))
+        return F.conv(
+            F.substring(F.rpad(h, 16, "0"), 1, 16), 16, 10
+        ).cast("double")
+    raise ValueError(
+        f"exact_values tiebreak column {col!r} has unsupported type "
+        f"{dt}: provide a numeric/string/date/timestamp first tiebreak"
+    )
+
 
 def distributed_ntile(
     df: DataFrame,
@@ -57,6 +95,13 @@ def distributed_ntile(
     low-cardinality (the cutoff/offset side tables are
     groups x blocks rows and are broadcast).
     """
+    if exact_values and not tiebreak_cols:
+        raise ValueError(
+            "exact_values mode requires at least one tiebreak column: "
+            "tied value classes fan out over ranges of the first "
+            "tiebreak, so without one every class would funnel through "
+            "a single task"
+        )
     g = list(group_cols or [])
     sv = F.col(value_col).cast("double")
     if descending:
@@ -77,8 +122,7 @@ def distributed_ntile(
         # not a value range. Side tables grow to
         # groups x n_distinct_values x blocks rows: the documented
         # low-cardinality requirement keeps them broadcast-small.
-        tb = F.col(tiebreak_cols[0]).cast("double")
-        d0 = d0.withColumn("_tb", tb)
+        d0 = d0.withColumn("_tb", _monotone_key(df, tiebreak_cols[0]))
         cuts = d0.groupBy(*g).agg(
             F.percentile_approx("_tb", fracs, 10000).alias("_cuts")
         )

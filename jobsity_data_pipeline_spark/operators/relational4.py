@@ -156,10 +156,13 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir in _CENTROID_CACHE:
         C = _CENTROID_CACHE[sf_dir]
     else:
+        # round(avg, 6) before the distance pass: unrounded partial-agg
+        # float order could flip a near-equidistant vector between
+        # engines/runs at the ULP level (see relational9._assigned)
         cents = (
             e.select("label", F.posexplode("v").alias("pos", "x"))
             .groupBy("label", "pos")
-            .agg(F.avg("x").alias("c"))
+            .agg(F.round(F.avg("x"), 6).alias("c"))
             .collect()
         )
         k = max(r.label for r in cents) + 1

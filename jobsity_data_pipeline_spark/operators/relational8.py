@@ -1040,6 +1040,12 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort x age frame; the heavy work is one window min per customer
     (first order) reusing the o_custkey partitioning the rollup needs
     anyway.
+
+    Money accumulates as integer cents (the 2-decimal o_totalprice is
+    exactly representable there), so the running sum is order-
+    independent and the final 4-dp ratio is computed with exact
+    integer half-up rounding — no float accumulation can ever sit on
+    a round() half-ulp boundary (the r3 driver-hash failure mode).
     """
     from pyspark.sql.window import Window
 
@@ -1048,7 +1054,8 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = F.min("o_orderdate").over(Window.partitionBy("o_custkey"))
     staged = o.select(
-        "o_custkey", "o_totalprice",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
         F.date_trunc("quarter", first).alias("cohort_q"),
         (
             F.floor(
@@ -1065,7 +1072,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_custkey").alias("cohort_customers"))
     )
     rev = staged.groupBy("cohort_q", "age_q").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum("cents").alias("rev_cents")
     )
     wc = (
         Window.partitionBy("cohort_q")
@@ -1074,12 +1081,21 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rev.join(F.broadcast(cohort_sizes), "cohort_q")
+        .withColumn("cum_cents", F.sum("rev_cents").over(wc))
+        # exact half-up round of (cum_cents/100/customers) to 4 dp via
+        # integer division: (2*cum_cents*100 + c) div (2*c), then /1e4.
+        .withColumn(
+            "ltv_e4",
+            F.expr(
+                "(cum_cents * 200 + cohort_customers)"
+                " div (cohort_customers * 2)"
+            ),
+        )
         .select(
             F.date_format("cohort_q", "yyyy-MM").alias("cohort"),
-            "age_q", "cohort_customers", "revenue",
-            F.round(
-                F.sum("revenue").over(wc) / F.col("cohort_customers"), 4
-            ).alias("cum_ltv_per_customer"),
+            "age_q", "cohort_customers",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            (F.col("ltv_e4") / F.lit(10000.0)).alias("cum_ltv_per_customer"),
         )
         .orderBy("cohort", "age_q")
     )

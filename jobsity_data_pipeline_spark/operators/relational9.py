@@ -49,7 +49,13 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a distributed posexplode+avg aggregate (k x dim scalars driver-
     side, broadcast once). Ties on distance resolve to the lowest
     cluster id — same rule as the oracle's row_number ORDER BY d2, cl
-    and numpy argmin's first-match."""
+    and numpy argmin's first-match.
+
+    Centroid coordinates are rounded to 6 dp (the emb_label_centroids
+    convention) BEFORE the distance pass on both engines: an unrounded
+    F.avg depends on partial-aggregation order, so a vector near-
+    equidistant to two centroids could flip clusters between runs or
+    engines at the ULP level and flake the exact parity hash."""
     import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -57,7 +63,7 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         e.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
+        .agg(F.round(F.avg("x"), 6).alias("c"))
         .collect()
     )
     k = max(r.label for r in cents) + 1

@@ -555,7 +555,7 @@ def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir)
         .select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
+        .agg(F.round(F.avg("x"), 6).alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(

@@ -33,34 +33,58 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
+# Pre-CAS-protocol tables carried the batch token in the filename;
+# accept them on read so an existing table isn't silently reported as
+# nonexistent (which would restart versioning at 1 beside the orphans).
+_LEGACY_MANIFEST_RE = re.compile(r"manifest-(\d{6})-([^/]+)\.json$")
 
 
-def _manifests(table_dir: str) -> list[tuple[int, str, str]]:
+def _manifests(table_dir: str,
+               with_tokens: bool = False) -> list[tuple[int, str, str]]:
     """[(version, batch_token, path)] sorted by version.
 
     The filename carries ONLY the version — the put-if-absent slot must
     be per-version, or two writers with different batch tokens could
     both link a same-version manifest and one commit would silently
-    shadow the other. The batch token lives in the manifest body."""
+    shadow the other. The batch token lives in the manifest body and is
+    read only when ``with_tokens`` is set (the idempotence scan):
+    version resolution must not cost O(versions) file opens.
+
+    A concurrent vacuum() may unlink a retired manifest between
+    listdir and open; such entries are skipped rather than crashing
+    the reader (a retired version is by definition not the latest)."""
     out = []
     if not os.path.isdir(table_dir):
         return out
     for name in os.listdir(table_dir):
         m = _MANIFEST_RE.match(name)
+        path = os.path.join(table_dir, name)
         if m:
-            path = os.path.join(table_dir, name)
-            with open(path) as f:
-                token = json.load(f).get("batch", "")
+            token = ""
+            if with_tokens:
+                try:
+                    with open(path) as f:
+                        token = json.load(f).get("batch", "")
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue  # vacuumed or half-written: not the latest
             out.append((int(m.group(1)), token, path))
+            continue
+        lm = _LEGACY_MANIFEST_RE.match(name)
+        if lm:
+            out.append((int(lm.group(1)), lm.group(2), path))
     return sorted(out)
 
 
 def latest_manifest(table_dir: str) -> dict | None:
-    ms = _manifests(table_dir)
-    if not ms:
-        return None
-    with open(ms[-1][2]) as f:
-        return json.load(f)
+    while True:
+        ms = _manifests(table_dir)
+        if not ms:
+            return None
+        try:
+            with open(ms[-1][2]) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            continue  # raced a zero-retention vacuum: re-resolve
 
 
 def _publish(table_dir: str, files: list[str], batch_token: str,
@@ -161,7 +185,8 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
     # collisions also keep exactly one row
     batch = batch.dropDuplicates([key])
     for _attempt in range(10):
-        if any(tok == token for _, tok, _ in _manifests(table_dir)):
+        if any(tok == token
+               for _, tok, _ in _manifests(table_dir, with_tokens=True)):
             return "skipped_duplicate"
         man = latest_manifest(table_dir)
         if man is None:
@@ -207,8 +232,11 @@ def read_version(spark: SparkSession, table_dir: str,
     manifests (and new files) on top."""
     for v, _tok, path in _manifests(table_dir):
         if v == version:
-            with open(path) as f:
-                man = json.load(f)
+            try:
+                with open(path) as f:
+                    man = json.load(f)
+            except FileNotFoundError:
+                return None  # retired by a concurrent vacuum
             if not man["files"]:
                 return None
             return _read_files(spark, man["files"])

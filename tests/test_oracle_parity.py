@@ -1,6 +1,11 @@
 """Replicates the driver's correctness gate locally: every queries()
 entry with an oracle_sql() twin must match DuckDB on row count, column
-names, and order-insensitive values (floats to 9 significant digits).
+names, and order-insensitive values at FULL float precision (repr) —
+the round-3 escapes (HUGEINT formatting, half-ulp round divergence)
+passed a 9-significant-digit compare while failing the driver's hash,
+so the local gate now matches driver strength. A type audit further
+asserts no oracle emits HUGEINT/DECIMAL (pandas silently converts
+those to float64, breaking a stringified int hash).
 
 Runs at sf0.001 by default (fast inner loop); set PARITY_SF_DIR to
 /root/testdata/sf0.01 to mirror the driver exactly.
@@ -37,7 +42,7 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        return repr(v)
     return str(v)
 
 
@@ -69,6 +74,22 @@ def test_parity(spark, name):
     if sn != dn:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_no_oracle_emits_hugeint_or_decimal():
+    """One-pass oracle output-type audit (the judge's r3 scan, now a
+    permanent gate): HUGEINT/DECIMAL columns survive fetchall() as
+    Python ints/Decimals locally but become float64 through the
+    driver's pandas path, so a value-identical result still
+    hash-mismatches. Every aggregate that can widen must CAST."""
+    con = _duck(SF_SMOKE)
+    bad = {}
+    for name, sql in sorted(ORACLES.items()):
+        types = [str(t).upper() for t in con.sql(sql).types]
+        hits = [t for t in types if "HUGEINT" in t or "DECIMAL" in t]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracles emitting HUGEINT/DECIMAL columns: {bad}"
 
 
 def test_every_query_has_oracle_or_is_declared():

@@ -151,3 +151,51 @@ def test_semdedup_plan_has_no_corpus_pair_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_values_requires_tiebreak():
+    import pytest
+
+    from jobsity_data_pipeline_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    # without a tiebreak, every tied value class would funnel through
+    # one task — the mode must refuse loudly, not silently degrade
+    with pytest.raises(ValueError, match="tiebreak"):
+        distributed_ntile(None, 3, "v", [], exact_values=True)
+
+
+def test_exact_values_string_tiebreak_matches_window(spark):
+    # a non-numeric first tiebreak must NOT silently cast to null
+    # (collapsing each value class to one block): the monotone
+    # byte-prefix projection keeps blocking correct for strings,
+    # bit-equal to the window spec including shared-prefix ties.
+    rows = [
+        (i, float(v), s)
+        for i, (v, s) in enumerate(
+            [(5, "apple"), (5, "apricot"), (5, "banana"), (5, "apple2"),
+             (3, "cherry"), (3, "apple"), (2, "zz"), (2, "aa"),
+             (2, "longsharedprefix-a"), (2, "longsharedprefix-b"),
+             (1, "x"), (1, "y")]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id int, v double, s string")
+    w = Window.orderBy(F.col("v").desc(), F.col("s").asc())
+    want = {r.id: r.t for r in
+            df.withColumn("t", F.ntile(4).over(w)).collect()}
+    got = distributed_ntile(
+        df, 4, "v", ["s"], descending=True, blocks=4,
+        out_col="t", exact_values=True,
+    )
+    assert {r.id: r.t for r in got.collect()} == want
+
+
+def test_exact_values_unsupported_tiebreak_type_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 1.0, [1])], "id int, v double, arr array<int>"
+    )
+    with pytest.raises(ValueError, match="unsupported type"):
+        distributed_ntile(df, 2, "v", ["arr"], exact_values=True)

@@ -587,3 +587,62 @@ def test_upsert_recomputes_after_interleaved_commit(spark, tmp_path,
     rows = {r.trip_key: r.v for r in SN.read_latest(spark, t).collect()}
     # every writer's keys present exactly once; racer won key 2
     assert rows == {1: "a", 2: "racer", 3: "racer", 4: "new"}
+
+
+def test_snapshot_reads_legacy_manifest_filenames(spark, tmp_path):
+    """Tables published by the pre-CAS protocol carried the batch token
+    in the manifest FILENAME; the reader must still resolve them (and a
+    new writer must continue their version numbering) instead of
+    silently reporting the table as nonexistent."""
+    import json
+    import os
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    files = SN._write_data(df1, t)
+    with open(os.path.join(t, "manifest-000001-batch7.json"), "w") as f:
+        json.dump({"version": 1, "batch": "batch7", "files": files}, f)
+
+    got = {tuple(r) for r in SN.read_latest(spark, t).collect()}
+    assert got == {(1, "a")}
+    # legacy token is visible to the idempotence scan (from filename)
+    assert [(v, tok) for v, tok, _ in SN._manifests(t, with_tokens=True)] \
+        == [(1, "batch7")]
+    # a new-style publish continues the legacy numbering
+    df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    assert SN.publish_snapshot(df2, t, "next") == 2
+    got2 = {tuple(r) for r in SN.read_latest(spark, t).collect()}
+    assert got2 == {(2, "b")}
+
+
+def test_manifest_scan_survives_concurrent_vacuum(spark, tmp_path,
+                                                  monkeypatch):
+    """A vacuum may unlink a retired manifest between the token scan's
+    listdir and open — the scan must skip it (a retired version is
+    never the latest), not crash the writer; half-written JSON bodies
+    are likewise skipped."""
+    import os
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert SN.publish_snapshot(df1, t, "init") == 1
+    # half-written manifest (crash mid-json.dump before the CAS link
+    # protocol existed / torn copy on a non-atomic store)
+    with open(os.path.join(t, "manifest-000002.json"), "w") as f:
+        f.write('{"version": 2, "batch"')
+    # ghost entry: listed by listdir, unlinked before open
+    real_listdir = os.listdir
+
+    def ghost_listdir(path):
+        names = list(real_listdir(path))
+        if str(path) == t:
+            names.append("manifest-000099.json")
+        return names
+
+    monkeypatch.setattr(SN.os, "listdir", ghost_listdir)
+    ms = SN._manifests(t, with_tokens=True)
+    assert [(v, tok) for v, tok, _ in ms] == [(1, "init")]
