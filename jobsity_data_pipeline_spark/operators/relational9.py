@@ -15,8 +15,10 @@ LLM-pipeline family.
 Scale notes (100 TB):
 - semdedup's all-pairs work is *within cluster only* — the published
   method's point: k grows with N so cluster sizes stay bounded, and the
-  per-cluster GEMM is embarrassingly parallel over clusters
-  (applyInPandas groups). No corpus-wide pair join exists in the plan.
+  per-cluster GEMM is embarrassingly parallel over clusters. Clusters
+  above MAX_CLUSTER_BLOCK_ROWS additionally fan out over sub-block
+  pairs (the emb_near_dup blocked shape), so even a degenerate giant
+  cluster is bounded per task. No corpus-wide pair join in the plan.
   Candidate pairs (a sparse set) are re-scored with the sequential-
   order JVM fold so reported cosines are bit-stable vs the oracle.
 - quality tiering avoids Window.partitionBy(source): with a handful of
@@ -38,6 +40,12 @@ from .ranking import distributed_ntile
 from .textops import quality_frame
 
 SEMDEDUP_TAU = 0.3
+# A cluster larger than this fans out over ceil(n/cap) sub-blocks in
+# the pair stage instead of GEMMing in one applyInPandas task. The
+# published method's k-grows-with-N assumption keeps clusters bounded
+# in the expected case, but a degenerate giant cluster (all-identical
+# embeddings, bad k) must not OOM a single task at 100 TB.
+MAX_CLUSTER_BLOCK_ROWS = 4096
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -93,6 +101,113 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInPandas(gen, "vec_id long, cl int, v array<double>")
 
 
+def _cluster_pairs(asg: DataFrame, tau: float,
+                   max_block_rows: int = MAX_CLUSTER_BLOCK_ROWS,
+                   margin: float = 1e-3) -> DataFrame:
+    """Same-cluster candidate pairs (cl, vec_a < vec_b) whose GEMM
+    cosine clears ``tau - margin`` — the prefilter stage of SemDeDup,
+    shaped like emb_near_dup's blocked pair join but per cluster:
+
+    1. Per-cluster block count ``ceil(n / max_block_rows)`` from a tiny
+       count aggregate (broadcast back); rows hash into blocks.
+    2. Pack each (cluster, block) into one matrix row; the unordered
+       block pairs of a cluster meet through an EQUI-join on
+       (cl, pa, pb) — shuffle-hash, never a broadcast of packed
+       matrices, never a whole-cluster single task.
+    3. Each pair task GEMMs exactly two bounded blocks. The expected
+       case (cluster <= cap) degenerates to one block per cluster =
+       the original one-task-per-cluster plan.
+    """
+    import numpy as np
+
+    sizes = asg.groupBy("cl").agg(F.count("*").alias("_n"))
+    nblk = F.greatest(
+        F.ceil(F.col("_n") / F.lit(max_block_rows)), F.lit(1)
+    ).cast("int")
+    blocked = (
+        asg.join(F.broadcast(sizes.select("cl", nblk.alias("_nblk"))), "cl")
+        .withColumn(
+            "blk", F.pmod(F.xxhash64("vec_id"), F.col("_nblk")).cast("int")
+        )
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "cl": [int(pdf["cl"].iloc[0])],
+                "blk": [int(pdf["blk"].iloc[0])],
+                "nblk": [int(pdf["_nblk"].iloc[0])],
+                "ids": [pdf["vec_id"].to_numpy(dtype="int64").tolist()],
+                "vecs": [[list(map(float, v)) for v in pdf["v"]]],
+            }
+        )
+
+    packed = blocked.groupBy("cl", "blk").applyInPandas(
+        pack,
+        "cl int, blk int, nblk int, ids array<long>, "
+        "vecs array<array<double>>",
+    ).localCheckpoint()
+    left = packed.select(
+        "cl",
+        F.col("blk").alias("pa"),
+        F.explode(
+            F.sequence(F.col("blk"), F.col("nblk") - 1)
+        ).alias("pb"),
+        F.col("ids").alias("aids"),
+        F.col("vecs").alias("avecs"),
+    )
+    right = packed.select(
+        "cl",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
+        F.col("blk").alias("pb"),
+        F.col("ids").alias("bids"),
+        F.col("vecs").alias("bvecs"),
+    )
+    pairs = left.join(right.hint("shuffle_hash"), ["cl", "pa", "pb"]).select(
+        "cl", "aids", "avecs", "bids", "bvecs"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for cl, aids, avecs, bids, bvecs in zip(
+                pdf["cl"], pdf["aids"], pdf["avecs"],
+                pdf["bids"], pdf["bvecs"],
+            ):
+                ai = np.asarray(aids, dtype="int64")
+                bi = np.asarray(bids, dtype="int64")
+                A = np.array([np.asarray(v) for v in avecs],
+                             dtype="float64")
+                Bm = np.array([np.asarray(v) for v in bvecs],
+                              dtype="float64")
+                an = np.sqrt((A * A).sum(axis=1))
+                an[an == 0] = 1.0
+                bn = np.sqrt((Bm * Bm).sum(axis=1))
+                bn[bn == 0] = 1.0
+                S = (A / an[:, None]) @ (Bm / bn[:, None]).T
+                ia, jb = np.nonzero(
+                    (S >= tau - margin) & (ai[:, None] != bi[None, :])
+                )
+                lo = np.minimum(ai[ia], bi[jb])
+                hi = np.maximum(ai[ia], bi[jb])
+                # the diagonal block pair sees each unordered pair
+                # twice ((i,j) and (j,i)): dedupe after normalizing
+                uniq = np.unique(np.stack([lo, hi], axis=1), axis=0) \
+                    if len(lo) else np.empty((0, 2), dtype="int64")
+                yield pd.DataFrame(
+                    {
+                        "cl": np.full(len(uniq), int(cl), dtype="int32"),
+                        "vec_a": uniq[:, 0],
+                        "vec_b": uniq[:, 1],
+                    }
+                )
+
+    return pairs.mapInPandas(gen, "cl int, vec_a long, vec_b long")
+
+
 def emb_semdedup(spark: SparkSession, sf_dir: str,
                  tau: float = SEMDEDUP_TAU) -> DataFrame:
     """SemDeDup per-cluster report: cluster size, semantic-duplicate
@@ -100,13 +215,14 @@ def emb_semdedup(spark: SparkSession, sf_dir: str,
     deterministic keep-lowest-id rule, vectors kept, and the mean
     duplicate cosine.
 
-    Two-stage scoring keeps it both fast and oracle-exact: a per-
-    cluster float64 GEMM (applyInPandas, vectorized) prefilters pairs
-    with a 1e-3 margin; survivors are re-scored with the sequential
-    JVM fold (functions/vectors.cosine) so the reported value adds
-    terms in the same order as DuckDB's loop, then the exact
-    round(cos, 6) >= tau gate is applied — the emb_near_dup convention
-    (operators/similarity.py).
+    Two-stage scoring keeps it both fast and oracle-exact: a blocked
+    per-cluster float64 GEMM (_cluster_pairs — sub-blocks clusters
+    above MAX_CLUSTER_BLOCK_ROWS so a degenerate giant cluster cannot
+    OOM one task) prefilters pairs with a 1e-3 margin; survivors are
+    re-scored with the sequential JVM fold (functions/vectors.cosine)
+    so the reported value adds terms in the same order as DuckDB's
+    loop, then the exact round(cos, 6) >= tau gate is applied — the
+    emb_near_dup convention (operators/similarity.py).
     """
     # four consumers below (pair generation, both vector sides of the
     # re-score join, cluster sizes) — materialize the assignment once
@@ -114,31 +230,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str,
     # (the orders_customer_rfm lesson: lineage re-evaluation compounds)
     asg = _assigned(spark, sf_dir).localCheckpoint()
 
-    def pairs_of(pdf):
-        import numpy as np
-        import pandas as pd
-
-        A = np.stack(pdf["v"].to_numpy())
-        n = A.shape[0]
-        if n < 2:
-            return pd.DataFrame({"cl": [], "vec_a": [], "vec_b": []}).astype(
-                {"cl": "int32", "vec_a": "int64", "vec_b": "int64"}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        norms = np.sqrt((A * A).sum(axis=1))
-        norms[norms == 0] = 1.0
-        S = (A / norms[:, None]) @ (A / norms[:, None]).T
-        iu, ju = np.triu_indices(n, k=1)
-        keep = S[iu, ju] >= tau - 1e-3
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame(
-            {"cl": pdf["cl"].iloc[0], "vec_a": lo, "vec_b": hi}
-        )
-
-    cand = asg.groupBy("cl").applyInPandas(
-        pairs_of, "cl int, vec_a long, vec_b long"
-    )
+    cand = _cluster_pairs(asg, tau)
 
     va = asg.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
     vb = asg.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))

@@ -511,9 +511,9 @@ def stream_lsh_index(docs: DataFrame, table_dir: str, checkpoint: str):
     (a doc_id's text never changes once emitted) — the idempotence key
     is (doc_id, band_id), so a re-emitted doc with DIFFERENT text would
     be anti-joined away and the index would keep the stale band rows.
-    A mutable-doc stream needs delete-then-append per batch
-    (sources/snapshot.delete_keys on the batch's doc keys first), at
-    rewrite cost on the files holding those keys.
+    For mutable docs use stream_lsh_index_mutable below, which
+    delete-then-appends per batch at rewrite cost on the files holding
+    those keys.
     """
     from ..operators.dedup import minhash_bands_frame
     from ..sources.snapshot import upsert_batch
@@ -533,6 +533,70 @@ def stream_lsh_index(docs: DataFrame, table_dir: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_lsh_index_mutable(docs: DataFrame, table_dir: str,
+                             checkpoint: str):
+    """Mutable-document variant of stream_lsh_index: a re-emitted
+    doc_id REPLACES its band rows instead of keeping the stale ones —
+    the path a re-crawled corpus needs.
+
+    Per batch: (1) if this batch_id's token is already published, the
+    whole batch is a no-op (replay of a fully-committed batch);
+    (2) otherwise delete every index row whose doc_id is in the batch
+    (sources/snapshot.delete_keys — parquet-footer-pruned, rewriting
+    only the files that can hold those keys), then (3) append the
+    batch's fresh band rows under the batch token.
+
+    Exactly-once under replay at every crash point: a crash before the
+    append's manifest publish replays into step (2), where re-deleting
+    the same doc_ids is idempotent (the first attempt's appended rows
+    were never published), and step (3) commits once; a crash AFTER
+    the publish replays into step (1) and skips before touching
+    anything. Deletes publish their own `delete-*` manifests, so time
+    travel still shows the pre-replacement index.
+
+    Cost note: delete rewrites O(files-holding-batch-keys), not
+    O(index) — with doc_id-clustered data files (write_range_clustered)
+    a re-crawl batch touches only its own key range. The batch's doc
+    ids are collected driver-side (bounded by batch size).
+    """
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        lsh_index_merge_mutable(batch_df, batch_id, table_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lsh_index_merge_mutable(batch_df: DataFrame, batch_id: int,
+                            table_dir: str) -> str:
+    """One delete-then-append merge of a mutable-doc batch (the
+    foreachBatch body of stream_lsh_index_mutable, module-level so the
+    replay path is directly testable). Returns the outcome:
+    'skipped_duplicate' | 'published' | 'empty'."""
+    from ..operators.dedup import minhash_bands_frame
+    from ..sources.snapshot import _manifests, delete_keys, upsert_batch
+
+    if batch_df.isEmpty():
+        return "empty"
+    token = f"batch{batch_id}"
+    if any(tok == token
+           for _, tok, _ in _manifests(table_dir, with_tokens=True)):
+        return "skipped_duplicate"  # fully committed on a prior attempt
+    spark = batch_df.sparkSession
+    doc_ids = [
+        r[0] for r in batch_df.select("doc_id").distinct().collect()
+    ]
+    delete_keys(spark, table_dir, doc_ids, key="doc_id")
+    bands = minhash_bands_frame(batch_df).withColumn(
+        "band_key",
+        F.concat_ws(":", F.col("doc_id"), F.col("band_id")),
+    )
+    return upsert_batch(bands, batch_id, table_dir, key="band_key")
 
 
 def lsh_index_candidates(spark: SparkSession, table_dir: str,

@@ -199,3 +199,54 @@ def test_exact_values_unsupported_tiebreak_type_raises(spark):
     )
     with pytest.raises(ValueError, match="unsupported type"):
         distributed_ntile(df, 2, "v", ["arr"], exact_values=True)
+
+
+def test_cluster_pairs_blocked_equals_single_task(spark):
+    """A cluster above MAX_CLUSTER_BLOCK_ROWS must sub-block into a
+    pair join yet produce exactly the candidate set of the one-task
+    plan: one artificial giant cluster (120 rows, cap 16 -> 8 blocks,
+    36 block-pair tasks) plus a small control cluster, compared
+    against the uncapped run and a numpy brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vecs = {}
+    for i in range(120):
+        v = rng.normal(size=8)
+        vecs[i] = v
+        rows.append((i, 0, [float(x) for x in v]))
+    for i in range(120, 130):
+        v = rng.normal(size=8)
+        vecs[i] = v
+        rows.append((i, 1, [float(x) for x in v]))
+    asg = spark.createDataFrame(
+        rows, "vec_id long, cl int, v array<double>"
+    )
+    tau = 0.3
+    blocked = {
+        (r.cl, r.vec_a, r.vec_b)
+        for r in R9._cluster_pairs(asg, tau, max_block_rows=16).collect()
+    }
+    single = {
+        (r.cl, r.vec_a, r.vec_b)
+        for r in R9._cluster_pairs(asg, tau, max_block_rows=10**9).collect()
+    }
+    assert blocked == single
+    # brute force at the prefilter threshold contains every true pair
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    by_cl = {0: range(120), 1: range(120, 130)}
+    want_true = {
+        (cl, i, j)
+        for cl, ids in by_cl.items()
+        for i in ids
+        for j in ids
+        if i < j and cos(vecs[i], vecs[j]) >= tau
+    }
+    assert want_true <= blocked  # margin never drops a true pair
+    # and nothing below the margin sneaks in
+    for cl, a, b in blocked:
+        assert cos(vecs[a], vecs[b]) >= tau - 1e-3

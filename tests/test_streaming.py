@@ -345,3 +345,92 @@ def test_stream_lsh_index_equals_batch_and_replays_idempotent(spark, tmp_path):
     assert (0, 1) in cand and (2, 4) in cand
     # unrelated docs never become candidates
     assert all(3 not in pair and 5 not in pair for pair in cand)
+
+
+def test_stream_lsh_index_mutable_replaces_reemitted_doc(spark, tmp_path):
+    """A re-emitted doc with CHANGED text must REPLACE its band rows
+    (the stale-band caveat of the immutable path), the maintained
+    index must equal a batch rebuild over the CURRENT corpus, replay
+    of a committed batch must be a no-op, and the mid-crash replay
+    (delete published, append not) must converge to the same state."""
+    from jobsity_data_pipeline_spark.operators.dedup import (
+        minhash_bands_frame,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, read_latest,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        lsh_index_candidates, lsh_index_merge_mutable,
+        stream_lsh_index_mutable,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    v1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    v2 = "totally rewritten body with absolutely fresh words only here"
+    near_v2 = "totally rewritten body with absolutely fresh words only now"
+    texts_b1 = {0: v1, 1: "one two three four five six seven eight nine"}
+    texts_b2 = {0: v2, 2: near_v2}  # doc 0 re-emitted with NEW text
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for batch in (texts_b1, texts_b2):
+        rows = [(i, t, "en", "test", len(t)) for i, t in batch.items()]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    table = str(tmp_path / "lsh_index")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_lsh_index_mutable(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # index == batch rebuild over the CURRENT corpus (doc 0 = v2)
+    current = spark.createDataFrame(
+        [(0, v2, "en", "test", len(v2)),
+         (1, texts_b1[1], "en", "test", len(texts_b1[1])),
+         (2, near_v2, "en", "test", len(near_v2))],
+        schema,
+    )
+    want = {
+        (r.doc_id, r.band_id, r.band_hash)
+        for r in minhash_bands_frame(current).collect()
+    }
+    got = {
+        (r.doc_id, r.band_id, r.band_hash)
+        for r in read_latest(spark, table).collect()
+    }
+    assert got == want  # no stale v1 bands survive
+
+    # candidate parity with the batch path on the current corpus:
+    # doc 0 (v2) is now a near-dup of doc 2, not of anything from v1
+    probe = current.where("doc_id = 2")
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_index_candidates(spark, table, probe).collect()
+    }
+    assert (0, 2) in cand and all(1 not in p for p in cand)
+
+    # replay of a fully-committed batch: no-op before any delete
+    v_before = latest_manifest(table)["version"]
+    b2 = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in texts_b2.items()], schema
+    )
+    assert lsh_index_merge_mutable(b2, 1, table) == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v_before
+
+    # mid-crash replay: delete committed, append not (simulated by
+    # re-merging under a FRESH batch id = token not yet published) —
+    # deleting already-deleted keys is idempotent and the state
+    # converges to the same band set
+    assert lsh_index_merge_mutable(b2, 99, table) == "published"
+    got2 = {
+        (r.doc_id, r.band_id, r.band_hash)
+        for r in read_latest(spark, table).collect()
+    }
+    assert got2 == want

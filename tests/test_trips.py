@@ -180,3 +180,75 @@ def test_bucketed_upsert_is_colocated_and_idempotent(spark, trips_df, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_reference_trips_csv_end_to_end(spark):
+    """The genuine challenge dataset (/root/reference/trips.csv, the
+    file insert_postgres.py:21-23 loads) through the full pipeline:
+    read -> trip_key -> idempotent upsert -> the three reference
+    views, each checked against an independent pure-Python replay of
+    the Postgres semantics (populate_postgres.sql / create_objects.sql
+    / latest_datasource.sql)."""
+    import csv
+    import math
+    from collections import Counter
+    from datetime import datetime
+
+    path = "/root/reference/trips.csv"
+    with open(path) as f:
+        raw = list(csv.DictReader(f))
+    assert len(raw) == 100
+
+    # ON CONFLICT (trip_key) DO NOTHING: first row per concat-key wins
+    keyed = {}
+    for r in raw:
+        k = (r["region"] + r["origin_coord"] + r["destination_coord"]
+             + r["datetime"] + r["datasource"])
+        keyed.setdefault(k, r)
+    dedup = list(keyed.values())
+
+    df = TP.with_trip_key(TP.read_trips_csv(spark, path))
+    hist = TP.upsert(TP.dedup_staging(df).limit(0), df)
+    assert hist.count() == len(dedup)
+    # re-ingesting the same file adds nothing (unique-index semantics)
+    assert TP.upsert(hist, df).count() == len(dedup)
+
+    # summarized_trip_data: inner and outer group keys coincide, so
+    # ceil(avg(count)) == the per-(region, week) count
+    def week(r):
+        d = datetime.strptime(r["datetime"], "%Y-%m-%d %H:%M:%S")
+        return f"{d:%Y-%m}-0{math.ceil(d.day / 7)}"
+
+    want_weekly = Counter((r["region"], week(r)) for r in dedup)
+    got_weekly = {
+        (r.region, r.week_of_month): r.weekly_avg
+        for r in TP.weekly_avg_by_region(hist).collect()
+    }
+    assert got_weekly == dict(want_weekly)
+
+    want_regions = sorted(
+        {r["region"] for r in dedup if r["datasource"] == "cheap_mobile"}
+    )
+    got_regions = sorted(
+        r.region
+        for r in TP.regions_for_datasource(hist, "cheap_mobile").collect()
+    )
+    assert got_regions == want_regions and got_regions
+
+    # latest_datasource: max ts within the top-2 recurring regions,
+    # then the datasource of EVERY hist row at that instant (the
+    # reference's final join is unrestricted by region)
+    top2 = [
+        reg for reg, _ in sorted(
+            Counter(r["region"] for r in dedup).items(),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:2]
+    ]
+    last_ts = max(r["datetime"] for r in dedup if r["region"] in top2)
+    want_ds = sorted(
+        r["datasource"] for r in dedup if r["datetime"] == last_ts
+    )
+    got_ds = sorted(
+        r.datasource for r in TP.latest_datasource(hist).collect()
+    )
+    assert got_ds == want_ds and got_ds
