@@ -255,11 +255,14 @@ def _later_tiers(tier: frozenset) -> frozenset:
     return frozenset()
 
 
-# Queries fixed or added in round 4 (driver-red fixes events_concurrency
-# + orders_cohort_ltv), plus emb_kmeans_fit — the only key with no
-# driver row of any kind across rounds 1-3. Front of the sweep.
+# Queries fixed or changed in round 4 (driver-red fixes
+# events_concurrency + orders_cohort_ltv; emb_pq_trained_ann and
+# emb_ivfpq_ann were promoted from rows-only to oracle-checked via
+# engine-exact PQ training), plus emb_kmeans_fit — the only key with
+# no driver row of any kind across rounds 1-3. Front of the sweep.
 _ROUND4_PRIORITY: tuple[str, ...] = (
     "events_concurrency", "orders_cohort_ltv", "emb_kmeans_fit",
+    "emb_pq_trained_ann", "emb_ivfpq_ann", "emb_semdedup",
 )
 
 # Keys whose most recent driver CORRECTNESS row is from each round.
@@ -358,6 +361,123 @@ _STOP = {
     "de": "['der','die','und','das','von','zu','mit','den','ein','ist']",
 }
 _ZH_CLASS = "[的是了在我有和就不人]"
+
+# Shared CTE chain replaying operators/kmeans.pq_train_codebooks (2
+# Lloyd rounds, seeds = the 16 lowest vec_ids, 4 subspaces of 16 dims)
+# and operators/relational8.trained_pq_tables. Engine-exact because the
+# Spark side rounds re-averaged centroids to 6 dp and compares
+# distances as integer micro-units (round(d2*1e6) BIGINT) — integer
+# sums and argmins are order-independent, so the SQL replay
+# hash-matches. Used by emb_pq_trained_ann and emb_ivfpq_ann.
+_PQ_TRAINED_CTE = """
+            e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            xs AS (
+                SELECT vec_id, label, pos,
+                       CAST(pos // 16 AS INT) AS subspace, x
+                FROM (
+                    SELECT vec_id, label,
+                           unnest(range(0, len(v))) AS pos,
+                           unnest(v) AS x
+                    FROM e
+                )
+            ),
+            seeds AS (
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1
+                           AS INT) AS code
+                FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)
+            ),
+            c0 AS (
+                SELECT subspace, code, pos, x AS c
+                FROM xs JOIN seeds USING (vec_id)
+            ),
+            d1 AS (
+                SELECT xs.vec_id, xs.subspace, c.code,
+                       CAST(round(sum((xs.x - c.c) * (xs.x - c.c))
+                                  * 1000000, 0) AS BIGINT) AS d6
+                FROM xs JOIN c0 c
+                  ON xs.subspace = c.subspace AND xs.pos = c.pos
+                GROUP BY 1, 2, 3
+            ),
+            a1 AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT vec_id, subspace, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, subspace
+                               ORDER BY d6, code) AS rn
+                    FROM d1
+                ) WHERE rn = 1
+            ),
+            s1 AS (
+                SELECT xs.subspace, a.code, xs.pos,
+                       round(avg(xs.x), 6) AS cn
+                FROM xs JOIN a1 a
+                  ON xs.vec_id = a.vec_id AND xs.subspace = a.subspace
+                GROUP BY 1, 2, 3
+            ),
+            c1 AS (
+                SELECT c0.subspace, c0.code, c0.pos,
+                       coalesce(s1.cn, c0.c) AS c
+                FROM c0 LEFT JOIN s1
+                  ON c0.subspace = s1.subspace AND c0.code = s1.code
+                 AND c0.pos = s1.pos
+            ),
+            d2_ AS (
+                SELECT xs.vec_id, xs.subspace, c.code,
+                       CAST(round(sum((xs.x - c.c) * (xs.x - c.c))
+                                  * 1000000, 0) AS BIGINT) AS d6
+                FROM xs JOIN c1 c
+                  ON xs.subspace = c.subspace AND xs.pos = c.pos
+                GROUP BY 1, 2, 3
+            ),
+            a2 AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT vec_id, subspace, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, subspace
+                               ORDER BY d6, code) AS rn
+                    FROM d2_
+                ) WHERE rn = 1
+            ),
+            s2 AS (
+                SELECT xs.subspace, a.code, xs.pos,
+                       round(avg(xs.x), 6) AS cn
+                FROM xs JOIN a2 a
+                  ON xs.vec_id = a.vec_id AND xs.subspace = a.subspace
+                GROUP BY 1, 2, 3
+            ),
+            c2 AS (
+                SELECT c1.subspace, c1.code, c1.pos,
+                       coalesce(s2.cn, c1.c) AS c
+                FROM c1 LEFT JOIN s2
+                  ON c1.subspace = s2.subspace AND c1.code = s2.code
+                 AND c1.pos = s2.pos
+            ),
+            df AS (
+                SELECT xs.vec_id, xs.subspace, c.code,
+                       CAST(round(sum((xs.x - c.c) * (xs.x - c.c))
+                                  * 1000000, 0) AS BIGINT) AS d6
+                FROM xs JOIN c2 c
+                  ON xs.subspace = c.subspace AND xs.pos = c.pos
+                GROUP BY 1, 2, 3
+            ),
+            codes AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT vec_id, subspace, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, subspace
+                               ORDER BY d6, code) AS rn
+                    FROM df
+                ) WHERE rn = 1
+            ),
+            qd AS (
+                SELECT vec_id AS qid, subspace, code, d6 AS dq6
+                FROM df WHERE vec_id < 8
+            )
+"""
 
 # Geohash oracle fragments (precision 4 = 20 bits, 10 per axis): the
 # bit interleave and base-32 mapping are generated as flat integer
@@ -3495,5 +3615,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nation_rank AS INT) AS nation_rank
             FROM r WHERE nation_rank <= 3
             ORDER BY n_name, nation_rank
+        """,
+        "emb_pq_trained_ann": "WITH " + _PQ_TRAINED_CTE + """,
+            adc AS (
+                SELECT qd.qid, codes.vec_id,
+                       CAST(sum(qd.dq6) AS BIGINT) AS adc6
+                FROM codes JOIN qd USING (subspace, code)
+                WHERE codes.vec_id <> qd.qid
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT qid, vec_id, adc6,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY adc6, vec_id
+                       ) AS rank
+                FROM adc
+            )
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+                   adc6 / 1000000.0 AS adc
+            FROM r WHERE rank <= 5 ORDER BY qid, rank
+        """,
+        "emb_ivfpq_ann": "WITH " + _PQ_TRAINED_CTE + """,
+            lcent AS (
+                SELECT label AS cell, pos, round(avg(x), 6) AS c
+                FROM xs GROUP BY 1, 2
+            ),
+            celld AS (
+                SELECT xs.vec_id, lc.cell,
+                       CAST(round(sum((xs.x - lc.c) * (xs.x - lc.c))
+                                  * 1000000, 0) AS BIGINT) AS cd6
+                FROM (SELECT DISTINCT vec_id, pos, x FROM xs) xs
+                JOIN lcent lc ON xs.pos = lc.pos
+                GROUP BY 1, 2
+            ),
+            cellasg AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cd6, cell) AS rn
+                    FROM celld
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT vec_id AS qid, cell FROM (
+                    SELECT vec_id, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cd6, cell) AS rn
+                    FROM celld WHERE vec_id < 8
+                ) WHERE rn <= 3
+            ),
+            cand AS (
+                SELECT p.qid, ca.vec_id
+                FROM cellasg ca JOIN probes p USING (cell)
+                WHERE ca.vec_id <> p.qid
+            ),
+            adc AS (
+                SELECT cd.qid, cd.vec_id,
+                       CAST(sum(qd.dq6) AS BIGINT) AS adc6
+                FROM cand cd
+                JOIN codes ON cd.vec_id = codes.vec_id
+                JOIN qd ON qd.qid = cd.qid
+                       AND qd.subspace = codes.subspace
+                       AND qd.code = codes.code
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT qid, vec_id, adc6,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY adc6, vec_id
+                       ) AS rank
+                FROM adc
+            )
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+                   adc6 / 1000000.0 AS adc
+            FROM r WHERE rank <= 5 ORDER BY qid, rank
         """,
     }

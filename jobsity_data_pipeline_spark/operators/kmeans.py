@@ -183,14 +183,22 @@ def pq_train_codebooks(spark: SparkSession, emb: DataFrame,
         x.join(F.broadcast(ids), "vec_id")
         .select("subspace", "code", "pos", F.col("x").alias("c"))
     )
+    # Distances compare as rounded micro-units and re-averaged
+    # centroids round to 6 dp each round: the training is then
+    # engine-exact (a SQL oracle replays the same rounds bit-for-bit),
+    # where unrounded partial-agg float order could flip a
+    # near-equidistant assignment between engines/runs.
     for _ in range(iters):
         d2 = (
             x.join(F.broadcast(cent), ["subspace", "pos"])
             .groupBy("vec_id", "subspace", "code")
             .agg(
-                F.sum(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                ).alias("d2")
+                F.round(
+                    F.sum(
+                        (F.col("x") - F.col("c"))
+                        * (F.col("x") - F.col("c"))
+                    ) * 1e6, 0
+                ).cast("long").alias("d2")
             )
         )
         assigned = (
@@ -201,7 +209,7 @@ def pq_train_codebooks(spark: SparkSession, emb: DataFrame,
         stats = (
             x.join(assigned, ["vec_id", "subspace"])
             .groupBy("subspace", "code", "pos")
-            .agg(F.avg("x").alias("cn"))
+            .agg(F.round(F.avg("x"), 6).alias("cn"))
         )
         cent = (
             cent.join(stats, ["subspace", "code", "pos"], "left")

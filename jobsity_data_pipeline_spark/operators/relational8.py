@@ -1340,30 +1340,31 @@ def trained_pq_tables(spark: SparkSession, sf_dir: str,
         ).localCheckpoint()
         _PQ_CODEBOOK_CACHE[ck] = cent
     x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    # distances as integer micro-units (round(d2*1e6) as long): the
+    # code argmin and the downstream ADC sum are then engine-exact —
+    # integer sums are order-independent, so the oracle's SQL replay
+    # hash-matches (this is what moved these ops out of rows-only)
     d = (
         x.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "subspace", "code")
         .agg(
-            F.sum(
-                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-            ).alias("d2")
+            F.round(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ) * 1e6, 0
+            ).cast("long").alias("d6")
         )
     )
     codes = (
         d.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d2", "code")).alias("m"))
+        .agg(F.min(F.struct("d6", "code")).alias("m"))
         .select("vec_id", "subspace", F.col("m.code").alias("code"))
     )
     qd = (
-        x.where(F.col("vec_id") < n_queries)
-        .join(F.broadcast(cent), "pos")
-        .groupBy(
-            F.col("vec_id").alias("qid"), "subspace", "code"
-        )
-        .agg(
-            F.sum(
-                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-            ).alias("dq")
+        d.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"), "subspace", "code",
+            F.col("d6").alias("dq6"),
         )
     )
     return codes, qd
@@ -1382,8 +1383,9 @@ def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
     codebooks tie (measured side by side in emb_ann_recall's
     pq vs pq_trained rows). Production: n_codes=256 per subspace.
 
-    Rows-only in the driver gate: the trained codebook inherits
-    k-means's partial-aggregation float-order, like emb_kmeans_fit.
+    Oracle-checked since the training rounds were pinned engine-exact
+    (rounded centroids + integer micro-unit distances): the ADC sum is
+    an integer sum, order-independent in both engines.
     """
     from pyspark.sql.window import Window
 
@@ -1394,14 +1396,17 @@ def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
         codes.join(F.broadcast(qd), ["subspace", "code"])
         .where(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
-        .agg(F.sum("dq").alias("adc"))
+        .agg(F.sum("dq6").alias("adc6"))
     )
-    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    w = Window.partitionBy("qid").orderBy("adc6", "vec_id")
     return (
         adc.select(
-            "qid", "vec_id", "adc", F.row_number().over(w).alias("rank")
+            "qid", "vec_id", "adc6", F.row_number().over(w).alias("rank")
         )
         .where(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", F.round("adc", 6).alias("adc"))
+        .select(
+            "qid", "rank", "vec_id",
+            (F.col("adc6") / F.lit(1e6)).alias("adc"),
+        )
         .orderBy("qid", "rank")
     )

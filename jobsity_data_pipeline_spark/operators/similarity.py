@@ -383,7 +383,9 @@ def _centroids(spark: SparkSession, sf_dir: str):
         _emb(spark, sf_dir)
         .select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
+        # round(avg, 6): engine-exact coarse quantizer (the oracle for
+        # emb_ivfpq_ann replays this assignment in SQL)
+        .agg(F.round(F.avg("x"), 6).alias("c"))
         .collect()
     )
     k = max(r.label for r in rows) + 1
@@ -409,6 +411,13 @@ def _ivf_assigned_and_probes(
     C = _centroids(spark, sf_dir)
     bc = spark.sparkContext.broadcast(C)
 
+    # distances compare as integer micro-units (floor(d2*1e6 + 0.5) =
+    # positive half-up, matching SQL round(x*1e6, 0)): cross-engine
+    # ULP noise in the summation order can never flip an argmin/probe
+    # choice, and ties break to the lowest cell on both engines
+    def _d6(d2):
+        return np.floor(d2 * 1e6 + 0.5).astype("int64")
+
     def assign(batches):
         import pandas as pd
 
@@ -417,7 +426,8 @@ def _ivf_assigned_and_probes(
             if len(pdf) == 0:
                 continue
             A = np.stack(pdf["v"].to_numpy())
-            cell = ((A[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            d2 = ((A[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            cell = _d6(d2).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
@@ -438,7 +448,7 @@ def _ivf_assigned_and_probes(
     for r in qrows:
         qid, qv = int(r[0]), [float(x) for x in r[1]]
         d2 = ((np.asarray(qv)[None, :] - C) ** 2).sum(axis=1)
-        for cell in np.argsort(d2)[:n_probe]:
+        for cell in np.argsort(_d6(d2), kind="stable")[:n_probe]:
             probes.append((qid, qv, int(cell)))
     probe_df = spark.createDataFrame(
         probes, "qid long, qv array<double>, cell int"
@@ -502,10 +512,12 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     quantize raw vectors, not per-cell residuals — residual encoding
     is the production refinement on the same plan.
 
-    Rows-only (approximate op; trained codebooks inherit k-means
-    float-order). Recall vs the flat trained-PQ scan is measured side
-    by side in emb_ann_recall (ivfpq probes ~n_probe/k_cells of the
-    code table).
+    Oracle-checked since the coarse quantizer and the PQ training were
+    pinned engine-exact (rounded centroids, integer micro-unit
+    distances): cell assignment, probe choice, and the ADC integer sum
+    all replay bit-for-bit in SQL. Recall vs the flat trained-PQ scan
+    is measured side by side in emb_ann_recall (ivfpq probes
+    ~n_probe/k_cells of the code table).
     """
     from pyspark.sql import Window
 
@@ -525,15 +537,18 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         cand.join(codes, "vec_id")
         .join(F.broadcast(qd), ["qid", "subspace", "code"])
         .groupBy("qid", "vec_id")
-        .agg(F.sum("dq").alias("adc"))
+        .agg(F.sum("dq6").alias("adc6"))
     )
-    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    w = Window.partitionBy("qid").orderBy("adc6", "vec_id")
     return (
         adc.select(
-            "qid", "vec_id", "adc", F.row_number().over(w).alias("rank")
+            "qid", "vec_id", "adc6", F.row_number().over(w).alias("rank")
         )
         .where(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", F.round("adc", 6).alias("adc"))
+        .select(
+            "qid", "rank", "vec_id",
+            (F.col("adc6") / F.lit(1e6)).alias("adc"),
+        )
         .orderBy("qid", "rank")
     )
 
@@ -591,7 +606,15 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     """
     from .relational8 import emb_pq_ann, emb_pq_rerank, emb_pq_trained_ann
 
-    exact = emb_cosine_topk(spark, sf_dir, n_queries, k).select("qid", "nid")
+    # the exact baseline feeds a semi-join AND the report spine for all
+    # six methods (12 plan references): checkpoint the tiny
+    # n_queries x k frame once, or each reference re-runs the full
+    # brute-force corpus scan — measured as most of this op's cost
+    exact = (
+        emb_cosine_topk(spark, sf_dir, n_queries, k)
+        .select("qid", "nid")
+        .localCheckpoint(eager=False)
+    )
     out = None
     # PQ searches by asymmetric L2, scored against the cosine-exact
     # baseline — equivalent rankings because the embeddings are

@@ -98,7 +98,6 @@ def test_every_query_has_oracle_or_is_declared():
     # report scored against the oracle-checked exact baseline
     assert set(QUERIES) - set(ORACLES) == {
         "emb_lsh_ann", "emb_ivf_ann", "emb_ann_recall", "emb_kmeans_fit",
-        "emb_pq_trained_ann", "emb_ivfpq_ann",
     }
 
 
