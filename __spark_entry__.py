@@ -31,6 +31,7 @@ from jobsity_data_pipeline_spark.operators import relational6 as R6
 from jobsity_data_pipeline_spark.operators import relational7 as R7
 from jobsity_data_pipeline_spark.operators import relational8 as R8
 from jobsity_data_pipeline_spark.operators import relational9 as R9
+from jobsity_data_pipeline_spark.operators import relational10 as R10
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -170,6 +171,10 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": R9.emb_semdedup,
         "docs_quality_tiers": R9.docs_quality_tiers,
         "docs_shard_plan": R9.docs_shard_plan,
+        "docs_gopher_rules": R10.docs_gopher_rules,
+        "docs_dsir_weights": R10.docs_dsir_weights,
+        "emb_matryoshka_recall": R10.emb_matryoshka_recall,
+        "docs_prefix_clusters": R10.docs_prefix_clusters,
         # round-3: IVFADC composition (rows-only: approximate op over
         # trained codebooks, like the rest of the ANN family)
         "emb_ivfpq_ann": S.emb_ivfpq_ann,
@@ -263,6 +268,9 @@ def _later_tiers(tier: frozenset) -> frozenset:
 _ROUND4_PRIORITY: tuple[str, ...] = (
     "events_concurrency", "orders_cohort_ltv", "emb_kmeans_fit",
     "emb_pq_trained_ann", "emb_ivfpq_ann", "emb_semdedup",
+    # round-4 debuts
+    "docs_gopher_rules", "docs_dsir_weights", "emb_matryoshka_recall",
+    "docs_prefix_clusters",
 )
 
 # Keys whose most recent driver CORRECTNESS row is from each round.
@@ -3615,6 +3623,134 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nation_rank AS INT) AS nation_rank
             FROM r WHERE nation_rank <= 3
             ORDER BY n_name, nation_rank
+        """,
+        "docs_gopher_rules": f"""
+            WITH staged AS (
+                SELECT doc_id, source,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                           AS n_symbols,
+                       {_TOKS} AS tk
+                FROM documents
+            ),
+            tokd AS (SELECT doc_id, unnest(tk) AS w FROM staged),
+            ws AS (
+                SELECT doc_id, count(*) AS n_words,
+                       CAST(sum(length(w)) AS BIGINT) AS char_sum,
+                       CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_alpha,
+                       count(DISTINCT CASE WHEN w IN
+                           ('the','and','of','to','a','in','is','it',
+                            'for','on') THEN w END) AS n_stop_distinct
+                FROM tokd GROUP BY doc_id
+            ),
+            j AS (
+                SELECT s.doc_id, s.source, s.n_symbols,
+                       coalesce(ws.n_words, 0) AS n_words,
+                       coalesce(ws.char_sum, 0) AS char_sum,
+                       coalesce(ws.n_alpha, 0) AS n_alpha,
+                       coalesce(ws.n_stop_distinct, 0)
+                           AS n_stop_distinct
+                FROM staged s LEFT JOIN ws USING (doc_id)
+            )
+            SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_words BETWEEN 50 AND 100000 AS INT)
+                       AS word_count_ok,
+                   CAST(char_sum >= 3 * n_words
+                        AND char_sum <= 10 * n_words
+                        AND n_words > 0 AS INT) AS mean_word_ok,
+                   CAST(10 * n_symbols <= n_words AS INT) AS symbol_ok,
+                   CAST(10 * n_alpha >= 8 * n_words AS INT) AS alpha_ok,
+                   CAST(n_stop_distinct >= 2 AS INT) AS stop_ok,
+                   CAST((n_words BETWEEN 50 AND 100000)
+                        AND (char_sum >= 3 * n_words
+                             AND char_sum <= 10 * n_words
+                             AND n_words > 0)
+                        AND (10 * n_symbols <= n_words)
+                        AND (10 * n_alpha >= 8 * n_words)
+                        AND (n_stop_distinct >= 2) AS INT) AS keep
+            FROM j ORDER BY doc_id
+        """,
+        "docs_dsir_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, source, unnest({_TOKS}) AS tok
+                FROM documents
+            ),
+            vocab AS (
+                SELECT tok, count(*) AS r_freq,
+                       CAST(sum(CASE WHEN source IN ('src0', 'src1')
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS t_freq
+                FROM toks GROUP BY tok
+            ),
+            tot AS (
+                SELECT CAST(sum(r_freq) AS BIGINT) AS r_total,
+                       CAST(sum(t_freq) AS BIGINT) AS t_total,
+                       count(*) AS v_size
+                FROM vocab
+            ),
+            model AS (
+                SELECT tok,
+                       ln((t_freq + 1)
+                          / CAST(t_total + v_size AS DOUBLE))
+                       - ln((r_freq + 1)
+                            / CAST(r_total + v_size AS DOUBLE))
+                           AS logratio
+                FROM vocab CROSS JOIN tot
+            )
+            SELECT t.doc_id, t.source, count(*) AS n_tokens,
+                   round(avg(m.logratio), 6) AS dsir_weight,
+                   CAST(t.source IN ('src0', 'src1') AS INT)
+                       AS is_target
+            FROM toks t JOIN model m USING (tok)
+            GROUP BY 1, 2 ORDER BY t.doc_id
+        """,
+        "emb_matryoshka_recall": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+            fullk AS (
+                SELECT qid, nid FROM (
+                    SELECT qid, e.vec_id AS nid,
+                           row_number() OVER (
+                               PARTITION BY qid
+                               ORDER BY round(
+                                   list_cosine_similarity(qv, v), 6
+                               ) DESC, e.vec_id) AS rnk
+                    FROM e JOIN q ON e.vec_id <> q.qid
+                ) WHERE rnk <= 5
+            ),
+            trunck AS (
+                SELECT qid, nid FROM (
+                    SELECT qid, e.vec_id AS nid,
+                           row_number() OVER (
+                               PARTITION BY qid
+                               ORDER BY round(
+                                   list_cosine_similarity(
+                                       qv[1:16], v[1:16]), 6
+                               ) DESC, e.vec_id) AS rnk
+                    FROM e JOIN q ON e.vec_id <> q.qid
+                ) WHERE rnk <= 5
+            ),
+            hits AS (
+                SELECT t.qid, count(*) AS n_hits
+                FROM trunck t
+                JOIN fullk f ON t.qid = f.qid AND t.nid = f.nid
+                GROUP BY 1
+            )
+            SELECT s.qid, coalesce(h.n_hits, 0) AS n_hits,
+                   round(coalesce(h.n_hits, 0) / 5.0, 4) AS recall_at_k
+            FROM (SELECT DISTINCT qid FROM fullk) s
+            LEFT JOIN hits h USING (qid)
+            ORDER BY s.qid
+        """,
+        "docs_prefix_clusters": """
+            SELECT md5(substr(text, 1, 64)) AS prefix_hash,
+                   count(*) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "emb_pq_trained_ann": "WITH " + _PQ_TRAINED_CTE + """,
             adc AS (

@@ -1,0 +1,261 @@
+"""Round-4 curation wave — four more first-class LLM-training-data
+operators over the reference's ingest scope (the documents/embeddings
+tables), each with an exact DuckDB oracle twin:
+
+- docs_gopher_rules: the Gopher quality-rule battery (Rae et al. 2021,
+  arXiv:2112.11446 §A1.1) as per-doc pass flags — word-count bounds,
+  mean word length, symbol-to-word ratio, alphabetic-word fraction,
+  stopword presence. All thresholds compare in INTEGER arithmetic
+  (e.g. ``char_sum BETWEEN 3*n_words AND 10*n_words`` instead of a
+  float mean), so the flags are engine-exact by construction.
+- docs_dsir_weights: DSIR-style importance weights (Xie et al. 2023,
+  arXiv:2302.03169): per-doc mean log-ratio of an add-1-smoothed
+  target-domain unigram LM over the raw-corpus LM — the score that
+  ranks raw documents by target-domain resemblance for resampling.
+- emb_matryoshka_recall: truncated-dimension retrieval quality (the
+  Matryoshka representation question, Kusupati et al. 2022): exact
+  top-k with only the first ``trunc_dim`` coordinates scored against
+  the full-dimension exact top-k.
+- docs_prefix_clusters: shared-prefix boilerplate clusters (crawl
+  header/footer detection): docs grouped by the hash of their leading
+  64 chars, keep-lowest-id accounting like docs_exact_dedup.
+
+Scale notes (100 TB): every operator is scan + partial-agg shuffles on
+small keys (token, hash, qid); the only broadcasts are the unigram
+vocab (Zipf-bounded — cap with TOP-K + UNK for open-web corpora, the
+docs_unigram_logprob convention) and the n_queries query vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..session import ensure_parallelism, read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return ensure_parallelism(spark, read_table(spark, sf_dir, name))
+
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery per document (arXiv:2112.11446 §A1.1,
+    adapted to the deterministic-token convention of this repo):
+
+    - ``word_count_ok``: 50 <= n_words <= 100000
+    - ``mean_word_ok``: mean word length in [3, 10] chars
+    - ``symbol_ok``: (# + ellipsis occurrences) / n_words <= 0.1
+    - ``alpha_ok``: >= 80% of words contain an alphabetic char
+    - ``stop_ok``: >= 2 DISTINCT English stopwords present
+    - ``keep``: all of the above
+
+    Every ratio threshold is evaluated in integer cross-multiplied
+    form (10*n_symbols <= n_words, 10*n_alpha >= 8*n_words, char_sum
+    BETWEEN 3*n_words AND 10*n_words) — no float division anywhere, so
+    the flags can never sit on an engine-dependent rounding boundary.
+    One explode + one partial-agg shuffle on doc_id; the per-doc text
+    stats ride the same scan.
+    """
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "source",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0)
+        ).cast("long").alias("n_symbols"),
+        TX.tokens("text").alias("tk"),
+    )
+    tok = staged.select("doc_id", F.explode("tk").alias("w"))
+    stop = list(TX.STOPWORDS["en"])
+    wstats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("char_sum"),
+        F.sum(F.col("w").rlike("[A-Za-z]").cast("long")).alias("n_alpha"),
+        F.countDistinct(
+            F.when(F.col("w").isin(stop), F.col("w"))
+        ).alias("n_stop_distinct"),
+    )
+    j = (
+        staged.select("doc_id", "source", "n_symbols")
+        .join(wstats, "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_symbols",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("char_sum", F.lit(0)).alias("char_sum"),
+            F.coalesce("n_alpha", F.lit(0)).alias("n_alpha"),
+            F.coalesce("n_stop_distinct", F.lit(0)).alias("n_stop_distinct"),
+        )
+    )
+    n, cs = F.col("n_words"), F.col("char_sum")
+    flags = {
+        "word_count_ok":
+            (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "mean_word_ok": (cs >= 3 * n) & (cs <= 10 * n) & (n > 0),
+        "symbol_ok": (10 * F.col("n_symbols")) <= n,
+        "alpha_ok": (10 * F.col("n_alpha")) >= (8 * n),
+        "stop_ok": F.col("n_stop_distinct") >= 2,
+    }
+    out = j.select(
+        "doc_id", "source", "n_words",
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    keep = None
+    for k in flags:
+        keep = F.col(k) if keep is None else (keep * F.col(k))
+    return out.withColumn("keep", keep.cast("int")).orderBy("doc_id")
+
+
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def docs_dsir_weights(
+    spark: SparkSession, sf_dir: str,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+) -> DataFrame:
+    """DSIR importance weight per document (arXiv:2302.03169, unigram
+    feature space): mean over tokens of
+    ``log p_target(w) - log p_raw(w)`` with add-1 smoothing over the
+    raw vocabulary — positive means the doc looks more like the target
+    domain than the corpus average, the resampling score for curating
+    a target-shaped subset from a raw crawl.
+
+    Two partial-agg passes over one exploded token stream (target
+    counts restrict the same aggregate) and a broadcast vocab join —
+    the docs_unigram_logprob shape with a second numerator. Float
+    conventions match it too: the per-doc mean rounds to 6 dp.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.explode(TX.tokens("text")).alias("tok"),
+    )
+    is_target = F.col("source").isin(list(target_sources))
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("r_freq"),
+        F.sum(is_target.cast("long")).alias("t_freq"),
+    )
+    totals = vocab.agg(
+        F.sum("r_freq").alias("r_total"),
+        F.sum("t_freq").alias("t_total"),
+        F.count("*").alias("v_size"),
+    )
+    model = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log(
+                (F.col("t_freq") + 1)
+                / (F.col("t_total") + F.col("v_size"))
+            )
+            - F.log(
+                (F.col("r_freq") + 1)
+                / (F.col("r_total") + F.col("v_size"))
+            )
+        ).alias("logratio"),
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logratio"), 6).alias("dsir_weight"),
+        )
+        .select(
+            "doc_id", "source", "n_tokens", "dsir_weight",
+            is_target.cast("int").alias("is_target"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str,
+                          n_queries: int = 8, k: int = 5,
+                          trunc_dim: int = 16) -> DataFrame:
+    """Truncated-dimension retrieval quality: exact cosine top-k using
+    only the first ``trunc_dim`` coordinates, scored as recall@k
+    against the full-dimension exact top-k — the measurement behind
+    Matryoshka-style dimension truncation (store/search short prefixes,
+    keep most of the recall at a fraction of the cost; at 100 TB the
+    truncated scan moves trunc_dim/dim of the bytes).
+
+    Both rankings are exact and tie-stable (round(cos,6) desc, nid),
+    so unlike the LSH/IVF family this quality gate is itself
+    oracle-checked. Broadcast query join, sequential JVM fold — the
+    emb_cosine_topk shape twice.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import as_double, dot, norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+
+    def topk(frame: DataFrame, vcol: str) -> DataFrame:
+        q = frame.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col(vcol).alias("qv")
+        )
+        nn = norm(F.col("qv")) * norm(F.col(vcol))
+        cos = F.when(
+            nn > 0, dot(F.col("qv"), F.col(vcol)) / nn
+        ).otherwise(F.lit(0.0))
+        w = Window.partitionBy("qid").orderBy(
+            F.round(cos, 6).desc(), F.col("vec_id")
+        )
+        return (
+            frame.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", F.col("vec_id").alias("nid"),
+                F.row_number().over(w).alias("rnk"),
+            )
+            .where(F.col("rnk") <= k)
+        )
+
+    full = topk(emb, "v").select("qid", "nid").localCheckpoint(eager=False)
+    trunc = topk(
+        emb.select("vec_id", F.slice("v", 1, trunc_dim).alias("tv")), "tv"
+    ).select("qid", "nid")
+    hits = (
+        trunc.join(full, ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        full.select("qid").distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(k), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+def docs_prefix_clusters(spark: SparkSession, sf_dir: str,
+                         prefix_chars: int = 64) -> DataFrame:
+    """Shared-prefix boilerplate clusters: documents grouped by the
+    md5 of their leading ``prefix_chars`` characters — the cheap
+    detector for crawl pages that differ only past a templated header.
+    Clusters of one are reported too (n_docs = 1 ⇒ unique prefix), so
+    the output doubles as a prefix-entropy profile; keep-lowest-id
+    matches docs_exact_dedup. One shuffle on the 16-byte hash key.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.substring("text", 1, prefix_chars)).alias("prefix_hash"),
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("prefix_hash")
+    )
