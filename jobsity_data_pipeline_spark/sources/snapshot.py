@@ -137,6 +137,62 @@ def _write_data(df: DataFrame, table_dir: str) -> list[str]:
     ]
 
 
+# sentinel stats entry for a file with no rows for the key (always
+# prunable); JSON round-trips as None/None
+_EMPTY_STATS = [None, None]
+
+
+def _file_stats(files: list[str], key: str) -> dict | None:
+    """{path: [min, max]} of ``key`` across each file's row groups, or
+    None if any file lacks usable statistics (caller publishes no stats
+    and readers fall back to footer pruning). Driver-side pyarrow
+    footer reads at WRITE time — paid once per file ever, so every
+    later delete/point-read prunes from the manifest alone, the
+    Delta/Iceberg data-skipping layout. Only JSON-safe stat types
+    (str/int/float/bool) are published."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for path in files:
+        meta = pq.ParquetFile(path)
+        idx = meta.schema_arrow.get_field_index(key)
+        if idx < 0:
+            return None
+        mins, maxs = [], []
+        for rg in range(meta.metadata.num_row_groups):
+            st = meta.metadata.row_group(rg).column(idx).statistics
+            if st is None or st.min is None:
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:
+            out[path] = list(_EMPTY_STATS)
+            continue
+        lo, hi = min(mins), max(maxs)
+        if not isinstance(lo, (str, int, float, bool)):
+            return None
+        out[path] = [lo, hi]
+    return out
+
+
+def _prune_by_stats(stats: dict, files: list[str], keys: list) -> tuple[
+        list[str], list[str]]:
+    """(maybe_hit, definitely_clear) split of ``files`` by the manifest
+    stats map; files missing from the map count as hits (unknown)."""
+    hit, clear = [], []
+    for path in files:
+        s = stats.get(path)
+        if s is None:
+            hit.append(path)
+        elif s == _EMPTY_STATS:
+            clear.append(path)
+        elif any(s[0] <= k <= s[1] for k in keys):
+            hit.append(path)
+        else:
+            clear.append(path)
+    return hit, clear
+
+
 def publish_snapshot(df: DataFrame, table_dir: str,
                      batch_token: str = "manual") -> int:
     """Write ``df`` as a full new table version (data files first,
@@ -193,13 +249,27 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
             base_version = 0
             new_rows = batch
             prior: list[str] = []
+            prior_stats: dict = {}
         else:
             base_version = man["version"]
             prior = man["files"]
+            prior_stats = man.get("stats", {}).get(key, {})
             hist_keys = _read_files(spark, prior).select(key)
             new_rows = batch.join(hist_keys, key, "left_anti")
         files = _write_data(new_rows, table_dir)
+        # data-skipping stats ride the manifest (Delta-style): footer
+        # min/max paid once per file at write time, carried forward by
+        # reference with the prior files; deletes and point reads then
+        # prune without any footer IO
+        new_stats = _file_stats(files, key)
+        stats = {
+            key: {
+                **{p: prior_stats[p] for p in prior if p in prior_stats},
+                **(new_stats or {}),
+            }
+        }
         v = _publish(table_dir, prior + files, token,
+                     extra={"stats": stats},
                      expected_version=base_version)
         if v != -1:
             return "published"
@@ -252,8 +322,9 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
     the table, not all of it; the old version remains readable for
     audit until its manifest is retired.
 
-    Footer pruning happens driver-side via pyarrow metadata (no Spark
-    job for the untouched files)."""
+    Pruning reads the manifest's data-skipping stats when the writer
+    published them (zero IO beyond the manifest itself); files without
+    a stats entry fall back to a driver-side pyarrow footer read."""
     import pyarrow.parquet as pq
 
     want = sorted(set(keys))
@@ -263,9 +334,13 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
             return {
                 "files_total": 0, "files_rewritten": 0, "rows_deleted": 0,
             }
-        keep_files: list[str] = []
+        stats = man.get("stats", {}).get(key, {})
+        maybe, keep_files = _prune_by_stats(stats, man["files"], want)
         hit_files: list[str] = []
-        for path in man["files"]:
+        for path in maybe:
+            if path in stats:
+                hit_files.append(path)  # manifest stats said maybe-hit
+                continue
             meta = pq.ParquetFile(path)
             idx = meta.schema_arrow.get_field_index(key)
             hit = False
@@ -288,10 +363,20 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
             kept = df.where(~F.col(key).isin(want))
             rows_deleted = before - kept.count()
             new_files = _write_data(kept, table_dir)
+        # untouched files keep their stats by reference; rewritten
+        # files get fresh ones
+        new_stats = _file_stats(new_files, key) if new_files else {}
+        kept_stats = {
+            key: {
+                **{p: stats[p] for p in keep_files if p in stats},
+                **(new_stats or {}),
+            }
+        }
         # CAS on the read version: the keep-list derives from it, so a
         # racing commit means this rewrite would drop its files
         v = _publish(table_dir, keep_files + new_files,
                      f"delete-{uuid.uuid4().hex[:8]}",
+                     extra={"stats": kept_stats},
                      expected_version=man["version"])
         if v != -1:
             return {
@@ -302,6 +387,28 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
     raise RuntimeError(
         f"delete_keys: lost the publish race {10} times at {table_dir}"
     )
+
+
+def read_point(spark: SparkSession, table_dir: str, key: str,
+               value) -> DataFrame | None:
+    """Stats-pruned point read: resolve the latest manifest, keep only
+    the data files whose published [min, max] range for ``key`` can
+    contain ``value`` (files without stats are read defensively), and
+    filter. With range-clustered writers this opens O(1) files of an
+    arbitrarily large table — the manifest IS the index, the
+    Delta/Iceberg data-skipping read path on plain parquet. Returns
+    None for a nonexistent/empty table or when stats prove no file can
+    hold the value."""
+    man = latest_manifest(table_dir)
+    if man is None or not man["files"]:
+        return None
+    stats = man.get("stats", {}).get(key, {})
+    maybe, _clear = _prune_by_stats(stats, man["files"], [value])
+    if not maybe:
+        return None
+    from pyspark.sql import functions as F
+
+    return _read_files(spark, maybe).where(F.col(key) == value)
 
 
 def compact(spark: SparkSession, table_dir: str,
@@ -326,11 +433,19 @@ def compact(spark: SparkSession, table_dir: str,
             return {"files_before": 0, "files_after": 0, "version": None}
         df = _read_files(spark, man["files"])
         new_files = _write_data(df.repartition(target_files), table_dir)
+        # recompute data-skipping stats for every key the prior
+        # manifest tracked — compaction must not silently drop the
+        # skipping index
+        stats = {
+            k: (_file_stats(new_files, k) or {})
+            for k in man.get("stats", {})
+        }
         # CAS on the read version: compaction rewrites EXACTLY the read
         # file list — publishing over an interleaved append would erase
         # the appended rows from the latest view
         version = _publish(
             table_dir, new_files, f"compact-{uuid.uuid4().hex[:8]}",
+            extra={"stats": stats},
             expected_version=man["version"],
         )
         if version != -1:

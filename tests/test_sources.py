@@ -646,3 +646,90 @@ def test_manifest_scan_survives_concurrent_vacuum(spark, tmp_path,
     monkeypatch.setattr(SN.os, "listdir", ghost_listdir)
     ms = SN._manifests(t, with_tokens=True)
     assert [(v, tok) for v, tok, _ in ms] == [(1, "init")]
+
+
+def test_manifest_stats_enable_footerless_pruning(spark, tmp_path,
+                                                  monkeypatch):
+    """Writers publish per-file [min,max] key stats in the manifest
+    (paid once at write time); deletes and point reads then prune from
+    the manifest ALONE — proven by poisoning the footer reader and
+    watching a stats-covered delete/point-read never touch it."""
+    import pyarrow.parquet
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    lo = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 11)], "trip_key long, v string"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100, 111)], "trip_key long, v string"
+    ).coalesce(1)
+    assert SN.upsert_batch(lo, 0, t) == "published"
+    assert SN.upsert_batch(hi, 1, t) == "published"
+
+    man = SN.latest_manifest(t)
+    stats = man["stats"]["trip_key"]
+    assert set(stats) == set(man["files"])  # every file covered
+
+    # point read prunes to the one file whose range holds the value
+    got = {tuple(r) for r in SN.read_point(spark, t, "trip_key", 105).collect()}
+    assert got == {(105, "v105")}
+    # a value outside every range resolves to None from the manifest
+    assert SN.read_point(spark, t, "trip_key", 50) is None
+
+    # with stats covering every file, neither delete nor read_point
+    # may open a parquet footer
+    def poisoned(*a, **k):
+        raise AssertionError("footer read despite manifest stats")
+
+    monkeypatch.setattr(pyarrow.parquet, "ParquetFile", poisoned)
+    # _file_stats (for the rewritten files) legitimately reads footers
+    # at WRITE time — only the pruning path is under test, so restore
+    # for the post-rewrite stats computation
+    real_file_stats = SN._file_stats
+    calls = {"n": 0}
+
+    def tracking_stats(files, key):
+        calls["n"] += 1
+        monkeypatch.undo()
+        try:
+            return real_file_stats(files, key)
+        finally:
+            monkeypatch.setattr(pyarrow.parquet, "ParquetFile", poisoned)
+
+    monkeypatch.setattr(SN, "_file_stats", tracking_stats)
+    res = SN.delete_keys(spark, t, [3], key="trip_key")
+    assert res["files_rewritten"] == 1  # only the low-range file
+    assert res["rows_deleted"] == 1
+    assert calls["n"] == 1
+
+    # post-delete: stats carried for the untouched file, fresh for the
+    # rewritten one; point reads still correct
+    monkeypatch.undo()
+    man2 = SN.latest_manifest(t)
+    assert set(man2["stats"]["trip_key"]) == set(man2["files"])
+    assert SN.read_point(spark, t, "trip_key", 3) is None or \
+        SN.read_point(spark, t, "trip_key", 3).count() == 0
+    got = {tuple(r) for r in SN.read_point(spark, t, "trip_key", 7).collect()}
+    assert got == {(7, "v7")}
+
+
+def test_compact_recomputes_manifest_stats(spark, tmp_path):
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    for b, rng in enumerate((range(1, 11), range(100, 111))):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in rng], "trip_key long, v string"
+        ).coalesce(1)
+        SN.upsert_batch(df, b, t)
+    SN.compact(spark, t, target_files=1)
+    man = SN.latest_manifest(t)
+    assert len(man["files"]) == 1
+    stats = man["stats"]["trip_key"]
+    assert set(stats) == set(man["files"])
+    [(lo, hi)] = [tuple(v) for v in stats.values()]
+    assert (lo, hi) == (1, 110)
+    got = {r.trip_key for r in SN.read_point(spark, t, "trip_key", 9).collect()}
+    assert got == {9}
