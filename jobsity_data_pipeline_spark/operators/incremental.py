@@ -48,6 +48,34 @@ def merge_partials(state: DataFrame, delta_partials: DataFrame) -> DataFrame:
     )
 
 
+def feed_partials(feed: DataFrame) -> DataFrame:
+    """SIGNED partial aggregates from a snapshot change feed
+    (sources/snapshot.change_feed): inserts contribute +1/+value,
+    deletes -1/-value. The classic incremental-view-maintenance
+    treatment of deletions — a GDPR delete on the base table propagates
+    to the aggregate view at O(delta) cost through the same mergeable
+    state, no refresh. Count/sum are abelian-group aggregates, so
+    signed merge is exact; MIN/MAX-style views are not maintainable
+    under deletes this way and need a recompute of affected groups."""
+    sign = F.when(
+        F.col("_change_type") == "insert", F.lit(1)
+    ).otherwise(F.lit(-1))
+    return feed.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(sign).alias("cnt"),
+        F.sum(sign * F.col("value")).alias("sum_value"),
+    )
+
+
+def merge_feed(state: DataFrame, feed: DataFrame) -> DataFrame:
+    """Apply a change feed to the stored state: signed merge, then
+    drop groups whose rows have all been deleted (cnt == 0) so the
+    state table never accretes tombstone groups."""
+    merged = merge_partials(state, feed_partials(feed))
+    return merged.where(F.col("cnt") > 0)
+
+
 def read_view(state: DataFrame) -> DataFrame:
     """Derive presentation metrics from the mergeable state at read
     time (avg = sum/count) — the stored table never holds

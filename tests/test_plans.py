@@ -361,3 +361,41 @@ def test_distributed_ntile_matches_window_ntile(spark):
         ).select("k", "b")
         assert got.subtract(expected).count() == 0
         assert expected.subtract(got).count() == 0
+
+
+def test_round4_ops_prune_document_scan(spark):
+    # the curation wave must not read the full documents schema:
+    # gopher/dsir need (doc_id, source, text); prefix clusters only
+    # (doc_id, text). lang/n_chars must never reach the scan.
+    from jobsity_data_pipeline_spark.operators import relational10 as R10
+
+    for fn, want, banned in (
+        (R10.docs_gopher_rules, ("doc_id", "text"), ("lang:", "n_chars")),
+        (R10.docs_dsir_weights, ("doc_id", "text"), ("lang:", "n_chars")),
+        (R10.docs_prefix_clusters, ("doc_id", "text"), ("lang:", "source:")),
+    ):
+        plan = _plan(fn(spark, SF_SMOKE))
+        import re
+
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        doc_schemas = [s for s in schemas if "text" in s]
+        assert doc_schemas, f"{fn.__name__}: no documents scan found"
+        # at least one scan carries the id columns the op reports on
+        # (a secondary vocab-only scan may legitimately omit them)...
+        for col in want:
+            assert any(col in s for s in doc_schemas), (
+                f"{fn.__name__}: {col} missing from every scan"
+            )
+        # ...but NO scan may read columns the op never uses
+        for s in doc_schemas:
+            for col in banned:
+                assert col not in s, f"{fn.__name__}: reads {col} needlessly"
+
+
+def test_matryoshka_truncated_side_broadcasts_queries(spark):
+    from jobsity_data_pipeline_spark.operators import relational10 as R10
+
+    plan = _plan(R10.emb_matryoshka_recall(spark, SF_SMOKE))
+    # both top-k passes broadcast the 8-row query side, never the corpus
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -733,3 +733,102 @@ def test_compact_recomputes_manifest_stats(spark, tmp_path):
     assert (lo, hi) == (1, 110)
     got = {r.trip_key for r in SN.read_point(spark, t, "trip_key", 9).collect()}
     assert got == {9}
+
+
+def test_change_feed_appends_fast_path_and_delete_fallback(
+        spark, tmp_path, monkeypatch):
+    """CDC between versions: an appends-only range reads ONLY the new
+    files (O(delta), no join, old version untouched); a range crossing
+    a delete falls back to keyed anti-joins and emits delete rows."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "trip_key long, v string"
+    ).coalesce(1)
+    b1 = spark.createDataFrame(
+        [(2, "dup"), (3, "c")], "trip_key long, v string"
+    ).coalesce(1)
+    assert SN.upsert_batch(b0, 0, t) == "published"   # v1
+    assert SN.upsert_batch(b1, 1, t) == "published"   # v2
+
+    read_paths: list[str] = []
+    real_read = SN._read_files
+
+    def tracking(spark_, files):
+        read_paths.extend(files)
+        return real_read(spark_, files)
+
+    monkeypatch.setattr(SN, "_read_files", tracking)
+    feed = SN.change_feed(spark, t, 1, 2)
+    got = {(r.trip_key, r.v, r._change_type) for r in feed.collect()}
+    # only key 3 is new (2 was deduped away by the upsert)
+    assert got == {(3, "c", "insert")}
+    # fast path: none of v1's files were read
+    v1_files = set(SN._manifest_at(t, 1)["files"])
+    assert not (set(read_paths) & v1_files)
+    monkeypatch.undo()
+
+    # same-version feed: no change
+    assert SN.change_feed(spark, t, 2, 2) is None
+
+    # cross a delete boundary: key 1 removed -> delete row emitted
+    SN.delete_keys(spark, t, [1], key="trip_key")     # v3
+    feed2 = SN.change_feed(spark, t, 1, 3, key="trip_key")
+    got2 = {(r.trip_key, r._change_type) for r in feed2.collect()}
+    assert got2 == {(3, "insert"), (1, "delete")}
+
+    # to_version=None resolves the latest
+    feed3 = SN.change_feed(spark, t, 2, key="trip_key")
+    got3 = {(r.trip_key, r._change_type) for r in feed3.collect()}
+    assert got3 == {(1, "delete")}
+
+
+def test_change_feed_drives_incremental_view_under_deletes(spark, tmp_path):
+    """CDC + signed merge: the aggregate view maintained through
+    change_feed equals a full recompute over the current table even
+    across a delete — the O(delta) answer to the reference's full
+    REFRESH MATERIALIZED VIEW when rows can also disappear."""
+    from jobsity_data_pipeline_spark.operators import incremental as INC
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    rows1 = [
+        (1, "view", "2024-01-01 10:05:00", 1.0),
+        (2, "view", "2024-01-01 10:25:00", 3.0),
+        (3, "buy", "2024-01-01 11:00:00", 10.0),
+    ]
+    rows2 = [
+        (4, "view", "2024-01-01 10:50:00", 5.0),
+        (5, "buy", "2024-01-01 11:30:00", 20.0),
+    ]
+
+    def df(rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [(i, e, ts, v) for i, e, ts, v in rows],
+            "event_id long, event_type string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    assert SN.upsert_batch(df(rows1), 0, t, key="event_id") == "published"
+    state = INC.hourly_partials(SN.read_version(spark, t, 1))
+
+    SN.upsert_batch(df(rows2), 1, t, key="event_id")        # v2: appends
+    SN.delete_keys(spark, t, [2], key="event_id")           # v3: delete
+
+    feed = SN.change_feed(spark, t, 1, key="event_id")
+    state = INC.merge_feed(state, feed)
+
+    got = {
+        (r.event_type, str(r.h), r.cnt, r.sum_value)
+        for r in state.collect()
+    }
+    want = {
+        (r.event_type, str(r.h), r.cnt, r.sum_value)
+        for r in INC.hourly_partials(SN.read_latest(spark, t)).collect()
+    }
+    assert got == want
+    # the deleted row's group shrank, not vanished
+    assert any(e == "view" and c == 2 for e, _h, c, _s in got)
