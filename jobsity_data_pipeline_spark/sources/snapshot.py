@@ -378,6 +378,63 @@ def change_feed(spark: SparkSession, table_dir: str, from_version: int,
     return inserts.unionByName(deletes, allowMissingColumns=True)
 
 
+def _cursor_path(cursor_dir: str, consumer: str) -> str:
+    return os.path.join(cursor_dir, f"cursor-{consumer}.json")
+
+
+def consume_changes(spark: SparkSession, table_dir: str, cursor_dir: str,
+                    consumer: str = "default",
+                    key: str = "trip_key") -> tuple[DataFrame | None, int]:
+    """Cursor-tracked incremental consumption: returns
+    ``(changes_since_the_committed_cursor, latest_version)``. The
+    poll-based CDC consumer loop — APPLY the feed first, then call
+    commit_cursor(cursor_dir, consumer, latest_version). Because the
+    cursor only advances on explicit commit, a consumer that crashes
+    mid-apply re-reads the same range on restart (at-least-once;
+    pair with idempotent downstream merges like
+    incremental.merge_feed applied per version range, or dedup on the
+    table key).
+
+    First consume of a table returns the full current content as
+    inserts (cursor 0 → latest); a caught-up consumer gets
+    ``(None, cursor)``. Multiple independent consumers coexist via
+    ``consumer`` names.
+    """
+    last = 0
+    try:
+        with open(_cursor_path(cursor_dir, consumer)) as f:
+            last = json.load(f)["version"]
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    man = latest_manifest(table_dir)
+    if man is None:
+        return None, last
+    latest = man["version"]
+    if latest <= last:
+        return None, last
+    if last == 0:
+        feed = None
+        if man["files"]:
+            from pyspark.sql import functions as F
+
+            feed = _read_files(spark, man["files"]).select(
+                "*", F.lit("insert").alias("_change_type")
+            )
+        return feed, latest
+    return change_feed(spark, table_dir, last, latest, key=key), latest
+
+
+def commit_cursor(cursor_dir: str, consumer: str, version: int) -> None:
+    """Durably advance a consumer's cursor AFTER its feed was applied
+    (atomic replace — a crash leaves either the old or the new cursor,
+    never a torn one)."""
+    os.makedirs(cursor_dir, exist_ok=True)
+    tmp = _cursor_path(cursor_dir, consumer) + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(tmp, _cursor_path(cursor_dir, consumer))
+
+
 def delete_keys(spark: SparkSession, table_dir: str, keys: list,
                 key: str = "trip_key") -> dict:
     """Targeted delete (GDPR-style): rewrite ONLY the data files whose

@@ -832,3 +832,47 @@ def test_change_feed_drives_incremental_view_under_deletes(spark, tmp_path):
     assert got == want
     # the deleted row's group shrank, not vanished
     assert any(e == "view" and c == 2 for e, _h, c, _s in got)
+
+
+def test_consume_changes_cursor_loop(spark, tmp_path):
+    """Poll-based CDC consumer: first consume = full content as
+    inserts; commit advances the cursor; caught-up consume returns
+    None; an uncommitted consume (crash mid-apply) re-delivers the
+    same range; independent consumers keep independent cursors."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    cur = str(tmp_path / "cursors")
+    b0 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "trip_key long, v string"
+    ).coalesce(1)
+    SN.upsert_batch(b0, 0, t)
+
+    feed, v = SN.consume_changes(spark, t, cur)
+    assert v == 1
+    assert {(r.trip_key, r._change_type) for r in feed.collect()} == {
+        (1, "insert"), (2, "insert")
+    }
+    # crash before commit: the SAME range is re-delivered
+    feed2, v2 = SN.consume_changes(spark, t, cur)
+    assert v2 == 1 and feed2 is not None
+    SN.commit_cursor(cur, "default", v)
+
+    # caught up
+    feed3, v3 = SN.consume_changes(spark, t, cur)
+    assert feed3 is None and v3 == 1
+
+    # a new append shows only the delta
+    b1 = spark.createDataFrame([(3, "c")], "trip_key long, v string")
+    SN.upsert_batch(b1, 1, t)
+    feed4, v4 = SN.consume_changes(spark, t, cur)
+    assert v4 == 2
+    assert {(r.trip_key, r._change_type) for r in feed4.collect()} == {
+        (3, "insert")
+    }
+    SN.commit_cursor(cur, "default", v4)
+
+    # an independent consumer starts from scratch (full content)
+    feedx, vx = SN.consume_changes(spark, t, cur, consumer="replica")
+    assert vx == 2
+    assert {r.trip_key for r in feedx.collect()} == {1, 2, 3}
