@@ -137,6 +137,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf_slope": TO.docs_zipf_slope,
         "docs_minhash_est_vs_exact": D.docs_minhash_est_vs_exact,
         "media_features": MM.media_features,
+        "media_dedup": MM.media_dedup,
         # B3. round-2 analytics wave
         "events_retention": R5.events_retention,
         "orders_yoy_growth": R5.orders_yoy_growth,
@@ -270,7 +271,7 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
     "emb_pq_trained_ann", "emb_ivfpq_ann", "emb_semdedup",
     # round-4 debuts
     "docs_gopher_rules", "docs_dsir_weights", "emb_matryoshka_recall",
-    "docs_prefix_clusters",
+    "docs_prefix_clusters", "media_dedup",
 )
 
 # Keys whose most recent driver CORRECTNESS row is from each round.
@@ -1537,6 +1538,35 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(('0x' || substr(sha256(text), 1, 2))::INT
                               AS DOUBLE) / 256.0, 6) AS f0
             FROM documents
+        """,
+        "media_dedup": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE CAST(doc_id % 3 AS INT)
+                            WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       sha256(text) AS sha,
+                       CAST(octet_length(encode(text)) AS BIGINT)
+                           AS n_bytes
+                FROM documents
+            ),
+            per_sha AS (
+                SELECT kind, sha, count(*) AS copies,
+                       min(media_id) AS keep_media_id,
+                       max(n_bytes) AS payload_bytes
+                FROM m GROUP BY 1, 2
+            )
+            SELECT kind,
+                   CAST(sum(copies) AS BIGINT) AS n_media,
+                   count(*) AS n_unique,
+                   CAST(sum(copies) - count(*) AS BIGINT)
+                       AS n_dup_copies,
+                   CAST(sum(copies * payload_bytes) AS BIGINT)
+                       AS bytes_total,
+                   CAST(sum((copies - 1) * payload_bytes) AS BIGINT)
+                       AS bytes_saved
+            FROM per_sha GROUP BY kind ORDER BY kind
         """,
         "events_retention": """
             WITH activity AS (

@@ -163,6 +163,48 @@ def media_features(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def media_dedup(spark, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup report per media kind: unique
+    payloads by content sha, duplicate copies, and the byte savings
+    deduplication buys — the first pass every multimodal corpus runs
+    (identical images recrawled under different ids dominate raw
+    crawls). The sha groupBy shuffles 32-byte digests, never payloads;
+    payload bytes stay partition-local (the multimodal scale rule).
+
+    All-integer accounting (counts, byte sums), so the report is
+    engine-exact; the oracle recomputes the same shas from the text
+    fixture bytes.
+    """
+    from ..session import ensure_parallelism, read_table
+
+    docs = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    m = media_from_documents(docs).select(
+        "media_id", "kind",
+        F.sha2("payload", 256).alias("sha"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    per_sha = m.groupBy("kind", "sha").agg(
+        F.count("*").alias("copies"),
+        F.min("media_id").alias("keep_media_id"),
+        F.max("n_bytes").alias("payload_bytes"),
+    )
+    return (
+        per_sha.groupBy("kind")
+        .agg(
+            F.sum("copies").alias("n_media"),
+            F.count("*").alias("n_unique"),
+            (F.sum("copies") - F.count("*")).alias("n_dup_copies"),
+            F.sum(F.col("copies") * F.col("payload_bytes")).alias(
+                "bytes_total"
+            ),
+            F.sum(
+                (F.col("copies") - 1) * F.col("payload_bytes")
+            ).alias("bytes_saved"),
+        )
+        .orderBy("kind")
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from documents (test fixture:
     payload := utf-8 text bytes) with the production MEDIA_SCHEMA."""

@@ -56,3 +56,18 @@ def test_frame_sample_grid(media):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         MM.real_decode(b"bytes", "image/png")
+
+
+def test_media_dedup_accounting(spark):
+    from jobsity_data_pipeline_spark.operators.multimodal import media_dedup
+    from tests.conftest import SF_SMOKE
+
+    rows = media_dedup(spark, SF_SMOKE).collect()
+    kinds = {r.kind for r in rows}
+    assert kinds <= {"image", "audio", "video"} and kinds
+    for r in rows:
+        assert r.n_unique <= r.n_media
+        assert r.n_dup_copies == r.n_media - r.n_unique
+        assert r.bytes_saved <= r.bytes_total
+        if r.n_dup_copies == 0:
+            assert r.bytes_saved == 0
