@@ -15,6 +15,10 @@ streaming path (streaming/stream.py upsert pattern).
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,3 +90,80 @@ def read_view(state: DataFrame) -> DataFrame:
         "cnt",
         F.round(F.col("sum_value") / F.col("cnt"), 6).alias("avg_value"),
     )
+
+
+def refresh_view(spark, table_dir: str, view_dir: str,
+                 key: str = "event_id") -> dict:
+    """One poll step of a crash-safe incremental materialized view
+    over a snapshot table — the lakehouse composition of
+    sources/snapshot.change_feed + the signed merge above:
+
+    1. read the view's cursor ({base table version, state path});
+    2. derive the change feed since that version (O(delta) for
+       appends-only ranges);
+    3. merge it into the LAST COMMITTED state (signed partials, so
+       deletes propagate);
+    4. write the merged state to a fresh versioned directory
+       ``state-v{N}``;
+    5. atomically replace the cursor to point at it.
+
+    Effectively-once without idempotent merges: a crash anywhere
+    before step 5 leaves the old cursor, and the retry re-derives the
+    SAME feed and re-applies it to the SAME old state (the partially
+    written ``state-v{N}`` is simply overwritten) — the feed is never
+    applied to a state that already contains it. This is the O(delta)
+    maintained form of the reference's REFRESH MATERIALIZED VIEW
+    (create_objects.sql:24-38) for a table that also takes deletes.
+    """
+    from ..sources import snapshot as SN
+
+    os.makedirs(view_dir, exist_ok=True)
+    cpath = os.path.join(view_dir, "cursor.json")
+    cur = {"version": 0, "state": None}
+    try:
+        with open(cpath) as f:
+            cur = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    man = SN.latest_manifest(table_dir)
+    if man is None or man["version"] <= cur["version"]:
+        return {"refreshed": False, "version": cur["version"]}
+    latest = man["version"]
+    if cur["version"] == 0:
+        feed = SN.read_latest(spark, table_dir)
+        if feed is None:
+            return {"refreshed": False, "version": 0}
+        feed = feed.select("*", F.lit("insert").alias("_change_type"))
+    else:
+        feed = SN.change_feed(
+            spark, table_dir, cur["version"], latest, key=key
+        )
+    partials = feed_partials(feed) if feed is not None else None
+    if cur["state"] is not None:
+        state = spark.read.parquet(cur["state"])
+        merged = (
+            merge_partials(state, partials) if partials is not None
+            else state
+        ).where(F.col("cnt") > 0)
+    else:
+        merged = partials.where(F.col("cnt") > 0)
+    new_state = os.path.join(view_dir, f"state-v{latest:06d}")
+    merged.write.mode("overwrite").parquet(new_state)
+    tmp = cpath + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": latest, "state": new_state}, f)
+    os.replace(tmp, cpath)  # commit: cursor now owns the new state
+    return {"refreshed": True, "version": latest, "state": new_state}
+
+
+def read_current_view(spark, view_dir: str) -> DataFrame | None:
+    """The last committed state of a refresh_view view (None before
+    the first successful refresh)."""
+    try:
+        with open(os.path.join(view_dir, "cursor.json")) as f:
+            cur = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+    if not cur.get("state"):
+        return None
+    return read_view(spark.read.parquet(cur["state"]))

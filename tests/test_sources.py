@@ -876,3 +876,74 @@ def test_consume_changes_cursor_loop(spark, tmp_path):
     feedx, vx = SN.consume_changes(spark, t, cur, consumer="replica")
     assert vx == 2
     assert {r.trip_key for r in feedx.collect()} == {1, 2, 3}
+
+
+def test_refresh_view_effectively_once_across_crash(spark, tmp_path,
+                                                    monkeypatch):
+    """Incremental materialized view over the snapshot table: refresh
+    steps track the base version, deletes propagate, a crash between
+    state write and cursor commit re-applies the SAME feed to the SAME
+    old state (never double-applied), and the final view equals a full
+    recompute."""
+    import os
+
+    from jobsity_data_pipeline_spark.operators import incremental as INC
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    vd = str(tmp_path / "view")
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    SN.upsert_batch(df([
+        (1, "view", "2024-01-01 10:05:00", 1.0),
+        (2, "view", "2024-01-01 10:25:00", 3.0),
+        (3, "buy", "2024-01-01 11:00:00", 10.0),
+    ]), 0, t, key="event_id")
+
+    r1 = INC.refresh_view(spark, t, vd, key="event_id")
+    assert r1 == {"refreshed": True, "version": 1,
+                  "state": os.path.join(vd, "state-v000001")}
+    # caught up: no-op
+    assert INC.refresh_view(spark, t, vd, key="event_id")["refreshed"] \
+        is False
+
+    # append + delete, then refresh
+    SN.upsert_batch(df([(4, "view", "2024-01-01 10:50:00", 5.0)]),
+                    1, t, key="event_id")
+    SN.delete_keys(spark, t, [2], key="event_id")
+
+    # crash simulation: first attempt dies AFTER writing state, BEFORE
+    # the cursor commit
+    real_replace = os.replace
+    boom = {"armed": True}
+
+    def crashing_replace(src, dst):
+        if boom["armed"] and dst.endswith("cursor.json"):
+            boom["armed"] = False
+            raise RuntimeError("crash before cursor commit")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(INC.os, "replace", crashing_replace)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        INC.refresh_view(spark, t, vd, key="event_id")
+    # retry succeeds and is NOT a double-apply
+    r2 = INC.refresh_view(spark, t, vd, key="event_id")
+    assert r2["refreshed"] and r2["version"] == 3
+
+    got = {
+        (r.event_type, str(r.h), r.cnt, r.avg_value)
+        for r in INC.read_current_view(spark, vd).collect()
+    }
+    want = {
+        (r.event_type, str(r.h), r.cnt, r.avg_value)
+        for r in INC.read_view(
+            INC.hourly_partials(SN.read_latest(spark, t))
+        ).collect()
+    }
+    assert got == want
