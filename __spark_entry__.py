@@ -176,6 +176,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": R10.docs_dsir_weights,
         "emb_matryoshka_recall": R10.emb_matryoshka_recall,
         "docs_prefix_clusters": R10.docs_prefix_clusters,
+        "events_watermark_lateness": R10.events_watermark_lateness,
         # round-3: IVFADC composition (rows-only: approximate op over
         # trained codebooks, like the rest of the ANN family)
         "emb_ivfpq_ann": S.emb_ivfpq_ann,
@@ -271,7 +272,7 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
     "emb_pq_trained_ann", "emb_ivfpq_ann", "emb_semdedup",
     # round-4 debuts
     "docs_gopher_rules", "docs_dsir_weights", "emb_matryoshka_recall",
-    "docs_prefix_clusters", "media_dedup",
+    "docs_prefix_clusters", "media_dedup", "events_watermark_lateness",
 )
 
 # Keys whose most recent driver CORRECTNESS row is from each round.
@@ -3781,6 +3782,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(min(doc_id) AS BIGINT) AS keep_doc_id
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "events_watermark_lateness": """
+            WITH l AS (
+                SELECT event_type,
+                       CAST(max(epoch_us(ts)) OVER (
+                                PARTITION BY event_type ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                            - epoch_us(ts) AS BIGINT) AS late_us
+                FROM events
+            )
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CASE WHEN late_us > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(sum(CASE WHEN late_us > 60000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS late_gt_1m,
+                   CAST(sum(CASE WHEN late_us > 300000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS late_gt_5m,
+                   CAST(sum(CASE WHEN late_us > 900000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS late_gt_15m,
+                   CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s
+            FROM l GROUP BY 1 ORDER BY 1
         """,
         "emb_pq_trained_ann": "WITH " + _PQ_TRAINED_CTE + """,
             adc AS (

@@ -112,9 +112,41 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_TARGET_SOURCES = ("src0", "src1")
 
 
+def capped_vocab(vocab: DataFrame, top_v: int,
+                 freq_col: str = "r_freq") -> DataFrame:
+    """TOP-``top_v`` + UNK capping for unigram-LM vocabularies — the
+    move that keeps the broadcast model bounded on an open-web corpus
+    where the raw vocabulary grows with the crawl. Rows ranked by
+    (freq desc, tok) keep their token; the tail collapses into one
+    ``<unk>`` row whose counts are the tail sums, so every count total
+    is preserved and downstream smoothed probabilities still sum to 1
+    over the capped vocab. Selection is a distributed top-k (rank
+    window over the freq key after a freq-band prefilter would be the
+    100 TB form; at bench scale the direct window on the aggregated
+    vocab — already tiny relative to the corpus — is the right plan).
+
+    Deterministic: ties on freq break on the token string, so the same
+    corpus always caps to the same vocab on any engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(freq_col).desc(), F.col("tok"))
+    ranked = vocab.withColumn("_rk", F.row_number().over(w))
+    head = ranked.where(F.col("_rk") <= top_v).drop("_rk")
+    agg_cols = [c for c in vocab.columns if c != "tok"]
+    tail = (
+        ranked.where(F.col("_rk") > top_v)
+        .agg(*[F.sum(c).alias(c) for c in agg_cols])
+        .select(F.lit("<unk>").alias("tok"), *agg_cols)
+        .where(F.coalesce(F.col(agg_cols[0]), F.lit(0)) > 0)
+    )
+    return head.unionByName(tail)
+
+
 def docs_dsir_weights(
     spark: SparkSession, sf_dir: str,
     target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    vocab_cap: int | None = None,
 ) -> DataFrame:
     """DSIR importance weight per document (arXiv:2302.03169, unigram
     feature space): mean over tokens of
@@ -127,6 +159,12 @@ def docs_dsir_weights(
     counts restrict the same aggregate) and a broadcast vocab join —
     the docs_unigram_logprob shape with a second numerator. Float
     conventions match it too: the per-doc mean rounds to 6 dp.
+
+    ``vocab_cap``: TOP-V + UNK capping (capped_vocab) bounds the
+    broadcast model on open-web corpora whose raw vocabulary grows
+    with the crawl; tokens outside the head score through the shared
+    ``<unk>`` ratio. None (the oracle-checked default) keeps the full
+    vocabulary.
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -138,6 +176,15 @@ def docs_dsir_weights(
         F.count("*").alias("r_freq"),
         F.sum(is_target.cast("long")).alias("t_freq"),
     )
+    if vocab_cap is not None:
+        vocab = capped_vocab(vocab, vocab_cap)
+        known = vocab.where(F.col("tok") != "<unk>").select("tok")
+        toks = toks.join(F.broadcast(known.withColumn("_k", F.lit(1))),
+                         "tok", "left").select(
+            "doc_id", "source",
+            F.when(F.col("_k").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("tok")).alias("tok"),
+        )
     totals = vocab.agg(
         F.sum("r_freq").alias("r_total"),
         F.sum("t_freq").alias("t_total"),
@@ -234,6 +281,55 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str,
             ).alias("recall_at_k"),
         )
         .orderBy("qid")
+    )
+
+
+def events_watermark_lateness(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile that SIZES a streaming watermark:
+    treating event_id as arrival order, each event's lateness is the
+    running max event-time seen so far (per event_type) minus its own
+    event time. The report counts, per type, how many events a
+    watermark of 0 / 1 min / 5 min / 15 min would have dropped — the
+    empirical basis for every ``withWatermark`` threshold in
+    streaming/stream.py instead of a guessed delay.
+
+    Lateness is computed in integer microseconds (unix_micros both
+    engines) and bucketed with integer comparisons — engine-exact.
+    One per-type window over arrival order (types partition the
+    stream, so no global sort); the output is k_types rows.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        "event_type",
+        (F.max("us").over(w) - F.col("us")).alias("late_us"),
+    )
+    lu = F.col("late_us")
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((lu > 0).cast("long")).alias("n_late"),
+            F.sum((lu > 60_000_000).cast("long")).alias("late_gt_1m"),
+            F.sum((lu > 300_000_000).cast("long")).alias("late_gt_5m"),
+            F.sum((lu > 900_000_000).cast("long")).alias("late_gt_15m"),
+            F.max("late_us").alias("_mx"),
+        )
+        .select(
+            "event_type", "n_events", "n_late", "late_gt_1m",
+            "late_gt_5m", "late_gt_15m",
+            F.expr("_mx div 1000000").alias("max_late_s"),
+        )
+        .orderBy("event_type")
     )
 
 
