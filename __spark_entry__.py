@@ -243,6 +243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     q = _queries_declared()
     out = {k: q[k] for k in _ROUND4_PRIORITY if k in q}
+    # any key in NO list (a new query not yet registered anywhere)
+    # runs right after the explicit priorities — a budget-truncated
+    # sweep must reach never-verified surface before re-verifying
+    # greens, even when the priority tuple wasn't updated
+    known = (
+        set(_ROUND4_PRIORITY) | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3
+    )
+    out.update({k: v for k, v in q.items() if k not in known})
     for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3):
         out.update(
             {k: v for k, v in q.items()

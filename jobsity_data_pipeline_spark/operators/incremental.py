@@ -114,7 +114,18 @@ def refresh_view(spark, table_dir: str, view_dir: str,
     applied to a state that already contains it. This is the O(delta)
     maintained form of the reference's REFRESH MATERIALIZED VIEW
     (create_objects.sql:24-38) for a table that also takes deletes.
+
+    The bootstrap reads the PINNED version resolved at the top of the
+    step (read_version), never "the latest" — re-resolving could
+    absorb a concurrent publish into the state while committing the
+    older cursor, double-applying that publish on the next poll. If a
+    vacuum retired the cursor's manifest (change_feed raises), the
+    view self-heals with a full rebuild from the pinned version.
+    After the commit, the superseded state directory is removed —
+    only the committed one is ever read again.
     """
+    import shutil
+
     from ..sources import snapshot as SN
 
     os.makedirs(view_dir, exist_ok=True)
@@ -129,30 +140,53 @@ def refresh_view(spark, table_dir: str, view_dir: str,
     if man is None or man["version"] <= cur["version"]:
         return {"refreshed": False, "version": cur["version"]}
     latest = man["version"]
-    if cur["version"] == 0:
-        feed = SN.read_latest(spark, table_dir)
-        if feed is None:
-            return {"refreshed": False, "version": 0}
-        feed = feed.select("*", F.lit("insert").alias("_change_type"))
-    else:
-        feed = SN.change_feed(
-            spark, table_dir, cur["version"], latest, key=key
+
+    def full_rebuild():
+        base = SN.read_version(spark, table_dir, latest)
+        if base is None:
+            return None
+        return feed_partials(
+            base.select("*", F.lit("insert").alias("_change_type"))
         )
-    partials = feed_partials(feed) if feed is not None else None
-    if cur["state"] is not None:
-        state = spark.read.parquet(cur["state"])
-        merged = (
-            merge_partials(state, partials) if partials is not None
-            else state
-        ).where(F.col("cnt") > 0)
+
+    if cur["version"] == 0:
+        merged = full_rebuild()
+        if merged is None:
+            return {"refreshed": False, "version": 0}
     else:
-        merged = partials.where(F.col("cnt") > 0)
+        try:
+            feed = SN.change_feed(
+                spark, table_dir, cur["version"], latest, key=key
+            )
+        except ValueError:
+            # cursor's manifest vacuumed: incremental is impossible —
+            # rebuild from scratch rather than silently skip the hole
+            feed = None
+            merged = full_rebuild()
+            if merged is None:
+                return {"refreshed": False, "version": cur["version"]}
+        else:
+            state = (
+                spark.read.parquet(cur["state"])
+                if cur["state"] is not None else None
+            )
+            if feed is None:
+                merged = state
+            else:
+                partials = feed_partials(feed)
+                merged = (
+                    merge_partials(state, partials)
+                    if state is not None else partials
+                )
+    merged = merged.where(F.col("cnt") > 0)
     new_state = os.path.join(view_dir, f"state-v{latest:06d}")
     merged.write.mode("overwrite").parquet(new_state)
     tmp = cpath + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         json.dump({"version": latest, "state": new_state}, f)
     os.replace(tmp, cpath)  # commit: cursor now owns the new state
+    if cur["state"] and cur["state"] != new_state:
+        shutil.rmtree(cur["state"], ignore_errors=True)
     return {"refreshed": True, "version": latest, "state": new_state}
 
 

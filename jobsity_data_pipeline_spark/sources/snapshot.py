@@ -249,24 +249,28 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
             base_version = 0
             new_rows = batch
             prior: list[str] = []
-            prior_stats: dict = {}
+            all_stats: dict = {}
         else:
             base_version = man["version"]
             prior = man["files"]
-            prior_stats = man.get("stats", {}).get(key, {})
+            all_stats = man.get("stats", {})
             hist_keys = _read_files(spark, prior).select(key)
             new_rows = batch.join(hist_keys, key, "left_anti")
         files = _write_data(new_rows, table_dir)
         # data-skipping stats ride the manifest (Delta-style): footer
         # min/max paid once per file at write time, carried forward by
         # reference with the prior files; deletes and point reads then
-        # prune without any footer IO
+        # prune without any footer IO. EVERY tracked key's map carries
+        # over (prior files are unchanged, so their other-key stats
+        # stay valid) — replacing the dict with a single-key map would
+        # wipe the skipping index for tables written under several
+        # keys (e.g. the mutable LSH flow's doc_id + band_key).
         new_stats = _file_stats(files, key)
-        stats = {
-            key: {
-                **{p: prior_stats[p] for p in prior if p in prior_stats},
-                **(new_stats or {}),
-            }
+        stats = dict(all_stats)
+        stats[key] = {
+            **{p: v for p, v in all_stats.get(key, {}).items()
+               if p in set(prior)},
+            **(new_stats or {}),
         }
         v = _publish(table_dir, prior + files, token,
                      extra={"stats": stats},
@@ -342,8 +346,17 @@ def change_feed(spark: SparkSession, table_dir: str, from_version: int,
     two keyed anti-joins (O(both versions) — run feeds between
     compactions, not across them, at 100 TB).
 
-    ``to_version=None`` means the current latest. Returns None when
-    either manifest is unresolvable (retired by vacuum).
+    Premise: a KEY's row is immutable once published (the upsert
+    contract). A writer that replaces content under a reused key
+    (delete-then-append) is invisible to the keyed anti-joins — such
+    flows must put the content in the key (as the LSH index does with
+    band_hash) so a replacement surfaces as delete + insert.
+
+    ``to_version=None`` means the current latest. Returns None only
+    when there is genuinely no change between the versions; raises
+    ValueError when either endpoint's manifest is unresolvable
+    (retired by a vacuum) — silently treating vacuumed history as
+    "no change" would let a consumer skip the missed delta forever.
     """
     from pyspark.sql import functions as F
 
@@ -353,22 +366,27 @@ def change_feed(spark: SparkSession, table_dir: str, from_version: int,
         else _manifest_at(table_dir, to_version)
     )
     if man_from is None or man_to is None:
-        return None
+        missing = from_version if man_from is None else to_version
+        raise ValueError(
+            f"change_feed: manifest version {missing} at {table_dir} is "
+            "unresolvable (vacuumed?) — re-bootstrap the consumer from "
+            "the current table instead of continuing from this cursor"
+        )
     f_from, f_to = set(man_from["files"]), set(man_to["files"])
     ins_type = F.lit("insert").alias("_change_type")
     if f_from <= f_to:
+        # appends-only fast path; covers empty f_from (full bootstrap)
         new_files = sorted(f_to - f_from)
         if not new_files:
             return None  # no change between the versions
         return _read_files(spark, new_files).select("*", ins_type)
-    old = _read_files(spark, sorted(f_from)) if f_from else None
-    new = _read_files(spark, sorted(f_to)) if f_to else None
-    if old is None or new is None:
-        base = new if old is None else old
-        ctype = ins_type if old is None else F.lit("delete").alias(
-            "_change_type"
+    if not f_to:
+        # table emptied: every old row is a delete
+        return _read_files(spark, sorted(f_from)).select(
+            "*", F.lit("delete").alias("_change_type")
         )
-        return base.select("*", ctype)
+    old = _read_files(spark, sorted(f_from))
+    new = _read_files(spark, sorted(f_to))
     inserts = new.join(old.select(key), key, "left_anti").select(
         "*", ins_type
     )
@@ -397,8 +415,11 @@ def consume_changes(spark: SparkSession, table_dir: str, cursor_dir: str,
 
     First consume of a table returns the full current content as
     inserts (cursor 0 → latest); a caught-up consumer gets
-    ``(None, cursor)``. Multiple independent consumers coexist via
-    ``consumer`` names.
+    ``(None, cursor)``. If a vacuum retired the cursor's manifest, the
+    underlying change_feed raises ValueError — the consumer must
+    re-bootstrap (reset_cursor + a from-scratch rebuild of its derived
+    state), never skip the hole. Multiple independent consumers
+    coexist via ``consumer`` names.
     """
     last = 0
     try:
@@ -433,6 +454,19 @@ def commit_cursor(cursor_dir: str, consumer: str, version: int) -> None:
     with open(tmp, "w") as f:
         json.dump({"version": version}, f)
     os.replace(tmp, _cursor_path(cursor_dir, consumer))
+
+
+def reset_cursor(cursor_dir: str, consumer: str = "default") -> None:
+    """Drop a consumer's cursor so its next consume re-bootstraps from
+    the full current table — the recovery move after change_feed
+    raises because vacuum retired the cursor's manifest. The consumer
+    must also rebuild its derived state from scratch (the re-delivered
+    full content is inserts-only; applying it on top of stale state
+    would double-count)."""
+    try:
+        os.remove(_cursor_path(cursor_dir, consumer))
+    except FileNotFoundError:
+        pass
 
 
 def delete_keys(spark: SparkSession, table_dir: str, keys: list,
@@ -475,30 +509,38 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
                     hit = True
                     break
             (hit_files if hit else keep_files).append(path)
-        rows_deleted = 0
-        new_files: list[str] = []
-        if hit_files:
-            from pyspark.sql import functions as F
-
-            df = _read_files(spark, hit_files)
-            before = df.count()
-            kept = df.where(~F.col(key).isin(want))
-            rows_deleted = before - kept.count()
-            new_files = _write_data(kept, table_dir)
-        # untouched files keep their stats by reference; rewritten
-        # files get fresh ones
-        new_stats = _file_stats(new_files, key) if new_files else {}
-        kept_stats = {
-            key: {
-                **{p: stats[p] for p in keep_files if p in stats},
-                **(new_stats or {}),
+        if not hit_files:
+            # nothing can contain the keys: no rewrite, no new version
+            # (a no-op delete publishing manifest churn would double
+            # version growth for flows that delete-then-append per
+            # batch, e.g. the mutable LSH index)
+            return {
+                "files_total": len(man["files"]),
+                "files_rewritten": 0,
+                "rows_deleted": 0,
             }
+        from pyspark.sql import functions as F
+
+        df = _read_files(spark, hit_files)
+        before = df.count()
+        kept = df.where(~F.col(key).isin(want))
+        rows_deleted = before - kept.count()
+        new_files = _write_data(kept, table_dir)
+        # untouched files keep EVERY tracked key's stats by reference;
+        # rewritten files get fresh stats for the delete key (other
+        # keys' entries for them fall back to footer pruning)
+        new_stats = _file_stats(new_files, key) if new_files else {}
+        keep_set = set(keep_files)
+        all_stats = {
+            k: {p: v for p, v in m.items() if p in keep_set}
+            for k, m in man.get("stats", {}).items()
         }
+        all_stats[key] = {**all_stats.get(key, {}), **(new_stats or {})}
         # CAS on the read version: the keep-list derives from it, so a
         # racing commit means this rewrite would drop its files
         v = _publish(table_dir, keep_files + new_files,
                      f"delete-{uuid.uuid4().hex[:8]}",
-                     extra={"stats": kept_stats},
+                     extra={"stats": all_stats},
                      expected_version=man["version"])
         if v != -1:
             return {

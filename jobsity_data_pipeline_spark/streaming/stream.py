@@ -484,6 +484,20 @@ def stream_decayed_upsert(events: DataFrame, state_path: str,
     )
 
 
+def _band_key():
+    """Content-dependent idempotence key for index band rows:
+    (doc_id, band_id, band_hash). Including the hash keeps
+    change_feed's key-immutability premise intact for the MUTABLE
+    path — a re-emitted doc's replacement bands carry NEW keys, so the
+    delete-then-append surfaces as delete + insert rows downstream
+    instead of an invisible in-place value change. For the immutable
+    path the extra component is inert (same text ⇒ same hash ⇒ same
+    key, so replays still dedup)."""
+    return F.concat_ws(
+        ":", F.col("doc_id"), F.col("band_id"), F.col("band_hash")
+    )
+
+
 def stream_lsh_index(docs: DataFrame, table_dir: str, checkpoint: str):
     """Incremental MinHash-LSH index maintenance on a document stream.
 
@@ -522,8 +536,7 @@ def stream_lsh_index(docs: DataFrame, table_dir: str, checkpoint: str):
         if batch_df.isEmpty():
             return
         bands = minhash_bands_frame(batch_df).withColumn(
-            "band_key",
-            F.concat_ws(":", F.col("doc_id"), F.col("band_id")),
+            "band_key", _band_key(),
         )
         upsert_batch(bands, batch_id, table_dir, key="band_key")
 
@@ -593,8 +606,7 @@ def lsh_index_merge_mutable(batch_df: DataFrame, batch_id: int,
     ]
     delete_keys(spark, table_dir, doc_ids, key="doc_id")
     bands = minhash_bands_frame(batch_df).withColumn(
-        "band_key",
-        F.concat_ws(":", F.col("doc_id"), F.col("band_id")),
+        "band_key", _band_key(),
     )
     return upsert_batch(bands, batch_id, table_dir, key="band_key")
 

@@ -947,3 +947,108 @@ def test_refresh_view_effectively_once_across_crash(spark, tmp_path,
         ).collect()
     }
     assert got == want
+
+
+def test_stats_survive_alternating_write_keys(spark, tmp_path):
+    """A table written under several keys (the mutable LSH flow:
+    upserts on band_key, deletes on doc_id) must keep BOTH keys'
+    data-skipping stats across publishes — replacing the manifest
+    stats dict with a single-key map would silently drop the other
+    key's index."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "ka long, kb long, v string"
+    ).coalesce(1)
+    SN.upsert_batch(df1, 0, t, key="ka")
+    df2 = spark.createDataFrame(
+        [(3, 30, "c")], "ka long, kb long, v string"
+    ).coalesce(1)
+    SN.upsert_batch(df2, 1, t, key="kb")
+    man = SN.latest_manifest(t)
+    assert set(man["stats"]) == {"ka", "kb"}
+    # the ka map still covers the first batch's files
+    assert any(p in man["stats"]["ka"] for p in man["files"])
+    # a delete on ka keeps kb's surviving entries
+    SN.delete_keys(spark, t, [1], key="ka")
+    man2 = SN.latest_manifest(t)
+    assert "kb" in man2["stats"] and man2["stats"]["kb"]
+
+
+def test_noop_delete_publishes_no_version(spark, tmp_path):
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, "a")], "trip_key long, v string"
+    ).coalesce(1)
+    SN.upsert_batch(df1, 0, t)
+    v = SN.latest_manifest(t)["version"]
+    res = SN.delete_keys(spark, t, [999])  # outside every file's range
+    assert res == {"files_total": 1, "files_rewritten": 0,
+                   "rows_deleted": 0}
+    assert SN.latest_manifest(t)["version"] == v  # no manifest churn
+
+
+def test_change_feed_raises_on_vacuumed_cursor(spark, tmp_path):
+    import pytest
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b, f"v{b}")], "trip_key long, v string"
+        ).coalesce(1)
+        SN.upsert_batch(df, b, t)
+    SN.vacuum(t, keep_versions=1, retention_seconds=0)
+    with pytest.raises(ValueError, match="unresolvable"):
+        SN.change_feed(spark, t, 1)
+
+
+def test_refresh_view_rebuilds_after_vacuum_and_prunes_states(
+        spark, tmp_path):
+    """Vacuumed history: the view must FULL-REBUILD from the pinned
+    version (never silently skip the hole), and superseded state
+    directories are removed after each commit."""
+    import os
+
+    from jobsity_data_pipeline_spark.operators import incremental as INC
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    vd = str(tmp_path / "view")
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    SN.upsert_batch(df([(1, "view", "2024-01-01 10:05:00", 1.0)]),
+                    0, t, key="event_id")
+    assert INC.refresh_view(spark, t, vd, key="event_id")["refreshed"]
+
+    for b, v in ((1, 2.0), (2, 4.0), (3, 8.0)):
+        SN.upsert_batch(
+            df([(10 + b, "buy", "2024-01-01 11:05:00", v)]),
+            b, t, key="event_id",
+        )
+    SN.vacuum(t, keep_versions=1, retention_seconds=0)
+
+    r = INC.refresh_view(spark, t, vd, key="event_id")
+    assert r["refreshed"] and r["version"] == 4
+    got = {
+        (x.event_type, x.cnt, x.avg_value)
+        for x in INC.read_current_view(spark, vd).collect()
+    }
+    want = {
+        (x.event_type, x.cnt, x.avg_value)
+        for x in INC.read_view(
+            INC.hourly_partials(SN.read_latest(spark, t))
+        ).collect()
+    }
+    assert got == want  # full rebuild, no skipped hole, no double-count
+    # only the committed state directory survives
+    states = [n for n in os.listdir(vd) if n.startswith("state-v")]
+    assert states == ["state-v000004"]

@@ -434,3 +434,36 @@ def test_stream_lsh_index_mutable_replaces_reemitted_doc(spark, tmp_path):
         for r in read_latest(spark, table).collect()
     }
     assert got2 == want
+
+
+def test_mutable_index_replacement_visible_in_change_feed(spark, tmp_path):
+    """The content-dependent band_key keeps change_feed's
+    key-immutability premise: a re-crawled doc's delete-then-append
+    surfaces as delete + insert rows downstream, never an invisible
+    in-place change."""
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        change_feed, latest_manifest,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        lsh_index_merge_mutable,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    v1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    v2 = "totally rewritten body with absolutely fresh words only here"
+    t = str(tmp_path / "idx")
+    b1 = spark.createDataFrame([(0, v1, "en", "t", len(v1))], schema)
+    assert lsh_index_merge_mutable(b1, 0, t) == "published"
+    v_before = latest_manifest(t)["version"]
+    b2 = spark.createDataFrame([(0, v2, "en", "t", len(v2))], schema)
+    assert lsh_index_merge_mutable(b2, 1, t) == "published"
+
+    feed = change_feed(spark, t, v_before, key="band_key")
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r._change_type, set()).add(r.band_hash)
+    # old bands leave, new bands arrive — both visible
+    assert by_type.get("delete") and by_type.get("insert")
+    assert by_type["delete"].isdisjoint(by_type["insert"])
