@@ -3791,6 +3791,127 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_doc_id
             FROM documents GROUP BY 1 ORDER BY 1
         """,
+        "emb_lsh_ann": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            x AS (
+                SELECT vec_id, unnest(range(0, len(v))) AS pos,
+                       unnest(v) AS x
+                FROM e
+            ),
+            planes AS (
+                SELECT p, j,
+                       CASE WHEN ('0x' || substr(md5(
+                                CAST(p AS VARCHAR) || ':' ||
+                                CAST(j AS VARCHAR)), 1, 2))::INT % 2 = 0
+                            THEN 1.0 ELSE -1.0 END AS s
+                FROM range(8) t1(p), range(64) t2(j)
+            ),
+            sgn AS (
+                SELECT x.vec_id, pl.p,
+                       CAST(floor(sum(x.x * pl.s) * 1000000 + 0.5)
+                           AS BIGINT) AS d6
+                FROM x JOIN planes pl ON x.pos = pl.j
+                GROUP BY 1, 2
+            ),
+            bkt AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN d6 >= 0 THEN 1 << p
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM sgn GROUP BY 1
+            ),
+            masks AS (
+                SELECT 0 AS mask
+                UNION ALL
+                SELECT 1 << i FROM range(8) t(i)
+                UNION ALL
+                SELECT (1 << i) | (1 << j2)
+                FROM range(8) a(i), range(8) b(j2) WHERE i < j2
+            ),
+            probes AS (
+                SELECT DISTINCT b.vec_id AS qid,
+                       xor(b.bucket, m.mask) AS pb
+                FROM bkt b, masks m WHERE b.vec_id < 8
+            ),
+            cand AS (
+                SELECT p.qid, c.vec_id AS nid
+                FROM probes p JOIN bkt c ON c.bucket = p.pb
+                WHERE c.vec_id <> p.qid
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+            s AS (
+                SELECT cand.qid, cand.nid,
+                       list_cosine_similarity(q.qv, e.v) AS raw
+                FROM cand JOIN e ON cand.nid = e.vec_id
+                JOIN q ON q.qid = cand.qid
+            ),
+            r AS (
+                SELECT qid, nid, raw,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY round(raw, 6) DESC, nid
+                       ) AS rnk
+                FROM s
+            )
+            SELECT qid, nid, round(raw, 4) AS cos, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 5
+        """,
+        "emb_ivf_ann": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            x AS (
+                SELECT vec_id, label, unnest(range(0, len(v))) AS pos,
+                       unnest(v) AS x
+                FROM e
+            ),
+            lcent AS (
+                SELECT label AS cell, pos, round(avg(x), 6) AS c
+                FROM x GROUP BY 1, 2
+            ),
+            celld AS (
+                SELECT x.vec_id, lc.cell,
+                       CAST(round(sum((x.x - lc.c) * (x.x - lc.c))
+                                  * 1000000, 0) AS BIGINT) AS cd6
+                FROM x JOIN lcent lc ON x.pos = lc.pos
+                GROUP BY 1, 2
+            ),
+            cellasg AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cd6, cell) AS rn
+                    FROM celld
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT vec_id AS qid, cell FROM (
+                    SELECT vec_id, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cd6, cell) AS rn
+                    FROM celld WHERE vec_id < 8
+                ) WHERE rn <= 3
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+            s AS (
+                SELECT p.qid, e.vec_id AS nid,
+                       list_cosine_similarity(q.qv, e.v) AS raw
+                FROM cellasg ca
+                JOIN probes p USING (cell)
+                JOIN e ON ca.vec_id = e.vec_id
+                JOIN q ON q.qid = p.qid
+                WHERE ca.vec_id <> p.qid
+            ),
+            r AS (
+                SELECT qid, nid, raw,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY round(raw, 6) DESC, nid
+                       ) AS rnk
+                FROM s
+            )
+            SELECT qid, nid, round(raw, 4) AS cos, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 5
+        """,
         "events_watermark_lateness": """
             WITH l AS (
                 SELECT event_type,

@@ -227,8 +227,12 @@ def _bucketed(spark: SparkSession, sf_dir: str,
               n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, v, bucket, label): corpus with its LSH bucket attached.
 
-    Signs are computed in one Arrow pass (V @ P.T >= 0) that carries
-    the vector through — no second scan or join to re-attach ``v``.
+    Signs are computed in one Arrow pass that carries the vector
+    through — no second scan or join to re-attach ``v``. The
+    projection is compared in integer micro-units
+    (floor(dot*1e6 + 0.5) >= 0, same floor form in the oracle SQL), so
+    a vector sitting ULP-close to a hyperplane cannot flip buckets
+    between engines/runs — what moved this op out of rows-only.
     """
     import numpy as np
 
@@ -245,7 +249,8 @@ def _bucketed(spark: SparkSession, sf_dir: str,
             if len(pdf) == 0:
                 continue
             A = np.stack(pdf["v"].to_numpy())
-            signs = (A @ P.T) >= 0  # (n, planes)
+            d6 = np.floor((A @ P.T) * 1e6 + 0.5)  # (n, planes)
+            signs = d6 >= 0
             bucket = (signs * (1 << np.arange(P.shape[0]))[None, :]).sum(axis=1)
             yield pd.DataFrame(
                 {
@@ -290,6 +295,11 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     stays put. Scoring is the JVM cosine fold on candidates only — the
     plan is scan -> bucket hash-join -> project(cosine) -> window
     top-k, with no full-corpus scoring stage anywhere.
+
+    Oracle-checked since round 4: the hyperplanes are deterministic
+    md5 parities and the projections compare as integer micro-units
+    (_bucketed), so bucket membership, the probe set, and the ranked
+    candidates all replay bit-for-bit in SQL.
     """
     from itertools import combinations
 
@@ -467,9 +477,14 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     driver), cell assignment is one Arrow pass against the broadcast
     k x dim matrix, and the probe set joins in as a broadcast equi-join
     on cell BEFORE any cosine is computed — candidate work per query is
-    bounded by its probed cells, not the table. Rows-only check
-    (approximate op). Recall rises with n_probe; n_probe = #cells
-    degenerates to exact brute force.
+    bounded by its probed cells, not the table. Recall rises with
+    n_probe; n_probe = #cells degenerates to exact brute force.
+
+    Oracle-checked since round 4: the coarse quantizer is pinned
+    engine-exact (6-dp centroids, integer micro-unit distances in
+    _ivf_assigned_and_probes), so cell assignment and probe choice
+    replay bit-for-bit in SQL, and the cosine ranking follows the
+    emb_cosine_topk convention (round(cos,6) desc, nid).
     """
     from pyspark.sql import Window
 

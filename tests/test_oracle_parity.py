@@ -93,11 +93,11 @@ def test_no_oracle_emits_hugeint_or_decimal():
 
 
 def test_every_query_has_oracle_or_is_declared():
-    # declared rows-only ops: approximate ANN (bucket membership is
-    # plane-order-dependent; no affordable SQL twin) and the recall
-    # report scored against the oracle-checked exact baseline
+    # declared rows-only ops: the recall report (a composition of six
+    # searches, each individually oracle-checked) and the iterative
+    # Lloyd fixpoint (emb_kmeans_fit)
     assert set(QUERIES) - set(ORACLES) == {
-        "emb_lsh_ann", "emb_ivf_ann", "emb_ann_recall", "emb_kmeans_fit",
+        "emb_ann_recall", "emb_kmeans_fit",
     }
 
 
