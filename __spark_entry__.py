@@ -281,6 +281,9 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
     # round-4 debuts
     "docs_gopher_rules", "docs_dsir_weights", "emb_matryoshka_recall",
     "docs_prefix_clusters", "media_dedup", "events_watermark_lateness",
+    # promoted from rows-only to oracle-checked in round 4: their old
+    # driver rows were weaker no_oracle checks — re-earn as hash rows
+    "emb_lsh_ann", "emb_ivf_ann", "emb_ann_recall",
 )
 
 # Keys whose most recent driver CORRECTNESS row is from each round.
@@ -543,7 +546,7 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter(tk, t -> list_contains({_STOP[lang]}, lower(t)))) AS s_{lang}"
         for lang in ("de", "en", "es", "fr")
     ) + f", len(regexp_extract_all(text, '{_ZH_CLASS}')) AS s_zh"
-    return {
+    out = {
         "trip_ingest_dedup": f"""
             WITH t AS ({_TRIPS})
             SELECT count(*) AS n_total,
@@ -4010,3 +4013,50 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 5 ORDER BY qid, rank
         """,
     }
+    # The recall gate is a pure composition of searches that are each
+    # individually oracle-checked above, so its oracle composes their
+    # SQL verbatim as nested WITH-subqueries: per-method (qid, nid)
+    # top-k sets, semi-joined against the exact baseline, counted, and
+    # reported over the method x query spine — exactly the Spark op's
+    # shape. This removes the last non-iterative rows-only entry.
+    methods = {
+        "lsh": (out["emb_lsh_ann"], "nid"),
+        "ivf": (out["emb_ivf_ann"], "nid"),
+        "pq": (out["emb_pq_ann"], "vec_id"),
+        "pq_rerank": (out["emb_pq_rerank"], "vec_id"),
+        "pq_trained": (out["emb_pq_trained_ann"], "vec_id"),
+        "ivfpq": (out["emb_ivfpq_ann"], "vec_id"),
+    }
+    method_ctes = ",\n".join(
+        f"m_{name} AS (SELECT qid, {idcol} AS nid FROM ({sql}))"
+        for name, (sql, idcol) in methods.items()
+    )
+    union = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS method, qid, nid FROM m_{name}"
+        for name in methods
+    )
+    values = ", ".join(f"('{name}')" for name in methods)
+    out["emb_ann_recall"] = f"""
+        WITH exact AS (
+            SELECT qid, nid FROM ({out["emb_cosine_topk"]})
+        ),
+        {method_ctes},
+        allm AS ({union}),
+        hits AS (
+            SELECT m.method, m.qid, count(*) AS n_hits
+            FROM allm m JOIN exact e ON m.qid = e.qid AND m.nid = e.nid
+            GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT v.method, q.qid
+            FROM (SELECT DISTINCT qid FROM exact) q
+            CROSS JOIN (VALUES {values}) v(method)
+        )
+        SELECT s.method, s.qid,
+               coalesce(h.n_hits, 0) AS n_hits,
+               round(coalesce(h.n_hits, 0) / 5.0, 4) AS recall_at_k
+        FROM spine s
+        LEFT JOIN hits h ON s.method = h.method AND s.qid = h.qid
+        ORDER BY s.method, s.qid
+    """
+    return out

@@ -93,12 +93,10 @@ def test_no_oracle_emits_hugeint_or_decimal():
 
 
 def test_every_query_has_oracle_or_is_declared():
-    # declared rows-only ops: the recall report (a composition of six
-    # searches, each individually oracle-checked) and the iterative
-    # Lloyd fixpoint (emb_kmeans_fit)
-    assert set(QUERIES) - set(ORACLES) == {
-        "emb_ann_recall", "emb_kmeans_fit",
-    }
+    # the single declared rows-only op: the iterative Lloyd fixpoint
+    # (convergence-dependent round count — no affordable SQL twin; its
+    # one-step assignment IS oracle-checked as emb_kmeans_assign)
+    assert set(QUERIES) - set(ORACLES) == {"emb_kmeans_fit"}
 
 
 def test_entry_smoke(spark):
