@@ -116,13 +116,18 @@ def refresh_view(spark, table_dir: str, view_dir: str,
     (create_objects.sql:24-38) for a table that also takes deletes.
 
     The bootstrap reads the PINNED version resolved at the top of the
-    step (read_version), never "the latest" — re-resolving could
-    absorb a concurrent publish into the state while committing the
-    older cursor, double-applying that publish on the next poll. If a
-    vacuum retired the cursor's manifest (change_feed raises), the
-    view self-heals with a full rebuild from the pinned version.
-    After the commit, the superseded state directory is removed —
-    only the committed one is ever read again.
+    step, never "the latest" — re-resolving could absorb a concurrent
+    publish into the state while committing the older cursor,
+    double-applying that publish on the next poll. If a vacuum retired
+    the cursor's manifest (change_feed raises), the view self-heals
+    with a full rebuild from the pinned version. After the commit, the
+    superseded state directory is removed — only the committed one is
+    ever read again.
+
+    Contract: ONE refresher per view_dir (a scheduled poll, the usual
+    materialized-view cadence). Concurrent refreshers would race the
+    post-commit state-dir removal — a lagging refresher could find its
+    merge-base directory deleted by the winner mid-write.
     """
     import shutil
 
@@ -142,9 +147,19 @@ def refresh_view(spark, table_dir: str, view_dir: str,
     latest = man["version"]
 
     def full_rebuild():
-        base = SN.read_version(spark, table_dir, latest)
-        if base is None:
+        """Partials of the PINNED version; None only when that
+        manifest is unresolvable. An EMPTY file list is a real state
+        (the table was emptied — change_feed models it as all-deletes),
+        NOT absence: conflating the two would leave the view serving
+        stale pre-delete rows forever."""
+        man_pin = SN._manifest_at(table_dir, latest)
+        if man_pin is None:
             return None
+        if not man_pin["files"]:
+            if cur["state"] is not None:
+                return spark.read.parquet(cur["state"]).limit(0)
+            return None  # no rows and no prior schema: nothing to view
+        base = SN._read_files(spark, man_pin["files"])
         return feed_partials(
             base.select("*", F.lit("insert").alias("_change_type"))
         )

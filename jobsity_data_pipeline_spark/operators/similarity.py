@@ -613,11 +613,12 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     latency number: a bucketing change that silently tanks recall shows
     up here, not in row counts.
 
-    All three result sets are tiny (n_queries × k); the comparison is
-    a left-semi hit-join + per-query count — negligible next to the
-    searches themselves. Rows-only (the approximate methods have no SQL
-    oracle by design; the EXACT baseline they are scored against is
-    oracle-checked as emb_cosine_topk).
+    All result sets are tiny (n_queries × k); the comparison is a
+    left-semi hit-join + per-query count — negligible next to the
+    searches themselves. Oracle-checked since round 4: every component
+    search is individually pinned engine-exact, and this op's oracle
+    composes their SQL verbatim as nested subqueries
+    (__spark_entry__.oracle_sql).
     """
     from .relational8 import emb_pq_ann, emb_pq_rerank, emb_pq_trained_ann
 

@@ -266,10 +266,11 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
         # wipe the skipping index for tables written under several
         # keys (e.g. the mutable LSH flow's doc_id + band_key).
         new_stats = _file_stats(files, key)
+        prior_set = set(prior)
         stats = dict(all_stats)
         stats[key] = {
             **{p: v for p, v in all_stats.get(key, {}).items()
-               if p in set(prior)},
+               if p in prior_set},
             **(new_stats or {}),
         }
         v = _publish(table_dir, prior + files, token,

@@ -490,9 +490,11 @@ def _band_key():
     change_feed's key-immutability premise intact for the MUTABLE
     path — a re-emitted doc's replacement bands carry NEW keys, so the
     delete-then-append surfaces as delete + insert rows downstream
-    instead of an invisible in-place value change. For the immutable
-    path the extra component is inert (same text ⇒ same hash ⇒ same
-    key, so replays still dedup)."""
+    instead of an invisible in-place value change. On the immutable
+    path, identical-text replays still dedup (same text ⇒ same hash ⇒
+    same key); a changed re-emission — outside that path's documented
+    precondition — appends fresh bands beside the stale ones rather
+    than being silently dropped."""
     return F.concat_ws(
         ":", F.col("doc_id"), F.col("band_id"), F.col("band_hash")
     )
@@ -522,12 +524,14 @@ def stream_lsh_index(docs: DataFrame, table_dir: str, checkpoint: str):
     index growth is linear in NEW docs only.
 
     PRECONDITION: the stream is append-only with immutable doc bodies
-    (a doc_id's text never changes once emitted) — the idempotence key
-    is (doc_id, band_id), so a re-emitted doc with DIFFERENT text would
-    be anti-joined away and the index would keep the stale band rows.
+    (a doc_id's text never changes once emitted). The idempotence key
+    is (doc_id, band_id, band_hash) — content-dependent, so an
+    identical-text replay dedups, but a re-emitted doc with DIFFERENT
+    text would APPEND its fresh band rows BESIDE the stale ones (both
+    generations stay probe-able and the index grows per re-emission).
     For mutable docs use stream_lsh_index_mutable below, which
     delete-then-appends per batch at rewrite cost on the files holding
-    those keys.
+    those keys, so a replacement removes the stale bands.
     """
     from ..operators.dedup import minhash_bands_frame
     from ..sources.snapshot import upsert_batch

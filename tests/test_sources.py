@@ -1052,3 +1052,30 @@ def test_refresh_view_rebuilds_after_vacuum_and_prunes_states(
     # only the committed state directory survives
     states = [n for n in os.listdir(vd) if n.startswith("state-v")]
     assert states == ["state-v000004"]
+
+
+def test_refresh_view_emptied_table_after_vacuum(spark, tmp_path):
+    """An emptied base table is a real state, not absence: when vacuum
+    forces a full rebuild and the pinned version has no files, the
+    view must commit EMPTY rather than serve stale pre-delete rows
+    forever."""
+    from jobsity_data_pipeline_spark.operators import incremental as INC
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    vd = str(tmp_path / "view")
+    df = spark.createDataFrame(
+        [(1, "view", "2024-01-01 10:05:00", 1.0),
+         (2, "buy", "2024-01-01 11:05:00", 2.0)],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    SN.upsert_batch(df, 0, t, key="event_id")
+    assert INC.refresh_view(spark, t, vd, key="event_id")["refreshed"]
+    assert INC.read_current_view(spark, vd).count() == 2
+
+    SN.delete_keys(spark, t, [1, 2], key="event_id")  # table emptied
+    SN.vacuum(t, keep_versions=1, retention_seconds=0)
+
+    r = INC.refresh_view(spark, t, vd, key="event_id")
+    assert r["refreshed"]
+    assert INC.read_current_view(spark, vd).count() == 0
