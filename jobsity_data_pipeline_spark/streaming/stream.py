@@ -643,3 +643,37 @@ def lsh_index_candidates(spark: SparkSession, table_dir: str,
         )
         .distinct()
     )
+
+
+def ingest_status(query) -> dict:
+    """Push-style ingest status for a streaming query — the engine's
+    answer to the reference README's "watch the Spark UI on :8100"
+    polling loop (the UI itself stays available via SPARK_UI_ENABLED
+    in session.py; this surfaces the same numbers programmatically
+    for health checks and alerting).
+
+    Reads the engine's own progress events (StreamingQuery.status /
+    lastProgress) — no job is launched, no state is touched, safe to
+    call at any cadence. Returns a stable plain-dict schema whether or
+    not a batch has completed yet.
+    """
+    p = query.lastProgress or {}
+    src = (p.get("sources") or [{}])[0]
+    state = (p.get("stateOperators") or [{}])[0]
+    return {
+        "query_id": str(query.id),
+        "is_active": query.isActive,
+        "is_data_available": query.status.get("isDataAvailable"),
+        "is_trigger_active": query.status.get("isTriggerActive"),
+        "message": query.status.get("message"),
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "input_rows_per_second": p.get("inputRowsPerSecond"),
+        "processed_rows_per_second": p.get("processedRowsPerSecond"),
+        "batch_duration_ms": p.get("batchDuration"),
+        "source": src.get("description"),
+        "state_rows_total": state.get("numRowsTotal"),
+        "state_rows_updated": state.get("numRowsUpdated"),
+        "watermark": (p.get("eventTime") or {}).get("watermark"),
+        "exception": query.exception().desc if query.exception() else None,
+    }

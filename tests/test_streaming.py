@@ -467,3 +467,48 @@ def test_mutable_index_replacement_visible_in_change_feed(spark, tmp_path):
     # old bands leave, new bands arrive — both visible
     assert by_type.get("delete") and by_type.get("insert")
     assert by_type["delete"].isdisjoint(by_type["insert"])
+
+
+def test_ingest_status_reports_progress(spark, tmp_path):
+    """The push-style status surface (the reference's Spark-UI
+    polling, programmatic): after an availableNow run it reports the
+    final batch's throughput numbers; on a finished query it is
+    inactive with no exception."""
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        ingest_status, read_trips_stream, windowed_trip_counts,
+        with_event_time,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        ("r1", "POINT (1 2)", "POINT (3 4)",
+         "2024-01-01 10:00:00", "ds1", float(i))
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows,
+        "region string, origin_coord string, destination_coord string, "
+        "datetime string, datasource string, value double",
+    ).coalesce(1).write.option("header", "true").mode(
+        "overwrite"
+    ).csv(str(src))
+
+    stream = with_event_time(read_trips_stream(spark, str(src)))
+    agg = windowed_trip_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("status_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    st = ingest_status(q)
+    assert st["query_id"]
+    assert st["is_active"] is False
+    assert st["exception"] is None
+    assert st["batch_id"] is not None
+    assert st["num_input_rows"] == 20
+    assert st["source"] and "FileStreamSource" in st["source"]
