@@ -180,6 +180,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3: IVFADC composition (rows-only: approximate op over
         # trained codebooks, like the rest of the ANN family)
         "emb_ivfpq_ann": S.emb_ivfpq_ann,
+        "emb_ivfpq_residual_ann": S.emb_ivfpq_residual_ann,
         # round-3: trained per-subspace PQ codebooks (rows-only: the
         # k-means training inherits partial-agg float order, like
         # emb_kmeans_fit; its recall is gated in emb_ann_recall)
@@ -284,6 +285,7 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
     # promoted from rows-only to oracle-checked in round 4: their old
     # driver rows were weaker no_oracle checks — re-earn as hash rows
     "emb_lsh_ann", "emb_ivf_ann", "emb_ann_recall",
+    "emb_ivfpq_residual_ann",
 )
 
 # Keys whose most recent driver CORRECTNESS row is from each round.
@@ -3959,6 +3961,185 @@ def oracle_sql() -> dict[str, str]:
                    adc6 / 1000000.0 AS adc
             FROM r WHERE rank <= 5 ORDER BY qid, rank
         """,
+        "emb_ivfpq_residual_ann": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            xs AS (
+                SELECT vec_id, pos, CAST(pos // 16 AS INT) AS subspace, x
+                FROM (
+                    SELECT vec_id, unnest(range(0, len(v))) AS pos,
+                           unnest(v) AS x
+                    FROM e
+                )
+            ),
+            lcent AS (
+                SELECT label AS cell, pos, round(avg(x), 6) AS c
+                FROM (
+                    SELECT label, unnest(range(0, len(v))) AS pos,
+                           unnest(v) AS x
+                    FROM e
+                ) GROUP BY 1, 2
+            ),
+            celld AS (
+                SELECT xs.vec_id, lc.cell,
+                       CAST(round(sum((xs.x - lc.c) * (xs.x - lc.c))
+                                  * 1000000, 0) AS BIGINT) AS cd6
+                FROM xs JOIN lcent lc ON xs.pos = lc.pos
+                GROUP BY 1, 2
+            ),
+            cellasg AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cd6, cell) AS rn
+                    FROM celld
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT vec_id AS qid, cell FROM (
+                    SELECT vec_id, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cd6, cell) AS rn
+                    FROM celld WHERE vec_id < 8
+                ) WHERE rn <= 3
+            ),
+            rxs AS (
+                SELECT xs.vec_id, xs.pos, xs.subspace,
+                       xs.x - lc.c AS x
+                FROM xs
+                JOIN cellasg ca ON xs.vec_id = ca.vec_id
+                JOIN lcent lc ON lc.cell = ca.cell AND lc.pos = xs.pos
+            ),
+            seeds AS (
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1
+                           AS INT) AS code
+                FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)
+            ),
+            rc0 AS (
+                SELECT subspace, code, pos, x AS c
+                FROM rxs JOIN seeds USING (vec_id)
+            ),
+            rd1 AS (
+                SELECT rxs.vec_id, rxs.subspace, c.code,
+                       CAST(round(sum((rxs.x - c.c) * (rxs.x - c.c))
+                                  * 1000000, 0) AS BIGINT) AS d6
+                FROM rxs JOIN rc0 c
+                  ON rxs.subspace = c.subspace AND rxs.pos = c.pos
+                GROUP BY 1, 2, 3
+            ),
+            ra1 AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT vec_id, subspace, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, subspace
+                               ORDER BY d6, code) AS rn
+                    FROM rd1
+                ) WHERE rn = 1
+            ),
+            rs1 AS (
+                SELECT rxs.subspace, a.code, rxs.pos,
+                       round(avg(rxs.x), 6) AS cn
+                FROM rxs JOIN ra1 a
+                  ON rxs.vec_id = a.vec_id AND rxs.subspace = a.subspace
+                GROUP BY 1, 2, 3
+            ),
+            rc1 AS (
+                SELECT rc0.subspace, rc0.code, rc0.pos,
+                       coalesce(rs1.cn, rc0.c) AS c
+                FROM rc0 LEFT JOIN rs1
+                  ON rc0.subspace = rs1.subspace AND rc0.code = rs1.code
+                 AND rc0.pos = rs1.pos
+            ),
+            rd2_ AS (
+                SELECT rxs.vec_id, rxs.subspace, c.code,
+                       CAST(round(sum((rxs.x - c.c) * (rxs.x - c.c))
+                                  * 1000000, 0) AS BIGINT) AS d6
+                FROM rxs JOIN rc1 c
+                  ON rxs.subspace = c.subspace AND rxs.pos = c.pos
+                GROUP BY 1, 2, 3
+            ),
+            ra2 AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT vec_id, subspace, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, subspace
+                               ORDER BY d6, code) AS rn
+                    FROM rd2_
+                ) WHERE rn = 1
+            ),
+            rs2 AS (
+                SELECT rxs.subspace, a.code, rxs.pos,
+                       round(avg(rxs.x), 6) AS cn
+                FROM rxs JOIN ra2 a
+                  ON rxs.vec_id = a.vec_id AND rxs.subspace = a.subspace
+                GROUP BY 1, 2, 3
+            ),
+            rc2 AS (
+                SELECT rc1.subspace, rc1.code, rc1.pos,
+                       coalesce(rs2.cn, rc1.c) AS c
+                FROM rc1 LEFT JOIN rs2
+                  ON rc1.subspace = rs2.subspace AND rc1.code = rs2.code
+                 AND rc1.pos = rs2.pos
+            ),
+            rdf AS (
+                SELECT rxs.vec_id, rxs.subspace, c.code,
+                       CAST(round(sum((rxs.x - c.c) * (rxs.x - c.c))
+                                  * 1000000, 0) AS BIGINT) AS d6
+                FROM rxs JOIN rc2 c
+                  ON rxs.subspace = c.subspace AND rxs.pos = c.pos
+                GROUP BY 1, 2, 3
+            ),
+            rcodes AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT vec_id, subspace, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, subspace
+                               ORDER BY d6, code) AS rn
+                    FROM rdf
+                ) WHERE rn = 1
+            ),
+            qrx AS (
+                SELECT p.qid, p.cell, xs.pos, xs.subspace,
+                       xs.x - lc.c AS x
+                FROM probes p
+                JOIN xs ON xs.vec_id = p.qid
+                JOIN lcent lc ON lc.cell = p.cell AND lc.pos = xs.pos
+            ),
+            rqd AS (
+                SELECT q.qid, q.cell, q.subspace, c.code,
+                       CAST(round(sum((q.x - c.c) * (q.x - c.c))
+                                  * 1000000, 0) AS BIGINT) AS dq6
+                FROM qrx q JOIN rc2 c
+                  ON q.subspace = c.subspace AND q.pos = c.pos
+                GROUP BY 1, 2, 3, 4
+            ),
+            cand AS (
+                SELECT p.qid, ca.cell, ca.vec_id
+                FROM cellasg ca JOIN probes p USING (cell)
+                WHERE ca.vec_id <> p.qid
+            ),
+            adc AS (
+                SELECT cd.qid, cd.vec_id,
+                       CAST(sum(rqd.dq6) AS BIGINT) AS adc6
+                FROM cand cd
+                JOIN rcodes ON cd.vec_id = rcodes.vec_id
+                JOIN rqd ON rqd.qid = cd.qid AND rqd.cell = cd.cell
+                       AND rqd.subspace = rcodes.subspace
+                       AND rqd.code = rcodes.code
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT qid, vec_id, adc6,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY adc6, vec_id
+                       ) AS rank
+                FROM adc
+            )
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+                   adc6 / 1000000.0 AS adc
+            FROM r WHERE rank <= 5 ORDER BY qid, rank
+        """,
         "emb_ivfpq_ann": "WITH " + _PQ_TRAINED_CTE + """,
             lcent AS (
                 SELECT label AS cell, pos, round(avg(x), 6) AS c
@@ -4026,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank": (out["emb_pq_rerank"], "vec_id"),
         "pq_trained": (out["emb_pq_trained_ann"], "vec_id"),
         "ivfpq": (out["emb_ivfpq_ann"], "vec_id"),
+        "ivfpq_residual": (out["emb_ivfpq_residual_ann"], "vec_id"),
     }
     method_ctes = ",\n".join(
         f"m_{name} AS (SELECT qid, {idcol} AS nid FROM ({sql}))"

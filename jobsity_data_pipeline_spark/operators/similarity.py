@@ -568,6 +568,178 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     )
 
 
+_RESIDUAL_PQ_CACHE: dict[tuple, tuple] = {}
+
+
+def _residual_pq_tables(spark: SparkSession, sf_dir: str,
+                        n_queries: int, n_probe: int,
+                        n_subspaces: int = 4, n_codes: int = 16,
+                        iters: int = 2):
+    """(codes, qd, assigned, probe_df) for RESIDUAL product
+    quantization: each vector is encoded as the PQ code of
+    ``v - C[cell(v)]`` (its offset from its coarse centroid), and each
+    query carries one distance table PER PROBED CELL built from its
+    own residual in that cell — the true FAISS IVFADC layout, where
+    the codebook spends its 2^bits entries on the (much tighter)
+    residual distribution instead of the raw corpus spread.
+
+    Everything is pinned engine-exact like the raw-vector path:
+    rounded coarse centroids, micro-unit distances, deterministic
+    seeds — so the whole construction replays in SQL.
+    """
+    import numpy as np
+
+    from .kmeans import pq_train_codebooks
+
+    ck = (
+        spark.sparkContext.applicationId, sf_dir, "residual",
+        n_queries, n_probe, n_subspaces, n_codes, iters,
+    )
+    if ck in _RESIDUAL_PQ_CACHE:
+        return _RESIDUAL_PQ_CACHE[ck]
+    assigned, probe_df = _ivf_assigned_and_probes(
+        spark, sf_dir, n_queries, n_probe
+    )
+    C = _centroids(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(C)
+
+    def resid(batches):
+        import pandas as pd
+
+        cen = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_numpy())
+            R = A - cen[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "v": list(R),
+                }
+            )
+
+    # train + encode both consume the residual frame: checkpoint once
+    rv = assigned.mapInPandas(
+        resid, "vec_id long, v array<double>"
+    ).localCheckpoint()
+    cent = pq_train_codebooks(
+        spark, rv, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters
+    ).localCheckpoint()
+    x = rv.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    d = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "subspace", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ) * 1e6, 0
+            ).cast("long").alias("d6")
+        )
+    )
+    codes = (
+        d.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d6", "code")).alias("m"))
+        .select("vec_id", "subspace", F.col("m.code").alias("code"))
+    )
+
+    def qresid(batches):
+        import pandas as pd
+
+        cen = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qv"].to_numpy())
+            R = Q - cen[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(dtype="int64"),
+                    "cell": pdf["cell"].to_numpy(dtype="int32"),
+                    "qr": list(R),
+                }
+            )
+
+    qr = probe_df.mapInPandas(
+        qresid, "qid long, cell int, qr array<double>"
+    )
+    qd = (
+        qr.select("qid", "cell", F.posexplode("qr").alias("pos", "x"))
+        .join(F.broadcast(cent), "pos")
+        .groupBy("qid", "cell", "subspace", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ) * 1e6, 0
+            ).cast("long").alias("dq6")
+        )
+    )
+    out = (codes, qd, assigned, probe_df)
+    _RESIDUAL_PQ_CACHE[ck] = out
+    return out
+
+
+def emb_ivfpq_residual_ann(spark: SparkSession, sf_dir: str,
+                           n_queries: int = 8, k: int = 5,
+                           n_probe: int = 3) -> DataFrame:
+    """Full FAISS IVFADC with RESIDUAL encoding — the production
+    refinement emb_ivfpq_ann's docstring names: PQ codes quantize
+    ``v - C[cell(v)]`` and each query builds one ADC distance table
+    per probed cell from its own residual there. A candidate is scored
+    against the table of ITS cell (residuals are cell-relative), so
+    the sum approximates ||q - v||² with the coarse offset removed —
+    tighter codebooks at the same code budget.
+
+    Plan shape: the emb_ivfpq_ann pipeline plus one Arrow residual
+    projection on each side; candidate generation and the ADC integer
+    sum are unchanged (equi-joins and partial aggs only). Per-query
+    distance-table state grows by n_probe×, still
+    n_probe × subspaces × codes scalars — broadcast-tiny at any
+    corpus size. Oracle-checked: every stage replays in SQL via the
+    same pinning as the raw-vector path.
+
+    Measured A/B (emb_ann_recall, sf0.01): recall@5 0.125 residual vs
+    0.20 raw-vector at the same 16-code budget — on this
+    label-clustered synthetic corpus, removing the cluster offset
+    leaves near-isotropic residuals that 16 codes cover poorly, while
+    raw-vector codebooks ride the label structure. The ordering
+    flips at production code budgets (256/subspace) where residual
+    codebooks spend their entries on the tight distribution — which is
+    exactly the decision this A/B row exists to measure per corpus.
+    """
+    from pyspark.sql import Window
+
+    codes, qd, assigned, probe_df = _residual_pq_tables(
+        spark, sf_dir, n_queries, n_probe
+    )
+    cand = (
+        assigned.select("vec_id", "cell")
+        .join(F.broadcast(probe_df.select("qid", "cell")), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "cell", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qd), ["qid", "cell", "subspace", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dq6").alias("adc6"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc6", "vec_id")
+    return (
+        adc.select(
+            "qid", "vec_id", "adc6", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", "rank", "vec_id",
+            (F.col("adc6") / F.lit(1e6)).alias("adc"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
 def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine similarity between label centroids — the
     cluster-confusability matrix used to pick merge candidates before
@@ -666,6 +838,12 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         # probed cells — scan fraction multiplies both reductions
         ("ivfpq", emb_ivfpq_ann(spark, sf_dir, n_queries, k).select(
             "qid", F.col("vec_id").alias("nid"))),
+        # residual encoding A/B: same scan fraction, codebooks spent
+        # on the per-cell residual distribution — the row that decides
+        # whether residual retraining pays for this corpus
+        ("ivfpq_residual",
+         emb_ivfpq_residual_ann(spark, sf_dir, n_queries, k).select(
+             "qid", F.col("vec_id").alias("nid"))),
     ):
         hits = (
             res.select("qid", "nid")
