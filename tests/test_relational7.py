@@ -265,9 +265,10 @@ def test_ann_recall_report_bounds(spark):
 
     rows = emb_ann_recall(spark, SF_SMOKE).collect()
     # one row per (method, query)
-    assert len(rows) == 48
+    assert len(rows) == 56
     assert {r.method for r in rows} == {
-        "lsh", "ivf", "pq", "pq_rerank", "pq_trained", "ivfpq"
+        "lsh", "ivf", "pq", "pq_rerank", "pq_trained", "ivfpq",
+        "ivfpq_residual",
     }
     assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
     # 2-bit multi-probe LSH keeps meaningful recall on the smoke corpus
