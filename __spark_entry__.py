@@ -177,13 +177,12 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_matryoshka_recall": R10.emb_matryoshka_recall,
         "docs_prefix_clusters": R10.docs_prefix_clusters,
         "events_watermark_lateness": R10.events_watermark_lateness,
-        # round-3: IVFADC composition (rows-only: approximate op over
-        # trained codebooks, like the rest of the ANN family)
+        # IVFADC composition (r3) — oracle-checked since r4 via
+        # engine-exact training; residual-encoded variant debuted r4
         "emb_ivfpq_ann": S.emb_ivfpq_ann,
         "emb_ivfpq_residual_ann": S.emb_ivfpq_residual_ann,
-        # round-3: trained per-subspace PQ codebooks (rows-only: the
-        # k-means training inherits partial-agg float order, like
-        # emb_kmeans_fit; its recall is gated in emb_ann_recall)
+        # trained per-subspace PQ codebooks (r3) — oracle-checked
+        # since r4 (rounded centroids + micro-unit distances)
         "emb_pq_trained_ann": R8.emb_pq_trained_ann,
         "docs_pack_sequences": TO.docs_pack_sequences,
         "docs_mix_weights": TO.docs_mix_weights,

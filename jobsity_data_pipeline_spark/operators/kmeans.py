@@ -21,6 +21,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def pq_code_distances(x: DataFrame, cent: DataFrame,
+                      group_cols: list[str]) -> DataFrame:
+    """THE pinned PQ comparison quantity, defined once: per
+    (group_cols..., subspace, code), ``round(sum((x-c)^2) * 1e6)`` as
+    BIGINT micro-units. Used by training assignment, corpus encoding,
+    and every ADC distance table (raw and residual) — a single
+    definition so a pinning change can never diverge between copies
+    and silently break oracle hash-parity. ``x`` carries
+    (group_cols..., pos, x); ``cent`` (subspace, code, pos, c) rows
+    exist only for the subspace owning each pos, so the pos equi-join
+    is sufficient and the output inherits cent's subspace."""
+    return (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy(*group_cols, "subspace", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ) * 1e6, 0
+            ).cast("long").alias("d6")
+        )
+    )
+
+
+def pq_nearest_code(d: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Argmin over the micro-unit distances: min-struct on (d6, code)
+    per (group_cols..., subspace) — integer compare, ties to the lower
+    code, identical to the oracle's row_number ORDER BY d6, code."""
+    return (
+        d.groupBy(*group_cols, "subspace")
+        .agg(F.min(F.struct("d6", "code")).alias("m"))
+        .select(*group_cols, "subspace", F.col("m.code").alias("code"))
+    )
+
+
 def _centroid_matrix(rows, k: int, dim: int):
     import numpy as np
 
@@ -183,29 +218,16 @@ def pq_train_codebooks(spark: SparkSession, emb: DataFrame,
         x.join(F.broadcast(ids), "vec_id")
         .select("subspace", "code", "pos", F.col("x").alias("c"))
     )
-    # Distances compare as rounded micro-units and re-averaged
-    # centroids round to 6 dp each round: the training is then
-    # engine-exact (a SQL oracle replays the same rounds bit-for-bit),
-    # where unrounded partial-agg float order could flip a
-    # near-equidistant assignment between engines/runs.
+    # Distances compare as rounded micro-units (pq_code_distances) and
+    # re-averaged centroids round to 6 dp each round: the training is
+    # then engine-exact (a SQL oracle replays the same rounds
+    # bit-for-bit), where unrounded partial-agg float order could flip
+    # a near-equidistant assignment between engines/runs.
     for _ in range(iters):
-        d2 = (
-            x.join(F.broadcast(cent), ["subspace", "pos"])
-            .groupBy("vec_id", "subspace", "code")
-            .agg(
-                F.round(
-                    F.sum(
-                        (F.col("x") - F.col("c"))
-                        * (F.col("x") - F.col("c"))
-                    ) * 1e6, 0
-                ).cast("long").alias("d2")
-            )
+        d = pq_code_distances(
+            x.select("vec_id", "pos", "x"), cent, ["vec_id"]
         )
-        assigned = (
-            d2.groupBy("vec_id", "subspace")
-            .agg(F.min(F.struct("d2", "code")).alias("m"))
-            .select("vec_id", "subspace", F.col("m.code").alias("code"))
-        )
+        assigned = pq_nearest_code(d, ["vec_id"])
         stats = (
             x.join(assigned, ["vec_id", "subspace"])
             .groupBy("subspace", "code", "pos")

@@ -1339,27 +1339,15 @@ def trained_pq_tables(spark: SparkSession, sf_dir: str,
             iters=iters,
         ).localCheckpoint()
         _PQ_CODEBOOK_CACHE[ck] = cent
+    from .kmeans import pq_code_distances, pq_nearest_code
+
     x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    # distances as integer micro-units (round(d2*1e6) as long): the
-    # code argmin and the downstream ADC sum are then engine-exact —
+    # distances as integer micro-units (pq_code_distances): the code
+    # argmin and the downstream ADC sum are then engine-exact —
     # integer sums are order-independent, so the oracle's SQL replay
     # hash-matches (this is what moved these ops out of rows-only)
-    d = (
-        x.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "subspace", "code")
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                ) * 1e6, 0
-            ).cast("long").alias("d6")
-        )
-    )
-    codes = (
-        d.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d6", "code")).alias("m"))
-        .select("vec_id", "subspace", F.col("m.code").alias("code"))
-    )
+    d = pq_code_distances(x, cent, ["vec_id"])
+    codes = pq_nearest_code(d, ["vec_id"])
     qd = (
         d.where(F.col("vec_id") < n_queries)
         .select(

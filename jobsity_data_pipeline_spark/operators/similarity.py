@@ -623,26 +623,14 @@ def _residual_pq_tables(spark: SparkSession, sf_dir: str,
     rv = assigned.mapInPandas(
         resid, "vec_id long, v array<double>"
     ).localCheckpoint()
+    from .kmeans import pq_code_distances, pq_nearest_code
+
     cent = pq_train_codebooks(
         spark, rv, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters
     ).localCheckpoint()
     x = rv.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    d = (
-        x.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "subspace", "code")
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                ) * 1e6, 0
-            ).cast("long").alias("d6")
-        )
-    )
-    codes = (
-        d.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d6", "code")).alias("m"))
-        .select("vec_id", "subspace", F.col("m.code").alias("code"))
-    )
+    d = pq_code_distances(x, cent, ["vec_id"])
+    codes = pq_nearest_code(d, ["vec_id"])
 
     def qresid(batches):
         import pandas as pd
@@ -664,18 +652,10 @@ def _residual_pq_tables(spark: SparkSession, sf_dir: str,
     qr = probe_df.mapInPandas(
         qresid, "qid long, cell int, qr array<double>"
     )
-    qd = (
-        qr.select("qid", "cell", F.posexplode("qr").alias("pos", "x"))
-        .join(F.broadcast(cent), "pos")
-        .groupBy("qid", "cell", "subspace", "code")
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                ) * 1e6, 0
-            ).cast("long").alias("dq6")
-        )
-    )
+    qd = pq_code_distances(
+        qr.select("qid", "cell", F.posexplode("qr").alias("pos", "x")),
+        cent, ["qid", "cell"],
+    ).withColumnRenamed("d6", "dq6")
     out = (codes, qd, assigned, probe_df)
     _RESIDUAL_PQ_CACHE[ck] = out
     return out
@@ -795,7 +775,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     from .relational8 import emb_pq_ann, emb_pq_rerank, emb_pq_trained_ann
 
     # the exact baseline feeds a semi-join AND the report spine for all
-    # six methods (12 plan references): checkpoint the tiny
+    # seven methods (14 plan references): checkpoint the tiny
     # n_queries x k frame once, or each reference re-runs the full
     # brute-force corpus scan — measured as most of this op's cost
     exact = (

@@ -654,26 +654,37 @@ def ingest_status(query) -> dict:
 
     Reads the engine's own progress events (StreamingQuery.status /
     lastProgress) — no job is launched, no state is touched, safe to
-    call at any cadence. Returns a stable plain-dict schema whether or
-    not a batch has completed yet.
+    call at any cadence (status/exception are each fetched once per
+    call). Returns a stable plain-dict schema whether or not a batch
+    has completed yet. Multi-source and multi-stateful queries report
+    ALL sources and the SUM over every state operator — an alert on
+    state_rows_total must see unbounded growth in any of them.
     """
     p = query.lastProgress or {}
-    src = (p.get("sources") or [{}])[0]
-    state = (p.get("stateOperators") or [{}])[0]
+    status = query.status
+    exc = query.exception()
+    sources = p.get("sources") or []
+    states = p.get("stateOperators") or []
+
+    def _ssum(field):
+        vals = [s.get(field) for s in states if s.get(field) is not None]
+        return sum(vals) if vals else None
+
     return {
         "query_id": str(query.id),
         "is_active": query.isActive,
-        "is_data_available": query.status.get("isDataAvailable"),
-        "is_trigger_active": query.status.get("isTriggerActive"),
-        "message": query.status.get("message"),
+        "is_data_available": status.get("isDataAvailable"),
+        "is_trigger_active": status.get("isTriggerActive"),
+        "message": status.get("message"),
         "batch_id": p.get("batchId"),
         "num_input_rows": p.get("numInputRows"),
         "input_rows_per_second": p.get("inputRowsPerSecond"),
         "processed_rows_per_second": p.get("processedRowsPerSecond"),
         "batch_duration_ms": p.get("batchDuration"),
-        "source": src.get("description"),
-        "state_rows_total": state.get("numRowsTotal"),
-        "state_rows_updated": state.get("numRowsUpdated"),
+        "sources": [s.get("description") for s in sources],
+        "n_state_operators": len(states),
+        "state_rows_total": _ssum("numRowsTotal"),
+        "state_rows_updated": _ssum("numRowsUpdated"),
         "watermark": (p.get("eventTime") or {}).get("watermark"),
-        "exception": query.exception().desc if query.exception() else None,
+        "exception": exc.desc if exc else None,
     }

@@ -511,4 +511,4 @@ def test_ingest_status_reports_progress(spark, tmp_path):
     assert st["exception"] is None
     assert st["batch_id"] is not None
     assert st["num_input_rows"] == 20
-    assert st["source"] and "FileStreamSource" in st["source"]
+    assert st["sources"] and "FileStreamSource" in st["sources"][0]
