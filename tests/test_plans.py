@@ -399,3 +399,17 @@ def test_matryoshka_truncated_side_broadcasts_queries(spark):
     # both top-k passes broadcast the 8-row query side, never the corpus
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_residual_ivfpq_plan_broadcasts_tables_only(spark):
+    # the residual path must keep the ivfpq plan shape: equi-joins
+    # with broadcast distance tables, never a cartesian or a corpus
+    # broadcast
+    from jobsity_data_pipeline_spark.operators.similarity import (
+        emb_ivfpq_residual_ann,
+    )
+
+    plan = _plan(emb_ivfpq_residual_ann(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan  # probe set + distance tables
