@@ -285,6 +285,9 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
     # driver rows were weaker no_oracle checks — re-earn as hash rows
     "emb_lsh_ann", "emb_ivf_ann", "emb_ann_recall",
     "emb_ivfpq_residual_ann",
+    # rewritten in round 4 (integer-exact money/ratio accumulation —
+    # its r3-green row attests the pre-rewrite float form)
+    "supplier_scorecard",
 )
 
 # Keys whose most recent driver CORRECTNESS row is from each round.
@@ -3631,24 +3634,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_scorecard": """
             WITH j AS (
-                SELECT l_suppkey, l_returnflag, l_extendedprice,
-                       l_discount,
-                       date_diff('day', o_orderdate,
-                                 l_shipdate) AS latency_days
+                SELECT l_suppkey,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0)
+                                     AS BIGINT)) AS rev_e4,
+                       CASE WHEN l_returnflag = 'R' THEN 1
+                            ELSE 0 END AS is_ret,
+                       CAST(date_diff('day', o_orderdate, l_shipdate)
+                           AS BIGINT) AS latency_days
                 FROM lineitem JOIN orders
                   ON l_orderkey = o_orderkey
             ),
-            per AS (
+            agg AS (
                 SELECT l_suppkey,
                        count(*) AS n_items,
-                       round(sum(l_extendedprice * (1 - l_discount)),
-                             2) AS revenue,
-                       round(avg(CASE WHEN l_returnflag = 'R'
-                                      THEN 1.0 ELSE 0.0 END),
-                             6) AS return_rate,
-                       round(avg(CAST(latency_days AS DOUBLE)),
-                             4) AS avg_latency_days
+                       CAST(sum(rev_e4) AS BIGINT) AS rev_sum,
+                       CAST(sum(is_ret) AS BIGINT) AS ret_sum,
+                       CAST(sum(latency_days) AS BIGINT) AS lat_sum
                 FROM j GROUP BY 1
+            ),
+            per AS (
+                SELECT l_suppkey, n_items,
+                       ((rev_sum + 50) // 100) / 100.0 AS revenue,
+                       ((2 * ret_sum * 1000000 + n_items)
+                            // (2 * n_items)) / 1000000.0
+                           AS return_rate,
+                       ((2 * lat_sum * 10000 + n_items)
+                            // (2 * n_items)) / 10000.0
+                           AS avg_latency_days
+                FROM agg
             ),
             r AS (
                 SELECT n_name, s_suppkey, s_name, n_items, revenue,

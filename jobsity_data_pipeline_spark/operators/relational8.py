@@ -1262,6 +1262,14 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier's nation by revenue. One partial-agg pass over the
     lineitem/orders join; the supplier and nation dims broadcast; the
     rank window runs on the supplier-cardinality frame.
+
+    Money accumulates exactly: price is 2-dp and discount a 2-dp
+    fraction, so price*(1-disc) is an integer number of 1e-4 units —
+    summed as long (order-independent) and rounded to cents with
+    integer half-up division. Return rate and latency are exact
+    rationals rounded the same way. At sf0.1 the float form landed a
+    revenue on a round(.,2) half-ulp (engine-order divergence); this
+    is the orders_cohort_ltv convention applied here.
     """
     from pyspark.sql.window import Window
 
@@ -1274,21 +1282,47 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "s_nationkey"
     )
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
     j = li.join(
         o, li.l_orderkey == o.o_orderkey
     ).select(
-        "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount",
-        F.datediff("l_shipdate", "o_orderdate").alias("latency_days"),
+        "l_suppkey",
+        rev_e4.alias("rev_e4"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_ret"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias(
+            "latency_days"
+        ),
     )
-    per = j.groupBy("l_suppkey").agg(
-        F.count("*").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
-        F.round(
-            F.avg((F.col("l_returnflag") == "R").cast("double")), 6
-        ).alias("return_rate"),
-        F.round(F.avg("latency_days"), 4).alias("avg_latency_days"),
+    per = (
+        j.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("rev_e4").alias("rev_sum"),
+            F.sum("is_ret").alias("ret_sum"),
+            F.sum("latency_days").alias("lat_sum"),
+        )
+        # exact half-up rounding via integer division (all positive):
+        # revenue to cents, rate to 6 dp, latency to 4 dp
+        .withColumn("rev_c", F.expr("(rev_sum + 50) div 100"))
+        .withColumn(
+            "rr6",
+            F.expr("(2 * ret_sum * 1000000 + n_items) div (2 * n_items)"),
+        )
+        .withColumn(
+            "lat4",
+            F.expr(
+                "(2 * lat_sum * 10000 + n_items) div (2 * n_items)"
+            ),
+        )
+        .select(
+            "l_suppkey", "n_items",
+            (F.col("rev_c") / 100.0).alias("revenue"),
+            (F.col("rr6") / 1e6).alias("return_rate"),
+            (F.col("lat4") / 10000.0).alias("avg_latency_days"),
+        )
     )
     w = Window.partitionBy("n_name").orderBy(
         F.col("revenue").desc(), F.col("s_suppkey")
