@@ -3659,8 +3659,9 @@ def oracle_sql() -> dict[str, str]:
                        ((2 * ret_sum * 1000000 + n_items)
                             // (2 * n_items)) / 1000000.0
                            AS return_rate,
-                       ((2 * lat_sum * 10000 + n_items)
-                            // (2 * n_items)) / 10000.0
+                       (((2 * (lat_sum + 100000 * n_items) * 10000
+                              + n_items) // (2 * n_items))
+                        - 100000 * 10000) / 10000.0
                            AS avg_latency_days
                 FROM agg
             ),

@@ -1256,6 +1256,13 @@ def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Positivity shift for the scorecard's mean-latency rounding: per-item
+# latency is bounded far above -LAT_SHIFT days in any plausible data
+# (observed minimum ≈ -2400), so lat_sum + LAT_SHIFT*n_items > 0 and
+# integer half-up division behaves identically in both engines.
+LAT_SHIFT = 100_000
+
+
 def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier operations scorecard: per supplier, shipped volume,
     revenue, return rate, and mean order->ship latency, ranked within
@@ -1304,8 +1311,15 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_ret").alias("ret_sum"),
             F.sum("latency_days").alias("lat_sum"),
         )
-        # exact half-up rounding via integer division (all positive):
-        # revenue to cents, rate to 6 dp, latency to 4 dp
+        # exact half-up rounding via integer division. Operands must be
+        # POSITIVE: Spark's `div` truncates toward zero while DuckDB's
+        # `//` floors, so they diverge on negatives. Revenue and the
+        # return count are non-negative by construction; the latency
+        # sum can be negative (synthetic ship dates precede order
+        # dates), so it is shifted by +LAT_SHIFT days per item before
+        # the division and shifted back after — adding an integer
+        # shifts the 4-dp rounding by an exact multiple, so the result
+        # is unchanged.
         .withColumn("rev_c", F.expr("(rev_sum + 50) div 100"))
         .withColumn(
             "rr6",
@@ -1314,7 +1328,9 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "lat4",
             F.expr(
-                "(2 * lat_sum * 10000 + n_items) div (2 * n_items)"
+                f"(2 * (lat_sum + {LAT_SHIFT} * n_items) * 10000"
+                f" + n_items) div (2 * n_items)"
+                f" - {LAT_SHIFT} * 10000"
             ),
         )
         .select(
