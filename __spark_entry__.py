@@ -3602,34 +3602,44 @@ def oracle_sql() -> dict[str, str]:
             WITH daily AS (
                 SELECT event_type,
                        CAST(date_trunc('day', ts) AS DATE) AS d,
-                       sum(value) AS v
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS vc
                 FROM events GROUP BY 1, 2
             ),
-            mu AS (
-                SELECT event_type, avg(v) AS mu, count(*) AS n_days
+            tot AS (
+                SELECT event_type, CAST(sum(vc) AS BIGINT) AS tc,
+                       count(*) AS n_days
                 FROM daily GROUP BY 1
             ),
-            s AS (
+            dev AS (
                 SELECT daily.event_type, d, n_days,
-                       sum(v - mu) OVER (
-                           PARTITION BY daily.event_type ORDER BY d
+                       n_days * vc - tc AS dnum
+                FROM daily JOIN tot USING (event_type)
+            ),
+            s AS (
+                SELECT event_type, d, n_days,
+                       CAST(sum(dnum) OVER (
+                           PARTITION BY event_type ORDER BY d
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS cusum,
-                       abs(v - mu) AS absdev
-                FROM daily JOIN mu USING (event_type)
+                                    AND CURRENT ROW) AS BIGINT) AS cnum,
+                       abs(dnum) AS absdev_num
+                FROM dev
             ),
             r AS (
                 SELECT *,
-                       sum(absdev) OVER (
-                           PARTITION BY event_type) AS total_absdev,
+                       CAST(sum(absdev_num) OVER (
+                           PARTITION BY event_type) AS BIGINT) AS tad_num,
                        row_number() OVER (
                            PARTITION BY event_type
-                           ORDER BY round(abs(cusum), 2) DESC, d) AS rk
+                           ORDER BY abs(cnum) DESC, d) AS rk
                 FROM s
             )
             SELECT event_type, d AS peak_day, n_days,
-                   round(cusum, 2) AS peak_cusum,
-                   round(abs(cusum) / total_absdev, 6) AS peak_share
+                   (CASE WHEN cnum < 0 THEN -1 ELSE 1 END
+                    * ((2 * abs(cnum) + n_days) // (2 * n_days)))
+                       / 100.0 AS peak_cusum,
+                   ((2 * abs(cnum) * 1000000 + tad_num)
+                       // (2 * tad_num)) / 1e6 AS peak_share
             FROM r WHERE rk = 1 ORDER BY event_type
         """,
         "supplier_scorecard": """

@@ -296,22 +296,46 @@ def events_watermark_lateness(spark: SparkSession,
 
     Lateness is computed in integer microseconds (unix_micros both
     engines) and bucketed with integer comparisons — engine-exact.
-    One per-type window over arrival order (types partition the
-    stream, so no global sort); the output is k_types rows.
+    The running max is a two-pass segmented scan, not one whole-type
+    window: arrival order chunks into ``seg_rows``-wide segments of
+    event_id, each (type, segment) computes its local running max in a
+    bounded window, the per-segment maxima frame (tiny: types x
+    segments) yields each segment's predecessor running max, and the
+    true running max is greatest(local, predecessor) after a broadcast
+    join back. Identical to the single-sort answer (max splits at any
+    prefix boundary); at 100 TB no task sorts more than seg_rows
+    events and the only per-type frame is segment-cardinality.
     """
     from pyspark.sql import Window
 
+    seg_rows = 65536
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "event_type", F.unix_micros("ts").alias("us")
-    )
-    w = (
-        Window.partitionBy("event_type")
+    ).withColumn("seg", F.expr(f"event_id div {seg_rows}"))
+    w_local = (
+        Window.partitionBy("event_type", "seg")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    late = ev.select(
-        "event_type",
-        (F.max("us").over(w) - F.col("us")).alias("late_us"),
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ev.groupBy("event_type", "seg")
+        .agg(F.max("us").alias("seg_max"))
+        .select(
+            "event_type", "seg", F.max("seg_max").over(w_off).alias("prev_max")
+        )
+    )
+    run = F.greatest(
+        F.col("run_local"), F.coalesce(F.col("prev_max"), F.col("run_local"))
+    )
+    late = (
+        ev.withColumn("run_local", F.max("us").over(w_local))
+        .join(F.broadcast(offsets), ["event_type", "seg"])
+        .select("event_type", (run - F.col("us")).alias("late_us"))
     )
     lu = F.col("late_us")
     return (

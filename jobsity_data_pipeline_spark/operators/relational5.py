@@ -395,20 +395,27 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_kmv_distinct(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFrame:
+def events_kmv_distinct(spark: SparkSession, sf_dir: str, k: int = 64,
+                        n_salts: int = 32) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event type,
     next to the exact count: estimate = (k-1)/h_k where h_k is the
     k-th smallest normalized hash of the distinct members.
 
     The deterministic alternative to HLL when results must be
-    reproducible across engines/runs (md5, no RNG): the sketch is
-    mergeable (k smallest of a union = k smallest of the per-partition
-    k-smallest), so at 100 TB each partition keeps a k-element heap and
-    only k values per group cross the network. When a group has fewer
-    than k members the sketch is exact by construction.
+    reproducible across engines/runs (md5, no RNG). The plan is the
+    sketch's OWN mergeability (k smallest of a union = k smallest of
+    the per-shard k-smallest) as a two-stage aggregate: salt the
+    distinct members into ``n_salts`` shards, keep the k smallest
+    hashes per (type, salt) shard, then merge the <= n_salts*k
+    survivors per type. No window anywhere — the former plan's
+    per-type ``row_number`` sort put a whole type (~1/8 of the corpus
+    at the 8-value mapping) through one WindowExec task; here the only
+    per-type state that ever meets a single task is the k*n_salts
+    bottom-k array. Size n_salts so a (type, salt) shard's distinct
+    members fit one aggregation buffer (salts scale with corpus, the
+    merged state stays k*n_salts). When a type has fewer than k
+    members the sketch is exact by construction.
     """
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     du = ev.select("event_type", "user_id").distinct()
     hv = (
@@ -416,11 +423,23 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFr
         .cast("double")
         / F.lit(4294967296.0)
     )
-    hashed = du.select("event_type", hv.alias("hv"))
-    w = Window.partitionBy("event_type").orderBy("hv")
-    kmin = hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
-    agg = kmin.groupBy("event_type").agg(
-        F.max("hv").alias("h_k"), F.count("*").alias("m")
+    hashed = du.select(
+        "event_type",
+        F.pmod("user_id", F.lit(n_salts)).alias("salt"),
+        hv.alias("hv"),
+    )
+    per_salt = hashed.groupBy("event_type", "salt").agg(
+        F.slice(F.array_sort(F.collect_list("hv")), 1, k).alias("mins")
+    )
+    merged = per_salt.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("mins"))), 1, k
+        ).alias("mins")
+    )
+    agg = merged.select(
+        "event_type",
+        F.element_at("mins", F.size("mins")).alias("h_k"),
+        F.size("mins").alias("m"),
     )
     exact = du.groupBy("event_type").agg(F.count("*").alias("n_exact"))
     est = F.when(

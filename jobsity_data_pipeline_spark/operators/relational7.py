@@ -86,9 +86,16 @@ def events_concurrency(spark: SparkSession, sf_dir: str,
     (t, delta, event_id) — ends sort before starts at the same instant
     (delta -1 < +1), making ties deterministic — then max per type.
 
-    No interval self-join: the sweep is two projections of one scan and
-    a single window shuffle on event_type. At 100 TB, sweep per
-    (type, day) instead to bound partition width.
+    No interval self-join, and no whole-type sort: the sweep is a
+    two-pass segmented scan. Each (type, day-of-t) segment computes its
+    local running max and its delta total in a bounded-width window
+    (every equal-t tie lives inside one segment, so segment boundaries
+    respect the global order); the per-type running offsets then come
+    from a window over the tiny type x day aggregate, and the global
+    max is max over segments of offset + local max — identical to the
+    single-sort answer because a prefix sum splits at any segment
+    boundary. At 100 TB no task ever sorts more than one day of one
+    type; the only per-type frame is day-cardinality.
     """
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     hold = hold_minutes * 60
@@ -102,16 +109,35 @@ def events_concurrency(spark: SparkSession, sf_dir: str,
         F.lit(-1).alias("delta"),
         "event_id",
     )
-    w = (
-        Window.partitionBy("event_type")
+    deltas = starts.unionByName(ends).withColumn("seg", F.to_date("t"))
+    w_local = (
+        Window.partitionBy("event_type", "seg")
         .orderBy("t", "delta", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    per_seg = (
+        deltas.withColumn("open_local", F.sum("delta").over(w_local))
+        .groupBy("event_type", "seg")
+        .agg(
+            F.max("open_local").alias("local_max"),
+            F.sum("delta").alias("seg_sum"),
+        )
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
-        starts.unionByName(ends)
-        .withColumn("open", F.sum("delta").over(w))
+        per_seg.withColumn(
+            "offset", F.coalesce(F.sum("seg_sum").over(w_off), F.lit(0))
+        )
         .groupBy("event_type")
-        .agg(F.max("open").alias("max_concurrent"))
+        .agg(
+            F.max(F.col("offset") + F.col("local_max")).alias(
+                "max_concurrent"
+            )
+        )
         .orderBy("event_type")
     )
 

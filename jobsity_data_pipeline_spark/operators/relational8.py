@@ -1203,54 +1203,88 @@ def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation — the cheap batch screen that decides which series get a
     real change-point model.
 
-    One daily partial-agg, then every window (mean join-back, running
-    sum, peak argmax) operates on the tiny type x day frame.
+    All-integer and segment-parallel. value is 2-dp, so the daily sum
+    is an exact long of cents (vc); the day-j deviation from the type
+    mean scales to the exact numerator dnum_j = n_days*vc_j - total_c
+    (the cusum after day j is sum(dnum)/(100*n_days)). Integer prefix
+    sums are associative, so the running sum is a two-pass segmented
+    scan — per-(type, month) local prefixes plus offsets from the tiny
+    type x month totals — with no whole-type ordered window, and the
+    peak is a groupBy max over exact (|cusum_num|, earliest-day)
+    structs, not a rank window. Rounding happens in integer space
+    (half-away division, positive operands) so no float ever sits on a
+    round() boundary: the former float form re-rolled a half-ulp on
+    every testdata regen. Overflow headroom: n_days*vc needs
+    cents-per-type-day * days^2 < 2^63 — holds through ~1e14
+    cents/day at 10k days.
     """
     from pyspark.sql.window import Window
 
     ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy("event_type", F.to_date("ts").alias("d"))
-        .agg(F.sum("value").alias("v"))
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc")
     )
-    mu = daily.groupBy("event_type").agg(
-        F.avg("v").alias("mu"), F.count("*").alias("n_days")
+    tot = daily.groupBy("event_type").agg(
+        F.sum("vc").alias("tc"), F.count("*").alias("n_days")
     )
-    wrun = (
-        Window.partitionBy("event_type")
+    dev = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "d", "n_days",
+            (F.col("n_days") * F.col("vc") - F.col("tc")).alias("dnum"),
+        )
+        .withColumn("m", F.trunc("d", "month"))
+    )
+    w_local = (
+        Window.partitionBy("event_type", "m")
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        dev.groupBy("event_type", "m")
+        .agg(F.sum("dnum").alias("m_sum"))
+        .select(
+            "event_type", "m",
+            F.coalesce(F.sum("m_sum").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
     s = (
-        daily.join(F.broadcast(mu), "event_type")
+        dev.withColumn("local_num", F.sum("dnum").over(w_local))
+        .join(F.broadcast(offsets), ["event_type", "m"])
         .select(
             "event_type", "d", "n_days",
-            F.sum(F.col("v") - F.col("mu")).over(wrun).alias("cusum"),
-            F.abs(F.col("v") - F.col("mu")).alias("absdev"),
+            (F.col("off") + F.col("local_num")).alias("cnum"),
+            F.abs("dnum").alias("absdev_num"),
         )
     )
-    # rank on the ROUNDED |cusum| (engines accumulate v at ulp
-    # difference; a raw-double argmax can flip near-ties), day breaks
-    wpk = Window.partitionBy("event_type").orderBy(
-        F.round(F.abs(F.col("cusum")), 2).desc(), F.col("d")
+    # peak = exact argmax of (|cnum| desc, d asc) via struct max; the
+    # signed numerator rides along for the report
+    peak = s.groupBy("event_type", "n_days").agg(
+        F.max(
+            F.struct(
+                F.abs("cnum").alias("a"),
+                (-F.unix_date(F.col("d"))).alias("negd"),
+                F.col("cnum").alias("signed"),
+            )
+        ).alias("pk"),
+        F.sum("absdev_num").alias("tad_num"),
     )
+    # integer half-away rounding: |cnum|/n_days is the peak in cents
+    sgn = F.when(F.col("pk.signed") < 0, F.lit(-1)).otherwise(F.lit(1))
+    peak_c = sgn * F.expr("(2 * pk.a + n_days) div (2 * n_days)")
+    share6 = F.expr("(2 * pk.a * 1000000 + tad_num) div (2 * tad_num)")
     return (
-        s.select(
-            "event_type", "d", "n_days", "cusum",
-            F.sum("absdev").over(
-                Window.partitionBy("event_type")
-            ).alias("total_absdev"),
-            F.row_number().over(wpk).alias("rk"),
-        )
-        .where(F.col("rk") == 1)
-        .select(
+        peak.select(
             "event_type",
-            F.col("d").alias("peak_day"),
+            F.date_from_unix_date(-F.col("pk.negd")).alias("peak_day"),
             "n_days",
-            F.round("cusum", 2).alias("peak_cusum"),
-            F.round(
-                F.abs(F.col("cusum")) / F.col("total_absdev"), 6
-            ).alias("peak_share"),
+            (peak_c / 100.0).alias("peak_cusum"),
+            (share6 / 1e6).alias("peak_share"),
         )
         .orderBy("event_type")
     )

@@ -413,3 +413,54 @@ def test_residual_ivfpq_plan_broadcasts_tables_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" in plan  # probe set + distance tables
+
+
+def test_no_fact_sized_frame_in_type_only_window(spark):
+    """Round-5 gate for the former per-event_type full-fact windows:
+    any Window partitioned ONLY by event_type (an ~8-value key under
+    the SURVEY §4 mapping — one task holds 1/8 of the corpus at
+    100 TB) must consume an aggregated frame (types x segments /
+    types x days, bounded), never the raw fact scan. The KMV sketch is
+    window-free entirely (two-stage mergeable bottom-k)."""
+    from jobsity_data_pipeline_spark.operators import relational5 as R5
+    from jobsity_data_pipeline_spark.operators import relational7 as R7
+    from jobsity_data_pipeline_spark.operators import relational8 as R8
+    from jobsity_data_pipeline_spark.operators import relational10 as R10
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def check(df, name):
+        plan = df._jdf.queryExecution().optimizedPlan()
+        seen = 0
+        for n in walk(plan):
+            if n.nodeName() != "Window":
+                continue
+            ps = n.partitionSpec()
+            cols = [
+                ps.apply(i).toString().split("#")[0]
+                for i in range(ps.size())
+            ]
+            if cols == ["event_type"]:
+                seen += 1
+                kid = n.children().apply(0)
+                assert any(
+                    c.nodeName() == "Aggregate" for c in walk(kid)
+                ), f"{name}: event_type-only Window over a raw fact frame"
+        return seen
+
+    assert check(R7.events_concurrency(spark, SF_SMOKE),
+                 "events_concurrency") >= 1
+    assert check(R8.events_value_cusum(spark, SF_SMOKE),
+                 "events_value_cusum") >= 1
+    assert check(R10.events_watermark_lateness(spark, SF_SMOKE),
+                 "events_watermark_lateness") >= 1
+    kmv_plan = (
+        R5.events_kmv_distinct(spark, SF_SMOKE)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    wins = [n for n in walk(kmv_plan) if n.nodeName() == "Window"]
+    assert not wins, "events_kmv_distinct must be window-free"
