@@ -364,6 +364,17 @@ _SAMPLED_R3: frozenset = frozenset({
 
 
 # Shared SQL fragments (kept identical across oracle queries).
+# Exact integer money units (functions/money.py in lockstep): every
+# 2-dp double becomes an exact BIGINT of 1e-2/1e-4/1e-6 units so sums
+# are order-independent and rounding happens in integer space.
+_CENTS = "CAST(round({c} * 100, 0) AS BIGINT)"
+_REV_E4 = (
+    "(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))"
+)
+_CHG_E6 = (
+    _REV_E4 + " * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))"
+)
 _TRIPS = (
     "SELECT 'region_' || CAST(user_id % 8 AS VARCHAR) AS region, "
     "event_type AS datasource, ts AS date_time, user_id, event_id, value "
@@ -602,25 +613,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(avg(cnt), 4) AS weekly_avg_trips FROM c
         """,
         "q1_pricing_summary": """
+            WITH a AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) AS qty_c,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                            AS BIGINT)) AS BIGINT) AS ep_c,
+                       CAST(sum({rev}) AS BIGINT) AS rev_e4,
+                       CAST(sum({chg}) AS BIGINT) AS chg_e6,
+                       CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT))
+                            AS BIGINT) AS disc_p,
+                       count(*) AS count_order
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+                GROUP BY l_returnflag, l_linestatus
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                       AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-            GROUP BY l_returnflag, l_linestatus
-        """,
+                   qty_c / 100.0 AS sum_qty,
+                   ep_c / 100.0 AS sum_base_price,
+                   ((rev_e4 + 50) // 100) / 100.0 AS sum_disc_price,
+                   ((chg_e6 + 5000) // 10000) / 100.0 AS sum_charge,
+                   ((2 * qty_c * 100 + count_order)
+                        // (2 * count_order)) / 1e4 AS avg_qty,
+                   ((2 * ep_c * 100 + count_order)
+                        // (2 * count_order)) / 1e4 AS avg_price,
+                   ((2 * disc_p * 100 + count_order)
+                        // (2 * count_order)) / 1e4 AS avg_disc,
+                   count_order
+            FROM a
+        """.format(rev=_REV_E4, chg=_CHG_E6),
         "q3_shipping_priority": """
             SELECT o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                    o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   ((CAST(sum({rev}) AS BIGINT) + 50) // 100) / 100.0
+                       AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -629,10 +656,11 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-03-15'
             GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
             ORDER BY revenue DESC, o_orderkey LIMIT 10
-        """,
+        """.format(rev=_REV_E4),
         "q5_local_supplier": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   ((CAST(sum({rev}) AS BIGINT) + 50) // 100) / 100.0
+                       AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -643,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
-        """,
+        """.format(rev=_REV_E4),
         "top_customers_per_nation": """
             WITH ranked AS (
                 SELECT c_nationkey, c_custkey, c_name, c_acctbal,
@@ -738,7 +766,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q7_volume_shipping": """
             SELECT supp_nation, cust_nation, l_year,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   ((CAST(sum({rev}) AS BIGINT) + 50) // 100) / 100.0
+                       AS revenue
             FROM (
                 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                        CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -753,10 +782,11 @@ def oracle_sql() -> dict[str, str]:
                    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
             )
             GROUP BY supp_nation, cust_nation, l_year
-        """,
+        """.format(rev=_REV_E4),
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   ((CAST(sum({rev}) AS BIGINT) + 50) // 100) / 100.0
+                       AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -766,34 +796,48 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-07-01'
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
-        """,
+        """.format(rev=_REV_E4),
         "q18_large_orders": """
             WITH big AS (
-                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) AS qty_c
                 FROM lineitem GROUP BY l_orderkey
-                HAVING round(sum(l_quantity), 2) > 60
+                HAVING CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) > 6000
             )
             SELECT c_custkey, c_name, o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                   round(o_totalprice, 2) AS o_totalprice, total_qty
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) / 100.0
+                       AS o_totalprice,
+                   qty_c / 100.0 AS total_qty
             FROM big
             JOIN orders ON big.l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
         """,
         "promo_revenue_ratio": """
-            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-                   round(
-                       sum(CASE WHEN p_type = 'PROMO'
-                                THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0.0 END) * 100.0
-                       / sum(l_extendedprice * (1 - l_discount)),
-                   4) AS promo_pct
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-            GROUP BY 1
-        """,
+            WITH a AS (
+                SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                       CAST(sum(CASE WHEN p_type = 'PROMO'
+                                     THEN {rev} ELSE 0 END)
+                            AS BIGINT) AS pn_e4,
+                       CAST(sum({rev}) AS BIGINT) AS pd_e4
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1
+            ),
+            c AS (
+                SELECT ship_month, (pn_e4 + 50) // 100 AS pn_c,
+                       (pd_e4 + 50) // 100 AS pd_c
+                FROM a
+            )
+            SELECT ship_month,
+                   ((2 * pn_c * 1000000 + pd_c) // (2 * pd_c)) / 1e4
+                       AS promo_pct
+            FROM c
+        """.format(rev=_REV_E4),
         "events_user_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                    count(DISTINCT user_id) AS n_users,
@@ -1773,13 +1817,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-                   count(*) AS n_items
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-              AND l_discount >= 0.05 AND l_discount <= 0.07
-              AND l_quantity < 24
+            WITH a AS (
+                SELECT CAST(sum(
+                           CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           * CAST(round(l_discount * 100, 0) AS BIGINT))
+                       AS BIGINT) AS rev_e4,
+                       count(*) AS n_items
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_discount >= 0.05 AND l_discount <= 0.07
+                  AND l_quantity < 24
+            )
+            SELECT ((rev_e4 + 50) // 100) / 100.0 AS revenue, n_items
+            FROM a
         """,
         "q8_market_share": """
             WITH cust_r AS (
@@ -1792,18 +1843,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s_suppkey, n_name AS supp_nation FROM supplier
                 JOIN nation ON s_nationkey = n_nationkey
             )
-            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(sum(CASE WHEN supp_nation = 'NATION_9'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END)
-                         / sum(l_extendedprice * (1 - l_discount)), 4)
+            , a AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(sum(CASE WHEN supp_nation = 'NATION_9'
+                                     THEN {rev} ELSE 0 END)
+                            AS BIGINT) AS nn_e4,
+                       CAST(sum({rev}) AS BIGINT) AS dd_e4
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN cust_r ON o_custkey = c_custkey
+                JOIN sup_n ON l_suppkey = s_suppkey
+                GROUP BY 1
+            ),
+            c AS (
+                SELECT o_year, (nn_e4 + 50) // 100 AS nn_c,
+                       (dd_e4 + 50) // 100 AS dd_c
+                FROM a
+            )
+            SELECT o_year,
+                   ((2 * nn_c * 10000 + dd_c) // (2 * dd_c)) / 1e4
                        AS mkt_share
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN cust_r ON o_custkey = c_custkey
-            JOIN sup_n ON l_suppkey = s_suppkey
-            GROUP BY 1
-        """,
+            FROM c
+        """.format(rev=_REV_E4),
         "q13_customer_distribution": """
             WITH per_cust AS (
                 SELECT c_custkey, count(o_orderkey) AS c_count
@@ -1816,54 +1877,71 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": """
             WITH rev AS (
                 SELECT l_suppkey,
-                       round(sum(l_extendedprice * (1 - l_discount)), 2)
-                           AS total_revenue
+                       (CAST(sum({rev}) AS BIGINT) + 50) // 100 AS rev_c
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                   AND l_shipdate < TIMESTAMP '1996-04-01'
                 GROUP BY l_suppkey
             )
-            SELECT s_suppkey, s_name, total_revenue
+            SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
-            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
-        """,
+            WHERE rev_c = (SELECT max(rev_c) FROM rev)
+        """.format(rev=_REV_E4),
         "q17_small_quantity_revenue": """
             WITH thr AS (
                 SELECT l_partkey AS t_partkey,
-                       avg(l_quantity) * 0.2 AS qty_thr
+                       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) AS sum_qc,
+                       count(*) AS cnt
                 FROM lineitem GROUP BY l_partkey
+            ),
+            a AS (
+                SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS ep_c,
+                       count(*) AS n_items
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN thr ON l_partkey = t_partkey
+                WHERE p_brand = 'Brand#3'
+                  AND 5 * cnt * CAST(round(l_quantity * 100, 0) AS BIGINT)
+                      < sum_qc
             )
-            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
-                   count(*) AS n_items
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey
-            JOIN thr ON l_partkey = t_partkey
-            WHERE p_brand = 'Brand#3' AND l_quantity < qty_thr
+            SELECT ((2 * ep_c + 7) // 14) / 100.0 AS avg_yearly, n_items
+            FROM a
         """,
         "q19_disjunctive_revenue": """
-            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue,
-                   count(*) AS n_items
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-                   AND l_quantity BETWEEN 1 AND 30)
-               OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
-                   AND l_quantity BETWEEN 10 AND 40)
-               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
-                   AND l_quantity BETWEEN 20 AND 50)
-        """,
+            WITH a AS (
+                SELECT CAST(sum({rev}) AS BIGINT) AS rev_e4,
+                       count(*) AS n_items
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                       AND l_quantity BETWEEN 1 AND 30)
+                   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                       AND l_quantity BETWEEN 10 AND 40)
+                   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                       AND l_quantity BETWEEN 20 AND 50)
+            )
+            SELECT ((rev_e4 + 50) // 100) / 100.0 AS revenue, n_items
+            FROM a
+        """.format(rev=_REV_E4),
         "q22_wealthy_inactive": """
             WITH a AS (
-                SELECT avg(c_acctbal) AS avg_bal FROM customer
-                WHERE c_acctbal > 0.0
+                SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                            AS BIGINT) AS sum_c,
+                       count(*) AS n
+                FROM customer WHERE c_acctbal > 0.0
+            ),
+            sel AS (
+                SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+                FROM customer, a
+                WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n > sum_c
+                  AND NOT EXISTS (
+                      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  )
             )
             SELECT count(*) AS n_cust,
-                   round(sum(c_acctbal), 2) AS total_bal
-            FROM customer, a
-            WHERE c_acctbal > avg_bal
-              AND NOT EXISTS (
-                  SELECT 1 FROM orders WHERE o_custkey = c_custkey
-              )
+                   CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_bal
+            FROM sel
         """,
         "events_value_rolling_1h": """
             SELECT event_id, user_id,

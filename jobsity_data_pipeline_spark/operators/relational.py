@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money as M
 from ..functions.hashing import record_key
 from ..pipeline.trips import week_of_month
 from ..session import read_table
@@ -129,29 +130,36 @@ def bbox_weekly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Part B: core analytical operators ---------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-filter + multi-aggregate groupBy."""
+    """TPC-H Q1 shape: scan-filter + multi-aggregate groupBy.
+
+    Money/quantity accumulate as exact integer units (functions.money)
+    and round via integer half-up division — order-independent and
+    engine-exact, unlike the former float sums."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(M.cents("l_quantity")).alias("qty_c"),
+            F.sum(M.cents("l_extendedprice")).alias("ep_c"),
+            F.sum(M.rev_e4()).alias("rev_e4"),
+            F.sum(M.charge_e6()).alias("chg_e6"),
+            F.sum(M.pct("l_discount")).alias("disc_p"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            (F.col("qty_c") / 100.0).alias("sum_qty"),
+            (F.col("ep_c") / 100.0).alias("sum_base_price"),
+            (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("sum_disc_price"),
+            (F.expr("(chg_e6 + 5000) div 10000") / 100.0).alias("sum_charge"),
+            (F.expr("(2 * qty_c * 100 + count_order) div (2 * count_order)")
+             / 1e4).alias("avg_qty"),
+            (F.expr("(2 * ep_c * 100 + count_order) div (2 * count_order)")
+             / 1e4).alias("avg_price"),
+            (F.expr("(2 * disc_p * 100 + count_order) div (2 * count_order)")
+             / 1e4).alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -169,11 +177,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(M.rev_e4()).alias("rev_e4"))
+        .withColumn("revenue", F.expr("(rev_e4 + 50) div 100") / 100.0)
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -207,10 +212,10 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(F.sum(M.rev_e4()).alias("rev_e4"))
+        .select(
+            "n_name",
+            (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("revenue"),
         )
     )
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money as M
 from ..functions import text as TX
 from ..session import ensure_parallelism, read_table
 
@@ -64,10 +65,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str,
         joined.groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(F.sum(M.rev_e4()).alias("rev_e4"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("revenue"),
         )
     )
 
@@ -86,10 +87,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(F.sum(M.rev_e4()).alias("rev_e4"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -104,8 +105,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .where(F.col("total_qty") > 60)
+        .agg(F.sum(M.cents("l_quantity")).alias("qty_c"))
+        # integer threshold: the former float compare (> 60 on a
+        # rounded double sum) sat exactly on a representability edge
+        .where(F.col("qty_c") > 6000)
+        .select("l_orderkey", (F.col("qty_c") / 100.0).alias("total_qty"))
     )
     return (
         big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
@@ -113,7 +117,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey", "c_name", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            (M.cents("o_totalprice") / 100.0).alias("o_totalprice"),
             "total_qty",
         )
     )
@@ -127,17 +131,25 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = M.rev_e4()
+    # exact longs end to end: promo/total revenue round to cents in
+    # integer space, then the pct rounds to 4 dp by half-up division
+    # (cents first keeps 2*pn*1e6 far from the long boundary)
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                * 100.0
-                / F.sum(rev),
-                4,
-            ).alias("promo_pct")
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).alias("pn_e4"),
+            F.sum(rev).alias("pd_e4"),
+        )
+        .withColumn("pn_c", F.expr("(pn_e4 + 50) div 100"))
+        .withColumn("pd_c", F.expr("(pd_e4 + 50) div 100"))
+        .select(
+            "ship_month",
+            (F.expr("(2 * pn_c * 1000000 + pd_c) div (2 * pd_c)") / 1e4)
+            .alias("promo_pct"),
         )
     )
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money as M
 from ..session import read_table
 
 
@@ -23,11 +24,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-_REV = None  # populated below; F must be imported first
-
-
 def _rev() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    """price*(1-disc) as exact 1e-4 dollar units (functions.money)."""
+    return M.rev_e4()
 
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,11 +40,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
-    return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
-        F.count("*").alias("n_items"),
+    return (
+        li.agg(
+            F.sum(M.cents("l_extendedprice") * M.pct("l_discount"))
+            .alias("rev_e4"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("revenue"),
+            "n_items",
+        )
     )
 
 
@@ -84,11 +88,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str, region: str = "ASIA",
     return (
         joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == nation, rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
-                4,
-            ).alias("mkt_share")
+            F.sum(
+                F.when(F.col("supp_nation") == nation, rev).otherwise(F.lit(0))
+            ).alias("nn_e4"),
+            F.sum(rev).alias("dd_e4"),
+        )
+        .withColumn("nn_c", F.expr("(nn_e4 + 50) div 100"))
+        .withColumn("dd_c", F.expr("(dd_e4 + 50) div 100"))
+        .select(
+            "o_year",
+            (F.expr("(2 * nn_c * 10000 + dd_c) div (2 * dd_c)") / 1e4)
+            .alias("mkt_share"),
         )
     )
 
@@ -115,15 +125,22 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(_rev()), 2).alias("total_revenue")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("rev_e4"))
+        .select("l_suppkey", F.expr("(rev_e4 + 50) div 100").alias("rev_c"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    mx = rev.agg(F.max("rev_c").alias("_mx"))
     sup = _t(spark, sf_dir, "supplier")
+    # the argmax equality joins on the exact integer cents, not a
+    # rounded double
     return (
-        rev.join(F.broadcast(mx), rev["total_revenue"] == F.col("_mx"))
+        rev.join(F.broadcast(mx), rev["rev_c"] == F.col("_mx"))
         .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("rev_c") / 100.0).alias("total_revenue"),
+        )
     )
 
 
@@ -135,16 +152,25 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str,
     aggregate joined back on partkey."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == brand)
+    # qty < 0.2*avg(qty) cross-multiplies to the exact integer
+    # comparison 5*cnt*qty_c < sum_qty_c (cnt > 0) — no float boundary
     thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_thr")
+        F.sum(M.cents("l_quantity")).alias("sum_qc"),
+        F.count("*").alias("cnt"),
     )
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(thr, li["l_partkey"] == F.col("t_partkey"))
-        .where(F.col("l_quantity") < F.col("qty_thr"))
+        .where(
+            5 * F.col("cnt") * M.cents("l_quantity") < F.col("sum_qc")
+        )
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.sum(M.cents("l_extendedprice")).alias("ep_c"),
             F.count("*").alias("n_items"),
+        )
+        .select(
+            (F.expr("(2 * ep_c + 7) div 14") / 100.0).alias("avg_yearly"),
+            "n_items",
         )
     )
 
@@ -176,8 +202,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .where(cond)
         .agg(
-            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.sum(_rev()).alias("rev_e4"),
             F.count("*").alias("n_items"),
+        )
+        .select(
+            (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("revenue"),
+            "n_items",
         )
     )
 
@@ -187,17 +217,23 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     and no orders — scalar aggregate subquery + left-anti join."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    # bal > avg(bal) cross-multiplies to bal_c * n > sum_c — exact
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("_avg")
+        F.sum(M.cents("c_acctbal")).alias("_sum_c"),
+        F.count("*").alias("_n"),
     )
     return (
         cust.join(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("_avg"))
+        .where(M.cents("c_acctbal") * F.col("_n") > F.col("_sum_c"))
         .join(orders.select("o_custkey"),
               cust["c_custkey"] == F.col("o_custkey"), "left_anti")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum(M.cents("c_acctbal")).alias("bal_c"),
+        )
+        .select(
+            "n_cust",
+            (F.col("bal_c") / 100.0).alias("total_bal"),
         )
     )
 
