@@ -375,6 +375,12 @@ _REV_E4 = (
 _CHG_E6 = (
     _REV_E4 + " * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))"
 )
+# per-row unit price (price/qty) half-up in 1e-6 dollar units
+_UC_E6 = (
+    "(2 * CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 1000000"
+    " + CAST(round(l_quantity * 100, 0) AS BIGINT))"
+    " // (2 * CAST(round(l_quantity * 100, 0) AS BIGINT))"
+)
 _TRIPS = (
     "SELECT 'region_' || CAST(user_id % 8 AS VARCHAR) AS region, "
     "event_type AS datasource, ts AS date_time, user_id, event_id, value "
@@ -682,14 +688,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer
             )
             SELECT n_name, CAST(rnk AS BIGINT) AS rnk, c_custkey,
-                   round(c_acctbal, 2) AS c_acctbal
+                   CAST(round(c_acctbal * 100, 0) AS BIGINT) / 100.0 AS c_acctbal
             FROM ranked JOIN nation ON c_nationkey = n_nationkey
             WHERE rnk <= 3
         """,
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
@@ -746,22 +752,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
             FROM events GROUP BY 1, 2
         """,
         "stream_events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
             FROM events GROUP BY 1, 2
         """,
         "events_running_total": """
             SELECT event_id, user_id,
-                   round(sum(value) OVER (
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 2) AS running_value
+                   ) AS BIGINT) / 100.0 AS running_value
             FROM events
         """,
         "q7_volume_shipping": """
@@ -985,7 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
@@ -993,7 +999,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment,
                    count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -1093,7 +1099,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_price_corr": """
             WITH qty AS (
-                SELECT l_orderkey, sum(l_quantity) AS qty
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) AS qty
                 FROM lineitem GROUP BY 1
             )
             SELECT round(corr(o_totalprice, qty), 3) AS price_qty_corr,
@@ -1528,7 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         "events_grouping_sets": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
             FROM events
             GROUP BY GROUPING SETS ((event_type),
                                     (strftime(ts, '%Y-%m-%d')), ())
@@ -1646,13 +1654,21 @@ def oracle_sql() -> dict[str, str]:
         "orders_yoy_growth": """
             WITH yearly AS (
                 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                       round(sum(o_totalprice), 2) AS revenue
+                       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
                 FROM orders GROUP BY 1
+            ),
+            g AS (
+                SELECT o_year, rev_c,
+                       lag(rev_c) OVER (ORDER BY o_year) AS prev_c,
+                       (rev_c - lag(rev_c) OVER (ORDER BY o_year)) * 10000
+                           AS gnum
+                FROM yearly
             )
-            SELECT o_year, revenue,
-                   round(revenue / lag(revenue) OVER (ORDER BY o_year)
-                         - 1.0, 4) AS yoy_growth
-            FROM yearly
+            SELECT o_year, rev_c / 100.0 AS revenue,
+                   (CASE WHEN gnum < 0 THEN -1 ELSE 1 END
+                    * ((2 * abs(gnum) + prev_c) // (2 * prev_c))) / 1e4
+                       AS yoy_growth
+            FROM g
         """,
         "events_anomaly_zscore": """
             WITH daily AS (
@@ -1945,10 +1961,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_value_rolling_1h": """
             SELECT event_id, user_id,
-                   round(sum(value) OVER (
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY epoch_us(ts)
                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
-                   ), 2) AS rolling_1h
+                   ) AS BIGINT) / 100.0 AS rolling_1h
             FROM events
         """,
         "events_session_window": """
@@ -1970,7 +1986,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(us) AS session_start_us,
                    max(us) + 1800000000 AS session_end_us,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
             FROM s GROUP BY user_id, sid
         """,
         "events_unpivot_metrics": """
@@ -2040,7 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_cost_supplier": """
             WITH ps AS (
                 SELECT l_partkey, l_suppkey,
-                       min(l_extendedprice / l_quantity) AS unit_cost
+                       CAST(min({uc}) AS BIGINT) AS uc_e6
                 FROM lineitem GROUP BY 1, 2
             ),
             pp AS (
@@ -2056,18 +2072,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             cand AS (
                 SELECT pp.p_partkey, sp.s_name, sp.s_acctbal, sp.n_name,
-                       ps.unit_cost,
-                       min(ps.unit_cost) OVER (PARTITION BY pp.p_partkey)
+                       ps.uc_e6,
+                       min(ps.uc_e6) OVER (PARTITION BY pp.p_partkey)
                            AS min_cost
                 FROM ps
                 JOIN pp ON ps.l_partkey = pp.p_partkey
                 JOIN sp ON ps.l_suppkey = sp.s_suppkey
             )
-            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-                   p_partkey, round(unit_cost, 4) AS supply_cost
-            FROM cand WHERE unit_cost = min_cost
-            ORDER BY round(s_acctbal, 2) DESC, s_name, p_partkey LIMIT 50
-        """,
+            SELECT CAST(round(s_acctbal * 100, 0) AS BIGINT) / 100.0
+                       AS s_acctbal,
+                   s_name, n_name, p_partkey,
+                   ((uc_e6 + 50) // 100) / 1e4 AS supply_cost
+            FROM cand WHERE uc_e6 = min_cost
+            ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 50
+        """.format(uc=_UC_E6),
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders o
@@ -2081,24 +2099,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q9_product_profit": """
-            SELECT n_name AS nation,
-                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                   round(sum(l_extendedprice * (1 - l_discount)
-                             - 0.6 * p_retailprice * l_quantity), 2)
+            WITH a AS (
+                SELECT n_name AS nation,
+                       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                       CAST(sum(5 * {rev}
+                                - 3 * CAST(round(p_retailprice * 100, 0)
+                                           AS BIGINT)
+                                    * CAST(round(l_quantity * 100, 0)
+                                           AS BIGINT))
+                            AS BIGINT) AS p5
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE p_name LIKE '%red%'
+                GROUP BY 1, 2
+            )
+            SELECT nation, o_year,
+                   (CASE WHEN p5 < 0 THEN -1 ELSE 1 END
+                    * ((2 * abs(p5) + 500) // 1000)) / 100.0
                        AS sum_profit
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN orders ON l_orderkey = o_orderkey
-            WHERE p_name LIKE '%red%'
-            GROUP BY 1, 2 ORDER BY nation, o_year DESC
-        """,
+            FROM a ORDER BY nation, o_year DESC
+        """.format(rev=_REV_E4),
         "q11_important_stock": """
             WITH ps AS (
                 SELECT l_partkey, l_suppkey,
-                       min(l_extendedprice / l_quantity) AS unit_cost,
-                       sum(l_quantity) AS total_qty
+                       CAST(min({uc}) AS BIGINT) AS uc_e6,
+                       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) AS qty_c
                 FROM lineitem GROUP BY 1, 2
             ),
             ns AS (
@@ -2108,16 +2137,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             val AS (
                 SELECT l_partkey,
-                       sum(unit_cost * total_qty) AS value
+                       CAST(sum(uc_e6 * qty_c) AS BIGINT) AS v8
                 FROM ps WHERE l_suppkey IN (SELECT s_suppkey FROM ns)
                 GROUP BY 1
             ),
-            tot AS (SELECT avg(value) AS mean_value FROM val)
-            SELECT l_partkey AS p_partkey, round(value, 2) AS value
+            tot AS (
+                SELECT CAST(sum(v8) AS BIGINT) AS tot8, count(*) AS n
+                FROM val
+            )
+            SELECT l_partkey AS p_partkey,
+                   ((2 * v8 + 1000000) // 2000000) / 100.0 AS value
             FROM val, tot
-            WHERE value > mean_value * 2.0
-            ORDER BY round(value, 2) DESC, p_partkey
-        """,
+            WHERE v8 * n > 2 * tot8
+            ORDER BY value DESC, p_partkey
+        """.format(uc=_UC_E6),
         "q12_ship_latency": """
             SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
                         THEN 'FAST' ELSE 'SLOW' END AS ship_class,
@@ -2157,17 +2190,21 @@ def oracle_sql() -> dict[str, str]:
                   )
             ),
             pair AS (
-                SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) AS pair_qc
                 FROM li GROUP BY 1, 2
             ),
             tot AS (
-                SELECT l_partkey, sum(l_quantity) AS part_qty
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) AS part_qc
                 FROM li GROUP BY 1
             ),
             dom AS (
                 SELECT DISTINCT pair.l_suppkey
                 FROM pair JOIN tot ON pair.l_partkey = tot.l_partkey
-                WHERE pair_qty > part_qty * 0.2
+                WHERE 5 * pair_qc > part_qc
             )
             SELECT s_name, n_name
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -2582,8 +2619,17 @@ def oracle_sql() -> dict[str, str]:
             ),
             daily AS (
                 SELECT event_type, CAST(ts AS DATE) AS d,
-                       count(*) AS cnt, round(avg(value), 6) AS avg_value
+                       count(*) AS cnt,
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS vc
                 FROM events GROUP BY 1, 2
+            ),
+            davg AS (
+                SELECT event_type, d, cnt,
+                       (CASE WHEN vc < 0 THEN -1 ELSE 1 END
+                        * ((2 * abs(vc) * 10000 + cnt) // (2 * cnt)))
+                           / 1e6 AS avg_value
+                FROM daily
             )
             SELECT s.event_type, s.d,
                    coalesce(cnt, 0) AS cnt,
@@ -2591,7 +2637,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY s.event_type ORDER BY s.d
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS avg_value_ff
-            FROM spine s LEFT JOIN daily USING (event_type, d)
+            FROM spine s LEFT JOIN davg USING (event_type, d)
             ORDER BY 1, 2
         """,
         "events_concurrency": """
@@ -2706,30 +2752,39 @@ def oracle_sql() -> dict[str, str]:
         """.format(toks=_TOKS),
         "customer_pareto": """
             WITH pc AS (
-                SELECT o_custkey, sum(o_totalprice) AS revenue
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
                 FROM orders GROUP BY 1
             ),
             d AS (
-                SELECT o_custkey, revenue,
+                SELECT o_custkey, rev_c,
                        ntile(10) OVER (
-                           ORDER BY revenue DESC, o_custkey
+                           ORDER BY rev_c DESC, o_custkey
                        ) AS decile
                 FROM pc
             ),
-            tot AS (SELECT sum(revenue) AS total_rev FROM pc),
+            tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM pc),
             pd AS (
                 SELECT decile, count(*) AS n_customers,
-                       sum(revenue) AS dec_rev
+                       CAST(sum(rev_c) AS BIGINT) AS dec_c
                 FROM d GROUP BY 1
+            ),
+            pc2 AS (
+                SELECT decile, n_customers, dec_c,
+                       CAST(sum(dec_c) OVER (
+                           ORDER BY decile
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS cum_c
+                FROM pd
             )
             SELECT decile, n_customers,
-                   round(dec_rev, 2) AS decile_revenue,
-                   round(dec_rev / total_rev, 6) AS rev_share,
-                   round(sum(dec_rev / total_rev) OVER (
-                       ORDER BY decile
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 6) AS cum_share
-            FROM pd, tot ORDER BY decile
+                   dec_c / 100.0 AS decile_revenue,
+                   ((2 * dec_c * 1000000 + tot_c) // (2 * tot_c)) / 1e6
+                       AS rev_share,
+                   ((2 * cum_c * 1000000 + tot_c) // (2 * tot_c)) / 1e6
+                       AS cum_share
+            FROM pc2, tot ORDER BY decile
         """,
         "parts_triangles": """
             WITH items AS (
@@ -3138,7 +3193,8 @@ def oracle_sql() -> dict[str, str]:
                        date_diff('day', max(o_orderdate),
                                  max(ref_date)) AS recency_days,
                        count(*) AS frequency,
-                       round(sum(o_totalprice), 2) AS monetary
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS mon_c
                 FROM orders, ref GROUP BY 1
             ),
             scored AS (
@@ -3148,14 +3204,14 @@ def oracle_sql() -> dict[str, str]:
                        ntile(5) OVER (
                            ORDER BY frequency DESC, o_custkey) AS f_score,
                        ntile(5) OVER (
-                           ORDER BY monetary DESC, o_custkey) AS m_score
+                           ORDER BY mon_c DESC, o_custkey) AS m_score
                 FROM per
             )
             SELECT CAST(r_score AS INT) AS r_score,
                    CAST(f_score AS INT) AS f_score,
                    CAST(m_score AS INT) AS m_score,
                    count(*) AS n_customers,
-                   round(sum(monetary), 2) AS segment_value
+                   CAST(sum(mon_c) AS BIGINT) / 100.0 AS segment_value
             FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "events_user_paths": """

@@ -234,7 +234,8 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
         .select(
-            "n_name", "rnk", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+            "n_name", "rnk", "c_custkey",
+            (M.cents("c_acctbal") / 100.0).alias("c_acctbal"),
         )
     )
 
@@ -244,7 +245,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        (F.sum(M.cents("o_totalprice")) / 100.0).alias("total_price"),
     )
 
 
@@ -323,13 +324,14 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(M.cents("value")) / 100.0).alias("total_value"),
         )
     )
 
 
 def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative window aggregate per user ordered by time."""
+    """Cumulative window aggregate per user ordered by time; the
+    running sum accumulates exact cents (engine- and order-exact)."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
@@ -341,5 +343,5 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        (F.sum(M.cents("value")).over(w) / 100.0).alias("running_value"),
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import docs_minhash_pairs
+from ..functions import money as M
 from ..functions import text as TX
 from ..session import ensure_parallelism, read_table
 
@@ -176,7 +177,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        (F.sum(M.cents("o_totalprice")) / 100.0).alias("total_price"),
     )
 
 
@@ -192,7 +193,7 @@ def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(M.cents("value")) / 100.0).alias("total_value"),
         )
     )
 

@@ -133,7 +133,11 @@ def orders_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity sum — two partial-agg passes + one scalar."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    qty = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    # exact integer qty input (corr is scale-invariant; identical
+    # inputs in both engines leave only corr's own accumulation)
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty")
+    )
     joined = orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"])
     return joined.agg(
         F.round(F.corr("o_totalprice", "qty"), 3).alias("price_qty_corr"),

@@ -255,7 +255,7 @@ def events_value_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
+        (F.sum(M.cents("value")).over(w) / 100.0).alias("rolling_1h"),
     )
 
 
@@ -271,7 +271,7 @@ def events_session_window(spark: SparkSession, sf_dir: str,
         ev.groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(M.cents("value")) / 100.0).alias("total_value"),
         )
         .select(
             "user_id",
@@ -335,13 +335,20 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     yearly = orders.groupBy(
         F.year("o_orderdate").cast("long").alias("o_year")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(F.sum(M.cents("o_totalprice")).alias("rev_c"))
     w = Window.orderBy("o_year")
-    prev = F.lag("revenue").over(w)
-    return yearly.select(
+    # growth rounds half-away in integer space over the exact cents
+    g = (
+        yearly.withColumn("prev_c", F.lag("rev_c").over(w))
+        .withColumn("gnum", (F.col("rev_c") - F.col("prev_c")) * 10000)
+    )
+    sgn = F.when(F.col("gnum") < 0, F.lit(-1)).otherwise(F.lit(1))
+    return g.select(
         "o_year",
-        "revenue",
-        F.round(F.col("revenue") / prev - 1.0, 4).alias("yoy_growth"),
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        (
+            sgn * F.expr("(2 * abs(gnum) + prev_c) div (2 * prev_c)") / 1e4
+        ).alias("yoy_growth"),
     )
 
 
@@ -375,7 +382,8 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               sum(CAST(round(value * 100, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS total_value
         FROM events_gs_src
         GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')), ())
         """

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import money as M
 from ..session import read_table
 
 
@@ -36,18 +37,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _rev() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    """price*(1-disc) as exact 1e-4 dollar units (functions.money)."""
+    return M.rev_e4()
+
+
+# per-row unit price (price/qty) half-up-rounded to 1e-6 dollar units
+# IN INTEGER SPACE — a float ratio + round() can land on a half-ulp
+_UC_E6 = (
+    "(2 * CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 1000000"
+    " + CAST(round(l_quantity * 100, 0) AS BIGINT))"
+    " div (2 * CAST(round(l_quantity * 100, 0) AS BIGINT))"
+)
 
 
 def _part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived partsupp analog: one row per (part, supplier) observed in
-    lineitem, with the min unit price as supply cost and total shipped
-    quantity as volume. One hash-aggregate shuffle on the pair key;
-    partial-agg (min/sum) combines map-side."""
+    lineitem, with the min unit price as supply cost (exact long of
+    1e-6 dollar units) and total shipped quantity in exact cents. One
+    hash-aggregate shuffle on the pair key; partial-agg (min/sum)
+    combines map-side."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
-        F.sum("l_quantity").alias("total_qty"),
+        F.min(F.expr(_UC_E6)).alias("uc_e6"),
+        F.sum(M.cents("l_quantity")).alias("qty_c"),
     )
 
 
@@ -83,14 +95,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str,
     )
     w = Window.partitionBy("p_partkey")
     return (
-        cand.withColumn("min_cost", F.min("unit_cost").over(w))
-        .where(F.col("unit_cost") == F.col("min_cost"))
+        cand.withColumn("min_cost", F.min("uc_e6").over(w))
+        .where(F.col("uc_e6") == F.col("min_cost"))
         .select(
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+            (M.cents("s_acctbal") / 100.0).alias("s_acctbal"),
             "s_name",
             "n_name",
             "p_partkey",
-            F.round("unit_cost", 4).alias("supply_cost"),
+            (F.expr("(uc_e6 + 50) div 100") / 1e4).alias("supply_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
         .limit(50)
@@ -141,15 +153,26 @@ def q9_product_profit(spark: SparkSession, sf_dir: str,
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        # profit*5 in exact 1e-4 units: 5*rev_e4 - 3*(retail_c*qty_c)
+        # (0.6 = 3/5; retail_c*qty_c is already e4 units)
         .withColumn(
-            "profit",
-            _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity"),
+            "profit_5e4",
+            5 * _rev()
+            - 3 * M.cents("p_retailprice") * M.cents("l_quantity"),
         )
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum("profit"), 2).alias("sum_profit"))
+        .agg(F.sum("profit_5e4").alias("p5"))
+        # half-away to cents: |p5| / 500, sign restored
+        .select(
+            "nation", "o_year",
+            (
+                F.when(F.col("p5") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr("(2 * abs(p5) + 500) div 1000") / 100.0
+            ).alias("sum_profit"),
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -170,18 +193,27 @@ def q11_important_stock(spark: SparkSession, sf_dir: str,
         F.col("s_nationkey") == F.col("n_nationkey"),
         "left_semi",
     )
+    # stock value in exact 1e-8 dollar units (uc_e6 * qty_c); the
+    # mean-multiple threshold cross-multiplies to integers
     val = (
         ps.join(F.broadcast(supp.select("s_suppkey")),
                 ps["l_suppkey"] == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("unit_cost") * F.col("total_qty")).alias("value"))
+        .agg(F.sum(F.col("uc_e6") * F.col("qty_c")).alias("v8"))
     )
-    total = val.agg(F.avg("value").alias("mean_value"))
+    total = val.agg(
+        F.sum("v8").alias("_tot8"), F.count("*").alias("_n")
+    )
+    m2 = int(mult)
+    assert float(m2) == mult, "mult must be integral for the exact form"
     return (
         val.crossJoin(F.broadcast(total))
-        .where(F.col("value") > F.col("mean_value") * mult)
-        .select(F.col("l_partkey").alias("p_partkey"),
-                F.round("value", 2).alias("value"))
+        .where(F.col("v8") * F.col("_n") > m2 * F.col("_tot8"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.expr("(2 * v8 + 1000000) div 2000000") / 100.0)
+            .alias("value"),
+        )
         .orderBy(F.desc("value"), "p_partkey")
     )
 
@@ -253,12 +285,17 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str,
     ).join(F.broadcast(part.select("p_partkey")),
            F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     pair = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("pair_qty")
+        F.sum(M.cents("l_quantity")).alias("pair_qc")
     )
-    tot = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
+    tot = li.groupBy("l_partkey").agg(
+        F.sum(M.cents("l_quantity")).alias("part_qc")
+    )
+    # share=0.2 cross-multiplies to the exact 5*pair > part comparison
+    inv = int(round(1 / share))
+    assert abs(inv * share - 1.0) < 1e-12, "share must be 1/int"
     dom = (
         pair.join(tot, "l_partkey")
-        .where(F.col("pair_qty") > F.col("part_qty") * share)
+        .where(inv * F.col("pair_qc") > F.col("part_qc"))
         .select("l_suppkey")
         .distinct()
     )

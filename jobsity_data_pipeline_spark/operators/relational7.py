@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import money as M
 from ..session import read_table
 
 
@@ -47,11 +48,19 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     last(ignorenulls) over (type, day) — one window shuffle.
     """
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("event_type"), F.to_date("ts").alias("d")
-    ).agg(
-        F.count("*").alias("cnt"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+    # daily avg rounds half-away in integer space over exact cents
+    daily = (
+        ev.groupBy(F.col("event_type"), F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(M.cents("value")).alias("vc"),
+        )
+        .withColumn(
+            "avg_value",
+            F.when(F.col("vc") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr("(2 * abs(vc) * 10000 + cnt) div (2 * cnt)") / 1e6,
+        )
+        .drop("vc")
     )
     span = ev.agg(
         F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
@@ -360,33 +369,38 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("revenue")
+        F.sum(M.cents("o_totalprice")).alias("rev_c")
     )
     dec = distributed_ntile(
-        per_cust, 10, "revenue", ["o_custkey"],
+        per_cust, 10, "rev_c", ["o_custkey"],
         descending=True, out_col="decile",
     )
-    tot = per_cust.agg(F.sum("revenue").alias("total_rev"))
+    tot = per_cust.agg(F.sum("rev_c").alias("tot_c"))
     per_dec = (
         dec.groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum("revenue").alias("dec_rev"),
+            F.sum("rev_c").alias("dec_c"),
         )
         .crossJoin(F.broadcast(tot))
     )
     w_cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return per_dec.select(
-        "decile",
-        "n_customers",
-        F.round("dec_rev", 2).alias("decile_revenue"),
-        F.round(F.col("dec_rev") / F.col("total_rev"), 6).alias("rev_share"),
-        F.round(
-            F.sum(F.col("dec_rev") / F.col("total_rev")).over(w_cum), 6
-        ).alias("cum_share"),
-    ).orderBy("decile")
+    # shares round half-up in integer space (revenue is non-negative)
+    return (
+        per_dec.withColumn("cum_c", F.sum("dec_c").over(w_cum))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("dec_c") / 100.0).alias("decile_revenue"),
+            (F.expr("(2 * dec_c * 1000000 + tot_c) div (2 * tot_c)") / 1e6)
+            .alias("rev_share"),
+            (F.expr("(2 * cum_c * 1000000 + tot_c) div (2 * tot_c)") / 1e6)
+            .alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
 
 
 def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:

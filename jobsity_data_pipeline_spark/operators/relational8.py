@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money as M
 from ..functions import text as TX
 from ..session import ensure_parallelism, read_table
 from .dedup import MAX_SHINGLE_DOC_FREQ
@@ -282,7 +283,7 @@ def orders_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recency_days"
             ),
             F.count("*").alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            F.sum(M.cents("o_totalprice")).alias("mon_c"),
         )
     )
     # The three quintile scores are independent functions of the same
@@ -302,7 +303,7 @@ def orders_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey", "f_score")
     scored = (
         distributed_ntile(
-            per, 5, "monetary", ["o_custkey"],
+            per, 5, "mon_c", ["o_custkey"],
             descending=True, out_col="m_score",
         )
         .join(r, "o_custkey")
@@ -312,7 +313,7 @@ def orders_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("monetary"), 2).alias("segment_value"),
+            (F.sum("mon_c") / 100.0).alias("segment_value"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money as M
 from ..functions.hashing import record_key
 from ..pipeline.trips import TRIPS_SCHEMA
 
@@ -172,7 +173,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         src.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             (F.sum(M.cents("value")) / 100.0).alias("total_value"))
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",

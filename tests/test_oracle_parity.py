@@ -103,3 +103,31 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_no_oracle_sums_raw_money_floats():
+    """Round-5 permanent gate (the round-4 supplier_scorecard escape
+    class): no oracle may SUM/AVG a raw 2-dp money/value double — the
+    float accumulation re-rolls a half-ulp round() landing on every
+    testdata regeneration. Money accumulates as exact integer units
+    (functions/money.py) with integer half-up rounding, in Spark and
+    oracle lockstep. corr() internals are exempt (scale-invariant,
+    3-dp rounded, fed exact integer inputs)."""
+    import re
+
+    raw_agg = re.compile(
+        r"(sum|avg)\s*\(\s*(l_extendedprice|l_quantity|o_totalprice|"
+        r"c_acctbal|s_acctbal|ps_supplycost|p_retailprice|value)\b",
+        re.I,
+    )
+    float_rev = re.compile(r"l_extendedprice\s*\*\s*\(\s*1", re.I)
+    bad = {
+        name: (
+            [m.group(0) for m in raw_agg.finditer(sql)]
+            + (["price*(1-disc) float product"] if float_rev.search(sql)
+               else [])
+        )
+        for name, sql in sorted(ORACLES.items())
+    }
+    bad = {k: v for k, v in bad.items() if v}
+    assert not bad, f"oracles accumulating raw money floats: {bad}"
