@@ -2843,28 +2843,38 @@ def oracle_sql() -> dict[str, str]:
             WITH pk AS (
                 SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
             ),
-            r AS (
-                SELECT cnt,
-                       row_number() OVER (ORDER BY cnt, user_id) AS i,
-                       row_number() OVER (
-                           ORDER BY cnt DESC, user_id
-                       ) AS top_i,
-                       count(*) OVER () AS n
+            hist AS (SELECT cnt, count(*) AS m FROM pk GROUP BY 1),
+            h2 AS (
+                SELECT cnt, m,
+                       CAST(coalesce(sum(m) OVER (ORDER BY cnt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS s
+                FROM hist
+            ),
+            tot AS (
+                SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+                       quantile_cont(cnt, 0.5) AS median_cnt,
+                       CAST(sum(cnt) AS BIGINT) AS total_cnt
                 FROM pk
+            ),
+            t10 AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS top10_cnt FROM (
+                    SELECT cnt FROM pk
+                    ORDER BY cnt DESC, user_id LIMIT 10
+                )
+            ),
+            g AS (
+                SELECT CAST(sum(cnt * m * (2 * s + m - n_keys))
+                            AS BIGINT) AS gnum
+                FROM h2, tot
             )
-            SELECT count(*) AS n_keys,
-                   max(cnt) AS max_cnt,
-                   quantile_cont(cnt, 0.5) AS median_cnt,
-                   round(max(cnt) / quantile_cont(cnt, 0.5), 6)
-                       AS skew_ratio,
-                   round(
-                       CAST(sum(CASE WHEN top_i <= 10 THEN cnt
-                                     ELSE 0 END) AS DOUBLE)
-                       / sum(cnt), 6) AS top10_share,
-                   round(
-                       CAST(sum((2 * i - n - 1) * cnt) AS DOUBLE)
-                       / (max(n) * sum(cnt)), 6) AS gini
-            FROM r
+            SELECT n_keys, max_cnt, median_cnt,
+                   round(max_cnt / median_cnt, 6) AS skew_ratio,
+                   ((2 * top10_cnt * 1000000 + total_cnt)
+                       // (2 * total_cnt)) / 1e6 AS top10_share,
+                   ((2 * gnum * 1000000 + n_keys * total_cnt)
+                       // (2 * n_keys * total_cnt)) / 1e6 AS gini
+            FROM tot, t10, g
         """,
         "docs_bloom_probe": """
             WITH train AS (

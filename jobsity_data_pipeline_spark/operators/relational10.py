@@ -120,23 +120,65 @@ def capped_vocab(vocab: DataFrame, top_v: int,
     (freq desc, tok) keep their token; the tail collapses into one
     ``<unk>`` row whose counts are the tail sums, so every count total
     is preserved and downstream smoothed probabilities still sum to 1
-    over the capped vocab. Selection is a distributed top-k (rank
-    window over the freq key after a freq-band prefilter would be the
-    100 TB form; at bench scale the direct window on the aggregated
-    vocab — already tiny relative to the corpus — is the right plan).
+    over the capped vocab.
+
+    Selection is the 100 TB form this docstring used to only promise:
+    a freq-band prefilter, never a global rank over the raw
+    vocabulary. The frequency HISTOGRAM (one row per distinct freq,
+    << vocab) finds the boundary frequency f* where the cumulative
+    head crosses top_v; every token above f* keeps unconditionally
+    (a broadcast-scalar filter), and only the f* band — of which at
+    most top_v tokens can qualify — goes through a distributed
+    TakeOrdered(top_v) by token, with the final slot cut ranked on
+    that <= top_v-row frame. The one ordered window runs over the
+    histogram, bounded by distinct freq values.
 
     Deterministic: ties on freq break on the token string, so the same
     corpus always caps to the same vocab on any engine.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(freq_col).desc(), F.col("tok"))
-    ranked = vocab.withColumn("_rk", F.row_number().over(w))
-    head = ranked.where(F.col("_rk") <= top_v).drop("_rk")
     agg_cols = [c for c in vocab.columns if c != "tok"]
+    hist = vocab.groupBy(freq_col).agg(F.count("*").alias("_m"))
+    w_h = (
+        Window.orderBy(F.col(freq_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist2 = hist.withColumn(
+        "_above", F.coalesce(F.sum("_m").over(w_h), F.lit(0))
+    )
+    # boundary band: the lowest frequency whose head-so-far still has
+    # room; slots = how many of its tokens fit
+    b = (
+        hist2.where(F.col("_above") < top_v)
+        .orderBy(F.col(freq_col).asc())
+        .limit(1)
+        .select(
+            F.col(freq_col).alias("_f_star"),
+            (F.lit(top_v) - F.col("_above")).alias("_slots"),
+        )
+    )
+    vb = vocab.crossJoin(F.broadcast(b))
+    head_hi = vb.where(F.col(freq_col) > F.col("_f_star")).drop(
+        "_f_star", "_slots"
+    )
+    band = vb.where(F.col(freq_col) == F.col("_f_star"))
+    band_top = band.orderBy("tok").limit(top_v)
+    w_b = Window.orderBy("tok")
+    band_keep = (
+        band_top.withColumn("_rk", F.row_number().over(w_b))
+        .where(F.col("_rk") <= F.col("_slots"))
+        .drop("_rk", "_f_star", "_slots")
+    )
+    head = head_hi.unionByName(band_keep)
+    tail_rows = vb.where(F.col(freq_col) < F.col("_f_star")).drop(
+        "_f_star", "_slots"
+    ).unionByName(
+        band.drop("_f_star", "_slots")
+        .join(band_keep.select("tok"), "tok", "left_anti")
+    )
     tail = (
-        ranked.where(F.col("_rk") > top_v)
-        .agg(*[F.sum(c).alias(c) for c in agg_cols])
+        tail_rows.agg(*[F.sum(c).alias(c) for c in agg_cols])
         .select(F.lit("<unk>").alias("tok"), *agg_cols)
         .where(F.coalesce(F.col(agg_cols[0]), F.lit(0)) > 0)
     )

@@ -413,36 +413,61 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reports: key count, max/median count, their ratio (the classic
     straggler predictor), the share held by the 10 hottest keys, and
     the Gini coefficient of the count distribution (0 = uniform,
-    -> 1 = one key owns everything). Gini is tie-invariant: the
-    Σ(2i - n - 1)·c_i weights sum identically within a tied count
-    group however row_number breaks the tie.
+    -> 1 = one key owns everything).
+
+    No global rank over the key frame (billions of keys at 100 TB —
+    the exact shape this diagnostic exists to flag): Gini's
+    Σ(2i - n - 1)·c_i is tie-invariant, so a tied count block at
+    cumulative offset s contributes c·m·(2s + m - n) — computed on
+    the COUNT HISTOGRAM (one row per distinct per-key count, << keys),
+    whose one ordered window is bounded by the count-value range. The
+    top-10 is a distributed TakeOrderedAndProject, the median a
+    value-bucketed percentile aggregate, and both shares round
+    half-up in integer space over exact longs.
     """
     ev = _t(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    w_rank = Window.orderBy("cnt", "user_id")
-    w_top = Window.orderBy(F.desc("cnt"), "user_id")
-    ranked = per_key.select(
-        "cnt",
-        F.row_number().over(w_rank).alias("i"),
-        F.row_number().over(w_top).alias("top_i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    hist = per_key.groupBy("cnt").agg(F.count("*").alias("m"))
+    w_h = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    hist2 = hist.withColumn(
+        "s", F.coalesce(F.sum("m").over(w_h), F.lit(0))
     )
-    return ranked.agg(
+    tot = per_key.agg(
         F.count("*").alias("n_keys"),
         F.max("cnt").alias("max_cnt"),
         F.expr("percentile(cnt, 0.5)").alias("median_cnt"),
-        F.round(
-            F.max("cnt") / F.expr("percentile(cnt, 0.5)"), 6
-        ).alias("skew_ratio"),
-        F.round(
-            F.sum(F.when(F.col("top_i") <= 10, F.col("cnt")).otherwise(0))
-            / F.sum("cnt"),
-            6,
+        F.sum("cnt").alias("total_cnt"),
+    )
+    top10 = (
+        per_key.orderBy(F.desc("cnt"), "user_id").limit(10)
+        .agg(F.sum("cnt").alias("top10_cnt"))
+    )
+    g = hist2.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("cnt") * F.col("m")
+            * (2 * F.col("s") + F.col("m") - F.col("n_keys"))
+        ).alias("gnum"),
+        F.first("n_keys").alias("n_keys"),
+        F.first("max_cnt").alias("max_cnt"),
+        F.first("median_cnt").alias("median_cnt"),
+        F.first("total_cnt").alias("total_cnt"),
+    )
+    return g.crossJoin(F.broadcast(top10)).select(
+        "n_keys", "max_cnt", "median_cnt",
+        F.round(F.col("max_cnt") / F.col("median_cnt"), 6).alias(
+            "skew_ratio"
+        ),
+        (
+            F.expr(
+                "(2 * top10_cnt * 1000000 + total_cnt)"
+                " div (2 * total_cnt)"
+            ) / 1e6
         ).alias("top10_share"),
-        F.round(
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cnt"))
-            / (F.max("n") * F.sum("cnt")),
-            6,
+        (
+            F.expr(
+                "(2 * gnum * 1000000 + n_keys * total_cnt)"
+                " div (2 * n_keys * total_cnt)"
+            ) / 1e6
         ).alias("gini"),
     )
 

@@ -464,3 +464,40 @@ def test_no_fact_sized_frame_in_type_only_window(spark):
     )
     wins = [n for n in walk(kmv_plan) if n.nodeName() == "Window"]
     assert not wins, "events_kmv_distinct must be window-free"
+
+
+def test_key_skew_and_capped_vocab_rank_distributed(spark):
+    """Round-5 gate for the two former global-rank sites: the skew
+    diagnostic computes Gini on the count histogram (no per-key
+    row_number; top-10 via distributed TakeOrdered) and capped_vocab
+    selects through a freq-band prefilter (windows only over the
+    histogram aggregate or the <= top_v-row boundary limit)."""
+    from jobsity_data_pipeline_spark.functions import text as TX
+    from jobsity_data_pipeline_spark.operators import relational7 as R7
+    from jobsity_data_pipeline_spark.operators import relational10 as R10
+    from jobsity_data_pipeline_spark.session import read_table
+
+    plan = _plan(R7.events_key_skew(spark, SF_SMOKE))
+    assert "row_number" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    toks = d.select(F.explode(TX.tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("r_freq"))
+    capped = R10.capped_vocab(vocab, 10)
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    lp = capped._jdf.queryExecution().optimizedPlan()
+    for n in walk(lp):
+        if n.nodeName() == "Window":
+            kid = n.children().apply(0)
+            assert any(
+                c.nodeName() in ("Aggregate", "GlobalLimit")
+                for c in walk(kid)
+            ), "capped_vocab Window over an unbounded frame"
+    assert "TakeOrderedAndProject" in _plan(capped)
