@@ -54,9 +54,11 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are all sub-second at the gate scale factor).
         "emb_near_dup": S.emb_near_dup,
         "emb_cosine_topk": S.emb_cosine_topk,
-        "emb_lsh_ann": S.emb_lsh_ann,  # rows-only (no SQL oracle): approximate op
-        "emb_ivf_ann": S.emb_ivf_ann,  # rows-only (no SQL oracle): approximate op
-        "emb_ann_recall": S.emb_ann_recall,  # rows-only: recall@k of both ANN paths vs the oracle-checked exact baseline
+        # oracle-checked since r4: engine-exact LSH/IVF/PQ construction
+        # replays bit-for-bit in SQL (hash-green driver rows)
+        "emb_lsh_ann": S.emb_lsh_ann,
+        "emb_ivf_ann": S.emb_ivf_ann,
+        "emb_ann_recall": S.emb_ann_recall,
         "docs_ngram_jaccard": D.docs_ngram_jaccard,
         "docs_minhash_bands": D.docs_minhash_bands,
         "docs_minhash_pairs": D.docs_minhash_pairs,
@@ -242,16 +244,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so this is purely a priority permutation.
     """
     q = _queries_declared()
-    out = {k: q[k] for k in _ROUND4_PRIORITY if k in q}
+    out = {k: q[k] for k in _ROUND5_PRIORITY if k in q}
     # any key in NO list (a new query not yet registered anywhere)
     # runs right after the explicit priorities — a budget-truncated
     # sweep must reach never-verified surface before re-verifying
     # greens, even when the priority tuple wasn't updated
     known = (
-        set(_ROUND4_PRIORITY) | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3
+        set(_ROUND5_PRIORITY)
+        | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
     )
     out.update({k: v for k, v in q.items() if k not in known})
-    for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3):
+    for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4):
         out.update(
             {k: v for k, v in q.items()
              if k in tier and k not in out and k not in _later_tiers(tier)}
@@ -264,30 +267,36 @@ def _later_tiers(tier: frozenset) -> frozenset:
     """Keys re-sampled in a LATER round than ``tier`` — their freshest
     row supersedes the older one, so they sort with the later tier."""
     if tier is _SAMPLED_R1:
-        return _SAMPLED_R2 | _SAMPLED_R3
+        return _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
     if tier is _SAMPLED_R2:
-        return _SAMPLED_R3
+        return _SAMPLED_R3 | _SAMPLED_R4
+    if tier is _SAMPLED_R3:
+        return _SAMPLED_R4
     return frozenset()
 
 
-# Queries fixed or changed in round 4 (driver-red fixes
-# events_concurrency + orders_cohort_ltv; emb_pq_trained_ann and
-# emb_ivfpq_ann were promoted from rows-only to oracle-checked via
-# engine-exact PQ training), plus emb_kmeans_fit — the only key with
-# no driver row of any kind across rounds 1-3. Front of the sweep.
-_ROUND4_PRIORITY: tuple[str, ...] = (
-    "events_concurrency", "orders_cohort_ltv", "emb_kmeans_fit",
-    "emb_pq_trained_ann", "emb_ivfpq_ann", "emb_semdedup",
-    # round-4 debuts
-    "docs_gopher_rules", "docs_dsir_weights", "emb_matryoshka_recall",
-    "docs_prefix_clusters", "media_dedup", "events_watermark_lateness",
-    # promoted from rows-only to oracle-checked in round 4: their old
-    # driver rows were weaker no_oracle checks — re-earn as hash rows
-    "emb_lsh_ann", "emb_ivf_ann", "emb_ann_recall",
-    "emb_ivfpq_residual_ann",
-    # rewritten in round 4 (integer-exact money/ratio accumulation —
-    # its r3-green row attests the pre-rewrite float form)
-    "supplier_scorecard",
+# Queries rewritten in round 5 (segmented-scan/mergeable plan shapes;
+# the exact integer-money conversion across the whole value family) —
+# their old driver rows attest pre-rewrite outputs, so each must
+# re-earn a hash row this round — plus emb_kmeans_fit (still the one
+# rows-only key) and the 13 keys whose only driver row is from r1.
+_ROUND5_PRIORITY: tuple[str, ...] = (
+    "events_kmv_distinct", "events_concurrency", "events_value_cusum",
+    "events_watermark_lateness", "events_key_skew", "q1_pricing_summary",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_dominant_suppliers", "q22_wealthy_inactive",
+    "promo_revenue_ratio", "orders_rollup", "orders_cube", "orders_yoy_growth",
+    "orders_customer_rfm", "customer_pareto", "orders_price_corr", "events_hourly",
+    "events_running_total", "events_enriched", "events_value_rolling_1h",
+    "events_session_window", "events_grouping_sets", "events_daily_gapfill",
+    "top_customers_per_nation", "stream_events_hourly", "emb_kmeans_fit",
+    "docs_clean_corpus_stats", "docs_exact_dedup", "docs_quality", "docs_repetition",
+    "docs_sample_stratified", "docs_token_stats", "docs_top_bigrams",
+    "docs_train_val_test", "events_props_json", "events_top_type_per_user",
+    "events_value_histogram", "order_aging_buckets", "parts_top_by_brand",
 )
 
 # Keys whose most recent driver CORRECTNESS row is from each round.
@@ -360,6 +369,28 @@ _SAMPLED_R3: frozenset = frozenset({
     "emb_label_outliers", "docs_source_divergence", "orders_cohort_ltv",
     "docs_ngram_novelty", "events_attribution", "events_value_cusum",
     "supplier_scorecard",
+})
+
+
+_SAMPLED_R4: frozenset = frozenset({
+    # round 4 (49 hash rows + emb_kmeans_fit rows-only), from
+    # CORRECTNESS_r04.json
+    "bbox_weekly_avg", "customers_without_orders", "docs_dsir_weights",
+    "docs_gopher_rules", "docs_len_percentiles", "docs_near_dup_verified",
+    "docs_prefix_clusters", "docs_top_tokens", "emb_ann_recall",
+    "emb_ivf_ann", "emb_ivfpq_ann", "emb_ivfpq_residual_ann", "emb_kmeans_fit",
+    "emb_label_centroids", "emb_lsh_ann", "emb_matryoshka_recall",
+    "emb_pq_trained_ann", "emb_semdedup", "events_asof_view_purchase",
+    "events_concurrency", "events_daily_moving_avg", "events_enriched",
+    "events_funnel", "events_hourly", "events_pivot", "events_running_total",
+    "events_sessionization", "events_user_daily", "events_watermark_lateness",
+    "latest_datasource", "media_dedup", "orders_cohort_ltv", "orders_cube",
+    "orders_percentiles", "orders_rollup", "promo_revenue_ratio",
+    "q10_returned_items", "q18_large_orders", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier", "q7_volume_shipping",
+    "regions_for_datasource", "sql_weekly_avg", "supplier_scorecard",
+    "suppliers_with_returns", "top_customers_per_nation", "trip_grouping_bins",
+    "trip_ingest_dedup", "weekly_avg_by_region",
 })
 
 
