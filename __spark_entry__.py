@@ -227,10 +227,12 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": R8.events_attribution,
         "events_value_cusum": R8.events_value_cusum,
         "supplier_scorecard": R8.supplier_scorecard,
-        # rows-only: Lloyd iterations to convergence (iterative float
-        # fixpoint — no affordable SQL twin; the single assignment step
-        # IS oracle-checked as emb_kmeans_assign)
-        "emb_kmeans_fit": KM.emb_kmeans_fit_bounded,
+        # oracle-checked since r5: the fixed-round engine-exact fit
+        # (6-dp centroids + micro-unit distances unroll into one plan
+        # a SQL oracle replays round for round). The
+        # convergence-criterion variants (emb_kmeans_fit /
+        # emb_kmeans_fit_bounded) remain the production/unit-test path.
+        "emb_kmeans_fit": KM.emb_kmeans_fit_exact,
     }
 
 
@@ -587,6 +589,69 @@ for _i in range(1, 11):
                 JOIN deg d ON e.u = d.u
                 GROUP BY e.v
             )"""
+
+
+def _kmeans_fit_sql(rounds: int = 3) -> str:
+    """Unrolled DuckDB replay of emb_kmeans_fit_exact: label-mean init
+    rounded to 6 dp, then ``rounds`` Lloyd rounds of micro-unit argmin
+    assignment + 6-dp re-averaged centroids with empty cells keeping
+    their previous value — the pq_train_codebooks oracle pattern over
+    the full dimension."""
+    parts = ["""
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            xs AS (
+                SELECT vec_id, CAST(pos AS INT) AS pos, x FROM (
+                    SELECT vec_id, unnest(range(0, len(v))) AS pos,
+                           unnest(v) AS x
+                    FROM e
+                )
+            ),
+            c0 AS (
+                SELECT CAST(label AS INT) AS code,
+                       CAST(pos AS INT) AS pos, round(avg(x), 6) AS c
+                FROM (
+                    SELECT label, unnest(range(0, len(v))) AS pos,
+                           unnest(v) AS x
+                    FROM e
+                ) GROUP BY 1, 2
+            )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+            d{r} AS (
+                SELECT xs.vec_id, c.code,
+                       CAST(round(sum((xs.x - c.c) * (xs.x - c.c))
+                                  * 1000000, 0) AS BIGINT) AS d6
+                FROM xs JOIN c{p} c ON xs.pos = c.pos
+                GROUP BY 1, 2
+            ),
+            a{r} AS (
+                SELECT vec_id, code FROM (
+                    SELECT vec_id, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id ORDER BY d6, code
+                           ) AS rn
+                    FROM d{r}
+                ) WHERE rn = 1
+            ),
+            s{r} AS (
+                SELECT a.code, xs.pos, round(avg(xs.x), 6) AS cn
+                FROM xs JOIN a{r} a ON xs.vec_id = a.vec_id
+                GROUP BY 1, 2
+            ),
+            c{r} AS (
+                SELECT c{p}.code, c{p}.pos,
+                       coalesce(s{r}.cn, c{p}.c) AS c
+                FROM c{p} LEFT JOIN s{r}
+                  ON c{p}.code = s{r}.code AND c{p}.pos = s{r}.pos
+            )""")
+    parts.append(f"""
+            SELECT code AS cell, pos, c AS centroid
+            FROM c{rounds} ORDER BY cell, pos""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2032,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(x), 4) AS avg_x
             FROM m GROUP BY 1, 2
         """,
+        "emb_kmeans_fit": _kmeans_fit_sql(),
         "emb_kmeans_assign": """
             WITH e AS (
                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

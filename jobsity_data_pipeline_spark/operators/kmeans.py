@@ -172,6 +172,71 @@ def emb_kmeans_fit_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_kmeans_fit(spark, sf_dir, max_iter=6, tol=1e-6)
 
 
+def emb_kmeans_fit_exact(spark: SparkSession, sf_dir: str,
+                         rounds: int = 3) -> DataFrame:
+    """Engine-exact fixed-round Lloyd fit — the oracle-checkable
+    variant of emb_kmeans_fit: because the round count is FIXED and
+    every engine-divergent quantity is pinned (6-dp rounded centroids,
+    integer micro-unit distances via the shared pq_code_distances
+    kernel, argmin ties to the lower cell), the entire training
+    unrolls into one lazy Catalyst plan that a SQL oracle replays
+    round for round. This is the PQ-training convention
+    (pq_train_codebooks) applied to the full-dimension fit, closing
+    the last rows-only key in the driver contract; the
+    convergence-criterion variant (emb_kmeans_fit) stays for
+    production use and unit tests, where the stopping rule is the
+    point and a SQL twin is unaffordable.
+
+    Init is the 6-dp-rounded label-mean centroid (no RNG); empty
+    cells keep their previous centroid via left-join coalesce. Per
+    round the corpus is scanned once and only k x dim centroid
+    scalars shuffle — identical at 500 rows and 100 TB. Returns
+    (cell, pos, centroid) like emb_kmeans_fit.
+    """
+    from ..session import ensure_parallelism, read_table
+
+    e = ensure_parallelism(
+        spark, read_table(spark, sf_dir, "embeddings")
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .select(
+            F.lit(0).alias("subspace"),
+            F.col("label").cast("int").alias("code"),
+            "pos", "c",
+        )
+    )
+    for _ in range(rounds):
+        d = pq_code_distances(x, cent, ["vec_id"])
+        assigned = pq_nearest_code(d, ["vec_id"])
+        stats = (
+            x.join(assigned.select("vec_id", "code"), "vec_id")
+            .groupBy("code", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("cn"))
+        )
+        cent = (
+            cent.join(stats, ["code", "pos"], "left")
+            .select(
+                "subspace", "code", "pos",
+                F.coalesce("cn", "c").alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cent.select(
+            F.col("code").alias("cell"), "pos",
+            F.col("c").alias("centroid"),
+        )
+        .orderBy("cell", "pos")
+    )
+
+
 def pq_train_codebooks(spark: SparkSession, emb: DataFrame,
                        n_subspaces: int = 4, n_codes: int = 16,
                        iters: int = 2, dim: int = 64) -> DataFrame:

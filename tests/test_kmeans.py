@@ -115,3 +115,29 @@ def test_pq_train_codebooks_shape_and_improvement(spark):
     }
     assert len(trained & exact) >= len(plain & exact)
     assert len(trained & exact) > 0
+
+
+def test_emb_kmeans_fit_exact_tracks_float_fit(spark):
+    """The engine-exact fixed-round fit (driver-contract key) must
+    stay within rounding distance of the float Lloyd fit at the same
+    round budget: identical init, same assignment rule, only 6-dp
+    centroid rounding and micro-unit argmin pinning differ."""
+    from jobsity_data_pipeline_spark.operators.kmeans import (
+        emb_kmeans_fit,
+        emb_kmeans_fit_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.cell, r.pos): r.centroid
+        for r in emb_kmeans_fit_exact(spark, sf, rounds=2).collect()
+    }
+    flt = {
+        (r.cell, r.pos): r.centroid
+        for r in emb_kmeans_fit(spark, sf, max_iter=2, tol=0.0).collect()
+    }
+    assert set(exact) == set(flt)
+    worst = max(abs(exact[k] - flt[k]) for k in exact)
+    # 2 rounds of 6-dp rounding can drift at most a few 1e-6 per round
+    # unless an assignment flips; no flip happens on this corpus
+    assert worst < 1e-3, worst

@@ -93,10 +93,11 @@ def test_no_oracle_emits_hugeint_or_decimal():
 
 
 def test_every_query_has_oracle_or_is_declared():
-    # the single declared rows-only op: the iterative Lloyd fixpoint
-    # (convergence-dependent round count — no affordable SQL twin; its
-    # one-step assignment IS oracle-checked as emb_kmeans_assign)
-    assert set(QUERIES) - set(ORACLES) == {"emb_kmeans_fit"}
+    # round 5 closed the last rows-only key: the driver contract's
+    # emb_kmeans_fit is now the fixed-round engine-exact fit whose
+    # Lloyd rounds replay in SQL (kmeans.emb_kmeans_fit_exact); the
+    # convergence-criterion variant stays unit-test-only.
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_entry_smoke(spark):
