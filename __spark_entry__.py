@@ -4474,6 +4474,18 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq": (out["emb_ivfpq_ann"], "vec_id"),
         "ivfpq_residual": (out["emb_ivfpq_residual_ann"], "vec_id"),
     }
+    # 256-codes-per-subspace A/B rows: the only code-budget-dependent
+    # text in either pipeline's SQL is the seed LIMIT (training
+    # rounds, joins, and the ADC sum are budget-independent), so the
+    # 256-code replay is the 16-code replay with a bigger seed set.
+    _seed16 = "ORDER BY vec_id LIMIT 16)"
+    for src, name in (("emb_ivfpq_ann", "ivfpq_256"),
+                      ("emb_ivfpq_residual_ann", "ivfpq_residual_256")):
+        assert out[src].count(_seed16) == 1
+        methods[name] = (
+            out[src].replace(_seed16, "ORDER BY vec_id LIMIT 256)"),
+            "vec_id",
+        )
     method_ctes = ",\n".join(
         f"m_{name} AS (SELECT qid, {idcol} AS nid FROM ({sql}))"
         for name, (sql, idcol) in methods.items()

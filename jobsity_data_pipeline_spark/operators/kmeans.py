@@ -285,8 +285,8 @@ def pq_train_codebooks(spark: SparkSession, emb: DataFrame,
     )
     # Distances compare as rounded micro-units (pq_code_distances) and
     # re-averaged centroids round to 6 dp each round: the training is
-    # then engine-exact (a SQL oracle replays the same rounds
-    # bit-for-bit), where unrounded partial-agg float order could flip
+    # then engine-exact up to sums landing within ~1 ulp of a .5
+    # micro-unit boundary (a SQL oracle replays the same rounds), where unrounded partial-agg float order could flip
     # a near-equidistant assignment between engines/runs.
     for _ in range(iters):
         d = pq_code_distances(

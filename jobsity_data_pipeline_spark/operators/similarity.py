@@ -299,7 +299,7 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     Oracle-checked since round 4: the hyperplanes are deterministic
     md5 parities and the projections compare as integer micro-units
     (_bucketed), so bucket membership, the probe set, and the ranked
-    candidates all replay bit-for-bit in SQL.
+    candidates all replay in SQL (exact up to the rare half-ulp micro-unit boundary residual noted in _ivf_assigned_and_probes).
     """
     from itertools import combinations
 
@@ -422,9 +422,14 @@ def _ivf_assigned_and_probes(
     bc = spark.sparkContext.broadcast(C)
 
     # distances compare as integer micro-units (floor(d2*1e6 + 0.5) =
-    # positive half-up, matching SQL round(x*1e6, 0)): cross-engine
-    # ULP noise in the summation order can never flip an argmin/probe
-    # choice, and ties break to the lowest cell on both engines
+    # positive half-up, matching SQL round(x*1e6, 0)): argmin/probe
+    # choices are then immune to cross-engine ULP noise EXCEPT in the
+    # residual case where the pre-rounding float sum itself lands
+    # within ~1 ulp of a .5 micro-unit boundary (summation order is
+    # still engine-dependent before the round). A rare driver-hash
+    # flake on an ANN key should be triaged as this known residual
+    # class, not as a logic bug. Ties break to the lowest cell on
+    # both engines.
     def _d6(d2):
         return np.floor(d2 * 1e6 + 0.5).astype("int64")
 
@@ -483,7 +488,7 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     Oracle-checked since round 4: the coarse quantizer is pinned
     engine-exact (6-dp centroids, integer micro-unit distances in
     _ivf_assigned_and_probes), so cell assignment and probe choice
-    replay bit-for-bit in SQL, and the cosine ranking follows the
+    replay in SQL (exact up to the rare half-ulp micro-unit boundary residual noted in _ivf_assigned_and_probes), and the cosine ranking follows the
     emb_cosine_topk convention (round(cos,6) desc, nid).
     """
     from pyspark.sql import Window
@@ -512,7 +517,8 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
 
 
 def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
-                  k: int = 5, n_probe: int = 3) -> DataFrame:
+                  k: int = 5, n_probe: int = 3,
+                  n_codes: int = 16) -> DataFrame:
     """IVF + PQ composition — the FAISS IVFADC production layout: the
     coarse quantizer prunes to each query's ``n_probe`` cells, then the
     ADC scan over TRAINED PQ codes ranks ONLY the surviving rows. The
@@ -530,7 +536,7 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     Oracle-checked since the coarse quantizer and the PQ training were
     pinned engine-exact (rounded centroids, integer micro-unit
     distances): cell assignment, probe choice, and the ADC integer sum
-    all replay bit-for-bit in SQL. Recall vs the flat trained-PQ scan
+    all replay in SQL (exact up to the rare half-ulp micro-unit boundary residual noted in _ivf_assigned_and_probes). Recall vs the flat trained-PQ scan
     is measured side by side in emb_ann_recall (ivfpq probes
     ~n_probe/k_cells of the code table).
     """
@@ -541,7 +547,9 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     assigned, probe_df = _ivf_assigned_and_probes(
         spark, sf_dir, n_queries, n_probe
     )
-    codes, qd = trained_pq_tables(spark, sf_dir, n_queries)
+    codes, qd = trained_pq_tables(
+        spark, sf_dir, n_queries, n_codes=n_codes
+    )
     cand = (
         assigned.select("vec_id", "cell")
         .join(F.broadcast(probe_df.select("qid", "cell")), "cell")
@@ -663,7 +671,8 @@ def _residual_pq_tables(spark: SparkSession, sf_dir: str,
 
 def emb_ivfpq_residual_ann(spark: SparkSession, sf_dir: str,
                            n_queries: int = 8, k: int = 5,
-                           n_probe: int = 3) -> DataFrame:
+                           n_probe: int = 3,
+                           n_codes: int = 16) -> DataFrame:
     """Full FAISS IVFADC with RESIDUAL encoding — the production
     refinement emb_ivfpq_ann's docstring names: PQ codes quantize
     ``v - C[cell(v)]`` and each query builds one ADC distance table
@@ -684,15 +693,17 @@ def emb_ivfpq_residual_ann(spark: SparkSession, sf_dir: str,
     0.20 raw-vector at the same 16-code budget — on this
     label-clustered synthetic corpus, removing the cluster offset
     leaves near-isotropic residuals that 16 codes cover poorly, while
-    raw-vector codebooks ride the label structure. The ordering
-    flips at production code budgets (256/subspace) where residual
-    codebooks spend their entries on the tight distribution — which is
-    exactly the decision this A/B row exists to measure per corpus.
+    raw-vector codebooks ride the label structure. Whether the
+    ordering flips at a production code budget is no longer asserted
+    from the literature: emb_ann_recall carries ivfpq_256 /
+    ivfpq_residual_256 rows (same pipeline, 256 codes per subspace,
+    oracle-checked) so the residual-retraining decision reads a
+    measured per-corpus number at both budgets.
     """
     from pyspark.sql import Window
 
     codes, qd, assigned, probe_df = _residual_pq_tables(
-        spark, sf_dir, n_queries, n_probe
+        spark, sf_dir, n_queries, n_probe, n_codes=n_codes
     )
     cand = (
         assigned.select("vec_id", "cell")
@@ -824,6 +835,16 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         ("ivfpq_residual",
          emb_ivfpq_residual_ann(spark, sf_dir, n_queries, k).select(
              "qid", F.col("vec_id").alias("nid"))),
+        # the same A/B at the production 256-codes-per-subspace
+        # budget: the residual-vs-raw ordering is corpus- AND
+        # budget-dependent, so the retrain decision reads both rows
+        ("ivfpq_256",
+         emb_ivfpq_ann(spark, sf_dir, n_queries, k, n_codes=256).select(
+             "qid", F.col("vec_id").alias("nid"))),
+        ("ivfpq_residual_256",
+         emb_ivfpq_residual_ann(
+             spark, sf_dir, n_queries, k, n_codes=256
+         ).select("qid", F.col("vec_id").alias("nid"))),
     ):
         hits = (
             res.select("qid", "nid")
