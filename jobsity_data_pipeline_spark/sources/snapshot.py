@@ -76,7 +76,10 @@ def _manifests(table_dir: str,
 
 
 def latest_manifest(table_dir: str) -> dict | None:
-    while True:
+    # bounded retry, mirroring the CAS loops in upsert/delete: a
+    # pathological stream of zero-retention vacuums must surface as an
+    # error, not starve the reader forever
+    for _ in range(10):
         ms = _manifests(table_dir)
         if not ms:
             return None
@@ -85,6 +88,10 @@ def latest_manifest(table_dir: str) -> dict | None:
                 return json.load(f)
         except FileNotFoundError:
             continue  # raced a zero-retention vacuum: re-resolve
+    raise RuntimeError(
+        f"latest_manifest: top manifest vanished 10 times in a row at "
+        f"{table_dir} (concurrent zero-retention vacuum loop?)"
+    )
 
 
 def _publish(table_dir: str, files: list[str], batch_token: str,
@@ -416,7 +423,12 @@ def consume_changes(spark: SparkSession, table_dir: str, cursor_dir: str,
 
     First consume of a table returns the full current content as
     inserts (cursor 0 → latest); a caught-up consumer gets
-    ``(None, cursor)``. If a vacuum retired the cursor's manifest, the
+    ``(None, cursor)``. A ``None`` feed does NOT always mean
+    caught-up: versions can advance without changing the file set
+    (e.g. an all-duplicate upsert), returning ``(None, latest)`` with
+    ``latest > cursor`` — so ALWAYS commit the returned version, even
+    when the feed is None, or the consumer re-derives the same empty
+    range on every poll. If a vacuum retired the cursor's manifest, the
     underlying change_feed raises ValueError — the consumer must
     re-bootstrap (reset_cursor + a from-scratch rebuild of its derived
     state), never skip the hole. Multiple independent consumers
@@ -470,8 +482,10 @@ def reset_cursor(cursor_dir: str, consumer: str = "default") -> None:
         pass
 
 
-def delete_keys(spark: SparkSession, table_dir: str, keys: list,
-                key: str = "trip_key") -> dict:
+def delete_keys(spark: SparkSession, table_dir: str,
+                keys: list | DataFrame,
+                key: str = "trip_key",
+                footer_confirm: bool = False) -> dict:
     """Targeted delete (GDPR-style): rewrite ONLY the data files whose
     parquet footer key-range can contain a requested key; untouched
     files carry over into the new version by reference. With
@@ -480,11 +494,54 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
     audit until its manifest is retired.
 
     Pruning reads the manifest's data-skipping stats when the writer
-    published them (zero IO beyond the manifest itself); files without
-    a stats entry fall back to a driver-side pyarrow footer read."""
+    published them (zero IO beyond the manifest itself, the property
+    test_manifest_stats_enable_footerless_pruning pins); files without
+    a stats entry fall back to a driver-side per-row-group footer
+    read. ``footer_confirm=True`` additionally confirms STATS-MAYBE
+    files against their per-row-group footer ranges before classing
+    them hits: the published per-file [min, max] bridges the gaps
+    between row groups, and a key falling in such a gap would
+    otherwise force a rows_deleted=0 rewrite and a new version —
+    manifest churn worth one footer read per maybe-file for
+    delete-heavy flows (the mutable LSH index passes it), but off by
+    default to keep the manifest-only zero-footer-IO pruning path.
+
+    ``keys`` may be a single-column DataFrame instead of a list: the
+    key set then NEVER materializes on the driver — file pruning is a
+    broadcast range-join of the (tiny) per-row-group range table
+    against the key frame, only hit file PATHS (bounded by the
+    manifest) are collected, and the delete itself is a left-anti
+    join. This is the path for data-dependent key sets (e.g. the
+    mutable streaming LSH index's per-batch doc_ids)."""
     import pyarrow.parquet as pq
 
-    want = sorted(set(keys))
+    from pyspark.sql import functions as F
+
+    keys_df = keys if isinstance(keys, DataFrame) else None
+    if keys_df is not None:
+        kdf = (
+            keys_df.select(F.col(keys_df.columns[0]).alias("_k"))
+            .distinct()
+        )
+        want = None
+    else:
+        want = sorted(set(keys))
+
+    def _rg_ranges(path: str) -> list[tuple]:
+        """Per-row-group [min, max] for ``key`` from the parquet
+        footer; a row group without stats spans everything (None
+        sentinel)."""
+        meta = pq.ParquetFile(path)
+        idx = meta.schema_arrow.get_field_index(key)
+        out = []
+        for rg in range(meta.metadata.num_row_groups):
+            st = meta.metadata.row_group(rg).column(idx).statistics
+            if st is None or st.min is None:
+                out.append((None, None))
+            else:
+                out.append((st.min, st.max))
+        return out
+
     for _attempt in range(10):
         man = latest_manifest(table_dir)
         if man is None:
@@ -492,24 +549,57 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
                 "files_total": 0, "files_rewritten": 0, "rows_deleted": 0,
             }
         stats = man.get("stats", {}).get(key, {})
-        maybe, keep_files = _prune_by_stats(stats, man["files"], want)
-        hit_files: list[str] = []
-        for path in maybe:
-            if path in stats:
-                hit_files.append(path)  # manifest stats said maybe-hit
-                continue
-            meta = pq.ParquetFile(path)
-            idx = meta.schema_arrow.get_field_index(key)
-            hit = False
-            for rg in range(meta.metadata.num_row_groups):
-                st = meta.metadata.row_group(rg).column(idx).statistics
-                if st is None or st.min is None:
-                    hit = True  # no stats: must assume the key may be here
-                    break
-                if any(st.min <= k <= st.max for k in want):
-                    hit = True
-                    break
-            (hit_files if hit else keep_files).append(path)
+        if keys_df is not None:
+            # DataFrame path: the (tiny) range table joins the key
+            # frame; only file paths come back to the driver. Ranges
+            # come from the manifest stats (footerless) unless the
+            # file has no stats entry — or footer_confirm wants
+            # row-group granularity — in which case the footer's
+            # per-row-group ranges stand in. A row group without
+            # stats must be assumed a hit for every key.
+            ranges, blind_hits = [], []
+            for path in man["files"]:
+                s = stats.get(path)
+                if s == _EMPTY_STATS:
+                    continue  # written empty: definitely clear
+                if s is not None and not footer_confirm:
+                    ranges.append((path, s[0], s[1]))
+                    continue
+                for lo, hi in _rg_ranges(path):
+                    if lo is None:
+                        blind_hits.append(path)
+                        break
+                    ranges.append((path, lo, hi))
+            hit_set = set(blind_hits)
+            if ranges:
+                rng = spark.createDataFrame(
+                    ranges, ["_path", "_lo", "_hi"]
+                )
+                cond = (F.col("_k") >= F.col("_lo")) & (
+                    F.col("_k") <= F.col("_hi")
+                )
+                hit_set |= {
+                    r[0]
+                    for r in kdf.join(F.broadcast(rng), cond)
+                    .select("_path").distinct().collect()
+                }
+            hit_files = [p for p in man["files"] if p in hit_set]
+            keep_files = [p for p in man["files"] if p not in hit_set]
+        else:
+            maybe, keep_files = _prune_by_stats(stats, man["files"], want)
+            hit_files = []
+            for path in maybe:
+                if path in stats and not footer_confirm:
+                    hit_files.append(path)  # manifest stats: maybe-hit
+                    continue
+                # no stats entry, or footer_confirm: check the
+                # per-row-group footer ranges (the published per-file
+                # [min,max] bridges inter-row-group gaps)
+                hit = any(
+                    lo is None or any(lo <= k <= hi for k in want)
+                    for lo, hi in _rg_ranges(path)
+                )
+                (hit_files if hit else keep_files).append(path)
         if not hit_files:
             # nothing can contain the keys: no rewrite, no new version
             # (a no-op delete publishing manifest churn would double
@@ -520,11 +610,14 @@ def delete_keys(spark: SparkSession, table_dir: str, keys: list,
                 "files_rewritten": 0,
                 "rows_deleted": 0,
             }
-        from pyspark.sql import functions as F
-
         df = _read_files(spark, hit_files)
         before = df.count()
-        kept = df.where(~F.col(key).isin(want))
+        if keys_df is not None:
+            kept = df.join(
+                kdf, df[key] == F.col("_k"), "left_anti"
+            )
+        else:
+            kept = df.where(~F.col(key).isin(want))
         rows_deleted = before - kept.count()
         new_files = _write_data(kept, table_dir)
         # untouched files keep EVERY tracked key's stats by reference;

@@ -577,7 +577,8 @@ def stream_lsh_index_mutable(docs: DataFrame, table_dir: str,
     Cost note: delete rewrites O(files-holding-batch-keys), not
     O(index) — with doc_id-clustered data files (write_range_clustered)
     a re-crawl batch touches only its own key range. The batch's doc
-    ids are collected driver-side (bounded by batch size).
+    ids stay a DataFrame end to end (delete_keys' join path), so no
+    data-dependent key set ever materializes on the driver.
     """
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         lsh_index_merge_mutable(batch_df, batch_id, table_dir)
@@ -606,10 +607,13 @@ def lsh_index_merge_mutable(batch_df: DataFrame, batch_id: int,
            for _, tok, _ in _manifests(table_dir, with_tokens=True)):
         return "skipped_duplicate"  # fully committed on a prior attempt
     spark = batch_df.sparkSession
-    doc_ids = [
-        r[0] for r in batch_df.select("doc_id").distinct().collect()
-    ]
-    delete_keys(spark, table_dir, doc_ids, key="doc_id")
+    # DataFrame-native delete: the batch's key set never materializes
+    # on the driver (delete_keys prunes files via a broadcast
+    # range-join and deletes via left-anti join)
+    delete_keys(
+        spark, table_dir, batch_df.select("doc_id").distinct(),
+        key="doc_id", footer_confirm=True,
+    )
     bands = minhash_bands_frame(batch_df).withColumn(
         "band_key", _band_key(),
     )

@@ -1079,3 +1079,81 @@ def test_refresh_view_emptied_table_after_vacuum(spark, tmp_path):
     r = INC.refresh_view(spark, t, vd, key="event_id")
     assert r["refreshed"]
     assert INC.read_current_view(spark, vd).count() == 0
+
+
+def test_delete_keys_dataframe_path_prunes_and_matches_list(spark, tmp_path):
+    """Round-5: delete_keys accepts the key set as a DataFrame — file
+    pruning happens via a broadcast range-join (only hit file PATHS
+    reach the driver) and the delete is a left-anti join. Must prune
+    identically to the list path and leave the same table."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tdf")
+    lo = spark.createDataFrame(
+        [(i, "lo") for i in range(100)], "trip_key long, v string"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [(i, "hi") for i in range(100, 200)], "trip_key long, v string"
+    ).coalesce(1)
+    assert SN.upsert_batch(lo, 0, t) == "published"
+    assert SN.upsert_batch(hi, 1, t) == "published"
+
+    keys_df = spark.createDataFrame([(5,), (7,)], "trip_key long")
+    stats = SN.delete_keys(spark, t, keys_df)
+    assert stats["rows_deleted"] == 2
+    # range pruning held: the high-range file set was never rewritten
+    assert stats["files_rewritten"] < stats["files_total"]
+    now = {r.trip_key for r in SN.read_latest(spark, t).collect()}
+    assert 5 not in now and 7 not in now and len(now) == 198
+
+    # keys outside every range: no-op, no new version
+    before = SN.latest_manifest(t)["version"]
+    res = SN.delete_keys(
+        spark, t, spark.createDataFrame([(999,)], "trip_key long")
+    )
+    assert res["rows_rewritten" if "rows_rewritten" in res else "rows_deleted"] == 0
+    assert res["files_rewritten"] == 0
+    assert SN.latest_manifest(t)["version"] == before
+
+
+def test_delete_keys_row_group_gap_is_not_a_hit(spark, tmp_path):
+    """ADVICE r4: the manifest's per-file [min,max] bridges the gap
+    between row groups; a key falling in that gap must be confirmed
+    against the per-row-group footer ranges and classed a MISS (no
+    rewrite, no manifest churn)."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tgap")
+    # one file, two row groups with a [10..89] gap between them
+    df = spark.createDataFrame(
+        [(i, "x") for i in list(range(10)) + list(range(90, 100))],
+        "trip_key long, v string",
+    ).coalesce(1).sortWithinPartitions("trip_key")
+    assert SN.upsert_batch(df, 0, t) == "published"
+    # force two row groups by rewriting with a tiny row-group size
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    man = SN.latest_manifest(t)
+    [path] = man["files"]
+    tbl = pq.read_table(path)
+    pq.write_table(tbl, path, row_group_size=10)
+    meta = pq.ParquetFile(path)
+    assert meta.metadata.num_row_groups == 2
+
+    before = man["version"]
+    # in the inter-row-group gap; footer_confirm opts into the
+    # row-group-granularity check (default stays manifest-only)
+    res = SN.delete_keys(spark, t, [50], footer_confirm=True)
+    assert res["rows_deleted"] == 0
+    assert res["files_rewritten"] == 0, (
+        "gap key must be footer-confirmed as a miss, not rewritten"
+    )
+    assert SN.latest_manifest(t)["version"] == before
+    # same through the DataFrame path
+    res2 = SN.delete_keys(
+        spark, t, spark.createDataFrame([(50,)], "trip_key long"),
+        footer_confirm=True,
+    )
+    assert res2["files_rewritten"] == 0
+    assert SN.latest_manifest(t)["version"] == before
