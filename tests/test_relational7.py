@@ -264,11 +264,11 @@ def test_ann_recall_report_bounds(spark):
     )
 
     rows = emb_ann_recall(spark, SF_SMOKE).collect()
-    # one row per (method, query)
-    assert len(rows) == 56
+    # one row per (method, query); r5 added the 256-code A/B pair
+    assert len(rows) == 72
     assert {r.method for r in rows} == {
         "lsh", "ivf", "pq", "pq_rerank", "pq_trained", "ivfpq",
-        "ivfpq_residual",
+        "ivfpq_residual", "ivfpq_256", "ivfpq_residual_256",
     }
     assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
     # 2-bit multi-probe LSH keeps meaningful recall on the smoke corpus
