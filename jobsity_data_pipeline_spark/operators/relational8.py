@@ -1222,9 +1222,12 @@ def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = _t(spark, sf_dir, "events")
+    # the daily frame (types x days, tiny) feeds three branches (type
+    # totals, local prefixes, chunk offsets): truncate lineage so the
+    # fact table is scanned ONCE, not once per branch
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc")
-    )
+    ).localCheckpoint(eager=False)
     tot = daily.groupBy("event_type").agg(
         F.sum("vc").alias("tc"), F.count("*").alias("n_days")
     )
