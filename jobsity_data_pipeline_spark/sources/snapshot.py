@@ -290,6 +290,59 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
     )
 
 
+def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
+                     key: str = "trip_key",
+                     content_col: str = "_chash") -> str:
+    """Keyed upsert with UPDATE semantics for tables that cannot put
+    their content in the key: a re-emitted key whose content CHANGED
+    replaces the old row (delete-then-append, the lsh_index_mutable
+    pattern generalized), while an identical re-emit stays a no-op.
+    The generic content hash (md5 of the JSON of all non-key columns,
+    stored as ``content_col``) is what makes the replacement visible
+    to CDC: pass the same ``content_col`` to change_feed /
+    consume_changes and a replaced key surfaces as delete(old row) +
+    insert(new row) instead of disappearing into the keyed anti-joins
+    (their key-immutability premise).
+
+    Exactly-once under replay at both crash points, like the mutable
+    LSH merge: the batch token is checked before any delete; a crash
+    after the delete but before the append's publish replays into a
+    no-op delete (the old content is already gone) and a single
+    append; a crash after the publish replays into skipped_duplicate.
+    A replacement costs two manifest versions (the delete, then the
+    append) — the honest price of an update on immutable files.
+    """
+    token = f"batch{batch_id}"
+    if any(tok == token
+           for _, tok, _ in _manifests(table_dir, with_tokens=True)):
+        return "skipped_duplicate"
+    from pyspark.sql import functions as F
+
+    spark = batch.sparkSession
+    data_cols = sorted(c for c in batch.columns
+                       if c not in (key, content_col))
+    b = batch.dropDuplicates([key]).withColumn(
+        content_col, F.md5(F.to_json(F.struct(*data_cols)))
+    )
+    man = latest_manifest(table_dir)
+    if man is not None and man["files"]:
+        hist = _read_files(spark, man["files"]).select(
+            key, F.col(content_col).alias("_old_h")
+        )
+        changed = (
+            b.select(key, content_col)
+            .join(hist, key)
+            .where(F.col(content_col) != F.col("_old_h"))
+            .select(key)
+        )
+        # DataFrame delete path: the changed-key set never touches the
+        # driver; after it, upsert_batch's plain keyed anti-join is
+        # sufficient (changed keys are gone, unchanged ones dedup away)
+        delete_keys(spark, table_dir, changed, key=key,
+                    footer_confirm=True)
+    return upsert_batch(b, batch_id, table_dir, key=key)
+
+
 def start_snapshot_upsert(dedup: DataFrame, table_dir: str,
                           checkpoint: str, key: str = "trip_key"):
     """Streaming twin: foreachBatch -> upsert_batch with the engine's
@@ -338,7 +391,8 @@ def _manifest_at(table_dir: str, version: int) -> dict | None:
 
 def change_feed(spark: SparkSession, table_dir: str, from_version: int,
                 to_version: int | None = None,
-                key: str = "trip_key") -> DataFrame | None:
+                key: str = "trip_key",
+                content_col: str | None = None) -> DataFrame | None:
     """Row-level change feed between two published versions — the CDC
     surface incremental downstream consumers (materialized views,
     search indexes, replication) read instead of re-scanning the
@@ -357,8 +411,11 @@ def change_feed(spark: SparkSession, table_dir: str, from_version: int,
     Premise: a KEY's row is immutable once published (the upsert
     contract). A writer that replaces content under a reused key
     (delete-then-append) is invisible to the keyed anti-joins — such
-    flows must put the content in the key (as the LSH index does with
-    band_hash) so a replacement surfaces as delete + insert.
+    flows must either put the content in the key (as the LSH index
+    does with band_hash) or write through upsert_replacing and pass
+    its ``content_col`` here: the anti-joins then compare
+    (key, content hash), so a replacement surfaces as delete(old) +
+    insert(new).
 
     ``to_version=None`` means the current latest. Returns None only
     when there is genuinely no change between the versions; raises
@@ -395,12 +452,13 @@ def change_feed(spark: SparkSession, table_dir: str, from_version: int,
         )
     old = _read_files(spark, sorted(f_from))
     new = _read_files(spark, sorted(f_to))
-    inserts = new.join(old.select(key), key, "left_anti").select(
-        "*", ins_type
-    )
-    deletes = old.join(new.select(key), key, "left_anti").select(
-        "*", F.lit("delete").alias("_change_type")
-    )
+    join_cols = [key] + ([content_col] if content_col else [])
+    inserts = new.join(
+        old.select(*join_cols), join_cols, "left_anti"
+    ).select("*", ins_type)
+    deletes = old.join(
+        new.select(*join_cols), join_cols, "left_anti"
+    ).select("*", F.lit("delete").alias("_change_type"))
     return inserts.unionByName(deletes, allowMissingColumns=True)
 
 
@@ -410,7 +468,9 @@ def _cursor_path(cursor_dir: str, consumer: str) -> str:
 
 def consume_changes(spark: SparkSession, table_dir: str, cursor_dir: str,
                     consumer: str = "default",
-                    key: str = "trip_key") -> tuple[DataFrame | None, int]:
+                    key: str = "trip_key",
+                    content_col: str | None = None,
+                    ) -> tuple[DataFrame | None, int]:
     """Cursor-tracked incremental consumption: returns
     ``(changes_since_the_committed_cursor, latest_version)``. The
     poll-based CDC consumer loop — APPLY the feed first, then call
@@ -455,7 +515,11 @@ def consume_changes(spark: SparkSession, table_dir: str, cursor_dir: str,
                 "*", F.lit("insert").alias("_change_type")
             )
         return feed, latest
-    return change_feed(spark, table_dir, last, latest, key=key), latest
+    return (
+        change_feed(spark, table_dir, last, latest, key=key,
+                    content_col=content_col),
+        latest,
+    )
 
 
 def commit_cursor(cursor_dir: str, consumer: str, version: int) -> None:
