@@ -410,13 +410,23 @@ def _centroids(spark: SparkSession, sf_dir: str):
 def _ivf_assigned_and_probes(
     spark: SparkSession, sf_dir: str, n_queries: int, n_probe: int
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF plumbing shared by emb_ivf_ann and emb_ivfpq_ann:
-    ``assigned`` = (vec_id, v, cell) via one Arrow pass against the
-    broadcast k x dim coarse-centroid matrix; ``probe_df`` = each
-    query's n_probe nearest cells (tiny driver-side set, broadcast at
-    the join)."""
+    """IVF plumbing shared by emb_ivf_ann, emb_ivfpq_ann (both code
+    budgets) and the residual path: ``assigned`` = (vec_id, v, cell)
+    via one Arrow pass against the broadcast k x dim coarse-centroid
+    matrix; ``probe_df`` = each query's n_probe nearest cells (tiny
+    driver-side set, broadcast at the join).
+
+    The cell assignment IS the IVF index — production persists it once
+    per corpus snapshot and every search reads the table. The
+    per-(app, corpus, params) cache below is the in-session stand-in
+    (same convention as the PQ codebook cache): without it, each of
+    the recall gate's five IVF-family searches re-runs the corpus
+    assign pass."""
     import numpy as np
 
+    ck = (spark.sparkContext.applicationId, sf_dir, n_queries, n_probe)
+    if ck in _IVF_PLUMBING_CACHE:
+        return _IVF_PLUMBING_CACHE[ck]
     emb = _emb(spark, sf_dir)
     C = _centroids(spark, sf_dir)
     bc = spark.sparkContext.broadcast(C)
@@ -468,7 +478,9 @@ def _ivf_assigned_and_probes(
     probe_df = spark.createDataFrame(
         probes, "qid long, qv array<double>, cell int"
     )
-    return assigned, probe_df
+    out = (assigned.localCheckpoint(eager=False), probe_df)
+    _IVF_PLUMBING_CACHE[ck] = out
+    return out
 
 
 def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
@@ -577,6 +589,9 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
 
 
 _RESIDUAL_PQ_CACHE: dict[tuple, tuple] = {}
+# (app, sf_dir, n_queries, n_probe) -> (assigned, probe_df): the IVF
+# cell-assignment index + probe sets (see _ivf_assigned_and_probes)
+_IVF_PLUMBING_CACHE: dict[tuple, tuple] = {}
 
 
 def _residual_pq_tables(spark: SparkSession, sf_dir: str,
