@@ -631,3 +631,76 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str,
         )
         .orderBy("doc_id")
     )
+
+
+ER_BLOCK_CAP = 64
+ER_MIN_PERMILLE = 500
+
+
+def parts_er_pairs(spark: SparkSession, sf_dir: str,
+                   cap: int = ER_BLOCK_CAP,
+                   min_permille: int = ER_MIN_PERMILLE) -> DataFrame:
+    """Entity resolution / record linkage over the ``part`` catalog:
+    edit-distance candidate pairs under multi-attribute blocking — the
+    classic Fellegi-Sunter blocking+scoring shape, complementing the
+    document-level n-gram/MinHash family with a FIELD-level fuzzy
+    matcher (catalog dedup, vendor-feed reconciliation).
+
+    Blocking: a pair is compared only if the two parts share
+    (p_brand, p_size, one name token) — an equi-join key, so candidate
+    generation is a hash join, never all-pairs. Blocks hotter than
+    ``cap`` members are dropped before the self-join (the hot-shingle
+    frequency cap pattern), bounding every block's pair count at
+    cap^2 regardless of corpus size; at 100 TB you widen the blocking
+    key (add p_type, phonetic keys) rather than raise the cap.
+    Scoring is JVM codegen ``levenshtein`` on the candidate pairs
+    only, and the similarity is exact integer permille
+    (half-up (2*1000*(ml-lev)+ml) div (2*ml), non-negative operands
+    since lev <= max(len)) — no float anywhere, so the driver hash
+    replays exactly.
+    """
+    p = ensure_parallelism(spark, read_table(spark, sf_dir, "part")).select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("n"),
+        F.col("p_brand").alias("b"),
+        F.col("p_size").alias("s"),
+    )
+    # one catalog scan: the exploded (block key, member) table feeds
+    # the block-frequency cap AND both sides of the candidate self-join
+    t = p.select(
+        "k", "n", "b", "s", F.explode(TX.tokens("n")).alias("tok")
+    ).localCheckpoint()
+    cool = (
+        t.groupBy("b", "s", "tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") <= cap)
+        .select("b", "s", "tok")
+    )
+    tb = t.join(cool, ["b", "s", "tok"])
+    left = tb.select(
+        "b", "s", "tok",
+        F.col("k").alias("part_a"), F.col("n").alias("na"),
+    )
+    right = tb.select(
+        "b", "s", "tok",
+        F.col("k").alias("part_b"), F.col("n").alias("nb"),
+    )
+    cand = (
+        left.join(right, ["b", "s", "tok"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .select("part_a", "part_b", "na", "nb")
+        .distinct()
+    )
+    sc = cand.select(
+        "part_a", "part_b",
+        F.levenshtein("na", "nb").cast("long").alias("lev"),
+        F.greatest(F.length("na"), F.length("nb")).cast("long").alias("ml"),
+    )
+    return (
+        sc.withColumn(
+            "sim_permille",
+            F.expr("(2 * 1000 * (ml - lev) + ml) div (2 * ml)"),
+        )
+        .where(F.col("sim_permille") >= min_permille)
+        .select("part_a", "part_b", "lev", "sim_permille")
+    )

@@ -445,3 +445,98 @@ def events_count_min_sketch(spark: SparkSession, sf_dir: str,
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     ).orderBy(F.desc("exact_cnt"), "user_id")
+
+
+BM25_TERMS = ("join", "spark", "stream", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 25
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str,
+                   terms: tuple[str, ...] = BM25_TERMS,
+                   k: int = BM25_TOPK) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a fixed term query
+    (Robertson/Sparck-Jones Okapi BM25, the classical lexical ranker
+    that complements the embedding ANN family). The reference's query
+    surface has no retrieval op; this is the training-data-pipeline
+    extension (corpus search / eval-set mining).
+
+    One corpus scan, period: a single explode feeds one map-side-
+    combined doc_id aggregate producing the per-doc postings row
+    (dl = token count, one tf column per query term) — the inverted
+    index a serving deployment would persist, here localCheckpoint'ed
+    so the corpus stats (1-row: n_docs, total_dl, per-term df) and the
+    scoring projection both read the materialized index instead of
+    rescanning 100 TB of text. The stats row broadcasts; top-k is
+    orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+    global sort), with row_number assigned on the k-row survivor
+    frame only.
+
+    N and avgdl are defined over docs with >= 1 token (a token-less
+    doc can never match and its dl=0 adds nothing to total_dl; the
+    oracle pins the same convention with ``WHERE dl > 0``).
+
+    Engine-exactness: every per-(doc, term) component is a fixed
+    left-to-right double expression over exact longs (tf, df, dl,
+    n_docs) and the single double avgdl = total_dl/n_docs, rounded to
+    integer micro-units BEFORE the per-doc sum — so the score is an
+    order-independent long sum, replayable in any IEEE-754 engine
+    (same residual half-ulp caveat as the PQ distance kernel). The
+    oracle in __spark_entry__ mirrors the constants; change them in
+    both places.
+    """
+    d = _docs(spark, sf_dir)
+    ex = d.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    per_doc = ex.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("token") == F.lit(t)).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).localCheckpoint()
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def comp_e6(i: int):
+        tf_d = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5))
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        )
+        denom = tf_d + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        raw = F.round(
+            (idf * (tf_d * F.lit(BM25_K1 + 1.0)) / denom) * F.lit(1000000.0), 0
+        ).cast("long")
+        return F.when(F.col(f"tf_{i}") > 0, raw).otherwise(F.lit(0))
+
+    score = sum(
+        (comp_e6(i) for i in range(len(terms))),
+        F.lit(0).cast("long"),
+    )
+    matched = sum(
+        (F.col(f"tf_{i}") for i in range(len(terms))),
+        F.lit(0).cast("long"),
+    )
+    top = (
+        scored.where(matched > 0)
+        .select("doc_id", score.alias("score_e6"))
+        .orderBy(F.desc("score_e6"), "doc_id")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_e6"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -501,3 +501,29 @@ def test_key_skew_and_capped_vocab_rank_distributed(spark):
                 for c in walk(kid)
             ), "capped_vocab Window over an unbounded frame"
     assert "TakeOrderedAndProject" in _plan(capped)
+
+
+def test_bm25_single_scan_takeordered(spark):
+    """BM25's plan contract: the postings index is materialized once
+    (localCheckpoint -> at most one parquet scan of documents in the
+    final plan), the 1-row stats frame broadcasts, and top-k is
+    TakeOrderedAndProject — never a global sort of the scored corpus.
+    """
+    from jobsity_data_pipeline_spark.operators.textops import docs_bm25_topk
+
+    plan = _plan(docs_bm25_topk(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") <= 1
+    assert "SortExec" not in plan
+
+
+def test_er_pairs_blocked_equijoin_no_cartesian(spark):
+    """ER candidate generation must be an equi-join on the blocking
+    key — a CartesianProduct/BroadcastNestedLoopJoin would mean the
+    blocking predicate degenerated into an all-pairs filter."""
+    from jobsity_data_pipeline_spark.operators.dedup import parts_er_pairs
+
+    plan = _plan(parts_er_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") <= 1  # exploded table checkpointed
