@@ -540,3 +540,112 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str,
 
     w = Window.orderBy(F.desc("score_e6"), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+BPE_VOCAB_CAP = 200
+BPE_ROUNDS = 8
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str,
+                    vocab_cap: int = BPE_VOCAB_CAP,
+                    rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich-style byte-pair
+    merges): learn ``rounds`` merge rules from the corpus word-
+    frequency table — the vocab-induction step every LLM data pipeline
+    runs before token accounting, missing from the token-COUNTING
+    family above.
+
+    Exactly like classical BPE trainers, the iteration runs on the
+    AGGREGATED word-frequency table, not the corpus: one 100 TB scan
+    produces (word, freq), capped to the top ``vocab_cap`` words
+    (freq desc, word asc — a TakeOrdered, no global sort), and every
+    subsequent round operates on the tiny (word x symbol) table
+    (checkpointed per round, PageRank-style, to keep lineage flat).
+    Per round: adjacent-pair counts weighted by word freq (lead()
+    window per word = codegen, no HOFs over symbol arrays), argmax
+    pair via TakeOrdered(1) -> a bounded 1-row collect (model state,
+    like the k-means centroids), then a left-to-right non-overlapping
+    merge of that pair in every word implemented with gaps-and-islands
+    windows: consecutive match runs (the xx-in-xxx overlap case) keep
+    only even offsets, the row after a kept match is dropped, and
+    positions renumber for the next round.
+
+    Every value is a count or a string — no floats anywhere — so the
+    driver hash replays exactly; the oracle unrolls the same rounds in
+    SQL (__spark_entry__._bpe_merges_sql, the kmeans-fit pattern).
+    Returns one row per learned merge: (rnd, left_sym, right_sym,
+    pair_count), pair_count being the pre-merge weighted count.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(vocab_cap)
+    )
+    syms = words.select(
+        "w",
+        "freq",
+        F.posexplode(
+            F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
+        ).alias("pos", "sym"),
+    ).select("w", "freq", F.col("pos").cast("int").alias("pos"), "sym")
+
+    w_order = Window.partitionBy("w").orderBy("pos")
+    merges = []
+    for rnd in range(1, rounds + 1):
+        syms = syms.localCheckpoint()
+        adj = syms.withColumn("nxt", F.lead("sym").over(w_order))
+        counts = (
+            adj.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = counts.orderBy(F.desc("cnt"), "sym", "nxt").limit(1).collect()
+        if not top:
+            break  # vocabulary fully merged before `rounds` rules
+        p1, p2, cnt = top[0]["sym"], top[0]["nxt"], int(top[0]["cnt"])
+        merges.append((rnd, p1, p2, cnt))
+        m = adj.withColumn(
+            "mtch",
+            F.coalesce(
+                (F.col("sym") == F.lit(p1)) & (F.col("nxt") == F.lit(p2)),
+                F.lit(False),
+            ),
+        )
+        isl_rn = F.row_number().over(
+            Window.partitionBy("w", "mtch").orderBy("pos")
+        )
+        i = m.withColumn(
+            "isl", F.when(F.col("mtch"), F.col("pos") - isl_rn)
+        )
+        keep_rn = F.row_number().over(
+            Window.partitionBy("w", "isl").orderBy("pos")
+        )
+        k = i.withColumn(
+            "keep", F.col("mtch") & (((keep_rn - F.lit(1)) % 2) == 0)
+        )
+        g = k.withColumn(
+            "prev_keep",
+            F.coalesce(F.lag("keep").over(w_order), F.lit(False)),
+        )
+        syms = (
+            g.where(~F.col("prev_keep"))
+            .select(
+                "w",
+                "freq",
+                (F.row_number().over(w_order) - F.lit(1))
+                .cast("int")
+                .alias("pos"),
+                F.when(
+                    F.col("keep"), F.concat(F.col("sym"), F.col("nxt"))
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+        )
+    return spark.createDataFrame(
+        [(int(r), a, b, int(c)) for r, a, b, c in merges],
+        "rnd long, left_sym string, right_sym string, pair_count long",
+    )

@@ -118,3 +118,113 @@ def test_er_pairs_require_shared_block(spark):
         ba, sa, ta = meta[r.part_a]
         bb, sb, tb = meta[r.part_b]
         assert ba == bb and sa == sb and (ta & tb)
+
+
+def _py_bpe_merges(sf_dir: str, vocab_cap: int, rounds: int):
+    """Textbook Sennrich BPE trainer on the word-frequency table —
+    greedy left-to-right merge, max-count pair with (left, right)
+    lexicographic tie-break — independent of both engines."""
+    words = Counter()
+    for (txt,) in duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall():
+        words.update(t for t in re.split(r"\s+", txt) if t != "")
+    top = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_cap]
+    seqs = {w: [*w, "</w>"] for w, _ in top}
+    freqs = dict(top)
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts = Counter()
+        for w, seq in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] += freqs[w]
+        if not counts:
+            break
+        (p1, p2), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rnd, p1, p2, cnt))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == p1 and seq[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_merges_match_textbook_trainer(spark):
+    from jobsity_data_pipeline_spark.operators.textops import (
+        BPE_ROUNDS,
+        BPE_VOCAB_CAP,
+        docs_bpe_merges,
+    )
+
+    got = sorted(tuple(r) for r in docs_bpe_merges(spark, SF_SMOKE).collect())
+    want = sorted(_py_bpe_merges(SF_SMOKE, BPE_VOCAB_CAP, BPE_ROUNDS))
+    assert got == want
+    assert len(got) == BPE_ROUNDS
+
+
+def test_bpe_merge_handles_overlapping_runs(spark):
+    """The xx-in-xxxx overlap case: greedy left-to-right must merge
+    floor(run/2) pairs from the left — the gaps-and-islands parity
+    logic, pinned on a literal frame via the same machinery."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("aaaa", 1, i, s) for i, s in enumerate([*"aaaa", "</w>"])]
+        + [("baa", 1, i, s) for i, s in enumerate([*"baa", "</w>"])],
+        "w string, freq long, pos int, sym string",
+    )
+    w_order = Window.partitionBy("w").orderBy("pos")
+    adj = df.withColumn("nxt", F.lead("sym").over(w_order))
+    m = adj.withColumn(
+        "mtch",
+        F.coalesce((F.col("sym") == "a") & (F.col("nxt") == "a"), F.lit(False)),
+    )
+    i = m.withColumn(
+        "isl",
+        F.when(
+            F.col("mtch"),
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("w", "mtch").orderBy("pos")),
+        ),
+    )
+    k = i.withColumn(
+        "keep",
+        F.col("mtch")
+        & (
+            (
+                F.row_number().over(Window.partitionBy("w", "isl").orderBy("pos"))
+                - F.lit(1)
+            )
+            % 2
+            == 0
+        ),
+    )
+    g = k.withColumn(
+        "prev_keep", F.coalesce(F.lag("keep").over(w_order), F.lit(False))
+    )
+    out = (
+        g.where(~F.col("prev_keep"))
+        .select(
+            "w",
+            F.when(F.col("keep"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+            "pos",
+        )
+        .orderBy("w", "pos")
+        .collect()
+    )
+    by_word = {}
+    for r in out:
+        by_word.setdefault(r.w, []).append(r.sym)
+    assert by_word["aaaa"] == ["aa", "aa", "</w>"]
+    assert by_word["baa"] == ["b", "aa", "</w>"]
