@@ -238,6 +238,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_topk": TO.docs_bm25_topk,
         "parts_er_pairs": D.parts_er_pairs,
         "docs_bpe_merges": TO.docs_bpe_merges,
+        "docs_bpe_encode": TO.docs_bpe_encode,
     }
 
 
@@ -287,15 +288,16 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # their old driver rows attest pre-rewrite outputs, so each must
 # re-earn a hash row this round — plus emb_kmeans_fit (first oracle
 # row this round) and the keys whose only driver row is from r1.
-# Held to 47 so the three NEW round-5 keys (docs_bm25_topk,
-# parts_er_pairs, docs_bpe_merges — auto-fronted below as
-# never-sampled) land inside the driver's 50-key sweep budget.
-# Dropped to make room, each attested by an in-budget cousin sharing
-# the same rewritten kernel: q16_supplier_count (code untouched in
-# r5), orders_rollup (orders_cube), events_grouping_sets
+# Held to 46 so the four NEW round-5 keys (docs_bm25_topk,
+# parts_er_pairs, docs_bpe_merges, docs_bpe_encode — auto-fronted
+# below as never-sampled) land inside the driver's 50-key sweep
+# budget. Dropped to make room, each attested by an in-budget cousin
+# sharing the same rewritten kernel: q16_supplier_count (code
+# untouched in r5), orders_rollup (orders_cube), events_grouping_sets
 # (events_hourly + the grouping family), events_running_total
 # (events_value_cusum's cumulative integer-unit sum),
-# q20_dominant_suppliers (the q2/q9/q11/q17-attested money kernel).
+# q20_dominant_suppliers and orders_yoy_growth (the
+# q2/q9/q11/q17-attested money kernel).
 _ROUND5_PRIORITY: tuple[str, ...] = (
     "events_kmv_distinct", "events_concurrency", "events_value_cusum",
     "events_watermark_lateness", "events_key_skew", "q1_pricing_summary",
@@ -304,7 +306,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "q10_returned_items", "q11_important_stock", "q15_top_supplier",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q19_disjunctive_revenue", "q22_wealthy_inactive",
-    "promo_revenue_ratio", "orders_cube", "orders_yoy_growth",
+    "promo_revenue_ratio", "orders_cube",
     "orders_customer_rfm", "customer_pareto", "orders_price_corr", "events_hourly",
     "events_enriched", "events_value_rolling_1h",
     "events_session_window", "events_daily_gapfill",
@@ -605,6 +607,43 @@ for _i in range(1, 11):
             )"""
 
 
+def _bpe_merge_round_sql(src: str, dst: str, r: int) -> str:
+    """One greedy left-to-right merge stage of the pair t{r} picked by
+    the training chain, over symbol table ``src`` into ``dst`` — the
+    gaps-and-islands template shared by the trainer replay (s-chain)
+    and the encoder replay (es-chain over the full vocab)."""
+    return f""",
+            {dst}m{r} AS (
+                SELECT a.*, coalesce(
+                    a.sym = (SELECT ls FROM t{r})
+                    AND a.nxt = (SELECT rs FROM t{r}), false) AS mtch
+                FROM {src} a
+            ),
+            {dst}i{r} AS (
+                SELECT *, CASE WHEN mtch THEN pos - row_number()
+                    OVER (PARTITION BY w, mtch ORDER BY pos) END AS isl
+                FROM {dst}m{r}
+            ),
+            {dst}k{r} AS (
+                SELECT *, mtch AND ((row_number()
+                    OVER (PARTITION BY w, isl ORDER BY pos) - 1) % 2 = 0)
+                    AS keep
+                FROM {dst}i{r}
+            ),
+            {dst}g{r} AS (
+                SELECT *, coalesce(lag(keep)
+                    OVER (PARTITION BY w ORDER BY pos), false) AS prev_keep
+                FROM {dst}k{r}
+            ),
+            {dst}{r} AS (
+                SELECT w, freq,
+                       CAST(row_number() OVER (PARTITION BY w ORDER BY pos)
+                            - 1 AS INT) AS pos,
+                       CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+                FROM {dst}g{r} WHERE NOT prev_keep
+            )"""
+
+
 def _bpe_merges_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
     """Unrolled DuckDB replay of textops.docs_bpe_merges: top-cap word
     frequencies, char+</w> symbol init, then ``rounds`` stages of
@@ -646,42 +685,64 @@ def _bpe_merges_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
                 FROM adj{p} WHERE nxt IS NOT NULL
                 GROUP BY 1, 2
                 ORDER BY cnt DESC, ls, rs LIMIT 1
-            ),
-            m{r} AS (
-                SELECT a.*, coalesce(
-                    a.sym = (SELECT ls FROM t{r})
-                    AND a.nxt = (SELECT rs FROM t{r}), false) AS mtch
-                FROM adj{p} a
-            ),
-            i{r} AS (
-                SELECT *, CASE WHEN mtch THEN pos - row_number()
-                    OVER (PARTITION BY w, mtch ORDER BY pos) END AS isl
-                FROM m{r}
-            ),
-            k{r} AS (
-                SELECT *, mtch AND ((row_number()
-                    OVER (PARTITION BY w, isl ORDER BY pos) - 1) % 2 = 0)
-                    AS keep
-                FROM i{r}
-            ),
-            g{r} AS (
-                SELECT *, coalesce(lag(keep)
-                    OVER (PARTITION BY w ORDER BY pos), false) AS prev_keep
-                FROM k{r}
-            ),
-            s{r} AS (
-                SELECT w, freq,
-                       CAST(row_number() OVER (PARTITION BY w ORDER BY pos)
-                            - 1 AS INT) AS pos,
-                       CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
-                FROM g{r} WHERE NOT prev_keep
             )""")
+        parts.append(_bpe_merge_round_sql(f"adj{p}", "s", r))
     unions = "\n            UNION ALL ".join(
         f"""SELECT CAST({r} AS BIGINT) AS rnd, ls AS left_sym,
                    rs AS right_sym, cnt AS pair_count FROM t{r}"""
         for r in range(1, rounds + 1)
     )
     parts.append(f"\n            {unions}")
+    return "".join(parts)
+
+
+def _bpe_encode_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
+    """Unrolled DuckDB replay of textops.docs_bpe_encode: the full
+    training chain of _bpe_merges_sql (same t{r} pair picks), then the
+    SAME merge template replayed over the DISTINCT corpus vocabulary
+    (es-chain), a per-word subword length, and one doc-level rollup
+    of whitespace vs learned-vocab token counts."""
+    train = _bpe_merges_sql(rounds, vocab_cap)
+    chain = train[: train.rindex("\n            SELECT CAST(1 AS BIGINT)")]
+    parts = [chain, f""",
+            dw AS MATERIALIZED (
+                SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n_inst
+                FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+                GROUP BY 1, 2
+            ),
+            es0 AS (
+                SELECT w, CAST(1 AS BIGINT) AS freq, CAST(pos AS INT) AS pos,
+                       CASE WHEN pos < len(w)
+                            THEN substr(w, CAST(pos AS INT) + 1, 1)
+                            ELSE '</w>' END AS sym
+                FROM (
+                    SELECT w, unnest(range(0, len(w) + 1)) AS pos
+                    FROM (SELECT DISTINCT w FROM dw)
+                )
+            )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+            eadj{p} AS MATERIALIZED (
+                SELECT w, freq, pos, sym,
+                       lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                FROM es{p}
+            )""")
+        parts.append(_bpe_merge_round_sql(f"eadj{p}", "es", r))
+    parts.append(f""",
+            wlen AS (
+                SELECT w, CAST(count(*) - 1 AS BIGINT) AS n_sub
+                FROM es{rounds} GROUP BY w
+            )
+            SELECT doc_id,
+                   CAST(sum(n_inst) AS BIGINT) AS ws_tokens,
+                   CAST(sum(n_inst * n_sub) AS BIGINT) AS bpe_tokens,
+                   (2 * 1000 * CAST(sum(n_inst * n_sub) AS BIGINT)
+                    + CAST(sum(n_inst) AS BIGINT))
+                   // (2 * CAST(sum(n_inst) AS BIGINT))
+                       AS expansion_permille
+            FROM dw JOIN wlen USING (w)
+            GROUP BY doc_id""")
     return "".join(parts)
 
 
@@ -2193,6 +2254,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_kmeans_fit": _kmeans_fit_sql(),
         "docs_bpe_merges": _bpe_merges_sql(),
+        "docs_bpe_encode": _bpe_encode_sql(),
         "emb_kmeans_assign": """
             WITH e AS (
                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -545,6 +545,14 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str,
 BPE_VOCAB_CAP = 200
 BPE_ROUNDS = 8
 
+# Learned merge rules per (spark app, corpus dir, params) — the BPE
+# model is trained once per corpus snapshot and applied many times
+# (exactly the dedup._PAIRS_CACHE pattern); the encoder and any
+# same-process re-run reuse it instead of re-running the 8 training
+# rounds. The cached value is the tiny merges list (bounded model
+# state, like collected centroids).
+_MERGES_CACHE: dict[tuple, list] = {}
+
 
 def docs_bpe_merges(spark: SparkSession, sf_dir: str,
                     vocab_cap: int = BPE_VOCAB_CAP,
@@ -578,6 +586,12 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str,
     """
     from pyspark.sql import Window
 
+    key = (spark.sparkContext.applicationId, sf_dir, vocab_cap, rounds)
+    if key in _MERGES_CACHE:
+        return spark.createDataFrame(
+            _MERGES_CACHE[key],
+            "rnd long, left_sym string, right_sym string, pair_count long",
+        )
     d = _docs(spark, sf_dir)
     words = (
         d.select(F.explode(TX.tokens("text")).alias("w"))
@@ -597,7 +611,10 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str,
     w_order = Window.partitionBy("w").orderBy("pos")
     merges = []
     for rnd in range(1, rounds + 1):
-        syms = syms.localCheckpoint()
+        # lazy checkpoint: lineage still truncates at the round
+        # boundary, but materialization rides the argmax collect below
+        # instead of costing a separate eager job per round
+        syms = syms.localCheckpoint(eager=False)
         adj = syms.withColumn("nxt", F.lead("sym").over(w_order))
         counts = (
             adj.where(F.col("nxt").isNotNull())
@@ -609,43 +626,129 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str,
             break  # vocabulary fully merged before `rounds` rules
         p1, p2, cnt = top[0]["sym"], top[0]["nxt"], int(top[0]["cnt"])
         merges.append((rnd, p1, p2, cnt))
-        m = adj.withColumn(
-            "mtch",
-            F.coalesce(
-                (F.col("sym") == F.lit(p1)) & (F.col("nxt") == F.lit(p2)),
-                F.lit(False),
-            ),
-        )
-        isl_rn = F.row_number().over(
-            Window.partitionBy("w", "mtch").orderBy("pos")
-        )
-        i = m.withColumn(
-            "isl", F.when(F.col("mtch"), F.col("pos") - isl_rn)
-        )
-        keep_rn = F.row_number().over(
-            Window.partitionBy("w", "isl").orderBy("pos")
-        )
-        k = i.withColumn(
-            "keep", F.col("mtch") & (((keep_rn - F.lit(1)) % 2) == 0)
-        )
-        g = k.withColumn(
-            "prev_keep",
-            F.coalesce(F.lag("keep").over(w_order), F.lit(False)),
-        )
-        syms = (
-            g.where(~F.col("prev_keep"))
-            .select(
-                "w",
-                "freq",
-                (F.row_number().over(w_order) - F.lit(1))
-                .cast("int")
-                .alias("pos"),
-                F.when(
-                    F.col("keep"), F.concat(F.col("sym"), F.col("nxt"))
-                ).otherwise(F.col("sym")).alias("sym"),
-            )
-        )
+        syms = _bpe_apply_pair(adj, p1, p2)
+    rows = [(int(r), a, b, int(c)) for r, a, b, c in merges]
+    _MERGES_CACHE[key] = rows
     return spark.createDataFrame(
-        [(int(r), a, b, int(c)) for r, a, b, c in merges],
+        rows,
         "rnd long, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _bpe_apply_pair(adj: DataFrame, p1: str, p2: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge of (p1, p2) over
+    a symbol table carrying (w, freq, pos, sym, nxt=lead(sym)):
+    gaps-and-islands — consecutive match runs keep even offsets only
+    (the xx-in-xxxx case), the row after a kept match drops, positions
+    renumber. Shared by the trainer (argmax pair) and the encoder
+    (replayed learned pair)."""
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy("w").orderBy("pos")
+    m = adj.withColumn(
+        "mtch",
+        F.coalesce(
+            (F.col("sym") == F.lit(p1)) & (F.col("nxt") == F.lit(p2)),
+            F.lit(False),
+        ),
+    )
+    isl_rn = F.row_number().over(
+        Window.partitionBy("w", "mtch").orderBy("pos")
+    )
+    i = m.withColumn("isl", F.when(F.col("mtch"), F.col("pos") - isl_rn))
+    keep_rn = F.row_number().over(
+        Window.partitionBy("w", "isl").orderBy("pos")
+    )
+    k = i.withColumn(
+        "keep", F.col("mtch") & (((keep_rn - F.lit(1)) % 2) == 0)
+    )
+    g = k.withColumn(
+        "prev_keep",
+        F.coalesce(F.lag("keep").over(w_order), F.lit(False)),
+    )
+    return (
+        g.where(~F.col("prev_keep"))
+        .select(
+            "w",
+            "freq",
+            (F.row_number().over(w_order) - F.lit(1)).cast("int").alias("pos"),
+            F.when(
+                F.col("keep"), F.concat(F.col("sym"), F.col("nxt"))
+            ).otherwise(F.col("sym")).alias("sym"),
+        )
+    )
+
+
+def docs_bpe_encode(spark: SparkSession, sf_dir: str,
+                    vocab_cap: int = BPE_VOCAB_CAP,
+                    rounds: int = BPE_ROUNDS) -> DataFrame:
+    """BPE ENCODING with the vocabulary docs_bpe_merges learns: apply
+    the trained merge rules to the corpus and account tokens under the
+    learned subword vocab — the tokenize step of the training-data
+    budget (tokens-per-doc under the real tokenizer, not the
+    whitespace proxy).
+
+    The merge replay runs on the DISTINCT-WORD table, not the corpus:
+    encoding is a pure function of the word, so each of the ``rounds``
+    island-merge passes touches |vocab| short sequences (at open-web
+    scale still millions of rows, not the 100 TB corpus — and
+    perfectly hash-partitioned by word). The corpus is scanned once to
+    build word instance counts per doc, and the per-word subword
+    length joins back over that aggregate; the final frame is one
+    groupBy(doc_id). All counts and integer-permille ratios — no
+    floats, replayed exactly by the unrolled oracle
+    (__spark_entry__._bpe_encode_sql).
+
+    Returns per doc: ws_tokens (whitespace count), bpe_tokens (tokens
+    under the learned vocab), expansion_permille (half-up
+    1000*bpe/ws).
+    """
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in docs_bpe_merges(spark, sf_dir, vocab_cap, rounds)
+        .orderBy("rnd")
+        .collect()
+    ]
+    d = _docs(spark, sf_dir)
+    # one corpus scan: per-(doc, word) instance counts
+    dw = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n_inst"))
+        .localCheckpoint()
+    )
+    vocab = dw.select("w").distinct()
+    syms = vocab.select(
+        "w",
+        F.lit(1).cast("long").alias("freq"),
+        F.posexplode(
+            F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
+        ).alias("pos", "sym"),
+    ).select("w", "freq", F.col("pos").cast("int").alias("pos"), "sym")
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy("w").orderBy("pos")
+    for p1, p2 in merges:
+        # lazy: the chain materializes once, at the final doc rollup
+        syms = syms.localCheckpoint(eager=False)
+        syms = _bpe_apply_pair(
+            syms.withColumn("nxt", F.lead("sym").over(w_order)), p1, p2
+        )
+    # tokens per word under the learned vocab, minus the </w> marker
+    wlen = syms.groupBy("w").agg((F.count("*") - F.lit(1)).alias("n_sub"))
+    per_doc = (
+        dw.join(F.broadcast(wlen), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_inst").alias("ws_tokens"),
+            F.sum(F.col("n_inst") * F.col("n_sub")).alias("bpe_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        F.expr(
+            "(2 * 1000 * bpe_tokens + ws_tokens) div (2 * ws_tokens)"
+        ).alias("expansion_permille"),
     )

@@ -228,3 +228,49 @@ def test_bpe_merge_handles_overlapping_runs(spark):
         by_word.setdefault(r.w, []).append(r.sym)
     assert by_word["aaaa"] == ["aa", "aa", "</w>"]
     assert by_word["baa"] == ["b", "aa", "</w>"]
+
+
+def test_bpe_encode_matches_textbook_encoder(spark):
+    """Apply the textbook trainer's merges with a textbook encoder and
+    compare per-doc token accounting — independent of both engines."""
+    from jobsity_data_pipeline_spark.operators.textops import (
+        BPE_ROUNDS,
+        BPE_VOCAB_CAP,
+        docs_bpe_encode,
+    )
+
+    merges = [
+        (p1, p2) for _, p1, p2, _ in
+        _py_bpe_merges(SF_SMOKE, BPE_VOCAB_CAP, BPE_ROUNDS)
+    ]
+
+    def encode_len(word: str) -> int:
+        seq = [*word, "</w>"]
+        for p1, p2 in merges:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == p1 and seq[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq) - 1  # minus the </w> marker
+
+    want = {}
+    for doc_id, txt in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall():
+        toks = [t for t in re.split(r"\s+", txt) if t != ""]
+        if not toks:
+            continue
+        ws = len(toks)
+        bpe = sum(encode_len(t) for t in toks)
+        want[doc_id] = (ws, bpe, (2 * 1000 * bpe + ws) // (2 * ws))
+
+    got = {
+        r.doc_id: (r.ws_tokens, r.bpe_tokens, r.expansion_permille)
+        for r in docs_bpe_encode(spark, SF_SMOKE).collect()
+    }
+    assert got == want
