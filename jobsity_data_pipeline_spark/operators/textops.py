@@ -549,9 +549,9 @@ BPE_ROUNDS = 8
 # model is trained once per corpus snapshot and applied many times
 # (exactly the dedup._PAIRS_CACHE pattern); the encoder and any
 # same-process re-run reuse it instead of re-running the 8 training
-# rounds. The cached value is the tiny merges list (bounded model
-# state, like collected centroids).
-_MERGES_CACHE: dict[tuple, list] = {}
+# rounds. The cached value is the final merges DataFrame (checkpoint-
+# backed, rounds rows).
+_MERGES_CACHE: dict[tuple, DataFrame] = {}
 
 
 def docs_bpe_merges(spark: SparkSession, sf_dir: str,
@@ -571,11 +571,12 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str,
     (checkpointed per round, PageRank-style, to keep lineage flat).
     Per round: adjacent-pair counts weighted by word freq (lead()
     window per word = codegen, no HOFs over symbol arrays), argmax
-    pair via TakeOrdered(1) -> a bounded 1-row collect (model state,
-    like the k-means centroids), then a left-to-right non-overlapping
-    merge of that pair in every word implemented with gaps-and-islands
-    windows: consecutive match runs (the xx-in-xxx overlap case) keep
-    only even offsets, the row after a kept match is dropped, and
+    pair via TakeOrdered(1) kept IN THE PLAN as a broadcast 1-row
+    frame (zero driver round-trips — the whole training chain is one
+    action), then a left-to-right non-overlapping merge of that pair
+    in every word implemented with gaps-and-islands windows:
+    consecutive match runs (the xx-in-xxx overlap case) keep only
+    even offsets, the row after a kept match is dropped, and
     positions renumber for the next round.
 
     Every value is a count or a string — no floats anywhere — so the
@@ -588,10 +589,7 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str,
 
     key = (spark.sparkContext.applicationId, sf_dir, vocab_cap, rounds)
     if key in _MERGES_CACHE:
-        return spark.createDataFrame(
-            _MERGES_CACHE[key],
-            "rnd long, left_sym string, right_sym string, pair_count long",
-        )
+        return _MERGES_CACHE[key]
     d = _docs(spark, sf_dir)
     words = (
         d.select(F.explode(TX.tokens("text")).alias("w"))
@@ -609,48 +607,66 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str,
     ).select("w", "freq", F.col("pos").cast("int").alias("pos"), "sym")
 
     w_order = Window.partitionBy("w").orderBy("pos")
-    merges = []
+    tops = []
     for rnd in range(1, rounds + 1):
-        # lazy checkpoint: lineage still truncates at the round
-        # boundary, but materialization rides the argmax collect below
-        # instead of costing a separate eager job per round
+        # lazy checkpoint: the plan downstream of each round is a flat
+        # LogicalRDD (physical planning happens at the checkpoint
+        # call), and the whole chain materializes in ONE action — the
+        # per-round argmax is a broadcast 1-row frame in the plan, not
+        # a driver collect, so training has zero driver round-trips
         syms = syms.localCheckpoint(eager=False)
         adj = syms.withColumn("nxt", F.lead("sym").over(w_order))
-        counts = (
+        top = (
             adj.where(F.col("nxt").isNotNull())
             .groupBy("sym", "nxt")
             .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "sym", "nxt")
+            .limit(1)
+            .select(
+                F.col("sym").alias("ls"),
+                F.col("nxt").alias("rs"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+            .localCheckpoint(eager=False)
         )
-        top = counts.orderBy(F.desc("cnt"), "sym", "nxt").limit(1).collect()
-        if not top:
-            break  # vocabulary fully merged before `rounds` rules
-        p1, p2, cnt = top[0]["sym"], top[0]["nxt"], int(top[0]["cnt"])
-        merges.append((rnd, p1, p2, cnt))
-        syms = _bpe_apply_pair(adj, p1, p2)
-    rows = [(int(r), a, b, int(c)) for r, a, b, c in merges]
-    _MERGES_CACHE[key] = rows
-    return spark.createDataFrame(
-        rows,
-        "rnd long, left_sym string, right_sym string, pair_count long",
-    )
+        tops.append(top.select(
+            F.lit(rnd).cast("long").alias("rnd"),
+            F.col("ls").alias("left_sym"),
+            F.col("rs").alias("right_sym"),
+            "pair_count",
+        ))
+        syms = _bpe_apply_pair(adj, top)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    out = out.localCheckpoint(eager=False)
+    _MERGES_CACHE[key] = out
+    return out
 
 
-def _bpe_apply_pair(adj: DataFrame, p1: str, p2: str) -> DataFrame:
-    """One greedy left-to-right non-overlapping merge of (p1, p2) over
-    a symbol table carrying (w, freq, pos, sym, nxt=lead(sym)):
-    gaps-and-islands — consecutive match runs keep even offsets only
-    (the xx-in-xxxx case), the row after a kept match drops, positions
-    renumber. Shared by the trainer (argmax pair) and the encoder
-    (replayed learned pair)."""
+def _bpe_apply_pair(adj: DataFrame, pair: DataFrame) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge of the 1-row
+    ``pair`` frame's (ls, rs) over a symbol table carrying
+    (w, freq, pos, sym, nxt=lead(sym)): gaps-and-islands — consecutive
+    match runs keep even offsets only (the xx-in-xxxx case), the row
+    after a kept match drops, positions renumber. ``pair`` is either a
+    1-row (ls, rs) frame riding a broadcast cross join (the trainer's
+    in-plan argmax, never surfacing on the driver; empty frame =
+    nothing left to merge = empty table, terminating the chain
+    naturally) or a plain (p1, p2) tuple of already-known strings (the
+    encoder replaying learned rules as literals, no join at all)."""
     from pyspark.sql import Window
 
     w_order = Window.partitionBy("w").orderBy("pos")
-    m = adj.withColumn(
+    if isinstance(pair, tuple):  # literal fast-path (encoder replay)
+        ls, rs = F.lit(pair[0]), F.lit(pair[1])
+        j = adj
+    else:
+        ls, rs = F.col("ls"), F.col("rs")
+        j = adj.crossJoin(F.broadcast(pair.select("ls", "rs")))
+    m = j.withColumn(
         "mtch",
-        F.coalesce(
-            (F.col("sym") == F.lit(p1)) & (F.col("nxt") == F.lit(p2)),
-            F.lit(False),
-        ),
+        F.coalesce((F.col("sym") == ls) & (F.col("nxt") == rs), F.lit(False)),
     )
     isl_rn = F.row_number().over(
         Window.partitionBy("w", "mtch").orderBy("pos")
@@ -732,7 +748,7 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str,
         # lazy: the chain materializes once, at the final doc rollup
         syms = syms.localCheckpoint(eager=False)
         syms = _bpe_apply_pair(
-            syms.withColumn("nxt", F.lead("sym").over(w_order)), p1, p2
+            syms.withColumn("nxt", F.lead("sym").over(w_order)), (p1, p2)
         )
     # tokens per word under the learned vocab, minus the </w> marker
     wlen = syms.groupBy("w").agg((F.count("*") - F.lit(1)).alias("n_sub"))
