@@ -487,14 +487,35 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str,
     both places.
     """
     d = _docs(spark, sf_dir)
+    per_doc = bm25_postings(d, terms).localCheckpoint()
+    return bm25_topk_from_postings(per_doc, terms, k)
+
+
+def bm25_postings(d: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
+                  ) -> DataFrame:
+    """The per-doc postings row BM25 scores from: (doc_id, dl, one tf
+    column per query term) — one explode + one map-side-combined
+    doc_id aggregate over a documents frame. This is the frame a
+    serving deployment PERSISTS (docs_bm25_topk checkpoints it
+    in-session; streaming/stream.stream_bm25_postings maintains it as
+    a snapshot table at delta cost)."""
     ex = d.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
-    per_doc = ex.groupBy("doc_id").agg(
+    return ex.groupBy("doc_id").agg(
         F.count("*").alias("dl"),
         *[
             F.sum((F.col("token") == F.lit(t)).cast("long")).alias(f"tf_{i}")
             for i, t in enumerate(terms)
         ],
-    ).localCheckpoint()
+    )
+
+
+def bm25_topk_from_postings(per_doc: DataFrame,
+                            terms: tuple[str, ...] = BM25_TERMS,
+                            k: int = BM25_TOPK) -> DataFrame:
+    """Score + top-k over an existing postings frame (batch-built or
+    index-maintained): 1-row corpus stats broadcast, pure projection,
+    TakeOrderedAndProject — identical arithmetic to docs_bm25_topk by
+    construction (it IS its scoring half)."""
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("total_dl"),

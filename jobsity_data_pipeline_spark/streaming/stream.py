@@ -693,3 +693,58 @@ def ingest_status(query) -> dict:
         "watermark": (p.get("eventTime") or {}).get("watermark"),
         "exception": exc.desc if exc else None,
     }
+
+
+def stream_bm25_postings(docs: DataFrame, table_dir: str, checkpoint: str):
+    """Incremental BM25 postings-index maintenance on a document
+    stream: each micro-batch computes its docs' postings rows
+    (operators/textops.bm25_postings — the exact frame the batch
+    ranker checkpoints) and appends ONLY new doc_ids to a snapshot
+    table, making the docstring promise of docs_bm25_topk literal:
+    the inverted index is persisted once and kept current at delta
+    cost, never re-derived per query.
+
+    Same contract as stream_lsh_index: per-batch cost is O(batch)
+    (prior data files re-used by reference in the new manifest),
+    crash replay is exactly-once via the manifest protocol's batch-id
+    idempotence, and the index is queryable at any time / any version
+    (bm25_from_index below). PRECONDITION: append-only stream with
+    immutable doc bodies — the idempotence key is doc_id, so a
+    re-emitted doc_id keeps its FIRST postings row (use the
+    delete-then-append mutable pattern if bodies can change).
+
+    Corpus stats (n_docs, total_dl, df) are NOT maintained as state:
+    they are one broadcast-size aggregate over the postings table at
+    query time, which keeps the maintained state a pure per-doc fact
+    table (no read-modify-write races, max-merge or rescale logic).
+    """
+    from ..operators.textops import bm25_postings
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rows = bm25_postings(batch_df).withColumn(
+            "doc_key", F.col("doc_id").cast("string")
+        )
+        upsert_batch(rows, batch_id, table_dir, key="doc_key")
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bm25_from_index(spark: SparkSession, table_dir: str,
+                    k: int | None = None) -> DataFrame:
+    """BM25 top-k served FROM the maintained postings index — the
+    query-time half of stream_bm25_postings, byte-identical to the
+    batch ranker on the same corpus (proven in tests) because both
+    call textops.bm25_topk_from_postings on the same rows."""
+    from ..operators.textops import BM25_TOPK, bm25_topk_from_postings
+    from ..sources.snapshot import read_latest
+
+    per_doc = read_latest(spark, table_dir).drop("doc_key")
+    return bm25_topk_from_postings(per_doc, k=k or BM25_TOPK)

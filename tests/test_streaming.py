@@ -512,3 +512,74 @@ def test_ingest_status_reports_progress(spark, tmp_path):
     assert st["batch_id"] is not None
     assert st["num_input_rows"] == 20
     assert st["sources"] and "FileStreamSource" in st["sources"][0]
+
+
+def test_stream_bm25_postings_equals_batch_and_replays_idempotent(
+    spark, tmp_path
+):
+    from jobsity_data_pipeline_spark.operators.textops import (
+        bm25_postings, bm25_topk_from_postings,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        bm25_from_index, stream_bm25_postings,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    texts = [
+        "spark join stream vector spark join",
+        "vector vector vector and nothing else",
+        "plain words with none of the query terms at all",
+        "join join join stream",
+        "spark stream",
+        "a longer body of filler words then one spark at the end",
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for half in (0, 1):  # two files -> two micro-batches
+        rows = [
+            (i, t, "en", "test", len(t))
+            for i, t in enumerate(texts)
+            if i % 2 == half
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    table = str(tmp_path / "bm25_index")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_bm25_postings(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # 1) serving from the maintained index == the batch ranker's exact
+    # output over the full corpus (same scoring helper, same rows)
+    all_docs = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)], schema
+    )
+    want = [
+        tuple(r)
+        for r in bm25_topk_from_postings(bm25_postings(all_docs)).collect()
+    ]
+    got = [tuple(r) for r in bm25_from_index(spark, table).collect()]
+    assert got == want
+    # docs 2 (no query terms) never scores; all others do
+    scored_ids = {r[0] for r in got}
+    assert scored_ids == {0, 1, 3, 4, 5}
+
+    # 2) replaying an already-applied batch is a published no-op
+    import pyspark.sql.functions as F
+
+    v_before = latest_manifest(table)["version"]
+    batch0 = bm25_postings(all_docs.where("doc_id % 2 = 0")).withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    assert upsert_batch(batch0, 0, table, key="doc_key") == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v_before
