@@ -668,17 +668,25 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str,
 def _bpe_apply_pair(adj: DataFrame, pair: DataFrame) -> DataFrame:
     """One greedy left-to-right non-overlapping merge of the 1-row
     ``pair`` frame's (ls, rs) over a symbol table carrying
-    (w, freq, pos, sym, nxt=lead(sym)): gaps-and-islands — consecutive
-    match runs keep even offsets only (the xx-in-xxxx case), the row
-    after a kept match drops, positions renumber. ``pair`` is either a
-    1-row (ls, rs) frame riding a broadcast cross join (the trainer's
+    (w, freq, pos, sym, nxt=lead(sym)): consecutive match runs keep
+    even offsets only (the xx-in-xxxx case), the row after a kept
+    match drops, positions renumber. ``pair`` is either a 1-row
+    (ls, rs) frame riding a broadcast cross join (the trainer's
     in-plan argmax, never surfacing on the driver; empty frame =
     nothing left to merge = empty table, terminating the chain
     naturally) or a plain (p1, p2) tuple of already-known strings (the
-    encoder replaying learned rules as literals, no join at all)."""
+    encoder replaying learned rules as literals, no join at all).
+
+    Every window here shares ONE spec — partitionBy(w) orderBy(pos) —
+    so a whole merge round costs a single hash shuffle + sort:
+    because positions are dense (renumbered every round), a match
+    run's start is a running ``max`` of run-break positions and the
+    even-offset rule is just parity of (pos - run_start), no
+    (w, match)/(w, island) repartitions needed."""
     from pyspark.sql import Window
 
     w_order = Window.partitionBy("w").orderBy("pos")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
     if isinstance(pair, tuple):  # literal fast-path (encoder replay)
         ls, rs = F.lit(pair[0]), F.lit(pair[1])
         j = adj
@@ -689,15 +697,24 @@ def _bpe_apply_pair(adj: DataFrame, pair: DataFrame) -> DataFrame:
         "mtch",
         F.coalesce((F.col("sym") == ls) & (F.col("nxt") == rs), F.lit(False)),
     )
-    isl_rn = F.row_number().over(
-        Window.partitionBy("w", "mtch").orderBy("pos")
+    b = m.withColumn(
+        "brk",
+        F.col("mtch")
+        & ~F.coalesce(F.lag("mtch").over(w_order), F.lit(False)),
     )
-    i = m.withColumn("isl", F.when(F.col("mtch"), F.col("pos") - isl_rn))
-    keep_rn = F.row_number().over(
-        Window.partitionBy("w", "isl").orderBy("pos")
-    )
-    k = i.withColumn(
-        "keep", F.col("mtch") & (((keep_rn - F.lit(1)) % 2) == 0)
+    k = b.withColumn(
+        "keep",
+        F.col("mtch")
+        & (
+            (
+                (
+                    F.col("pos")
+                    - F.max(F.when(F.col("brk"), F.col("pos"))).over(w_run)
+                )
+                % 2
+            )
+            == 0
+        ),
     )
     g = k.withColumn(
         "prev_keep",

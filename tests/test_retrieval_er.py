@@ -172,62 +172,47 @@ def test_bpe_merges_match_textbook_trainer(spark):
 
 def test_bpe_merge_handles_overlapping_runs(spark):
     """The xx-in-xxxx overlap case: greedy left-to-right must merge
-    floor(run/2) pairs from the left — the gaps-and-islands parity
-    logic, pinned on a literal frame via the same machinery."""
+    floor(run/2) pairs from the left — pinned on literal frames
+    through the REAL merge helper (both the tuple fast-path and the
+    broadcast pair-frame path), including a mid-word run restart."""
     from pyspark.sql import functions as F
     from pyspark.sql import Window
 
+    from jobsity_data_pipeline_spark.operators.textops import _bpe_apply_pair
+
+    words = ["aaaa", "baa", "aabaaa"]
     df = spark.createDataFrame(
-        [("aaaa", 1, i, s) for i, s in enumerate([*"aaaa", "</w>"])]
-        + [("baa", 1, i, s) for i, s in enumerate([*"baa", "</w>"])],
+        [
+            (w, 1, i, s)
+            for w in words
+            for i, s in enumerate([*w, "</w>"])
+        ],
         "w string, freq long, pos int, sym string",
     )
     w_order = Window.partitionBy("w").orderBy("pos")
     adj = df.withColumn("nxt", F.lead("sym").over(w_order))
-    m = adj.withColumn(
-        "mtch",
-        F.coalesce((F.col("sym") == "a") & (F.col("nxt") == "a"), F.lit(False)),
-    )
-    i = m.withColumn(
-        "isl",
-        F.when(
-            F.col("mtch"),
-            F.col("pos")
-            - F.row_number().over(Window.partitionBy("w", "mtch").orderBy("pos")),
-        ),
-    )
-    k = i.withColumn(
-        "keep",
-        F.col("mtch")
-        & (
-            (
-                F.row_number().over(Window.partitionBy("w", "isl").orderBy("pos"))
-                - F.lit(1)
-            )
-            % 2
-            == 0
-        ),
-    )
-    g = k.withColumn(
-        "prev_keep", F.coalesce(F.lag("keep").over(w_order), F.lit(False))
-    )
-    out = (
-        g.where(~F.col("prev_keep"))
-        .select(
-            "w",
-            F.when(F.col("keep"), F.concat("sym", "nxt"))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-            "pos",
+    expected = {
+        "aaaa": ["aa", "aa", "</w>"],
+        "baa": ["b", "aa", "</w>"],
+        "aabaaa": ["aa", "b", "aa", "a", "</w>"],
+    }
+    for pair in (
+        ("a", "a"),
+        spark.createDataFrame([("a", "a")], "ls string, rs string"),
+    ):
+        out = (
+            _bpe_apply_pair(adj, pair)
+            .orderBy("w", "pos")
+            .collect()
         )
-        .orderBy("w", "pos")
-        .collect()
-    )
-    by_word = {}
-    for r in out:
-        by_word.setdefault(r.w, []).append(r.sym)
-    assert by_word["aaaa"] == ["aa", "aa", "</w>"]
-    assert by_word["baa"] == ["b", "aa", "</w>"]
+        by_word = {}
+        for r in out:
+            by_word.setdefault(r.w, []).append(r.sym)
+        assert by_word == expected
+        # positions renumber densely for the next round
+        for w in words:
+            n = len(expected[w])
+            assert [r.pos for r in out if r.w == w] == list(range(n))
 
 
 def test_bpe_encode_matches_textbook_encoder(spark):
