@@ -48,6 +48,9 @@ from .dedup import MAX_SHINGLE_DOC_FREQ
 # emb_pq_trained_ann: codebooks belong to the corpus snapshot, and the
 # session cache is the stand-in for the persisted codebook table.
 _PQ_CODEBOOK_CACHE: dict[tuple, DataFrame] = {}
+# (codes, qd) per (app, corpus, params, n_queries) — see
+# trained_pq_tables: corpus encoding is a per-snapshot artifact too
+_PQ_TABLES_CACHE: dict[tuple, tuple] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1427,6 +1430,16 @@ def trained_pq_tables(spark: SparkSession, sf_dir: str,
             iters=iters,
         ).localCheckpoint()
         _PQ_CODEBOOK_CACHE[ck] = cent
+    # The corpus CODES are as much a per-snapshot artifact as the
+    # codebooks — production encodes the corpus once when the index is
+    # built and every ADC scan reads the stored codes. Cache the
+    # (codes, qd) tables under the same convention (checkpointed,
+    # keyed per app/corpus/params) so the two consumers sharing these
+    # params (emb_pq_trained_ann, emb_ivfpq_ann) and the recall
+    # gate's branches never re-derive the encode scan.
+    tk = ck + (n_queries,)
+    if tk in _PQ_TABLES_CACHE:
+        return _PQ_TABLES_CACHE[tk]
     from .kmeans import pq_code_distances, pq_nearest_code
 
     x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
@@ -1435,14 +1448,16 @@ def trained_pq_tables(spark: SparkSession, sf_dir: str,
     # integer sums are order-independent, so the oracle's SQL replay
     # hash-matches (this is what moved these ops out of rows-only)
     d = pq_code_distances(x, cent, ["vec_id"])
-    codes = pq_nearest_code(d, ["vec_id"])
+    codes = pq_nearest_code(d, ["vec_id"]).localCheckpoint(eager=False)
     qd = (
         d.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("qid"), "subspace", "code",
             F.col("d6").alias("dq6"),
         )
+        .localCheckpoint(eager=False)
     )
+    _PQ_TABLES_CACHE[tk] = (codes, qd)
     return codes, qd
 
 
