@@ -743,15 +743,22 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str,
     whitespace proxy).
 
     The merge replay runs on the DISTINCT-WORD table, not the corpus:
-    encoding is a pure function of the word, so each of the ``rounds``
-    island-merge passes touches |vocab| short sequences (at open-web
-    scale still millions of rows, not the 100 TB corpus — and
-    perfectly hash-partitioned by word). The corpus is scanned once to
-    build word instance counts per doc, and the per-word subword
-    length joins back over that aggregate; the final frame is one
-    groupBy(doc_id). All counts and integer-permille ratios — no
-    floats, replayed exactly by the unrolled oracle
-    (__spark_entry__._bpe_encode_sql).
+    encoding is a pure function of the word (at open-web scale the
+    vocab is millions of rows, not the 100 TB corpus). Applying R
+    learned rules to one word is inherently SEQUENTIAL — as relational
+    ops it costs R chained window stages — so this is the sanctioned
+    Pandas-UDF case: ONE Arrow-batched mapInPandas stage runs the
+    textbook greedy loop per word (pure string function, no state, no
+    ordering sensitivity), embarrassingly parallel across vocab
+    partitions. The trainer's relational island-merge
+    (_bpe_apply_pair) remains the argmax-coupled path where the pair
+    is data-dependent. The corpus is scanned once into per-(doc,
+    word) instance counts, and the per-word subword length joins back
+    broadcast; the final frame is one groupBy(doc_id). All counts and
+    integer-permille ratios — no floats, replayed exactly by the
+    unrolled oracle (__spark_entry__._bpe_encode_sql; equivalence of
+    the greedy loop and the island windows is pinned by
+    tests/test_retrieval_er.py against a textbook encoder).
 
     Returns per doc: ws_tokens (whitespace count), bpe_tokens (tokens
     under the learned vocab), expansion_permille (half-up
@@ -772,24 +779,35 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str,
         .localCheckpoint()
     )
     vocab = dw.select("w").distinct()
-    syms = vocab.select(
-        "w",
-        F.lit(1).cast("long").alias("freq"),
-        F.posexplode(
-            F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
-        ).alias("pos", "sym"),
-    ).select("w", "freq", F.col("pos").cast("int").alias("pos"), "sym")
-    from pyspark.sql import Window
 
-    w_order = Window.partitionBy("w").orderBy("pos")
-    for p1, p2 in merges:
-        # lazy: the chain materializes once, at the final doc rollup
-        syms = syms.localCheckpoint(eager=False)
-        syms = _bpe_apply_pair(
-            syms.withColumn("nxt", F.lead("sym").over(w_order)), (p1, p2)
-        )
-    # tokens per word under the learned vocab, minus the </w> marker
-    wlen = syms.groupBy("w").agg((F.count("*") - F.lit(1)).alias("n_sub"))
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = []
+            for word in pdf["w"]:
+                seq = [*word, "</w>"]
+                for p1, p2 in merges:
+                    out, i = [], 0
+                    n = len(seq)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and seq[i] == p1
+                            and seq[i + 1] == p2
+                        ):
+                            out.append(p1 + p2)
+                            i += 2
+                        else:
+                            out.append(seq[i])
+                            i += 1
+                    seq = out
+                ns.append(len(seq) - 1)  # minus the </w> marker
+            yield pd.DataFrame({"w": pdf["w"], "n_sub": ns})
+
+    wlen = vocab.mapInPandas(encode, "w string, n_sub long")
     per_doc = (
         dw.join(F.broadcast(wlen), "w")
         .groupBy("doc_id")
