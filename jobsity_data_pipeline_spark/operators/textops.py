@@ -657,6 +657,11 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str,
             "pair_count",
         ))
         syms = _bpe_apply_pair(adj, top)
+    if not tops:  # rounds=0: an empty merge table, not an error
+        return spark.createDataFrame(
+            [],
+            "rnd long, left_sym string, right_sym string, pair_count long",
+        )
     out = tops[0]
     for t in tops[1:]:
         out = out.unionByName(t)
