@@ -731,7 +731,12 @@ def _bpe_encode_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
         parts.append(_bpe_merge_round_sql(f"eadj{p}", "es", r))
     parts.append(f""",
             wlen AS (
-                SELECT w, CAST(count(*) - 1 AS BIGINT) AS n_sub
+                -- subtract the </w> marker only when it survived
+                -- unmerged as the final symbol (a learned (x, </w>)
+                -- merge fuses it into a real vocab token)
+                SELECT w, CAST(count(*) - CASE
+                           WHEN arg_max(sym, pos) = '</w>' THEN 1
+                           ELSE 0 END AS BIGINT) AS n_sub
                 FROM es{rounds} GROUP BY w
             )
             SELECT doc_id,

@@ -48,9 +48,11 @@ from .dedup import MAX_SHINGLE_DOC_FREQ
 # emb_pq_trained_ann: codebooks belong to the corpus snapshot, and the
 # session cache is the stand-in for the persisted codebook table.
 _PQ_CODEBOOK_CACHE: dict[tuple, DataFrame] = {}
-# (codes, qd) per (app, corpus, params, n_queries) — see
-# trained_pq_tables: corpus encoding is a per-snapshot artifact too
-_PQ_TABLES_CACHE: dict[tuple, tuple] = {}
+# corpus codes per (app, corpus, params) and query distance tables per
+# (app, corpus, params, n_queries) — see trained_pq_tables: corpus
+# encoding is a per-snapshot artifact too
+_PQ_TABLES_CACHE: dict[tuple, DataFrame] = {}
+_PQ_QD_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1437,9 +1439,12 @@ def trained_pq_tables(spark: SparkSession, sf_dir: str,
     # keyed per app/corpus/params) so the two consumers sharing these
     # params (emb_pq_trained_ann, emb_ivfpq_ann) and the recall
     # gate's branches never re-derive the encode scan.
-    tk = ck + (n_queries,)
-    if tk in _PQ_TABLES_CACHE:
-        return _PQ_TABLES_CACHE[tk]
+    # codes are query-independent — cache under ck so consumers that
+    # differ only in n_queries still share the corpus encode; only the
+    # tiny query-side distance table keys on n_queries
+    qk = ck + (n_queries,)
+    if ck in _PQ_TABLES_CACHE and qk in _PQ_QD_CACHE:
+        return _PQ_TABLES_CACHE[ck], _PQ_QD_CACHE[qk]
     from .kmeans import pq_code_distances, pq_nearest_code
 
     x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
@@ -1448,17 +1453,20 @@ def trained_pq_tables(spark: SparkSession, sf_dir: str,
     # integer sums are order-independent, so the oracle's SQL replay
     # hash-matches (this is what moved these ops out of rows-only)
     d = pq_code_distances(x, cent, ["vec_id"])
-    codes = pq_nearest_code(d, ["vec_id"]).localCheckpoint(eager=False)
-    qd = (
-        d.where(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("qid"), "subspace", "code",
-            F.col("d6").alias("dq6"),
+    if ck not in _PQ_TABLES_CACHE:
+        _PQ_TABLES_CACHE[ck] = pq_nearest_code(d, ["vec_id"]).localCheckpoint(
+            eager=False
         )
-        .localCheckpoint(eager=False)
-    )
-    _PQ_TABLES_CACHE[tk] = (codes, qd)
-    return codes, qd
+    if qk not in _PQ_QD_CACHE:
+        _PQ_QD_CACHE[qk] = (
+            d.where(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("qid"), "subspace", "code",
+                F.col("d6").alias("dq6"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return _PQ_TABLES_CACHE[ck], _PQ_QD_CACHE[qk]
 
 
 def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,

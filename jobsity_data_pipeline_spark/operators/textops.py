@@ -809,7 +809,13 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str,
                             out.append(seq[i])
                             i += 1
                     seq = out
-                ns.append(len(seq) - 1)  # minus the </w> marker
+                # the marker only counts out when it survived UNMERGED
+                # as its own symbol: a learned (x, </w>) merge fuses it
+                # into the final subword, which IS a vocab token (a
+                # fully-fused word is 1 token, not 0)
+                ns.append(
+                    len(seq) - (1 if seq and seq[-1] == "</w>" else 0)
+                )
             yield pd.DataFrame({"w": pdf["w"], "n_sub": ns})
 
     wlen = vocab.mapInPandas(encode, "w string, n_sub long")

@@ -746,5 +746,9 @@ def bm25_from_index(spark: SparkSession, table_dir: str,
     from ..operators.textops import BM25_TOPK, bm25_topk_from_postings
     from ..sources.snapshot import read_latest
 
-    per_doc = read_latest(spark, table_dir).drop("doc_key")
-    return bm25_topk_from_postings(per_doc, k=k or BM25_TOPK)
+    per_doc = read_latest(spark, table_dir)
+    if per_doc is None:
+        raise ValueError(f"no published postings index at {table_dir}")
+    return bm25_topk_from_postings(
+        per_doc.drop("doc_key"), k=BM25_TOPK if k is None else k
+    )
