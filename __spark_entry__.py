@@ -239,6 +239,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_er_pairs": D.parts_er_pairs,
         "docs_bpe_merges": TO.docs_bpe_merges,
         "docs_bpe_encode": TO.docs_bpe_encode,
+        "media_frame_manifest": MM.media_frame_manifest,
     }
 
 
@@ -288,16 +289,18 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # their old driver rows attest pre-rewrite outputs, so each must
 # re-earn a hash row this round — plus emb_kmeans_fit (first oracle
 # row this round) and the keys whose only driver row is from r1.
-# Held to 46 so the four NEW round-5 keys (docs_bm25_topk,
-# parts_er_pairs, docs_bpe_merges, docs_bpe_encode — auto-fronted
-# below as never-sampled) land inside the driver's 50-key sweep
-# budget. Dropped to make room, each attested by an in-budget cousin
-# sharing the same rewritten kernel: q16_supplier_count (code
-# untouched in r5), orders_rollup (orders_cube), events_grouping_sets
-# (events_hourly + the grouping family), events_running_total
-# (events_value_cusum's cumulative integer-unit sum),
-# q20_dominant_suppliers and orders_yoy_growth (the
-# q2/q9/q11/q17-attested money kernel).
+# Held to 45 so the five NEW round-5 keys (docs_bm25_topk,
+# parts_er_pairs, docs_bpe_merges, docs_bpe_encode,
+# media_frame_manifest — auto-fronted below as never-sampled) land
+# inside the driver's 50-key sweep budget. Dropped to make room, each
+# attested by an in-budget cousin sharing the same rewritten kernel:
+# q16_supplier_count (code untouched in r5), orders_rollup
+# (orders_cube), events_grouping_sets (events_hourly + the grouping
+# family), events_running_total (events_value_cusum's cumulative
+# integer-unit sum), q20_dominant_suppliers and orders_yoy_growth
+# (the q2/q9/q11/q17-attested money kernel), events_session_window
+# (integer value sums attested by events_hourly +
+# events_value_rolling_1h).
 _ROUND5_PRIORITY: tuple[str, ...] = (
     "events_kmv_distinct", "events_concurrency", "events_value_cusum",
     "events_watermark_lateness", "events_key_skew", "q1_pricing_summary",
@@ -309,7 +312,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "promo_revenue_ratio", "orders_cube",
     "orders_customer_rfm", "customer_pareto", "orders_price_corr", "events_hourly",
     "events_enriched", "events_value_rolling_1h",
-    "events_session_window", "events_daily_gapfill",
+    "events_daily_gapfill",
     "top_customers_per_nation", "stream_events_hourly", "emb_kmeans_fit",
     "docs_clean_corpus_stats", "docs_exact_dedup", "docs_quality", "docs_repetition",
     "docs_sample_stratified", "docs_token_stats", "docs_top_bigrams",
@@ -1862,6 +1865,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(('0x' || substr(sha256(text), 1, 2))::INT
                               AS DOUBLE) / 256.0, 6) AS f0
             FROM documents
+        """,
+        "media_frame_manifest": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CAST(doc_id % 3 AS INT) AS kr,
+                       CAST(n_chars * 10 AS BIGINT) AS duration_ms,
+                       CAST(octet_length(encode(text)) AS BIGINT)
+                           AS n_bytes
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(i AS INT) AS frame_idx,
+                   CAST(i * 1000 AS BIGINT) AS ts_ms,
+                   n_bytes
+            FROM (
+                SELECT media_id, n_bytes,
+                       unnest(range(0, duration_ms // 1000)) AS i
+                FROM m WHERE kr = 2
+            )
         """,
         "media_dedup": """
             WITH m AS (

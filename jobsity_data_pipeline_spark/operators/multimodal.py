@@ -219,3 +219,18 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         (F.col("n_chars") % 768).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
     )
+
+
+def media_frame_manifest(spark, sf_dir: str) -> DataFrame:
+    """Driver-verifiable frame-sampling leg: documents -> media table
+    -> frame_sample's deterministic grid, one row per sampled frame of
+    every video payload. Everything but the pixel decode is the
+    production path (duration metadata through the Arrow batch
+    boundary); all-integer output (frame_idx, ts_ms, n_bytes), so the
+    oracle replays the grid exactly with a range unnest — promoting
+    the frame-sampling plumbing from unit-tested API to
+    oracle-checked query alongside media_features/media_dedup."""
+    from ..session import ensure_parallelism, read_table
+
+    docs = ensure_parallelism(spark, read_table(spark, sf_dir, "documents"))
+    return frame_sample(media_from_documents(docs))
