@@ -124,7 +124,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                if r["kind"] != "video" or r["duration_ms"] is None:
+                # pd.isna, not `is None`: a NULL in an int64 column
+                # coerces the pandas batch to float64 and arrives as
+                # NaN, which `is None` misses (int(NaN // ...) would
+                # then raise instead of skipping the row)
+                if r["kind"] != "video" or pd.isna(r["duration_ms"]):
                     continue
                 n_frames = int(r["duration_ms"] // every_ms)
                 for i in range(n_frames):
