@@ -647,13 +647,16 @@ def _bpe_merge_round_sql(src: str, dst: str, r: int) -> str:
             )"""
 
 
-def _bpe_merges_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
-    """Unrolled DuckDB replay of textops.docs_bpe_merges: top-cap word
-    frequencies, char+</w> symbol init, then ``rounds`` stages of
-    (adjacent-pair count -> argmax pair -> greedy left-to-right
-    non-overlapping merge via gaps-and-islands windows) — the
-    kmeans-fit unroll pattern, all counts/strings so the replay is
-    exact with no float anywhere. Constants mirror textops.BPE_*."""
+def _bpe_merges_parts(rounds: int = 8, vocab_cap: int = 200) -> tuple:
+    """The trainer replay split as ``(chain, final_select)`` so
+    _bpe_encode_sql can extend the CTE chain without substring surgery
+    on the assembled SQL (the two are concatenated by _bpe_merges_sql).
+
+    Chain: top-cap word frequencies, char+</w> symbol init, then
+    ``rounds`` stages of (adjacent-pair count -> argmax pair -> greedy
+    left-to-right non-overlapping merge via gaps-and-islands windows)
+    — the kmeans-fit unroll pattern, all counts/strings so the replay
+    is exact with no float anywhere. Constants mirror textops.BPE_*."""
     parts = [f"""
             WITH words AS (
                 SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -695,8 +698,13 @@ def _bpe_merges_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
                    rs AS right_sym, cnt AS pair_count FROM t{r}"""
         for r in range(1, rounds + 1)
     )
-    parts.append(f"\n            {unions}")
-    return "".join(parts)
+    return "".join(parts), f"\n            {unions}"
+
+
+def _bpe_merges_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
+    """Full trainer replay: CTE chain + the per-round pair-pick union."""
+    chain, final = _bpe_merges_parts(rounds, vocab_cap)
+    return chain + final
 
 
 def _bpe_encode_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
@@ -705,8 +713,7 @@ def _bpe_encode_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
     SAME merge template replayed over the DISTINCT corpus vocabulary
     (es-chain), a per-word subword length, and one doc-level rollup
     of whitespace vs learned-vocab token counts."""
-    train = _bpe_merges_sql(rounds, vocab_cap)
-    chain = train[: train.rindex("\n            SELECT CAST(1 AS BIGINT)")]
+    chain, _ = _bpe_merges_parts(rounds, vocab_cap)
     parts = [chain, f""",
             dw AS MATERIALIZED (
                 SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n_inst

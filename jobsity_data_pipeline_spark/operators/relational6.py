@@ -185,7 +185,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str,
     (a scale-invariant analog of Q11's total-fraction threshold — a
     fixed fraction of the grand total selects ~0 parts as the catalog
     grows). The scalar threshold is a one-row aggregate crossJoin'ed
-    (broadcast) back — never collected to the driver."""
+    (broadcast) back — never collected to the driver.
+
+    ``mult`` must be an integral value (2.0, 3.0, ...): the threshold
+    compare is cross-multiplied to exact integers; raises ValueError
+    otherwise."""
     ps = _part_supplier(spark, sf_dir)
     nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == nation)
     supp = _t(spark, sf_dir, "supplier").join(
@@ -205,7 +209,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str,
         F.sum("v8").alias("_tot8"), F.count("*").alias("_n")
     )
     m2 = int(mult)
-    assert float(m2) == mult, "mult must be integral for the exact form"
+    if float(m2) != mult:
+        raise ValueError(
+            f"q11_important_stock: mult must be an integral value for "
+            f"the exact cross-multiplied threshold (got {mult!r})"
+        )
     return (
         val.crossJoin(F.broadcast(total))
         .where(F.col("v8") * F.col("_n") > m2 * F.col("_tot8"))
@@ -277,7 +285,11 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str,
     than ``share`` of a part family's 1996 volume (availqty > ½·shipped
     in the original; the per-part share threshold is the analog).
     Per-part totals come from a second aggregate joined back on the
-    part key; the final projection is supplier-level distinct."""
+    part key; the final projection is supplier-level distinct.
+
+    ``share`` must be the reciprocal of an integer (0.5, 0.25, 0.2,
+    ...): the share compare is cross-multiplied to exact integers;
+    raises ValueError otherwise."""
     part = _t(spark, sf_dir, "part").where(F.col("p_name").like(name_like))
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -292,7 +304,12 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str,
     )
     # share=0.2 cross-multiplies to the exact 5*pair > part comparison
     inv = int(round(1 / share))
-    assert abs(inv * share - 1.0) < 1e-12, "share must be 1/int"
+    if abs(inv * share - 1.0) >= 1e-12:
+        raise ValueError(
+            f"q20_dominant_suppliers: share must be the reciprocal of "
+            f"an integer for the exact cross-multiplied comparison "
+            f"(got {share!r})"
+        )
     dom = (
         pair.join(tot, "l_partkey")
         .where(inv * F.col("pair_qc") > F.col("part_qc"))

@@ -223,7 +223,8 @@ def read_latest(spark: SparkSession, table_dir: str) -> DataFrame | None:
 
 
 def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
-                 key: str = "trip_key") -> str:
+                 key: str = "trip_key",
+                 extra: dict | None = None) -> str:
     """Idempotent keyed append: anti-join the batch against the current
     version's keys, write ONLY the new rows as one data file set, and
     publish prior-files + new-files as the next version.
@@ -241,6 +242,10 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
     against the new latest. Otherwise a racer appending the same key
     would slip a duplicate past the anti-join, and the stale prior
     list would drop the racer's files from the new version.
+
+    ``extra`` rides the published manifest verbatim (table-level
+    metadata such as an index's term list); reserved body keys
+    (version/batch/files/stats) must not be used.
     """
     token = f"batch{batch_id}"
     spark = batch.sparkSession
@@ -281,7 +286,7 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
             **(new_stats or {}),
         }
         v = _publish(table_dir, prior + files, token,
-                     extra={"stats": stats},
+                     extra={"stats": stats, **(extra or {})},
                      expected_version=base_version)
         if v != -1:
             return "published"
@@ -297,12 +302,22 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
     their content in the key: a re-emitted key whose content CHANGED
     replaces the old row (delete-then-append, the lsh_index_mutable
     pattern generalized), while an identical re-emit stays a no-op.
-    The generic content hash (md5 of the JSON of all non-key columns,
-    stored as ``content_col``) is what makes the replacement visible
-    to CDC: pass the same ``content_col`` to change_feed /
-    consume_changes and a replaced key surfaces as delete(old row) +
-    insert(new row) instead of disappearing into the keyed anti-joins
-    (their key-immutability premise).
+    The generic content hash (md5 over all non-key columns, stored as
+    ``content_col``) is what makes the replacement visible to CDC:
+    pass the same ``content_col`` to change_feed / consume_changes and
+    a replaced key surfaces as delete(old row) + insert(new row)
+    instead of disappearing into the keyed anti-joins (their
+    key-immutability premise).
+
+    The hash is TOTAL over the declared column list: each column is
+    encoded as an explicit null flag + string form before hashing
+    (to_json would silently omit null fields, so a schema evolution
+    that adds a null-defaulted column would leave old-row hashes
+    unchanged while widening the hashed struct — old and new rows
+    would then compare hashes computed over different column sets).
+    Adding a column therefore changes every row's hash exactly once,
+    which surfaces as one replacement wave — the correct CDC signal
+    for "the row's declared content schema changed".
 
     Exactly-once under replay at both crash points, like the mutable
     LSH merge: the batch token is checked before any delete; a crash
@@ -321,8 +336,22 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
     spark = batch.sparkSession
     data_cols = sorted(c for c in batch.columns
                        if c not in (key, content_col))
+    # null-total canonical form: "<0|1>:<value-or-empty>" per column,
+    # joined with an unlikely separator — a null and the empty string
+    # hash differently, and every declared column always contributes
     b = batch.dropDuplicates([key]).withColumn(
-        content_col, F.md5(F.to_json(F.struct(*data_cols)))
+        content_col,
+        F.md5(F.concat_ws(
+            "\x1f",
+            *[
+                F.concat(
+                    F.when(F.col(c).isNull(), F.lit("0:"))
+                    .otherwise(F.lit("1:")),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in data_cols
+            ],
+        )),
     )
     man = latest_manifest(table_dir)
     if man is not None and man["files"]:

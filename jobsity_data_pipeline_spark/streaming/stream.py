@@ -695,7 +695,8 @@ def ingest_status(query) -> dict:
     }
 
 
-def stream_bm25_postings(docs: DataFrame, table_dir: str, checkpoint: str):
+def stream_bm25_postings(docs: DataFrame, table_dir: str, checkpoint: str,
+                         terms: tuple[str, ...] | None = None):
     """Incremental BM25 postings-index maintenance on a document
     stream: each micro-batch computes its docs' postings rows
     (operators/textops.bm25_postings — the exact frame the batch
@@ -717,17 +718,26 @@ def stream_bm25_postings(docs: DataFrame, table_dir: str, checkpoint: str):
     they are one broadcast-size aggregate over the postings table at
     query time, which keeps the maintained state a pure per-doc fact
     table (no read-modify-write races, max-merge or rescale logic).
+
+    The term list is published in every manifest (``bm25_terms``): tf
+    columns are positional (tf_0..tf_{n-1}), so a reader must score
+    with the SAME terms the index was built with — bm25_from_index
+    validates against the persisted list and errors on mismatch
+    instead of silently mis-scoring.
     """
-    from ..operators.textops import bm25_postings
+    from ..operators.textops import BM25_TERMS, bm25_postings
     from ..sources.snapshot import upsert_batch
+
+    terms = BM25_TERMS if terms is None else tuple(terms)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        rows = bm25_postings(batch_df).withColumn(
+        rows = bm25_postings(batch_df, terms).withColumn(
             "doc_key", F.col("doc_id").cast("string")
         )
-        upsert_batch(rows, batch_id, table_dir, key="doc_key")
+        upsert_batch(rows, batch_id, table_dir, key="doc_key",
+                     extra={"bm25_terms": list(terms)})
 
     return (
         docs.writeStream.foreachBatch(_merge)
@@ -738,17 +748,39 @@ def stream_bm25_postings(docs: DataFrame, table_dir: str, checkpoint: str):
 
 
 def bm25_from_index(spark: SparkSession, table_dir: str,
-                    k: int | None = None) -> DataFrame:
+                    k: int | None = None,
+                    terms: tuple[str, ...] | None = None) -> DataFrame:
     """BM25 top-k served FROM the maintained postings index — the
     query-time half of stream_bm25_postings, byte-identical to the
     batch ranker on the same corpus (proven in tests) because both
-    call textops.bm25_topk_from_postings on the same rows."""
-    from ..operators.textops import BM25_TOPK, bm25_topk_from_postings
-    from ..sources.snapshot import read_latest
+    call textops.bm25_topk_from_postings on the same rows.
 
+    Term binding: the authoritative term list is the one persisted in
+    the index manifest (tf columns are positional, so scoring with a
+    different same-arity list would be silently wrong). A caller-
+    supplied ``terms`` is validated against it; a legacy index with no
+    persisted list falls back to the caller's terms or BM25_TERMS."""
+    from ..operators.textops import (
+        BM25_TERMS, BM25_TOPK, bm25_topk_from_postings,
+    )
+    from ..sources.snapshot import latest_manifest, read_latest
+
+    man = latest_manifest(table_dir)
     per_doc = read_latest(spark, table_dir)
     if per_doc is None:
         raise ValueError(f"no published postings index at {table_dir}")
+    persisted = man.get("bm25_terms")
+    if persisted is not None:
+        persisted = tuple(persisted)
+        if terms is not None and tuple(terms) != persisted:
+            raise ValueError(
+                f"bm25_from_index: index at {table_dir} was built with "
+                f"terms {persisted}, query asked for {tuple(terms)}"
+            )
+        use_terms = persisted
+    else:
+        use_terms = BM25_TERMS if terms is None else tuple(terms)
     return bm25_topk_from_postings(
-        per_doc.drop("doc_key"), k=BM25_TOPK if k is None else k
+        per_doc.drop("doc_key"), terms=use_terms,
+        k=BM25_TOPK if k is None else k,
     )

@@ -1208,3 +1208,29 @@ def test_upsert_replacing_updates_and_cdc_sees_them(spark, tmp_path):
     assert SN.upsert_replacing(v2, 2, t) == "published"
     assert {r.trip_key: r.v for r in SN.read_latest(spark, t).collect()} \
         == now
+
+
+def test_upsert_replacing_hash_is_total_over_nulls(spark, tmp_path):
+    """The content hash must encode nulls explicitly (to_json omits
+    null fields): null -> '' IS a content change, and a null column
+    still contributes to the hash so two rows differing only in which
+    column is null hash differently."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tnull")
+    schema = "trip_key long, a string, b string"
+    v1 = spark.createDataFrame([(1, None, "x"), (2, "x", None)], schema)
+    assert SN.upsert_replacing(v1, 0, t) == "published"
+    h = {r.trip_key: r._chash for r in SN.read_latest(spark, t).collect()}
+    # (null,'x') vs ('x',null): same non-null field set under to_json,
+    # distinct under the null-total encoding
+    assert h[1] != h[2]
+
+    # null -> empty string on key 1 must register as a replacement
+    v_pre = SN.latest_manifest(t)["version"]
+    v2 = spark.createDataFrame([(1, "", "x"), (2, "x", None)], schema)
+    assert SN.upsert_replacing(v2, 1, t) == "published"
+    feed = SN.change_feed(spark, t, v_pre, key="trip_key",
+                          content_col="_chash")
+    got = {(r.trip_key, r.a, r._change_type) for r in feed.collect()}
+    assert got == {(1, None, "delete"), (1, "", "insert")}

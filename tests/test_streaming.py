@@ -583,3 +583,52 @@ def test_stream_bm25_postings_equals_batch_and_replays_idempotent(
     )
     assert upsert_batch(batch0, 0, table, key="doc_key") == "skipped_duplicate"
     assert latest_manifest(table)["version"] == v_before
+
+
+def test_bm25_index_persists_terms_and_rejects_mismatch(spark, tmp_path):
+    import pytest
+
+    from jobsity_data_pipeline_spark.operators.textops import (
+        BM25_TERMS, bm25_postings, bm25_topk_from_postings,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import latest_manifest
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        bm25_from_index, stream_bm25_postings,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    texts = ["alpha beta beta", "beta gamma", "delta delta alpha", "gamma"]
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)], schema
+    ).coalesce(1).write.parquet(str(src))
+
+    custom = ("alpha", "beta", "gamma", "delta")
+    table = str(tmp_path / "idx")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_bm25_postings(stream, table, str(tmp_path / "ckpt"),
+                             terms=custom)
+    q.awaitTermination(120)
+
+    # the term list rides the manifest and is the scoring default
+    assert tuple(latest_manifest(table)["bm25_terms"]) == custom
+    all_docs = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)], schema
+    )
+    want = [
+        tuple(r)
+        for r in bm25_topk_from_postings(
+            bm25_postings(all_docs, custom), terms=custom
+        ).collect()
+    ]
+    assert [tuple(r) for r in bm25_from_index(spark, table).collect()] == want
+    # explicit matching terms are accepted; a same-arity different list
+    # (which would silently mis-score the positional tf columns) errors
+    assert [
+        tuple(r)
+        for r in bm25_from_index(spark, table, terms=custom).collect()
+    ] == want
+    with pytest.raises(ValueError, match="was built with"):
+        bm25_from_index(spark, table, terms=BM25_TERMS)
