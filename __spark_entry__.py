@@ -253,17 +253,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so this is purely a priority permutation.
     """
     q = _queries_declared()
-    out = {k: q[k] for k in _ROUND5_PRIORITY if k in q}
+    out = {k: q[k] for k in _ROUND6_PRIORITY if k in q}
     # any key in NO list (a new query not yet registered anywhere)
     # runs right after the explicit priorities — a budget-truncated
     # sweep must reach never-verified surface before re-verifying
     # greens, even when the priority tuple wasn't updated
     known = (
-        set(_ROUND5_PRIORITY)
+        set(_ROUND6_PRIORITY)
         | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
+        | _SAMPLED_R5
     )
     out.update({k: v for k, v in q.items() if k not in known})
-    for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4):
+    for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
+                 _SAMPLED_R5):
         out.update(
             {k: v for k, v in q.items()
              if k in tier and k not in out and k not in _later_tiers(tier)}
@@ -276,31 +278,51 @@ def _later_tiers(tier: frozenset) -> frozenset:
     """Keys re-sampled in a LATER round than ``tier`` — their freshest
     row supersedes the older one, so they sort with the later tier."""
     if tier is _SAMPLED_R1:
-        return _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
+        return _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4 | _SAMPLED_R5
     if tier is _SAMPLED_R2:
-        return _SAMPLED_R3 | _SAMPLED_R4
+        return _SAMPLED_R3 | _SAMPLED_R4 | _SAMPLED_R5
     if tier is _SAMPLED_R3:
-        return _SAMPLED_R4
+        return _SAMPLED_R4 | _SAMPLED_R5
+    if tier is _SAMPLED_R4:
+        return _SAMPLED_R5
     return frozenset()
 
 
-# Queries rewritten in round 5 (segmented-scan/mergeable plan shapes;
-# the exact integer-money conversion across the whole value family) —
-# their old driver rows attest pre-rewrite outputs, so each must
-# re-earn a hash row this round — plus emb_kmeans_fit (first oracle
-# row this round) and the keys whose only driver row is from r1.
-# Held to 45 so the five NEW round-5 keys (docs_bm25_topk,
-# parts_er_pairs, docs_bpe_merges, docs_bpe_encode,
-# media_frame_manifest — auto-fronted below as never-sampled) land
-# inside the driver's 50-key sweep budget. Dropped to make room, each
-# attested by an in-budget cousin sharing the same rewritten kernel:
-# q16_supplier_count (code untouched in r5), orders_rollup
-# (orders_cube), events_grouping_sets (events_hourly + the grouping
-# family), events_running_total (events_value_cusum's cumulative
-# integer-unit sum), q20_dominant_suppliers and orders_yoy_growth
-# (the q2/q9/q11/q17-attested money kernel), events_session_window
-# (integer value sums attested by events_hourly +
-# events_value_rolling_1h).
+# Round-6 rotation: after CORRECTNESS_r05 every key's latest row is
+# green and no key's latest row is older than round 2 — so the sweep
+# fronts (1) the six keys deliberately dropped from the round-5
+# budget (q16_supplier_count, orders_rollup, events_grouping_sets,
+# events_running_total, q20_dominant_suppliers, orders_yoy_growth —
+# their debts are now due), (2) the full r2-latest tier (the oldest
+# rows on the board, spanning three testdata regenerations), and
+# (3) a spread of r3-latest keys with the riskiest kernels (dedup,
+# quality tiers, sketches, range join). Held to 45 so round-6's NEW
+# keys (auto-fronted below as never-sampled) land inside the driver's
+# 50-key budget.
+_ROUND6_PRIORITY: tuple[str, ...] = (
+    # (1) the round-5 budget debts
+    "q16_supplier_count", "orders_rollup", "events_grouping_sets",
+    "events_running_total", "q20_dominant_suppliers", "orders_yoy_growth",
+    # (2) the r2-latest tier — oldest driver rows on the board
+    "docs_char_entropy", "docs_decontaminate", "docs_dedup_clusters",
+    "docs_dedup_keep", "docs_fingerprint", "docs_lang_id",
+    "docs_minhash_est_vs_exact", "docs_minhash_pairs",
+    "docs_ngram_jaccard", "docs_redact_pii", "docs_simhash",
+    "docs_tfidf_top_terms", "docs_zipf_slope", "dq_report",
+    "emb_cosine_topk", "emb_dedup_stats", "emb_kmeans_assign",
+    "emb_near_dup", "emb_quantize_int8", "events_anomaly_zscore",
+    "events_retention", "events_session_window",
+    "events_transition_matrix", "events_unpivot_metrics",
+    "media_features", "orders_part_pairs", "parts_pagerank",
+    "q12_ship_latency", "q13_customer_distribution",
+    "q21_waiting_suppliers", "q4_order_priority",
+    # (3) r3-latest spread (oldest remaining after the r2 tier)
+    "customer_balance_deciles", "docs_dup_spans", "docs_quality_tiers",
+    "docs_weighted_sample", "events_hll_distinct", "events_type_runs",
+    "parts_triangles", "events_range_join",
+)
+
+# The round-5 tuple, kept for the tier bookkeeping narrative.
 _ROUND5_PRIORITY: tuple[str, ...] = (
     "events_kmv_distinct", "events_concurrency", "events_value_cusum",
     "events_watermark_lateness", "events_key_skew", "q1_pricing_summary",
@@ -412,6 +434,29 @@ _SAMPLED_R4: frozenset = frozenset({
     "regions_for_datasource", "sql_weekly_avg", "supplier_scorecard",
     "suppliers_with_returns", "top_customers_per_nation", "trip_grouping_bins",
     "trip_ingest_dedup", "weekly_avg_by_region",
+})
+
+
+_SAMPLED_R5: frozenset = frozenset({
+    # round 5 (50 hash rows, zero rows-only), from CORRECTNESS_r05.json
+    "events_kmv_distinct", "events_concurrency", "events_value_cusum",
+    "events_watermark_lateness", "events_key_skew", "q1_pricing_summary",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_stock",
+    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q22_wealthy_inactive",
+    "promo_revenue_ratio", "orders_cube", "orders_customer_rfm",
+    "customer_pareto", "orders_price_corr", "events_hourly",
+    "events_enriched", "events_value_rolling_1h", "events_daily_gapfill",
+    "top_customers_per_nation", "stream_events_hourly", "emb_kmeans_fit",
+    "docs_clean_corpus_stats", "docs_exact_dedup", "docs_quality",
+    "docs_repetition", "docs_sample_stratified", "docs_token_stats",
+    "docs_top_bigrams", "docs_train_val_test", "events_props_json",
+    "events_top_type_per_user", "events_value_histogram",
+    "order_aging_buckets", "parts_top_by_brand", "docs_bm25_topk",
+    "parts_er_pairs", "docs_bpe_merges", "docs_bpe_encode",
+    "media_frame_manifest",
 })
 
 
