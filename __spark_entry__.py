@@ -32,6 +32,7 @@ from jobsity_data_pipeline_spark.operators import relational7 as R7
 from jobsity_data_pipeline_spark.operators import relational8 as R8
 from jobsity_data_pipeline_spark.operators import relational9 as R9
 from jobsity_data_pipeline_spark.operators import relational10 as R10
+from jobsity_data_pipeline_spark.operators import relational11 as R11
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -240,6 +241,14 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_merges": TO.docs_bpe_merges,
         "docs_bpe_encode": TO.docs_bpe_encode,
         "media_frame_manifest": MM.media_frame_manifest,
+        # round-6 additions: SCD2 dimension build, M4 downsampling,
+        # HDR-histogram quantiles, leakage-free group split,
+        # hard-negative mining
+        "orders_scd2": R11.orders_scd2,
+        "events_m4_downsample": R11.events_m4_downsample,
+        "events_hdr_quantiles": R11.events_hdr_quantiles,
+        "docs_group_split": R11.docs_group_split,
+        "emb_hard_negatives": R11.emb_hard_negatives,
     }
 
 
@@ -4857,5 +4866,175 @@ def oracle_sql() -> dict[str, str]:
         FROM spine s
         LEFT JOIN hits h ON s.method = h.method AND s.qid = h.qid
         ORDER BY s.method, s.qid
+    """
+    # round-6 additions -------------------------------------------------
+    out["orders_scd2"] = """
+        WITH m AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                   CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                         OR lag(o_orderpriority) OVER w <> o_orderpriority
+                        THEN 1 ELSE 0 END AS new_run
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        v AS (
+            SELECT *, CAST(sum(new_run) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+            FROM m
+        ),
+        runs AS (
+            SELECT o_custkey, version,
+                   min(o_orderpriority) AS priority,
+                   min(o_orderdate) AS effective_from,
+                   count(*) AS n_orders
+            FROM v GROUP BY 1, 2
+        )
+        SELECT o_custkey, version, priority, effective_from,
+               lead(effective_from) OVER w2 AS effective_to,
+               n_orders,
+               lead(effective_from) OVER w2 IS NULL AS is_current
+        FROM runs WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
+    """
+    out["events_m4_downsample"] = """
+        WITH e AS (
+            SELECT event_type,
+                   epoch_us(ts) // 21600000000 AS bucket,
+                   CAST(round(value * 100, 0) AS BIGINT) AS c,
+                   {'us': epoch_us(ts), 'id': event_id,
+                    'c': CAST(round(value * 100, 0) AS BIGINT)} AS tk
+            FROM events
+        )
+        SELECT event_type, bucket, count(*) AS n,
+               min(c) AS min_cents, max(c) AS max_cents,
+               (min(tk)).c AS first_cents, (max(tk)).c AS last_cents
+        FROM e GROUP BY 1, 2
+    """
+    out["events_hdr_quantiles"] = """
+        WITH e AS (
+            SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+            FROM events
+            WHERE CAST(round(value * 100, 0) AS BIGINT) >= 1
+        ),
+        b AS (
+            SELECT event_type,
+                   CAST((length(bin(c)) - 1) * 4
+                   + ((c - (CAST(1 AS BIGINT) << (length(bin(c)) - 1))) * 4)
+                     // (CAST(1 AS BIGINT) << (length(bin(c)) - 1))
+                   AS BIGINT) AS bucket_id
+            FROM e
+        ),
+        counts AS (
+            SELECT event_type, bucket_id, count(*) AS cnt
+            FROM b GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bucket_id, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY bucket_id) AS BIGINT) AS cum,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM counts
+        ),
+        qs AS (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS q_permille)
+        SELECT event_type, q_permille,
+               min((CAST(1 AS BIGINT) << CAST(bucket_id // 4 AS INT))
+                   + ((bucket_id % 4 + 1)
+                      * (CAST(1 AS BIGINT) << CAST(bucket_id // 4 AS INT))
+                      + 3) // 4 - 1) AS est_cents,
+               max(n) AS n
+        FROM cum, qs
+        WHERE cum * 1000 >= q_permille * n
+        GROUP BY 1, 2
+    """
+    out["docs_group_split"] = f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        s AS (
+            SELECT doc_id, list_distinct({_SH4}) AS sh FROM t
+        ),
+        f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        sig AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       list_min(list_transform(sh, x ->
+                           md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+            FROM f
+        ),
+        bands AS (
+            SELECT doc_id, band_id,
+                   md5(sg[band_id * 4 + 1] || '|' || sg[band_id * 4 + 2]
+                       || '|' || sg[band_id * 4 + 3]
+                       || '|' || sg[band_id * 4 + 4]) AS band_hash
+            FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+        ),
+        comp AS (
+            SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+        ),
+        cl AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ),
+        a AS (
+            SELECT doc_id, cluster_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                             1, 8))::BIGINT % 100 < 80
+                        THEN 'train'
+                        WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                             1, 8))::BIGINT % 100 < 90
+                        THEN 'val' ELSE 'test' END AS split
+            FROM cl
+        ),
+        szs AS (SELECT cluster_id, count(*) AS sz FROM a GROUP BY 1)
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT a.cluster_id) AS n_clusters,
+               CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multi_docs
+        FROM a JOIN szs ON a.cluster_id = szs.cluster_id
+        GROUP BY 1
+    """
+    out["emb_hard_negatives"] = """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS qid, label AS q_label, v AS qv
+            FROM e WHERE vec_id < 8
+        ),
+        s AS (
+            SELECT qid, q_label, e.vec_id AS nid, e.label AS n_label,
+                   list_cosine_similarity(qv, v) AS raw
+            FROM e JOIN q ON e.vec_id <> q.qid AND e.label <> q.q_label
+        ),
+        r AS (
+            SELECT qid, q_label, nid, n_label, raw,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY round(raw, 6) DESC, nid
+                   ) AS rnk
+            FROM s
+        )
+        SELECT qid, q_label, nid, n_label, round(raw, 4) AS cos,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 5
     """
     return out

@@ -1,0 +1,312 @@
+"""Round-6 wave — five first-class operators extending the warehouse
+and training-data surface, each with an exact DuckDB oracle twin:
+
+- orders_scd2: Slowly-Changing-Dimension Type-2 build (Kimball) from
+  the order history — per customer, the effective-dated version chain
+  of o_orderpriority with from/to timestamps and an is_current flag.
+  The reference pipeline's Postgres sink stores only latest state
+  (populate_postgres.sql upserts); SCD2 is what a warehouse user adds
+  the day they ask "what was it before?".
+- events_m4_downsample: M4 time-series downsampling (Jugel et al.,
+  VLDB 2014): per (event_type, time bucket) the min/max/first/last
+  values — the error-free form for line-chart rendering at any zoom,
+  and THE standard pre-aggregation a 100 TB events table serves
+  dashboards from.
+- events_hdr_quantiles: HDR-histogram quantiles — log2 buckets with
+  2-bit linear subdivision over integer cents, a mergeable sketch
+  with bounded relative error computed entirely in integer
+  arithmetic (no float log, so bucket assignment can never sit on an
+  engine-dependent rounding boundary).
+- docs_group_split: leakage-free train/val/test assignment — splits
+  are assigned per NEAR-DUP CLUSTER (MinHash-LSH connected
+  components, the docs_dedup_clusters graph), not per document, so
+  two near-duplicate documents can never straddle train and test.
+  The eval-contamination guard every LLM data pipeline needs and a
+  doc-hash split silently lacks.
+- emb_hard_negatives: hard-negative mining for contrastive training
+  (e.g. DPR, Karpukhin et al. 2020): per query vector, the top-k
+  most similar vectors with a DIFFERENT label — the "close but
+  wrong" examples a retriever is trained against.
+
+Scale notes (100 TB):
+- orders_scd2 windows partition on o_custkey — billions of small
+  partitions, no global or low-cardinality sort anywhere.
+- events_m4_downsample is one map-side-combined groupBy on
+  (event_type, bucket); min/max/first/last are partial-aggregable.
+- events_hdr_quantiles is the same single groupBy; the only window
+  runs over <= ~260 bucket rows per type (the sketch size, a
+  constant independent of data volume).
+- docs_group_split reuses the banded LSH + connected-components
+  chain (bucket-key shuffles only) and adds one hash-bucket groupBy.
+- emb_hard_negatives broadcasts only the n_queries query vectors;
+  the per-query top-k window ranks each query's candidate list
+  independently (same shape as emb_cosine_topk; for huge query sets
+  use the GEMM prefilter of emb_near_dup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import money as M
+from ..session import ensure_parallelism, read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return ensure_parallelism(spark, read_table(spark, sf_dir, name))
+
+
+def orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension rows from the order event history: one row
+    per (customer, contiguous run of equal o_orderpriority), ordered
+    by (o_orderdate, o_orderkey), with effective_from = first order
+    ts of the run, effective_to = start of the next run (NULL while
+    current), version = 1-based run index, is_current on the last run.
+
+    Plan: two windows, both partitioned by o_custkey (fact-table key
+    cardinality — parallel at any scale): lag() marks run starts, a
+    running count of starts numbers the versions, and one groupBy
+    (o_custkey, version) collapses each run; lead() over the
+    collapsed rows (tiny per-customer frames) dates the successor.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = o.withColumn(
+        "_new_run",
+        (
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority"))
+        ).cast("long"),
+    ).withColumn("version", F.sum("_new_run").over(w))
+    runs = marked.groupBy("o_custkey", "version").agg(
+        # all rows of a run share one priority by construction; min()
+        # keeps the aggregate order-insensitive anyway
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("effective_from"),
+        F.count("*").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("version")
+    return runs.select(
+        "o_custkey",
+        "version",
+        "priority",
+        "effective_from",
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        "n_orders",
+        F.lead("effective_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+M4_BUCKET_HOURS = 6
+
+
+def events_m4_downsample(spark: SparkSession, sf_dir: str,
+                         bucket_hours: int = M4_BUCKET_HOURS) -> DataFrame:
+    """M4 downsampling per (event_type, ``bucket_hours`` time bucket):
+    row count plus the four archetype values — min/max by value,
+    first/last by (ts, event_id). Values are exact integer cents; the
+    first/last selection key is (unix micros, event_id), so every
+    aggregate is engine-exact and deterministic under ties.
+
+    One partial-aggregable groupBy; at 100 TB the output is
+    |types| x |buckets| rows regardless of input volume — the whole
+    point of M4 as a rendering pre-aggregation.
+    """
+    e = _t(spark, sf_dir, "events")
+    tkey = F.struct(
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("id"),
+        M.cents("value").alias("c"),
+    )
+    us_per_bucket = bucket_hours * 3_600_000_000
+    return (
+        e.select(
+            "event_type",
+            # integer div, NOT float `/`+cast: DuckDB rounds double->int
+            # casts while Spark truncates, so only `div`//`//` agree
+            F.expr(f"unix_micros(ts) div {us_per_bucket}").alias("bucket"),
+            M.cents("value").alias("c"),
+            tkey.alias("tk"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+            F.min("tk").getField("c").alias("first_cents"),
+            F.max("tk").getField("c").alias("last_cents"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+HDR_SUB_BITS = 2  # 4 linear sub-buckets per power of two: rel err <= 1/8
+HDR_QUANTILES = (500, 900, 990)  # permille
+
+
+def events_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile estimates per event_type: values (in
+    exact integer cents, c >= 1) land in log2 buckets subdivided into
+    4 linear sub-buckets — bucket_id = (bitlen(c)-1)*4 + ((c-2^(bitlen
+    -1))*4) div 2^(bitlen-1) — all integer arithmetic, so unlike a
+    base-gamma DDSketch there is no float log whose last ulp could
+    flip a boundary value between engines. The estimate for quantile
+    q is the upper bound of the first bucket whose cumulative count
+    reaches ceil(q*n/1000); max relative error is 2^-(SUB_BITS+1).
+
+    The sketch is mergeable (bucket counts are sums), built by one
+    map-side-combined groupBy on (event_type, bucket_id); the
+    cumulative scan runs over <= ~260 bucket rows per type — a
+    constant-size frame at any corpus size, NOT the per-type
+    full-fact window this repo's round-5 rewrites removed.
+    """
+    e = _t(spark, sf_dir, "events")
+    c = M.cents("value")
+    # all-integer bucket math (shared verbatim with the oracle):
+    #   c      = round(value*100)            -- exact cents
+    #   bitlen = length(bin(c))              -- floor(log2 c) + 1
+    #   base   = 1 << (bitlen-1)
+    #   sub    = ((c-base)*4) div base       -- 0..3 linear sub-bucket
+    bucket = F.expr(
+        "(length(bin(CAST(round(value * 100, 0) AS BIGINT))) - 1) * 4"
+        " + ((CAST(round(value * 100, 0) AS BIGINT)"
+        "     - shiftleft(CAST(1 AS BIGINT),"
+        "                 length(bin(CAST(round(value * 100, 0) AS BIGINT)))"
+        "                 - 1)) * 4)"
+        "   div shiftleft(CAST(1 AS BIGINT),"
+        "                 length(bin(CAST(round(value * 100, 0) AS BIGINT)))"
+        "                 - 1)"
+    ).cast("long").alias("bucket_id")
+    counts = (
+        e.where(c >= 1)
+        .select("event_type", bucket)
+        .groupBy("event_type", "bucket_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    # nominal upper bound, monotone in bucket_id; ceil-div keeps tiny
+    # bases (1, 2) covered: ub = bbase + ceil((bsub+1)*bbase/4) - 1
+    ub = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(bucket_id div 4 AS INT))"
+        " + ((bucket_id % 4 + 1)"
+        "    * shiftleft(CAST(1 AS BIGINT), CAST(bucket_id div 4 AS INT))"
+        "    + 3) div 4 - 1"
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q).cast("long") for q in HDR_QUANTILES])
+        ).alias("q_permille")
+    )
+    hit = (
+        cum.join(F.broadcast(qs))
+        .where(
+            F.col("cum") * 1000
+            >= F.col("q_permille") * F.col("n")
+        )
+        .groupBy("event_type", "q_permille")
+        .agg(F.min(ub).alias("est_cents"), F.max("n").alias("n"))
+    )
+    return hit.orderBy("event_type", "q_permille")
+
+
+def docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 80/10/10 split accounting: every document is
+    assigned to train/val/test by the hash of its NEAR-DUP CLUSTER id
+    (MinHash-LSH connected components; singletons cluster as
+    themselves), so a duplicate pair can never straddle two splits —
+    the eval-decontamination guarantee a per-document hash split
+    (docs_train_val_test) does not give. Returns per split: document
+    count, cluster count, and how many of its documents sit in
+    multi-document clusters (the rows that WOULD be leak risks under
+    a doc-level split).
+
+    Plan: the banded-LSH + CC chain of docs_dedup_clusters (bucket-key
+    shuffles, diameter-bounded label propagation), one left join to
+    pull singletons through, one hash-bucket groupBy. The unit test
+    asserts zero clusters straddle splits here while the doc-hash
+    split does leak on the same corpus.
+    """
+    from .dedup import docs_dedup_clusters
+    from .relational4 import _hash_bucket
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    cc = docs_dedup_clusters(spark, sf_dir)
+    cl = d.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    b = _hash_bucket(F.col("cluster_id"))
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    a = cl.select("doc_id", "cluster_id", split.alias("split"))
+    sizes = a.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        a.join(sizes, "cluster_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum((F.col("sz") > 1).cast("long")).alias("n_multi_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str,
+                       n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Hard-negative mining: for each query vector (vec_id <
+    n_queries), the k nearest vectors by cosine whose label DIFFERS
+    from the query's — the highest-similarity wrong-class examples
+    contrastive retrievers train against (DPR-style in-batch
+    negatives upgraded to mined ones).
+
+    Same exact-scoring shape as emb_cosine_topk (broadcast query set,
+    JVM fold dot products, 6-dp rounded ranking with id tie-break);
+    the label inequality is part of the join predicate, so excluded
+    same-class rows are never scored.
+    """
+    from ..functions.vectors import dot, norm
+
+    from .similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    nn = norm(F.col("qv")) * norm(F.col("v"))
+    cos = F.when(nn > 0, dot(F.col("qv"), F.col("v")) / nn).otherwise(
+        F.lit(0.0)
+    )
+    scored = emb.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("qid"))
+        & (F.col("label") != F.col("q_label")),
+    ).select(
+        "qid",
+        "q_label",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        F.round(cos, 6).alias("cos6"),
+        F.round(cos, 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("qid", "q_label", "nid", "n_label", "cos", "rnk")
+        .orderBy("qid", "rnk")
+    )

@@ -465,6 +465,44 @@ def test_no_fact_sized_frame_in_type_only_window(spark):
     wins = [n for n in walk(kmv_plan) if n.nodeName() == "Window"]
     assert not wins, "events_kmv_distinct must be window-free"
 
+    # round-6: the HDR sketch's cumulative scan may partition by
+    # event_type ONLY because it runs over the bucket-count aggregate
+    # (<= ~260 rows/type at any corpus size), never the raw fact scan
+    from jobsity_data_pipeline_spark.operators import relational11 as R11
+
+    assert check(R11.events_hdr_quantiles(spark, SF_SMOKE),
+                 "events_hdr_quantiles") >= 1
+
+
+def test_round6_plan_shapes(spark):
+    """Round-6 scale contracts: M4 is one window-free partial-agg
+    rollup; SCD2 windows partition on the high-cardinality customer
+    key only; hard-negative mining broadcasts the query side, never
+    the corpus, and stays equi-join (no cartesian)."""
+    from jobsity_data_pipeline_spark.operators import relational11 as R11
+
+    m4 = R11.events_m4_downsample(spark, SF_SMOKE)
+    p = _plan(m4)
+    assert "Window" not in p, "M4 must be a pure aggregate"
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    scd = R11.orders_scd2(spark, SF_SMOKE)
+    for n in walk(scd._jdf.queryExecution().optimizedPlan()):
+        if n.nodeName() == "Window":
+            ps = n.partitionSpec()
+            cols = [ps.apply(i).toString().split("#")[0]
+                    for i in range(ps.size())]
+            assert cols == ["o_custkey"], cols
+
+    hn = _plan(R11.emb_hard_negatives(spark, SF_SMOKE))
+    assert "CartesianProduct" not in hn
+    assert "BroadcastExchange" in hn
+
 
 def test_key_skew_and_capped_vocab_rank_distributed(spark):
     """Round-5 gate for the two former global-rank sites: the skew

@@ -1,0 +1,199 @@
+"""Invariant tests for the round-6 wave (operators/relational11).
+Cross-engine value parity is covered by tests/test_oracle_parity.py;
+these pin the semantics parity can't: SCD2 chain laws against an
+independent pure-Python replay, M4 archetype bounds, the HDR sketch's
+relative-error guarantee, the group split's zero-leakage property,
+and hard-negative label exclusion vs a numpy brute force.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from jobsity_data_pipeline_spark.operators import relational11 as R11
+from jobsity_data_pipeline_spark.session import read_table
+from tests.conftest import SF_SMOKE
+
+
+def test_orders_scd2_matches_pure_python_replay(spark):
+    rows = R11.orders_scd2(spark, SF_SMOKE).collect()
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).collect()
+
+    # independent replay: sort each customer's orders, collapse runs
+    by_cust: dict = {}
+    for o in orders:
+        by_cust.setdefault(o.o_custkey, []).append(o)
+    want = {}
+    for ck, os_ in by_cust.items():
+        os_.sort(key=lambda o: (o.o_orderdate, o.o_orderkey))
+        runs = []
+        for o in os_:
+            if not runs or runs[-1]["p"] != o.o_orderpriority:
+                runs.append({"p": o.o_orderpriority, "from": o.o_orderdate,
+                             "n": 1})
+            else:
+                runs[-1]["n"] += 1
+        for i, r in enumerate(runs):
+            to = runs[i + 1]["from"] if i + 1 < len(runs) else None
+            want[(ck, i + 1)] = (r["p"], r["from"], to, r["n"], to is None)
+    got = {
+        (r.o_custkey, r.version): (
+            r.priority, r.effective_from, r.effective_to, r.n_orders,
+            r.is_current,
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_orders_scd2_chain_laws(spark):
+    rows = R11.orders_scd2(spark, SF_SMOKE).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    n_orders_total = 0
+    for ck, rs in by_cust.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1 and rs[-1].is_current
+        for a, b in zip(rs, rs[1:]):
+            assert a.priority != b.priority  # runs are maximal
+            assert a.effective_to == b.effective_from
+            assert a.effective_from <= a.effective_to
+        n_orders_total += sum(r.n_orders for r in rs)
+    total = read_table(spark, SF_SMOKE, "orders").count()
+    assert n_orders_total == total
+
+
+def test_m4_downsample_bounds_and_totals(spark):
+    rows = R11.events_m4_downsample(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.min_cents <= r.first_cents <= r.max_cents
+        assert r.min_cents <= r.last_cents <= r.max_cents
+        assert r.n >= 1
+    total = read_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n for r in rows) == total
+    # first/last really are time-ordered archetypes: spot-check one
+    # bucket against a direct sort of its raw rows
+    r0 = max(rows, key=lambda r: r.n)
+    ev = read_table(spark, SF_SMOKE, "events").where(
+        (F.col("event_type") == r0.event_type)
+        & (F.expr("unix_micros(ts) div 21600000000") == r0.bucket)
+    ).select("ts", "event_id", F.expr(
+        "CAST(round(value * 100, 0) AS BIGINT)").alias("c")).collect()
+    ev.sort(key=lambda e: (e.ts, e.event_id))
+    assert ev[0].c == r0.first_cents and ev[-1].c == r0.last_cents
+
+
+def test_hdr_quantiles_relative_error_bound(spark):
+    rows = R11.events_hdr_quantiles(spark, SF_SMOKE).collect()
+    assert rows
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
+    ).where(F.col("c") >= 1).collect()
+    by_type: dict = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.c)
+    for r in rows:
+        cs = sorted(by_type[r.event_type])
+        assert r.n == len(cs)
+        rank = math.ceil(r.q_permille * r.n / 1000)
+        exact = cs[rank - 1]
+        # the estimate is the selected bucket's upper bound: it can
+        # never undershoot, and overshoots by at most one sub-bucket
+        # width (base/4 rounded up) => rel err <= ~25% + tiny slack
+        assert r.est_cents >= exact
+        assert r.est_cents <= exact + (exact // 4) + 2
+
+
+def test_group_split_never_leaks_clusters(spark):
+    from jobsity_data_pipeline_spark.operators.dedup import (
+        docs_dedup_clusters,
+    )
+
+    res = {r.split: r for r in R11.docs_group_split(spark, SF_SMOKE).collect()}
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    cc = {r.doc_id: r.cluster_id
+          for r in docs_dedup_clusters(spark, SF_SMOKE).collect()}
+
+    def bucket(x: int) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) % 100
+
+    def split_of(b: int) -> str:
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    clusters: dict = {}
+    for d in docs:
+        cl = cc.get(d.doc_id, d.doc_id)
+        clusters.setdefault(cl, []).append(d.doc_id)
+
+    # zero leakage: every cluster's docs land in ONE split
+    group_splits = {cl: split_of(bucket(cl)) for cl in clusters}
+    counts = {"train": [0, 0, 0], "val": [0, 0, 0], "test": [0, 0, 0]}
+    for cl, members in clusters.items():
+        s = group_splits[cl]
+        counts[s][0] += len(members)
+        counts[s][1] += 1
+        if len(members) > 1:
+            counts[s][2] += len(members)
+    for s, (nd, nc, nm) in counts.items():
+        assert res[s].n_docs == nd
+        assert res[s].n_clusters == nc
+        assert res[s].n_multi_docs == nm
+    assert sum(r.n_docs for r in res.values()) == len(docs)
+
+    # contrast: whenever a multi-doc cluster's members hash to
+    # different doc-level buckets, the naive per-doc split would have
+    # leaked the pair across splits — the group split never can (every
+    # cluster got exactly one split above, by exact-count equality)
+    doc_leaky = [
+        cl for cl, members in clusters.items()
+        if len(members) > 1
+        and len({split_of(bucket(d)) for d in members}) > 1
+    ]
+    for cl in doc_leaky:
+        assert len({group_splits[cl]}) == 1
+
+
+def test_hard_negatives_labels_and_bruteforce(spark):
+    rows = R11.emb_hard_negatives(spark, SF_SMOKE).collect()
+    emb = read_table(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    labels = {r.vec_id: r.label for r in emb}
+
+    for r in rows:
+        assert r.n_label != r.q_label
+        assert 1 <= r.rnk <= 5
+        assert -1.0001 <= r.cos <= 1.0001
+
+    # pure-python brute force with the same left-to-right IEEE fold
+    # the JVM aggregate runs (numpy's pairwise summation could flip a
+    # 6-dp boundary), same rounding + tie rules
+    def seq_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    for qid in {r.qid for r in rows}:
+        qv = vecs[qid]
+        cands = []
+        for nid, v in vecs.items():
+            if nid == qid or labels[nid] == labels[qid]:
+                continue
+            nn = math.sqrt(seq_dot(qv, qv)) * math.sqrt(seq_dot(v, v))
+            cos = seq_dot(qv, v) / nn if nn > 0 else 0.0
+            cands.append((-round(cos, 6), nid))
+        cands.sort()
+        want = [nid for _, nid in cands[:5]]
+        got = [r.nid for r in sorted(rows, key=lambda r: r.rnk)
+               if r.qid == qid]
+        assert got == want
