@@ -295,6 +295,27 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
     )
 
 
+def _content_hash(data_cols: list):
+    """Null-total canonical content hash over ``data_cols``:
+    "<0|1>:<value-or-empty>" per column joined with an unlikely
+    separator — a null and the empty string hash differently, and
+    every declared column always contributes (to_json would silently
+    omit null fields; see upsert_replacing's docstring)."""
+    from pyspark.sql import functions as F
+
+    return F.md5(F.concat_ws(
+        "\x1f",
+        *[
+            F.concat(
+                F.when(F.col(c).isNull(), F.lit("0:"))
+                .otherwise(F.lit("1:")),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+            )
+            for c in data_cols
+        ],
+    ))
+
+
 def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
                      key: str = "trip_key",
                      content_col: str = "_chash") -> str:
@@ -336,22 +357,8 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
     spark = batch.sparkSession
     data_cols = sorted(c for c in batch.columns
                        if c not in (key, content_col))
-    # null-total canonical form: "<0|1>:<value-or-empty>" per column,
-    # joined with an unlikely separator — a null and the empty string
-    # hash differently, and every declared column always contributes
     b = batch.dropDuplicates([key]).withColumn(
-        content_col,
-        F.md5(F.concat_ws(
-            "\x1f",
-            *[
-                F.concat(
-                    F.when(F.col(c).isNull(), F.lit("0:"))
-                    .otherwise(F.lit("1:")),
-                    F.coalesce(F.col(c).cast("string"), F.lit("")),
-                )
-                for c in data_cols
-            ],
-        )),
+        content_col, _content_hash(data_cols)
     )
     man = latest_manifest(table_dir)
     if man is not None and man["files"]:
@@ -370,6 +377,148 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
         delete_keys(spark, table_dir, changed, key=key,
                     footer_confirm=True)
     return upsert_batch(b, batch_id, table_dir, key=key)
+
+
+def merge_into(source: DataFrame, batch_id: int, table_dir: str,
+               key: str = "trip_key",
+               when_matched_delete: str | None = None,
+               when_matched_update: bool = True,
+               when_not_matched_insert: bool = True,
+               content_col: str = "_chash") -> dict:
+    """Delta-style MERGE in ONE atomic commit: per source row (keyed,
+    intra-batch deduped) against the current table version —
+
+    - matched and ``when_matched_delete`` (a SQL boolean expression
+      over the source row's columns) is true -> the target row is
+      deleted;
+    - otherwise matched, ``when_matched_update`` and the content hash
+      differs -> the target row is replaced by the source row;
+    - not matched and ``when_not_matched_insert`` -> inserted;
+    - everything else is a no-op (identical re-emits never rewrite).
+
+    Unlike upsert_replacing's delete-then-append two-version dance,
+    the rewrite (hit files minus removed keys), the appends, and the
+    untouched-file carryover publish as a SINGLE manifest version
+    carrying the batch token — so a replay after a crash at ANY point
+    either sees the token (full no-op) or recomputes from the intact
+    pre-merge state. That closes the update-in-flight window a
+    two-phase emulation has when inserts are disabled: exactly-once
+    for every clause.
+
+    File IO is bounded like delete_keys: only files whose key range
+    can contain a removed key are rewritten (manifest-stats pruning,
+    footer fallback); the matched/not-matched classification reads
+    prior keys the same way upsert_batch does. Rows are stored with
+    ``content_col`` (the null-total hash), so change_feed's
+    content-aware mode sees updates as delete(old)+insert(new).
+    Returns {"status", "deleted", "updated", "inserted"}; a merge
+    with nothing to do returns status "noop" without publishing (no
+    manifest churn, and its replay is the same no-op).
+
+    Precondition: the source schema equals the table schema (minus
+    ``content_col``) — rewritten rows are projected onto the source's
+    column list, the same contract upsert_replacing carries.
+    """
+    from pyspark.sql import functions as F
+
+    token = f"batch{batch_id}"
+    spark = source.sparkSession
+    data_cols = sorted(c for c in source.columns
+                       if c not in (key, content_col))
+    src = source.dropDuplicates([key]).withColumn(
+        content_col, _content_hash(data_cols)
+    ).localCheckpoint()
+    for _attempt in range(10):
+        if any(tok == token
+               for _, tok, _ in _manifests(table_dir, with_tokens=True)):
+            return {"status": "skipped_duplicate",
+                    "deleted": 0, "updated": 0, "inserted": 0}
+        man = latest_manifest(table_dir)
+        if man is None or not man["files"]:
+            ins = src if when_not_matched_insert else src.limit(0)
+            n_ins = ins.count()
+            files = _write_data(ins, table_dir)
+            stats = {key: _file_stats(files, key) or {}}
+            v = _publish(table_dir, files, token,
+                         extra={"stats": stats},
+                         expected_version=(man or {}).get("version", 0))
+            if v != -1:
+                return {"status": "published",
+                        "deleted": 0, "updated": 0, "inserted": n_ins}
+            continue
+        hist = _read_files(spark, man["files"])
+        # rows written without a stored hash (plain upsert_batch
+        # history, or pre-merge files after the column first appears)
+        # get it computed on the fly over the merge's declared column
+        # list — never compared against null
+        computed = _content_hash(data_cols)
+        if content_col in hist.columns:
+            hist = hist.withColumn(
+                content_col, F.coalesce(F.col(content_col), computed)
+            )
+        else:
+            hist = hist.withColumn(content_col, computed)
+        hist_keyed = hist.select(key, F.col(content_col).alias("_old_h"))
+        cls = src.join(hist_keyed, key, "left")
+        matched = cls.where(F.col("_old_h").isNotNull())
+        del_pred = (F.expr(when_matched_delete)
+                    if when_matched_delete else F.lit(False))
+        deletes = matched.where(del_pred).select(key)
+        updates = (
+            matched.where(~del_pred)
+            .where(F.col(content_col) != F.col("_old_h"))
+            if when_matched_update else matched.limit(0)
+        )
+        inserts = (
+            cls.where(F.col("_old_h").isNull())
+            if when_not_matched_insert else cls.limit(0)
+        )
+        n_del, n_upd, n_ins = (
+            deletes.count(), updates.count(), inserts.count(),
+        )
+        if n_del + n_upd + n_ins == 0:
+            # nothing to do: no version churn, no token — a replay of
+            # this batch is the same no-op against the same state
+            return {"status": "noop",
+                    "deleted": 0, "updated": 0, "inserted": 0}
+        removed = deletes.unionByName(updates.select(key))
+        appends = updates.unionByName(inserts).select(*src.columns)
+        kdf = removed.select(F.col(key).alias("_k")).distinct()
+        hit_files, keep_files = _split_hit_files(
+            spark, man, key, kdf, footer_confirm=True
+        )
+        if hit_files:
+            kept = _read_files(spark, hit_files).join(
+                kdf, F.col(key) == F.col("_k"), "left_anti"
+            )
+            if content_col in kept.columns:
+                kept = kept.withColumn(
+                    content_col, F.coalesce(F.col(content_col), computed)
+                )
+            else:
+                kept = kept.withColumn(content_col, computed)
+            kept = kept.select(*src.columns)
+        else:
+            kept = None
+        new_rows = (kept.unionByName(appends) if kept is not None
+                    else appends)
+        files = _write_data(new_rows, table_dir)
+        new_stats = _file_stats(files, key) if files else {}
+        keep_set = set(keep_files)
+        all_stats = {
+            k: {p: s for p, s in m.items() if p in keep_set}
+            for k, m in man.get("stats", {}).items()
+        }
+        all_stats[key] = {**all_stats.get(key, {}), **(new_stats or {})}
+        v = _publish(table_dir, keep_files + files, token,
+                     extra={"stats": all_stats},
+                     expected_version=man["version"])
+        if v != -1:
+            return {"status": "published", "deleted": n_del,
+                    "updated": n_upd, "inserted": n_ins}
+    raise RuntimeError(
+        f"merge_into: lost the publish race 10 times at {table_dir}"
+    )
 
 
 def start_snapshot_upsert(dedup: DataFrame, table_dir: str,
@@ -575,6 +724,66 @@ def reset_cursor(cursor_dir: str, consumer: str = "default") -> None:
         pass
 
 
+def _rg_ranges_for(path: str, key: str) -> list:
+    """Per-row-group [min, max] for ``key`` from the parquet footer; a
+    row group without stats spans everything (None sentinel)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index(key)
+    out = []
+    for rg in range(meta.metadata.num_row_groups):
+        st = meta.metadata.row_group(rg).column(idx).statistics
+        if st is None or st.min is None:
+            out.append((None, None))
+        else:
+            out.append((st.min, st.max))
+    return out
+
+
+def _split_hit_files(spark: SparkSession, man: dict, key: str,
+                     kdf: DataFrame,
+                     footer_confirm: bool) -> tuple:
+    """(hit_files, keep_files) split of ``man``'s file list against a
+    single-column key frame ``kdf`` (column ``_k``): the (tiny)
+    per-file/per-row-group range table joins the key frame broadcast-
+    style, only hit file PATHS come back to the driver. Ranges come
+    from the manifest stats (footerless) unless a file has no stats
+    entry — or ``footer_confirm`` wants row-group granularity — in
+    which case the footer's per-row-group ranges stand in. A row
+    group without stats is assumed a hit for every key."""
+    from pyspark.sql import functions as F
+
+    stats = man.get("stats", {}).get(key, {})
+    ranges, blind_hits = [], []
+    for path in man["files"]:
+        s = stats.get(path)
+        if s == _EMPTY_STATS:
+            continue  # written empty: definitely clear
+        if s is not None and not footer_confirm:
+            ranges.append((path, s[0], s[1]))
+            continue
+        for lo, hi in _rg_ranges_for(path, key):
+            if lo is None:
+                blind_hits.append(path)
+                break
+            ranges.append((path, lo, hi))
+    hit_set = set(blind_hits)
+    if ranges:
+        rng = spark.createDataFrame(ranges, ["_path", "_lo", "_hi"])
+        cond = (F.col("_k") >= F.col("_lo")) & (
+            F.col("_k") <= F.col("_hi")
+        )
+        hit_set |= {
+            r[0]
+            for r in kdf.join(F.broadcast(rng), cond)
+            .select("_path").distinct().collect()
+        }
+    hit_files = [p for p in man["files"] if p in hit_set]
+    keep_files = [p for p in man["files"] if p not in hit_set]
+    return hit_files, keep_files
+
+
 def delete_keys(spark: SparkSession, table_dir: str,
                 keys: list | DataFrame,
                 key: str = "trip_key",
@@ -606,8 +815,6 @@ def delete_keys(spark: SparkSession, table_dir: str,
     manifest) are collected, and the delete itself is a left-anti
     join. This is the path for data-dependent key sets (e.g. the
     mutable streaming LSH index's per-batch doc_ids)."""
-    import pyarrow.parquet as pq
-
     from pyspark.sql import functions as F
 
     keys_df = keys if isinstance(keys, DataFrame) else None
@@ -620,21 +827,6 @@ def delete_keys(spark: SparkSession, table_dir: str,
     else:
         want = sorted(set(keys))
 
-    def _rg_ranges(path: str) -> list[tuple]:
-        """Per-row-group [min, max] for ``key`` from the parquet
-        footer; a row group without stats spans everything (None
-        sentinel)."""
-        meta = pq.ParquetFile(path)
-        idx = meta.schema_arrow.get_field_index(key)
-        out = []
-        for rg in range(meta.metadata.num_row_groups):
-            st = meta.metadata.row_group(rg).column(idx).statistics
-            if st is None or st.min is None:
-                out.append((None, None))
-            else:
-                out.append((st.min, st.max))
-        return out
-
     for _attempt in range(10):
         man = latest_manifest(table_dir)
         if man is None:
@@ -643,41 +835,9 @@ def delete_keys(spark: SparkSession, table_dir: str,
             }
         stats = man.get("stats", {}).get(key, {})
         if keys_df is not None:
-            # DataFrame path: the (tiny) range table joins the key
-            # frame; only file paths come back to the driver. Ranges
-            # come from the manifest stats (footerless) unless the
-            # file has no stats entry — or footer_confirm wants
-            # row-group granularity — in which case the footer's
-            # per-row-group ranges stand in. A row group without
-            # stats must be assumed a hit for every key.
-            ranges, blind_hits = [], []
-            for path in man["files"]:
-                s = stats.get(path)
-                if s == _EMPTY_STATS:
-                    continue  # written empty: definitely clear
-                if s is not None and not footer_confirm:
-                    ranges.append((path, s[0], s[1]))
-                    continue
-                for lo, hi in _rg_ranges(path):
-                    if lo is None:
-                        blind_hits.append(path)
-                        break
-                    ranges.append((path, lo, hi))
-            hit_set = set(blind_hits)
-            if ranges:
-                rng = spark.createDataFrame(
-                    ranges, ["_path", "_lo", "_hi"]
-                )
-                cond = (F.col("_k") >= F.col("_lo")) & (
-                    F.col("_k") <= F.col("_hi")
-                )
-                hit_set |= {
-                    r[0]
-                    for r in kdf.join(F.broadcast(rng), cond)
-                    .select("_path").distinct().collect()
-                }
-            hit_files = [p for p in man["files"] if p in hit_set]
-            keep_files = [p for p in man["files"] if p not in hit_set]
+            hit_files, keep_files = _split_hit_files(
+                spark, man, key, kdf, footer_confirm
+            )
         else:
             maybe, keep_files = _prune_by_stats(stats, man["files"], want)
             hit_files = []
@@ -690,7 +850,7 @@ def delete_keys(spark: SparkSession, table_dir: str,
                 # [min,max] bridges inter-row-group gaps)
                 hit = any(
                     lo is None or any(lo <= k <= hi for k in want)
-                    for lo, hi in _rg_ranges(path)
+                    for lo, hi in _rg_ranges_for(path, key)
                 )
                 (hit_files if hit else keep_files).append(path)
         if not hit_files:

@@ -1210,6 +1210,97 @@ def test_upsert_replacing_updates_and_cdc_sees_them(spark, tmp_path):
         == now
 
 
+def test_merge_into_three_clauses_single_commit(spark, tmp_path):
+    """Delta-style MERGE: delete / update / insert clauses resolve in
+    ONE published version; identical re-emits are no-ops without
+    manifest churn; replay of an applied batch is skipped."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tmerge")
+    base = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "bravo", 20), (3, "charlie", 30)],
+        "trip_key long, v string, qty long",
+    )
+    # history built WITHOUT stored hashes (plain upsert path)
+    assert SN.upsert_batch(base, 0, t) == "published"
+    v0 = SN.latest_manifest(t)["version"]
+
+    src = spark.createDataFrame(
+        [
+            (1, "alpha", 0),      # matched, qty=0 -> delete clause
+            (2, "BRAVO2", 25),    # matched, changed -> update
+            (3, "charlie", 30),   # matched, identical -> no-op
+            (4, "delta", 40),     # not matched -> insert
+        ],
+        "trip_key long, v string, qty long",
+    )
+    res = SN.merge_into(src, 1, t, when_matched_delete="qty = 0")
+    assert res == {"status": "published", "deleted": 1, "updated": 1,
+                   "inserted": 1}
+    # ONE atomic version for the whole merge
+    assert SN.latest_manifest(t)["version"] == v0 + 1
+    now = {r.trip_key: (r.v, r.qty)
+           for r in SN.read_latest(spark, t).drop("_chash").collect()}
+    assert now == {2: ("BRAVO2", 25), 3: ("charlie", 30),
+                   4: ("delta", 40)}
+
+    # replay of the same batch id: full no-op
+    assert SN.merge_into(src, 1, t, when_matched_delete="qty = 0")[
+        "status"] == "skipped_duplicate"
+    assert SN.latest_manifest(t)["version"] == v0 + 1
+
+    # identical source under a NEW batch id: noop, zero churn
+    cur = spark.createDataFrame(
+        [(2, "BRAVO2", 25), (3, "charlie", 30), (4, "delta", 40)],
+        "trip_key long, v string, qty long",
+    )
+    assert SN.merge_into(cur, 2, t)["status"] == "noop"
+    assert SN.latest_manifest(t)["version"] == v0 + 1
+
+
+def test_merge_into_clause_toggles_and_cdc(spark, tmp_path):
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tmerge2")
+    # merge into a missing table: insert-only bootstrap
+    src0 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "trip_key long, v string"
+    )
+    res = SN.merge_into(src0, 0, t)
+    assert res["status"] == "published" and res["inserted"] == 2
+    v_pre = SN.latest_manifest(t)["version"]
+
+    # insert disabled: unmatched rows are ignored, updates still land
+    src1 = spark.createDataFrame(
+        [(1, "A2"), (9, "ghost")], "trip_key long, v string"
+    )
+    res = SN.merge_into(src1, 1, t, when_not_matched_insert=False)
+    assert res == {"status": "published", "deleted": 0, "updated": 1,
+                   "inserted": 0}
+    now = {r.trip_key: r.v
+           for r in SN.read_latest(spark, t).drop("_chash").collect()}
+    assert now == {1: "A2", 2: "b"}
+
+    # update disabled: changed rows are left alone; delete still fires
+    src2 = spark.createDataFrame(
+        [(1, "A3"), (2, "b")], "trip_key long, v string"
+    )
+    res = SN.merge_into(src2, 2, t, when_matched_update=False,
+                        when_matched_delete="v = 'b'")
+    assert res == {"status": "published", "deleted": 1, "updated": 0,
+                   "inserted": 0}
+    now = {r.trip_key: r.v
+           for r in SN.read_latest(spark, t).drop("_chash").collect()}
+    assert now == {1: "A2"}
+
+    # CDC: the update published hashes, so a content-aware feed shows
+    # the round-1 replacement as delete(old)+insert(new)
+    feed = SN.change_feed(spark, t, v_pre, key="trip_key",
+                          content_col="_chash")
+    got = {(r.trip_key, r.v, r._change_type) for r in feed.collect()}
+    assert (1, "a", "delete") in got and (1, "A2", "insert") in got
+
+
 def test_upsert_replacing_hash_is_total_over_nulls(spark, tmp_path):
     """The content hash must encode nulls explicitly (to_json omits
     null fields): null -> '' IS a content change, and a null column
