@@ -249,6 +249,8 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hdr_quantiles": R11.events_hdr_quantiles,
         "docs_group_split": R11.docs_group_split,
         "emb_hard_negatives": R11.emb_hard_negatives,
+        "lineitem_scd2_asof": R11.lineitem_scd2_asof,
+        "docs_bpe_fertility": TO.docs_bpe_fertility,
     }
 
 
@@ -305,9 +307,10 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # their debts are now due), (2) the full r2-latest tier (the oldest
 # rows on the board, spanning three testdata regenerations), and
 # (3) a spread of r3-latest keys with the riskiest kernels (dedup,
-# quality tiers, sketches, range join). Held to 45 so round-6's NEW
-# keys (auto-fronted below as never-sampled) land inside the driver's
-# 50-key budget.
+# quality tiers, sketches, range join). Held to 43 so round-6's SEVEN
+# new keys (auto-fronted below as never-sampled) land inside the
+# driver's 50-key budget; parts_triangles and events_range_join were
+# trimmed to fit (both r3-green on untouched code, due next round).
 _ROUND6_PRIORITY: tuple[str, ...] = (
     # (1) the round-5 budget debts
     "q16_supplier_count", "orders_rollup", "events_grouping_sets",
@@ -328,7 +331,6 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     # (3) r3-latest spread (oldest remaining after the r2 tier)
     "customer_balance_deciles", "docs_dup_spans", "docs_quality_tiers",
     "docs_weighted_sample", "events_hll_distinct", "events_type_runs",
-    "parts_triangles", "events_range_join",
 )
 
 # The round-5 tuple, kept for the tier bookkeeping narrative.
@@ -761,12 +763,14 @@ def _bpe_merges_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
     return chain + final
 
 
-def _bpe_encode_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
-    """Unrolled DuckDB replay of textops.docs_bpe_encode: the full
-    training chain of _bpe_merges_sql (same t{r} pair picks), then the
-    SAME merge template replayed over the DISTINCT corpus vocabulary
-    (es-chain), a per-word subword length, and one doc-level rollup
-    of whitespace vs learned-vocab token counts."""
+def _bpe_encode_parts(rounds: int = 8, vocab_cap: int = 200) -> tuple:
+    """The encoder replay split as ``(chain, per_doc_select)``: the
+    full training chain of _bpe_merges_parts (same t{r} pair picks),
+    then the SAME merge template replayed over the DISTINCT corpus
+    vocabulary (es-chain) and a per-word subword length (wlen CTE);
+    the final element is the doc-level rollup of whitespace vs
+    learned-vocab token counts. _bpe_fertility_sql swaps that rollup
+    for a per-language one."""
     chain, _ = _bpe_merges_parts(rounds, vocab_cap)
     parts = [chain, f""",
             dw AS MATERIALIZED (
@@ -802,7 +806,8 @@ def _bpe_encode_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
                            WHEN arg_max(sym, pos) = '</w>' THEN 1
                            ELSE 0 END AS BIGINT) AS n_sub
                 FROM es{rounds} GROUP BY w
-            )
+            )""")
+    final = """
             SELECT doc_id,
                    CAST(sum(n_inst) AS BIGINT) AS ws_tokens,
                    CAST(sum(n_inst * n_sub) AS BIGINT) AS bpe_tokens,
@@ -811,8 +816,33 @@ def _bpe_encode_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
                    // (2 * CAST(sum(n_inst) AS BIGINT))
                        AS expansion_permille
             FROM dw JOIN wlen USING (w)
-            GROUP BY doc_id""")
-    return "".join(parts)
+            GROUP BY doc_id"""
+    return "".join(parts), final
+
+
+def _bpe_encode_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
+    """Full encoder replay: CTE chain + the per-doc rollup."""
+    chain, final = _bpe_encode_parts(rounds, vocab_cap)
+    return chain + final
+
+
+def _bpe_fertility_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
+    """Per-language tokenizer fertility: the encoder chain's per-doc
+    rollup as a CTE, joined to documents.lang and re-aggregated —
+    mirrors textops.docs_bpe_fertility's integer permille exactly."""
+    chain, final = _bpe_encode_parts(rounds, vocab_cap)
+    return chain + f""",
+            pd AS ({final})
+            SELECT d.lang,
+                   count(*) AS n_docs,
+                   CAST(sum(pd.ws_tokens) AS BIGINT) AS ws_tokens,
+                   CAST(sum(pd.bpe_tokens) AS BIGINT) AS bpe_tokens,
+                   (2 * 1000 * CAST(sum(pd.bpe_tokens) AS BIGINT)
+                    + CAST(sum(pd.ws_tokens) AS BIGINT))
+                   // (2 * CAST(sum(pd.ws_tokens) AS BIGINT))
+                       AS fertility_permille
+            FROM pd JOIN documents d USING (doc_id)
+            GROUP BY d.lang"""
 
 
 def _kmeans_fit_sql(rounds: int = 3) -> str:
@@ -5012,6 +5042,43 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN szs ON a.cluster_id = szs.cluster_id
         GROUP BY 1
     """
+    out["lineitem_scd2_asof"] = f"""
+        WITH dim AS (
+            SELECT o_custkey, version, priority, effective_from AS ts
+            FROM ({out["orders_scd2"]})
+        ),
+        fact AS (
+            SELECT o.o_custkey, l.l_shipdate AS ts,
+                   {_REV_E4} AS rev_e4,
+                   CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        u AS (
+            SELECT o_custkey, ts, 0 AS kind, version, priority,
+                   CAST(NULL AS BIGINT) AS rev_e4,
+                   CAST(NULL AS BIGINT) AS qty_c
+            FROM dim
+            UNION ALL
+            SELECT o_custkey, ts, 1, CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), rev_e4, qty_c
+            FROM fact
+        ),
+        r AS (
+            SELECT *, last_value(priority IGNORE NULLS) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY ts, kind,
+                                coalesce(version, 9223372036854775807)
+                       ROWS UNBOUNDED PRECEDING) AS regime
+            FROM u
+        )
+        SELECT regime AS priority, count(*) AS n_items,
+               CAST(sum(qty_c) AS BIGINT) AS qty_c,
+               (2 * CAST(sum(rev_e4) AS BIGINT) + 100) // 200
+                   AS revenue_cents
+        FROM r WHERE kind = 1
+        GROUP BY 1
+    """
+    out["docs_bpe_fertility"] = _bpe_fertility_sql()
     out["emb_hard_negatives"] = """
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -100,6 +100,68 @@ def orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time consumption of the SCD2 dimension — the query a
+    warehouse runs the day after it builds orders_scd2: each lineitem
+    is attributed to the priority REGIME in effect for its customer
+    when it shipped (effective_from <= l_shipdate < effective_to),
+    then rolled up per regime (items, exact quantity cents, half-up
+    revenue cents).
+
+    The as-of match is NOT a range-explosion join: dimension-change
+    rows and fact rows union into one per-customer stream, and a
+    single last-non-null window (ordered by ts, with dim rows before
+    facts at equal ts and same-ts dim changes resolved by version)
+    carries each regime forward onto the facts — the
+    events_asof_view_purchase shape, one window partitioned on the
+    high-cardinality customer key. At equal timestamps the HIGHEST
+    version wins, matching interval semantics (a zero-length run
+    [d, d) is superseded by the run starting at d).
+    """
+    dim = orders_scd2(spark, sf_dir).select(
+        "o_custkey", "version", "priority",
+        F.col("effective_from").alias("ts"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fact = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_custkey",
+        F.col("l_shipdate").alias("ts"),
+        (M.cents("l_extendedprice")
+         * (100 - M.cents("l_discount"))).alias("rev_e4"),
+        M.cents("l_quantity").alias("qty_c"),
+    )
+    big = F.lit(2**63 - 1).cast("long")
+    u = dim.select(
+        "o_custkey", "ts", F.lit(0).alias("kind"), "version", "priority",
+        F.lit(None).cast("long").alias("rev_e4"),
+        F.lit(None).cast("long").alias("qty_c"),
+    ).unionByName(fact.select(
+        "o_custkey", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("priority"),
+        "rev_e4", "qty_c",
+    ))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts", "kind", F.coalesce(F.col("version"), big))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = u.withColumn("regime", F.last("priority", ignorenulls=True).over(w))
+    return (
+        r.where(F.col("kind") == 1)
+        .groupBy(F.col("regime").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("qty_c").alias("qty_c"),
+            F.expr("(2 * sum(rev_e4) + 100) div 200").alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
 M4_BUCKET_HOURS = 6
 
 

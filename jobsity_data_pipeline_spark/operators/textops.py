@@ -835,3 +835,40 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str,
             "(2 * 1000 * bpe_tokens + ws_tokens) div (2 * ws_tokens)"
         ).alias("expansion_permille"),
     )
+
+
+def docs_bpe_fertility(spark: SparkSession, sf_dir: str,
+                       vocab_cap: int = BPE_VOCAB_CAP,
+                       rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Tokenizer fertility per language — the standard tokenizer-
+    evaluation metric (subword tokens per whitespace word, e.g.
+    Rust et al. 2021's fertility): languages the learned vocab covers
+    poorly fragment into more subwords, inflating their effective
+    training-token cost. Rolls the per-doc BPE accounting up by the
+    documents table's lang column; fertility is the half-up integer
+    permille of bpe_tokens per ws_token. Token-less documents (no
+    whitespace tokens) carry no mass and are excluded, matching
+    docs_bpe_encode's domain.
+
+    Cost: the docs_bpe_encode plan (one corpus scan + distinct-word
+    encode) plus one broadcast-sized lang join and a |langs|-row
+    rollup — nothing new shuffles at fact scale.
+    """
+    per_doc = docs_bpe_encode(spark, sf_dir, vocab_cap, rounds)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+        )
+        .select(
+            "lang", "n_docs", "ws_tokens", "bpe_tokens",
+            F.expr(
+                "(2 * 1000 * bpe_tokens + ws_tokens) div (2 * ws_tokens)"
+            ).alias("fertility_permille"),
+        )
+        .orderBy("lang")
+    )

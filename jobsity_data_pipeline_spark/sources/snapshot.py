@@ -521,6 +521,34 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
     )
 
 
+def start_snapshot_merge(source: DataFrame, table_dir: str,
+                         checkpoint: str, key: str = "trip_key",
+                         when_matched_delete: str | None = None,
+                         when_matched_update: bool = True,
+                         when_not_matched_insert: bool = True):
+    """Streaming MERGE INTO: foreachBatch -> merge_into with the
+    engine's batch_id as the idempotence token. Each micro-batch's
+    three clauses resolve in one atomic manifest version, so the
+    stream gives exactly-once upsert/delete semantics under replay —
+    e.g. a CDC feed whose rows carry an `op` column can drive
+    ``when_matched_delete="op = 'd'"``."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_into(batch, batch_id, table_dir, key=key,
+                   when_matched_delete=when_matched_delete,
+                   when_matched_update=when_matched_update,
+                   when_not_matched_insert=when_not_matched_insert)
+
+    return (
+        source.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_snapshot_upsert(dedup: DataFrame, table_dir: str,
                           checkpoint: str, key: str = "trip_key"):
     """Streaming twin: foreachBatch -> upsert_batch with the engine's

@@ -163,6 +163,73 @@ def test_group_split_never_leaks_clusters(spark):
         assert len({group_splits[cl]}) == 1
 
 
+def test_scd2_asof_matches_interval_scan(spark):
+    """The union+last-window as-of attribution equals a direct
+    per-lineitem interval lookup against the SCD2 runs."""
+    rows = R11.lineitem_scd2_asof(spark, SF_SMOKE).collect()
+    li_total = read_table(spark, SF_SMOKE, "lineitem").count()
+    assert sum(r.n_items for r in rows) == li_total
+
+    runs = R11.orders_scd2(spark, SF_SMOKE).collect()
+    by_cust: dict = {}
+    for r in runs:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for rs in by_cust.values():
+        rs.sort(key=lambda r: r.version)
+
+    orders = {o.o_orderkey: o.o_custkey
+              for o in read_table(spark, SF_SMOKE, "orders").collect()}
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_shipdate",
+        F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").alias("qc"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+        ).alias("rev_e4"),
+    ).collect()
+    agg: dict = {}
+    for item in li:
+        ck = orders[item.l_orderkey]
+        regime = None
+        for r in by_cust[ck]:  # versions ascending: last match wins,
+            if r.effective_from <= item.l_shipdate:  # = highest version
+                regime = r.priority
+        a = agg.setdefault(regime, [0, 0, 0])
+        a[0] += 1
+        a[1] += item.qc
+        a[2] += item.rev_e4
+    want = {
+        p: (n, qc, (2 * rev + 100) // 200)
+        for p, (n, qc, rev) in agg.items()
+    }
+    got = {r.priority: (r.n_items, r.qty_c, r.revenue_cents)
+           for r in rows}
+    assert got == want
+
+
+def test_bpe_fertility_rolls_up_encode(spark):
+    from jobsity_data_pipeline_spark.operators import textops as TO
+
+    rows = TO.docs_bpe_fertility(spark, SF_SMOKE).collect()
+    per_doc = TO.docs_bpe_encode(spark, SF_SMOKE).collect()
+    langs = {d.doc_id: d.lang
+             for d in read_table(spark, SF_SMOKE, "documents").collect()}
+    agg: dict = {}
+    for r in per_doc:
+        a = agg.setdefault(langs[r.doc_id], [0, 0, 0])
+        a[0] += 1
+        a[1] += r.ws_tokens
+        a[2] += r.bpe_tokens
+    assert {r.lang: (r.n_docs, r.ws_tokens, r.bpe_tokens)
+            for r in rows} == {k: tuple(v) for k, v in agg.items()}
+    for r in rows:
+        # a word is at least one subword: fertility is >= 1000 permille
+        assert r.fertility_permille >= 1000
+        assert r.fertility_permille == (
+            2 * 1000 * r.bpe_tokens + r.ws_tokens
+        ) // (2 * r.ws_tokens)
+
+
 def test_hard_negatives_labels_and_bruteforce(spark):
     rows = R11.emb_hard_negatives(spark, SF_SMOKE).collect()
     emb = read_table(spark, SF_SMOKE, "embeddings").collect()

@@ -1301,6 +1301,54 @@ def test_merge_into_clause_toggles_and_cdc(spark, tmp_path):
     assert (1, "a", "delete") in got and (1, "A2", "insert") in got
 
 
+def test_streaming_merge_applies_cdc_ops(spark, tmp_path):
+    """start_snapshot_merge drives merge_into per micro-batch: an
+    op-tagged CDC feed upserts and deletes with exactly-once batch
+    semantics, one manifest version per non-noop batch."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    schema = "trip_key long, v string, op string"
+    src = tmp_path / "feed"
+    # batch 1: initial inserts; batch 2: update key 1, delete key 2,
+    # insert key 3 (maxFilesPerTrigger=1 -> one file per micro-batch)
+    spark.createDataFrame(
+        [(1, "a", "u"), (2, "b", "u")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(1, "A2", "u"), (2, "b", "d"), (3, "c", "u")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    t = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = SN.start_snapshot_merge(
+        stream, t, str(tmp_path / "ckpt"),
+        when_matched_delete="op = 'd'",
+    )
+    q.awaitTermination(120)
+    now = {r.trip_key: r.v for r in SN.read_latest(spark, t)
+           .drop("_chash", "op").collect()}
+    assert now == {1: "A2", 3: "c"}
+
+    # restart over the same files: checkpoint + batch tokens make the
+    # replay a full no-op
+    v = SN.latest_manifest(t)["version"]
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = SN.start_snapshot_merge(
+        stream2, t, str(tmp_path / "ckpt"),
+        when_matched_delete="op = 'd'",
+    )
+    q2.awaitTermination(120)
+    assert SN.latest_manifest(t)["version"] == v
+
+
 def test_upsert_replacing_hash_is_total_over_nulls(spark, tmp_path):
     """The content hash must encode nulls explicitly (to_json omits
     null fields): null -> '' IS a content change, and a null column
