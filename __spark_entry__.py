@@ -251,6 +251,8 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": R11.emb_hard_negatives,
         "lineitem_scd2_asof": R11.lineitem_scd2_asof,
         "docs_bpe_fertility": TO.docs_bpe_fertility,
+        "docs_containment_pairs": D.docs_containment_pairs,
+        "emb_kcenter_sample": R11.emb_kcenter_sample,
     }
 
 
@@ -307,10 +309,11 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # their debts are now due), (2) the full r2-latest tier (the oldest
 # rows on the board, spanning three testdata regenerations), and
 # (3) a spread of r3-latest keys with the riskiest kernels (dedup,
-# quality tiers, sketches, range join). Held to 43 so round-6's SEVEN
-# new keys (auto-fronted below as never-sampled) land inside the
-# driver's 50-key budget; parts_triangles and events_range_join were
-# trimmed to fit (both r3-green on untouched code, due next round).
+# quality tiers, sketches). Held to 41 so round-6's NINE new keys
+# (auto-fronted below as never-sampled) land inside the driver's
+# 50-key budget; parts_triangles, events_range_join,
+# events_hll_distinct and events_type_runs were trimmed to fit (all
+# r3-green on untouched code, due next round).
 _ROUND6_PRIORITY: tuple[str, ...] = (
     # (1) the round-5 budget debts
     "q16_supplier_count", "orders_rollup", "events_grouping_sets",
@@ -330,7 +333,7 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers", "q4_order_priority",
     # (3) r3-latest spread (oldest remaining after the r2 tier)
     "customer_balance_deciles", "docs_dup_spans", "docs_quality_tiers",
-    "docs_weighted_sample", "events_hll_distinct", "events_type_runs",
+    "docs_weighted_sample",
 )
 
 # The round-5 tuple, kept for the tier bookkeeping narrative.
@@ -843,6 +846,76 @@ def _bpe_fertility_sql(rounds: int = 8, vocab_cap: int = 200) -> str:
                        AS fertility_permille
             FROM pd JOIN documents d USING (doc_id)
             GROUP BY d.lang"""
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled DuckDB replay of relational11.emb_kcenter_sample:
+    seed = min vec_id, then k-1 rounds of (score corpus vs ONLY the
+    newly chosen 6-dp-rounded vector -> running min -> argmax with
+    already-picked ids excluded) — the incremental Gonzalez form, all
+    micro-unit integers at the compare, MATERIALIZED per round."""
+    parts = ["""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            xs AS (
+                SELECT vec_id, CAST(pos AS INT) AS pos, x FROM (
+                    SELECT vec_id, unnest(range(0, len(v))) AS pos,
+                           unnest(v) AS x
+                    FROM e
+                )
+            ),
+            sd AS (SELECT min(vec_id) AS vid FROM e),
+            pks0 AS (SELECT vid AS vec_id FROM sd),
+            cent0 AS MATERIALIZED (
+                SELECT pos, round(x, 6) AS c FROM xs
+                WHERE vec_id = (SELECT vid FROM sd)
+            ),
+            mind1 AS MATERIALIZED (
+                SELECT xs.vec_id,
+                       CAST(round(sum((xs.x - c.c) * (xs.x - c.c))
+                                  * 1000000, 0) AS BIGINT) AS mind6
+                FROM xs JOIN cent0 c USING (pos) GROUP BY xs.vec_id
+            )"""]
+    for r in range(1, k):
+        parts.append(f""",
+            pk{r} AS MATERIALIZED (
+                SELECT vec_id, mind6 FROM mind{r}
+                WHERE vec_id NOT IN (SELECT vec_id FROM pks{r - 1})
+                ORDER BY mind6 DESC, vec_id LIMIT 1
+            ),
+            pks{r} AS (
+                SELECT vec_id FROM pks{r - 1}
+                UNION ALL SELECT vec_id FROM pk{r}
+            )""")
+        if r < k - 1:
+            parts.append(f""",
+            cn{r} AS MATERIALIZED (
+                SELECT pos, round(x, 6) AS c FROM xs
+                WHERE vec_id = (SELECT vec_id FROM pk{r})
+            ),
+            mind{r + 1} AS MATERIALIZED (
+                SELECT m.vec_id, least(m.mind6, d.d6) AS mind6
+                FROM mind{r} m JOIN (
+                    SELECT xs.vec_id,
+                           CAST(round(sum((xs.x - cn.c) * (xs.x - cn.c))
+                                      * 1000000, 0) AS BIGINT) AS d6
+                    FROM xs JOIN cn{r} cn USING (pos)
+                    GROUP BY xs.vec_id
+                ) d ON m.vec_id = d.vec_id
+            )""")
+    unions = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS pick_rank, vec_id,"
+        f" mind6 AS d6 FROM pk{r}"
+        for r in range(1, k)
+    )
+    parts.append(f"""
+            SELECT CAST(0 AS BIGINT) AS pick_rank, vid AS vec_id,
+                   CAST(NULL AS BIGINT) AS d6
+            FROM sd
+            UNION ALL {unions}""")
+    return "".join(parts)
 
 
 def _kmeans_fit_sql(rounds: int = 3) -> str:
@@ -5079,6 +5152,45 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
     out["docs_bpe_fertility"] = _bpe_fertility_sql()
+    out["docs_containment_pairs"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        s AS (
+            SELECT doc_id, list_distinct({_SH4}) AS sh FROM t
+        ),
+        f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        e AS (SELECT doc_id, unnest(sh) AS shingle FROM f),
+        ec AS (
+            SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       count(*) OVER (PARTITION BY shingle) AS df
+                FROM e
+            ) WHERE df <= 50
+        ),
+        c AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM ec a JOIN ec b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        nsz AS (SELECT doc_id, count(*) AS n_sh FROM ec GROUP BY doc_id)
+        SELECT doc_a, doc_b, n_common,
+               na.n_sh AS n_a, nb.n_sh AS n_b,
+               (2 * 1000 * n_common + na.n_sh) // (2 * na.n_sh)
+                   AS cont_a_in_b_pm,
+               (2 * 1000 * n_common + nb.n_sh) // (2 * nb.n_sh)
+                   AS cont_b_in_a_pm
+        FROM c
+        JOIN nsz na ON c.doc_a = na.doc_id
+        JOIN nsz nb ON c.doc_b = nb.doc_id
+        WHERE greatest(
+            (2 * 1000 * n_common + na.n_sh) // (2 * na.n_sh),
+            (2 * 1000 * n_common + nb.n_sh) // (2 * nb.n_sh)
+        ) >= 500
+    """
+    out["emb_kcenter_sample"] = _kcenter_sql()
     out["emb_hard_negatives"] = """
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

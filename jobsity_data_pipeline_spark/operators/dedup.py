@@ -149,6 +149,69 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
 
 
+def docs_containment_pairs(spark: SparkSession, sf_dir: str,
+                           min_permille: int = 500,
+                           max_doc_freq: int = MAX_SHINGLE_DOC_FREQ,
+                           ) -> DataFrame:
+    """ASYMMETRIC shingle containment C(A,B) = |A∩B| / |A| — the
+    near-dup signal Jaccard structurally misses: a short document
+    quoted whole inside a much longer one has tiny Jaccard (the union
+    is dominated by the long doc) but containment ~1 for the short
+    side. This is the Broder resemblance-vs-containment distinction,
+    and the screen that catches quote/subset duplication for training
+    corpora (a doc fully contained elsewhere adds no new text).
+
+    Same plan as docs_ngram_jaccard (shared shingle derivation, the
+    load-bearing hot-shingle cap, self-equi-join on shingle, sizes
+    joined back) with both directions reported per unordered pair in
+    half-up integer permille; pairs keep when EITHER direction
+    reaches ``min_permille``. Engine-exact: counts and integer
+    division only.
+    """
+    from pyspark.sql import Window
+
+    exploded = (
+        _doc_shingles_exploded(spark, sf_dir)
+        .withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+        .where(F.col("_df") <= max_doc_freq)
+        .drop("_df")
+        .localCheckpoint()
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "cont_a_in_b_pm",
+            F.expr("(2 * 1000 * n_common + n_a) div (2 * n_a)"),
+        )
+        .withColumn(
+            "cont_b_in_a_pm",
+            F.expr("(2 * 1000 * n_common + n_b) div (2 * n_b)"),
+        )
+        .where(
+            F.greatest("cont_a_in_b_pm", "cont_b_in_a_pm")
+            >= F.lit(min_permille)
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b",
+                "cont_a_in_b_pm", "cont_b_in_a_pm")
+    )
+
+
 def minhash_sig_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m15): md5-permutation minima via explode + min-agg,
     from any documents frame.

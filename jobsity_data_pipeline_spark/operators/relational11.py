@@ -326,6 +326,80 @@ def docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_kcenter_sample(spark: SparkSession, sf_dir: str,
+                       k: int = 8) -> DataFrame:
+    """Farthest-point (Gonzalez k-center) diverse subset selection —
+    the coreset/curation sampler that maximizes coverage: start from
+    the lowest vec_id, then k-1 times add the vector farthest from
+    the chosen set (max-min distance, ties to the lower id). The
+    picked d6 column IS the covering radius achieved before each
+    addition — the classic 2-approximation certificate.
+
+    Engine-exact by the kmeans convention: chosen vectors act as
+    6-dp-rounded centroids and distances are integer micro-units via
+    the shared pq_code_distances kernel, so the whole selection
+    unrolls into one lazy Catalyst plan a SQL oracle replays round
+    for round. Each round scores the corpus against ONLY the newly
+    chosen vector (broadcast, one scan) and keeps a running min — k
+    scans total, zero driver collects: the per-round argmax is an
+    in-plan TakeOrdered(1) frame (the BPE-trainer pattern), and
+    already-chosen ids are excluded by a broadcast anti-join against
+    the (<= k-row) picks frame.
+    """
+    from .kmeans import pq_code_distances
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # materialize the exploded coordinates once: every round's scoring
+    # join and both pick->centroid projections reference this frame
+    x = e.select(
+        "vec_id", F.posexplode("v").alias("pos", "x")
+    ).localCheckpoint()
+
+    def cent_of(pick_frame: DataFrame, code: int) -> DataFrame:
+        return x.join(
+            F.broadcast(pick_frame.select("vec_id")), "vec_id"
+        ).select(
+            F.lit(0).alias("subspace"), F.lit(code).alias("code"),
+            "pos", F.round("x", 6).alias("c"),
+        )
+
+    seed = e.orderBy("vec_id").limit(1)
+    picks = seed.select(
+        F.lit(0).cast("long").alias("pick_rank"), "vec_id",
+        F.lit(None).cast("long").alias("d6"),
+    )
+    mind = pq_code_distances(x, cent_of(seed, 0), ["vec_id"]).select(
+        "vec_id", F.col("d6").alias("mind6")
+    ).localCheckpoint(eager=False)
+    for r in range(1, k):
+        # eager 1-row checkpoint: the pick is referenced three times
+        # (result row, new centroid, next round's exclusion) — pinning
+        # it costs one tiny cluster-side job and truncates the
+        # TakeOrdered lineage so rounds don't re-evaluate each other
+        pick = (
+            mind.join(F.broadcast(picks.select("vec_id")),
+                      "vec_id", "left_anti")
+            .orderBy(F.desc("mind6"), "vec_id")
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks = picks.unionByName(pick.select(
+            F.lit(r).cast("long").alias("pick_rank"), "vec_id",
+            F.col("mind6").alias("d6"),
+        ))
+        dnew = pq_code_distances(x, cent_of(pick, r), ["vec_id"]).select(
+            "vec_id", F.col("d6").alias("dnew")
+        )
+        mind = (
+            mind.join(dnew, "vec_id")
+            .select("vec_id", F.least("mind6", "dnew").alias("mind6"))
+            .localCheckpoint(eager=False)
+        )
+    return picks.orderBy("pick_rank")
+
+
 def emb_hard_negatives(spark: SparkSession, sf_dir: str,
                        n_queries: int = 8, k: int = 5) -> DataFrame:
     """Hard-negative mining: for each query vector (vec_id <

@@ -230,6 +230,84 @@ def test_bpe_fertility_rolls_up_encode(spark):
         ) // (2 * r.ws_tokens)
 
 
+def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
+    """The operator's reason to exist: a short doc quoted whole inside
+    a long one has containment 1000 permille but Jaccard under the
+    near-dup threshold."""
+    from jobsity_data_pipeline_spark.operators.dedup import (
+        docs_containment_pairs, docs_ngram_jaccard,
+    )
+
+    long_words = " ".join(f"w{i}" for i in range(400))
+    short_words = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"z{i}" for i in range(50))
+    spark.createDataFrame(
+        [(0, long_words, "en", "t", len(long_words)),
+         (1, short_words, "en", "t", len(short_words)),
+         (2, other, "en", "t", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = docs_containment_pairs(spark, str(tmp_path)).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b) == (0, 1)
+    # every shingle of the short doc appears in the long one
+    assert p.n_common == p.n_b == 17 and p.n_a == 397
+    assert p.cont_b_in_a_pm == 1000
+    assert p.cont_a_in_b_pm == (2 * 1000 * 17 + 397) // (2 * 397)
+    # Jaccard (17/397 ~ 0.043) misses it at the 0.12 threshold
+    assert docs_ngram_jaccard(spark, str(tmp_path)).count() == 0
+
+
+def test_containment_bounds(spark):
+    from jobsity_data_pipeline_spark.operators.dedup import (
+        docs_containment_pairs,
+    )
+
+    rows = docs_containment_pairs(spark, SF_SMOKE,
+                                  min_permille=0).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 1 <= r.n_common <= min(r.n_a, r.n_b)
+        assert 0 < r.cont_a_in_b_pm <= 1000
+        assert 0 < r.cont_b_in_a_pm <= 1000
+        assert r.cont_a_in_b_pm == (2 * 1000 * r.n_common + r.n_a) \
+            // (2 * r.n_a)
+
+
+def test_kcenter_gonzalez_invariants(spark):
+    rows = R11.emb_kcenter_sample(spark, SF_SMOKE).collect()
+    assert [r.pick_rank for r in rows] == list(range(8))
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 8
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
+    assert ids[0] == min(vecs)
+    assert rows[0].d6 is None
+
+    def d6(a, b):
+        s = 0.0
+        for x, c in zip(a, b):
+            c6 = round(c, 6)
+            s += (x - c6) * (x - c6)
+        return round(s * 1e6)
+
+    # each pick's d6 is its max-min distance to the prior set; the
+    # covering radius is non-increasing (Gonzalez invariant)
+    radii = [r.d6 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    for i, r in enumerate(rows[1:], start=1):
+        want = min(d6(vecs[r.vec_id], vecs[ids[j]]) for j in range(i))
+        assert abs(r.d6 - want) <= 1  # half-ulp rounding tolerance
+    # 2-approx structure: chosen points are pairwise >= the last radius
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert d6(vecs[ids[i]], vecs[ids[j]]) >= radii[-1] - 1
+
+
 def test_hard_negatives_labels_and_bruteforce(spark):
     rows = R11.emb_hard_negatives(spark, SF_SMOKE).collect()
     emb = read_table(spark, SF_SMOKE, "embeddings").collect()
