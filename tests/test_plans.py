@@ -503,6 +503,22 @@ def test_round6_plan_shapes(spark):
     assert "CartesianProduct" not in hn
     assert "BroadcastExchange" in hn
 
+    # containment inherits the jaccard contract: candidates only from
+    # the shingle equi-join, never a cartesian
+    from jobsity_data_pipeline_spark.operators.dedup import (
+        docs_containment_pairs,
+    )
+
+    cp = _plan(docs_containment_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in cp
+    assert "BroadcastNestedLoopJoin" not in cp
+
+    # k-center: per-round scoring joins the 1-row pick broadcast; the
+    # corpus is never broadcast and no window appears anywhere
+    kc = _plan(R11.emb_kcenter_sample(spark, SF_SMOKE, k=3))
+    assert "CartesianProduct" not in kc
+    assert "Window" not in kc
+
 
 def test_key_skew_and_capped_vocab_rank_distributed(spark):
     """Round-5 gate for the two former global-rank sites: the skew
