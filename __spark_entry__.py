@@ -253,6 +253,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_fertility": TO.docs_bpe_fertility,
         "docs_containment_pairs": D.docs_containment_pairs,
         "emb_kcenter_sample": R11.emb_kcenter_sample,
+        "orders_forecast_snaive": R11.orders_forecast_snaive,
     }
 
 
@@ -309,10 +310,10 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # their debts are now due), (2) the full r2-latest tier (the oldest
 # rows on the board, spanning three testdata regenerations), and
 # (3) a spread of r3-latest keys with the riskiest kernels (dedup,
-# quality tiers, sketches). Held to 41 so round-6's NINE new keys
-# (auto-fronted below as never-sampled) land inside the driver's
-# 50-key budget; parts_triangles, events_range_join,
-# events_hll_distinct and events_type_runs were trimmed to fit (all
+# quality tiers). Held to 40 so round-6's TEN new keys (auto-fronted
+# below as never-sampled) land inside the driver's 50-key budget;
+# parts_triangles, events_range_join, events_hll_distinct,
+# events_type_runs and docs_weighted_sample were trimmed to fit (all
 # r3-green on untouched code, due next round).
 _ROUND6_PRIORITY: tuple[str, ...] = (
     # (1) the round-5 budget debts
@@ -333,7 +334,6 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers", "q4_order_priority",
     # (3) r3-latest spread (oldest remaining after the r2 tier)
     "customer_balance_deciles", "docs_dup_spans", "docs_quality_tiers",
-    "docs_weighted_sample",
 )
 
 # The round-5 tuple, kept for the tier bookkeeping narrative.
@@ -5191,6 +5191,24 @@ def oracle_sql() -> dict[str, str]:
         ) >= 500
     """
     out["emb_kcenter_sample"] = _kcenter_sql()
+    out["orders_forecast_snaive"] = """
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS rev_c
+            FROM orders GROUP BY 1, 2
+        ),
+        f AS (
+            SELECT *, lag(rev_c) OVER (
+                       PARTITION BY o_month ORDER BY o_year) AS forecast_c
+            FROM m
+        )
+        SELECT o_year, o_month, rev_c, forecast_c,
+               (2 * 1000 * abs(rev_c - forecast_c) + rev_c)
+               // (2 * rev_c) AS ape_permille
+        FROM f WHERE forecast_c IS NOT NULL
+    """
     out["emb_hard_negatives"] = """
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -225,7 +225,16 @@ def events_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size frame at any corpus size, NOT the per-type
     full-fact window this repo's round-5 rewrites removed.
     """
-    e = _t(spark, sf_dir, "events")
+    return hdr_quantiles_from_counts(
+        hdr_bucket_counts(_t(spark, sf_dir, "events"))
+    )
+
+
+def hdr_bucket_counts(events: DataFrame) -> DataFrame:
+    """The mergeable half of the HDR sketch: (event_type, bucket_id,
+    cnt) from an events frame — counts sum-merge across any split of
+    the data (streaming/stream.stream_hdr_deltas maintains them as
+    append-only snapshot-table deltas)."""
     c = M.cents("value")
     # all-integer bucket math (shared verbatim with the oracle):
     #   c      = round(value*100)            -- exact cents
@@ -242,12 +251,19 @@ def events_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "                 length(bin(CAST(round(value * 100, 0) AS BIGINT)))"
         "                 - 1)"
     ).cast("long").alias("bucket_id")
-    counts = (
-        e.where(c >= 1)
+    return (
+        events.where(c >= 1)
         .select("event_type", bucket)
         .groupBy("event_type", "bucket_id")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def hdr_quantiles_from_counts(counts: DataFrame) -> DataFrame:
+    """The read half: quantile estimates from a (event_type,
+    bucket_id, cnt) frame — identical arithmetic whether the counts
+    came from one batch scan or a maintained sketch table."""
+    spark = counts.sparkSession
     wb = (
         Window.partitionBy("event_type")
         .orderBy("bucket_id")
@@ -323,6 +339,42 @@ def docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("sz") > 1).cast("long")).alias("n_multi_docs"),
         )
         .orderBy("split")
+    )
+
+
+def orders_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the standard forecasting
+    baseline every demand-planning deployment starts from (and the
+    yardstick fancier models must beat): predicted monthly revenue =
+    the same calendar month one year earlier, scored as half-up
+    absolute-percentage-error permille per month. All money flows as
+    exact integer cents.
+
+    The lag runs in a window partitioned by MONTH-OF-YEAR ordered by
+    year (12 partitions of ~|years| rows over the month aggregate) —
+    same-month-last-year needs no global sort and no lag(12) over a
+    single ordered stream.
+    """
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(F.sum(M.cents("o_totalprice")).alias("rev_c"))
+    )
+    w = Window.partitionBy("o_month").orderBy("o_year")
+    return (
+        m.withColumn("forecast_c", F.lag("rev_c").over(w))
+        .where(F.col("forecast_c").isNotNull())
+        .select(
+            "o_year", "o_month", "rev_c", "forecast_c",
+            F.expr(
+                "(2 * 1000 * abs(rev_c - forecast_c) + rev_c)"
+                " div (2 * rev_c)"
+            ).alias("ape_permille"),
+        )
+        .orderBy("o_year", "o_month")
     )
 
 

@@ -747,6 +747,58 @@ def stream_bm25_postings(docs: DataFrame, table_dir: str, checkpoint: str,
     )
 
 
+def stream_hdr_deltas(events: DataFrame, table_dir: str,
+                      checkpoint: str):
+    """Maintain the HDR value-quantile sketch over a stream as
+    APPEND-ONLY DELTAS in a snapshot table: each micro-batch writes
+    its own (event_type, bucket_id, cnt) rows keyed by batch id.
+    Counts are NOT an absorbing merge like stream_hll_upsert's
+    register maxima — a replayed count-merge would double-count — so
+    idempotence comes from the manifest protocol instead: the batch
+    token makes replay a no-op, and the read side sums the deltas
+    (hdr_from_index). State grows O(batches x buckets x types), a
+    few hundred rows per batch regardless of stream volume;
+    snapshot.compact reclaims file count when wanted.
+    """
+    from ..operators.relational11 import hdr_bucket_counts
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = hdr_bucket_counts(batch_df).withColumn(
+            "delta_key",
+            F.concat_ws(
+                "|", F.col("event_type"), F.col("bucket_id"),
+                F.lit(str(batch_id)),
+            ),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hdr_from_index(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Quantiles served FROM the maintained delta table: sum-merge the
+    per-batch bucket counts, then the shared read kernel — identical
+    arithmetic to the batch events_hdr_quantiles by construction."""
+    from ..operators.relational11 import hdr_quantiles_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(f"no published HDR sketch at {table_dir}")
+    merged = deltas.groupBy("event_type", "bucket_id").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return hdr_quantiles_from_counts(merged)
+
+
 def bm25_from_index(spark: SparkSession, table_dir: str,
                     k: int | None = None,
                     terms: tuple[str, ...] | None = None) -> DataFrame:

@@ -230,6 +230,30 @@ def test_bpe_fertility_rolls_up_encode(spark):
         ) // (2 * r.ws_tokens)
 
 
+def test_forecast_snaive_matches_pure_python(spark):
+    rows = R11.orders_forecast_snaive(spark, SF_SMOKE).collect()
+    assert rows
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        "o_orderdate",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
+    ).collect()
+    monthly: dict = {}
+    for o in orders:
+        k = (o.o_orderdate.year, o.o_orderdate.month)
+        monthly[k] = monthly.get(k, 0) + o.c
+    want = {}
+    by_month: dict = {}
+    for (y, mo), rev in sorted(monthly.items()):
+        by_month.setdefault(mo, []).append((y, rev))
+    for mo, seq in by_month.items():
+        for (py, prev), (y, rev) in zip(seq, seq[1:]):
+            ape = (2 * 1000 * abs(rev - prev) + rev) // (2 * rev)
+            want[(y, mo)] = (rev, prev, ape)
+    got = {(r.o_year, r.o_month): (r.rev_c, r.forecast_c, r.ape_permille)
+           for r in rows}
+    assert got == want
+
+
 def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
     """The operator's reason to exist: a short doc quoted whole inside
     a long one has containment 1000 permille but Jaccard under the

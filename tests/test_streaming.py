@@ -585,6 +585,81 @@ def test_stream_bm25_postings_equals_batch_and_replays_idempotent(
     assert latest_manifest(table)["version"] == v_before
 
 
+def test_stream_hdr_deltas_equals_batch_and_replays_idempotent(
+    spark, tmp_path
+):
+    """The HDR sketch maintained as per-batch snapshot deltas serves
+    the same quantiles as the batch operator over the union, and a
+    replayed batch cannot double-count (manifest token idempotence —
+    the property an absorbing-merge sketch gets for free and a
+    count-merge must buy from the commit protocol)."""
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational11 import (
+        hdr_bucket_counts, hdr_quantiles_from_counts,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        hdr_from_index, stream_hdr_deltas,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 7,
+         "view" if i % 2 == 0 else "purchase",
+         round(0.5 + 3.7 * i, 2), "{}")
+        for i in range(200)
+    ]
+    src = tmp_path / "events"
+    for half in (0, 1):  # two files -> two micro-batches
+        spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 2 == half], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    table = str(tmp_path / "hdr_idx")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_hdr_deltas(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    all_events = spark.createDataFrame(rows, schema)
+    want = [
+        tuple(r) for r in
+        hdr_quantiles_from_counts(hdr_bucket_counts(all_events)).collect()
+    ]
+    got = [tuple(r) for r in hdr_from_index(spark, table).collect()]
+    assert got == want
+
+    # replaying batch 0's delta under its original token is a no-op:
+    # the counts cannot double
+    v = latest_manifest(table)["version"]
+    b0 = hdr_bucket_counts(
+        spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 2 == 0], schema
+        )
+    ).withColumn(
+        "delta_key",
+        F.concat_ws("|", F.col("event_type"), F.col("bucket_id"),
+                    F.lit("0")),
+    )
+    assert upsert_batch(b0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert [tuple(r) for r in hdr_from_index(spark, table).collect()] \
+        == want
+
+
 def test_bm25_index_persists_terms_and_rejects_mismatch(spark, tmp_path):
     import pytest
 
