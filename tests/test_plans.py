@@ -491,13 +491,17 @@ def test_round6_plan_shapes(spark):
         for i in range(ch.size()):
             yield from walk(ch.apply(i))
 
-    scd = R11.orders_scd2(spark, SF_SMOKE)
-    for n in walk(scd._jdf.queryExecution().optimizedPlan()):
-        if n.nodeName() == "Window":
-            ps = n.partitionSpec()
-            cols = [ps.apply(i).toString().split("#")[0]
-                    for i in range(ps.size())]
-            assert cols == ["o_custkey"], cols
+    # SCD2 build AND its as-of consumer: every window partitions on
+    # the high-cardinality customer key (the as-of union stream never
+    # sorts globally or per low-cardinality key)
+    for df in (R11.orders_scd2(spark, SF_SMOKE),
+               R11.lineitem_scd2_asof(spark, SF_SMOKE)):
+        for n in walk(df._jdf.queryExecution().optimizedPlan()):
+            if n.nodeName() == "Window":
+                ps = n.partitionSpec()
+                cols = [ps.apply(i).toString().split("#")[0]
+                        for i in range(ps.size())]
+                assert cols == ["o_custkey"], cols
 
     hn = _plan(R11.emb_hard_negatives(spark, SF_SMOKE))
     assert "CartesianProduct" not in hn
