@@ -254,6 +254,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment_pairs": D.docs_containment_pairs,
         "emb_kcenter_sample": R11.emb_kcenter_sample,
         "orders_forecast_snaive": R11.orders_forecast_snaive,
+        "events_hopping_counts": R11.events_hopping_counts,
     }
 
 
@@ -310,11 +311,11 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # their debts are now due), (2) the full r2-latest tier (the oldest
 # rows on the board, spanning three testdata regenerations), and
 # (3) a spread of r3-latest keys with the riskiest kernels (dedup,
-# quality tiers). Held to 40 so round-6's TEN new keys (auto-fronted
+# spans). Held to 39 so round-6's ELEVEN new keys (auto-fronted
 # below as never-sampled) land inside the driver's 50-key budget;
 # parts_triangles, events_range_join, events_hll_distinct,
-# events_type_runs and docs_weighted_sample were trimmed to fit (all
-# r3-green on untouched code, due next round).
+# events_type_runs, docs_weighted_sample and docs_quality_tiers were
+# trimmed to fit (all r3-green on untouched code, due next round).
 _ROUND6_PRIORITY: tuple[str, ...] = (
     # (1) the round-5 budget debts
     "q16_supplier_count", "orders_rollup", "events_grouping_sets",
@@ -333,7 +334,7 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "q12_ship_latency", "q13_customer_distribution",
     "q21_waiting_suppliers", "q4_order_priority",
     # (3) r3-latest spread (oldest remaining after the r2 tier)
-    "customer_balance_deciles", "docs_dup_spans", "docs_quality_tiers",
+    "customer_balance_deciles", "docs_dup_spans",
 )
 
 # The round-5 tuple, kept for the tier bookkeeping narrative.
@@ -5208,6 +5209,21 @@ def oracle_sql() -> dict[str, str]:
                (2 * 1000 * abs(rev_c - forecast_c) + rev_c)
                // (2 * rev_c) AS ape_permille
         FROM f WHERE forecast_c IS NOT NULL
+    """
+    # each event belongs to exactly size/slide = 2 epoch-aligned
+    # 6h-every-3h windows: starts floor_3h(ts) and floor_3h(ts) - 3h
+    out["events_hopping_counts"] = """
+        WITH x AS (
+            SELECT event_type,
+                   make_timestamp(
+                       ((epoch_us(ts) // 10800000000) - i) * 10800000000
+                   ) AS window_start,
+                   CAST(round(value * 100, 0) AS BIGINT) AS c
+            FROM events, (SELECT unnest([0, 1]) AS i)
+        )
+        SELECT window_start, event_type, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS value_c
+        FROM x GROUP BY 1, 2
     """
     out["emb_hard_negatives"] = """
         WITH e AS (

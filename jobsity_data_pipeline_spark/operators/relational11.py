@@ -205,6 +205,69 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str,
     )
 
 
+def m4_state_frame(events: DataFrame,
+                   bucket_hours: int = M4_BUCKET_HOURS) -> DataFrame:
+    """The MERGEABLE M4 state over an events frame: per (type,
+    bucket) the four archetypes with the first/last selection structs
+    kept whole, so two state frames merge by min/min/max/max — every
+    component is an absorbing merge (streaming/stream.stream_m4_upsert
+    relies on exactly that for replay safety)."""
+    tkey = F.struct(
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("id"),
+        M.cents("value").alias("c"),
+    )
+    us_per_bucket = bucket_hours * 3_600_000_000
+    return (
+        events.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {us_per_bucket}").alias("bucket"),
+            M.cents("value").alias("c"),
+            tkey.alias("tk"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+            F.min("tk").alias("first_k"),
+            F.max("tk").alias("last_k"),
+        )
+    )
+
+
+HOP_SIZE_HOURS = 6
+HOP_SLIDE_HOURS = 3
+
+
+def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate via Spark's built-in
+    ``F.window(ts, size, slide)`` — the declarative form Structured
+    Streaming shares, here over the batch table: 6-hour windows every
+    3 hours, so each event lands in exactly size/slide = 2 windows.
+    Counts and exact integer cents per (window start, event_type).
+
+    Plan: window() explodes each row into its 2 member windows and
+    the rest is one partial-aggregable groupBy — output is
+    |types| x |window starts| regardless of corpus size. The oracle
+    replays the epoch-aligned window arithmetic in integer
+    microseconds (Spark's windows are epoch-origin-aligned).
+    """
+    e = _t(spark, sf_dir, "events")
+    w = F.window(
+        "ts", f"{HOP_SIZE_HOURS} hours", f"{HOP_SLIDE_HOURS} hours"
+    )
+    return (
+        e.groupBy(
+            w.getField("start").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(M.cents("value")).alias("value_c"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 HDR_SUB_BITS = 2  # 4 linear sub-buckets per power of two: rel err <= 1/8
 HDR_QUANTILES = (500, 900, 990)  # permille
 

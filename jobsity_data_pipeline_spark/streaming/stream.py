@@ -747,6 +747,66 @@ def stream_bm25_postings(docs: DataFrame, table_dir: str, checkpoint: str,
     )
 
 
+def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str):
+    """Maintain the M4 downsample state over a stream: per micro-batch
+    compute the per-(type, bucket) archetypes and merge into the
+    parquet state table. UNLIKE counts, all four M4 aggregates are
+    ABSORBING merges — min/max on the value, min/max on the
+    (micros, event_id, cents) selection struct — so replayed batches
+    cannot corrupt the state (the stream_hll_upsert property) and no
+    commit-protocol idempotence is needed. n is deliberately NOT
+    maintained here: a count sum-merge is not absorbing; use
+    stream_hdr_deltas-style token-idempotent deltas when a count must
+    ride along.
+
+    State size is O(types x buckets) regardless of stream volume;
+    m4_from_state serves the batch operator's shape (minus n).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from ..operators.relational11 import m4_state_frame
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = m4_state_frame(batch_df)
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:
+            state = None
+        merged = (
+            delta if state is None else state.unionByName(delta)
+        ).groupBy("event_type", "bucket").agg(
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+            F.min("first_k").alias("first_k"),
+            F.max("last_k").alias("last_k"),
+        )
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(state_path)
+        merged.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def m4_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The maintained M4 archetypes in the batch operator's column
+    shape (minus n): (event_type, bucket, min/max/first/last cents)."""
+    st = spark.read.parquet(state_path)
+    return st.select(
+        "event_type", "bucket", "min_cents", "max_cents",
+        F.col("first_k").getField("c").alias("first_cents"),
+        F.col("last_k").getField("c").alias("last_cents"),
+    )
+
+
 def stream_hdr_deltas(events: DataFrame, table_dir: str,
                       checkpoint: str):
     """Maintain the HDR value-quantile sketch over a stream as

@@ -585,6 +585,87 @@ def test_stream_bm25_postings_equals_batch_and_replays_idempotent(
     assert latest_manifest(table)["version"] == v_before
 
 
+def test_stream_m4_upsert_equals_batch_and_merge_is_absorbing(
+    spark, tmp_path
+):
+    """The streamed M4 state equals the batch archetypes over the
+    union, and re-merging any batch's delta leaves the state
+    unchanged (all four aggregates are absorbing merges — the
+    replay-safety HLL gets from max and counts do not have)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational11 import (
+        m4_state_frame,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        m4_from_state, stream_m4_upsert,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=17 * i), i % 5,
+         "view" if i % 3 else "purchase", round(1.0 + 2.3 * i, 2), "{}")
+        for i in range(150)
+    ]
+    src = tmp_path / "events"
+    for half in (0, 1):
+        spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 2 == half], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "m4_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_m4_upsert(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    all_events = spark.createDataFrame(rows, schema)
+    want = {
+        (r.event_type, r.bucket):
+        (r.min_cents, r.max_cents,
+         r.first_k.c, r.last_k.c)
+        for r in m4_state_frame(all_events).collect()
+    }
+    got = {
+        (r.event_type, r.bucket):
+        (r.min_cents, r.max_cents, r.first_cents, r.last_cents)
+        for r in m4_from_state(spark, state).collect()
+    }
+    assert got == want
+
+    # absorbing: re-merging batch 0's delta changes nothing
+    delta0 = m4_state_frame(
+        spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 2 == 0], schema
+        )
+    )
+    merged = (
+        spark.read.parquet(state).unionByName(delta0)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+            F.min("first_k").alias("first_k"),
+            F.max("last_k").alias("last_k"),
+        )
+    )
+    re_got = {
+        (r.event_type, r.bucket):
+        (r.min_cents, r.max_cents, r.first_k.c, r.last_k.c)
+        for r in merged.collect()
+    }
+    assert re_got == want
+
+
 def test_stream_hdr_deltas_equals_batch_and_replays_idempotent(
     spark, tmp_path
 ):
