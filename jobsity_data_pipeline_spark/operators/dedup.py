@@ -93,27 +93,25 @@ def _doc_shingles_exploded(spark: SparkSession, sf_dir: str,
 MAX_SHINGLE_DOC_FREQ = 50
 
 
-def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
-                       threshold: float = 0.12,
-                       max_doc_freq: int = MAX_SHINGLE_DOC_FREQ) -> DataFrame:
-    """N-gram-shingle Jaccard near-dup pairs (doc_a < doc_b).
+def _shingle_overlap(spark: SparkSession, sf_dir: str,
+                     max_doc_freq: int) -> tuple:
+    """Shared candidate-overlap plan for the shingle-set similarity
+    family (Jaccard AND containment score the same three frames):
+    explode distinct shingles -> drop HOT shingles (doc frequency >
+    ``max_doc_freq``) -> self-equi-join on shingle -> per-pair common
+    counts, plus the per-doc capped set sizes joined from both sides.
+    Returns (common, sizes_as_doc_a, sizes_as_doc_b).
 
-    Explode distinct shingles -> drop HOT shingles (doc frequency >
-    ``max_doc_freq``) -> self-equi-join on shingle -> count common ->
-    Jaccard over the capped shingle sets. The join fans out only where
-    shingles collide, so cost tracks true overlap, not n^2 — but a
+    The exploded+capped shingle set is materialized once (lineage
+    truncation): the plan references it four times (two join sides +
+    two size lookups), and re-deriving it per reference dominates.
+    The frequency cap is load-bearing, not an optimization: a
     boilerplate shingle shared by D docs alone contributes D^2 join
-    rows (a stop-phrase in 10^6 docs is 10^12 rows at 100 TB), so the
-    frequency cap is load-bearing, not an optimization. A shingle that
-    common carries no near-dup signal anyway (inverse-document-
-    frequency intuition). The doc-frequency count is a window over the
-    same shingle key the self-join shuffles on.
+    rows (a stop-phrase in 10^6 docs is 10^12 rows at 100 TB); a
+    shingle that common carries no near-dup signal anyway.
     """
     from pyspark.sql import Window
 
-    # Materialize the exploded+capped shingle set once (lineage
-    # truncation): the plan references it four times (two join sides +
-    # two size lookups), and re-deriving it per reference dominates.
     exploded = (
         _doc_shingles_exploded(spark, sf_dir)
         .withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
@@ -132,8 +130,30 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
         )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return common, sa, sb
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                       threshold: float = 0.12,
+                       max_doc_freq: int = MAX_SHINGLE_DOC_FREQ) -> DataFrame:
+    """N-gram-shingle Jaccard near-dup pairs (doc_a < doc_b).
+
+    Explode distinct shingles -> drop HOT shingles (doc frequency >
+    ``max_doc_freq``) -> self-equi-join on shingle -> count common ->
+    Jaccard over the capped shingle sets. The join fans out only where
+    shingles collide, so cost tracks true overlap, not n^2 — but a
+    boilerplate shingle shared by D docs alone contributes D^2 join
+    rows (a stop-phrase in 10^6 docs is 10^12 rows at 100 TB), so the
+    frequency cap is load-bearing, not an optimization. A shingle that
+    common carries no near-dup signal anyway (inverse-document-
+    frequency intuition). The doc-frequency count is a window over the
+    same shingle key the self-join shuffles on.
+    """
+    common, sa, sb = _shingle_overlap(spark, sf_dir, max_doc_freq)
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -161,37 +181,15 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str,
     and the screen that catches quote/subset duplication for training
     corpora (a doc fully contained elsewhere adds no new text).
 
-    Same plan as docs_ngram_jaccard (shared shingle derivation, the
+    Same plan as docs_ngram_jaccard — literally: both score the
+    _shingle_overlap frames (shared shingle derivation, the
     load-bearing hot-shingle cap, self-equi-join on shingle, sizes
-    joined back) with both directions reported per unordered pair in
-    half-up integer permille; pairs keep when EITHER direction
+    joined back) — with both directions reported per unordered pair
+    in half-up integer permille; pairs keep when EITHER direction
     reaches ``min_permille``. Engine-exact: counts and integer
     division only.
     """
-    from pyspark.sql import Window
-
-    exploded = (
-        _doc_shingles_exploded(spark, sf_dir)
-        .withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
-        .where(F.col("_df") <= max_doc_freq)
-        .drop("_df")
-        .localCheckpoint()
-    )
-    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_sh").alias("n_b"))
+    common, sa, sb = _shingle_overlap(spark, sf_dir, max_doc_freq)
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -286,7 +286,8 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
             **(new_stats or {}),
         }
         v = _publish(table_dir, prior + files, token,
-                     extra={"stats": stats, **(extra or {})},
+                     extra={"stats": stats, **_carry_extras(man),
+                            **(extra or {})},
                      expected_version=base_version)
         if v != -1:
             return "published"
@@ -379,21 +380,40 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
     return upsert_batch(b, batch_id, table_dir, key=key)
 
 
+def _carry_extras(man: dict | None) -> dict:
+    """Caller-supplied manifest metadata (e.g. a BM25 index's
+    ``bm25_terms``) carried forward verbatim by every writer that
+    republishes a table version — without this, a compact/delete/merge
+    would silently drop the metadata and downstream readers would fall
+    back to defaults."""
+    if not man:
+        return {}
+    return {k: v for k, v in man.items()
+            if k not in ("version", "batch", "files", "stats")}
+
+
 def merge_into(source: DataFrame, batch_id: int, table_dir: str,
                key: str = "trip_key",
                when_matched_delete: str | None = None,
                when_matched_update: bool = True,
-               when_not_matched_insert: bool = True,
-               content_col: str = "_chash") -> dict:
+               when_not_matched_insert: bool | str = True,
+               content_col: str = "_chash",
+               footer_confirm: bool = False) -> dict:
     """Delta-style MERGE in ONE atomic commit: per source row (keyed,
     intra-batch deduped) against the current table version —
 
     - matched and ``when_matched_delete`` (a SQL boolean expression
       over the source row's columns) is true -> the target row is
-      deleted;
+      deleted; a NULL predicate result falls through to the update
+      clause (standard MERGE semantics — coalesced to false);
     - otherwise matched, ``when_matched_update`` and the content hash
       differs -> the target row is replaced by the source row;
-    - not matched and ``when_not_matched_insert`` -> inserted;
+    - not matched and ``when_not_matched_insert`` -> inserted.
+      Pass a SQL boolean STRING instead of True to gate the insert
+      clause per row — e.g. ``when_not_matched_insert="op <> 'd'"``
+      keeps an out-of-order or re-delivered CDC tombstone from being
+      resurrected as a live row (there is no standard-MERGE way to
+      express this with a bare boolean);
     - everything else is a no-op (identical re-emits never rewrite).
 
     Unlike upsert_replacing's delete-then-append two-version dance,
@@ -406,11 +426,20 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
     for every clause.
 
     File IO is bounded like delete_keys: only files whose key range
-    can contain a removed key are rewritten (manifest-stats pruning,
-    footer fallback); the matched/not-matched classification reads
-    prior keys the same way upsert_batch does. Rows are stored with
-    ``content_col`` (the null-total hash), so change_feed's
-    content-aware mode sees updates as delete(old)+insert(new).
+    can contain a removed key are rewritten (manifest-stats pruning
+    with zero footer IO by default; ``footer_confirm=True`` buys
+    row-group-granular pruning at one driver footer read per
+    stats-maybe file, the delete-heavy-flow tradeoff delete_keys
+    documents). The matched/not-matched classification reads prior
+    keys once (the classified frame is checkpointed, so the three
+    clause counts and the rewrite do not re-scan history). Rows are
+    stored with ``content_col`` (the null-total hash), so
+    change_feed's content-aware mode sees updates as
+    delete(old)+insert(new). NOTE: rows written by a pre-round-6
+    upsert_replacing carry the old to_json-based hash formula; their
+    first re-emit under this formula registers as one spurious
+    replacement (a one-time migration wave, same shape as the
+    documented add-column wave).
     Returns {"status", "deleted", "updated", "inserted"}; a merge
     with nothing to do returns status "noop" without publishing (no
     manifest churn, and its replay is the same no-op).
@@ -428,6 +457,20 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
     src = source.dropDuplicates([key]).withColumn(
         content_col, _content_hash(data_cols)
     ).localCheckpoint()
+    # clause predicates, NULL-coalesced to false (a NULL delete
+    # predicate must fall through to update, not vanish; a NULL
+    # insert predicate must not insert)
+    del_pred = F.coalesce(
+        F.expr(when_matched_delete) if when_matched_delete
+        else F.lit(False),
+        F.lit(False),
+    )
+    if isinstance(when_not_matched_insert, str):
+        ins_pred = F.coalesce(
+            F.expr(when_not_matched_insert), F.lit(False)
+        )
+    else:
+        ins_pred = F.lit(bool(when_not_matched_insert))
     for _attempt in range(10):
         if any(tok == token
                for _, tok, _ in _manifests(table_dir, with_tokens=True)):
@@ -435,12 +478,12 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
                     "deleted": 0, "updated": 0, "inserted": 0}
         man = latest_manifest(table_dir)
         if man is None or not man["files"]:
-            ins = src if when_not_matched_insert else src.limit(0)
+            ins = src.where(ins_pred)
             n_ins = ins.count()
             files = _write_data(ins, table_dir)
             stats = {key: _file_stats(files, key) or {}}
             v = _publish(table_dir, files, token,
-                         extra={"stats": stats},
+                         extra={"stats": stats, **_carry_extras(man)},
                          expected_version=(man or {}).get("version", 0))
             if v != -1:
                 return {"status": "published",
@@ -459,20 +502,18 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
         else:
             hist = hist.withColumn(content_col, computed)
         hist_keyed = hist.select(key, F.col(content_col).alias("_old_h"))
-        cls = src.join(hist_keyed, key, "left")
+        # ONE history scan: the classified frame (|src| rows) is
+        # pinned, so the clause counts and the append projection all
+        # read the checkpoint, not the table
+        cls = src.join(hist_keyed, key, "left").localCheckpoint()
         matched = cls.where(F.col("_old_h").isNotNull())
-        del_pred = (F.expr(when_matched_delete)
-                    if when_matched_delete else F.lit(False))
         deletes = matched.where(del_pred).select(key)
         updates = (
             matched.where(~del_pred)
             .where(F.col(content_col) != F.col("_old_h"))
             if when_matched_update else matched.limit(0)
         )
-        inserts = (
-            cls.where(F.col("_old_h").isNull())
-            if when_not_matched_insert else cls.limit(0)
-        )
+        inserts = cls.where(F.col("_old_h").isNull()).where(ins_pred)
         n_del, n_upd, n_ins = (
             deletes.count(), updates.count(), inserts.count(),
         )
@@ -485,7 +526,7 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
         appends = updates.unionByName(inserts).select(*src.columns)
         kdf = removed.select(F.col(key).alias("_k")).distinct()
         hit_files, keep_files = _split_hit_files(
-            spark, man, key, kdf, footer_confirm=True
+            spark, man, key, kdf, footer_confirm=footer_confirm
         )
         if hit_files:
             kept = _read_files(spark, hit_files).join(
@@ -511,7 +552,7 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
         }
         all_stats[key] = {**all_stats.get(key, {}), **(new_stats or {})}
         v = _publish(table_dir, keep_files + files, token,
-                     extra={"stats": all_stats},
+                     extra={"stats": all_stats, **_carry_extras(man)},
                      expected_version=man["version"])
         if v != -1:
             return {"status": "published", "deleted": n_del,
@@ -525,13 +566,16 @@ def start_snapshot_merge(source: DataFrame, table_dir: str,
                          checkpoint: str, key: str = "trip_key",
                          when_matched_delete: str | None = None,
                          when_matched_update: bool = True,
-                         when_not_matched_insert: bool = True):
+                         when_not_matched_insert: bool | str = True):
     """Streaming MERGE INTO: foreachBatch -> merge_into with the
     engine's batch_id as the idempotence token. Each micro-batch's
     three clauses resolve in one atomic manifest version, so the
-    stream gives exactly-once upsert/delete semantics under replay —
-    e.g. a CDC feed whose rows carry an `op` column can drive
-    ``when_matched_delete="op = 'd'"``."""
+    stream gives exactly-once upsert/delete semantics under replay.
+    A CDC feed whose rows carry an `op` column should drive BOTH
+    clause predicates: ``when_matched_delete="op = 'd'"`` AND
+    ``when_not_matched_insert="op <> 'd'"`` — the latter keeps an
+    out-of-order or re-delivered tombstone (delete for a key not
+    currently present) from being inserted as a live row."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -915,7 +959,7 @@ def delete_keys(spark: SparkSession, table_dir: str,
         # racing commit means this rewrite would drop its files
         v = _publish(table_dir, keep_files + new_files,
                      f"delete-{uuid.uuid4().hex[:8]}",
-                     extra={"stats": all_stats},
+                     extra={"stats": all_stats, **_carry_extras(man)},
                      expected_version=man["version"])
         if v != -1:
             return {
@@ -984,7 +1028,7 @@ def compact(spark: SparkSession, table_dir: str,
         # the appended rows from the latest view
         version = _publish(
             table_dir, new_files, f"compact-{uuid.uuid4().hex[:8]}",
-            extra={"stats": stats},
+            extra={"stats": stats, **_carry_extras(man)},
             expected_version=man["version"],
         )
         if version != -1:

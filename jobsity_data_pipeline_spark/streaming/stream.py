@@ -761,20 +761,25 @@ def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str):
 
     State size is O(types x buckets) regardless of stream volume;
     m4_from_state serves the batch operator's shape (minus n).
-    """
-    from pyspark.sql.utils import AnalysisException
 
+    The state lives in a snapshot TABLE (manifest protocol), not a
+    bare parquet dir: ``mode("overwrite")`` deletes the target before
+    writing, so a crash mid-rewrite would lose ALL accumulated state
+    while checkpoint replay only re-runs the last batch. Publishing
+    each merged state as a new manifest version keeps the previous
+    version readable until the new one commits atomically; replaying
+    a batch against post-merge state is harmless because the merge is
+    absorbing.
+    """
     from ..operators.relational11 import m4_state_frame
+    from ..sources.snapshot import publish_snapshot, read_latest
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         delta = m4_state_frame(batch_df)
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:
-            state = None
+        state = read_latest(spark, state_path)
         merged = (
             delta if state is None else state.unionByName(delta)
         ).groupBy("event_type", "bucket").agg(
@@ -783,10 +788,7 @@ def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str):
             F.min("first_k").alias("first_k"),
             F.max("last_k").alias("last_k"),
         )
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(state_path)
-        merged.unpersist()
+        publish_snapshot(merged, state_path, f"m4batch{batch_id}")
 
     return (
         events.writeStream.foreachBatch(_merge)
@@ -799,7 +801,11 @@ def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str):
 def m4_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The maintained M4 archetypes in the batch operator's column
     shape (minus n): (event_type, bucket, min/max/first/last cents)."""
-    st = spark.read.parquet(state_path)
+    from ..sources.snapshot import read_latest
+
+    st = read_latest(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published M4 state at {state_path}")
     return st.select(
         "event_type", "bucket", "min_cents", "max_cents",
         F.col("first_k").getField("c").alias("first_cents"),
@@ -826,11 +832,14 @@ def stream_hdr_deltas(events: DataFrame, table_dir: str,
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # integer fields FIRST: bucket_id and batch_id cannot contain
+        # the separator, so the key stays unambiguous even if an
+        # event_type value itself contains '|'
         delta = hdr_bucket_counts(batch_df).withColumn(
             "delta_key",
             F.concat_ws(
-                "|", F.col("event_type"), F.col("bucket_id"),
-                F.lit(str(batch_id)),
+                "|", F.col("bucket_id"), F.lit(str(batch_id)),
+                F.col("event_type"),
             ),
         )
         upsert_batch(delta, batch_id, table_dir, key="delta_key")

@@ -1301,6 +1301,70 @@ def test_merge_into_clause_toggles_and_cdc(spark, tmp_path):
     assert (1, "a", "delete") in got and (1, "A2", "insert") in got
 
 
+def test_merge_into_null_predicate_and_tombstones(spark, tmp_path):
+    """Review findings, round 6: a NULL delete-predicate result falls
+    through to the update clause (not silently dropped), and a
+    predicate-gated insert clause keeps out-of-order CDC tombstones
+    from being resurrected as live rows."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tnullpred")
+    base = spark.createDataFrame(
+        [(1, "a", "u"), (2, "b", "u")], "trip_key long, v string, op string"
+    )
+    assert SN.upsert_batch(base, 0, t) == "published"
+
+    src = spark.createDataFrame(
+        [
+            (1, "A2", None),   # matched, changed, op NULL -> update
+            (2, "b", "d"),     # matched tombstone -> delete
+            (3, "c", "d"),     # UNMATCHED tombstone -> must NOT insert
+            (4, "dd", "u"),    # unmatched insert
+        ],
+        "trip_key long, v string, op string",
+    )
+    res = SN.merge_into(
+        src, 1, t,
+        when_matched_delete="op = 'd'",
+        when_not_matched_insert="op IS NULL OR op <> 'd'",
+    )
+    assert res == {"status": "published", "deleted": 1, "updated": 1,
+                   "inserted": 1}
+    now = {r.trip_key: r.v for r in SN.read_latest(spark, t)
+           .drop("_chash", "op").collect()}
+    assert now == {1: "A2", 4: "dd"}
+
+
+def test_manifest_extras_survive_compact_and_merge(spark, tmp_path):
+    """Caller metadata published in a manifest (the BM25 term list
+    pattern) must ride through every republishing writer — compact,
+    delete, merge — or readers silently fall back to defaults."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "textras")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "trip_key long, v string"
+    )
+    assert SN.upsert_batch(rows, 0, t, extra={"bm25_terms": ["x", "y"]}) \
+        == "published"
+    assert SN.latest_manifest(t)["bm25_terms"] == ["x", "y"]
+
+    SN.compact(spark, t, target_files=1)
+    assert SN.latest_manifest(t)["bm25_terms"] == ["x", "y"]
+
+    SN.delete_keys(spark, t, [3], key="trip_key")
+    assert SN.latest_manifest(t)["bm25_terms"] == ["x", "y"]
+
+    src = spark.createDataFrame([(5, "V5")], "trip_key long, v string")
+    assert SN.merge_into(src, 7, t)["status"] == "published"
+    assert SN.latest_manifest(t)["bm25_terms"] == ["x", "y"]
+
+    # a later upsert keeps it too (carry-forward, not caller-supplied)
+    more = spark.createDataFrame([(99, "z")], "trip_key long, v string")
+    assert SN.upsert_batch(more, 8, t) == "published"
+    assert SN.latest_manifest(t)["bm25_terms"] == ["x", "y"]
+
+
 def test_streaming_merge_applies_cdc_ops(spark, tmp_path):
     """start_snapshot_merge drives merge_into per micro-batch: an
     op-tagged CDC feed upserts and deletes with exactly-once batch

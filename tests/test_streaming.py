@@ -643,13 +643,15 @@ def test_stream_m4_upsert_equals_batch_and_merge_is_absorbing(
     assert got == want
 
     # absorbing: re-merging batch 0's delta changes nothing
+    from jobsity_data_pipeline_spark.sources.snapshot import read_latest
+
     delta0 = m4_state_frame(
         spark.createDataFrame(
             [r for i, r in enumerate(rows) if i % 2 == 0], schema
         )
     )
     merged = (
-        spark.read.parquet(state).unionByName(delta0)
+        read_latest(spark, state).unionByName(delta0)
         .groupBy("event_type", "bucket")
         .agg(
             F.min("min_cents").alias("min_cents"),
@@ -731,8 +733,8 @@ def test_stream_hdr_deltas_equals_batch_and_replays_idempotent(
         )
     ).withColumn(
         "delta_key",
-        F.concat_ws("|", F.col("event_type"), F.col("bucket_id"),
-                    F.lit("0")),
+        F.concat_ws("|", F.col("bucket_id"), F.lit("0"),
+                    F.col("event_type")),
     )
     assert upsert_batch(b0, 0, table, key="delta_key") \
         == "skipped_duplicate"
