@@ -372,26 +372,26 @@ def stream_hll_upsert(events: DataFrame, state_path: str, checkpoint: str):
     The batch twin (operators/relational7.py:events_hll_distinct) reads
     the same register layout; tests prove stream-maintained state
     equals the batch registers over the union of all micro-batches.
-    """
-    from pyspark.sql.utils import AnalysisException
 
+    State lives in a snapshot table (manifest protocol), not a bare
+    overwrite-mode parquet dir: overwrite deletes the target before
+    writing, so a crash mid-rewrite would lose ALL accumulated
+    registers while checkpoint replay only re-runs the last batch.
+    Each merged state publishes as a new atomic manifest version;
+    replay against post-merge state is harmless (max is absorbing).
+    Read it with sketch_state (below) / snapshot.read_latest.
+    """
     from ..operators.relational7 import hll_registers
+    from ..sources.snapshot import publish_snapshot, read_latest
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = hll_registers(batch_df, "user_id", ["event_type"])
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:
-            state = None
+        state = read_latest(spark, state_path)
         merged = (
             delta if state is None else state.unionByName(delta)
         ).groupBy("event_type", "reg").agg(F.max("mx").alias("mx"))
-        # tiny state table: rewrite atomically via overwrite-after-agg
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(state_path)
-        merged.unpersist()
+        publish_snapshot(merged, state_path, f"hllbatch{batch_id}")
 
     return (
         events.writeStream.foreachBatch(_merge)
@@ -399,6 +399,18 @@ def stream_hll_upsert(events: DataFrame, state_path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sketch_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The latest published state of a manifest-protocol sketch
+    maintainer (stream_hll_upsert / stream_decayed_upsert /
+    stream_m4_upsert); raises if nothing has been published yet."""
+    from ..sources.snapshot import read_latest
+
+    st = read_latest(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published sketch state at {state_path}")
+    return st
 
 
 def stream_decayed_upsert(events: DataFrame, state_path: str,
@@ -417,9 +429,12 @@ def stream_decayed_upsert(events: DataFrame, state_path: str,
     absorbing), an add-merge is NOT idempotent — batch replay after a
     partial failure double-counts, so deployment needs the
     transactional-sink / idempotent-write caveat documented on
-    start_hist_upsert.
+    start_hist_upsert. The state itself lives in a snapshot table
+    (atomic manifest publishes — a crash mid-rewrite cannot lose the
+    accumulated state the way overwrite-mode parquet can); read it
+    with sketch_state / snapshot.read_latest.
     """
-    from pyspark.sql.utils import AnalysisException
+    from ..sources.snapshot import publish_snapshot, read_latest
 
     ln2 = 0.6931471805599453
     hl_us = float(half_life_h) * 3_600_000_000.0
@@ -444,10 +459,7 @@ def stream_decayed_upsert(events: DataFrame, state_path: str,
                 F.sum(wgt * F.col("value")).alias("dvalue"),
             )
         )
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:
-            state = None
+        state = read_latest(spark, state_path)
         if state is None:
             merged = delta
         else:
@@ -472,10 +484,7 @@ def stream_decayed_upsert(events: DataFrame, state_path: str,
                     F.sum(F.col("dvalue") * scale).alias("dvalue"),
                 )
             )
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(state_path)
-        merged.unpersist()
+        publish_snapshot(merged, state_path, f"decayedbatch{batch_id}")
 
     return (
         events.writeStream.foreachBatch(_merge)

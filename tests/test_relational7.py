@@ -317,9 +317,11 @@ def test_stream_hll_state_equals_batch(spark, tmp_path):
         stream, str(tmp_path / "state"), str(tmp_path / "ckpt")
     )
     q.awaitTermination(120)
+    from jobsity_data_pipeline_spark.streaming.stream import sketch_state
+
     got = {
         (r.event_type, r.reg): r.mx
-        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+        for r in sketch_state(spark, str(tmp_path / "state")).collect()
     }
     want = {
         (r.event_type, r.reg): r.mx

@@ -180,9 +180,11 @@ def test_stream_decayed_state_equals_batch(spark, tmp_path):
         r.event_type: r
         for r in R8.events_decayed_value(spark, str(batch_dir)).collect()
     }
+    from jobsity_data_pipeline_spark.streaming.stream import sketch_state
+
     got = {
         r.event_type: r
-        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+        for r in sketch_state(spark, str(tmp_path / "state")).collect()
     }
     assert set(got) == set(want)
     for k, w in want.items():
