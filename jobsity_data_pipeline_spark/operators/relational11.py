@@ -1,5 +1,5 @@
-"""Round-6 wave — five first-class operators extending the warehouse
-and training-data surface, each with an exact DuckDB oracle twin:
+"""Round-6 wave — the operators extending the warehouse and
+training-data surface, each with an exact DuckDB oracle twin:
 
 - orders_scd2: Slowly-Changing-Dimension Type-2 build (Kimball) from
   the order history — per customer, the effective-dated version chain
@@ -27,6 +27,22 @@ and training-data surface, each with an exact DuckDB oracle twin:
   (e.g. DPR, Karpukhin et al. 2020): per query vector, the top-k
   most similar vectors with a DIFFERENT label — the "close but
   wrong" examples a retriever is trained against.
+- lineitem_scd2_asof: point-in-time consumption of the SCD2
+  dimension via the union + last-non-null-window as-of shape (no
+  range-explosion join).
+- orders_forecast_snaive: the seasonal-naive forecasting baseline as
+  a backtest — same-month-last-year revenue, APE permille, exact
+  integer cents, month-of-year-partitioned lags.
+- events_hopping_counts: sliding windows via the built-in
+  F.window(ts, size, slide) — each event in exactly size/slide
+  windows, epoch-aligned arithmetic replayed by the oracle.
+- emb_kcenter_sample: Gonzalez farthest-point diverse subset
+  selection with the covering-radius certificate (incremental
+  one-new-centroid rounds, engine-exact kmeans distance kernel).
+- hdr_bucket_counts / hdr_quantiles_from_counts and m4_state_frame
+  split the two sketches into mergeable-build and read halves so the
+  streaming maintainers (stream_hdr_deltas, stream_m4_upsert) share
+  one arithmetic definition with the batch operators.
 
 Scale notes (100 TB):
 - orders_scd2 windows partition on o_custkey — billions of small
