@@ -255,6 +255,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kcenter_sample": R11.emb_kcenter_sample,
         "orders_forecast_snaive": R11.orders_forecast_snaive,
         "events_hopping_counts": R11.events_hopping_counts,
+        "emb_top_pc": R11.emb_top_pc,
     }
 
 
@@ -311,11 +312,12 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # their debts are now due), (2) the full r2-latest tier (the oldest
 # rows on the board, spanning three testdata regenerations), and
 # (3) a spread of r3-latest keys with the riskiest kernels (dedup,
-# spans). Held to 39 so round-6's ELEVEN new keys (auto-fronted
+# spans). Held to 38 so round-6's TWELVE new keys (auto-fronted
 # below as never-sampled) land inside the driver's 50-key budget;
 # parts_triangles, events_range_join, events_hll_distinct,
-# events_type_runs, docs_weighted_sample and docs_quality_tiers were
-# trimmed to fit (all r3-green on untouched code, due next round).
+# events_type_runs, docs_weighted_sample, docs_quality_tiers and
+# docs_dup_spans were trimmed to fit (all r3-green on untouched
+# code, due next round).
 _ROUND6_PRIORITY: tuple[str, ...] = (
     # (1) the round-5 budget debts
     "q16_supplier_count", "orders_rollup", "events_grouping_sets",
@@ -334,7 +336,7 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "q12_ship_latency", "q13_customer_distribution",
     "q21_waiting_suppliers", "q4_order_priority",
     # (3) r3-latest spread (oldest remaining after the r2 tier)
-    "customer_balance_deciles", "docs_dup_spans",
+    "customer_balance_deciles",
 )
 
 # The round-5 tuple, kept for the tier bookkeeping narrative.
@@ -916,6 +918,67 @@ def _kcenter_sql(k: int = 8) -> str:
                    CAST(NULL AS BIGINT) AS d6
             FROM sd
             UNION ALL {unions}""")
+    return "".join(parts)
+
+
+def _top_pc_sql(rounds: int = 5) -> str:
+    """Unrolled DuckDB replay of relational11.emb_top_pc: 6-dp mean
+    centering, uniform 6-dp unit start, then ``rounds`` power-
+    iteration steps of (per-row score rounded to 6 dp -> per-pos
+    weighted sum -> normalize FIRST, then round to 6 dp) — the
+    normalize-then-round order keeps every reused quantity O(1) so a
+    last-ulp group-sum divergence sits far below the rounding step."""
+    parts = ["""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            xs AS (
+                SELECT vec_id, CAST(pos AS INT) AS pos, x FROM (
+                    SELECT vec_id, unnest(range(0, len(v))) AS pos,
+                           unnest(v) AS x
+                    FROM e
+                )
+            ),
+            mn AS (
+                SELECT pos, round(avg(x), 6) AS m FROM xs GROUP BY pos
+            ),
+            xc AS MATERIALIZED (
+                SELECT xs.vec_id, xs.pos, xs.x - mn.m AS x
+                FROM xs JOIN mn USING (pos)
+            ),
+            b0 AS (
+                SELECT pos,
+                       round(1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE)
+                                         FROM mn)), 6) AS b
+                FROM mn
+            )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            s{r} AS MATERIALIZED (
+                SELECT xc.vec_id, round(sum(xc.x * b.b), 6) AS s
+                FROM xc JOIN b{r - 1} b USING (pos)
+                GROUP BY xc.vec_id
+            ),
+            w{r} AS MATERIALIZED (
+                SELECT xc.pos, sum(xc.x * s.s) AS w
+                FROM xc JOIN s{r} s USING (vec_id)
+                GROUP BY xc.pos
+            ),
+            n{r} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{r}),
+            b{r} AS MATERIALIZED (
+                SELECT pos, round(w / (SELECT nrm FROM n{r}), 6) AS b
+                FROM w{r}
+            )""")
+    parts.append(f""",
+            tv AS (SELECT sum(x * x) AS tv FROM xc)
+            SELECT b.pos, b.b AS loading,
+                   CAST(round((SELECT nrm FROM n{rounds}) * 1000000, 0)
+                        AS BIGINT) AS eigenvalue_e6,
+                   CAST(round((SELECT nrm FROM n{rounds})
+                              / (SELECT tv FROM tv) * 1000000, 0)
+                        AS BIGINT) AS ev_share_e6
+            FROM b{rounds} b""")
     return "".join(parts)
 
 
@@ -5192,6 +5255,7 @@ def oracle_sql() -> dict[str, str]:
         ) >= 500
     """
     out["emb_kcenter_sample"] = _kcenter_sql()
+    out["emb_top_pc"] = _top_pc_sql()
     out["orders_forecast_snaive"] = """
         WITH m AS (
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -531,6 +531,104 @@ def emb_kcenter_sample(spark: SparkSession, sf_dir: str,
     return picks.orderBy("pick_rank")
 
 
+PC_ROUNDS = 5
+
+
+def emb_top_pc(spark: SparkSession, sf_dir: str,
+               rounds: int = PC_ROUNDS) -> DataFrame:
+    """Top principal component of the (mean-centered) embedding
+    corpus by fixed-round power iteration — the dimensionality-
+    reduction family's entry point (PCA whitening, variance
+    diagnostics, anisotropy checks all start here). Returns one row
+    per coordinate: (pos, loading) of the unit dominant eigenvector,
+    plus the final Rayleigh-quotient eigenvalue and its share of
+    total variance (both integer micro-units, constant across rows).
+
+    Engine-exact by the kmeans convention: a deterministic uniform
+    start vector, and after every round the new direction is
+    NORMALIZED FIRST and then rounded to 6 dp, so every quantity the
+    next round consumes is O(1) magnitude where a last-ulp group-sum
+    difference between engines sits ~6 orders below the rounding
+    step. Fixed round count (not a convergence test) is what makes
+    the whole iteration unroll into a SQL-replayable plan —
+    emb_kmeans_fit_exact's trick, applied to linear algebra.
+
+    Convergence is the textbook (lambda2/lambda1)^rounds: the default
+    5 rounds suit a spectrum with a real dominant direction; a flat
+    near-isotropic corpus (this repo's synthetic embeddings have
+    lambda2/lambda1 ~ 0.93) needs ~30 rounds for cos > 0.95 to the
+    true eigenvector — the unit test pins both regimes. Every round
+    is a fixed, replayable ascent step either way: the Rayleigh
+    quotient is monotonically non-decreasing.
+
+    Scale: each round is one corpus scan — a broadcast 64-row join
+    computes per-row scores s_i = <b, v_i - mean>, a posexplode
+    groupBy(pos) partial-agg reduces w = sum_i s_i (v_i - mean), and
+    only 64 doubles shuffle; the 1-row norm joins back in-plan (no
+    driver collect). Identical at 500 rows and 100 TB.
+    """
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    dim = len(e.select("v").head()[0])
+    # centered coordinates (6-dp mean, the label_mean_init convention)
+    mean = x.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m"))
+    xc = x.join(F.broadcast(mean), "pos").select(
+        "vec_id", "pos", (F.col("x") - F.col("m")).alias("x")
+    ).localCheckpoint()
+    # deterministic unit start: 1/sqrt(dim) rounded to 6 dp IN-PLAN
+    # (F.round is half-up like the oracle's; python round is half-even)
+    b = mean.select(
+        "pos",
+        F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 6).alias("b"),
+    )
+    lam = None
+    for _ in range(rounds):
+        s = (
+            xc.join(F.broadcast(b), "pos")
+            .groupBy("vec_id")
+            .agg(F.round(F.sum(F.col("x") * F.col("b")), 6).alias("s"))
+        )
+        w = (
+            xc.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("s")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        # eigenvalue estimate: ||w|| / ||b|| with b unit => ||w||;
+        # normalized-then-rounded loading feeds the next round
+        lam = nrm
+        b = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos",
+                F.round(F.col("w") / F.col("nrm"), 6).alias("b"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    total_var = xc.agg(
+        F.sum(F.col("x") * F.col("x")).alias("tv")
+    )
+    return (
+        b.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(total_var))
+        .select(
+            "pos",
+            F.col("b").alias("loading"),
+            F.round(F.col("nrm") * 1e6, 0).cast("long").alias(
+                "eigenvalue_e6"
+            ),
+            # share of total variance: lambda / (tv / n_rows) ... both
+            # sides scale by n, so lambda*n/tv — report lambda/tv in
+            # micro-units (corpus-size-free comparisons use the ratio)
+            F.round(F.col("nrm") / F.col("tv") * 1e6, 0).cast("long")
+            .alias("ev_share_e6"),
+        )
+        .orderBy("pos")
+    )
+
+
 def emb_hard_negatives(spark: SparkSession, sf_dir: str,
                        n_queries: int = 8, k: int = 5) -> DataFrame:
     """Hard-negative mining: for each query vector (vec_id <

@@ -332,6 +332,51 @@ def test_kcenter_gonzalez_invariants(spark):
             assert d6(vecs[ids[i]], vecs[ids[j]]) >= radii[-1] - 1
 
 
+def test_top_pc_matches_replay_and_eigenvector(spark):
+    rows = R11.emb_top_pc(spark, SF_SMOKE).collect()
+    emb = read_table(spark, SF_SMOKE, "embeddings").collect()
+    X = np.array([[float(x) for x in r.embedding] for r in emb])
+    n, dim = X.shape
+    assert len(rows) == dim
+
+    # exact replay with the operator's pinned roundings
+    m = np.round(X.mean(axis=0), 6)
+    Xc = X - m
+    b = np.full(dim, round(1.0 / math.sqrt(dim), 6))
+    for _ in range(5):
+        s = np.round(Xc @ b, 6)
+        w = Xc.T @ s
+        nrm = math.sqrt(float(w @ w))
+        b = np.round(w / nrm, 6)
+    got_load = np.array([r.loading for r in sorted(rows,
+                                                   key=lambda r: r.pos)])
+    # group-sum order can differ in the last ulp; the 6-dp rounding
+    # absorbs it except exactly ON a boundary — allow one step
+    assert np.max(np.abs(got_load - b)) <= 1e-6 + 1e-9
+    ev = rows[0].eigenvalue_e6
+    assert abs(ev - round(nrm * 1e6)) <= 2
+    share = rows[0].ev_share_e6
+    tv = float((Xc * Xc).sum())
+    assert abs(share - round(nrm / tv * 1e6)) <= 2
+    assert 0 < share <= 1_000_000
+
+    # every round is an ascent step: the achieved Rayleigh quotient
+    # beats the start vector's
+    S = Xc.T @ Xc
+    b_start = np.full(dim, round(1.0 / math.sqrt(dim), 6))
+    assert float(got_load @ S @ got_load) > float(b_start @ S @ b_start)
+    # unit norm (to rounding)
+    assert abs(np.linalg.norm(got_load) - 1.0) < 1e-4
+
+    # convergence regime: this synthetic corpus is near-isotropic
+    # (lambda2/lambda1 ~ 0.93), so 5 rounds cannot align — 30 do
+    rows30 = R11.emb_top_pc(spark, SF_SMOKE, rounds=30).collect()
+    got30 = np.array([r.loading for r in sorted(rows30,
+                                                key=lambda r: r.pos)])
+    top = np.linalg.eigh(S)[1][:, -1]
+    assert abs(float(got30 @ top)) > 0.9
+
+
 def test_hard_negatives_labels_and_bruteforce(spark):
     rows = R11.emb_hard_negatives(spark, SF_SMOKE).collect()
     emb = read_table(spark, SF_SMOKE, "embeddings").collect()
