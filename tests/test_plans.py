@@ -523,6 +523,13 @@ def test_round6_plan_shapes(spark):
     assert "CartesianProduct" not in kc
     assert "Window" not in kc
 
+    # power iteration: per-round direction is a broadcast 64-row
+    # join; only the 1-row norm/eigenvalue frames cross-join
+    pc = _plan(R11.emb_top_pc(spark, SF_SMOKE, rounds=2))
+    assert "CartesianProduct" not in pc
+    assert "Window" not in pc
+    assert "BroadcastExchange" in pc
+
 
 def test_key_skew_and_capped_vocab_rank_distributed(spark):
     """Round-5 gate for the two former global-rank sites: the skew
