@@ -256,6 +256,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_forecast_snaive": R11.orders_forecast_snaive,
         "events_hopping_counts": R11.events_hopping_counts,
         "emb_top_pc": R11.emb_top_pc,
+        "parts_abc_xyz": R11.parts_abc_xyz,
     }
 
 
@@ -312,12 +313,13 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # their debts are now due), (2) the full r2-latest tier (the oldest
 # rows on the board, spanning three testdata regenerations), and
 # (3) a spread of r3-latest keys with the riskiest kernels (dedup,
-# spans). Held to 38 so round-6's TWELVE new keys (auto-fronted
+# spans). Held to 37 so round-6's THIRTEEN new keys (auto-fronted
 # below as never-sampled) land inside the driver's 50-key budget;
-# parts_triangles, events_range_join, events_hll_distinct,
-# events_type_runs, docs_weighted_sample, docs_quality_tiers and
-# docs_dup_spans were trimmed to fit (all r3-green on untouched
-# code, due next round).
+# the whole remaining r3-latest tier (parts_triangles,
+# events_range_join, events_hll_distinct, events_type_runs,
+# docs_weighted_sample, docs_quality_tiers, docs_dup_spans,
+# customer_balance_deciles) was trimmed to fit (all r3-green on
+# untouched code, due next round).
 _ROUND6_PRIORITY: tuple[str, ...] = (
     # (1) the round-5 budget debts
     "q16_supplier_count", "orders_rollup", "events_grouping_sets",
@@ -335,8 +337,6 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "media_features", "orders_part_pairs", "parts_pagerank",
     "q12_ship_latency", "q13_customer_distribution",
     "q21_waiting_suppliers", "q4_order_priority",
-    # (3) r3-latest spread (oldest remaining after the r2 tier)
-    "customer_balance_deciles",
 )
 
 # The round-5 tuple, kept for the tier bookkeeping narrative.
@@ -5256,6 +5256,45 @@ def oracle_sql() -> dict[str, str]:
     """
     out["emb_kcenter_sample"] = _kcenter_sql()
     out["emb_top_pc"] = _top_pc_sql()
+    out["parts_abc_xyz"] = f"""
+        WITH pr AS (
+            SELECT l_partkey, CAST(sum({_REV_E4}) AS BIGINT) AS rev
+            FROM lineitem GROUP BY 1
+        ),
+        pm AS (
+            SELECT l_partkey, date_trunc('month', l_shipdate) AS mth,
+                   CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                        AS BIGINT) AS qc
+            FROM lineitem GROUP BY 1, 2
+        ),
+        px AS (
+            SELECT l_partkey, count(*) AS m,
+                   CAST(sum(qc) AS BIGINT) AS s1,
+                   CAST(sum(qc * qc) AS BIGINT) AS s2
+            FROM pm GROUP BY 1
+        ),
+        c AS (
+            SELECT l_partkey, rev,
+                   CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM pr
+        ),
+        t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM pr),
+        cls AS (
+            SELECT c.l_partkey, rev, tot,
+                   CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                        WHEN 20 * cum <= 19 * tot THEN 'B'
+                        ELSE 'C' END AS abc,
+                   CASE WHEN 4 * (m * s2 - s1 * s1) <= s1 * s1 THEN 'X'
+                        WHEN m * s2 - s1 * s1 <= s1 * s1 THEN 'Y'
+                        ELSE 'Z' END AS xyz
+            FROM c CROSS JOIN t JOIN px USING (l_partkey)
+        )
+        SELECT abc, xyz, count(*) AS n_parts,
+               (2 * 1000 * CAST(sum(rev) AS BIGINT) + max(tot))
+               // (2 * max(tot)) AS rev_share_permille
+        FROM cls GROUP BY 1, 2
+    """
     out["orders_forecast_snaive"] = """
         WITH m AS (
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

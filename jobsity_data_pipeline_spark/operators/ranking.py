@@ -218,3 +218,61 @@ def distributed_ntile(
     return ranked.withColumn(out_col, bucket).drop(
         "_sv", "_tb", "_cuts", "_blk", "_lrn", "_off", "_n", "_rank"
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    sum_col: str,
+    order_col: str,
+    tiebreak_cols: list[str],
+    *,
+    descending: bool = False,
+    blocks: int = 64,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Append ``out_col`` = exact running SUM(sum_col) OVER (ORDER BY
+    order_col [DESC], *tiebreaks ROWS UNBOUNDED PRECEDING) — the
+    segmented-scan form: value-range blocks (approximate cutoffs, only
+    balance matters; ties stay in one block via strict comparison),
+    a per-block window for the local prefix, and the tiny per-block
+    totals expanded to broadcast offsets. No single task ever holds
+    the full frame, unlike the bare global-orderBy window.
+
+    ``sum_col`` and ``order_col`` must be numeric non-null (they may
+    be the same column — the ABC-analysis shape)."""
+    sv = F.col(order_col).cast("double")
+    if descending:
+        sv = -sv
+    d0 = df.withColumn("_sv", sv)
+    fracs = [i / blocks for i in range(1, blocks)]
+    cuts = d0.agg(F.percentile_approx("_sv", fracs, 10000).alias("_cuts"))
+    d = d0.crossJoin(F.broadcast(cuts)).withColumn(
+        "_blk",
+        F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_sv"))),
+    )
+    order = [F.col("_sv").asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w_loc = (
+        Window.partitionBy("_blk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_lcum", F.sum(sum_col).over(w_loc))
+    sizes = d.groupBy("_blk").agg(F.sum(sum_col).alias("_bsum"))
+    other = sizes.select(
+        F.col("_blk").alias("_b2"), F.col("_bsum").alias("_s2")
+    )
+    offs = (
+        sizes.crossJoin(F.broadcast(other))
+        .groupBy("_blk")
+        .agg(
+            F.sum(
+                F.when(F.col("_b2") < F.col("_blk"), F.col("_s2"))
+                .otherwise(F.lit(0))
+            ).alias("_off")
+        )
+    )
+    return (
+        d.join(F.broadcast(offs), "_blk")
+        .withColumn(out_col, F.col("_off") + F.col("_lcum"))
+        .drop("_sv", "_cuts", "_blk", "_lcum", "_off")
+    )

@@ -531,6 +531,83 @@ def emb_kcenter_sample(spark: SparkSession, sf_dir: str,
     return picks.orderBy("pick_rank")
 
 
+def parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC–XYZ inventory classification — the planner's 3x3 matrix:
+    ABC ranks parts by revenue contribution (A = parts inside the
+    first 80% of cumulative revenue, B to 95%, else C) and XYZ grades
+    demand regularity by the coefficient of variation of monthly
+    shipped quantity (X: CV <= 0.5, Y: CV <= 1.0, else Z — the
+    classical 0.1/0.25 cut-offs assume dense monthly series; this
+    sparse synthetic order stream sits higher, documented here).
+    Returns per (abc, xyz) cell: part count and revenue share.
+
+    Exactness: revenue accumulates in 1e-4 units; the cumulative-
+    share thresholds cross-multiply (5*cum <= 4*tot, 20*cum <=
+    19*tot); CV thresholds square and cross-multiply to integers
+    (CV^2 = (M*s2 - s1^2)/s1^2, so X is 4*(M*s2 - s1^2) <= s1^2) —
+    no float division anywhere.
+
+    Scale: the per-part cumulative revenue uses
+    ranking.distributed_cumsum (value-range blocks + broadcast
+    offsets — no global-orderBy window over the part frame, which at
+    100 TB is the catalog cardinality); everything else is
+    partial-agg groupBys and one 9-row rollup.
+    """
+    from .ranking import distributed_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (M.cents("l_extendedprice")
+           * (100 - M.cents("l_discount"))).alias("rev_e4")
+    pr = li.select("l_partkey", rev).groupBy("l_partkey").agg(
+        F.sum("rev_e4").alias("rev")
+    )
+    pm = (
+        li.select(
+            "l_partkey",
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+            M.cents("l_quantity").alias("qc"),
+        )
+        .groupBy("l_partkey", "mth")
+        .agg(F.sum("qc").alias("qc"))
+    )
+    px = pm.groupBy("l_partkey").agg(
+        F.count("*").alias("m"),
+        F.sum("qc").alias("s1"),
+        F.sum(F.col("qc") * F.col("qc")).alias("s2"),
+    )
+    cum = distributed_cumsum(
+        pr, "rev", "rev", ["l_partkey"], descending=True, out_col="cum"
+    )
+    tot = pr.agg(F.sum("rev").alias("tot"))
+    cls = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(px, "l_partkey")
+        .select(
+            "l_partkey", "rev", "tot",
+            F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+            .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+            .otherwise("C").alias("abc"),
+            F.when(
+                4 * (F.col("m") * F.col("s2") - F.col("s1") * F.col("s1"))
+                <= F.col("s1") * F.col("s1"), "X")
+            .when(
+                F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+                <= F.col("s1") * F.col("s1"), "Y")
+            .otherwise("Z").alias("xyz"),
+        )
+    )
+    return (
+        cls.groupBy("abc", "xyz")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.expr(
+                "(2 * 1000 * sum(rev) + max(tot)) div (2 * max(tot))"
+            ).alias("rev_share_permille"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
 PC_ROUNDS = 5
 
 

@@ -568,6 +568,42 @@ def test_key_skew_and_capped_vocab_rank_distributed(spark):
     assert "TakeOrderedAndProject" in _plan(capped)
 
 
+def test_distributed_cumsum_matches_window(spark):
+    """The segmented-scan cumulative sum equals the bare global-window
+    form bit-for-bit (blocks only balance work), including heavy ties
+    across block boundaries."""
+    from pyspark.sql import Window
+
+    from jobsity_data_pipeline_spark.operators.ranking import (
+        distributed_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 23) for i in range(997)], "id long, v long"
+    )
+    for desc in (True, False):
+        got = {
+            r.id: r.cum
+            for r in distributed_cumsum(
+                df, "v", "v", ["id"], descending=desc, blocks=16
+            ).collect()
+        }
+        order = [F.desc("v") if desc else F.asc("v"), F.asc("id")]
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        want = {
+            r.id: r.cum
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want
+    # the only single-partition exchange is the bounded 1-row
+    # percentile_approx cutoffs aggregate — never the data frame
+    plan = _plan(distributed_cumsum(df, "v", "v", ["id"],
+                                    descending=True, blocks=16))
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_bm25_single_scan_takeordered(spark):
     """BM25's plan contract: the postings index is materialized once
     (localCheckpoint -> at most one parquet scan of documents in the

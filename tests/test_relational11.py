@@ -332,6 +332,57 @@ def test_kcenter_gonzalez_invariants(spark):
             assert d6(vecs[ids[i]], vecs[ids[j]]) >= radii[-1] - 1
 
 
+def test_abc_xyz_matches_pure_python(spark):
+    rows = R11.parts_abc_xyz(spark, SF_SMOKE).collect()
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_shipdate",
+        F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").alias("qc"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+        ).alias("rev"),
+    ).collect()
+    rev: dict = {}
+    monthly: dict = {}
+    for r in li:
+        rev[r.l_partkey] = rev.get(r.l_partkey, 0) + r.rev
+        mk = (r.l_partkey, r.l_shipdate.year, r.l_shipdate.month)
+        monthly[mk] = monthly.get(mk, 0) + r.qc
+    tot = sum(rev.values())
+    cum = 0
+    abc = {}
+    for pk in sorted(rev, key=lambda p: (-rev[p], p)):
+        cum += rev[pk]
+        abc[pk] = ("A" if 5 * cum <= 4 * tot
+                   else "B" if 20 * cum <= 19 * tot else "C")
+    stats: dict = {}
+    for (pk, _, _), qc in monthly.items():
+        s = stats.setdefault(pk, [0, 0, 0])
+        s[0] += 1
+        s[1] += qc
+        s[2] += qc * qc
+    xyz = {}
+    for pk, (m, s1, s2) in stats.items():
+        d = m * s2 - s1 * s1
+        xyz[pk] = "X" if 4 * d <= s1 * s1 else ("Y" if d <= s1 * s1
+                                                else "Z")
+    want: dict = {}
+    for pk in rev:
+        cell = want.setdefault((abc[pk], xyz[pk]), [0, 0])
+        cell[0] += 1
+        cell[1] += rev[pk]
+    got = {(r.abc, r.xyz): (r.n_parts, r.rev_share_permille)
+           for r in rows}
+    assert got == {
+        k: (n, (2 * 1000 * rv + tot) // (2 * tot))
+        for k, (n, rv) in want.items()
+    }
+    assert sum(r.n_parts for r in rows) == len(rev)
+    # shares sum to ~1000 permille (rounding slack per cell)
+    assert abs(sum(r.rev_share_permille for r in rows) - 1000) \
+        <= len(rows)
+
+
 def test_top_pc_matches_replay_and_eigenvector(spark):
     rows = R11.emb_top_pc(spark, SF_SMOKE).collect()
     emb = read_table(spark, SF_SMOKE, "embeddings").collect()
