@@ -49,25 +49,19 @@ def main() -> None:
 
     import gc
 
-    # Best of 2 runs per query: the host is shared, and a single run
-    # can catch a foreign CPU burst; the minimum reflects the plan's
-    # cost. Queries already past the burst-noise scale (>3s first
-    # run) skip the retry — their relative noise is amortized and the
-    # second run of the iterative family (k-center, recall gate)
-    # costs real wall-clock without changing the story.
+    # Best of 2 runs per query: the host is shared, and a single run can
+    # catch a foreign CPU burst; the minimum reflects the plan's cost.
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         best = -1.0
         try:
-            for attempt in range(2):
+            for _ in range(2):
                 gc.collect()  # release prior checkpoint RDD/broadcast refs
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
                 best = elapsed if best < 0 else min(best, elapsed)
-                if attempt == 0 and elapsed > 3.0:
-                    break
             timings[name] = best
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
