@@ -270,19 +270,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so this is purely a priority permutation.
     """
     q = _queries_declared()
-    out = {k: q[k] for k in _ROUND6_PRIORITY if k in q}
+    out = {k: q[k] for k in _ROUND7_PRIORITY if k in q}
     # any key in NO list (a new query not yet registered anywhere)
     # runs right after the explicit priorities — a budget-truncated
     # sweep must reach never-verified surface before re-verifying
     # greens, even when the priority tuple wasn't updated
     known = (
-        set(_ROUND6_PRIORITY)
+        set(_ROUND7_PRIORITY)
         | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
-        | _SAMPLED_R5
+        | _SAMPLED_R5 | _SAMPLED_R6
     )
     out.update({k: v for k, v in q.items() if k not in known})
     for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
-                 _SAMPLED_R5):
+                 _SAMPLED_R5, _SAMPLED_R6):
         out.update(
             {k: v for k, v in q.items()
              if k in tier and k not in out and k not in _later_tiers(tier)}
@@ -295,13 +295,16 @@ def _later_tiers(tier: frozenset) -> frozenset:
     """Keys re-sampled in a LATER round than ``tier`` — their freshest
     row supersedes the older one, so they sort with the later tier."""
     if tier is _SAMPLED_R1:
-        return _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4 | _SAMPLED_R5
+        return (_SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4 | _SAMPLED_R5
+                | _SAMPLED_R6)
     if tier is _SAMPLED_R2:
-        return _SAMPLED_R3 | _SAMPLED_R4 | _SAMPLED_R5
+        return _SAMPLED_R3 | _SAMPLED_R4 | _SAMPLED_R5 | _SAMPLED_R6
     if tier is _SAMPLED_R3:
-        return _SAMPLED_R4 | _SAMPLED_R5
+        return _SAMPLED_R4 | _SAMPLED_R5 | _SAMPLED_R6
     if tier is _SAMPLED_R4:
-        return _SAMPLED_R5
+        return _SAMPLED_R5 | _SAMPLED_R6
+    if tier is _SAMPLED_R5:
+        return _SAMPLED_R6
     return frozenset()
 
 
@@ -320,6 +323,42 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # docs_weighted_sample, docs_quality_tiers, docs_dup_spans,
 # customer_balance_deciles) was trimmed to fit (all r3-green on
 # untouched code, due next round).
+# Round-7 rotation (budget 50): the driver's CORRECTNESS_r06 closed
+# every r2-latest row; the board's freshest-row tiers are now r3 (39
+# keys) / r4 / r5 / r6. This round REWROTE the whole per-qid ranking
+# family onto the mergeable grouped_topk kernel (similarity.py /
+# relational8.py / relational10.py / relational11.py) and changed
+# distributed_cumsum's in-block ordering — so those keys' stale green
+# rows no longer certify the shipped code and re-earn first, together
+# with the eight r3 debts trimmed from the round-6 budget, then the
+# rest of the r3-latest tier. New never-sampled queries auto-front
+# between tiers (1) and (2) via the `known` rule in queries().
+_ROUND7_PRIORITY: tuple[str, ...] = (
+    # (1) rewritten this round: mergeable two-stage top-k everywhere
+    "emb_cosine_topk", "emb_hard_negatives", "emb_lsh_ann",
+    "emb_ivf_ann", "emb_ivfpq_ann", "emb_ivfpq_residual_ann",
+    "emb_pq_ann", "emb_pq_rerank", "emb_pq_trained_ann",
+    "emb_matryoshka_recall", "emb_ann_recall", "parts_abc_xyz",
+    # (2) the eight round-6 budget debts (r3-latest, named in the
+    # round-6 verdict)
+    "parts_triangles", "events_range_join", "events_hll_distinct",
+    "events_type_runs", "docs_weighted_sample", "docs_quality_tiers",
+    "docs_dup_spans", "customer_balance_deciles",
+    # (3) the remaining r3-latest tier, riskiest kernels first
+    "docs_minhash_bands", "docs_simhash_pairs", "docs_winnow_pairs",
+    "events_attribution", "events_windowed_funnel", "events_user_paths",
+    "docs_dup_ngram_fraction", "docs_bigram_logprob",
+    "docs_unigram_logprob", "docs_boilerplate_spans",
+    "docs_chunk_windows", "docs_pack_sequences", "docs_mix_weights",
+    "docs_ngram_novelty", "docs_preprocess_pipeline",
+    "docs_source_divergence", "docs_shard_plan", "docs_bloom_probe",
+    "emb_pq_codes", "emb_cluster_purity", "emb_label_affinity",
+    "emb_label_outliers", "events_count_min_sketch",
+    "events_decayed_value", "events_hll_rollup",
+    "events_quantile_sketch", "events_rolling_7d_users",
+    "orders_association_rules", "trip_geohash_cells",
+)
+
 _ROUND6_PRIORITY: tuple[str, ...] = (
     # (1) the round-5 budget debts
     "q16_supplier_count", "orders_rollup", "events_grouping_sets",
@@ -474,6 +513,30 @@ _SAMPLED_R5: frozenset = frozenset({
     "order_aging_buckets", "parts_top_by_brand", "docs_bm25_topk",
     "parts_er_pairs", "docs_bpe_merges", "docs_bpe_encode",
     "media_frame_manifest",
+})
+
+
+_SAMPLED_R6: frozenset = frozenset({
+    # round 6 (50 hash rows, zero rows-only), from CORRECTNESS_r06.json
+    "docs_bpe_fertility", "docs_char_entropy", "docs_containment_pairs",
+    "docs_decontaminate", "docs_dedup_clusters", "docs_dedup_keep",
+    "docs_fingerprint", "docs_group_split", "docs_lang_id",
+    "docs_minhash_est_vs_exact", "docs_minhash_pairs",
+    "docs_ngram_jaccard", "docs_redact_pii", "docs_simhash",
+    "docs_tfidf_top_terms", "docs_zipf_slope", "dq_report",
+    "emb_cosine_topk", "emb_dedup_stats", "emb_hard_negatives",
+    "emb_kcenter_sample", "emb_kmeans_assign", "emb_near_dup",
+    "emb_quantize_int8", "emb_top_pc", "events_anomaly_zscore",
+    "events_grouping_sets", "events_hdr_quantiles",
+    "events_hopping_counts", "events_m4_downsample", "events_retention",
+    "events_running_total", "events_session_window",
+    "events_transition_matrix", "events_unpivot_metrics",
+    "lineitem_scd2_asof", "media_features", "orders_forecast_snaive",
+    "orders_part_pairs", "orders_rollup", "orders_scd2",
+    "orders_yoy_growth", "parts_abc_xyz", "parts_pagerank",
+    "q12_ship_latency", "q13_customer_distribution",
+    "q16_supplier_count", "q20_dominant_suppliers",
+    "q21_waiting_suppliers", "q4_order_priority",
 })
 
 

@@ -250,7 +250,13 @@ def distributed_cumsum(
         "_blk",
         F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_sv"))),
     )
-    order = [F.col("_sv").asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    # Block by the double projection (monotone, so ties never straddle
+    # blocks) but ORDER the in-block scan by the ORIGINAL column: a
+    # double collapses distinct integers above 2^53 onto one value and
+    # would silently hand ordering to the tiebreaks, diverging from
+    # the documented exact ORDER BY order_col semantics.
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [oc] + [F.col(c).asc() for c in tiebreak_cols]
     w_loc = (
         Window.partitionBy("_blk")
         .orderBy(*order)
@@ -275,4 +281,62 @@ def distributed_cumsum(
         d.join(F.broadcast(offs), "_blk")
         .withColumn(out_col, F.col("_off") + F.col("_lcum"))
         .drop("_sv", "_cuts", "_blk", "_lcum", "_off")
+    )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    payload_cols: list[Column],
+    k: int,
+    salt_expr: Column,
+    *,
+    n_salts: int = 32,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Exact top-k per group as a MERGEABLE two-stage aggregate — the
+    scale-safe replacement for ``row_number() OVER (PARTITION BY g
+    ORDER BY ...) <= k`` when a group's frame is corpus-sized (few
+    query ids, each scoring the whole corpus: one WindowExec task
+    would sort ~N rows per group at 100 TB).
+
+    The plan is the bottom-k sketch's own mergeability (k smallest of
+    a union = k smallest of the per-shard k-smallest), the exact
+    pattern events_kmv_distinct proved out: rows are salted into
+    ``n_salts`` shards by ``salt_expr``, each (group, salt) shard
+    keeps its k smallest ``order_cols`` structs inside one aggregation
+    buffer (``slice(array_sort(collect_list(...)), 1, k)``), and the
+    per-group merge re-sorts only the <= n_salts*k survivors. No
+    window anywhere; both stages are map-side-combinable hash
+    aggregates. Size n_salts so a shard's rows fit one buffer — salts
+    scale with the corpus, the merged state stays n_salts*k.
+
+    ``order_cols`` is the ASCENDING composite sort (negate a column
+    for descending) and must be a total order within each group (end
+    with a unique id) — payloads ride along in a nested struct and
+    must never decide placement. Output: ``group_cols`` + the payload
+    columns (callers alias them) + ``rank_col`` = 1-based dense
+    position, matching ``row_number`` on the same order exactly.
+    """
+    item = F.struct(
+        *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.struct(*payload_cols).alias("_p"),
+    )
+    per_salt = (
+        df.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)))
+        .groupBy(*group_cols, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_tk"))
+    )
+    merged = per_salt.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_tk"))), 1, k
+        ).alias("_tk")
+    )
+    return merged.select(
+        *group_cols, F.posexplode("_tk").alias("_pos", "_it")
+    ).select(
+        *group_cols,
+        F.col("_it._p.*"),
+        (F.col("_pos") + 1).cast("long").alias(rank_col),
     )

@@ -273,11 +273,12 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str,
     Both rankings are exact and tie-stable (round(cos,6) desc, nid),
     so unlike the LSH/IVF family this quality gate is itself
     oracle-checked. Broadcast query join, sequential JVM fold — the
-    emb_cosine_topk shape twice.
+    emb_cosine_topk shape twice, both rankings through the shared
+    mergeable ``grouped_topk`` kernel (no per-qid window sorts a
+    corpus-sized frame in one task).
     """
-    from pyspark.sql import Window
-
     from ..functions.vectors import as_double, dot, norm
+    from .ranking import grouped_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
@@ -291,16 +292,20 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str,
         cos = F.when(
             nn > 0, dot(F.col("qv"), F.col(vcol)) / nn
         ).otherwise(F.lit(0.0))
-        w = Window.partitionBy("qid").orderBy(
-            F.round(cos, 6).desc(), F.col("vec_id")
+        scored = frame.join(
+            F.broadcast(q), F.col("vec_id") != F.col("qid")
+        ).select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(cos, 6).alias("cos6"),
         )
-        return (
-            frame.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-            .select(
-                "qid", F.col("vec_id").alias("nid"),
-                F.row_number().over(w).alias("rnk"),
-            )
-            .where(F.col("rnk") <= k)
+        return grouped_topk(
+            scored,
+            ["qid"],
+            [-F.col("cos6"), F.col("nid")],
+            [F.col("nid")],
+            k,
+            F.col("nid"),
         )
 
     full = topk(emb, "v").select("qid", "nid").localCheckpoint(eager=False)

@@ -717,10 +717,14 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str,
     Same exact-scoring shape as emb_cosine_topk (broadcast query set,
     JVM fold dot products, 6-dp rounded ranking with id tie-break);
     the label inequality is part of the join predicate, so excluded
-    same-class rows are never scored.
+    same-class rows are never scored. Ranking goes through the shared
+    mergeable ``grouped_topk`` kernel (salted two-stage bottom-k, no
+    window) — a per-qid ``row_number`` would sort a corpus-sized
+    frame in one task per query at 100 TB.
     """
     from ..functions.vectors import dot, norm
 
+    from .ranking import grouped_topk
     from .similarity import _emb
 
     emb = _emb(spark, sf_dir)
@@ -745,10 +749,15 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str,
         F.round(cos, 6).alias("cos6"),
         F.round(cos, 4).alias("cos"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("nid"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
+        grouped_topk(
+            scored,
+            ["qid"],
+            [-F.col("cos6"), F.col("nid")],
+            [F.col("q_label"), F.col("nid"), F.col("n_label"), F.col("cos")],
+            k,
+            F.col("nid"),
+        )
         .select("qid", "q_label", "nid", "n_label", "cos", "rnk")
         .orderBy("qid", "rnk")
     )

@@ -632,13 +632,21 @@ def emb_pq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         .groupBy("qid", "vec_id")
         .agg(F.sum("dq").alias("adc"))
     )
-    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    from .ranking import grouped_topk
+
     return (
-        adc.select(
-            "qid", "vec_id", "adc", F.row_number().over(w).alias("rank")
+        grouped_topk(
+            adc,
+            ["qid"],
+            [F.col("adc"), F.col("vec_id")],
+            [F.col("vec_id"), F.col("adc")],
+            k,
+            F.col("vec_id"),
         )
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", F.round("adc", 6).alias("adc"))
+        .select(
+            "qid", F.col("rnk").cast("int").alias("rank"), "vec_id",
+            F.round("adc", 6).alias("adc"),
+        )
         .orderBy("qid", "rank")
     )
 
@@ -672,9 +680,8 @@ def emb_pq_rerank(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     recall gate scores PQ-alone and re-rank side by side) hand the
     ranked shortlist in instead of paying the codes scan twice.
     """
-    from pyspark.sql.window import Window
-
     from ..functions.vectors import cosine
+    from .ranking import grouped_topk
 
     cand = (
         shortlist_df
@@ -694,15 +701,19 @@ def emb_pq_rerank(spark: SparkSession, sf_dir: str, n_queries: int = 8,
             "qid", "vec_id", cosine(F.col("qv"), F.col("v")).alias("raw")
         )
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.round("raw", 6).desc(), F.col("vec_id")
-    )
     return (
-        scored.select(
-            "qid", "vec_id", "raw", F.row_number().over(w).alias("rank")
+        grouped_topk(
+            scored.withColumn("raw6", F.round("raw", 6)),
+            ["qid"],
+            [-F.col("raw6"), F.col("vec_id")],
+            [F.col("vec_id"), F.col("raw")],
+            k,
+            F.col("vec_id"),
         )
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", F.round("raw", 4).alias("cos"))
+        .select(
+            "qid", F.col("rnk").cast("int").alias("rank"), "vec_id",
+            F.round("raw", 4).alias("cos"),
+        )
         .orderBy("qid", "rank")
     )
 
@@ -1486,7 +1497,7 @@ def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
     (rounded centroids + integer micro-unit distances): the ADC sum is
     an integer sum, order-independent in both engines.
     """
-    from pyspark.sql.window import Window
+    from .ranking import grouped_topk
 
     codes, qd = trained_pq_tables(
         spark, sf_dir, n_queries, n_subspaces, n_codes, iters
@@ -1497,14 +1508,17 @@ def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
         .groupBy("qid", "vec_id")
         .agg(F.sum("dq6").alias("adc6"))
     )
-    w = Window.partitionBy("qid").orderBy("adc6", "vec_id")
     return (
-        adc.select(
-            "qid", "vec_id", "adc6", F.row_number().over(w).alias("rank")
+        grouped_topk(
+            adc,
+            ["qid"],
+            [F.col("adc6"), F.col("vec_id")],
+            [F.col("vec_id"), F.col("adc6")],
+            k,
+            F.col("vec_id"),
         )
-        .where(F.col("rank") <= k)
         .select(
-            "qid", "rank", "vec_id",
+            "qid", F.col("rnk").cast("int").alias("rank"), "vec_id",
             (F.col("adc6") / F.lit(1e6)).alias("adc"),
         )
         .orderBy("qid", "rank")

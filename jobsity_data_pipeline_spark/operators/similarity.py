@@ -181,15 +181,19 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     n_queries), the k nearest other vectors.
 
     The tiny query set is broadcast-joined against the corpus and
-    scored with the sequential JVM fold — n_queries x corpus rows is
-    small enough that exactness beats BLAS here, and the ranking is
-    then bit-identical to any sequential-loop engine. Ties break on
-    neighbor id after rounding. (For huge query sets, score with the
-    GEMM prefilter + fold verify like emb_near_dup.)
+    scored with the sequential JVM fold — the scoring scan is
+    embarrassingly parallel and bit-identical to any sequential-loop
+    engine. Ties break on neighbor id after rounding. The RANKING is
+    where the naive plan dies at 100 TB: ``row_number() OVER
+    (PARTITION BY qid)`` puts a whole corpus-sized scored frame
+    through ONE WindowExec task per query id. Instead the shared
+    ``grouped_topk`` kernel keeps the exact same order as a mergeable
+    salted two-stage bottom-k aggregate (the events_kmv_distinct
+    pattern) — no window anywhere in the plan. (For huge query sets,
+    score with the GEMM prefilter + fold verify like emb_near_dup.)
     """
-    from pyspark.sql import Window
-
     from ..functions.vectors import dot, norm
+    from .ranking import grouped_topk
 
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < n_queries).select(
@@ -203,12 +207,14 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         F.round(cos, 6).alias("cos6"),
         F.round(cos, 4).alias("cos"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select("qid", "nid", "cos", "rnk")
-    )
+    return grouped_topk(
+        scored,
+        ["qid"],
+        [-F.col("cos6"), F.col("nid")],
+        [F.col("nid"), F.col("cos")],
+        k,
+        F.col("nid"),
+    ).select("qid", "nid", "cos", "rnk")
 
 
 def _hyperplane(plane: int, dim: int = 64) -> list[float]:
@@ -303,9 +309,8 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     """
     from itertools import combinations
 
-    from pyspark.sql import Window
-
     from ..functions.vectors import cosine
+    from .ranking import grouped_topk
 
     corpus = _bucketed(spark, sf_dir, n_planes)
     # tiny filtered collect: just the n_queries query rows
@@ -336,12 +341,14 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         F.round(cos, 6).alias("cos6"),
         F.round(cos, 4).alias("cos"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select("qid", "nid", "cos", "rnk")
-    )
+    return grouped_topk(
+        scored,
+        ["qid"],
+        [-F.col("cos6"), F.col("nid")],
+        [F.col("nid"), F.col("cos")],
+        k,
+        F.col("nid"),
+    ).select("qid", "nid", "cos", "rnk")
 
 
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,9 +510,8 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     replay in SQL (exact up to the rare half-ulp micro-unit boundary residual noted in _ivf_assigned_and_probes), and the cosine ranking follows the
     emb_cosine_topk convention (round(cos,6) desc, nid).
     """
-    from pyspark.sql import Window
-
     from ..functions.vectors import cosine
+    from .ranking import grouped_topk
 
     assigned, probe_df = _ivf_assigned_and_probes(
         spark, sf_dir, n_queries, n_probe
@@ -520,12 +526,14 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         F.round(cos, 6).alias("cos6"),
         F.round(cos, 4).alias("cos"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select("qid", "nid", F.col("cos"), "rnk")
-    )
+    return grouped_topk(
+        scored,
+        ["qid"],
+        [-F.col("cos6"), F.col("nid")],
+        [F.col("nid"), F.col("cos")],
+        k,
+        F.col("nid"),
+    ).select("qid", "nid", F.col("cos"), "rnk")
 
 
 def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
@@ -552,8 +560,7 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     is measured side by side in emb_ann_recall (ivfpq probes
     ~n_probe/k_cells of the code table).
     """
-    from pyspark.sql import Window
-
+    from .ranking import grouped_topk
     from .relational8 import trained_pq_tables
 
     assigned, probe_df = _ivf_assigned_and_probes(
@@ -574,14 +581,17 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         .groupBy("qid", "vec_id")
         .agg(F.sum("dq6").alias("adc6"))
     )
-    w = Window.partitionBy("qid").orderBy("adc6", "vec_id")
     return (
-        adc.select(
-            "qid", "vec_id", "adc6", F.row_number().over(w).alias("rank")
+        grouped_topk(
+            adc,
+            ["qid"],
+            [F.col("adc6"), F.col("vec_id")],
+            [F.col("vec_id"), F.col("adc6")],
+            k,
+            F.col("vec_id"),
         )
-        .where(F.col("rank") <= k)
         .select(
-            "qid", "rank", "vec_id",
+            "qid", F.col("rnk").cast("int").alias("rank"), "vec_id",
             (F.col("adc6") / F.lit(1e6)).alias("adc"),
         )
         .orderBy("qid", "rank")
@@ -715,7 +725,7 @@ def emb_ivfpq_residual_ann(spark: SparkSession, sf_dir: str,
     oracle-checked) so the residual-retraining decision reads a
     measured per-corpus number at both budgets.
     """
-    from pyspark.sql import Window
+    from .ranking import grouped_topk
 
     codes, qd, assigned, probe_df = _residual_pq_tables(
         spark, sf_dir, n_queries, n_probe, n_codes=n_codes
@@ -732,14 +742,17 @@ def emb_ivfpq_residual_ann(spark: SparkSession, sf_dir: str,
         .groupBy("qid", "vec_id")
         .agg(F.sum("dq6").alias("adc6"))
     )
-    w = Window.partitionBy("qid").orderBy("adc6", "vec_id")
     return (
-        adc.select(
-            "qid", "vec_id", "adc6", F.row_number().over(w).alias("rank")
+        grouped_topk(
+            adc,
+            ["qid"],
+            [F.col("adc6"), F.col("vec_id")],
+            [F.col("vec_id"), F.col("adc6")],
+            k,
+            F.col("vec_id"),
         )
-        .where(F.col("rank") <= k)
         .select(
-            "qid", "rank", "vec_id",
+            "qid", F.col("rnk").cast("int").alias("rank"), "vec_id",
             (F.col("adc6") / F.lit(1e6)).alias("adc"),
         )
         .orderBy("qid", "rank")

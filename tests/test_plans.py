@@ -297,10 +297,12 @@ def test_pq_ann_joins_codes_before_scoring(spark):
     from jobsity_data_pipeline_spark.operators import relational8 as R8
 
     plan = _plan(R8.emb_pq_ann(spark, SF_SMOKE))
-    # the query distance table must broadcast; per-query top-k must be
-    # rank-limited below the final exchange
+    # the query distance table must broadcast; per-query top-k is the
+    # mergeable grouped_topk two-stage aggregate (round 7) — no
+    # WindowExec funnels the candidate frame through one task per qid
     assert "BroadcastHashJoin" in plan
-    assert "WindowGroupLimit" in plan
+    assert "Window" not in plan
+    assert plan.count("ObjectHashAggregate") >= 2  # salt stage + merge
     assert "CartesianProduct" not in plan
 
 
@@ -628,3 +630,58 @@ def test_er_pairs_blocked_equijoin_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") <= 1  # exploded table checkpointed
+
+
+def test_no_qid_partitioned_window_anywhere(spark):
+    """Round-7 gate (the round-6 verdict's #1 ask): NO ranking window
+    partitioned by a query-id-cardinality key may consume any frame,
+    aggregated or not, anywhere in the ANN / mining / recall family.
+    With ~8 query ids each scoring (or candidate-scanning) a slice
+    that grows with the corpus, a per-qid ``row_number`` puts that
+    whole slice through ONE WindowExec task at 100 TB. Every top-k is
+    now the shared mergeable ``ranking.grouped_topk`` salted two-stage
+    bottom-k aggregate — so the gate can be total: zero Window nodes
+    whose partitionSpec is exactly [qid] in any of these plans."""
+    from jobsity_data_pipeline_spark.operators import relational8 as R8
+    from jobsity_data_pipeline_spark.operators import relational10 as R10
+    from jobsity_data_pipeline_spark.operators import relational11 as R11
+    from jobsity_data_pipeline_spark.operators import similarity as S
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def assert_no_qid_window(df, name):
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for n in walk(plan):
+            if n.nodeName() != "Window":
+                continue
+            ps = n.partitionSpec()
+            cols = [
+                ps.apply(i).toString().split("#")[0] for i in range(ps.size())
+            ]
+            assert cols != ["qid"], f"{name}: qid-partitioned Window"
+
+    targets = [
+        (S.emb_cosine_topk(spark, SF_SMOKE), "emb_cosine_topk"),
+        (S.emb_lsh_ann(spark, SF_SMOKE), "emb_lsh_ann"),
+        (S.emb_ivf_ann(spark, SF_SMOKE), "emb_ivf_ann"),
+        (S.emb_ivfpq_ann(spark, SF_SMOKE), "emb_ivfpq_ann"),
+        (S.emb_ivfpq_residual_ann(spark, SF_SMOKE), "emb_ivfpq_residual_ann"),
+        (R8.emb_pq_ann(spark, SF_SMOKE), "emb_pq_ann"),
+        (R8.emb_pq_rerank(spark, SF_SMOKE), "emb_pq_rerank"),
+        (R8.emb_pq_trained_ann(spark, SF_SMOKE), "emb_pq_trained_ann"),
+        (R10.emb_matryoshka_recall(spark, SF_SMOKE), "emb_matryoshka_recall"),
+        (R11.emb_hard_negatives(spark, SF_SMOKE), "emb_hard_negatives"),
+    ]
+    for df, name in targets:
+        assert_no_qid_window(df, name)
+
+    # and the two headline rewrites must rank through the mergeable
+    # two-stage aggregate: window-free plans end to end
+    for df, name in (targets[0], targets[-1]):
+        plan = df._jdf.queryExecution().optimizedPlan()
+        wins = [n for n in walk(plan) if n.nodeName() == "Window"]
+        assert not wins, f"{name} must be window-free"
