@@ -296,25 +296,41 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
     )
 
 
+# Formula version of _content_hash. Manifests record the version that
+# produced a table's STORED hashes ("hash_version"); writers trust a
+# stored hash only when the marker matches, otherwise they recompute on
+# the fly — so bumping the formula can never register a spurious
+# replacement (no migration wave). rehash_table() rewrites a table
+# under the current formula and sets the marker, retiring the per-merge
+# recompute cost.
+#   v1 (pre-round-7): "<flag>:<value>" joined with \x1f — NOT injective
+#   across column boundaries (a value containing "\x1f1:" shifts the
+#   split, so two different rows could hash equal and a real change be
+#   dropped as a no-op).
+#   v2: length-prefixed fields — injective.
+_HASH_VERSION = 2
+
+
 def _content_hash(data_cols: list):
-    """Null-total canonical content hash over ``data_cols``:
-    "<0|1>:<value-or-empty>" per column joined with an unlikely
-    separator — a null and the empty string hash differently, and
+    """Null-total, INJECTIVE canonical content hash over ``data_cols``:
+    each column encodes as "0" (null) or "1:<len>:<value>", joined with
+    a separator. The length prefix makes column boundaries unambiguous
+    even when a value contains the separator or a "1:" prefix, so
+    distinct row contents can never collide by construction (md5
+    aside); a null and the empty string still hash differently, and
     every declared column always contributes (to_json would silently
-    omit null fields; see upsert_replacing's docstring)."""
+    omit null fields; see upsert_replacing's docstring). Formula
+    version: _HASH_VERSION."""
     from pyspark.sql import functions as F
 
-    return F.md5(F.concat_ws(
-        "\x1f",
-        *[
-            F.concat(
-                F.when(F.col(c).isNull(), F.lit("0:"))
-                .otherwise(F.lit("1:")),
-                F.coalesce(F.col(c).cast("string"), F.lit("")),
-            )
-            for c in data_cols
-        ],
-    ))
+    def _enc(c):
+        s = F.col(c).cast("string")
+        return F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+            F.concat(F.lit("1:"), F.length(s).cast("string"),
+                     F.lit(":"), s)
+        )
+
+    return F.md5(F.concat_ws("\x1f", *[_enc(c) for c in data_cols]))
 
 
 def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
@@ -363,9 +379,19 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
     )
     man = latest_manifest(table_dir)
     if man is not None and man["files"]:
-        hist = _read_files(spark, man["files"]).select(
-            key, F.col(content_col).alias("_old_h")
-        )
+        hist = _read_files(spark, man["files"])
+        # trust a stored hash only when the manifest says it was
+        # computed under the CURRENT formula; otherwise recompute on
+        # the fly — a formula bump then compares v-current against
+        # v-current and an identical re-emit stays a no-op (no
+        # spurious replacement wave). rehash_table() sets the marker.
+        if (content_col in hist.columns
+                and man.get("hash_version") == _HASH_VERSION):
+            old_h = F.coalesce(F.col(content_col),
+                               _content_hash(data_cols))
+        else:
+            old_h = _content_hash(data_cols)
+        hist = hist.select(key, old_h.alias("_old_h"))
         changed = (
             b.select(key, content_col)
             .join(hist, key)
@@ -377,7 +403,11 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
         # sufficient (changed keys are gone, unchanged ones dedup away)
         delete_keys(spark, table_dir, changed, key=key,
                     footer_confirm=True)
-    return upsert_batch(b, batch_id, table_dir, key=key)
+        return upsert_batch(b, batch_id, table_dir, key=key)
+    # bootstrap: every stored hash in version 1 is current-formula,
+    # so the marker is assertable
+    return upsert_batch(b, batch_id, table_dir, key=key,
+                        extra={"hash_version": _HASH_VERSION})
 
 
 def _carry_extras(man: dict | None) -> dict:
@@ -435,14 +465,18 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
     clause counts and the rewrite do not re-scan history). Rows are
     stored with ``content_col`` (the null-total hash), so
     change_feed's content-aware mode sees updates as
-    delete(old)+insert(new). NOTE: rows written by a pre-round-6
-    upsert_replacing carry the old to_json-based hash formula; their
-    first re-emit under this formula registers as one spurious
-    replacement (a one-time migration wave, same shape as the
-    documented add-column wave).
+    delete(old)+insert(new). Hash-formula migrations are a no-op by
+    construction: stored hashes are trusted only when the manifest's
+    ``hash_version`` marker matches the current formula, otherwise
+    history hashes are recomputed on the fly for the comparison — so
+    rows written under ANY older formula (including the pre-round-6
+    to_json one) never register a spurious replacement. Run
+    rehash_table() once to set the marker and retire the per-merge
+    recompute.
     Returns {"status", "deleted", "updated", "inserted"}; a merge
     with nothing to do returns status "noop" without publishing (no
-    manifest churn, and its replay is the same no-op).
+    manifest churn, and its replay is the same no-op) — including on
+    a not-yet-created table whose insert predicate filters every row.
 
     Precondition: the source schema equals the table schema (minus
     ``content_col``) — rewritten rows are projected onto the source's
@@ -480,10 +514,16 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
         if man is None or not man["files"]:
             ins = src.where(ins_pred)
             n_ins = ins.count()
+            if n_ins == 0:
+                # nothing survives the insert predicate: no version
+                # churn (mirrors the non-empty-table noop path)
+                return {"status": "noop",
+                        "deleted": 0, "updated": 0, "inserted": 0}
             files = _write_data(ins, table_dir)
             stats = {key: _file_stats(files, key) or {}}
             v = _publish(table_dir, files, token,
-                         extra={"stats": stats, **_carry_extras(man)},
+                         extra={"stats": stats, **_carry_extras(man),
+                                "hash_version": _HASH_VERSION},
                          expected_version=(man or {}).get("version", 0))
             if v != -1:
                 return {"status": "published",
@@ -493,9 +533,14 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
         # rows written without a stored hash (plain upsert_batch
         # history, or pre-merge files after the column first appears)
         # get it computed on the fly over the merge's declared column
-        # list — never compared against null
+        # list — never compared against null. Stored hashes are
+        # trusted ONLY when the manifest's hash_version marker matches
+        # the current formula; otherwise every history hash is
+        # recomputed, so a formula bump can never register a spurious
+        # replacement (rehash_table() retires the recompute cost).
         computed = _content_hash(data_cols)
-        if content_col in hist.columns:
+        trusted = man.get("hash_version") == _HASH_VERSION
+        if content_col in hist.columns and trusted:
             hist = hist.withColumn(
                 content_col, F.coalesce(F.col(content_col), computed)
             )
@@ -532,7 +577,7 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
             kept = _read_files(spark, hit_files).join(
                 kdf, F.col(key) == F.col("_k"), "left_anti"
             )
-            if content_col in kept.columns:
+            if content_col in kept.columns and trusted:
                 kept = kept.withColumn(
                     content_col, F.coalesce(F.col(content_col), computed)
                 )
@@ -551,8 +596,16 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
             for k, m in man.get("stats", {}).items()
         }
         all_stats[key] = {**all_stats.get(key, {}), **(new_stats or {})}
+        # the marker means "EVERY stored hash in this version is
+        # current-formula": carry it only when it already held, or
+        # assert it when this merge rewrote every prior file (rows
+        # written here always hash under the current formula)
+        extras = _carry_extras(man)
+        extras.pop("hash_version", None)
+        if trusted or not keep_files:
+            extras["hash_version"] = _HASH_VERSION
         v = _publish(table_dir, keep_files + files, token,
-                     extra={"stats": all_stats, **_carry_extras(man)},
+                     extra={"stats": all_stats, **extras},
                      expected_version=man["version"])
         if v != -1:
             return {"status": "published", "deleted": n_del,
@@ -560,6 +613,71 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
     raise RuntimeError(
         f"merge_into: lost the publish race 10 times at {table_dir}"
     )
+
+
+def rehash_table(spark: SparkSession, table_dir: str,
+                 key: str = "trip_key",
+                 content_col: str = "_chash") -> dict:
+    """One-shot hash-formula migration: rewrite every row with
+    ``content_col`` recomputed under the CURRENT formula and stamp the
+    manifest with ``hash_version`` so upsert_replacing / merge_into /
+    change_feed trust stored hashes again (until then they recompute
+    on the fly — correct, but one extra md5 projection per history
+    scan). Idempotent: a table already marked current is a no-op, and
+    the batch token makes a replayed migration a no-op too. Content is
+    unchanged, so a change_feed crossing the rehash boundary emits
+    nothing for untouched keys (the feed recomputes hashes whenever
+    the endpoints' markers differ)."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity of style)
+
+    token = f"rehash-v{_HASH_VERSION}"
+    for _attempt in range(10):
+        if any(tok == token
+               for _, tok, _ in _manifests(table_dir, with_tokens=True)):
+            return {"status": "skipped_duplicate"}
+        man = latest_manifest(table_dir)
+        if man is None or not man["files"]:
+            return {"status": "noop"}
+        if man.get("hash_version") == _HASH_VERSION:
+            return {"status": "noop"}
+        rows = _read_files(spark, man["files"])
+        data_cols = sorted(c for c in rows.columns
+                           if c not in (key, content_col))
+        rows = rows.withColumn(content_col, _content_hash(data_cols))
+        files = _write_data(rows, table_dir)
+        stats = {key: _file_stats(files, key) or {}}
+        extras = _carry_extras(man)
+        extras.pop("hash_version", None)
+        v = _publish(table_dir, files, token,
+                     extra={"stats": stats, **extras,
+                            "hash_version": _HASH_VERSION},
+                     expected_version=man["version"])
+        if v != -1:
+            return {"status": "published", "version": v}
+    raise RuntimeError(
+        f"rehash_table: lost the publish race 10 times at {table_dir}"
+    )
+
+
+def adopt_legacy_parquet(table_dir: str) -> int | None:
+    """One-shot adoption of a state dir written by the pre-manifest
+    overwrite-parquet protocol: if ``table_dir`` holds bare part files
+    but NO manifest, publish them as version 1 so manifest readers see
+    the accumulated state instead of silently restarting from empty
+    (the stream checkpoint would prevent ever re-deriving it). CAS on
+    version 1: if a concurrent writer published first, nothing is
+    adopted. Returns the published version, or None when there was
+    nothing to adopt (already a manifest table, or no parquet files)."""
+    if not os.path.isdir(table_dir) or latest_manifest(table_dir) is not None:
+        return None
+    files = sorted(
+        os.path.join(table_dir, n) for n in os.listdir(table_dir)
+        if n.endswith(".parquet")
+    )
+    if not files:
+        return None
+    v = _publish(table_dir, files, "legacy-adopt", expected_version=0)
+    return None if v == -1 else v
 
 
 def start_snapshot_merge(source: DataFrame, table_dir: str,
@@ -703,6 +821,28 @@ def change_feed(spark: SparkSession, table_dir: str, from_version: int,
     old = _read_files(spark, sorted(f_from))
     new = _read_files(spark, sorted(f_to))
     join_cols = [key] + ([content_col] if content_col else [])
+    if content_col and (
+        man_from.get("hash_version") != man_to.get("hash_version")
+        or content_col not in old.columns
+        or content_col not in new.columns
+    ):
+        # the endpoints' stored hashes were produced by different
+        # formulas (or one side predates the column): comparing them
+        # raw would emit every untouched row as a phantom
+        # delete+insert across a rehash/formula boundary. Recompute
+        # BOTH sides under the current formula over the current data
+        # columns — equal content then compares equal regardless of
+        # what is stored.
+        data_cols = sorted(c for c in new.columns
+                           if c not in (key, content_col))
+        for c in data_cols:  # add-column evolution: absent == null
+            if c not in old.columns:
+                old = old.withColumn(
+                    c, F.lit(None).cast(new.schema[c].dataType)
+                )
+        h = _content_hash(data_cols)
+        old = old.withColumn(content_col, h)
+        new = new.withColumn(content_col, h)
     inserts = new.join(
         old.select(*join_cols), join_cols, "left_anti"
     ).select("*", ins_type)

@@ -382,12 +382,12 @@ def stream_hll_upsert(events: DataFrame, state_path: str, checkpoint: str):
     Read it with sketch_state (below) / snapshot.read_latest.
     """
     from ..operators.relational7 import hll_registers
-    from ..sources.snapshot import publish_snapshot, read_latest
+    from ..sources.snapshot import publish_snapshot
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = hll_registers(batch_df, "user_id", ["event_type"])
-        state = read_latest(spark, state_path)
+        state = _state_or_adopt(spark, state_path)
         merged = (
             delta if state is None else state.unionByName(delta)
         ).groupBy("event_type", "reg").agg(F.max("mx").alias("mx"))
@@ -401,13 +401,26 @@ def stream_hll_upsert(events: DataFrame, state_path: str, checkpoint: str):
     )
 
 
+def _state_or_adopt(spark: SparkSession, state_path: str):
+    """Resolve a sketch maintainer's state, adopting a pre-manifest
+    deployment's bare overwrite-parquet state as version 1 when no
+    manifest exists yet — silently ignoring legacy parquet would
+    restart accumulation from empty, and the stream checkpoint
+    prevents ever re-deriving it (round-6 ADVICE finding)."""
+    from ..sources.snapshot import adopt_legacy_parquet, read_latest
+
+    st = read_latest(spark, state_path)
+    if st is None and adopt_legacy_parquet(state_path) is not None:
+        st = read_latest(spark, state_path)
+    return st
+
+
 def sketch_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The latest published state of a manifest-protocol sketch
     maintainer (stream_hll_upsert / stream_decayed_upsert /
-    stream_m4_upsert); raises if nothing has been published yet."""
-    from ..sources.snapshot import read_latest
-
-    st = read_latest(spark, state_path)
+    stream_m4_upsert); adopts legacy bare-parquet state (see
+    _state_or_adopt) and raises if nothing has ever been written."""
+    st = _state_or_adopt(spark, state_path)
     if st is None:
         raise ValueError(f"no published sketch state at {state_path}")
     return st
@@ -434,7 +447,7 @@ def stream_decayed_upsert(events: DataFrame, state_path: str,
     accumulated state the way overwrite-mode parquet can); read it
     with sketch_state / snapshot.read_latest.
     """
-    from ..sources.snapshot import publish_snapshot, read_latest
+    from ..sources.snapshot import publish_snapshot
 
     ln2 = 0.6931471805599453
     hl_us = float(half_life_h) * 3_600_000_000.0
@@ -459,7 +472,7 @@ def stream_decayed_upsert(events: DataFrame, state_path: str,
                 F.sum(wgt * F.col("value")).alias("dvalue"),
             )
         )
-        state = read_latest(spark, state_path)
+        state = _state_or_adopt(spark, state_path)
         if state is None:
             merged = delta
         else:
@@ -781,14 +794,14 @@ def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str):
     absorbing.
     """
     from ..operators.relational11 import m4_state_frame
-    from ..sources.snapshot import publish_snapshot, read_latest
+    from ..sources.snapshot import publish_snapshot
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         delta = m4_state_frame(batch_df)
-        state = read_latest(spark, state_path)
+        state = _state_or_adopt(spark, state_path)
         merged = (
             delta if state is None else state.unionByName(delta)
         ).groupBy("event_type", "bucket").agg(
@@ -810,9 +823,7 @@ def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str):
 def m4_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The maintained M4 archetypes in the batch operator's column
     shape (minus n): (event_type, bucket, min/max/first/last cents)."""
-    from ..sources.snapshot import read_latest
-
-    st = read_latest(spark, state_path)
+    st = _state_or_adopt(spark, state_path)
     if st is None:
         raise ValueError(f"no published M4 state at {state_path}")
     return st.select(
@@ -889,16 +900,19 @@ def bm25_from_index(spark: SparkSession, table_dir: str,
     the index manifest (tf columns are positional, so scoring with a
     different same-arity list would be silently wrong). A caller-
     supplied ``terms`` is validated against it; a legacy index with no
-    persisted list falls back to the caller's terms or BM25_TERMS."""
+    persisted list falls back to the caller's terms or BM25_TERMS.
+    Terms and rows resolve from ONE manifest snapshot — resolving
+    twice could pair a stale term list with newer postings if a
+    publish lands between the two reads."""
     from ..operators.textops import (
         BM25_TERMS, BM25_TOPK, bm25_topk_from_postings,
     )
-    from ..sources.snapshot import latest_manifest, read_latest
+    from ..sources.snapshot import _read_files, latest_manifest
 
     man = latest_manifest(table_dir)
-    per_doc = read_latest(spark, table_dir)
-    if per_doc is None:
+    if man is None or not man["files"]:
         raise ValueError(f"no published postings index at {table_dir}")
+    per_doc = _read_files(spark, man["files"])
     persisted = man.get("bm25_terms")
     if persisted is not None:
         persisted = tuple(persisted)

@@ -1437,3 +1437,130 @@ def test_upsert_replacing_hash_is_total_over_nulls(spark, tmp_path):
                           content_col="_chash")
     got = {(r.trip_key, r.a, r._change_type) for r in feed.collect()}
     assert got == {(1, None, "delete"), (1, "", "insert")}
+
+
+def test_content_hash_is_injective_across_columns(spark, tmp_path):
+    """Round-6 ADVICE: the v1 '<flag>:<value>' \\x1f-joined encoding was
+    not injective — (a='x\\x1f1:y', b='z') and (a='x', b='y\\x1fz')
+    encoded identically, so that real content change hashed equal and
+    upsert_replacing dropped it as a no-op. The v2 length-prefixed
+    encoding must register it as a replacement."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tinj")
+    schema = "trip_key long, a string, b string"
+    v1 = spark.createDataFrame([(1, "x\x1f1:y", "z")], schema)
+    assert SN.upsert_replacing(v1, 0, t) == "published"
+    v_pre = SN.latest_manifest(t)["version"]
+    v2 = spark.createDataFrame([(1, "x", "y\x1fz")], schema)
+    assert SN.upsert_replacing(v2, 1, t) == "published"
+    feed = SN.change_feed(spark, t, v_pre, key="trip_key",
+                          content_col="_chash")
+    assert feed is not None
+    got = {(r.trip_key, r.a, r.b, r._change_type) for r in feed.collect()}
+    assert got == {(1, "x\x1f1:y", "z", "delete"),
+                   (1, "x", "y\x1fz", "insert")}
+
+
+def _old_v1_hash(data_cols):
+    """The retired pre-round-7 formula, reconstructed for migration
+    tests: '<flag>:<value>' per column joined with \\x1f."""
+    return F.md5(F.concat_ws(
+        "\x1f",
+        *[
+            F.concat(
+                F.when(F.col(c).isNull(), F.lit("0:"))
+                .otherwise(F.lit("1:")),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+            )
+            for c in data_cols
+        ],
+    ))
+
+
+def test_hash_formula_migration_is_waveless(spark, tmp_path):
+    """A table whose stored hashes were produced by the OLD formula
+    (manifest carries no hash_version marker) must never register a
+    spurious replacement: merge_into recomputes history hashes on the
+    fly, rehash_table stamps the marker in one idempotent rewrite, and
+    a content-aware change_feed crossing the rehash boundary emits
+    nothing for untouched keys."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tmig")
+    schema = "trip_key long, a string, b string"
+    rows = [(1, "alpha", "x"), (2, "bravo", "y")]
+    pre = spark.createDataFrame(rows, schema).withColumn(
+        "_chash", _old_v1_hash(["a", "b"])
+    )
+    # plain upsert_batch: stores the old hashes, sets NO marker
+    assert SN.upsert_batch(pre, 0, t) == "published"
+    man0 = SN.latest_manifest(t)
+    assert "hash_version" not in man0
+    v0 = man0["version"]
+
+    # identical re-emit under the new formula: MUST be a no-op, not a
+    # replacement wave (the old behavior re-hashed src with the new
+    # formula and compared it against stored old-formula hashes)
+    same = spark.createDataFrame(rows, schema)
+    assert SN.merge_into(same, 1, t, key="trip_key")["status"] == "noop"
+    assert SN.upsert_replacing(same, 2, t, key="trip_key") == "published"
+    # upsert_replacing publishes (its dedup path appends nothing new),
+    # but no key may have been rewritten
+    feed = SN.change_feed(spark, t, v0, key="trip_key",
+                          content_col="_chash")
+    assert feed is None or feed.count() == 0
+
+    # one-shot migration: rewrite + marker; replay is a no-op
+    res = SN.rehash_table(spark, t, key="trip_key")
+    assert res["status"] == "published"
+    man1 = SN.latest_manifest(t)
+    assert man1["hash_version"] == SN._HASH_VERSION
+    v1 = man1["version"]
+    assert SN.rehash_table(spark, t, key="trip_key")["status"] in (
+        "noop", "skipped_duplicate"
+    )
+    # crossing the rehash boundary shows NO phantom delete+insert even
+    # though every stored hash changed
+    feed = SN.change_feed(spark, t, v0, key="trip_key",
+                          content_col="_chash")
+    assert feed is None or feed.count() == 0
+
+    # post-migration: identical re-emit still a no-op (stored hashes
+    # now trusted), and a REAL change is still detected
+    assert SN.merge_into(same, 3, t, key="trip_key")["status"] == "noop"
+    upd = spark.createDataFrame(
+        [(1, "ALPHA2", "x"), (2, "bravo", "y")], schema
+    )
+    res = SN.merge_into(upd, 4, t, key="trip_key")
+    assert (res["deleted"], res["updated"], res["inserted"]) == (0, 1, 0)
+    feed = SN.change_feed(spark, t, v1, key="trip_key",
+                          content_col="_chash")
+    got = {(r.trip_key, r.a, r._change_type) for r in feed.collect()}
+    assert got == {(1, "alpha", "delete"), (1, "ALPHA2", "insert")}
+
+
+def test_merge_into_bootstrap_insert_predicate_noop(spark, tmp_path):
+    """A merge against a not-yet-created table whose insert predicate
+    filters every source row must return noop WITHOUT publishing an
+    empty version (round-6 ADVICE: it published churn + token)."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tboot")
+    src = spark.createDataFrame(
+        [(1, "d"), (2, "d")], "trip_key long, op string"
+    )
+    res = SN.merge_into(src, 0, t, key="trip_key",
+                        when_not_matched_insert="op <> 'd'")
+    assert res == {"status": "noop", "deleted": 0, "updated": 0,
+                   "inserted": 0}
+    assert SN.latest_manifest(t) is None
+    # replaying the SAME batch id later with surviving rows still works
+    # (noop recorded no token)
+    src2 = spark.createDataFrame(
+        [(1, "i"), (2, "d")], "trip_key long, op string"
+    )
+    res = SN.merge_into(src2, 0, t, key="trip_key",
+                        when_not_matched_insert="op <> 'd'")
+    assert res["status"] == "published" and res["inserted"] == 1
+    assert SN.latest_manifest(t)["hash_version"] == SN._HASH_VERSION
