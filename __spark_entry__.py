@@ -33,6 +33,7 @@ from jobsity_data_pipeline_spark.operators import relational8 as R8
 from jobsity_data_pipeline_spark.operators import relational9 as R9
 from jobsity_data_pipeline_spark.operators import relational10 as R10
 from jobsity_data_pipeline_spark.operators import relational11 as R11
+from jobsity_data_pipeline_spark.operators import relational12 as R12
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -257,6 +258,13 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping_counts": R11.events_hopping_counts,
         "emb_top_pc": R11.emb_top_pc,
         "parts_abc_xyz": R11.parts_abc_xyz,
+        # round-7 additions
+        "emb_top_pcs": R11.emb_top_pcs,
+        "emb_hard_negatives_ann": S.emb_hard_negatives_ann,
+        "emb_hardneg_recall": S.emb_hardneg_recall,
+        "docs_token_gini": TO.docs_token_gini,
+        "events_welch_ttest": R12.events_welch_ttest,
+        "orders_open_backlog": R12.orders_open_backlog,
     }
 
 
@@ -334,6 +342,12 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # rest of the r3-latest tier. New never-sampled queries auto-front
 # between tiers (1) and (2) via the `known` rule in queries().
 _ROUND7_PRIORITY: tuple[str, ...] = (
+    # (0) NEW this round (never sampled: the deflation PCA, the ANN
+    # hard-negative pair, Gini, Welch, backlog) + emb_top_pc, whose
+    # power iteration was rewritten to the array form mid-round
+    "emb_top_pcs", "emb_hard_negatives_ann", "emb_hardneg_recall",
+    "docs_token_gini", "events_welch_ttest", "orders_open_backlog",
+    "emb_top_pc",
     # (1) rewritten this round: mergeable two-stage top-k everywhere
     "emb_cosine_topk", "emb_hard_negatives", "emb_lsh_ann",
     "emb_ivf_ann", "emb_ivfpq_ann", "emb_ivfpq_residual_ann",
@@ -345,6 +359,10 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "events_type_runs", "docs_weighted_sample", "docs_quality_tiers",
     "docs_dup_spans", "customer_balance_deciles",
     # (3) the remaining r3-latest tier, riskiest kernels first
+    # (trimmed for round 8 to keep the explicit list at the 50-key
+    # budget: events_decayed_value, events_hll_rollup,
+    # events_quantile_sketch, events_rolling_7d_users,
+    # orders_association_rules, trip_geohash_cells)
     "docs_minhash_bands", "docs_simhash_pairs", "docs_winnow_pairs",
     "events_attribution", "events_windowed_funnel", "events_user_paths",
     "docs_dup_ngram_fraction", "docs_bigram_logprob",
@@ -354,9 +372,6 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "docs_source_divergence", "docs_shard_plan", "docs_bloom_probe",
     "emb_pq_codes", "emb_cluster_purity", "emb_label_affinity",
     "emb_label_outliers", "events_count_min_sketch",
-    "events_decayed_value", "events_hll_rollup",
-    "events_quantile_sketch", "events_rolling_7d_users",
-    "orders_association_rules", "trip_geohash_cells",
 )
 
 _ROUND6_PRIORITY: tuple[str, ...] = (
@@ -1042,6 +1057,86 @@ def _top_pc_sql(rounds: int = 5) -> str:
                               / (SELECT tv FROM tv) * 1000000, 0)
                         AS BIGINT) AS ev_share_e6
             FROM b{rounds} b""")
+    return "".join(parts)
+
+
+def _top_pcs_sql(components: int = 4, rounds: int = 3) -> str:
+    """Unrolled DuckDB replay of relational11.emb_top_pcs: the
+    _top_pc_sql power iteration per component, plus a deflation step
+    between components — x' = x - s * b with s the 6-dp final-round
+    score and b the 6-dp loading, pointwise double arithmetic both
+    engines evaluate bit-identically. Eigenvalue share is against the
+    ORIGINAL total variance."""
+    parts = ["""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            xs AS (
+                SELECT vec_id, CAST(pos AS INT) AS pos, x FROM (
+                    SELECT vec_id, unnest(range(0, len(v))) AS pos,
+                           unnest(v) AS x
+                    FROM e
+                )
+            ),
+            mn AS (
+                SELECT pos, round(avg(x), 6) AS m FROM xs GROUP BY pos
+            ),
+            xc1 AS MATERIALIZED (
+                SELECT xs.vec_id, xs.pos, xs.x - mn.m AS x
+                FROM xs JOIN mn USING (pos)
+            ),
+            b0 AS (
+                SELECT pos,
+                       round(1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE)
+                                         FROM mn)), 6) AS b
+                FROM mn
+            ),
+            tv AS (SELECT sum(x * x) AS tv FROM xc1)"""]
+    for c in range(1, components + 1):
+        for r in range(1, rounds + 1):
+            prev = "b0" if r == 1 else f"c{c}b{r - 1}"
+            parts.append(f""",
+            c{c}s{r} AS MATERIALIZED (
+                SELECT xc{c}.vec_id, round(sum(xc{c}.x * b.b), 6) AS s
+                FROM xc{c} JOIN {prev} b USING (pos)
+                GROUP BY xc{c}.vec_id
+            ),
+            c{c}w{r} AS MATERIALIZED (
+                SELECT xc{c}.pos, sum(xc{c}.x * s.s) AS w
+                FROM xc{c} JOIN c{c}s{r} s USING (vec_id)
+                GROUP BY xc{c}.pos
+            ),
+            c{c}n{r} AS (SELECT sqrt(sum(w * w)) AS nrm FROM c{c}w{r}),
+            c{c}b{r} AS MATERIALIZED (
+                SELECT pos, round(w / (SELECT nrm FROM c{c}n{r}), 6) AS b
+                FROM c{c}w{r}
+            )""")
+        if c < components:
+            parts.append(f""",
+            c{c}sdef AS MATERIALIZED (
+                SELECT xc{c}.vec_id, round(sum(xc{c}.x * b.b), 6) AS s
+                FROM xc{c} JOIN c{c}b{rounds} b USING (pos)
+                GROUP BY xc{c}.vec_id
+            ),
+            xc{c + 1} AS MATERIALIZED (
+                SELECT xc{c}.vec_id, xc{c}.pos,
+                       xc{c}.x - sd.s * b.b AS x
+                FROM xc{c}
+                JOIN c{c}sdef sd USING (vec_id)
+                JOIN c{c}b{rounds} b USING (pos)
+            )""")
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({c} AS INT) AS component, b.pos, b.b AS loading,
+            CAST(round((SELECT nrm FROM c{c}n{rounds}) * 1000000, 0)
+                 AS BIGINT) AS eigenvalue_e6,
+            CAST(round((SELECT nrm FROM c{c}n{rounds})
+                       / (SELECT tv FROM tv) * 1000000, 0)
+                 AS BIGINT) AS ev_share_e6
+            FROM c{c}b{rounds} b"""
+        for c in range(1, components + 1)
+    )
+    parts.append(f" {selects}")
     return "".join(parts)
 
 
@@ -5319,6 +5414,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["emb_kcenter_sample"] = _kcenter_sql()
     out["emb_top_pc"] = _top_pc_sql()
+    out["emb_top_pcs"] = _top_pcs_sql()
     out["parts_abc_xyz"] = f"""
         WITH pr AS (
             SELECT l_partkey, CAST(sum({_REV_E4}) AS BIGINT) AS rev
@@ -5415,5 +5511,171 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid, q_label, nid, n_label, round(raw, 4) AS cos,
                CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk <= 5
+    """
+    # shared IVF-candidate prefix for the ANN hard-negative pair:
+    # label-mean cells, micro-unit assignment, 3 probes per query
+    # (the emb_ivf_ann oracle's quantizer replay), plus the label-
+    # inequality predicate in the candidate join
+    _HN_ANN_CTE = """
+        e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        x AS (
+            SELECT vec_id, label, unnest(range(0, len(v))) AS pos,
+                   unnest(v) AS x
+            FROM e
+        ),
+        lcent AS (
+            SELECT label AS cell, pos, round(avg(x), 6) AS c
+            FROM x GROUP BY 1, 2
+        ),
+        celld AS (
+            SELECT x.vec_id, lc.cell,
+                   CAST(round(sum((x.x - lc.c) * (x.x - lc.c))
+                              * 1000000, 0) AS BIGINT) AS cd6
+            FROM x JOIN lcent lc ON x.pos = lc.pos
+            GROUP BY 1, 2
+        ),
+        cellasg AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cd6, cell) AS rn
+                FROM celld
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cd6, cell) AS rn
+                FROM celld WHERE vec_id < 8
+            ) WHERE rn <= 3
+        ),
+        q AS (
+            SELECT vec_id AS qid, label AS q_label, v AS qv
+            FROM e WHERE vec_id < 8
+        ),
+        anns AS (
+            SELECT p.qid, q.q_label, e.vec_id AS nid,
+                   e.label AS n_label,
+                   list_cosine_similarity(q.qv, e.v) AS raw
+            FROM cellasg ca
+            JOIN probes p USING (cell)
+            JOIN e ON ca.vec_id = e.vec_id
+            JOIN q ON q.qid = p.qid
+            WHERE ca.vec_id <> p.qid AND e.label <> q.q_label
+        ),
+        annr AS (
+            SELECT qid, q_label, nid, n_label, raw,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY round(raw, 6) DESC, nid
+                   ) AS rnk
+            FROM anns
+        )"""
+    out["emb_hard_negatives_ann"] = "WITH " + _HN_ANN_CTE + """
+        SELECT qid, q_label, nid, n_label, round(raw, 4) AS cos,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM annr WHERE rnk <= 5
+    """
+    out["emb_hardneg_recall"] = "WITH " + _HN_ANN_CTE + """,
+        exs AS (
+            SELECT qid, e.vec_id AS nid,
+                   list_cosine_similarity(qv, v) AS raw
+            FROM e JOIN q ON e.vec_id <> q.qid AND e.label <> q.q_label
+        ),
+        exr AS (
+            SELECT qid, nid, row_number() OVER (
+                       PARTITION BY qid ORDER BY round(raw, 6) DESC, nid
+                   ) AS rnk
+            FROM exs
+        ),
+        extop AS (SELECT qid, nid FROM exr WHERE rnk <= 5),
+        anntop AS (SELECT qid, nid FROM annr WHERE rnk <= 5),
+        h AS (
+            SELECT qid, count(*) AS hits
+            FROM extop JOIN anntop USING (qid, nid)
+            GROUP BY qid
+        )
+        SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+               CAST((2 * 1000 * coalesce(h.hits, 0) + 5) // (2 * 5)
+                    AS BIGINT) AS recall_pm
+        FROM q LEFT JOIN h ON q.qid = h.qid
+        ORDER BY q.qid
+    """
+    out["docs_token_gini"] = f"""
+        WITH per AS (
+            SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS tok
+            FROM documents
+        ),
+        agg AS (
+            SELECT lang, tok, count(*) AS c FROM per GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT lang, tok, c,
+                   coalesce(sum(c) OVER (
+                       PARTITION BY lang ORDER BY tok
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS f_prev
+            FROM agg
+        ),
+        g AS (
+            SELECT lang,
+                   CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(sum(tok * c) AS BIGINT) AS t,
+                   CAST(sum(tok * (c * f_prev + (c * (c + 1)) // 2))
+                        AS BIGINT) AS s1
+            FROM cum GROUP BY 1
+        )
+        SELECT lang, n_docs, t AS total_tokens,
+               CAST((2 * 1000 * (2 * s1 - (n_docs + 1) * t) + n_docs * t)
+                    // (2 * n_docs * t) AS BIGINT) AS gini_pm
+        FROM g ORDER BY lang
+    """
+    out["events_welch_ttest"] = """
+        WITH st AS (
+            SELECT event_type, count(*) AS n, avg(value) AS m,
+                   var_samp(value) AS v
+            FROM events GROUP BY 1
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n AS na, b.n AS nb,
+               round(a.m - b.m, 6) AS mean_diff,
+               round((a.m - b.m)
+                     / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+               round(((a.v / a.n + b.v / b.n)
+                      * (a.v / a.n + b.v / b.n))
+                     / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+                        + (b.v / b.n) * (b.v / b.n) / (b.n - 1)),
+                     2) AS df
+        FROM st a JOIN st b ON a.event_type < b.event_type
+        ORDER BY 1, 2
+    """
+    out["orders_open_backlog"] = """
+        WITH sp AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+                   CAST(max(l.l_shipdate) AS DATE) AS close_day
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, 1
+        ),
+        d AS (
+            SELECT open_day AS day, 1 AS d, 1 AS opened, 0 AS closed
+            FROM sp
+            UNION ALL
+            SELECT close_day + 1, -1, 0, 0 FROM sp
+            UNION ALL
+            SELECT close_day, 0, 0, 1 FROM sp
+        ),
+        pd AS (
+            SELECT day, sum(d) AS net, sum(opened) AS opened,
+                   sum(closed) AS closed
+            FROM d GROUP BY 1
+        )
+        SELECT day, CAST(opened AS BIGINT) AS opened,
+               CAST(closed AS BIGINT) AS closed,
+               CAST(sum(net) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                   AS open_backlog
+        FROM pd ORDER BY day
     """
     return out

@@ -609,10 +609,129 @@ def parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PC_ROUNDS = 5
+PC_COMPONENTS = 4
+# the multi-component loop pays rounds x components corpus passes, so its
+# default round count is lower; both are fixed-round REPLAYABLE ascent
+# steps, not convergence claims (see the docstrings)
+PCS_ROUNDS = 3
+
+
+def _centered_arrays(spark: SparkSession, sf_dir: str,
+                     cache: bool) -> tuple[DataFrame, DataFrame, int]:
+    """(xc, mean, dim): the 6-dp-mean-centered embeddings in ARRAY
+    form — (vec_id, v: array<double>) — plus the (pos, m) mean frame.
+    Array form keeps the per-row dot products of the power iteration
+    INLINE (a bounded 64-element fold, the sanctioned HOF case), so a
+    round needs no corpus-keyed join at all. ``cache`` picks the
+    reuse strategy — see emb_top_pc's docstring for the tradeoff."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    dim = len(e.select("v").head()[0])
+    mean = x.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m"))
+    marr = _as_array(mean, "m")
+    xc = e.crossJoin(F.broadcast(marr)).select(
+        "vec_id",
+        F.zip_with("v", "arr", lambda a, b: a - b).alias("v"),
+    )
+    if cache:
+        xc = xc.localCheckpoint()
+    return xc, mean, dim
+
+
+def _as_array(frame: DataFrame, col: str) -> DataFrame:
+    """(pos, col) frame -> 1-row pos-ordered array<double> named
+    ``arr`` (broadcast at every use: dim doubles)."""
+    return frame.agg(
+        F.array_sort(F.collect_list(F.struct("pos", col))).alias("ps")
+    ).select(
+        F.transform("ps", lambda s: s.getField(col)).alias("arr")
+    )
+
+
+def _total_var(xc: DataFrame) -> DataFrame:
+    """1-row total variance of the centered array frame: per-pos
+    sum-of-squares partial aggregates (the exploded form's exact
+    aggregation tree, so tv matches the oracle's flat sum to the
+    same last-ulp class), then the 64-row total."""
+    return (
+        xc.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("x") * F.col("x")).alias("q"))
+        .agg(F.sum("q").alias("tv"))
+    )
+
+
+def _row_score(vcol, barr):
+    """round(<v, b>, 6) as an inline left-to-right fold over the
+    bounded per-row array — the engine-exact per-row score, with no
+    join: the 6-dp rounding absorbs summation-order differences vs
+    the oracle's group-sum exactly as it does between partitions."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(vcol, barr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _power_rounds(xc: DataFrame, barr0: DataFrame,
+                  rounds: int) -> DataFrame:
+    """``rounds`` power-iteration ascent steps on the centered array
+    frame: per-row score (6-dp inline fold) -> per-pos weighted sum
+    -> normalize FIRST, then round to 6 dp. The whole round state is
+    ONE 1-row frame (arr: the unit direction, nrm: the ||w||
+    eigenvalue estimate), so a round costs exactly one corpus pass +
+    one bounded aggregation pipeline: the only shuffle is the 64-row
+    per-pos partial aggregate, there is no corpus-keyed join (the
+    exploded form's s-join, gone), and the 1-row pin both truncates
+    the cross-round lineage and prevents the broadcast chain from
+    re-executing earlier rounds (unpinned: measured 2.5x).
+    Returns the final 1-row (arr, nrm)."""
+    cur = barr0
+    for _ in range(rounds):
+        scored = xc.crossJoin(
+            F.broadcast(cur.select("arr"))
+        ).select(
+            "v", _row_score(F.col("v"), F.col("arr")).alias("s")
+        )
+        cur = (
+            scored.select(F.posexplode("v").alias("pos", "x"), "s")
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("s")).alias("w"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "w"))
+                ).alias("pw")
+            )
+            .select(
+                F.transform("pw", lambda s: s.getField("w")).alias("warr")
+            )
+            .select(
+                "warr",
+                F.sqrt(
+                    F.aggregate(
+                        "warr", F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                ).alias("nrm"),
+            )
+            .select(
+                F.transform(
+                    "warr", lambda x: F.round(x / F.col("nrm"), 6)
+                ).alias("arr"),
+                "nrm",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur
 
 
 def emb_top_pc(spark: SparkSession, sf_dir: str,
-               rounds: int = PC_ROUNDS) -> DataFrame:
+               rounds: int = PC_ROUNDS,
+               cache_centered: bool = False) -> DataFrame:
     """Top principal component of the (mean-centered) embedding
     corpus by fixed-round power iteration — the dimensionality-
     reduction family's entry point (PCA whitening, variance
@@ -643,56 +762,43 @@ def emb_top_pc(spark: SparkSession, sf_dir: str,
     groupBy(pos) partial-agg reduces w = sum_i s_i (v_i - mean), and
     only 64 doubles shuffle; the 1-row norm joins back in-plan (no
     driver collect). Identical at 500 rows and 100 TB.
+
+    ``cache_centered`` is the reuse-strategy choice for the centered
+    exploded corpus each round consumes twice:
+
+    - False (default — the raw-table-scan posture): recompute from
+      the parquet scan per use. The scan is column-pruned and the
+      centering is one broadcast join, so each recompute is a cheap
+      map-side pipeline; nothing corpus-sized is ever copied.
+    - True: pin the N x dim centered frame with localCheckpoint.
+      Right when the input is already an expensive upstream pipeline
+      (filters, joins) worth paying for once — but at 100 TB it is a
+      corpus-sized copy on executor-local disk with NON-reliable
+      lineage truncation (an executor loss kills the job instead of
+      recomputing), so the default stays recompute for raw scans.
+
+    Both paths produce identical results (unit-tested at several
+    round counts): every cross-round quantity is rounded to 6 dp
+    after normalization, so last-ulp aggregation-order differences
+    between computations sit ~6 orders below the rounding step.
     """
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    dim = len(e.select("v").head()[0])
-    # centered coordinates (6-dp mean, the label_mean_init convention)
-    mean = x.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m"))
-    xc = x.join(F.broadcast(mean), "pos").select(
-        "vec_id", "pos", (F.col("x") - F.col("m")).alias("x")
-    ).localCheckpoint()
+    xc, mean, dim = _centered_arrays(spark, sf_dir, cache_centered)
     # deterministic unit start: 1/sqrt(dim) rounded to 6 dp IN-PLAN
     # (F.round is half-up like the oracle's; python round is half-even)
-    b = mean.select(
-        "pos",
-        F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 6).alias("b"),
-    )
-    lam = None
-    for _ in range(rounds):
-        s = (
-            xc.join(F.broadcast(b), "pos")
-            .groupBy("vec_id")
-            .agg(F.round(F.sum(F.col("x") * F.col("b")), 6).alias("s"))
-        )
-        w = (
-            xc.join(s, "vec_id")
-            .groupBy("pos")
-            .agg(F.sum(F.col("x") * F.col("s")).alias("w"))
-        )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        # eigenvalue estimate: ||w|| / ||b|| with b unit => ||w||;
-        # normalized-then-rounded loading feeds the next round
-        lam = nrm
-        b = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                "pos",
-                F.round(F.col("w") / F.col("nrm"), 6).alias("b"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    total_var = xc.agg(
-        F.sum(F.col("x") * F.col("x")).alias("tv")
-    )
-    return (
-        b.crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(total_var))
-        .select(
+    b0 = _as_array(
+        mean.select(
             "pos",
-            F.col("b").alias("loading"),
+            F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 6)
+            .alias("b"),
+        ),
+        "b",
+    )
+    cur = _power_rounds(xc, b0, rounds)
+    total_var = _total_var(xc)
+    return (
+        cur.crossJoin(F.broadcast(total_var))
+        .select(
+            F.posexplode("arr").alias("pos", "loading"),
             F.round(F.col("nrm") * 1e6, 0).cast("long").alias(
                 "eigenvalue_e6"
             ),
@@ -703,6 +809,106 @@ def emb_top_pc(spark: SparkSession, sf_dir: str,
             .alias("ev_share_e6"),
         )
         .orderBy("pos")
+    )
+
+
+def emb_top_pcs(spark: SparkSession, sf_dir: str,
+                components: int = PC_COMPONENTS,
+                rounds: int = PCS_ROUNDS,
+                cache_centered: bool = True) -> DataFrame:
+    """Top-m principal components by DEFLATION — the whitening /
+    anisotropy-correction form emb_top_pc stops short of: after
+    extracting b_1, power-iterate on x - (x . b_1) b_1, and so on,
+    so component j is the dominant direction of the residual after
+    removing components 1..j-1. Returns one row per (component, pos)
+    with the loading, the component's Rayleigh eigenvalue estimate
+    and its share of the ORIGINAL total variance (micro-units).
+
+    Engine-exact by construction: each component runs the same
+    normalize-then-round power iteration as emb_top_pc (6-dp scores,
+    6-dp unit loadings), and the deflation step is POINTWISE double
+    arithmetic over already-rounded quantities — x' = x - s * b with
+    s a 6-dp per-row scalar and b a 6-dp loading — which both engines
+    evaluate bit-identically (no aggregation order involved), so the
+    oracle unrolls component-for-component with zero drift.
+
+    Orthogonality is approximate at small round counts exactly as
+    convergence is (deflation removes the ESTIMATED direction); the
+    unit test checks |b_i . b_j| at 30 rounds against NumPy's eigh
+    on the same centered data.
+
+    Scale: component j costs (rounds + 1) corpus scans — the same
+    per-round broadcast-join shape as emb_top_pc plus ONE deflation
+    pass producing the next residual frame. ``cache_centered``
+    carries emb_top_pc's cache-vs-recompute posture, but the DEFAULT
+    flips to pinned here: unlike the single-component operator (whose
+    centered frame a recompute posture re-derives ~12 times at
+    map-side cost), the multi-component loop consumes each frame
+    2 x rounds times AND chains residual on residual, so recompute
+    compounds geometrically across components (measured 2.3x the
+    whole suite's budget at sf0.1). Pinning strategy per posture:
+    localCheckpoint when True (fast, executor-local; a lost executor
+    kills the job), else persist(MEMORY_AND_DISK) for the residuals
+    (retained lineage recomputes on executor loss — the reliable
+    100 TB choice, at materialization cost). Both paths agree
+    bit-for-bit (unit-tested).
+    """
+    xc, mean, dim = _centered_arrays(spark, sf_dir, cache_centered)
+    b0 = _as_array(
+        mean.select(
+            "pos",
+            F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 6)
+            .alias("b"),
+        ),
+        "b",
+    )
+    total_var = _total_var(xc)
+    outs = []
+    for comp in range(1, components + 1):
+        cur = _power_rounds(xc, b0, rounds)
+        outs.append(
+            cur.select(
+                F.posexplode("arr").alias("pos", "loading"),
+                F.lit(comp).alias("component"),
+                F.round(F.col("nrm") * 1e6, 0).cast("long")
+                .alias("eigenvalue_e6"),
+                F.col("nrm").alias("_nrm"),
+            )
+        )
+        if comp < components:
+            # deflate: subtract the found direction's projection —
+            # one corpus scan (inline 6-dp score, pointwise update on
+            # 6-dp inputs), no join
+            xc = (
+                xc.crossJoin(F.broadcast(cur.select("arr")))
+                .select(
+                    "vec_id", "v", "arr",
+                    _row_score(F.col("v"), F.col("arr")).alias("s"),
+                )
+                .select(
+                    "vec_id",
+                    F.zip_with(
+                        "v", "arr", lambda a, c: a - F.col("s") * c
+                    ).alias("v"),
+                )
+            )
+            if cache_centered:
+                xc = xc.localCheckpoint()
+            else:
+                from pyspark import StorageLevel
+
+                xc = xc.persist(StorageLevel.MEMORY_AND_DISK)
+    all_b = outs[0]
+    for o in outs[1:]:
+        all_b = all_b.unionByName(o)
+    return (
+        all_b.crossJoin(F.broadcast(total_var))
+        .select(
+            "component", "pos", "loading", "eigenvalue_e6",
+            F.round(F.col("_nrm") / F.col("tv") * 1e6, 0).cast("long")
+            .alias("ev_share_e6"),
+        )
+        .orderBy("component", "pos")
     )
 
 

@@ -464,26 +464,33 @@ def _ivf_assigned_and_probes(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
                     "v": pdf["v"],
+                    "label": pdf["label"].to_numpy(dtype="int32"),
                     "cell": cell.astype("int32"),
                 }
             )
 
-    assigned = emb.mapInPandas(assign, "vec_id long, v array<double>, cell int")
+    # label rides the assignment table (a production IVF index stores
+    # the row's attributes with its cell) so label-predicated searches
+    # like emb_hard_negatives_ann filter in the candidate join
+    assigned = emb.mapInPandas(
+        assign, "vec_id long, v array<double>, label int, cell int"
+    )
 
     # tiny filtered collect: the n_queries query vectors; probe cells
     # computed driver-side against the k x dim centroids
     qrows = sorted(
-        emb.where(F.col("vec_id") < n_queries).select("vec_id", "v").collect(),
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "v", "label").collect(),
         key=lambda r: r[0],
     )
     probes = []
     for r in qrows:
-        qid, qv = int(r[0]), [float(x) for x in r[1]]
+        qid, qv, qlab = int(r[0]), [float(x) for x in r[1]], int(r[2])
         d2 = ((np.asarray(qv)[None, :] - C) ** 2).sum(axis=1)
         for cell in np.argsort(_d6(d2), kind="stable")[:n_probe]:
-            probes.append((qid, qv, int(cell)))
+            probes.append((qid, qv, qlab, int(cell)))
     probe_df = spark.createDataFrame(
-        probes, "qid long, qv array<double>, cell int"
+        probes, "qid long, qv array<double>, q_label int, cell int"
     )
     out = (assigned.localCheckpoint(eager=False), probe_df)
     _IVF_PLUMBING_CACHE[ck] = out
@@ -534,6 +541,99 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         k,
         F.col("nid"),
     ).select("qid", "nid", F.col("cos"), "rnk")
+
+
+def emb_hard_negatives_ann(spark: SparkSession, sf_dir: str,
+                           n_queries: int = 8, k: int = 5,
+                           n_probe: int = 3) -> DataFrame:
+    """Hard-negative mining at scale: the ANN-shortlist form of
+    relational11.emb_hard_negatives. The exact miner scores every
+    corpus row per query — the right baseline, the wrong production
+    plan; here candidates come from the query's ``n_probe`` nearest
+    IVF cells (the emb_ivf_ann index), the label-INEQUALITY predicate
+    sits in the candidate join (same-class rows are never scored),
+    and the shortlist is exactly reranked by cosine through the
+    mergeable grouped_topk kernel. Same output shape as the exact
+    miner; emb_hardneg_recall measures what the shortlist trades
+    away, emb_ann_recall-style.
+
+    Candidate work per query is bounded by its probed cells — at
+    100 TB a query touches n_probe cells' rows, never the corpus.
+    Labels ride the assignment table (as a production IVF index
+    stores row attributes), so the filter needs no corpus-keyed
+    label join."""
+    from ..functions.vectors import cosine
+    from .ranking import grouped_topk
+
+    assigned, probe_df = _ivf_assigned_and_probes(
+        spark, sf_dir, n_queries, n_probe
+    )
+    cand = assigned.join(F.broadcast(probe_df), "cell").where(
+        (F.col("vec_id") != F.col("qid"))
+        & (F.col("label") != F.col("q_label"))
+    )
+    cos = cosine(F.col("qv"), F.col("v"))
+    scored = cand.select(
+        "qid",
+        "q_label",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        F.round(cos, 6).alias("cos6"),
+        F.round(cos, 4).alias("cos"),
+    )
+    return (
+        grouped_topk(
+            scored,
+            ["qid"],
+            [-F.col("cos6"), F.col("nid")],
+            [F.col("q_label"), F.col("nid"), F.col("n_label"),
+             F.col("cos")],
+            k,
+            F.col("nid"),
+        )
+        .select("qid", "q_label", "nid", "n_label", "cos", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+def emb_hardneg_recall(spark: SparkSession, sf_dir: str,
+                       n_queries: int = 8, k: int = 5,
+                       n_probe: int = 3) -> DataFrame:
+    """The A/B row for hard-negative mining: per query, how many of
+    the EXACT miner's top-k wrong-class neighbors the ANN-shortlist
+    miner recovered (hits and exact integer permille) — the
+    emb_ann_recall pattern applied to the mining pair, so the
+    shortlist's recall is a measured number, not a hope. Both sides
+    are k rows per query; the comparison join is on (qid, nid)."""
+    from ..operators.relational11 import emb_hard_negatives
+
+    exact = emb_hard_negatives(spark, sf_dir, n_queries, k).select(
+        "qid", "nid"
+    )
+    ann = emb_hard_negatives_ann(spark, sf_dir, n_queries, k, n_probe)
+    hits = (
+        exact.join(ann.select("qid", "nid"), ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        exact.groupBy("qid").agg(F.count("*").alias("k"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.col("k"),
+        )
+        # half-up integer permille via BIGINT div — the containment
+        # convention (Spark truncates double->int casts, DuckDB
+        # rounds; integer div agrees everywhere)
+        .select(
+            "qid", "hits",
+            F.expr("(2 * 1000 * hits + k) div (2 * k)")
+            .alias("recall_pm"),
+        )
+        .orderBy("qid")
+    )
 
 
 def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,

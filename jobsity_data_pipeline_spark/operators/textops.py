@@ -872,3 +872,53 @@ def docs_bpe_fertility(spark: SparkSession, sf_dir: str,
         )
         .orderBy("lang")
     )
+
+
+def docs_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini coefficient of the document token-count
+    distribution — the inequality lens on a training corpus (a Gini
+    near 1 means a few huge documents dominate the token budget; near
+    0, uniform documents). Exact integer arithmetic end to end.
+
+    The ranked-sum identity makes it scale-safe: with counts grouped
+    per DISTINCT token-count value v (c_v docs each), the classic
+    sum_i i*x_i over the fully sorted corpus collapses to
+    sum_v v * (c_v * F_prev + c_v*(c_v+1)/2) where F_prev is the
+    cumulative doc count of strictly smaller values — so the only
+    window runs over the (lang x distinct token count) AGGREGATE (the
+    HDR-bucket precedent: bounded by value cardinality, never corpus-
+    sized), and Gini = (2*S1 - (n+1)*T) / (n*T) with T the token
+    total. Reported as half-up integer permille via BIGINT div (the
+    cross-engine cast convention)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    agg = (
+        d.select("lang", TX.token_count("text").cast("long").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = agg.withColumn(
+        "f_prev", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    g = cum.groupBy("lang").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.expr("tok * c")).alias("t"),
+        F.sum(
+            F.expr("tok * (c * f_prev + (c * (c + 1)) div 2)")
+        ).alias("s1"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        F.col("t").alias("total_tokens"),
+        F.expr(
+            "(2 * 1000 * (2 * s1 - (n_docs + 1) * t) + n_docs * t)"
+            " div (2 * n_docs * t)"
+        ).alias("gini_pm"),
+    ).orderBy("lang")

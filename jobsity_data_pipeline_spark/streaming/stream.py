@@ -769,20 +769,28 @@ def stream_bm25_postings(docs: DataFrame, table_dir: str, checkpoint: str,
     )
 
 
-def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str):
+def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str,
+                     count_path: str | None = None):
     """Maintain the M4 downsample state over a stream: per micro-batch
     compute the per-(type, bucket) archetypes and merge into the
     parquet state table. UNLIKE counts, all four M4 aggregates are
     ABSORBING merges — min/max on the value, min/max on the
     (micros, event_id, cents) selection struct — so replayed batches
     cannot corrupt the state (the stream_hll_upsert property) and no
-    commit-protocol idempotence is needed. n is deliberately NOT
-    maintained here: a count sum-merge is not absorbing; use
-    stream_hdr_deltas-style token-idempotent deltas when a count must
-    ride along.
+    commit-protocol idempotence is needed.
 
-    State size is O(types x buckets) regardless of stream volume;
-    m4_from_state serves the batch operator's shape (minus n).
+    The row COUNT is the one non-absorbing aggregate a dashboard
+    still wants: pass ``count_path`` and each batch ALSO writes its
+    per-(type, bucket) counts as token-idempotent DELTAS to a second
+    snapshot table (the stream_hdr_deltas pattern — replay is a no-op
+    because the manifest batch token is checked, not because the
+    merge absorbs). The two writes are each individually idempotent,
+    so a crash between them replays into exactly-once for both.
+    m4_from_state sums the deltas back in and serves the batch
+    operator's FULL shape including n.
+
+    State size is O(types x buckets) (+ O(batches x types x buckets)
+    count deltas; snapshot.compact reclaims file count).
 
     The state lives in a snapshot TABLE (manifest protocol), not a
     bare parquet dir: ``mode("overwrite")`` deletes the target before
@@ -793,13 +801,34 @@ def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str):
     a batch against post-merge state is harmless because the merge is
     absorbing.
     """
-    from ..operators.relational11 import m4_state_frame
-    from ..sources.snapshot import publish_snapshot
+    from ..operators.relational11 import M4_BUCKET_HOURS, m4_state_frame
+    from ..sources.snapshot import publish_snapshot, upsert_batch
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if count_path is not None:
+            us_per_bucket = M4_BUCKET_HOURS * 3_600_000_000
+            cnt = (
+                batch_df.select(
+                    "event_type",
+                    F.expr(f"unix_micros(ts) div {us_per_bucket}")
+                    .alias("bucket"),
+                )
+                .groupBy("event_type", "bucket")
+                .agg(F.count("*").alias("n"))
+                # integer fields FIRST so the key stays unambiguous
+                # even if event_type contains '|' (the HDR convention)
+                .withColumn(
+                    "delta_key",
+                    F.concat_ws(
+                        "|", F.col("bucket"), F.lit(str(batch_id)),
+                        F.col("event_type"),
+                    ),
+                )
+            )
+            upsert_batch(cnt, batch_id, count_path, key="delta_key")
         delta = m4_state_frame(batch_df)
         state = _state_or_adopt(spark, state_path)
         merged = (
@@ -820,16 +849,33 @@ def stream_m4_upsert(events: DataFrame, state_path: str, checkpoint: str):
     )
 
 
-def m4_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+def m4_from_state(spark: SparkSession, state_path: str,
+                  count_path: str | None = None) -> DataFrame:
     """The maintained M4 archetypes in the batch operator's column
-    shape (minus n): (event_type, bucket, min/max/first/last cents)."""
+    shape: (event_type, bucket[, n], min/max/first/last cents). ``n``
+    rides along when the maintainer was given a ``count_path`` —
+    sum-merged from the token-idempotent per-batch deltas, identical
+    to the batch count by construction."""
     st = _state_or_adopt(spark, state_path)
     if st is None:
         raise ValueError(f"no published M4 state at {state_path}")
-    return st.select(
+    cols = [
         "event_type", "bucket", "min_cents", "max_cents",
         F.col("first_k").getField("c").alias("first_cents"),
         F.col("last_k").getField("c").alias("last_cents"),
+    ]
+    if count_path is None:
+        return st.select(*cols)
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, count_path)
+    if deltas is None:
+        raise ValueError(f"no published M4 count deltas at {count_path}")
+    n = deltas.groupBy("event_type", "bucket").agg(
+        F.sum("n").alias("n")
+    )
+    return st.join(n, ["event_type", "bucket"]).select(
+        "event_type", "bucket", "n", *cols[2:]
     )
 
 
@@ -886,6 +932,87 @@ def hdr_from_index(spark: SparkSession, table_dir: str) -> DataFrame:
         F.sum("cnt").alias("cnt")
     )
     return hdr_quantiles_from_counts(merged)
+
+
+def stream_kmv_upsert(events: DataFrame, state_path: str,
+                      checkpoint: str, k: int = 64):
+    """Maintain the KMV (k-minimum-values) distinct-user sketch per
+    event_type over a stream — the deterministic (md5, no RNG)
+    alternative to stream_hll_upsert when estimates must reproduce
+    across engines/runs. Each micro-batch reduces to its per-type
+    bottom-k distinct hashes; the state merge is bottom-k of the
+    DISTINCT union — an ABSORBING merge like the HLL register maxima
+    (min-k of a union = min-k of the per-side min-k's, and
+    array_distinct collapses a replayed member), so batch replay can
+    never corrupt the estimate and no commit-protocol idempotence is
+    needed. State is O(types x k) regardless of stream volume, on the
+    manifest protocol (atomic versions; crash mid-rewrite cannot lose
+    accumulated state). Read with kmv_from_state; the estimator and
+    hash match the batch twin events_kmv_distinct
+    (operators/relational5.py) value-for-value. (The state is the
+    textbook value-distinct hash set; it diverges from the batch
+    twin's per-USER distinct only if two users collide in the 32-bit
+    hash prefix — in which case the sketch, an estimator with ~1/sqrt(k)
+    error by design, counts the pair once.)"""
+    from ..sources.snapshot import publish_snapshot
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hv = (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string")), 1, 8
+                ), 16, 10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        )
+        delta = (
+            batch_df.select("event_type", hv.alias("hv"))
+            .groupBy("event_type")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.collect_list("hv"))
+                    ), 1, k,
+                ).alias("mins")
+            )
+        )
+        state = _state_or_adopt(spark, state_path)
+        merged = (
+            delta if state is None else state.unionByName(delta)
+        ).groupBy("event_type").agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("mins")))
+                ), 1, k,
+            ).alias("mins")
+        )
+        publish_snapshot(merged, state_path, f"kmvbatch{batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_from_state(spark: SparkSession, state_path: str,
+                   k: int = 64) -> DataFrame:
+    """Distinct-count estimates served from the maintained KMV state:
+    (k-1)/h_k, or the exact member count while the sketch still holds
+    every distinct hash (m < k) — the batch twin's estimator."""
+    st = _state_or_adopt(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published KMV state at {state_path}")
+    est = F.when(
+        F.size("mins") < k, F.size("mins").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / F.element_at("mins", F.size("mins"))
+    )
+    return st.select("event_type", F.round(est, 2).alias("kmv_est"))
 
 
 def bm25_from_index(spark: SparkSession, table_dir: str,

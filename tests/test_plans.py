@@ -675,6 +675,9 @@ def test_no_qid_partitioned_window_anywhere(spark):
         (R8.emb_pq_trained_ann(spark, SF_SMOKE), "emb_pq_trained_ann"),
         (R10.emb_matryoshka_recall(spark, SF_SMOKE), "emb_matryoshka_recall"),
         (R11.emb_hard_negatives(spark, SF_SMOKE), "emb_hard_negatives"),
+        (S.emb_hard_negatives_ann(spark, SF_SMOKE),
+         "emb_hard_negatives_ann"),
+        (S.emb_hardneg_recall(spark, SF_SMOKE), "emb_hardneg_recall"),
     ]
     for df, name in targets:
         assert_no_qid_window(df, name)

@@ -462,3 +462,97 @@ def test_hard_negatives_labels_and_bruteforce(spark):
         got = [r.nid for r in sorted(rows, key=lambda r: r.rnk)
                if r.qid == qid]
         assert got == want
+
+
+def test_top_pc_cache_postures_agree(spark):
+    """The cache-vs-recompute strategy for the centered corpus is a
+    pure performance choice: both paths must produce identical rows
+    at any round count (the 6-dp normalize-then-round convention
+    absorbs aggregation-order noise either way)."""
+    for rounds in (2, 5):
+        cached = R11.emb_top_pc(
+            spark, SF_SMOKE, rounds=rounds, cache_centered=True
+        ).collect()
+        recomputed = R11.emb_top_pc(
+            spark, SF_SMOKE, rounds=rounds, cache_centered=False
+        ).collect()
+        assert [tuple(r) for r in cached] == [tuple(r) for r in recomputed]
+
+
+def test_top_pcs_deflation_matches_numpy_replay(spark):
+    """emb_top_pcs == a NumPy replay of the same pinned-rounding
+    deflation (engine parity), eigenvalue estimates are
+    non-increasing across components, and at 30 rounds the extracted
+    directions are near-orthogonal and span the same subspace as
+    numpy.linalg.eigh's top components."""
+    comps, rounds = 3, 4
+    rows = R11.emb_top_pcs(
+        spark, SF_SMOKE, components=comps, rounds=rounds
+    ).collect()
+    emb = read_table(spark, SF_SMOKE, "embeddings").collect()
+    X = np.array([[float(x) for x in r.embedding] for r in emb])
+    n, dim = X.shape
+    assert len(rows) == comps * dim
+
+    m = np.round(X.mean(axis=0), 6)
+    Xc = X - m
+    tv = float((Xc * Xc).sum())
+    want = {}
+    R = Xc.copy()
+    for c in range(1, comps + 1):
+        b = np.full(dim, round(1.0 / math.sqrt(dim), 6))
+        nrm = None
+        for _ in range(rounds):
+            s = np.round(R @ b, 6)
+            w = R.T @ s
+            nrm = math.sqrt(float(w @ w))
+            b = np.round(w / nrm, 6)
+        want[c] = (b, nrm)
+        sdef = np.round(R @ b, 6)
+        R = R - np.outer(sdef, b)
+
+    evs = []
+    for c in range(1, comps + 1):
+        got = np.array([
+            r.loading for r in sorted(
+                (r for r in rows if r.component == c),
+                key=lambda r: r.pos,
+            )
+        ])
+        b, nrm = want[c]
+        assert np.max(np.abs(got - b)) <= 1e-6 + 1e-9, f"component {c}"
+        ev = next(r.eigenvalue_e6 for r in rows if r.component == c)
+        assert abs(ev - round(nrm * 1e6)) <= 2
+        share = next(r.ev_share_e6 for r in rows if r.component == c)
+        assert abs(share - round(nrm / tv * 1e6)) <= 2
+        evs.append(ev)
+
+    # long-horizon regime: near-orthogonal directions spanning the
+    # eigh top subspace, with non-increasing Rayleigh estimates (the
+    # ordering is only guaranteed once components CONVERGE — at few
+    # rounds on this flat synthetic spectrum, deflating a half-aligned
+    # b1 legitimately leaves component 3 a bigger Rayleigh than 2)
+    rows30 = R11.emb_top_pcs(
+        spark, SF_SMOKE, components=2, rounds=30
+    ).collect()
+    evs30 = [
+        next(r.eigenvalue_e6 for r in rows30 if r.component == c)
+        for c in (1, 2)
+    ]
+    assert evs30 == sorted(evs30, reverse=True)
+    B = np.stack([
+        np.array([
+            r.loading for r in sorted(
+                (r for r in rows30 if r.component == c),
+                key=lambda r: r.pos,
+            )
+        ])
+        for c in (1, 2)
+    ])
+    assert abs(float(B[0] @ B[1])) < 0.05
+    S = Xc.T @ Xc
+    top2 = np.linalg.eigh(S)[1][:, -2:]
+    # each extracted direction lies (almost) in the eigh top-2 span
+    for i in range(2):
+        proj = top2 @ (top2.T @ B[i])
+        assert float(np.linalg.norm(proj)) > 0.85

@@ -620,12 +620,14 @@ def test_stream_m4_upsert_equals_batch_and_merge_is_absorbing(
         ).coalesce(1).write.mode("append").parquet(str(src))
 
     state = str(tmp_path / "m4_state")
+    counts = str(tmp_path / "m4_counts")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    q = stream_m4_upsert(stream, state, str(tmp_path / "ckpt"))
+    q = stream_m4_upsert(stream, state, str(tmp_path / "ckpt"),
+                         count_path=counts)
     q.awaitTermination(120)
 
     all_events = spark.createDataFrame(rows, schema)
@@ -641,6 +643,41 @@ def test_stream_m4_upsert_equals_batch_and_merge_is_absorbing(
         for r in m4_from_state(spark, state).collect()
     }
     assert got == want
+
+    # the FULL batch shape including n: counts ride the delta table
+    want_n = {
+        (r.event_type, r.bucket): r.n
+        for r in all_events.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div " + str(6 * 3_600_000_000))
+            .alias("bucket"),
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    full = m4_from_state(spark, state, count_path=counts)
+    assert {
+        (r.event_type, r.bucket): r.n for r in full.collect()
+    } == want_n
+    assert {
+        (r.event_type, r.bucket):
+        (r.min_cents, r.max_cents, r.first_cents, r.last_cents)
+        for r in full.collect()
+    } == want
+
+    # count replay is a no-op via the manifest batch token (the
+    # non-absorbing half of the design): re-upserting batch 0's
+    # deltas is skipped and n is unchanged
+    from jobsity_data_pipeline_spark.sources.snapshot import upsert_batch
+
+    fake = spark.createDataFrame(
+        [("view", 0, 999, "0|0|view")],
+        "event_type string, bucket long, n long, delta_key string",
+    )
+    assert upsert_batch(fake, 0, counts, key="delta_key") \
+        == "skipped_duplicate"
+    assert {
+        (r.event_type, r.bucket): r.n
+        for r in m4_from_state(spark, state, count_path=counts).collect()
+    } == want_n
 
     # absorbing: re-merging batch 0's delta changes nothing
     from jobsity_data_pipeline_spark.sources.snapshot import read_latest
