@@ -891,3 +891,83 @@ def test_legacy_bare_parquet_state_is_adopted(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_kmv_upsert_equals_batch_and_merge_is_absorbing(
+    spark, tmp_path
+):
+    """The streamed KMV state serves the same per-type estimate as the
+    batch events_kmv_distinct over the union of micro-batches, and
+    re-merging a batch's delta leaves the state unchanged (bottom-k of
+    the distinct union is an absorbing merge, the replay-safety class
+    HLL registers and M4 extrema share)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational5 import (
+        events_kmv_distinct,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import read_latest
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        kmv_from_state, stream_kmv_upsert,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1)
+    # overlapping users across batches: replay/dup safety must come
+    # from the distinct-union merge, not from disjointness
+    rows = [
+        (i, base + dt.timedelta(minutes=i), (i * 7) % 211,
+         "view" if i % 3 else "purchase", 1.0, "{}")
+        for i in range(600)
+    ]
+    src = tmp_path / "events"
+    for third in (0, 1, 2):
+        spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 3 == third], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "kmv_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_kmv_upsert(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    sf_like = tmp_path / "sf"
+    (sf_like / "events.parquet").parent.mkdir(exist_ok=True)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(sf_like / "events.parquet"))
+    want = {
+        r.event_type: r.kmv_est
+        for r in events_kmv_distinct(spark, str(sf_like)).collect()
+    }
+    got = {
+        r.event_type: r.kmv_est
+        for r in kmv_from_state(spark, state).collect()
+    }
+    assert got == want
+
+    # absorbing: re-merging the full state into itself changes nothing
+    st = read_latest(spark, state)
+    re_merged = (
+        st.unionByName(st)
+        .groupBy("event_type")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("mins")))
+                ), 1, 64,
+            ).alias("mins")
+        )
+    )
+    a = {r.event_type: list(r.mins) for r in st.collect()}
+    b = {r.event_type: list(r.mins) for r in re_merged.collect()}
+    assert a == b
