@@ -265,6 +265,8 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_gini": TO.docs_token_gini,
         "events_welch_ttest": R12.events_welch_ttest,
         "orders_open_backlog": R12.orders_open_backlog,
+        "customer_interpurchase_gaps": R12.customer_interpurchase_gaps,
+        "emb_knn_classify": R12.emb_knn_classify,
     }
 
 
@@ -347,6 +349,7 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     # power iteration was rewritten to the array form mid-round
     "emb_top_pcs", "emb_hard_negatives_ann", "emb_hardneg_recall",
     "docs_token_gini", "events_welch_ttest", "orders_open_backlog",
+    "customer_interpurchase_gaps", "emb_knn_classify",
     "emb_top_pc",
     # (1) rewritten this round: mergeable two-stage top-k everywhere
     "emb_cosine_topk", "emb_hard_negatives", "emb_lsh_ann",
@@ -360,9 +363,10 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "docs_dup_spans", "customer_balance_deciles",
     # (3) the remaining r3-latest tier, riskiest kernels first
     # (trimmed for round 8 to keep the explicit list at the 50-key
-    # budget: events_decayed_value, events_hll_rollup,
-    # events_quantile_sketch, events_rolling_7d_users,
-    # orders_association_rules, trip_geohash_cells)
+    # budget: emb_label_outliers, events_count_min_sketch,
+    # events_decayed_value, events_hll_rollup, events_quantile_sketch,
+    # events_rolling_7d_users, orders_association_rules,
+    # trip_geohash_cells)
     "docs_minhash_bands", "docs_simhash_pairs", "docs_winnow_pairs",
     "events_attribution", "events_windowed_funnel", "events_user_paths",
     "docs_dup_ngram_fraction", "docs_bigram_logprob",
@@ -371,7 +375,6 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "docs_ngram_novelty", "docs_preprocess_pipeline",
     "docs_source_divergence", "docs_shard_plan", "docs_bloom_probe",
     "emb_pq_codes", "emb_cluster_purity", "emb_label_affinity",
-    "emb_label_outliers", "events_count_min_sketch",
 )
 
 _ROUND6_PRIORITY: tuple[str, ...] = (
@@ -5677,5 +5680,71 @@ def oracle_sql() -> dict[str, str]:
                                          AND CURRENT ROW) AS BIGINT)
                    AS open_backlog
         FROM pd ORDER BY day
+    """
+    out["customer_interpurchase_gaps"] = """
+        WITH g AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY CAST(o_orderdate AS DATE)),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+        ),
+        pc AS (
+            SELECT o_custkey, count(*) AS n_gaps,
+                   sum(gap_days) AS gap_sum, max(gap_days) AS gap_max
+            FROM g WHERE gap_days IS NOT NULL GROUP BY 1
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS repeat_customers,
+               CAST(sum(n_gaps) AS BIGINT) AS n_gaps,
+               CAST((2 * sum(gap_sum) + sum(n_gaps))
+                    // (2 * sum(n_gaps)) AS BIGINT) AS mean_gap_days,
+               CAST(max(gap_max) AS BIGINT) AS max_gap_days
+        FROM pc JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1
+    """
+    out["emb_knn_classify"] = """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS qid, label AS true_label, v AS qv
+            FROM e WHERE vec_id < 64
+        ),
+        s AS (
+            SELECT qid, true_label, e.vec_id AS nid, e.label AS n_label,
+                   list_cosine_similarity(qv, v) AS raw
+            FROM e JOIN q ON e.vec_id <> q.qid
+        ),
+        r AS (
+            SELECT qid, true_label, n_label,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY round(raw, 6) DESC, nid
+                   ) AS rnk
+            FROM s
+        ),
+        votes AS (
+            SELECT qid, true_label, n_label, count(*) AS v
+            FROM r WHERE rnk <= 3 GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT qid, true_label, n_label AS pred_label FROM (
+                SELECT qid, true_label, n_label,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY v DESC, n_label ASC) AS pr
+                FROM votes
+            ) WHERE pr = 1
+        )
+        SELECT true_label, CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST((2 * 1000 * sum(CASE WHEN pred_label = true_label
+                                         THEN 1 ELSE 0 END) + count(*))
+                    // (2 * count(*)) AS BIGINT) AS acc_pm
+        FROM pred GROUP BY 1 ORDER BY 1
     """
     return out

@@ -11,6 +11,12 @@ oracle twin:
   The interval-count problem (events_concurrency's shape) on the
   orders/lineitem join: +1/-1 boundary deltas, one groupBy(day), and
   a running sum over the bounded per-day aggregate.
+- customer_interpurchase_gaps: per-segment inter-purchase cadence —
+  lag over the o_custkey-partitioned order stream (high-cardinality
+  windows only), exact integer day statistics.
+- emb_knn_classify: leave-one-out k-NN label agreement — the
+  embedding/label QA eval; broadcast eval set, grouped_topk ranking
+  (no per-qid window), window-free struct-argmax majority vote.
 
 Reference parity note: the reference pipeline (119 lines of
 Postgres SQL/loader) has no statistics or backlog surface; these
@@ -147,4 +153,135 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_day.withColumn("open_backlog", F.sum("net").over(w))
         .select("day", "opened", "closed", "open_backlog")
         .orderBy("day")
+    )
+
+
+def customer_interpurchase_gaps(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per market segment: each customer's
+    gaps between consecutive orders (lag over the per-customer order
+    stream — o_custkey-partitioned, the SCD2 window discipline: high
+    key cardinality, never a global or low-cardinality sort), rolled
+    up per segment as exact integer day statistics plus the count of
+    repeat customers. The replenishment-model input every retention
+    team asks the warehouse for."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = (
+        o.withColumn("prev_d", F.lag("d").over(w))
+        .where(F.col("prev_d").isNotNull())
+        .select("o_custkey", F.datediff("d", "prev_d").alias("gap_days"))
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_days").alias("gap_sum"),
+        F.max("gap_days").alias("gap_max"),
+    )
+    return (
+        per_cust.join(
+            c, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("repeat_customers"),
+            F.sum("n_gaps").alias("n_gaps"),
+            # half-up integer mean gap in days via BIGINT div
+            F.expr(
+                "(2 * sum(gap_sum) + sum(n_gaps)) div (2 * sum(n_gaps))"
+            ).alias("mean_gap_days"),
+            F.max("gap_max").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def emb_knn_classify(spark: SparkSession, sf_dir: str,
+                     k: int = 3, n_eval: int = 64) -> DataFrame:
+    """Leave-one-out k-NN label agreement — the embedding-quality
+    eval a training pipeline runs before trusting labels or vectors:
+    for each of the first ``n_eval`` vectors, the majority label of
+    its k nearest OTHER vectors by cosine (ties broken toward the
+    smaller label, neighbor order by the 6-dp score with id
+    tie-break), reported per true label as agreement counts and
+    integer permille accuracy.
+
+    Plan: the eval set broadcasts against the corpus (the
+    emb_cosine_topk scoring shape), ranking goes through the
+    mergeable grouped_topk kernel (no per-qid window anywhere), and
+    the k-row neighbor lists vote in one tiny aggregate."""
+    from ..functions.vectors import dot, norm
+
+    from .ranking import grouped_topk
+    from .similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < n_eval).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    nn = norm(F.col("qv")) * norm(F.col("v"))
+    cos = F.when(nn > 0, dot(F.col("qv"), F.col("v")) / nn).otherwise(
+        F.lit(0.0)
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "true_label",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        F.round(cos, 6).alias("cos6"),
+    )
+    topk = grouped_topk(
+        scored,
+        ["qid"],
+        [-F.col("cos6"), F.col("nid")],
+        [F.col("true_label"), F.col("n_label")],
+        k,
+        F.col("nid"),
+    )
+    votes = topk.groupBy("qid", "true_label", "n_label").agg(
+        F.count("*").alias("v")
+    )
+    # majority vote, ties toward the smaller label, as a window-free
+    # struct argmax (max votes, then max negated label == min label) —
+    # keeps the package's zero-qid-window invariant intact
+    pred = (
+        votes.groupBy("qid", "true_label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("v"),
+                    (-F.col("n_label")).alias("neg_label"),
+                )
+            ).alias("mx")
+        )
+        .select(
+            "qid", "true_label",
+            (-F.col("mx").getField("neg_label")).alias("pred_label"),
+        )
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label"))
+                .cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label", "n_eval", "n_correct",
+            F.expr("(2 * 1000 * n_correct + n_eval) div (2 * n_eval)")
+            .alias("acc_pm"),
+        )
+        .orderBy("true_label")
     )
