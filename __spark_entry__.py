@@ -267,6 +267,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_open_backlog": R12.orders_open_backlog,
         "customer_interpurchase_gaps": R12.customer_interpurchase_gaps,
         "emb_knn_classify": R12.emb_knn_classify,
+        "events_dau_mau": R12.events_dau_mau,
     }
 
 
@@ -350,6 +351,7 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "emb_top_pcs", "emb_hard_negatives_ann", "emb_hardneg_recall",
     "docs_token_gini", "events_welch_ttest", "orders_open_backlog",
     "customer_interpurchase_gaps", "emb_knn_classify",
+    "events_dau_mau",
     "emb_top_pc",
     # (1) rewritten this round: mergeable two-stage top-k everywhere
     "emb_cosine_topk", "emb_hard_negatives", "emb_lsh_ann",
@@ -363,10 +365,10 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "docs_dup_spans", "customer_balance_deciles",
     # (3) the remaining r3-latest tier, riskiest kernels first
     # (trimmed for round 8 to keep the explicit list at the 50-key
-    # budget: emb_label_outliers, events_count_min_sketch,
-    # events_decayed_value, events_hll_rollup, events_quantile_sketch,
-    # events_rolling_7d_users, orders_association_rules,
-    # trip_geohash_cells)
+    # budget: emb_label_affinity, emb_label_outliers,
+    # events_count_min_sketch, events_decayed_value, events_hll_rollup,
+    # events_quantile_sketch, events_rolling_7d_users,
+    # orders_association_rules, trip_geohash_cells)
     "docs_minhash_bands", "docs_simhash_pairs", "docs_winnow_pairs",
     "events_attribution", "events_windowed_funnel", "events_user_paths",
     "docs_dup_ngram_fraction", "docs_bigram_logprob",
@@ -374,7 +376,7 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "docs_chunk_windows", "docs_pack_sequences", "docs_mix_weights",
     "docs_ngram_novelty", "docs_preprocess_pipeline",
     "docs_source_divergence", "docs_shard_plan", "docs_bloom_probe",
-    "emb_pq_codes", "emb_cluster_purity", "emb_label_affinity",
+    "emb_pq_codes", "emb_cluster_purity",
 )
 
 _ROUND6_PRIORITY: tuple[str, ...] = (
@@ -5746,5 +5748,70 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END) + count(*))
                     // (2 * count(*)) AS BIGINT) AS acc_pm
         FROM pred GROUP BY 1 ORDER BY 1
+    """
+    out["events_dau_mau"] = """
+        WITH h AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       )::BIGINT AS hv
+            FROM events
+        ),
+        r AS (
+            SELECT d, hv % 256 AS reg,
+                   CASE WHEN hv // 256 = 0 THEN 25
+                        ELSE 25 - length(bin(hv // 256)) END AS rho
+            FROM h
+        ),
+        daily AS (
+            SELECT d, reg, max(rho) AS mx FROM r GROUP BY 1, 2
+        ),
+        dau0 AS (
+            SELECT d AS day,
+                   (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                       / (sum(pow(2.0, -mx)) + (256 - count(*)))
+                       AS raw_est,
+                   count(*) AS used_regs
+            FROM daily GROUP BY 1
+        ),
+        dau AS (
+            SELECT day,
+                   round(CASE WHEN raw_est <= 2.5 * 256
+                                   AND (256 - used_regs) > 0
+                              THEN 256.0 * ln(256.0 / (256 - used_regs))
+                              ELSE raw_est END, 4) AS dau_est
+            FROM dau0
+        ),
+        contrib AS (
+            SELECT CAST(unnest(generate_series(
+                       d, d + INTERVAL 29 DAY, INTERVAL 1 DAY))
+                       AS DATE) AS day,
+                   reg, mx
+            FROM daily
+        ),
+        spine AS (SELECT DISTINCT d AS day FROM daily),
+        merged AS (
+            SELECT c.day, reg, max(mx) AS mx
+            FROM contrib c JOIN spine USING (day)
+            GROUP BY 1, 2
+        ),
+        mau0 AS (
+            SELECT day,
+                   (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                       / (sum(pow(2.0, -mx)) + (256 - count(*)))
+                       AS raw_est,
+                   count(*) AS used_regs
+            FROM merged GROUP BY 1
+        ),
+        mau AS (
+            SELECT day,
+                   round(CASE WHEN raw_est <= 2.5 * 256
+                                   AND (256 - used_regs) > 0
+                              THEN 256.0 * ln(256.0 / (256 - used_regs))
+                              ELSE raw_est END, 4) AS mau_est
+            FROM mau0
+        )
+        SELECT day, dau_est, mau_est,
+               round(dau_est / mau_est, 4) AS stickiness
+        FROM dau JOIN mau USING (day) ORDER BY day
     """
     return out

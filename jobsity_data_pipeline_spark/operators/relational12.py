@@ -285,3 +285,56 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str,
         )
         .orderBy("true_label")
     )
+
+
+def events_dau_mau(spark: SparkSession, sf_dir: str,
+                   window_days: int = 30) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio every product
+    dashboard serves — computed ENTIRELY from the mergeable daily HLL
+    sketch table (relational7.hll_registers): DAU is the day's own
+    register estimate, MAU merges the trailing ``window_days`` days'
+    registers by max, and a trailing DISTINCT never re-touches the
+    fact table. countDistinct cannot do this: exact distincts don't
+    re-aggregate, which is why the sketch table is the 100 TB plan.
+
+    Scale shape: one fact scan builds the (day, reg, mx) table
+    (bounded: |days| x 256 regardless of corpus); the trailing merge
+    EXPLODES each register row to the <= window_days days it serves
+    (calendar-bounded fan-out on the aggregate, the inverse of a
+    range join — no BroadcastNestedLoopJoin over the register table),
+    semi-joins back to observed days, and max-merges. Stickiness is
+    the rounded ratio of the two rounded estimates (pointwise,
+    engine-identical)."""
+    from .relational7 import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = hll_registers(ev, "user_id", ["d"])
+    dau = hll_estimate(daily, ["d"]).select(
+        F.col("d").alias("day"), F.round("raw_est", 4).alias("dau_est")
+    )
+    contrib = daily.select(
+        F.explode(
+            F.expr(f"sequence(d, date_add(d, {window_days - 1}),"
+                   " interval 1 day)")
+        ).alias("day"),
+        "reg",
+        "mx",
+    )
+    spine = daily.select(F.col("d").alias("day")).distinct()
+    merged = (
+        contrib.join(spine, "day", "left_semi")
+        .groupBy("day", "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    mau = hll_estimate(merged, ["day"]).select(
+        "day", F.round("raw_est", 4).alias("mau_est")
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day", "dau_est", "mau_est",
+            F.round(F.col("dau_est") / F.col("mau_est"), 4)
+            .alias("stickiness"),
+        )
+        .orderBy("day")
+    )
