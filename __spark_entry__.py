@@ -5637,14 +5637,19 @@ def oracle_sql() -> dict[str, str]:
         FROM g ORDER BY lang
     """
     out["events_welch_ttest"] = """
-        WITH st AS (
-            SELECT event_type, count(*) AS n, avg(value) AS m,
-                   var_samp(value) AS v
-            FROM events GROUP BY 1
+        WITH vcents AS (
+            SELECT event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS vc
+            FROM events
+        ),
+        st AS (
+            SELECT event_type, count(*) AS n, avg(vc) AS m,
+                   var_samp(vc) AS v
+            FROM vcents GROUP BY 1
         )
         SELECT a.event_type AS type_a, b.event_type AS type_b,
                a.n AS na, b.n AS nb,
-               round(a.m - b.m, 6) AS mean_diff,
+               round((a.m - b.m) / 100.0, 6) AS mean_diff,
                round((a.m - b.m)
                      / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
                round(((a.v / a.n + b.v / b.n)

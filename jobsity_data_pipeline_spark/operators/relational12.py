@@ -46,15 +46,22 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types| moment rows (count, mean, sample variance); the pairwise
     statistics are a broadcast self-join on that tiny frame — at
     100 TB the corpus is read once and everything pairwise happens on
-    |types|^2 rows. Outputs are rounded (4 dp for t, 2 dp for df,
-    6 dp for the mean gap) so last-ulp distributed-sum noise sits
-    below the reported precision, the repo's float-aggregate
-    convention (orders_price_corr)."""
+    |types|^2 rows. The moments are computed over EXACT INTEGER cents
+    (t and the Satterthwaite df are scale-invariant, so cents give
+    the same statistics as dollars; the mean gap divides back) — the
+    orders_price_corr convention that keeps raw 2-dp money doubles
+    out of float accumulations — and outputs are rounded (4 dp for t,
+    2 dp for df, 6 dp for the mean gap) so last-ulp moment noise sits
+    below the reported precision."""
+    from ..functions import money as M
+
     e = _t(spark, sf_dir, "events")
-    st = e.groupBy("event_type").agg(
+    st = e.select(
+        "event_type", M.cents("value").alias("vc")
+    ).groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
+        F.avg("vc").alias("m"),
+        F.var_samp("vc").alias("v"),
     )
     a = st.select(
         F.col("event_type").alias("type_a"),
@@ -82,7 +89,8 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_b",
             "na",
             "nb",
-            F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+            F.round((F.col("ma") - F.col("mb")) / 100.0, 6)
+            .alias("mean_diff"),
             F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4)
             .alias("t_stat"),
             F.round(dfw, 2).alias("df"),
