@@ -159,8 +159,16 @@ def distributed_ntile(
         blk_keys = ["_blk"]
         before = F.col("_blk2") < F.col("_blk")
 
+    # In-block order by the ORIGINAL value column, not its double
+    # projection: distinct integers above 2^53 collapse to one double
+    # and would silently hand their relative order to the tiebreaks
+    # (the distributed_cumsum fix, applied to the sibling). _sv keeps
+    # its blocking role — the cast is monotone, so values that collapse
+    # always share a block and block-monotonicity is preserved.
+    ov = (F.col(value_col).desc() if descending
+          else F.col(value_col).asc())
     w_local = Window.partitionBy(*g, *blk_keys).orderBy(
-        F.col("_sv").asc(), *[F.col(c).asc() for c in tiebreak_cols]
+        ov, *[F.col(c).asc() for c in tiebreak_cols]
     )
     d = d.withColumn("_lrn", F.row_number().over(w_local))
 
@@ -284,6 +292,11 @@ def distributed_cumsum(
     )
 
 
+# merge-tree fan-in for grouped_topk: one reduce buffer never collects
+# more than _MERGE_FANIN truncated arrays (128 * k structs)
+_MERGE_FANIN = 128
+
+
 def grouped_topk(
     df: DataFrame,
     group_cols: list[str],
@@ -292,7 +305,7 @@ def grouped_topk(
     k: int,
     salt_expr: Column,
     *,
-    n_salts: int = 32,
+    n_salts: int | None = None,
     rank_col: str = "rnk",
 ) -> DataFrame:
     """Exact top-k per group as a MERGEABLE two-stage aggregate — the
@@ -307,10 +320,20 @@ def grouped_topk(
     ``n_salts`` shards by ``salt_expr``, each (group, salt) shard
     keeps its k smallest ``order_cols`` structs inside one aggregation
     buffer (``slice(array_sort(collect_list(...)), 1, k)``), and the
-    per-group merge re-sorts only the <= n_salts*k survivors. No
-    window anywhere; both stages are map-side-combinable hash
-    aggregates. Size n_salts so a shard's rows fit one buffer — salts
-    scale with the corpus, the merged state stays n_salts*k.
+    shards reduce through a capped-fan-in merge TREE. No window
+    anywhere; every stage is a map-side-combinable hash aggregate.
+
+    Buffer discipline (the part that makes the 100 TB claim honest):
+    ``n_salts`` defaults to 4 shards per INPUT PARTITION — input
+    partitions scale with the corpus, so a (group, salt) shard's
+    reduce buffer is bounded by ~1/4 of one partition's rows for that
+    group no matter how big the corpus gets (a fixed salt count would
+    concentrate O(corpus/n_salts) structs in single stage-1 buffers).
+    Because n_salts is now corpus-proportional, a SINGLE merge stage
+    would itself collect n_salts*k survivors in one buffer — so the
+    merge runs as a tree with fan-in <= _MERGE_FANIN per level
+    (log_128 levels, each buffer <= 128*k structs). Top-k merge is
+    associative, so the tree is exact at any shape.
 
     ``order_cols`` is the ASCENDING composite sort (negate a column
     for descending) and must be a total order within each group (end
@@ -319,16 +342,35 @@ def grouped_topk(
     columns (callers alias them) + ``rank_col`` = 1-based dense
     position, matching ``row_number`` on the same order exactly.
     """
+    if n_salts is None:
+        try:
+            n_salts = max(32, 4 * df.rdd.getNumPartitions())
+        except Exception:  # physical planning unavailable: safe floor
+            n_salts = 256
     item = F.struct(
         *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
         F.struct(*payload_cols).alias("_p"),
     )
-    per_salt = (
+    cur = (
         df.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)))
         .groupBy(*group_cols, "_salt")
         .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_tk"))
     )
-    merged = per_salt.groupBy(*group_cols).agg(
+    salts = n_salts
+    while salts > _MERGE_FANIN:
+        salts = -(-salts // _MERGE_FANIN)
+        cur = (
+            cur.withColumn(
+                "_salt", F.expr(f"_salt div {_MERGE_FANIN}")
+            )
+            .groupBy(*group_cols, "_salt")
+            .agg(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("_tk"))), 1, k
+                ).alias("_tk")
+            )
+        )
+    merged = cur.groupBy(*group_cols).agg(
         F.slice(
             F.array_sort(F.flatten(F.collect_list("_tk"))), 1, k
         ).alias("_tk")

@@ -603,8 +603,12 @@ def emb_hardneg_recall(spark: SparkSession, sf_dir: str,
     the EXACT miner's top-k wrong-class neighbors the ANN-shortlist
     miner recovered (hits and exact integer permille) — the
     emb_ann_recall pattern applied to the mining pair, so the
-    shortlist's recall is a measured number, not a hope. Both sides
-    are k rows per query; the comparison join is on (qid, nid)."""
+    shortlist's recall is a measured number, not a hope. Recall@k
+    convention: the denominator is the FIXED k and every query id
+    emits a row (a query whose wrong-class pool is smaller than k, or
+    empty, scores against k rather than against what happened to
+    exist) — the same edge semantics as the oracle's LEFT JOIN over
+    the full query set."""
     from ..operators.relational11 import emb_hard_negatives
 
     exact = emb_hard_negatives(spark, sf_dir, n_queries, k).select(
@@ -616,20 +620,21 @@ def emb_hardneg_recall(spark: SparkSession, sf_dir: str,
         .groupBy("qid")
         .agg(F.count("*").alias("hits"))
     )
+    qids = _emb(spark, sf_dir).where(
+        F.col("vec_id") < n_queries
+    ).select(F.col("vec_id").alias("qid"))
     return (
-        exact.groupBy("qid").agg(F.count("*").alias("k"))
-        .join(hits, "qid", "left")
+        qids.join(hits, "qid", "left")
         .select(
             "qid",
             F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
-            F.col("k"),
         )
         # half-up integer permille via BIGINT div — the containment
         # convention (Spark truncates double->int casts, DuckDB
         # rounds; integer div agrees everywhere)
         .select(
             "qid", "hits",
-            F.expr("(2 * 1000 * hits + k) div (2 * k)")
+            F.expr(f"(2 * 1000 * hits + {k}) div (2 * {k})")
             .alias("recall_pm"),
         )
         .orderBy("qid")

@@ -380,6 +380,16 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
     man = latest_manifest(table_dir)
     if man is not None and man["files"]:
         hist = _read_files(spark, man["files"])
+        # add-column evolution: the recomputed-hash expression below
+        # references the BATCH's column list, which history files may
+        # not have yet — absent means null (the mergeSchema read-time
+        # semantics), and the null-total encoding hashes it as the
+        # explicit null flag
+        for c in data_cols:
+            if c not in hist.columns:
+                hist = hist.withColumn(
+                    c, F.lit(None).cast(b.schema[c].dataType)
+                )
         # trust a stored hash only when the manifest says it was
         # computed under the CURRENT formula; otherwise recompute on
         # the fly — a formula bump then compares v-current against
@@ -530,6 +540,16 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
                         "deleted": 0, "updated": 0, "inserted": n_ins}
             continue
         hist = _read_files(spark, man["files"])
+        # add-column evolution: the recompute expression references the
+        # SOURCE's column list; history files that predate a column get
+        # it null-backfilled (mergeSchema semantics) so the null-total
+        # encoding hashes the explicit null flag instead of crashing on
+        # an unresolved column
+        for c in data_cols:
+            if c not in hist.columns:
+                hist = hist.withColumn(
+                    c, F.lit(None).cast(src.schema[c].dataType)
+                )
         # rows written without a stored hash (plain upsert_batch
         # history, or pre-merge files after the column first appears)
         # get it computed on the fly over the merge's declared column
@@ -577,6 +597,11 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
             kept = _read_files(spark, hit_files).join(
                 kdf, F.col(key) == F.col("_k"), "left_anti"
             )
+            for c in data_cols:  # add-column evolution (see hist)
+                if c not in kept.columns:
+                    kept = kept.withColumn(
+                        c, F.lit(None).cast(src.schema[c].dataType)
+                    )
             if content_col in kept.columns and trusted:
                 kept = kept.withColumn(
                     content_col, F.coalesce(F.col(content_col), computed)
@@ -628,24 +653,34 @@ def rehash_table(spark: SparkSession, table_dir: str,
     unchanged, so a change_feed crossing the rehash boundary emits
     nothing for untouched keys (the feed recomputes hashes whenever
     the endpoints' markers differ)."""
-    from pyspark.sql import functions as F  # noqa: F401 (parity of style)
-
-    token = f"rehash-v{_HASH_VERSION}"
     for _attempt in range(10):
-        if any(tok == token
-               for _, tok, _ in _manifests(table_dir, with_tokens=True)):
-            return {"status": "skipped_duplicate"}
         man = latest_manifest(table_dir)
         if man is None or not man["files"]:
             return {"status": "noop"}
         if man.get("hash_version") == _HASH_VERSION:
             return {"status": "noop"}
+        # idempotence token is SCOPED TO THE SOURCE VERSION (marker
+        # first, token second): a bare formula-wide token would lock
+        # the migration out forever if the marker were later lost to a
+        # non-extras-carrying writer — the version scope lets a fresh
+        # rehash of the new state run while a replay of THIS rehash
+        # stays a no-op
+        token = f"rehash-v{_HASH_VERSION}-from{man['version']}"
+        if any(tok == token
+               for _, tok, _ in _manifests(table_dir, with_tokens=True)):
+            return {"status": "skipped_duplicate"}
         rows = _read_files(spark, man["files"])
         data_cols = sorted(c for c in rows.columns
                            if c not in (key, content_col))
         rows = rows.withColumn(content_col, _content_hash(data_cols))
         files = _write_data(rows, table_dir)
-        stats = {key: _file_stats(files, key) or {}}
+        # every file was rewritten: refresh the skipping stats for
+        # EVERY key the prior manifest tracked, not just the passed
+        # one — replacing the dict with a single-key map would wipe
+        # the index for multi-key tables (the compact contract)
+        tracked = set(man.get("stats", {})) | {key}
+        stats = {k: (_file_stats(files, k) or {}) for k in tracked
+                 if k in rows.columns}
         extras = _carry_extras(man)
         extras.pop("hash_version", None)
         v = _publish(table_dir, files, token,

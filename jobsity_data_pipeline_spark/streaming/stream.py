@@ -874,7 +874,10 @@ def m4_from_state(spark: SparkSession, state_path: str,
     n = deltas.groupBy("event_type", "bucket").agg(
         F.sum("n").alias("n")
     )
-    return st.join(n, ["event_type", "bucket"]).select(
+    # LEFT join: archetypes accumulated before count maintenance was
+    # enabled have no deltas — they surface with n null rather than
+    # silently vanishing from the served output
+    return st.join(n, ["event_type", "bucket"], "left").select(
         "event_type", "bucket", "n", *cols[2:]
     )
 

@@ -688,3 +688,68 @@ def test_no_qid_partitioned_window_anywhere(spark):
         plan = df._jdf.queryExecution().optimizedPlan()
         wins = [n for n in walk(plan) if n.nodeName() == "Window"]
         assert not wins, f"{name} must be window-free"
+
+
+def test_grouped_topk_tree_merge_matches_window(spark):
+    """The capped-fan-in merge tree (n_salts >> _MERGE_FANIN) is exact:
+    top-k merge is associative, so any tree shape must reproduce
+    row_number() on the same total order — including the rank column
+    and tie handling."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from jobsity_data_pipeline_spark.operators.ranking import grouped_topk
+
+    rows = [(i % 7, (i * 37) % 1000, i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, v int, id long")
+    got = grouped_topk(
+        df, ["g"], [-F.col("v"), F.col("id")], [F.col("id"), F.col("v")],
+        5, F.col("id"), n_salts=1000,
+    ).select("g", "id", "v", "rnk")
+    w = W.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+    want = (
+        df.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("g", "id", "v", F.col("rnk").cast("long").alias("rnk"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the tree actually engaged: 1000 salts > _MERGE_FANIN forces at
+    # least one intermediate merge level in the plan
+    from jobsity_data_pipeline_spark.operators import ranking as RK
+
+    assert RK._MERGE_FANIN < 1000
+
+
+def test_distributed_ntile_exact_above_2_53(spark):
+    """Distinct BIGINTs above 2^53 collapse onto one double; the
+    in-block sort must order by the ORIGINAL column (the
+    distributed_cumsum fix applied to the sibling), not hand their
+    relative order to the tiebreaks."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from jobsity_data_pipeline_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    base = 1 << 60  # doubles have 8-ulp spacing here
+    # adjacent longs that cast to the SAME double, with tiebreak ids
+    # deliberately ordered AGAINST the value order
+    rows = [(base + i, 1000 - i) for i in range(64)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = {
+        (r.v, r.id): r.bucket
+        for r in distributed_ntile(df, 4, "v", ["id"],
+                                   blocks=8).collect()
+    }
+    want = {
+        (r.v, r.id): r.bucket
+        for r in df.withColumn(
+            "bucket",
+            F.ntile(4).over(W.orderBy(F.col("v").asc(),
+                                      F.col("id").asc())),
+        ).collect()
+    }
+    assert got == want

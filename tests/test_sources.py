@@ -1564,3 +1564,101 @@ def test_merge_into_bootstrap_insert_predicate_noop(spark, tmp_path):
                         when_not_matched_insert="op <> 'd'")
     assert res["status"] == "published" and res["inserted"] == 1
     assert SN.latest_manifest(t)["hash_version"] == SN._HASH_VERSION
+
+
+def test_upsert_replacing_and_merge_survive_add_column(spark, tmp_path):
+    """Add-column evolution against the content-hash writers: history
+    files that predate the column must be null-backfilled for the
+    recomputed-hash comparison (round-7 review finding: the recompute
+    expression referenced the batch's column list and crashed on an
+    unresolved column). Stored hashes cover the OLD column list, so
+    every re-emitted old key registers exactly one replacement — the
+    documented one-time add-column wave, the correct CDC signal for
+    'the row's declared content schema changed'."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tevo")
+    v1 = spark.createDataFrame([(1, "alpha"), (2, "bravo")],
+                               "trip_key long, a string")
+    assert SN.upsert_replacing(v1, 0, t) == "published"
+
+    # evolved batch: adds column b (old keys re-emit as one documented
+    # replacement wave), key 3 is new
+    v2 = spark.createDataFrame(
+        [(1, "alpha", None), (2, "bravo", "x"), (3, "charlie", "y")],
+        "trip_key long, a string, b string",
+    )
+    v_pre = SN.latest_manifest(t)["version"]
+    assert SN.upsert_replacing(v2, 1, t) == "published"
+    got = {r.trip_key: (r.a, r.b)
+           for r in SN.read_latest(spark, t).collect()}
+    assert got == {1: ("alpha", None), 2: ("bravo", "x"),
+                   3: ("charlie", "y")}
+    feed = SN.change_feed(spark, t, v_pre, key="trip_key",
+                          content_col="_chash")
+    ch = {(r.trip_key, r._change_type) for r in feed.collect()}
+    assert {(1, "delete"), (1, "insert"), (2, "delete"), (2, "insert"),
+            (3, "insert")} <= ch
+    # the wave happens ONCE: an identical re-emit under the evolved
+    # schema is a pure no-op
+    v_now = SN.latest_manifest(t)["version"]
+    assert SN.upsert_replacing(v2, 2, t) == "published"
+    feed2 = SN.change_feed(spark, t, v_now, key="trip_key",
+                           content_col="_chash")
+    assert feed2 is None or feed2.count() == 0
+
+    # same evolution through merge_into on a plain-upsert history: no
+    # stored hashes exist, so BOTH sides recompute over the evolved
+    # column list (absent == null) and the add-column wave vanishes —
+    # only key 2's real content change updates
+    t2 = str(tmp_path / "tevo2")
+    assert SN.upsert_batch(v1, 0, t2) == "published"
+    res = SN.merge_into(v2, 1, t2, key="trip_key")
+    assert res["status"] == "published"
+    assert (res["deleted"], res["updated"], res["inserted"]) == (0, 1, 1)
+    got = {r.trip_key: (r.a, r.b)
+           for r in SN.read_latest(spark, t2).collect()}
+    assert got == {1: ("alpha", None), 2: ("bravo", "x"),
+                   3: ("charlie", "y")}
+    assert SN.merge_into(v2, 2, t2, key="trip_key")["status"] == "noop"
+
+
+def test_rehash_preserves_multikey_stats_and_reruns_after_marker_loss(
+    spark, tmp_path
+):
+    """Round-7 review findings: (1) rehash_table rewrites every file,
+    so it must refresh the skipping stats for EVERY tracked key, not
+    wipe all but the passed one; (2) its idempotence token is scoped
+    to the source version, so a marker lost to a non-extras-carrying
+    writer can be re-stamped by a second migration."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "trh")
+    rows = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "trip_key long, k2 long, v string"
+    )
+    # seed a table whose stats map tracks a second key
+    assert SN.upsert_batch(rows, 0, t, key="trip_key") == "published"
+    man = SN.latest_manifest(t)
+    files = man["files"]
+    stats = dict(man.get("stats", {}))
+    stats["k2"] = SN._file_stats(files, "k2") or {}
+    SN._publish(t, files, "seed-k2", extra={"stats": stats},
+                expected_version=man["version"])
+
+    res = SN.rehash_table(spark, t, key="trip_key")
+    assert res["status"] == "published"
+    man = SN.latest_manifest(t)
+    assert man["hash_version"] == SN._HASH_VERSION
+    assert set(man["stats"]) >= {"trip_key", "k2"}
+    assert man["stats"]["k2"], "k2 skipping stats wiped by rehash"
+    # replay of the same migration: no-op (marker)
+    assert SN.rehash_table(spark, t, key="trip_key")["status"] == "noop"
+
+    # marker loss: a full-replace publish that carries no extras
+    SN.publish_snapshot(SN.read_latest(spark, t), t, "plain-republish")
+    assert "hash_version" not in SN.latest_manifest(t)
+    # the migration can run AGAIN (version-scoped token)
+    assert SN.rehash_table(spark, t, key="trip_key")["status"] \
+        == "published"
+    assert SN.latest_manifest(t)["hash_version"] == SN._HASH_VERSION
