@@ -293,8 +293,8 @@ def distributed_cumsum(
 
 
 # merge-tree fan-in for grouped_topk: one reduce buffer never collects
-# more than _MERGE_FANIN truncated arrays (128 * k structs)
-_MERGE_FANIN = 128
+# more than _MERGE_FANIN truncated arrays (_MERGE_FANIN * k structs)
+_MERGE_FANIN = 256
 
 
 def grouped_topk(
@@ -324,16 +324,21 @@ def grouped_topk(
     anywhere; every stage is a map-side-combinable hash aggregate.
 
     Buffer discipline (the part that makes the 100 TB claim honest):
-    ``n_salts`` defaults to 4 shards per INPUT PARTITION — input
-    partitions scale with the corpus, so a (group, salt) shard's
-    reduce buffer is bounded by ~1/4 of one partition's rows for that
-    group no matter how big the corpus gets (a fixed salt count would
-    concentrate O(corpus/n_salts) structs in single stage-1 buffers).
-    Because n_salts is now corpus-proportional, a SINGLE merge stage
-    would itself collect n_salts*k survivors in one buffer — so the
-    merge runs as a tree with fan-in <= _MERGE_FANIN per level
-    (log_128 levels, each buffer <= 128*k structs). Top-k merge is
-    associative, so the tree is exact at any shape.
+    ``n_salts`` defaults to 8 shards per CLUSTER CORE
+    (defaultParallelism) — a cluster sized so one core's share of the
+    corpus is processable bounds a (group, salt) shard's reduce
+    buffer by ~1/8 of that share, and the knob stays live for bigger
+    groups (a fixed salt count would concentrate O(corpus/n_salts)
+    structs in single stage-1 buffers; pass n_salts explicitly to
+    shard finer). The default deliberately avoids df.rdd /
+    executedPlan probes: under AQE those MATERIALIZE the query's
+    shuffle stages just to read a partition count — measured as
+    running every consumer twice. Because n_salts scales with the
+    cluster, a SINGLE merge stage could itself collect n_salts*k
+    survivors in one buffer — so the merge runs as a tree with
+    fan-in <= _MERGE_FANIN per level (each buffer <= _MERGE_FANIN*k
+    structs). Top-k merge is associative, so the tree is exact at
+    any shape.
 
     ``order_cols`` is the ASCENDING composite sort (negate a column
     for descending) and must be a total order within each group (end
@@ -343,10 +348,9 @@ def grouped_topk(
     position, matching ``row_number`` on the same order exactly.
     """
     if n_salts is None:
-        try:
-            n_salts = max(32, 4 * df.rdd.getNumPartitions())
-        except Exception:  # physical planning unavailable: safe floor
-            n_salts = 256
+        n_salts = max(
+            32, 8 * df.sparkSession.sparkContext.defaultParallelism
+        )
     item = F.struct(
         *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
         F.struct(*payload_cols).alias("_p"),

@@ -475,6 +475,35 @@ def test_no_fact_sized_frame_in_type_only_window(spark):
     assert check(R11.events_hdr_quantiles(spark, SF_SMOKE),
                  "events_hdr_quantiles") >= 1
 
+    # round-7: every low-cardinality-or-global window must likewise
+    # consume an AGGREGATED frame — the Gini cumulative runs over the
+    # (lang x distinct token count) aggregate, the backlog running sum
+    # over the per-day aggregate — never a corpus-sized frame
+    from jobsity_data_pipeline_spark.operators import relational12 as R12
+    from jobsity_data_pipeline_spark.operators.textops import (
+        docs_token_gini,
+    )
+
+    def check_all_windows_over_aggregates(df, name):
+        plan = df._jdf.queryExecution().optimizedPlan()
+        seen = 0
+        for n in walk(plan):
+            if n.nodeName() != "Window":
+                continue
+            seen += 1
+            kid = n.children().apply(0)
+            assert any(
+                c.nodeName() == "Aggregate" for c in walk(kid)
+            ), f"{name}: Window over a non-aggregated frame"
+        return seen
+
+    assert check_all_windows_over_aggregates(
+        docs_token_gini(spark, SF_SMOKE), "docs_token_gini"
+    ) >= 1
+    assert check_all_windows_over_aggregates(
+        R12.orders_open_backlog(spark, SF_SMOKE), "orders_open_backlog"
+    ) >= 1
+
 
 def test_round6_plan_shapes(spark):
     """Round-6 scale contracts: M4 is one window-free partial-agg
