@@ -268,6 +268,8 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_interpurchase_gaps": R12.customer_interpurchase_gaps,
         "emb_knn_classify": R12.emb_knn_classify,
         "events_dau_mau": R12.events_dau_mau,
+        "docs_length_filter_yield": TO.docs_length_filter_yield,
+        "events_type_cooccurrence": R12.events_type_cooccurrence,
     }
 
 
@@ -351,7 +353,8 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "emb_top_pcs", "emb_hard_negatives_ann", "emb_hardneg_recall",
     "docs_token_gini", "events_welch_ttest", "orders_open_backlog",
     "customer_interpurchase_gaps", "emb_knn_classify",
-    "events_dau_mau",
+    "events_dau_mau", "docs_length_filter_yield",
+    "events_type_cooccurrence",
     "emb_top_pc",
     # (1) rewritten this round: mergeable two-stage top-k everywhere
     "emb_cosine_topk", "emb_hard_negatives", "emb_lsh_ann",
@@ -365,10 +368,11 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "docs_dup_spans", "customer_balance_deciles",
     # (3) the remaining r3-latest tier, riskiest kernels first
     # (trimmed for round 8 to keep the explicit list at the 50-key
-    # budget: emb_label_affinity, emb_label_outliers,
-    # events_count_min_sketch, events_decayed_value, events_hll_rollup,
-    # events_quantile_sketch, events_rolling_7d_users,
-    # orders_association_rules, trip_geohash_cells)
+    # budget: emb_cluster_purity, emb_label_affinity,
+    # emb_label_outliers, emb_pq_codes, events_count_min_sketch,
+    # events_decayed_value, events_hll_rollup, events_quantile_sketch,
+    # events_rolling_7d_users, orders_association_rules,
+    # trip_geohash_cells)
     "docs_minhash_bands", "docs_simhash_pairs", "docs_winnow_pairs",
     "events_attribution", "events_windowed_funnel", "events_user_paths",
     "docs_dup_ngram_fraction", "docs_bigram_logprob",
@@ -376,7 +380,6 @@ _ROUND7_PRIORITY: tuple[str, ...] = (
     "docs_chunk_windows", "docs_pack_sequences", "docs_mix_weights",
     "docs_ngram_novelty", "docs_preprocess_pipeline",
     "docs_source_divergence", "docs_shard_plan", "docs_bloom_probe",
-    "emb_pq_codes", "emb_cluster_purity",
 )
 
 _ROUND6_PRIORITY: tuple[str, ...] = (
@@ -5818,5 +5821,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT day, dau_est, mau_est,
                round(dau_est / mau_est, 4) AS stickiness
         FROM dau JOIN mau USING (day) ORDER BY day
+    """
+    out["docs_length_filter_yield"] = f"""
+        WITH per AS (
+            SELECT CAST(len({_TOKS}) AS BIGINT) AS tok FROM documents
+        ),
+        e AS (
+            SELECT tok, unnest([50, 100, 200, 500, 1000]) AS threshold
+            FROM per
+        ),
+        g AS (
+            SELECT threshold, count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN tok >= threshold THEN 1 ELSE 0
+                                 END) AS BIGINT) AS docs_kept,
+                   CAST(sum(CASE WHEN tok >= threshold THEN tok ELSE 0
+                                 END) AS BIGINT) AS tokens_kept
+            FROM e GROUP BY 1
+        )
+        SELECT CAST(threshold AS INT) AS threshold, docs_kept,
+               tokens_kept,
+               CAST((2 * 1000 * docs_kept + n_docs) // (2 * n_docs)
+                    AS BIGINT) AS docs_kept_pm,
+               CAST((2 * 1000 * tokens_kept + total_tokens)
+                    // (2 * total_tokens) AS BIGINT) AS tokens_kept_pm
+        FROM g ORDER BY threshold
+    """
+    out["events_type_cooccurrence"] = """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        co AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS co_users
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        s AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+        SELECT type_a, type_b,
+               CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+               CAST(co_users AS BIGINT) AS co_users,
+               CAST((2 * 1000 * co_users + (sa.n + sb.n - co_users))
+                    // (2 * (sa.n + sb.n - co_users)) AS BIGINT)
+                   AS jaccard_pm
+        FROM co
+        JOIN s sa ON type_a = sa.event_type
+        JOIN s sb ON type_b = sb.event_type
+        ORDER BY 1, 2
     """
     return out

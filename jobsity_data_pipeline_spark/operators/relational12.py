@@ -17,6 +17,10 @@ oracle twin:
 - emb_knn_classify: leave-one-out k-NN label agreement — the
   embedding/label QA eval; broadcast eval set, grouped_topk ranking
   (no per-qid window), window-free struct-argmax majority vote.
+- events_dau_mau: DAU/MAU stickiness served from the mergeable daily
+  HLL register table (trailing merge via calendar-bounded explode).
+- events_type_cooccurrence: audience-overlap Jaccard between event
+  types — user-keyed self-equi-join, |types|^2 aggregate.
 
 Reference parity note: the reference pipeline (119 lines of
 Postgres SQL/loader) has no statistics or backlog surface; these
@@ -345,4 +349,44 @@ def events_dau_mau(spark: SparkSession, sf_dir: str,
             .alias("stickiness"),
         )
         .orderBy("day")
+    )
+
+
+def events_type_cooccurrence(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Behavioral overlap between event types: for every type pair,
+    how many users did both, with the Jaccard of the two user sets in
+    half-up integer permille — the audience-overlap matrix behind
+    cross-sell and funnel design.
+
+    Plan: one distinct over (user, type) — the only corpus-sized
+    shuffle — then a self-equi-join ON THE USER KEY (fan-out bounded
+    by |types| per user, linear in users, never a cartesian) and a
+    |types|^2 aggregate; per-type set sizes join back broadcast."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("co_users"))
+    )
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("nb"))
+    return (
+        co.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "na", "nb", "co_users",
+            F.expr(
+                "(2 * 1000 * co_users + (na + nb - co_users))"
+                " div (2 * (na + nb - co_users))"
+            ).alias("jaccard_pm"),
+        )
+        .orderBy("type_a", "type_b")
     )

@@ -922,3 +922,43 @@ def docs_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n_docs * t)"
         ).alias("gini_pm"),
     ).orderBy("lang")
+
+
+LENGTH_YIELD_THRESHOLDS = (50, 100, 200, 500, 1000)
+
+
+def docs_length_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus yield curve for a minimum-length filter — the planning
+    table a data team reads BEFORE picking a length cutoff: for each
+    candidate threshold, how many documents and how many tokens
+    survive ``ws_tokens >= t``, in counts and half-up integer
+    permille of the corpus.
+
+    One scan derives per-doc token counts; the bounded threshold
+    array explodes each doc row into |thresholds| candidate rows
+    (constant fan-out on the scan, no second pass per threshold) and
+    a single partial-aggregable groupBy(threshold) does the rest.
+    Output is |thresholds| rows at any corpus size."""
+    d = _docs(spark, sf_dir)
+    per = d.select(TX.token_count("text").cast("long").alias("tok"))
+    thr = F.array(*[F.lit(t) for t in LENGTH_YIELD_THRESHOLDS])
+    e = per.select(
+        "tok", F.explode(thr).alias("threshold")
+    )
+    g = e.groupBy("threshold").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.sum(F.when(F.col("tok") >= F.col("threshold"), 1)
+              .otherwise(0)).alias("docs_kept"),
+        F.sum(F.when(F.col("tok") >= F.col("threshold"), F.col("tok"))
+              .otherwise(0)).alias("tokens_kept"),
+    )
+    return g.select(
+        "threshold", "docs_kept", "tokens_kept",
+        F.expr("(2 * 1000 * docs_kept + n_docs) div (2 * n_docs)")
+        .alias("docs_kept_pm"),
+        F.expr(
+            "(2 * 1000 * tokens_kept + total_tokens)"
+            " div (2 * total_tokens)"
+        ).alias("tokens_kept_pm"),
+    ).orderBy("threshold")
