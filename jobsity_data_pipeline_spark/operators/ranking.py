@@ -134,11 +134,18 @@ def distributed_ntile(
             "_blk",
             F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_tb"))),
         )
-        blk_keys = ["_sv", "_blk"]
-        # ordering across composite blocks: value class first, then
-        # tiebreak range
-        before = (F.col("_sv2") < F.col("_sv")) | (
-            (F.col("_sv2") == F.col("_sv")) & (F.col("_blk2") < F.col("_blk"))
+        # the class key is the ORIGINAL value column, NOT its double
+        # projection: distinct BIGINTs above 2^53 collapse onto one
+        # double, and a collapsed class sub-blocked by tiebreak ranges
+        # would order across-block by tiebreak where the true order is
+        # by value first (the >2^53 fix, exact_values edition)
+        blk_keys = [value_col, "_blk"]
+        vc, vc2 = F.col(value_col), F.col(f"{value_col}2")
+        # ordering across composite blocks: value class first (DESC
+        # inverts the class comparison), then tiebreak range
+        cls_lt = (vc2 > vc) if descending else (vc2 < vc)
+        before = cls_lt | (
+            (vc2 == vc) & (F.col("_blk2") < F.col("_blk"))
         )
     else:
         cuts = d0.groupBy(*g).agg(

@@ -311,6 +311,20 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
 _HASH_VERSION = 2
 
 
+def _backfill_missing(df, data_cols: list, ref_schema) -> "DataFrame":
+    """Add-column schema evolution: null-backfill any of ``data_cols``
+    the frame lacks, typed from ``ref_schema`` (the batch/source side).
+    Absent == explicit null, exactly the mergeSchema read-time
+    semantics — so the null-total content hash encodes the null flag
+    instead of crashing on an unresolved column."""
+    from pyspark.sql import functions as F
+
+    for c in data_cols:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(ref_schema[c].dataType))
+    return df
+
+
 def _content_hash(data_cols: list):
     """Null-total, INJECTIVE canonical content hash over ``data_cols``:
     each column encodes as "0" (null) or "1:<len>:<value>", joined with
@@ -380,16 +394,7 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
     man = latest_manifest(table_dir)
     if man is not None and man["files"]:
         hist = _read_files(spark, man["files"])
-        # add-column evolution: the recomputed-hash expression below
-        # references the BATCH's column list, which history files may
-        # not have yet — absent means null (the mergeSchema read-time
-        # semantics), and the null-total encoding hashes it as the
-        # explicit null flag
-        for c in data_cols:
-            if c not in hist.columns:
-                hist = hist.withColumn(
-                    c, F.lit(None).cast(b.schema[c].dataType)
-                )
+        hist = _backfill_missing(hist, data_cols, b.schema)
         # trust a stored hash only when the manifest says it was
         # computed under the CURRENT formula; otherwise recompute on
         # the fly — a formula bump then compares v-current against
@@ -540,16 +545,7 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
                         "deleted": 0, "updated": 0, "inserted": n_ins}
             continue
         hist = _read_files(spark, man["files"])
-        # add-column evolution: the recompute expression references the
-        # SOURCE's column list; history files that predate a column get
-        # it null-backfilled (mergeSchema semantics) so the null-total
-        # encoding hashes the explicit null flag instead of crashing on
-        # an unresolved column
-        for c in data_cols:
-            if c not in hist.columns:
-                hist = hist.withColumn(
-                    c, F.lit(None).cast(src.schema[c].dataType)
-                )
+        hist = _backfill_missing(hist, data_cols, src.schema)
         # rows written without a stored hash (plain upsert_batch
         # history, or pre-merge files after the column first appears)
         # get it computed on the fly over the merge's declared column
@@ -597,11 +593,7 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
             kept = _read_files(spark, hit_files).join(
                 kdf, F.col(key) == F.col("_k"), "left_anti"
             )
-            for c in data_cols:  # add-column evolution (see hist)
-                if c not in kept.columns:
-                    kept = kept.withColumn(
-                        c, F.lit(None).cast(src.schema[c].dataType)
-                    )
+            kept = _backfill_missing(kept, data_cols, src.schema)
             if content_col in kept.columns and trusted:
                 kept = kept.withColumn(
                     content_col, F.coalesce(F.col(content_col), computed)
@@ -870,11 +862,7 @@ def change_feed(spark: SparkSession, table_dir: str, from_version: int,
         # what is stored.
         data_cols = sorted(c for c in new.columns
                            if c not in (key, content_col))
-        for c in data_cols:  # add-column evolution: absent == null
-            if c not in old.columns:
-                old = old.withColumn(
-                    c, F.lit(None).cast(new.schema[c].dataType)
-                )
+        old = _backfill_missing(old, data_cols, new.schema)
         h = _content_hash(data_cols)
         old = old.withColumn(content_col, h)
         new = new.withColumn(content_col, h)

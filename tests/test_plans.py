@@ -484,6 +484,21 @@ def test_no_fact_sized_frame_in_type_only_window(spark):
         docs_token_gini,
     )
 
+    def _every_leaf_below_aggregate(node):
+        """True iff EVERY root-to-leaf path through ``node`` crosses an
+        Aggregate — an Aggregate merely somewhere in the subtree would
+        accept a per_day_agg JOIN corpus_fact frame, which is exactly
+        the corpus-sized-window regression the gate exists to reject."""
+        if node.nodeName() == "Aggregate":
+            return True
+        ch = node.children()
+        if ch.size() == 0:
+            return False
+        return all(
+            _every_leaf_below_aggregate(ch.apply(i))
+            for i in range(ch.size())
+        )
+
     def check_all_windows_over_aggregates(df, name):
         plan = df._jdf.queryExecution().optimizedPlan()
         seen = 0
@@ -492,9 +507,10 @@ def test_no_fact_sized_frame_in_type_only_window(spark):
                 continue
             seen += 1
             kid = n.children().apply(0)
-            assert any(
-                c.nodeName() == "Aggregate" for c in walk(kid)
-            ), f"{name}: Window over a non-aggregated frame"
+            assert _every_leaf_below_aggregate(kid), (
+                f"{name}: Window consumes a frame with a path to a "
+                "leaf that crosses no Aggregate (corpus-sized risk)"
+            )
         return seen
 
     assert check_all_windows_over_aggregates(
@@ -768,11 +784,6 @@ def test_distributed_ntile_exact_above_2_53(spark):
     # deliberately ordered AGAINST the value order
     rows = [(base + i, 1000 - i) for i in range(64)]
     df = spark.createDataFrame(rows, "v long, id long")
-    got = {
-        (r.v, r.id): r.bucket
-        for r in distributed_ntile(df, 4, "v", ["id"],
-                                   blocks=8).collect()
-    }
     want = {
         (r.v, r.id): r.bucket
         for r in df.withColumn(
@@ -781,4 +792,34 @@ def test_distributed_ntile_exact_above_2_53(spark):
                                       F.col("id").asc())),
         ).collect()
     }
+    got = {
+        (r.v, r.id): r.bucket
+        for r in distributed_ntile(df, 4, "v", ["id"],
+                                   blocks=8).collect()
+    }
     assert got == want
+    # exact_values mode: the class key must be the ORIGINAL column —
+    # collapsed classes sub-blocked by tiebreak ranges would order
+    # across blocks by tiebreak where the true order is value-first
+    got_ev = {
+        (r.v, r.id): r.bucket
+        for r in distributed_ntile(df, 4, "v", ["id"], blocks=8,
+                                   exact_values=True).collect()
+    }
+    assert got_ev == want
+    # and DESC class comparison inverts correctly under collapse
+    want_d = {
+        (r.v, r.id): r.bucket
+        for r in df.withColumn(
+            "bucket",
+            F.ntile(4).over(W.orderBy(F.col("v").desc(),
+                                      F.col("id").asc())),
+        ).collect()
+    }
+    got_d = {
+        (r.v, r.id): r.bucket
+        for r in distributed_ntile(df, 4, "v", ["id"], blocks=8,
+                                   descending=True,
+                                   exact_values=True).collect()
+    }
+    assert got_d == want_d
