@@ -3128,7 +3128,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(tier AS INTEGER) AS tier,
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                   floor(avg(quality) * 10000.0 + 0.5) / 10000.0
+                   CAST((2 * sum(CAST(round(quality * 10000, 0)
+                                      AS BIGINT)) + count(*))
+                        // (2 * count(*)) AS BIGINT) / 10000.0
                        AS avg_quality,
                    round(min(quality), 4) AS min_quality,
                    round(max(quality), 4) AS max_quality,

@@ -347,12 +347,21 @@ def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("tier") == 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
+    # the tier average accumulates EXACT e4 integer units: quality is
+    # already a 4-dp rounded double, so q4 = round(quality*1e4) is an
+    # exact integer on both engines, and the half-up integer-div mean
+    # can never sit on the float-sum half-ulp boundary a plain
+    # avg(double) lands on (observed flipping with accumulation order)
     return (
-        tiered.groupBy("source", "tier")
+        tiered.withColumn(
+            "q4", F.round(F.col("quality") * 10000, 0).cast("long")
+        )
+        .groupBy("source", "tier")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            TX.round_ratio(F.avg("quality")).alias("avg_quality"),
+            (F.expr("(2 * sum(q4) + count(*)) div (2 * count(*))")
+             / 10000.0).alias("avg_quality"),
             F.round(F.min("quality"), 4).alias("min_quality"),
             F.round(F.max("quality"), 4).alias("max_quality"),
         )
