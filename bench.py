@@ -70,20 +70,31 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     n_err = sum(1 for t in timings.values() if t < 0)
+    # The recorder keeps only the TAIL of the output: emit the
+    # per-query dict sorted ascending by time so the expensive tier
+    # sits at the end of the line, adjacent to the tail capture —
+    # a truncated capture always retains the queries worth
+    # diagnosing, never just the sub-second crowd.
+    by_time = dict(sorted(timings.items(), key=lambda kv: kv[1]))
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": by_time,
                 "sf": float(sf) if sf else None,
             }
         )
     )
     sys.stdout.flush()
-    # The recorder keeps only the tail of the output; repeat the
-    # headline numbers LAST so a truncated capture still has the total.
+    # Repeat the headline numbers LAST so a truncated capture still
+    # has the total — plus the top-20 most expensive queries, so the
+    # expensive tier survives ANY truncation point regardless of the
+    # per-query line's fate.
+    top20 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    )
     print(
         json.dumps(
             {
@@ -93,6 +104,7 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "n_queries": len(timings),
                 "n_errors": n_err,
+                "top20": top20,
             }
         )
     )

@@ -303,6 +303,12 @@ def distributed_cumsum(
 # more than _MERGE_FANIN truncated arrays (_MERGE_FANIN * k structs)
 _MERGE_FANIN = 256
 
+# stage-1 shard space per salt: input-split ids are folded in modulo
+# this, so the shard id stays bounded without probing the real
+# partition count (pmod degrades gracefully — two splits sharing a
+# residue merely share a buffer)
+_SPLIT_SPACE = 1 << 20
+
 
 def grouped_topk(
     df: DataFrame,
@@ -331,21 +337,29 @@ def grouped_topk(
     anywhere; every stage is a map-side-combinable hash aggregate.
 
     Buffer discipline (the part that makes the 100 TB claim honest):
-    ``n_salts`` defaults to 8 shards per CLUSTER CORE
-    (defaultParallelism) — a cluster sized so one core's share of the
-    corpus is processable bounds a (group, salt) shard's reduce
-    buffer by ~1/8 of that share, and the knob stays live for bigger
-    groups (a fixed salt count would concentrate O(corpus/n_salts)
-    structs in single stage-1 buffers; pass n_salts explicitly to
-    shard finer). The default deliberately avoids df.rdd /
-    executedPlan probes: under AQE those MATERIALIZE the query's
-    shuffle stages just to read a partition count — measured as
-    running every consumer twice. Because n_salts scales with the
-    cluster, a SINGLE merge stage could itself collect n_salts*k
-    survivors in one buffer — so the merge runs as a tree with
-    fan-in <= _MERGE_FANIN per level (each buffer <= _MERGE_FANIN*k
-    structs). Top-k merge is associative, so the tree is exact at
-    any shape.
+    the stage-1 shard key is (salt, input-split id) — ``collect_list``
+    has no partial truncation, so grouping by salt alone would
+    concatenate every map task's partial list for a (group, salt)
+    shard into ONE reduce buffer, O(shard) = O(corpus/n_salts) rows;
+    a skewed ``salt_expr`` or a small cluster makes that a JVM OOM.
+    Folding ``spark_partition_id()`` into the shard means each
+    stage-1 key is only ever produced by ONE map task, so its reduce
+    buffer holds at most one input split's rows for that (group,
+    salt) — bounded by ``maxPartitionBytes``, independent of corpus
+    size and of ``n_salts`` sizing. ``n_salts`` (default 8 shards per
+    cluster core via defaultParallelism — deliberately NOT a df.rdd /
+    executedPlan probe: under AQE those MATERIALIZE the query's
+    shuffle stages just to read a partition count, measured as
+    running every consumer twice) still matters for merge-tree
+    parallelism and stays a live knob. Split ids fold in modulo
+    ``_SPLIT_SPACE`` (2^20) so the shard-id domain is statically
+    bounded; beyond 2^20 input splits, splits sharing a residue share
+    a buffer — graceful, not wrong. The merge then runs as a tree
+    over the combined shard id with fan-in <= _MERGE_FANIN per level
+    (each buffer <= _MERGE_FANIN*k structs). Top-k merge is
+    associative, so the tree is exact at any shape; levels collapse
+    to near-no-op shuffles of tiny frames when the populated shard
+    count is small.
 
     ``order_cols`` is the ASCENDING composite sort (negate a column
     for descending) and must be a total order within each group (end
@@ -362,19 +376,23 @@ def grouped_topk(
         *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
         F.struct(*payload_cols).alias("_p"),
     )
+    shard = (
+        F.pmod(salt_expr, F.lit(n_salts)).cast("long") * F.lit(_SPLIT_SPACE)
+        + F.pmod(F.spark_partition_id(), F.lit(_SPLIT_SPACE)).cast("long")
+    )
     cur = (
-        df.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)))
-        .groupBy(*group_cols, "_salt")
+        df.withColumn("_shard", shard)
+        .groupBy(*group_cols, "_shard")
         .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_tk"))
     )
-    salts = n_salts
-    while salts > _MERGE_FANIN:
-        salts = -(-salts // _MERGE_FANIN)
+    shards = n_salts * _SPLIT_SPACE
+    while shards > _MERGE_FANIN:
+        shards = -(-shards // _MERGE_FANIN)
         cur = (
             cur.withColumn(
-                "_salt", F.expr(f"_salt div {_MERGE_FANIN}")
+                "_shard", F.expr(f"_shard div {_MERGE_FANIN}")
             )
-            .groupBy(*group_cols, "_salt")
+            .groupBy(*group_cols, "_shard")
             .agg(
                 F.slice(
                     F.array_sort(F.flatten(F.collect_list("_tk"))), 1, k

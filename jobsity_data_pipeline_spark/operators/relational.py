@@ -221,18 +221,32 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window top-n per group: 3 highest-balance customers per nation."""
-    from pyspark.sql import Window
+    """Top-n per group: 3 highest-balance customers per nation.
+
+    NOT a ranking window: ``Window.partitionBy(c_nationkey)`` over the
+    raw customer scan would put ~|customers|/25 rows through ONE
+    WindowExec sort task — tens of millions of rows per task at the
+    100 TB posture (customer scales linearly with SF while nations
+    stay at 25). The mergeable ``ranking.grouped_topk`` salted
+    two-stage bottom-k aggregate computes the identical
+    ``row_number() <= 3`` result (same order, same rank column, same
+    oracle hash) with every stage a map-side-combinable aggregate.
+    """
+    from .ranking import grouped_topk
 
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    top = grouped_topk(
+        cust.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [-F.col("c_acctbal"), F.col("c_custkey")],
+        [F.col("c_custkey"), F.col("c_acctbal")],
+        3,
+        F.col("c_custkey"),
+        rank_col="rnk",
     )
     return (
-        cust.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 3)
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        top.join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
         .select(
             "n_name", "rnk", "c_custkey",
             (M.cents("c_acctbal") / 100.0).alias("c_acctbal"),

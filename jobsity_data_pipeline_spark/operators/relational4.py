@@ -251,14 +251,35 @@ def order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def parts_top_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_rank per brand by retail price: all parts tied at the top
-    two price points per brand."""
-    from pyspark.sql import Window
+    two price points per brand.
+
+    Mergeable form — NOT ``dense_rank() OVER (PARTITION BY p_brand)``
+    over the raw part scan (25 brands x catalog cardinality through
+    single WindowExec sort tasks at 100 TB). dense_rank on a value is
+    row_number on the DISTINCT values, so: (1) DISTINCT
+    (brand, price) — a mergeable aggregate, output bounded by price
+    cardinality; (2) top-2 price classes per brand via the salted
+    two-stage ``grouped_topk`` kernel (prices are unique within the
+    distinct frame, so row_number there IS the dense rank); (3) a
+    broadcast equi-join back to the part scan fans each class out to
+    all its tied parts. Exact double equality on the join key holds
+    because both sides carry the same source value unmodified.
+    """
+    from .ranking import grouped_topk
 
     part = _t(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    classes = part.select("p_brand", "p_retailprice").distinct()
+    top = grouped_topk(
+        classes,
+        ["p_brand"],
+        [-F.col("p_retailprice")],
+        [F.col("p_retailprice")],
+        2,
+        F.abs(F.hash("p_retailprice")),
+        rank_col="rnk",
+    )
     return (
-        part.withColumn("rnk", F.dense_rank().over(w).cast("long"))
-        .where(F.col("rnk") <= 2)
+        part.join(F.broadcast(top), ["p_brand", "p_retailprice"])
         .select("p_brand", "rnk", "p_partkey",
                 F.round("p_retailprice", 2).alias("p_retailprice"))
     )
