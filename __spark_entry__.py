@@ -5663,6 +5663,8 @@ def oracle_sql() -> dict[str, str]:
                         + (b.v / b.n) * (b.v / b.n) / (b.n - 1)),
                      2) AS df
         FROM st a JOIN st b ON a.event_type < b.event_type
+        WHERE a.n >= 2 AND b.n >= 2
+          AND (a.v / a.n + b.v / b.n) > 0
         ORDER BY 1, 2
     """
     out["orders_open_backlog"] = """

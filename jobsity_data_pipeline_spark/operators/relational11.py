@@ -864,6 +864,7 @@ def emb_top_pcs(spark: SparkSession, sf_dir: str,
     )
     total_var = _total_var(xc)
     outs = []
+    prev_residual = None  # the persisted residual one deflation behind
     for comp in range(1, components + 1):
         cur = _power_rounds(xc, b0, rounds)
         outs.append(
@@ -893,11 +894,27 @@ def emb_top_pcs(spark: SparkSession, sf_dir: str,
                 )
             )
             if cache_centered:
+                # eager checkpoint truncates lineage; the PRIOR
+                # checkpoint's RDD drops its last reference here and
+                # the ContextCleaner reclaims it
                 xc = xc.localCheckpoint()
             else:
                 from pyspark import StorageLevel
 
                 xc = xc.persist(StorageLevel.MEMORY_AND_DISK)
+                # persist() is lazy: materialize NOW (count computes
+                # exactly the partitions being cached — later
+                # consumers read the cache, so total corpus passes
+                # are unchanged), then release the residual this one
+                # was derived from. Without the release,
+                # components - 1 corpus-sized frames stay pinned in
+                # the storage layer for the session's lifetime
+                # (round-7 ADVICE); only the LIVE residual stays
+                # cached.
+                xc.count()
+                if prev_residual is not None:
+                    prev_residual.unpersist()
+                prev_residual = xc
     all_b = outs[0]
     for o in outs[1:]:
         all_b = all_b.unionByName(o)

@@ -56,7 +56,13 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_price_corr convention that keeps raw 2-dp money doubles
     out of float accumulations — and outputs are rounded (4 dp for t,
     2 dp for df, 6 dp for the mean gap) so last-ulp moment noise sits
-    below the reported precision."""
+    below the reported precision.
+
+    Degenerate pairs are FILTERED, not emitted as silent NULL rows
+    (round-7 ADVICE): a type with n = 1 has var_samp NULL, and two
+    zero-variance types make se2 = 0 (division by zero) — both sides
+    of such a pair drop via ``n >= 2`` and ``se2 > 0`` guards, in
+    Spark and oracle lockstep."""
     from ..functions import money as M
 
     e = _t(spark, sf_dir, "events")
@@ -88,6 +94,7 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .where((F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0))
         .select(
             "type_a",
             "type_b",
@@ -316,7 +323,17 @@ def events_dau_mau(spark: SparkSession, sf_dir: str,
     range join — no BroadcastNestedLoopJoin over the register table),
     semi-joins back to observed days, and max-merges. Stickiness is
     the rounded ratio of the two rounded estimates (pointwise,
-    engine-identical)."""
+    engine-identical).
+
+    Fan-out bound: the explode produces at most
+    |days| x 256 x window_days contribution rows — CORPUS-INDEPENDENT
+    (it scales with the calendar and the register width, never with
+    row count), so a decade of data at any SF is ~3650 x 256 x 30 ≈
+    28M rows through one hash aggregate. ``window_days`` is a linear
+    multiplier on that frame: a 365-day trailing window on a
+    multi-year table is ~12x this default — still calendar-bounded,
+    but size the shuffle partitions for |days| x 256 x window rows
+    before raising it."""
     from .relational7 import hll_estimate, hll_registers
 
     ev = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))

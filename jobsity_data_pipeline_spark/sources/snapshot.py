@@ -694,7 +694,16 @@ def adopt_legacy_parquet(table_dir: str) -> int | None:
     (the stream checkpoint would prevent ever re-deriving it). CAS on
     version 1: if a concurrent writer published first, nothing is
     adopted. Returns the published version, or None when there was
-    nothing to adopt (already a manifest table, or no parquet files)."""
+    nothing to adopt (already a manifest table, or no parquet files).
+
+    Torn-state guard: the overwrite protocol this rescues is exactly
+    the one that can crash mid-write and leave a partial part-file
+    set. When the dir carries Spark's ``_SUCCESS`` commit marker the
+    set is known complete; without it every file's parquet FOOTER is
+    verified readable (the footer is written last, so a torn file
+    fails here) — an unreadable file raises instead of adopting
+    corrupt rows as durable state, leaving the operator to repair or
+    delete the dir explicitly."""
     if not os.path.isdir(table_dir) or latest_manifest(table_dir) is not None:
         return None
     files = sorted(
@@ -703,6 +712,19 @@ def adopt_legacy_parquet(table_dir: str) -> int | None:
     )
     if not files:
         return None
+    if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        import pyarrow.parquet as pq
+
+        for p in files:
+            try:
+                pq.ParquetFile(p).close()
+            except Exception as exc:
+                raise ValueError(
+                    f"adopt_legacy_parquet: {p} has no readable parquet "
+                    "footer and the dir has no _SUCCESS commit marker — "
+                    "refusing to adopt a possibly torn legacy write; "
+                    "repair or remove the file and retry"
+                ) from exc
     v = _publish(table_dir, files, "legacy-adopt", expected_version=0)
     return None if v == -1 else v
 
@@ -849,15 +871,21 @@ def change_feed(spark: SparkSession, table_dir: str, from_version: int,
     new = _read_files(spark, sorted(f_to))
     join_cols = [key] + ([content_col] if content_col else [])
     if content_col and (
-        man_from.get("hash_version") != man_to.get("hash_version")
+        man_from.get("hash_version") != _HASH_VERSION
+        or man_to.get("hash_version") != _HASH_VERSION
         or content_col not in old.columns
         or content_col not in new.columns
     ):
-        # the endpoints' stored hashes were produced by different
-        # formulas (or one side predates the column): comparing them
-        # raw would emit every untouched row as a phantom
-        # delete+insert across a rehash/formula boundary. Recompute
-        # BOTH sides under the current formula over the current data
+        # stored hashes are trusted raw ONLY when BOTH endpoints carry
+        # the current-formula marker. Comparing an unmarked endpoint
+        # raw is wrong even when both markers are equal (both None):
+        # merge_into on an unmarked table rewrites untouched kept rows
+        # in hit files with CURRENT-formula hashes while the published
+        # manifest stays unmarked (keep_files survive), so a single
+        # unmarked version can hold MIXED v1/v2 stored hashes — a feed
+        # spanning that merge would emit phantom delete+insert for
+        # untouched keys co-located with a changed key. Recompute BOTH
+        # sides under the current formula over the current data
         # columns — equal content then compares equal regardless of
         # what is stored.
         data_cols = sorted(c for c in new.columns

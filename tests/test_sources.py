@@ -1540,6 +1540,84 @@ def test_hash_formula_migration_is_waveless(spark, tmp_path):
     assert got == {(1, "alpha", "delete"), (1, "ALPHA2", "insert")}
 
 
+def test_change_feed_no_phantom_cdc_across_unmarked_merge(spark, tmp_path):
+    """Round-8 ADVICE (medium): merge_into on an UNMARKED (old-formula)
+    table rewrites untouched kept rows in hit files with
+    current-formula hashes while the published manifest stays unmarked
+    (keep_files survive, so the every-stored-hash-is-current invariant
+    doesn't hold and the marker is correctly withheld). A feed spanning
+    that merge sees both endpoint markers as None — EQUAL — so a
+    markers-differ recompute trigger raw-compares mixed v1/v2 stored
+    hashes and emits phantom delete+insert for untouched keys
+    co-located with a changed key. The feed must recompute whenever
+    EITHER endpoint lacks the current marker."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tmix")
+    schema = "trip_key long, a string, b string"
+    # file A: keys 1+2 co-located; file B: key 3 (stays un-hit so
+    # keep_files is non-empty and the merge cannot stamp the marker)
+    fa = spark.createDataFrame(
+        [(1, "alpha", "x"), (2, "bravo", "y")], schema
+    ).coalesce(1).withColumn("_chash", _old_v1_hash(["a", "b"]))
+    assert SN.upsert_batch(fa, 0, t) == "published"
+    fb = spark.createDataFrame([(3, "charlie", "z")], schema).coalesce(
+        1
+    ).withColumn("_chash", _old_v1_hash(["a", "b"]))
+    assert SN.upsert_batch(fb, 1, t) == "published"
+    man0 = SN.latest_manifest(t)
+    assert "hash_version" not in man0
+    v0 = man0["version"]
+
+    upd = spark.createDataFrame(
+        [(1, "ALPHA2", "x"), (2, "bravo", "y"), (3, "charlie", "z")],
+        schema,
+    )
+    res = SN.merge_into(upd, 2, t, key="trip_key")
+    assert (res["deleted"], res["updated"], res["inserted"]) == (0, 1, 0)
+    man1 = SN.latest_manifest(t)
+    # the scenario's precondition: marker still absent after the merge
+    assert "hash_version" not in man1
+
+    feed = SN.change_feed(spark, t, v0, key="trip_key",
+                          content_col="_chash")
+    got = {(r.trip_key, r.a, r._change_type) for r in feed.collect()}
+    assert got == {(1, "alpha", "delete"), (1, "ALPHA2", "insert")}, (
+        "phantom delete+insert for an untouched key across an "
+        "unmarked merge boundary"
+    )
+
+
+def test_adopt_legacy_parquet_rejects_torn_writes(spark, tmp_path):
+    """Round-8 ADVICE: the legacy overwrite protocol can crash
+    mid-write and leave a torn part-file set with no _SUCCESS marker —
+    adoption must verify footers and refuse, not publish corrupt rows
+    as durable version-1 state. An intact set without the marker still
+    adopts (footers verify), and _SUCCESS short-circuits the check."""
+    import pytest
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    d = tmp_path / "legacy"
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d))
+    (d / "_SUCCESS").unlink()
+    part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+    data = part.read_bytes()
+    part.write_bytes(data[: len(data) // 2])  # footer is written last
+    with pytest.raises(ValueError, match="torn legacy write"):
+        SN.adopt_legacy_parquet(str(d))
+    assert SN.latest_manifest(str(d)) is None
+
+    d2 = tmp_path / "legacy2"
+    spark.createDataFrame([(1, "a")], "k long, v string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d2))
+    (d2 / "_SUCCESS").unlink()
+    assert SN.adopt_legacy_parquet(str(d2)) == 1
+
+
 def test_merge_into_bootstrap_insert_predicate_noop(spark, tmp_path):
     """A merge against a not-yet-created table whose insert predicate
     filters every source row must return noop WITHOUT publishing an
