@@ -244,24 +244,42 @@ def distributed_cumsum(
     descending: bool = False,
     blocks: int = 64,
     out_col: str = "cum",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Append ``out_col`` = exact running SUM(sum_col) OVER (ORDER BY
-    order_col [DESC], *tiebreaks ROWS UNBOUNDED PRECEDING) — the
-    segmented-scan form: value-range blocks (approximate cutoffs, only
-    balance matters; ties stay in one block via strict comparison),
-    a per-block window for the local prefix, and the tiny per-block
-    totals expanded to broadcast offsets. No single task ever holds
-    the full frame, unlike the bare global-orderBy window.
+    """Append ``out_col`` = exact running SUM(sum_col) OVER
+    ([PARTITION BY *group_cols] ORDER BY order_col [DESC], *tiebreaks
+    ROWS UNBOUNDED PRECEDING) — the segmented-scan form: value-range
+    blocks (approximate cutoffs, only balance matters; ties stay in
+    one block via strict comparison), a per-block window for the
+    local prefix, and the tiny per-block totals expanded to broadcast
+    offsets. No single task ever holds the full frame, unlike the
+    bare global-orderBy window.
+
+    ``group_cols`` generalizes the scan to per-group running sums for
+    LOW-cardinality groups (segments, sources, nations) — exactly as
+    ``distributed_ntile`` grew them: a plain
+    ``Window.partitionBy(g)`` would put each group's full frame
+    through ONE sort task when groups are few and huge; here the
+    cutoffs, blocks and offsets all become per-group (the side tables
+    are groups x blocks rows, broadcast), so every group fans out
+    over ``blocks`` tasks.
 
     ``sum_col`` and ``order_col`` must be numeric non-null (they may
     be the same column — the ABC-analysis shape)."""
+    g = list(group_cols or [])
     sv = F.col(order_col).cast("double")
     if descending:
         sv = -sv
     d0 = df.withColumn("_sv", sv)
     fracs = [i / blocks for i in range(1, blocks)]
-    cuts = d0.agg(F.percentile_approx("_sv", fracs, 10000).alias("_cuts"))
-    d = d0.crossJoin(F.broadcast(cuts)).withColumn(
+    cuts = d0.groupBy(*g).agg(
+        F.percentile_approx("_sv", fracs, 10000).alias("_cuts")
+    )
+    if g:
+        d = d0.join(F.broadcast(cuts), on=g)
+    else:
+        d = d0.crossJoin(F.broadcast(cuts))
+    d = d.withColumn(
         "_blk",
         F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_sv"))),
     )
@@ -273,18 +291,29 @@ def distributed_cumsum(
     oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
     order = [oc] + [F.col(c).asc() for c in tiebreak_cols]
     w_loc = (
-        Window.partitionBy("_blk")
+        Window.partitionBy(*g, "_blk")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     d = d.withColumn("_lcum", F.sum(sum_col).over(w_loc))
-    sizes = d.groupBy("_blk").agg(F.sum(sum_col).alias("_bsum"))
+    sizes = d.groupBy(*g, "_blk").agg(F.sum(sum_col).alias("_bsum"))
     other = sizes.select(
-        F.col("_blk").alias("_b2"), F.col("_bsum").alias("_s2")
+        *[F.col(c).alias(f"_g2_{c}") for c in g],
+        F.col("_blk").alias("_b2"),
+        F.col("_bsum").alias("_s2"),
     )
+    # (groups x blocks)^2 broadcast pairing — tiny; per-group
+    # cumulative offsets with no SinglePartition Exchange
+    if g:
+        join_cond = None
+        for c in g:
+            eq = F.col(c) == F.col(f"_g2_{c}")
+            join_cond = eq if join_cond is None else (join_cond & eq)
+        paired = sizes.join(F.broadcast(other), join_cond)
+    else:
+        paired = sizes.crossJoin(F.broadcast(other))
     offs = (
-        sizes.crossJoin(F.broadcast(other))
-        .groupBy("_blk")
+        paired.groupBy(*g, "_blk")
         .agg(
             F.sum(
                 F.when(F.col("_b2") < F.col("_blk"), F.col("_s2"))
@@ -293,7 +322,7 @@ def distributed_cumsum(
         )
     )
     return (
-        d.join(F.broadcast(offs), "_blk")
+        d.join(F.broadcast(offs), [*g, "_blk"])
         .withColumn(out_col, F.col("_off") + F.col("_lcum"))
         .drop("_sv", "_cuts", "_blk", "_lcum", "_off")
     )

@@ -381,6 +381,56 @@ def docs_boilerplate_spans(spark: SparkSession, sf_dir: str,
     )
 
 
+def cms_bucket(r_col, key_col, width: int):
+    """Deterministic CMS bucket for hash row ``r``: big-endian integer
+    of the first 8 hex chars of md5("r|key"), mod ``width`` — no RNG
+    state, so sketch and probe sides (and batch vs streaming
+    maintainers) agree by construction."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", r_col, key_col)), 1, 8),
+            16, 10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_counts(df: DataFrame, key_col: str = "user_id",
+               depth: int = 4, width: int = 256) -> DataFrame:
+    """The CMS counter matrix (r, bucket, cnt) for ``df[key_col]``:
+    ONE aggregate over the (row, bucket) fan-out. Counters SUM, so
+    the matrix is mergeable (partial-agg at 100 TB, and per-batch
+    deltas sum in the streaming maintainer stream_cms_upsert)."""
+    spark = df.sparkSession
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("r"))
+    keyed = df.select(key_col).crossJoin(F.broadcast(rows)).select(
+        "r", cms_bucket(F.col("r"), F.col(key_col), width).alias("bucket")
+    )
+    return keyed.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_point_estimates(cms: DataFrame, keys: DataFrame,
+                        key_col: str = "user_id",
+                        depth: int = 4, width: int = 256) -> DataFrame:
+    """Probe the counter matrix for each row of ``keys``: the CMS
+    estimate is the MIN over the depth counters the key hashes to.
+    ``keys`` must be bounded (heavy-hitter candidates) — it broadcasts
+    against the (depth x width)-row matrix; extra columns ride along
+    into the output."""
+    spark = cms.sparkSession
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("r"))
+    probes = keys.crossJoin(F.broadcast(rows)).select(
+        *keys.columns,
+        "r",
+        cms_bucket(F.col("r"), F.col(key_col), width).alias("bucket"),
+    )
+    return (
+        probes.join(cms, ["r", "bucket"])
+        .groupBy(*keys.columns)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
 def events_count_min_sketch(spark: SparkSession, sf_dir: str,
                             depth: int = 4, width: int = 256,
                             top: int = 10) -> DataFrame:
@@ -390,55 +440,20 @@ def events_count_min_sketch(spark: SparkSession, sf_dir: str,
     exact count for the top heavy hitters. The sketch is mergeable
     (counters sum), so the same plan runs partial-agg at 100 TB; the
     report quantifies collision overestimate before anyone trusts the
-    sketch in a monitoring path.
+    sketch in a monitoring path. The matrix/probe kernels
+    (cms_counts / cms_point_estimates) are shared with the streaming
+    maintainer (streaming.stream.stream_cms_upsert), so index-served
+    estimates match this operator value-for-value.
     """
     e = ensure_parallelism(spark, read_table(spark, sf_dir, "events"))
-    rows = spark.range(depth).select(F.col("id").cast("int").alias("r"))
-    keyed = e.select("user_id").crossJoin(F.broadcast(rows)).select(
-        "user_id",
-        "r",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws("|", F.col("r"), F.col("user_id"))
-                    ),
-                    1, 8,
-                ),
-                16, 10,
-            ).cast("long")
-            % width
-        ).alias("bucket"),
-    )
-    cms = keyed.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    cms = cms_counts(e, "user_id", depth, width)
     exact = (
         e.groupBy("user_id")
         .agg(F.count("*").alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), "user_id")
         .limit(top)
     )
-    probes = exact.crossJoin(F.broadcast(rows)).select(
-        "user_id",
-        "exact_cnt",
-        "r",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws("|", F.col("r"), F.col("user_id"))
-                    ),
-                    1, 8,
-                ),
-                16, 10,
-            ).cast("long")
-            % width
-        ).alias("bucket"),
-    )
-    est = (
-        probes.join(cms, ["r", "bucket"])
-        .groupBy("user_id", "exact_cnt")
-        .agg(F.min("cnt").alias("cms_est"))
-    )
+    est = cms_point_estimates(cms, exact, "user_id", depth, width)
     return est.select(
         "user_id",
         "exact_cnt",

@@ -937,6 +937,64 @@ def hdr_from_index(spark: SparkSession, table_dir: str) -> DataFrame:
     return hdr_quantiles_from_counts(merged)
 
 
+def stream_cms_upsert(events: DataFrame, table_dir: str,
+                      checkpoint: str, key_col: str = "user_id",
+                      depth: int = 4, width: int = 256):
+    """Maintain the count-min-sketch counter matrix over a stream as
+    APPEND-ONLY DELTAS in a snapshot table: each micro-batch writes
+    its own (r, bucket, cnt) rows keyed by batch id. CMS counters are
+    SUMS — non-absorbing, a replayed count-merge would double-count —
+    so idempotence comes from the manifest protocol exactly as in
+    stream_hdr_deltas: the batch token makes replay a no-op, and the
+    read side sums the deltas (cms_from_state). State grows
+    O(batches x depth x width) — a few hundred rows per batch
+    regardless of stream volume; snapshot.compact reclaims file count
+    when wanted. The matrix expression is textops.cms_counts, shared
+    with the batch events_count_min_sketch, so index-served estimates
+    match the batch operator value-for-value."""
+    from ..operators.textops import cms_counts
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # integer fields first: r/bucket cannot contain the separator,
+        # so the key stays unambiguous
+        delta = cms_counts(batch_df, key_col, depth, width).withColumn(
+            "delta_key",
+            F.concat_ws(
+                "|", F.col("r"), F.col("bucket"), F.lit(str(batch_id))
+            ),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_from_state(spark: SparkSession, table_dir: str,
+                   keys: DataFrame, key_col: str = "user_id",
+                   depth: int = 4, width: int = 256) -> DataFrame:
+    """CMS point estimates served FROM the maintained delta table:
+    sum-merge the per-batch counters, then the shared probe kernel
+    (textops.cms_point_estimates) — identical arithmetic to the batch
+    events_count_min_sketch by construction."""
+    from ..operators.textops import cms_point_estimates
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(f"no published CMS sketch at {table_dir}")
+    merged = deltas.groupBy("r", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return cms_point_estimates(merged, keys, key_col, depth, width)
+
+
 def stream_kmv_upsert(events: DataFrame, state_path: str,
                       checkpoint: str, k: int = 64):
     """Maintain the KMV (k-minimum-values) distinct-user sketch per

@@ -651,6 +651,51 @@ def test_distributed_cumsum_matches_window(spark):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
+def test_distributed_cumsum_grouped_matches_window(spark):
+    """Round-8 (verdict #4): group_cols generalizes the segmented
+    scan to per-group running sums exactly as distributed_ntile grew
+    them — bit-for-bit equal to PARTITION BY g ORDER BY ... ROWS
+    UNBOUNDED PRECEDING, including heavy cross-block ties and BIGINT
+    order values above 2^53 (where the double block projection
+    collapses distinct values and in-block order must fall back to
+    the ORIGINAL column, not the projection)."""
+    from pyspark.sql import Window
+
+    from jobsity_data_pipeline_spark.operators.ranking import (
+        distributed_cumsum,
+    )
+
+    base = (1 << 53) + 10  # doubles cannot represent base+1, base+3, …
+    rows = [
+        (i, i % 3, (i * 37) % 23, base + (i % 7)) for i in range(997)
+    ]
+    df = spark.createDataFrame(rows, "id long, g int, v long, big long")
+    for order_col, desc in (("v", False), ("v", True), ("big", False)):
+        got = {
+            (r.g, r.id): r.cum
+            for r in distributed_cumsum(
+                df, "v", order_col, ["id"], descending=desc,
+                blocks=8, group_cols=["g"],
+            ).collect()
+        }
+        order = [
+            F.desc(order_col) if desc else F.asc(order_col), F.asc("id")
+        ]
+        w = (
+            Window.partitionBy("g").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = {
+            (r.g, r.id): r.cum
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want, (order_col, desc)
+    # no single-partition exchange beyond the grouped cutoffs agg
+    plan = _plan(distributed_cumsum(df, "v", "v", ["id"], blocks=8,
+                                    group_cols=["g"]))
+    assert plan.count("Exchange SinglePartition") == 0
+
+
 def test_bm25_single_scan_takeordered(spark):
     """BM25's plan contract: the postings index is materialized once
     (localCheckpoint -> at most one parquet scan of documents in the
