@@ -283,19 +283,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so this is purely a priority permutation.
     """
     q = _queries_declared()
-    out = {k: q[k] for k in _ROUND7_PRIORITY if k in q}
+    out = {k: q[k] for k in _ROUND8_PRIORITY if k in q}
     # any key in NO list (a new query not yet registered anywhere)
     # runs right after the explicit priorities — a budget-truncated
     # sweep must reach never-verified surface before re-verifying
     # greens, even when the priority tuple wasn't updated
     known = (
-        set(_ROUND7_PRIORITY)
+        set(_ROUND8_PRIORITY)
         | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
-        | _SAMPLED_R5 | _SAMPLED_R6
+        | _SAMPLED_R5 | _SAMPLED_R6 | _SAMPLED_R7
     )
     out.update({k: v for k, v in q.items() if k not in known})
     for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
-                 _SAMPLED_R5, _SAMPLED_R6):
+                 _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7):
         out.update(
             {k: v for k, v in q.items()
              if k in tier and k not in out and k not in _later_tiers(tier)}
@@ -307,17 +307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _later_tiers(tier: frozenset) -> frozenset:
     """Keys re-sampled in a LATER round than ``tier`` — their freshest
     row supersedes the older one, so they sort with the later tier."""
-    if tier is _SAMPLED_R1:
-        return (_SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4 | _SAMPLED_R5
-                | _SAMPLED_R6)
-    if tier is _SAMPLED_R2:
-        return _SAMPLED_R3 | _SAMPLED_R4 | _SAMPLED_R5 | _SAMPLED_R6
-    if tier is _SAMPLED_R3:
-        return _SAMPLED_R4 | _SAMPLED_R5 | _SAMPLED_R6
-    if tier is _SAMPLED_R4:
-        return _SAMPLED_R5 | _SAMPLED_R6
-    if tier is _SAMPLED_R5:
-        return _SAMPLED_R6
+    order = (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
+             _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7)
+    for i, t in enumerate(order):
+        if tier is t:
+            later: frozenset = frozenset()
+            for lt in order[i + 1:]:
+                later = later | lt
+            return later
     return frozenset()
 
 
@@ -336,6 +333,42 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # docs_weighted_sample, docs_quality_tiers, docs_dup_spans,
 # customer_balance_deciles) was trimmed to fit (all r3-green on
 # untouched code, due next round).
+# Round-8 rotation (budget 50): after CORRECTNESS_r07 every key's
+# latest row is green; freshest-row tiers are r7 (50) / r6 (46) /
+# r5 (50) / r4 (27) / r3 (11). This round rewrote the last
+# dimension-table ranking windows onto the mergeable grouped_topk
+# kernel (top_customers_per_nation, parts_top_by_brand,
+# supplier_scorecard's nation_rank) and grew distributed_cumsum to
+# grouped form (parts_abc_xyz's plan changed) — those four re-earn
+# first, then the whole r3-latest tier (due since round 3, three
+# testdata regenerations ago), then the r4-latest tier. 4+11+26 = 41
+# explicit keys; new never-sampled queries auto-front between the
+# explicit list and the tiers via the `known` rule in queries(), so
+# up to ~9 new round-8 keys still fit the 50-key budget.
+_ROUND8_PRIORITY: tuple[str, ...] = (
+    # (0) rewritten this round: grouped_topk dimension rankings +
+    # the grouped distributed_cumsum consumer
+    "top_customers_per_nation", "parts_top_by_brand",
+    "supplier_scorecard", "parts_abc_xyz",
+    # (1) the r3-latest tier — oldest driver rows on the board
+    "emb_cluster_purity", "emb_label_affinity", "emb_label_outliers",
+    "emb_pq_codes", "events_count_min_sketch", "events_decayed_value",
+    "events_hll_rollup", "events_quantile_sketch",
+    "events_rolling_7d_users", "orders_association_rules",
+    "trip_geohash_cells",
+    # (2) the r4-latest tier (supplier_scorecard already fronted)
+    "bbox_weekly_avg", "customers_without_orders", "docs_dsir_weights",
+    "docs_gopher_rules", "docs_len_percentiles",
+    "docs_near_dup_verified", "docs_prefix_clusters", "docs_top_tokens",
+    "emb_label_centroids", "emb_semdedup", "events_asof_view_purchase",
+    "events_daily_moving_avg", "events_funnel", "events_pivot",
+    "events_sessionization", "events_user_daily", "latest_datasource",
+    "media_dedup", "orders_cohort_ltv", "orders_percentiles",
+    "regions_for_datasource", "sql_weekly_avg",
+    "suppliers_with_returns", "trip_grouping_bins", "trip_ingest_dedup",
+    "weekly_avg_by_region",
+)
+
 # Round-7 rotation (budget 50): the driver's CORRECTNESS_r06 closed
 # every r2-latest row; the board's freshest-row tiers are now r3 (39
 # keys) / r4 / r5 / r6. This round REWROTE the whole per-qid ranking
@@ -560,6 +593,28 @@ _SAMPLED_R6: frozenset = frozenset({
     "q12_ship_latency", "q13_customer_distribution",
     "q16_supplier_count", "q20_dominant_suppliers",
     "q21_waiting_suppliers", "q4_order_priority",
+})
+
+
+_SAMPLED_R7: frozenset = frozenset({
+    # round 7 (50 hash rows, zero rows-only), from CORRECTNESS_r07.json
+    "customer_balance_deciles", "customer_interpurchase_gaps",
+    "docs_bigram_logprob", "docs_bloom_probe", "docs_boilerplate_spans",
+    "docs_chunk_windows", "docs_dup_ngram_fraction", "docs_dup_spans",
+    "docs_length_filter_yield", "docs_minhash_bands", "docs_mix_weights",
+    "docs_ngram_novelty", "docs_pack_sequences",
+    "docs_preprocess_pipeline", "docs_quality_tiers", "docs_shard_plan",
+    "docs_simhash_pairs", "docs_source_divergence", "docs_token_gini",
+    "docs_unigram_logprob", "docs_weighted_sample", "docs_winnow_pairs",
+    "emb_ann_recall", "emb_cosine_topk", "emb_hard_negatives",
+    "emb_hard_negatives_ann", "emb_hardneg_recall", "emb_ivf_ann",
+    "emb_ivfpq_ann", "emb_ivfpq_residual_ann", "emb_knn_classify",
+    "emb_lsh_ann", "emb_matryoshka_recall", "emb_pq_ann",
+    "emb_pq_rerank", "emb_pq_trained_ann", "emb_top_pc", "emb_top_pcs",
+    "events_attribution", "events_dau_mau", "events_hll_distinct",
+    "events_range_join", "events_type_cooccurrence", "events_type_runs",
+    "events_user_paths", "events_welch_ttest", "events_windowed_funnel",
+    "orders_open_backlog", "parts_abc_xyz", "parts_triangles",
 })
 
 
