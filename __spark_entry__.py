@@ -34,6 +34,7 @@ from jobsity_data_pipeline_spark.operators import relational9 as R9
 from jobsity_data_pipeline_spark.operators import relational10 as R10
 from jobsity_data_pipeline_spark.operators import relational11 as R11
 from jobsity_data_pipeline_spark.operators import relational12 as R12
+from jobsity_data_pipeline_spark.operators import relational13 as R13
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -270,6 +271,13 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_mau": R12.events_dau_mau,
         "docs_length_filter_yield": TO.docs_length_filter_yield,
         "events_type_cooccurrence": R12.events_type_cooccurrence,
+        # round-8 additions
+        "lineitem_ols_elasticity": R13.lineitem_ols_elasticity,
+        "orders_priority_chi2": R13.orders_priority_chi2,
+        "orders_seasonal_decompose": R13.orders_seasonal_decompose,
+        "events_markov_stationary": R13.events_markov_stationary,
+        "part_type_hhi": R13.part_type_hhi,
+        "emb_ivf_balance": R13.emb_ivf_balance,
     }
 
 
@@ -342,9 +350,11 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # grouped form (parts_abc_xyz's plan changed) — those four re-earn
 # first, then the whole r3-latest tier (due since round 3, three
 # testdata regenerations ago), then the r4-latest tier. 4+11+26 = 41
-# explicit keys; new never-sampled queries auto-front between the
-# explicit list and the tiers via the `known` rule in queries(), so
-# up to ~9 new round-8 keys still fit the 50-key budget.
+# explicit keys; the SIX new round-8 queries (lineitem_ols_elasticity,
+# orders_priority_chi2, orders_seasonal_decompose,
+# events_markov_stationary, part_type_hhi, emb_ivf_balance)
+# auto-front between the explicit list and the tiers via the `known`
+# rule in queries() — 47 keys inside the 50-key budget.
 _ROUND8_PRIORITY: tuple[str, ...] = (
     # (0) rewritten this round: grouped_topk dimension rankings +
     # the grouped distributed_cumsum consumer
@@ -5927,4 +5937,231 @@ def oracle_sql() -> dict[str, str]:
         JOIN s sb ON type_b = sb.event_type
         ORDER BY 1, 2
     """
+    out["lineitem_ols_elasticity"] = """
+        WITH j AS (
+            SELECT p_brand,
+                   CAST(round(l_discount * 100, 0) AS BIGINT) AS x,
+                   CAST(round(l_quantity * 100, 0) AS BIGINT) AS y
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        g AS (
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM j GROUP BY 1
+        )
+        SELECT p_brand AS brand, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / 100.0, 6) AS slope_qty_per_pct,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 100.0, 4) AS intercept_qty,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS r2
+        FROM g
+        WHERE n >= 2
+          AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        ORDER BY brand
+    """
+    out["orders_priority_chi2"] = """
+        WITH cells AS (
+            SELECT o_orderpriority, l_returnflag,
+                   CAST(count(*) AS BIGINT) AS obs
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        rt AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS rt
+               FROM cells GROUP BY 1),
+        ct AS (SELECT l_returnflag, CAST(sum(obs) AS BIGINT) AS ct
+               FROM cells GROUP BY 1),
+        nn AS (SELECT CAST(sum(obs) AS BIGINT) AS nn FROM cells)
+        SELECT o_orderpriority AS priority, l_returnflag AS returnflag,
+               obs AS observed,
+               round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(nn AS DOUBLE), 4) AS expected,
+               round((CAST(obs AS DOUBLE)
+                      - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                        / CAST(nn AS DOUBLE))
+                     * (CAST(obs AS DOUBLE)
+                        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                          / CAST(nn AS DOUBLE))
+                     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                        / CAST(nn AS DOUBLE)), 6) AS chi2_contrib
+        FROM cells
+        JOIN rt USING (o_orderpriority)
+        JOIN ct USING (l_returnflag)
+        CROSS JOIN nn
+        ORDER BY priority, returnflag
+    """
+    # monthly sums of cents sit far below the 1e15 shift; the shifted
+    # seasonal mean stays within BIGINT in both engines
+    out["orders_seasonal_decompose"] = f"""
+        WITH m AS (
+            SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS rev_c
+            FROM orders GROUP BY 1
+        ),
+        t AS (
+            SELECT month, rev_c,
+                   2 * sum(rev_c) OVER (ORDER BY month
+                       ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                   + lag(rev_c, 6) OVER (ORDER BY month)
+                   + lead(rev_c, 6) OVER (ORDER BY month) AS trend_num
+            FROM m
+        ),
+        d AS (
+            SELECT month, rev_c,
+                   CAST((2 * trend_num + 24) // 48 AS BIGINT) AS trend_c,
+                   CAST(rev_c - (2 * trend_num + 24) // 48 AS BIGINT)
+                       AS detr_c
+            FROM t WHERE trend_num IS NOT NULL
+        ),
+        s AS (
+            SELECT substring(month, 6, 2) AS moy,
+                   CAST((2 * sum(detr_c + {_SEAS_SHIFT}) + count(*))
+                        // (2 * count(*)) - {_SEAS_SHIFT} AS BIGINT)
+                       AS seasonal_c
+            FROM d GROUP BY 1
+        )
+        SELECT month, rev_c, trend_c, seasonal_c,
+               CAST(detr_c - seasonal_c AS BIGINT) AS resid_c
+        FROM d JOIN s ON substring(d.month, 6, 2) = s.moy
+        ORDER BY month
+    """
+    out["events_markov_stationary"] = _markov_oracle()
+    out["part_type_hhi"] = """
+        WITH g AS (
+            SELECT p_type, l_suppkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        ),
+        t AS (SELECT p_type, CAST(sum(rev) AS BIGINT) AS tot
+              FROM g GROUP BY 1),
+        s AS (
+            SELECT g.p_type,
+                   (2 * rev * 10000 + tot) // (2 * tot) AS share_bp
+            FROM g JOIN t ON g.p_type = t.p_type
+        )
+        SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi
+        FROM s GROUP BY 1 ORDER BY 1
+    """
+    out["emb_ivf_balance"] = """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        x AS (
+            SELECT vec_id, label, unnest(range(0, len(v))) AS pos,
+                   unnest(v) AS x
+            FROM e
+        ),
+        lcent AS (
+            SELECT label AS cell, pos, round(avg(x), 6) AS c
+            FROM x GROUP BY 1, 2
+        ),
+        celld AS (
+            SELECT x.vec_id, lc.cell,
+                   CAST(round(sum((x.x - lc.c) * (x.x - lc.c))
+                              * 1000000, 0) AS BIGINT) AS cd6
+            FROM x JOIN lcent lc ON x.pos = lc.pos
+            GROUP BY 1, 2
+        ),
+        cellasg AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cd6, cell) AS rn
+                FROM celld
+            ) WHERE rn = 1
+        ),
+        per AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+                FROM cellasg GROUP BY 1),
+        t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot FROM per)
+        SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+               CAST((2 * n_vecs * 1000 + tot) // (2 * tot) AS BIGINT)
+                   AS share_pm
+        FROM per CROSS JOIN t ORDER BY cell
+    """
     return out
+
+
+# shift for the seasonal-index half-up mean: far above any calendar-
+# bounded monthly cents total, far below BIGINT overflow when summed
+# over the <= ~100-month frame (kept in lockstep with
+# relational13.orders_seasonal_decompose)
+_SEAS_SHIFT = 1_000_000_000_000_000
+
+
+def _markov_oracle(rounds: int = 24) -> str:
+    """Unrolled fixed-round integer power iteration matching
+    relational13.events_markov_stationary bit-for-bit: DuckDB forbids
+    aggregates in a recursive CTE term, so the ``rounds`` steps chain
+    as generated CTEs over the tiny transition frame."""
+    steps = []
+    for i in range(1, rounds + 1):
+        prev = "p0" if i == 1 else f"p{i - 1}"
+        steps.append(f"""
+        p{i} AS MATERIALIZED (
+            SELECT c.next_type AS type,
+                   CAST(sum((2 * p.pi * c.n + r.rn) // (2 * r.rn))
+                        AS BIGINT) AS pi
+            FROM {prev} p
+            JOIN c ON p.type = c.prev_type
+            JOIN r ON c.prev_type = r.prev_type
+            WHERE c.next_type IN (SELECT prev_type FROM r)
+            GROUP BY 1
+        )""")
+    return f"""
+        WITH seq AS MATERIALIZED (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ),
+        c AS MATERIALIZED (
+            SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        r AS MATERIALIZED (
+            SELECT prev_type, CAST(sum(n) AS BIGINT) AS rn
+            FROM c GROUP BY 1),
+        k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM r),
+        p0 AS (
+            SELECT prev_type AS type,
+                   1000000 // k.k
+                   + CASE WHEN row_number() OVER (ORDER BY prev_type)
+                               <= 1000000 % k.k
+                          THEN 1 ELSE 0 END AS pi
+            FROM r CROSS JOIN k
+        ),{",".join(steps)}
+        SELECT r.prev_type AS event_type,
+               CAST(COALESCE(p.pi, 0) AS BIGINT) AS pi_e6,
+               r.rn AS n_out
+        FROM r LEFT JOIN p{rounds} p ON p.type = r.prev_type
+        ORDER BY 1
+    """

@@ -966,3 +966,61 @@ def test_distributed_ntile_exact_above_2_53(spark):
                                    exact_values=True).collect()
     }
     assert got_d == want_d
+
+
+def test_round8_wave_plan_shapes(spark):
+    """Round-8 wave gates: the regression/chi2/HHI statistics reduce
+    via partial-agg groupBys with NO window anywhere; the seasonal
+    decomposition's global-order windows consume ONLY the
+    calendar-bounded monthly aggregate (every root-to-leaf path
+    crosses an Aggregate); the Markov chain's only window is
+    partitioned by the high-cardinality user key; the IVF balance
+    audit is window-free over the assignment table."""
+    from jobsity_data_pipeline_spark.operators import relational13 as R13
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def _every_leaf_below_aggregate(node):
+        if node.nodeName() == "Aggregate":
+            return True
+        ch = node.children()
+        if ch.size() == 0:
+            return False
+        return all(
+            _every_leaf_below_aggregate(ch.apply(i))
+            for i in range(ch.size())
+        )
+
+    def windows(df):
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return [n for n in walk(plan) if n.nodeName() == "Window"]
+
+    for fn, name in (
+        (R13.lineitem_ols_elasticity, "ols"),
+        (R13.orders_priority_chi2, "chi2"),
+        (R13.part_type_hhi, "hhi"),
+        (R13.emb_ivf_balance, "ivf_balance"),
+    ):
+        assert not windows(fn(spark, SF_SMOKE)), f"{name} grew a window"
+
+    seas = R13.orders_seasonal_decompose(spark, SF_SMOKE)
+    ws = windows(seas)
+    assert ws, "seasonal decompose must build its MA via a window"
+    for w in ws:
+        assert _every_leaf_below_aggregate(w.children().apply(0)), (
+            "seasonal window must consume the monthly aggregate only"
+        )
+
+    mk = R13.events_markov_stationary(spark, SF_SMOKE)
+    # the returned frame is a tiny createDataFrame; the corpus pass
+    # happens inside — assert on the transition plan instead by
+    # running it and checking the result is the bounded |types| frame
+    assert mk.count() <= 64
+
+    # chi2's marginal joins broadcast (tiny re-aggregations)
+    assert _plan(R13.orders_priority_chi2(spark, SF_SMOKE)).count(
+        "BroadcastHashJoin") >= 2
