@@ -354,12 +354,13 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # orders_priority_chi2, orders_seasonal_decompose,
 # events_markov_stationary, part_type_hhi, emb_ivf_balance)
 # auto-front between the explicit list and the tiers via the `known`
-# rule in queries() — 47 keys inside the 50-key budget.
+# rule in queries() — 48 keys inside the 50-key budget.
 _ROUND8_PRIORITY: tuple[str, ...] = (
-    # (0) rewritten this round: grouped_topk dimension rankings +
-    # the grouped distributed_cumsum consumer
+    # (0) rewritten this round: grouped_topk dimension rankings, the
+    # grouped distributed_cumsum consumer, and the welch moment-form
+    # change (integer sufficient statistic, streaming-servable)
     "top_customers_per_nation", "parts_top_by_brand",
-    "supplier_scorecard", "parts_abc_xyz",
+    "supplier_scorecard", "parts_abc_xyz", "events_welch_ttest",
     # (1) the r3-latest tier — oldest driver rows on the board
     "emb_cluster_purity", "emb_label_affinity", "emb_label_outliers",
     "emb_pq_codes", "events_count_min_sketch", "events_decayed_value",
@@ -5713,9 +5714,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         ),
         st AS (
-            SELECT event_type, count(*) AS n, avg(vc) AS m,
-                   var_samp(vc) AS v
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS sv,
+                   CAST(sum(vc * vc) AS BIGINT) AS svv
             FROM vcents GROUP BY 1
+        ),
+        mo AS (
+            SELECT event_type, n,
+                   CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                   (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                       AS v
+            FROM st
         )
         SELECT a.event_type AS type_a, b.event_type AS type_b,
                a.n AS na, b.n AS nb,
@@ -5727,7 +5738,7 @@ def oracle_sql() -> dict[str, str]:
                      / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
                         + (b.v / b.n) * (b.v / b.n) / (b.n - 1)),
                      2) AS df
-        FROM st a JOIN st b ON a.event_type < b.event_type
+        FROM mo a JOIN mo b ON a.event_type < b.event_type
         WHERE a.n >= 2 AND b.n >= 2
           AND (a.v / a.n + b.v / b.n) > 0
         ORDER BY 1, 2

@@ -383,12 +383,17 @@ def grouped_topk(
     parallelism and stays a live knob. Split ids fold in modulo
     ``_SPLIT_SPACE`` (2^20) so the shard-id domain is statically
     bounded; beyond 2^20 input splits, splits sharing a residue share
-    a buffer — graceful, not wrong. The merge then runs as a tree
-    over the combined shard id with fan-in <= _MERGE_FANIN per level
-    (each buffer <= _MERGE_FANIN*k structs). Top-k merge is
-    associative, so the tree is exact at any shape; levels collapse
-    to near-no-op shuffles of tiny frames when the populated shard
-    count is small.
+    a buffer — graceful, not wrong. The merge runs as a tree whose
+    depth scales with ``n_salts`` (a projection first compacts the
+    sparse split dimension to its mod-256 residue, so the tree never
+    pays levels for the static 2^20 domain); each level's buffers
+    stay <= _MERGE_FANIN*k structs, via one extra residue-merge
+    level exactly when defaultParallelism exceeds the fan-in cap
+    (below that, populated splits <= 256 bound the first level by
+    themselves — exceeding it on a small-parallelism config with
+    pathologically many input splits degrades buffer size
+    gracefully, never correctness). Top-k merge is associative, so
+    the tree is exact at any shape.
 
     ``order_cols`` is the ASCENDING composite sort (negate a column
     for descending) and must be a total order within each group (end
@@ -414,7 +419,37 @@ def grouped_topk(
         .groupBy(*group_cols, "_shard")
         .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_tk"))
     )
-    shards = n_salts * _SPLIT_SPACE
+    # compact the sparse (salt, split) domain before the merge tree:
+    # stage-1 keys keep FULL split precision (one split per buffer,
+    # the structural guarantee), but sizing the tree to the static
+    # 2^20 split space would force ceil(log_256(n_salts * 2^20)) = 3
+    # near-empty shuffle levels on EVERY call (measured at sf0.1:
+    # the whole ANN/mining family inflated, emb_ann_recall alone
+    # +several seconds). A pure projection folds the split id to its
+    # residue mod _MERGE_FANIN (2^20 is a multiple of 256, so pmod
+    # extracts the split residue exactly); tree depth then scales
+    # with n_salts — the REAL parallelism knob — not the worst-case
+    # constant. The first div level after this merges, per (group,
+    # salt) key, the one-split arrays of every populated residue:
+    # fan-in = populated splits, within the cap whenever real
+    # parallelism <= _MERGE_FANIN. When the cluster is bigger than
+    # that (defaultParallelism > 256), one extra residue-merge level
+    # restores the per-buffer cap before the div-tree — amortized
+    # there by the real work, never paid on small clusters.
+    cur = cur.withColumn(
+        "_shard",
+        F.expr(
+            f"(_shard div {_SPLIT_SPACE}) * {_MERGE_FANIN}"
+            f" + pmod(_shard, {_MERGE_FANIN})"
+        ),
+    )
+    if df.sparkSession.sparkContext.defaultParallelism > _MERGE_FANIN:
+        cur = cur.groupBy(*group_cols, "_shard").agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_tk"))), 1, k
+            ).alias("_tk")
+        )
+    shards = n_salts * _MERGE_FANIN
     while shards > _MERGE_FANIN:
         shards = -(-shards // _MERGE_FANIN)
         cur = (

@@ -41,49 +41,58 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return ensure_parallelism(spark, read_table(spark, sf_dir, name))
 
 
-def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Welch's t-test (unequal variances) between every ordered pair
-    of event types' ``value`` distributions: t statistic and the
-    Welch-Satterthwaite degrees of freedom, plus the mean difference.
+def welch_moments(typed_vc: DataFrame) -> DataFrame:
+    """(event_type, vc) rows -> the MERGEABLE sufficient statistic
+    per type: n, Σvc, Σvc² as exact integer sums. Order-independent
+    longs, so partial aggregation, cross-run merges, and per-batch
+    streaming deltas (stream.stream_moments_upsert) all compose —
+    summing two moment frames IS the moment frame of the union."""
+    return typed_vc.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("sv"),
+        F.sum(F.col("vc") * F.col("vc")).alias("svv"),
+    )
 
-    Plan: ONE partial-aggregable scan reduces the corpus to
-    |types| moment rows (count, mean, sample variance); the pairwise
-    statistics are a broadcast self-join on that tiny frame — at
-    100 TB the corpus is read once and everything pairwise happens on
-    |types|^2 rows. The moments are computed over EXACT INTEGER cents
-    (t and the Satterthwaite df are scale-invariant, so cents give
-    the same statistics as dollars; the mean gap divides back) — the
-    orders_price_corr convention that keeps raw 2-dp money doubles
-    out of float accumulations — and outputs are rounded (4 dp for t,
-    2 dp for df, 6 dp for the mean gap) so last-ulp moment noise sits
-    below the reported precision.
+
+def welch_stats(st: DataFrame) -> DataFrame:
+    """Pairwise Welch statistics from a (event_type, n, sv, svv)
+    moment frame — the kernel shared by the batch operator and
+    stream.welch_from_state, so index-served statistics match the
+    batch operator value-for-value. Mean and sample variance come
+    from the integer sums via identical IEEE double expressions in
+    both engines (var = (n·Σv² − (Σv)²)/(n·(n−1)), computed in
+    doubles since (Σv)² overflows BIGINT at corpus scale); outputs
+    are rounded (4 dp t, 2 dp df, 6 dp mean gap) so last-ulp noise
+    sits below the reported precision.
 
     Degenerate pairs are FILTERED, not emitted as silent NULL rows
-    (round-7 ADVICE): a type with n = 1 has var_samp NULL, and two
-    zero-variance types make se2 = 0 (division by zero) — both sides
-    of such a pair drop via ``n >= 2`` and ``se2 > 0`` guards, in
-    Spark and oracle lockstep."""
-    from ..functions import money as M
+    (round-7 ADVICE): n = 1 gives an undefined sample variance, and
+    two zero-variance types make se2 = 0 — both drop via ``n >= 2``
+    and ``se2 > 0`` guards, in Spark and oracle lockstep."""
+    def _moment_cols(side: str) -> list:
+        nd = F.col(f"n{side}").cast("double")
+        svd = F.col(f"sv{side}").cast("double")
+        svvd = F.col(f"svv{side}").cast("double")
+        m = svd / nd
+        v = (nd * svvd - svd * svd) / (nd * (nd - F.lit(1.0)))
+        return [m.alias(f"m{side}"), v.alias(f"v{side}")]
 
-    e = _t(spark, sf_dir, "events")
-    st = e.select(
-        "event_type", M.cents("value").alias("vc")
-    ).groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.avg("vc").alias("m"),
-        F.var_samp("vc").alias("v"),
-    )
     a = st.select(
         F.col("event_type").alias("type_a"),
         F.col("n").alias("na"),
-        F.col("m").alias("ma"),
-        F.col("v").alias("va"),
+        F.col("sv").alias("sva"),
+        F.col("svv").alias("svva"),
     )
     b = st.select(
         F.col("event_type").alias("type_b"),
         F.col("n").alias("nb"),
-        F.col("m").alias("mb"),
-        F.col("v").alias("vb"),
+        F.col("sv").alias("svb"),
+        F.col("svv").alias("svvb"),
+    )
+    j = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", "na", "nb",
+                *_moment_cols("a"), *_moment_cols("b"))
     )
     se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
     dfw = (se2 * se2) / (
@@ -93,8 +102,7 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("nb") - 1)
     )
     return (
-        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
-        .where((F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0))
+        j.where((F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0))
         .select(
             "type_a",
             "type_b",
@@ -108,6 +116,32 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test (unequal variances) between every ordered pair
+    of event types' ``value`` distributions: t statistic and the
+    Welch-Satterthwaite degrees of freedom, plus the mean difference.
+
+    Plan: ONE partial-aggregable scan reduces the corpus to
+    |types| moment rows — exact integer cents sums (n, Σv, Σv²), the
+    welch_moments kernel (t and the Satterthwaite df are
+    scale-invariant, so cents give the same statistics as dollars;
+    the mean gap divides back — the orders_price_corr convention
+    that keeps raw 2-dp money doubles out of float accumulations).
+    The pairwise statistics are a broadcast self-join on that tiny
+    frame (welch_stats) — at 100 TB the corpus is read once and
+    everything pairwise happens on |types|^2 rows. The integer-sum
+    moment form (round 8, was avg/var_samp) is what makes the
+    statistic SERVABLE from maintained streaming state: summed
+    per-batch deltas reproduce the exact same longs, so
+    stream.welch_from_state matches this operator bit-for-bit."""
+    from ..functions import money as M
+
+    e = _t(spark, sf_dir, "events")
+    st = welch_moments(
+        e.select("event_type", M.cents("value").alias("vc")))
+    return welch_stats(st)
 
 
 def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -995,6 +995,65 @@ def cms_from_state(spark: SparkSession, table_dir: str,
     return cms_point_estimates(merged, keys, key_col, depth, width)
 
 
+def stream_moments_upsert(events: DataFrame, table_dir: str,
+                          checkpoint: str, value_col: str = "value"):
+    """Maintain the Welch sufficient statistic (per-type n, Σv, Σv²
+    over exact integer cents) over a stream as APPEND-ONLY DELTAS in
+    a snapshot table. Moment sums are SUMS — non-absorbing, a
+    replayed merge would double-count — so idempotence comes from the
+    manifest batch token exactly as in stream_hdr_deltas /
+    stream_cms_upsert; the read side sums the deltas. The per-batch
+    reduction is the SAME welch_moments kernel the batch
+    events_welch_ttest uses, and summed integer deltas reproduce the
+    batch operator's exact longs — so welch_from_state serves
+    statistics bit-identical to the batch twin, something the old
+    avg/var_samp moment form could never promise (engine-internal
+    Welford merge order). State grows O(batches x types); compaction
+    via snapshot.compact when wanted."""
+    from ..functions import money as M
+    from ..operators.relational12 import welch_moments
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = welch_moments(
+            batch_df.select(
+                "event_type", M.cents(value_col).alias("vc"))
+        ).withColumn(
+            "delta_key",
+            F.concat_ws("|", F.col("event_type"), F.lit(str(batch_id))),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def welch_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Pairwise Welch t-tests served FROM the maintained moment-delta
+    table: sum-merge the per-batch integer moment deltas (recovering
+    the exact corpus sums), then the shared welch_stats kernel —
+    bit-identical to batch events_welch_ttest over the same rows by
+    construction."""
+    from ..operators.relational12 import welch_stats
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(f"no published moment state at {table_dir}")
+    st = deltas.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.sum("svv").alias("svv"),
+    )
+    return welch_stats(st)
+
+
 def stream_kmv_upsert(events: DataFrame, state_path: str,
                       checkpoint: str, k: int = 64):
     """Maintain the KMV (k-minimum-values) distinct-user sketch per

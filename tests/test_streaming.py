@@ -1059,3 +1059,79 @@ def test_stream_kmv_upsert_equals_batch_and_merge_is_absorbing(
     a = {r.event_type: list(r.mins) for r in st.collect()}
     b = {r.event_type: list(r.mins) for r in re_merged.collect()}
     assert a == b
+
+
+def test_stream_moments_upsert_serves_batch_welch_bitexact(
+    spark, tmp_path
+):
+    """Round-8: the Welch sufficient statistic maintained as per-batch
+    integer moment deltas serves statistics BIT-IDENTICAL to the batch
+    events_welch_ttest pipeline over the union (summed exact longs ->
+    the shared welch_stats kernel), and a replayed batch cannot
+    double-count (manifest token idempotence — moment sums are the
+    non-absorbing case)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.functions import money as M
+    from jobsity_data_pipeline_spark.operators.relational12 import (
+        welch_moments, welch_stats,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        stream_moments_upsert, welch_from_state,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase"]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 7, types[i % 3],
+         round((i * 37 % 500) / 100 + i % 13, 2), "{}")
+        for i in range(300)
+    ]
+    src = tmp_path / "events"
+    for half in (0, 1):  # two files -> two micro-batches
+        spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 2 == half], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    table = str(tmp_path / "moments")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_moments_upsert(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    all_events = spark.createDataFrame(rows, schema)
+    want = welch_stats(
+        welch_moments(
+            all_events.select("event_type", M.cents("value").alias("vc"))
+        )
+    ).collect()
+    got = welch_from_state(spark, table).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 3  # all pairs of the three types survive
+
+    # replaying batch 0's delta under its original token is a no-op
+    v = latest_manifest(table)["version"]
+    b0 = welch_moments(
+        spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 2 == 0], schema
+        ).select("event_type", M.cents("value").alias("vc"))
+    ).withColumn(
+        "delta_key", F.concat_ws("|", F.col("event_type"), F.lit("0")),
+    )
+    assert upsert_batch(b0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert [tuple(r) for r in welch_from_state(spark, table).collect()] \
+        == [tuple(r) for r in want]
