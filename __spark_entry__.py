@@ -346,10 +346,12 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # r5 (50) / r4 (27) / r3 (11). This round rewrote the last
 # dimension-table ranking windows onto the mergeable grouped_topk
 # kernel (top_customers_per_nation, parts_top_by_brand,
-# supplier_scorecard's nation_rank) and grew distributed_cumsum to
-# grouped form (parts_abc_xyz's plan changed) — those four re-earn
+# supplier_scorecard's nation_rank), grew distributed_cumsum to
+# grouped form (parts_abc_xyz re-earns conservatively: its g=[] call
+# path is plan-equivalent but the kernel it rides changed), and moved
+# events_welch_ttest onto integer moment sums — those five re-earn
 # first, then the whole r3-latest tier (due since round 3, three
-# testdata regenerations ago), then the r4-latest tier. 4+11+26 = 41
+# testdata regenerations ago), then the r4-latest tier. 5+11+26 = 42
 # explicit keys; the SIX new round-8 queries (lineitem_ols_elasticity,
 # orders_priority_chi2, orders_seasonal_decompose,
 # events_markov_stationary, part_type_hhi, emb_ivf_balance)

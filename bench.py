@@ -74,8 +74,14 @@ def main() -> None:
     # per-query dict sorted ascending by time so the expensive tier
     # sits at the end of the line, adjacent to the tail capture —
     # a truncated capture always retains the queries worth
-    # diagnosing, never just the sub-second crowd.
-    by_time = dict(sorted(timings.items(), key=lambda kv: kv[1]))
+    # diagnosing, never just the sub-second crowd. Errored queries
+    # (-1.0) are the MOST diagnosis-worthy, so they sort after
+    # everything (a plain ascending sort would put them first — the
+    # position most likely to be truncated away).
+    by_time = dict(sorted(
+        timings.items(),
+        key=lambda kv: float("inf") if kv[1] < 0 else kv[1],
+    ))
     print(
         json.dumps(
             {
@@ -104,6 +110,8 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "n_queries": len(timings),
                 "n_errors": n_err,
+                "errors": sorted(
+                    k for k, t in timings.items() if t < 0),
                 "top20": top20,
             }
         )

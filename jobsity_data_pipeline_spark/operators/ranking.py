@@ -93,7 +93,10 @@ def distributed_ntile(
     DESC). Ties on the value are broken by ``tiebreak_cols`` ascending,
     exactly as the equivalent window spec would. ``group_cols`` must be
     low-cardinality (the cutoff/offset side tables are
-    groups x blocks rows and are broadcast).
+    groups x blocks rows and are broadcast) and NON-NULL (the
+    per-group joins are plain equi-joins — a NULL group key would
+    drop its rows rather than form its own partition; coalesce a
+    sentinel upstream if a nullable key must be bucketed).
     """
     if exact_values and not tiebreak_cols:
         raise ValueError(
@@ -265,7 +268,12 @@ def distributed_cumsum(
     over ``blocks`` tasks.
 
     ``sum_col`` and ``order_col`` must be numeric non-null (they may
-    be the same column — the ABC-analysis shape)."""
+    be the same column — the ABC-analysis shape). ``group_cols``
+    values must be NON-NULL too: the per-group cutoff/offset joins
+    are plain equi-joins, so a NULL group key would drop its rows
+    instead of forming its own partition the way
+    ``Window.partitionBy`` does — coalesce a sentinel upstream if a
+    nullable key must be scanned."""
     g = list(group_cols or [])
     sv = F.col(order_col).cast("double")
     if descending:

@@ -46,7 +46,16 @@ def welch_moments(typed_vc: DataFrame) -> DataFrame:
     per type: n, Σvc, Σvc² as exact integer sums. Order-independent
     longs, so partial aggregation, cross-run merges, and per-batch
     streaming deltas (stream.stream_moments_upsert) all compose —
-    summing two moment frames IS the moment frame of the union."""
+    summing two moment frames IS the moment frame of the union.
+
+    Exactness bound: the long sums stay exact while
+    n · max(vc)² < 2^63 per type — at |vc| ≤ 6e4 cents that is
+    ~2.6e9 rows per type per accumulation; beyond it, under ANSI
+    mode (the Spark 4 default) the sum FAILS LOUDLY rather than
+    wrapping, and the remedy is sharding the moment accumulation
+    (moment frames add) or scaling vc's unit down. DuckDB's HUGEINT
+    sums never wrap, so a wrapped long could only ever show up as a
+    parity break, not a silent agreement."""
     return typed_vc.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("vc").alias("sv"),

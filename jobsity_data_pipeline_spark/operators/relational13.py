@@ -60,6 +60,12 @@ def lineitem_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops on identical inputs, rounded well below where half-ulp noise
     could sit. Degenerate brands (no discount variance) are filtered,
     not emitted as NULL statistics.
+
+    Exactness bound: the moment sums stay exact longs while
+    n · max(y)² < 2^63 per brand — with quantity cents ≤ 5e3 that is
+    ~3.7e11 lineitem rows per brand (≈ 60 TB of lineitem per brand);
+    past it, ANSI mode (the Spark 4 default) fails the sum loudly
+    and the accumulation shards (moment frames add).
     """
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")
@@ -255,6 +261,12 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
     for r in counts.collect():  # bounded: |types|^2 rows
         rows.setdefault(r["prev_type"], {})[r["next_type"]] = int(r["n"])
     types = sorted(rows)
+    if not types:
+        # no transitions (empty table / single-event users): the
+        # oracle's LEFT JOIN over an empty r yields zero rows — match
+        # it instead of dividing 1e6 by zero types
+        return spark.createDataFrame(
+            [], "event_type string, pi_e6 long, n_out long")
     rsum = {t: sum(rows[t].values()) for t in types}
     k = len(types)
     base, rem = divmod(1_000_000, k)
@@ -285,6 +297,11 @@ def part_type_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back broadcast (|types| rows; no window anywhere). Shares
     are half-up integer basis points of exact 1e-4-unit revenue, so
     the index is an order-independent integer sum.
+
+    Exactness bound: the share division's 2·rev·10000 term needs
+    tot < 2^63/2e4 ≈ 4.6e14 e-4 units — 4.6e10 dollars of revenue
+    per part type; ANSI mode (the Spark 4 default) fails loudly past
+    it (scale the unit down if a corpus ever gets there).
     """
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")

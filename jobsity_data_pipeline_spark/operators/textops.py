@@ -416,7 +416,11 @@ def cms_point_estimates(cms: DataFrame, keys: DataFrame,
     estimate is the MIN over the depth counters the key hashes to.
     ``keys`` must be bounded (heavy-hitter candidates) — it broadcasts
     against the (depth x width)-row matrix; extra columns ride along
-    into the output."""
+    into the output. A bucket with no counter row counts as ZERO (a
+    sparse matrix omits untouched buckets; the left join + coalesce
+    keeps the min honest), so probing a never-seen key returns the
+    correct CMS answer 0 instead of dropping the key or returning a
+    min over only its populated buckets."""
     spark = cms.sparkSession
     rows = spark.range(depth).select(F.col("id").cast("int").alias("r"))
     probes = keys.crossJoin(F.broadcast(rows)).select(
@@ -425,9 +429,9 @@ def cms_point_estimates(cms: DataFrame, keys: DataFrame,
         cms_bucket(F.col("r"), F.col(key_col), width).alias("bucket"),
     )
     return (
-        probes.join(cms, ["r", "bucket"])
+        probes.join(cms, ["r", "bucket"], "left")
         .groupBy(*keys.columns)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 

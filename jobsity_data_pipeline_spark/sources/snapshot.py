@@ -703,7 +703,13 @@ def adopt_legacy_parquet(table_dir: str) -> int | None:
     verified readable (the footer is written last, so a torn file
     fails here) — an unreadable file raises instead of adopting
     corrupt rows as durable state, leaving the operator to repair or
-    delete the dir explicitly."""
+    delete the dir explicitly. KNOWN LIMIT of the no-marker path: a
+    job that crashed after only SOME tasks committed leaves files
+    that are individually complete — nothing in a bare dir records
+    the intended file count, so the subset is indistinguishable from
+    a legitimate small write and is adopted as-is. Only ``_SUCCESS``
+    proves set-completeness; treat marker-less adoption as
+    best-effort rescue of whatever the legacy writer durably left."""
     if not os.path.isdir(table_dir) or latest_manifest(table_dir) is not None:
         return None
     files = sorted(

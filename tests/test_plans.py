@@ -23,6 +23,32 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def walk(node):
+    """Yield every node of a logical plan tree (shared by the
+    window-shape gates below — ONE copy, so a future fix to the
+    traversal or the aggregate-descent rule changes every gate)."""
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from walk(ch.apply(i))
+
+
+def _every_leaf_below_aggregate(node):
+    """True iff EVERY root-to-leaf path through ``node`` crosses an
+    Aggregate — an Aggregate merely somewhere in the subtree would
+    accept a per_day_agg JOIN corpus_fact frame, which is exactly
+    the corpus-sized-window regression the gates exist to reject."""
+    if node.nodeName() == "Aggregate":
+        return True
+    ch = node.children()
+    if ch.size() == 0:
+        return False
+    return all(
+        _every_leaf_below_aggregate(ch.apply(i))
+        for i in range(ch.size())
+    )
+
+
 def test_filter_pushdown_reaches_scan(spark):
     li = read_table(spark, SF_SMOKE, "lineitem")
     df = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
@@ -429,12 +455,6 @@ def test_no_fact_sized_frame_in_type_only_window(spark):
     from jobsity_data_pipeline_spark.operators import relational8 as R8
     from jobsity_data_pipeline_spark.operators import relational10 as R10
 
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
-
     def check(df, name):
         plan = df._jdf.queryExecution().optimizedPlan()
         seen = 0
@@ -484,21 +504,6 @@ def test_no_fact_sized_frame_in_type_only_window(spark):
         docs_token_gini,
     )
 
-    def _every_leaf_below_aggregate(node):
-        """True iff EVERY root-to-leaf path through ``node`` crosses an
-        Aggregate — an Aggregate merely somewhere in the subtree would
-        accept a per_day_agg JOIN corpus_fact frame, which is exactly
-        the corpus-sized-window regression the gate exists to reject."""
-        if node.nodeName() == "Aggregate":
-            return True
-        ch = node.children()
-        if ch.size() == 0:
-            return False
-        return all(
-            _every_leaf_below_aggregate(ch.apply(i))
-            for i in range(ch.size())
-        )
-
     def check_all_windows_over_aggregates(df, name):
         plan = df._jdf.queryExecution().optimizedPlan()
         seen = 0
@@ -531,12 +536,6 @@ def test_round6_plan_shapes(spark):
     m4 = R11.events_m4_downsample(spark, SF_SMOKE)
     p = _plan(m4)
     assert "Window" not in p, "M4 must be a pure aggregate"
-
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
 
     # SCD2 build AND its as-of consumer: every window partitions on
     # the high-cardinality customer key (the as-of union stream never
@@ -597,12 +596,6 @@ def test_key_skew_and_capped_vocab_rank_distributed(spark):
     toks = d.select(F.explode(TX.tokens("text")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("r_freq"))
     capped = R10.capped_vocab(vocab, 10)
-
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
 
     lp = capped._jdf.queryExecution().optimizedPlan()
     for n in walk(lp):
@@ -737,12 +730,6 @@ def test_no_qid_partitioned_window_anywhere(spark):
     from jobsity_data_pipeline_spark.operators import relational11 as R11
     from jobsity_data_pipeline_spark.operators import similarity as S
 
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
-
     def assert_no_qid_window(df, name):
         plan = df._jdf.queryExecution().optimizedPlan()
         for n in walk(plan):
@@ -809,23 +796,6 @@ def test_no_dimension_key_ranking_window_over_raw_scan(spark):
         "l_shipmode", "event_type", "lang", "source", "label", "seg",
         "tier", "m",
     }
-
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
-
-    def _every_leaf_below_aggregate(node):
-        if node.nodeName() == "Aggregate":
-            return True
-        ch = node.children()
-        if ch.size() == 0:
-            return False
-        return all(
-            _every_leaf_below_aggregate(ch.apply(i))
-            for i in range(ch.size())
-        )
 
     def check(df, name):
         plan = df._jdf.queryExecution().optimizedPlan()
@@ -977,23 +947,6 @@ def test_round8_wave_plan_shapes(spark):
     partitioned by the high-cardinality user key; the IVF balance
     audit is window-free over the assignment table."""
     from jobsity_data_pipeline_spark.operators import relational13 as R13
-
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
-
-    def _every_leaf_below_aggregate(node):
-        if node.nodeName() == "Aggregate":
-            return True
-        ch = node.children()
-        if ch.size() == 0:
-            return False
-        return all(
-            _every_leaf_below_aggregate(ch.apply(i))
-            for i in range(ch.size())
-        )
 
     def windows(df):
         plan = df._jdf.queryExecution().optimizedPlan()
