@@ -1135,3 +1135,35 @@ def test_stream_moments_upsert_serves_batch_welch_bitexact(
     assert latest_manifest(table)["version"] == v
     assert [tuple(r) for r in welch_from_state(spark, table).collect()] \
         == [tuple(r) for r in want]
+
+
+def test_cms_probe_counts_empty_buckets_as_zero(spark):
+    """Review-fix pin: probing a key the stream never saw returns the
+    correct CMS estimate 0 (all its buckets empty -> min over zeros),
+    and a key whose buckets are only PARTLY populated by collisions
+    takes the zero branch of the min rather than a min over the
+    populated subset — the left-join + coalesce contract."""
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.textops import (
+        cms_counts, cms_point_estimates,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "view")] * 5 + [(2, "view")] * 3,
+        "user_id long, event_type string",
+    )
+    cms = cms_counts(ev, "user_id", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [(1,), (2,), (999_999,)], "user_id long"
+    )
+    got = {
+        r.user_id: r.cms_est
+        for r in cms_point_estimates(
+            cms, probes, "user_id", depth=4, width=256
+        ).collect()
+    }
+    assert set(got) == {1, 2, 999_999}, "absent key must not vanish"
+    assert got[999_999] == 0
+    # present keys keep the upper-bound contract
+    assert got[1] >= 5 and got[2] >= 3
