@@ -257,7 +257,13 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kcenter_sample": R11.emb_kcenter_sample,
         "orders_forecast_snaive": R11.orders_forecast_snaive,
         "events_hopping_counts": R11.events_hopping_counts,
-        "emb_top_pc": R11.emb_top_pc,
+        # cache_centered=True: serve from the per-corpus shared pin
+        # (also fed by emb_top_pcs) — bit-identical to the default
+        # recompute posture (cache-invariance unit-tested), so the
+        # suite centers the embedding corpus once, not once per PCA
+        # query
+        "emb_top_pc": lambda spark, sf_dir: R11.emb_top_pc(
+            spark, sf_dir, cache_centered=True),
         "parts_abc_xyz": R11.parts_abc_xyz,
         # round-7 additions
         "emb_top_pcs": R11.emb_top_pcs,

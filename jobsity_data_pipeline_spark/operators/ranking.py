@@ -439,11 +439,14 @@ def grouped_topk(
     # with n_salts — the REAL parallelism knob — not the worst-case
     # constant. The first div level after this merges, per (group,
     # salt) key, the one-split arrays of every populated residue:
-    # fan-in = populated splits, within the cap whenever real
-    # parallelism <= _MERGE_FANIN. When the cluster is bigger than
-    # that (defaultParallelism > 256), one extra residue-merge level
-    # restores the per-buffer cap before the div-tree — amortized
-    # there by the real work, never paid on small clusters.
+    # fan-in = populated splits. That count is bounded by INPUT
+    # SPLITS, not parallelism — a small cluster reading a many-small-
+    # files corpus (splits >> 256, parallelism <= 256) would
+    # otherwise see O(splits*k)-struct buffers at the first merge
+    # level — so the residue-merge level that restores the per-buffer
+    # <= _MERGE_FANIN*k cap runs UNCONDITIONALLY: it is a cheap hash
+    # aggregate on an already k-truncated frame, and it is the only
+    # way the cap holds independent of file-count pathology.
     cur = cur.withColumn(
         "_shard",
         F.expr(
@@ -451,12 +454,11 @@ def grouped_topk(
             f" + pmod(_shard, {_MERGE_FANIN})"
         ),
     )
-    if df.sparkSession.sparkContext.defaultParallelism > _MERGE_FANIN:
-        cur = cur.groupBy(*group_cols, "_shard").agg(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list("_tk"))), 1, k
-            ).alias("_tk")
-        )
+    cur = cur.groupBy(*group_cols, "_shard").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_tk"))), 1, k
+        ).alias("_tk")
+    )
     shards = n_salts * _MERGE_FANIN
     while shards > _MERGE_FANIN:
         shards = -(-shards // _MERGE_FANIN)

@@ -616,6 +616,31 @@ PC_COMPONENTS = 4
 PCS_ROUNDS = 3
 
 
+# per-(app, corpus) memo of the pinned centered frame — shared by
+# emb_top_pc and emb_top_pcs so a suite/bench run pays the centering
+# scan and the total-variance pass ONCE per corpus instead of once per
+# PCA query (the _ivf_assigned_and_probes / PQ-codebook convention).
+# Entries are localCheckpointed frames owned by the keyed session.
+_CENTERED_CACHE: dict = {}
+
+
+def _centered_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int, DataFrame]:
+    """(xc, mean, dim, total_var) with xc pinned and total_var a
+    pinned 1-row frame, memoized per (applicationId, sf_dir).
+    Bit-identical to the recompute path — every cross-round quantity
+    is 6-dp rounded after normalization (cache-invariance is
+    unit-tested on both operators), so serving the suite's PCA
+    queries from one shared pin changes no output."""
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    if ck not in _CENTERED_CACHE:
+        xc, mean, dim = _centered_arrays(spark, sf_dir, cache=True)
+        tv = _total_var(xc).localCheckpoint()
+        _CENTERED_CACHE[ck] = (xc, mean, dim, tv)
+    return _CENTERED_CACHE[ck]
+
+
 def _centered_arrays(spark: SparkSession, sf_dir: str,
                      cache: bool) -> tuple[DataFrame, DataFrame, int]:
     """(xc, mean, dim): the 6-dp-mean-centered embeddings in ARRAY
@@ -770,8 +795,11 @@ def emb_top_pc(spark: SparkSession, sf_dir: str,
       the parquet scan per use. The scan is column-pruned and the
       centering is one broadcast join, so each recompute is a cheap
       map-side pipeline; nothing corpus-sized is ever copied.
-    - True: pin the N x dim centered frame with localCheckpoint.
-      Right when the input is already an expensive upstream pipeline
+    - True: pin the N x dim centered frame with localCheckpoint —
+      served from the per-(app, corpus) SHARED memo
+      (_centered_shared), so emb_top_pc and emb_top_pcs in one
+      session split a single centering + total-variance pass. Right
+      when the input is already an expensive upstream pipeline
       (filters, joins) worth paying for once — but at 100 TB it is a
       corpus-sized copy on executor-local disk with NON-reliable
       lineage truncation (an executor loss kills the job instead of
@@ -782,7 +810,13 @@ def emb_top_pc(spark: SparkSession, sf_dir: str,
     after normalization, so last-ulp aggregation-order differences
     between computations sit ~6 orders below the rounding step.
     """
-    xc, mean, dim = _centered_arrays(spark, sf_dir, cache_centered)
+    if cache_centered:
+        # the shared per-(app, corpus) pin — also reused by
+        # emb_top_pcs, so the suite centers the corpus once
+        xc, mean, dim, total_var = _centered_shared(spark, sf_dir)
+    else:
+        xc, mean, dim = _centered_arrays(spark, sf_dir, cache=False)
+        total_var = _total_var(xc)
     # deterministic unit start: 1/sqrt(dim) rounded to 6 dp IN-PLAN
     # (F.round is half-up like the oracle's; python round is half-even)
     b0 = _as_array(
@@ -794,7 +828,6 @@ def emb_top_pc(spark: SparkSession, sf_dir: str,
         "b",
     )
     cur = _power_rounds(xc, b0, rounds)
-    total_var = _total_var(xc)
     return (
         cur.crossJoin(F.broadcast(total_var))
         .select(
@@ -853,7 +886,11 @@ def emb_top_pcs(spark: SparkSession, sf_dir: str,
     100 TB choice, at materialization cost). Both paths agree
     bit-for-bit (unit-tested).
     """
-    xc, mean, dim = _centered_arrays(spark, sf_dir, cache_centered)
+    if cache_centered:
+        xc, mean, dim, total_var = _centered_shared(spark, sf_dir)
+    else:
+        xc, mean, dim = _centered_arrays(spark, sf_dir, cache=False)
+        total_var = _total_var(xc)
     b0 = _as_array(
         mean.select(
             "pos",
@@ -862,7 +899,6 @@ def emb_top_pcs(spark: SparkSession, sf_dir: str,
         ),
         "b",
     )
-    total_var = _total_var(xc)
     outs = []
     prev_residual = None  # the persisted residual one deflation behind
     for comp in range(1, components + 1):

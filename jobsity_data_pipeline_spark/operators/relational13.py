@@ -226,6 +226,9 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MARKOV_ROUNDS = 24
+# bounded-model precondition: the |types|^2 count frame is collected
+# to the driver, so refuse high-cardinality category columns loudly
+_MARKOV_MAX_TYPES = 256
 
 
 def events_markov_stationary(spark: SparkSession, sf_dir: str,
@@ -242,10 +245,23 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
     exact Python integers: π carried in 1e-6 units, each round
     π'_j = Σ_i halfup(π_i · c_ij / r_i), a deterministic integer
     recurrence both engines replay bit-for-bit (the oracle unrolls
-    the same ``rounds`` steps as chained CTEs). Per-round half-up
-    rounding can drift Σπ a few micro-units from 1e6 — the documented
-    contract, like every fixed-round engine-exact iteration here
-    (emb_kmeans_fit, emb_top_pc).
+    the same ``rounds`` steps as chained CTEs).
+
+    Contract: π is the stationary distribution of the chain
+    RESTRICTED to types with outgoing transitions. Mass flowing into
+    a sink type (one that appears as next_type but never as
+    prev_type) is DROPPED each round — both engines apply the same
+    restriction (the oracle's ``next_type IN prev_types`` mirrors the
+    ``dst in nxt`` guard), so parity holds, but with real sinks Σπ
+    shrinks by the absorbed mass per round, not just the few
+    micro-units of half-up rounding drift.
+
+    The collect is bounded MODEL state, not data: |types|² transition
+    counts (64 rows at the events mapping). A loud cap enforces that
+    precondition — pointed at a high-cardinality category column the
+    operator would silently become an O(|types|²·rounds) driver
+    computation (the distributed_ntile document-then-enforce
+    precedent).
     """
     from pyspark.sql import Window
 
@@ -257,8 +273,21 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
     ).where(F.col("prev_type").isNotNull())
     counts = seq.groupBy("prev_type", "next_type").agg(
         F.count("*").alias("n"))
+    # bounded collect: pull at most cap^2+1 rows in ONE job (a
+    # distinct-count pre-probe would run the lag window twice); the
+    # sentinel row proves the cap was exceeded without ever holding
+    # an unbounded frame on the driver
+    cap_rows = _MARKOV_MAX_TYPES * _MARKOV_MAX_TYPES
+    collected = counts.limit(cap_rows + 1).collect()
+    if len(collected) > cap_rows:
+        raise ValueError(
+            f"events_markov_stationary: > {cap_rows} transition "
+            f"pairs (cap {_MARKOV_MAX_TYPES} types); the |types|^2 "
+            f"driver iteration is for low-cardinality category "
+            f"columns only"
+        )
     rows = {}
-    for r in counts.collect():  # bounded: |types|^2 rows
+    for r in collected:  # bounded: |types|^2 rows
         rows.setdefault(r["prev_type"], {})[r["next_type"]] = int(r["n"])
     types = sorted(rows)
     if not types:

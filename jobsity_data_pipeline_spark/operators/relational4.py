@@ -275,7 +275,10 @@ def parts_top_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         [-F.col("p_retailprice")],
         [F.col("p_retailprice")],
         2,
-        F.abs(F.hash("p_retailprice")),
+        # raw hash: grouped_topk pmods the salt into [0, n_salts), and
+        # abs() would be an ANSI ARITHMETIC_OVERFLOW lottery on
+        # Integer.MIN_VALUE (~2^-32 per row)
+        F.hash("p_retailprice"),
         rank_col="rnk",
     )
     return (

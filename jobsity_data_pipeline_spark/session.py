@@ -115,15 +115,31 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
 
 
 def ensure_parallelism(spark: SparkSession, df):
-    """Repartition a too-few-partitions input up to the session's core
-    count.
+    """Repartition a too-few-partitions RAW SCAN up to the session's
+    core count.
 
     Small local test files arrive as a single scan partition, which
     serializes expression-heavy operators (minhash, lang-id, cosine) on
     one core. At 100 TB the scan is already split by
     spark.sql.files.maxPartitionBytes so this is a no-op there — the
     shuffle only triggers when the input underuses the cluster.
+
+    PRECONDITION (asserted): ``df`` must be a shuffle-free plan — a
+    raw ``read_table`` scan plus narrow projections/filters. The
+    partition-count probe goes through ``df.rdd``, which under AQE
+    MATERIALIZES any shuffle stages in the plan just to expose a
+    count (the measured grouped_topk double-run gotcha,
+    ranking.py) — safe only when there is nothing to materialize.
+    Derived frames should pick an explicit partition count instead.
     """
+    plan = df._jdf.queryExecution().logical().toString()
+    assert not any(op in plan for op in
+                   ("Aggregate", "Join", "Window", "Repartition",
+                    "Distinct", "Deduplicate", "Sort")), (
+        "ensure_parallelism is scan-only: the df.rdd partition probe "
+        "materializes shuffle stages under AQE; pass a raw read_table "
+        "scan or repartition explicitly"
+    )
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

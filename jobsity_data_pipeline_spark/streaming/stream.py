@@ -1021,8 +1021,13 @@ def stream_moments_upsert(events: DataFrame, table_dir: str,
             batch_df.select(
                 "event_type", M.cents(value_col).alias("vc"))
         ).withColumn(
+            # batch token FIRST: the token is a digit-only string, so
+            # the key parses unambiguously no matter what characters
+            # event_type contains (the integer-fields-first rule from
+            # stream_cms_upsert; event_type|token would silently merge
+            # distinct deltas if a type ever ended in '|<digits>')
             "delta_key",
-            F.concat_ws("|", F.col("event_type"), F.lit(str(batch_id))),
+            F.concat_ws("|", F.lit(str(batch_id)), F.col("event_type")),
         )
         upsert_batch(delta, batch_id, table_dir, key="delta_key")
 
