@@ -297,19 +297,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so this is purely a priority permutation.
     """
     q = _queries_declared()
-    out = {k: q[k] for k in _ROUND8_PRIORITY if k in q}
+    out = {k: q[k] for k in _ROUND9_PRIORITY if k in q}
     # any key in NO list (a new query not yet registered anywhere)
     # runs right after the explicit priorities — a budget-truncated
     # sweep must reach never-verified surface before re-verifying
     # greens, even when the priority tuple wasn't updated
     known = (
-        set(_ROUND8_PRIORITY)
+        set(_ROUND9_PRIORITY)
         | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
-        | _SAMPLED_R5 | _SAMPLED_R6 | _SAMPLED_R7
+        | _SAMPLED_R5 | _SAMPLED_R6 | _SAMPLED_R7 | _SAMPLED_R8
     )
     out.update({k: v for k, v in q.items() if k not in known})
     for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
-                 _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7):
+                 _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8):
         out.update(
             {k: v for k, v in q.items()
              if k in tier and k not in out and k not in _later_tiers(tier)}
@@ -322,7 +322,7 @@ def _later_tiers(tier: frozenset) -> frozenset:
     """Keys re-sampled in a LATER round than ``tier`` — their freshest
     row supersedes the older one, so they sort with the later tier."""
     order = (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
-             _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7)
+             _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8)
     for i, t in enumerate(order):
         if tier is t:
             later: frozenset = frozenset()
@@ -363,6 +363,42 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # events_markov_stationary, part_type_hhi, emb_ivf_balance)
 # auto-front between the explicit list and the tiers via the `known`
 # rule in queries() — 48 keys inside the 50-key budget.
+# Round-9 rotation (budget 50): after CORRECTNESS_r08 every key's
+# latest row is green; freshest-row tiers are r8 (50) / r7 (48) /
+# r6 (46) / r5 (46) — nothing older. The r5-latest tier is the
+# oldest debt on the board (three testdata regenerations), so the
+# whole 46-key tier re-earns this round, and the FOUR new round-9
+# queries (docs_quality_classifier, events_type_overlap_kmv,
+# orders_forecast_ses, orders_bloom_pruned) auto-front between the
+# explicit list and the tiers via the `known` rule in queries() —
+# 46 + 4 = exactly the 50-key budget. Rewritten-kernel keys this
+# round (emb_top_pc's shared centered pin, grouped_topk's
+# unconditional residue-merge) are BIT-IDENTICAL output changes with
+# exact-equality unit tests, so their fresh r7/r8 rows still certify
+# the values and they do not consume budget slots. Done criterion:
+# zero r5-latest keys remain after CORRECTNESS_r09.
+_ROUND9_PRIORITY: tuple[str, ...] = (
+    # the full r5-latest tier — oldest driver rows on the board
+    "customer_pareto", "docs_bm25_topk", "docs_bpe_encode",
+    "docs_bpe_merges", "docs_clean_corpus_stats", "docs_exact_dedup",
+    "docs_quality", "docs_repetition", "docs_sample_stratified",
+    "docs_token_stats", "docs_top_bigrams", "docs_train_val_test",
+    "emb_kmeans_fit", "events_concurrency", "events_daily_gapfill",
+    "events_enriched", "events_hourly", "events_key_skew",
+    "events_kmv_distinct", "events_props_json",
+    "events_top_type_per_user", "events_value_cusum",
+    "events_value_histogram", "events_value_rolling_1h",
+    "events_watermark_lateness", "media_frame_manifest",
+    "order_aging_buckets", "orders_cube", "orders_customer_rfm",
+    "orders_price_corr", "parts_er_pairs", "promo_revenue_ratio",
+    "q10_returned_items", "q11_important_stock", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q22_wealthy_inactive",
+    "q2_min_cost_supplier", "q5_local_supplier", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "stream_events_hourly",
+)
+
 _ROUND8_PRIORITY: tuple[str, ...] = (
     # (0) rewritten this round: grouped_topk dimension rankings, the
     # grouped distributed_cumsum consumer, and the welch moment-form
@@ -634,6 +670,34 @@ _SAMPLED_R7: frozenset = frozenset({
     "events_range_join", "events_type_cooccurrence", "events_type_runs",
     "events_user_paths", "events_welch_ttest", "events_windowed_funnel",
     "orders_open_backlog", "parts_abc_xyz", "parts_triangles",
+})
+
+
+_SAMPLED_R8: frozenset = frozenset({
+    # round 8 (50 hash rows, zero rows-only), from CORRECTNESS_r08.json
+    "bbox_weekly_avg", "customers_without_orders",
+    "docs_dsir_weights", "docs_gopher_rules",
+    "docs_len_percentiles", "docs_near_dup_verified",
+    "docs_prefix_clusters", "docs_top_tokens", "emb_cluster_purity",
+    "emb_ivf_balance", "emb_label_affinity", "emb_label_centroids",
+    "emb_label_outliers", "emb_pq_codes", "emb_semdedup",
+    "events_asof_view_purchase", "events_count_min_sketch",
+    "events_daily_moving_avg", "events_decayed_value",
+    "events_funnel", "events_hll_rollup",
+    "events_markov_stationary", "events_pivot",
+    "events_quantile_sketch", "events_rolling_7d_users",
+    "events_sessionization", "events_user_daily",
+    "events_welch_ttest", "latest_datasource",
+    "lineitem_ols_elasticity", "media_dedup",
+    "orders_association_rules", "orders_cohort_ltv",
+    "orders_percentiles", "orders_priority_chi2",
+    "orders_seasonal_decompose", "part_type_hhi", "parts_abc_xyz",
+    "parts_top_by_brand", "q1_pricing_summary",
+    "q3_shipping_priority", "regions_for_datasource",
+    "sql_weekly_avg", "supplier_scorecard",
+    "suppliers_with_returns", "top_customers_per_nation",
+    "trip_geohash_cells", "trip_grouping_bins", "trip_ingest_dedup",
+    "weekly_avg_by_region",
 })
 
 
