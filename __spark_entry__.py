@@ -35,6 +35,7 @@ from jobsity_data_pipeline_spark.operators import relational10 as R10
 from jobsity_data_pipeline_spark.operators import relational11 as R11
 from jobsity_data_pipeline_spark.operators import relational12 as R12
 from jobsity_data_pipeline_spark.operators import relational13 as R13
+from jobsity_data_pipeline_spark.operators import relational14 as R14
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -284,6 +285,8 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": R13.events_markov_stationary,
         "part_type_hhi": R13.part_type_hhi,
         "emb_ivf_balance": R13.emb_ivf_balance,
+        # round-9 additions
+        "docs_quality_classifier": R14.docs_quality_classifier,
     }
 
 
@@ -1346,6 +1349,126 @@ def _kmeans_fit_sql(rounds: int = 3) -> str:
     parts.append(f"""
             SELECT code AS cell, pos, c AS centroid
             FROM c{rounds} ORDER BY cell, pos""")
+    return "".join(parts)
+
+
+def _quality_classifier_sql(rounds: int = 16) -> str:
+    """Unrolled DuckDB replay of relational14.docs_quality_classifier:
+    the gopher-style integer feature staging (MATERIALIZED once), then
+    ``rounds`` gradient steps, each one g-CTE (integer micro-unit
+    probabilities via the algebraic sigmoid, EXACT integer gradient
+    sums) and one w-CTE (the same deterministic double update +
+    sign-aware half-up 6-dp re-round the engine computes driver-side).
+    Every CTE is MATERIALIZED — the markov lesson: an inlined chain
+    re-plans the whole upstream into every step."""
+    nx = 6
+    zexpr = " + ".join(
+        f"w.w{j} * (f.x{j} / 1000.0)" for j in range(nx))
+    parts = ["""
+        WITH staged AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                       AS n_symbols,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        ws AS (
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(length(w)) AS BIGINT) AS char_sum,
+                   CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_alpha,
+                   count(DISTINCT CASE WHEN w IN
+                       ('the','and','of','to','a','in','is','it',
+                        'for','on') THEN w END) AS n_stop_distinct
+            FROM (SELECT doc_id, unnest(tk) AS w FROM staged)
+            GROUP BY doc_id
+        ),
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST((n_words BETWEEN 50 AND 100000)
+                        AND (char_sum >= 3 * n_words
+                             AND char_sum <= 10 * n_words
+                             AND n_words > 0)
+                        AND (10 * n_symbols <= n_words)
+                        AND (10 * n_alpha >= 8 * n_words)
+                        AND (n_stop_distinct >= 2) AS BIGINT)
+                       * 1000000 AS y_e6,
+                   CAST(1000 AS BIGINT) AS x0,
+                   least(n_words, 100) * 10 - 500 AS x1,
+                   least((char_sum * 100) // greatest(n_words, 1),
+                         1000) - 450 AS x2,
+                   (n_alpha * 1000) // greatest(n_words, 1) - 800
+                       AS x3,
+                   least((n_symbols * 1000) // greatest(n_words, 1),
+                         1000) - 100 AS x4,
+                   least(n_stop_distinct, 10) * 100 - 150 AS x5
+            FROM (
+                SELECT s.doc_id, CAST(s.n_symbols AS BIGINT)
+                           AS n_symbols,
+                       coalesce(ws.n_words, 0) AS n_words,
+                       coalesce(ws.char_sum, 0) AS char_sum,
+                       coalesce(ws.n_alpha, 0) AS n_alpha,
+                       coalesce(ws.n_stop_distinct, 0)
+                           AS n_stop_distinct
+                FROM staged s LEFT JOIN ws USING (doc_id)
+            )
+        ),
+        w0 AS MATERIALIZED (SELECT """
+        + ", ".join(f"0.0 AS w{j}" for j in range(nx)) + ")"]
+    for r in range(rounds + 1):
+        gsums = ",\n                   ".join(
+            f"CAST(sum((p_e6 - y_e6) * x{j}) AS BIGINT) AS g{j}"
+            for j in range(nx))
+        parts.append(f""",
+        g{r} AS MATERIALIZED (
+            SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN p_e6 >= 500000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pred_pos,
+                   CAST(sum(CASE WHEN (p_e6 >= 500000)
+                                      = (y_e6 = 1000000)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS agree,
+                   {gsums}
+            FROM (
+                SELECT y_e6, {', '.join(f'x{j}' for j in range(nx))},
+                       CAST(floor((0.5 + (0.5 * z) / (1.0 + abs(z)))
+                                  * 1000000.0 + 0.5) AS BIGINT)
+                           AS p_e6
+                FROM (SELECT f.*, {zexpr} AS z
+                      FROM feats f CROSS JOIN w{r} w)
+            )
+        )""")
+        if r < rounds:
+            upds = ",\n                ".join(
+                f"CASE WHEN w.w{j} - 4.0 * (CAST(g.g{j} AS DOUBLE)"
+                f" / (g.n * 1000000000.0)) >= 0"
+                f" THEN floor((w.w{j} - 4.0 * (CAST(g.g{j} AS DOUBLE)"
+                f" / (g.n * 1000000000.0))) * 1000000.0 + 0.5)"
+                f" ELSE -floor(-(w.w{j} - 4.0 * (CAST(g.g{j} AS DOUBLE)"
+                f" / (g.n * 1000000000.0))) * 1000000.0 + 0.5)"
+                f" END / 1000000.0 AS w{j}"
+                for j in range(nx))
+            parts.append(f""",
+        w{r + 1} AS MATERIALIZED (
+            SELECT {upds}
+            FROM w{r} w CROSS JOIN g{r} g
+        )""")
+    wnames = ("w_bias", "w_words", "w_meanlen", "w_alpha", "w_symbol",
+              "w_stop")
+    arms = []
+    for r in range(rounds + 1):
+        wsel = ", ".join(
+            f"w.w{j} AS {wn}" for j, wn in enumerate(wnames))
+        arms.append(f"""
+        SELECT CAST({r} AS INT) AS round, {wsel},
+               g.pred_pos AS pred_pos,
+               (2 * 1000 * g.agree + g.n) // (2 * g.n)
+                   AS agree_permille
+        FROM w{r} w CROSS JOIN g{r} g WHERE g.n > 0""")
+    parts.append("\n        UNION ALL".join(arms))
+    parts.append("\n        ORDER BY round")
     return "".join(parts)
 
 
@@ -5560,6 +5683,7 @@ def oracle_sql() -> dict[str, str]:
             (2 * 1000 * n_common + nb.n_sh) // (2 * nb.n_sh)
         ) >= 500
     """
+    out["docs_quality_classifier"] = _quality_classifier_sql()
     out["emb_kcenter_sample"] = _kcenter_sql()
     out["emb_top_pc"] = _top_pc_sql()
     out["emb_top_pcs"] = _top_pcs_sql()

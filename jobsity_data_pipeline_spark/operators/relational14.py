@@ -1,0 +1,232 @@
+"""Round-9 wave — the curation-ladder capstone and sketch-algebra
+serving layer, each with an exact DuckDB oracle twin:
+
+- docs_quality_classifier: a TRAINED quality-classifier rung for the
+  curation ladder (the CCNet / DCLM / FineWeb-Edu pattern: distill a
+  rule battery into a linear scorer) — fixed-round gradient-descent
+  logistic-style regression over integer per-doc features against the
+  Gopher-rule weak label. Engine-exact: the algebraic sigmoid
+  σ(z) = ½(1 + z/(1+|z|)) replaces exp (no transcendental crosses an
+  engine boundary), per-doc probabilities quantize to integer
+  micro-units, gradients accumulate as EXACT integer sums
+  (order-independent), and weights re-round to 6 dp every step — so
+  the whole trajectory replays in an unrolled MATERIALIZED-CTE
+  oracle and a pure-Python loop bit-for-bit.
+- events_type_overlap_kmv: audience-overlap (union / intersection /
+  Jaccard) between event types' user sets served FROM the mergeable
+  KMV bottom-k sketches (events_kmv_distinct's machinery) with
+  estimate-vs-exact permille columns — the sketch-served form of
+  events_type_cooccurrence that actually runs daily at 100 TB.
+- orders_forecast_ses: simple-exponential-smoothing backtest over
+  monthly order revenue — the rung above orders_forecast_snaive.
+  Fixed α as an exact integer-cent recurrence (level carried in
+  cents, half-up per step), so every month's one-step-ahead forecast
+  and APE replay in SQL.
+
+Reference parity note: the reference pipeline (119 lines of Postgres
+SQL/loader, src/sqls/create_objects.sql) has no ML or sketch surface;
+these extend the warehouse exactly as the round-4..8 waves did.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_parallelism, read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return ensure_parallelism(spark, read_table(spark, sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# docs_quality_classifier
+# ---------------------------------------------------------------------------
+
+QC_ROUNDS = 16
+QC_LR = 4.0
+# feature columns in TRAINING ORDER; weights report under these names
+QC_WEIGHTS = ("w_bias", "w_words", "w_meanlen", "w_alpha", "w_symbol",
+              "w_stop")
+QC_XS = ("x0", "x1", "x2", "x3", "x4", "x5")
+
+
+def _halfup6(x: float) -> float:
+    """Sign-aware half-up to 6 dp in pure double arithmetic —
+    floor(|x|*1e6 + 0.5) with the sign re-applied. The identical
+    formula runs in the oracle SQL and the Python replay, so the
+    rounded weight is the same IEEE double everywhere (the
+    functions.text.round_ratio convention, extended to signed
+    values)."""
+    if x >= 0:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+    return -math.floor(-x * 1e6 + 0.5) / 1e6
+
+
+def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc integer feature frame for the quality classifier:
+    (doc_id, y_e6, x0..x5) with y the Gopher-battery keep flag
+    (docs_gopher_rules' exact integer cross-multiplied rules — the
+    weak label being distilled) and features bounded permille-scale
+    integers CENTERED at the rule thresholds (so a weak-label rule
+    maps to a sign flip of its feature and gradient descent doesn't
+    fight a large constant offset — standard feature centering, done
+    in exact integers):
+
+    - x0 = 1000                        (bias; scaled x0/1000 = 1)
+    - x1 = word count:   least(n_words, 100) * 10 − 500 (0 at the
+                         Gopher min-words boundary n = 50)
+    - x2 = mean word length in centichars − 450 (corpus-typical)
+    - x3 = alpha-word permille − 800   (0 at the 80% rule)
+    - x4 = symbol permille (capped) − 100 (0 at the 0.1 rule)
+    - x5 = distinct-stopword count × 100 − 150 (sign flips between
+                         1 and 2 — the ≥2 rule)
+
+    All integer division on non-negative operands — engine-exact;
+    centering subtracts constants AFTER the division.
+    One explode + one partial-agg shuffle on doc_id (the
+    docs_gopher_rules plan shape; cites the same Rae et al. 2021
+    §A1.1 thresholds for the label)."""
+    from ..functions import text as TX
+    from .relational10 import GOPHER_MAX_WORDS, GOPHER_MIN_WORDS
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0)
+        ).cast("long").alias("n_symbols"),
+        TX.tokens("text").alias("tk"),
+    )
+    tok = staged.select("doc_id", F.explode("tk").alias("w"))
+    stop = list(TX.STOPWORDS["en"])
+    wstats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("char_sum"),
+        F.sum(F.col("w").rlike("[A-Za-z]").cast("long")).alias("n_alpha"),
+        F.countDistinct(
+            F.when(F.col("w").isin(stop), F.col("w"))
+        ).alias("n_stop_distinct"),
+    )
+    j = (
+        staged.select("doc_id", "n_symbols")
+        .join(wstats, "doc_id", "left")
+        .select(
+            "doc_id", "n_symbols",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("char_sum", F.lit(0)).alias("char_sum"),
+            F.coalesce("n_alpha", F.lit(0)).alias("n_alpha"),
+            F.coalesce("n_stop_distinct", F.lit(0)).alias(
+                "n_stop_distinct"),
+        )
+    )
+    n, cs = F.col("n_words"), F.col("char_sum")
+    keep = (
+        (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+        & (cs >= 3 * n) & (cs <= 10 * n) & (n > 0)
+        & ((10 * F.col("n_symbols")) <= n)
+        & ((10 * F.col("n_alpha")) >= (8 * n))
+        & (F.col("n_stop_distinct") >= 2)
+    )
+    return j.select(
+        "doc_id",
+        (keep.cast("long") * F.lit(1_000_000)).alias("y_e6"),
+        F.lit(1000).cast("long").alias("x0"),
+        F.expr("least(n_words, 100) * 10 - 500").alias("x1"),
+        F.expr(
+            "least((char_sum * 100) div greatest(n_words, 1), 1000)"
+            " - 450"
+        ).alias("x2"),
+        F.expr(
+            "(n_alpha * 1000) div greatest(n_words, 1) - 800"
+        ).alias("x3"),
+        F.expr(
+            "least((n_symbols * 1000) div greatest(n_words, 1), 1000)"
+            " - 100"
+        ).alias("x4"),
+        F.expr("least(n_stop_distinct, 10) * 100 - 150").alias("x5"),
+    )
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str,
+                            rounds: int = QC_ROUNDS) -> DataFrame:
+    """Trained quality classifier — fixed-round full-batch gradient
+    descent of a logistic-style linear scorer over the integer doc
+    features, distilling the Gopher rule battery into one weight
+    vector (the rung CCNet / DCLM / FineWeb-Edu production pipelines
+    actually filter with, capping the rules→weights→perplexity→
+    classifier curation ladder). Returns the whole training
+    trajectory, one row per round r = 0..rounds: the weight vector in
+    force, the corpus rows it would keep (``pred_pos`` — the
+    scored-corpus YIELD of filtering at p >= 0.5), and its agreement
+    with the weak label in permille.
+
+    Engine-exact by construction (every cross-engine hazard pinned):
+
+    - the ALGEBRAIC sigmoid p = ½(1 + z/(1+|z|)) stands in for the
+      logistic link, so no transcendental (exp) ever crosses an
+      engine boundary — z, p are plain IEEE double expressions with
+      one fixed left-to-right parenthesization in all three
+      implementations (Spark plan, DuckDB oracle, Python replay);
+    - per-doc probabilities quantize to integer micro-units
+      p_e6 = floor(p*1e6 + 0.5) before anything aggregates;
+    - the gradient Σ (p_e6 − y_e6)·x_j is an EXACT integer sum —
+      order-independent across partitions (overflow bound:
+      1e9·n_docs < 2^63 ⇒ n_docs < 9.2e9; ANSI mode fails loudly);
+    - the weight step w_j ← halfup6(w_j − lr·(g_j / (n·1e9))) is the
+      same deterministic double arithmetic on the same exact integers
+      everywhere, re-rounded to 6 dp so nothing compounds.
+
+    Scale shape: ONE feature-extraction pass (explode + partial-agg
+    on doc_id, the docs_gopher_rules plan) pinned with
+    localCheckpoint (8 ints/doc — narrow; the emb_top_pcs pin
+    posture: executor-local, non-reliable truncation — swap for
+    persist(MEMORY_AND_DISK) on a real cluster run), then rounds+1
+    single-row aggregation jobs; only 9 longs leave the executors per
+    round. The model state (6 weights) is driver-carried bounded
+    state, the emb_kmeans_fit / events_markov_stationary convention.
+    """
+    feats = _qc_features(spark, sf_dir).localCheckpoint()
+    w = [0.0] * len(QC_XS)
+    out_rows = []
+    for r in range(rounds + 1):
+        z = None
+        for wj, xj in zip(w, QC_XS):
+            term = F.lit(wj) * (F.col(xj) / F.lit(1000.0))
+            z = term if z is None else z + term
+        p = F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
+        p_e6 = F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long")
+        scored = feats.select("y_e6", *QC_XS, p_e6.alias("p_e6"))
+        pred = F.col("p_e6") >= 500_000
+        lbl = F.col("y_e6") == 1_000_000
+        aggs = [
+            F.count("*").alias("n"),
+            F.sum(pred.cast("long")).alias("pred_pos"),
+            F.sum((pred == lbl).cast("long")).alias("agree"),
+        ] + [
+            F.sum(
+                (F.col("p_e6") - F.col("y_e6")) * F.col(x)
+            ).alias(f"g{j}")
+            for j, x in enumerate(QC_XS)
+        ]
+        row = scored.agg(*aggs).collect()[0]
+        n = int(row["n"])
+        if n == 0:
+            break  # empty corpus: zero trajectory rows (oracle matches)
+        agree_pm = (2 * 1000 * int(row["agree"]) + n) // (2 * n)
+        out_rows.append(
+            (r, *w, int(row["pred_pos"]), agree_pm)
+        )
+        if r < rounds:
+            w = [
+                _halfup6(w[j] - QC_LR * (int(row[f"g{j}"]) / (n * 1e9)))
+                for j in range(len(QC_XS))
+            ]
+    schema = (
+        "round int, " + " double, ".join(QC_WEIGHTS) + " double, "
+        "pred_pos long, agree_permille long"
+    )
+    return spark.createDataFrame(out_rows, schema).orderBy("round")
