@@ -287,6 +287,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_balance": R13.emb_ivf_balance,
         # round-9 additions
         "docs_quality_classifier": R14.docs_quality_classifier,
+        "events_type_overlap_kmv": R14.events_type_overlap_kmv,
     }
 
 
@@ -5684,6 +5685,97 @@ def oracle_sql() -> dict[str, str]:
         ) >= 500
     """
     out["docs_quality_classifier"] = _quality_classifier_sql()
+    out["events_type_overlap_kmv"] = """
+        WITH du AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT / 4294967296.0 AS hv
+            FROM du
+        ),
+        skm AS MATERIALIZED (
+            SELECT event_type, hv FROM (
+                SELECT event_type, hv,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY hv
+                       ) AS rn
+                FROM h
+            ) WHERE rn <= 64
+        ),
+        skv AS MATERIALIZED (
+            SELECT DISTINCT event_type, hv FROM skm
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM du) a
+            JOIN (SELECT DISTINCT event_type FROM du) b
+              ON a.event_type < b.event_type
+        ),
+        um AS (
+            SELECT p.type_a, p.type_b, s.hv
+            FROM pairs p JOIN skm s
+              ON s.event_type = p.type_a OR s.event_type = p.type_b
+            GROUP BY 1, 2, 3
+        ),
+        ur AS MATERIALIZED (
+            SELECT type_a, type_b, hv,
+                   row_number() OVER (
+                       PARTITION BY type_a, type_b ORDER BY hv
+                   ) AS rn
+            FROM um
+        ),
+        uk AS (
+            SELECT type_a, type_b, max(hv) AS h_k, count(*) AS m_u
+            FROM ur WHERE rn <= 64 GROUP BY 1, 2
+        ),
+        mm AS (
+            SELECT u.type_a, u.type_b, count(*) AS matches
+            FROM ur u
+            JOIN skv xa ON xa.event_type = u.type_a AND xa.hv = u.hv
+            JOIN skv xb ON xb.event_type = u.type_b AND xb.hv = u.hv
+            WHERE u.rn <= 64
+            GROUP BY 1, 2
+        ),
+        co AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS co_users
+            FROM du a JOIN du b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        s AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1)
+        SELECT p.type_a, p.type_b,
+               CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+               CAST(coalesce(co.co_users, 0) AS BIGINT) AS co_users,
+               CAST((2 * 1000 * coalesce(co.co_users, 0)
+                     + (sa.n + sb.n - coalesce(co.co_users, 0)))
+                    // (2 * (sa.n + sb.n - coalesce(co.co_users, 0)))
+                    AS BIGINT) AS jaccard_pm,
+               round(CASE WHEN uk.m_u < 64 THEN CAST(uk.m_u AS DOUBLE)
+                          ELSE 63.0 / uk.h_k END, 2) AS kmv_union_est,
+               round((CASE WHEN uk.m_u < 64
+                           THEN CAST(uk.m_u AS DOUBLE)
+                           ELSE 63.0 / uk.h_k END)
+                     * coalesce(mm.matches, 0) / uk.m_u, 2)
+                   AS kmv_inter_est,
+               CAST((2 * 1000 * coalesce(mm.matches, 0) + uk.m_u)
+                    // (2 * uk.m_u) AS BIGINT) AS kmv_jaccard_pm,
+               CAST((2 * 1000 * coalesce(mm.matches, 0) + uk.m_u)
+                    // (2 * uk.m_u)
+                    - (2 * 1000 * coalesce(co.co_users, 0)
+                       + (sa.n + sb.n - coalesce(co.co_users, 0)))
+                      // (2 * (sa.n + sb.n - coalesce(co.co_users, 0)))
+                    AS BIGINT) AS jaccard_err_pm
+        FROM pairs p
+        JOIN uk USING (type_a, type_b)
+        LEFT JOIN mm USING (type_a, type_b)
+        LEFT JOIN co ON co.type_a = p.type_a AND co.type_b = p.type_b
+        JOIN s sa ON p.type_a = sa.event_type
+        JOIN s sb ON p.type_b = sb.event_type
+        ORDER BY 1, 2
+    """
     out["emb_kcenter_sample"] = _kcenter_sql()
     out["emb_top_pc"] = _top_pc_sql()
     out["emb_top_pcs"] = _top_pcs_sql()

@@ -230,3 +230,151 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str,
         "pred_pos long, agree_permille long"
     )
     return spark.createDataFrame(out_rows, schema).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# events_type_overlap_kmv
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketches(du: DataFrame, key: str = "user_id",
+                 group: str = "event_type", k: int = 64,
+                 n_salts: int = 32) -> DataFrame:
+    """Per-group KMV bottom-k sketch frame (group, mins: array<double>)
+    over a DISTINCT (group, key) input — events_kmv_distinct's exact
+    two-stage salted merge (relational5.py), factored so the
+    set-algebra layer and the streaming maintainer serve the same
+    deterministic md5 sketch. |groups| output rows; the only
+    corpus-sized shuffle is the caller's distinct."""
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    hashed = du.select(
+        group,
+        F.pmod(key, F.lit(n_salts)).alias("salt"),
+        hv.alias("hv"),
+    )
+    per_salt = hashed.groupBy(group, "salt").agg(
+        F.slice(F.array_sort(F.collect_list("hv")), 1, k).alias("mins")
+    )
+    return per_salt.groupBy(group).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("mins"))), 1, k
+        ).alias("mins")
+    )
+
+
+def kmv_pair_overlap(sk: DataFrame, k: int,
+                     group: str = "event_type") -> DataFrame:
+    """KMV set algebra over a (group, mins) sketch frame: for every
+    group pair (a < b), the union / intersection / Jaccard ESTIMATES
+    served purely from the two bottom-k sketches (Beyer et al. 2007,
+    "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations"): the bottom-k of a union is the bottom-k of the
+    merged sketch values, ρ = |union-sketch ∩ S_a ∩ S_b| / |union
+    sketch| estimates Jaccard, and intersection ≈ ρ·|A∪B|. All array
+    ops run on |groups|-row frames — dimension-scale, broadcast-safe.
+    Value-equality dedup (array_distinct) merges hash collisions
+    identically in both engines; when the union sketch is not full
+    the estimates are exact by construction."""
+    a = sk.select(F.col(group).alias("type_a"),
+                  F.col("mins").alias("mins_a"))
+    b = sk.select(F.col(group).alias("type_b"),
+                  F.col("mins").alias("mins_b"))
+    pr = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat("mins_a", "mins_b"))),
+        1, k,
+    )
+    pr = pr.select(
+        "type_a", "type_b",
+        u.alias("u"), "mins_a", "mins_b",
+    ).select(
+        "type_a", "type_b",
+        F.size("u").alias("m_u"),
+        F.element_at("u", F.size("u")).alias("h_k"),
+        F.size(
+            F.array_intersect(
+                "u", F.array_intersect("mins_a", "mins_b"))
+        ).cast("long").alias("matches"),
+    )
+    est_u = F.when(
+        F.col("m_u") < k, F.col("m_u").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("h_k"))
+    return pr.select(
+        "type_a", "type_b", "matches",
+        F.col("m_u").cast("long").alias("m_u"),
+        F.round(est_u, 2).alias("kmv_union_est"),
+        F.round(est_u * F.col("matches") / F.col("m_u"), 2).alias(
+            "kmv_inter_est"),
+        F.expr(
+            "(2 * 1000 * matches + m_u) div (2 * m_u)"
+        ).alias("kmv_jaccard_pm"),
+    )
+
+
+def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
+                            k: int = 64,
+                            n_salts: int = 32) -> DataFrame:
+    """Audience overlap between event types served FROM the KMV
+    sketches, next to the exact answer: per type pair, the exact
+    co-audience (events_type_cooccurrence's numbers) and the
+    sketch-served union / intersection / Jaccard estimates with a
+    signed permille error column — the daily-run form at 100 TB,
+    where the exact user-key self-join is the weekly audit and the
+    sketch algebra (|types|·k doubles of state, mergeable, also
+    maintainable by stream_kmv_upsert) answers every ad-hoc pair
+    query without touching the corpus.
+
+    Plan: ONE distinct over (user, type) feeds both sides — the
+    sketch build (salted two-stage bottom-k, no window) and the exact
+    co-occurrence (user-key equi-join, |types|-bounded fan-out);
+    everything after is |types|²-row arithmetic with broadcast
+    joins."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    est = kmv_pair_overlap(
+        kmv_sketches(du, k=k, n_salts=n_salts), k=k)
+    a = du.select("user_id", F.col("event_type").alias("type_a"))
+    b = du.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("co_users"))
+    )
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("nb"))
+    exact = (
+        est.select("type_a", "type_b")
+        .join(co, ["type_a", "type_b"], "left")
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "na", "nb",
+            F.coalesce("co_users", F.lit(0)).alias("co_users"),
+        )
+        .withColumn(
+            "jaccard_pm",
+            F.expr(
+                "(2 * 1000 * co_users + (na + nb - co_users))"
+                " div (2 * (na + nb - co_users))"
+            ),
+        )
+    )
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b", "na", "nb", "co_users", "jaccard_pm",
+            "kmv_union_est", "kmv_inter_est", "kmv_jaccard_pm",
+            (F.col("kmv_jaccard_pm") - F.col("jaccard_pm")).alias(
+                "jaccard_err_pm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -460,26 +460,11 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str, k: int = 64,
     merged state stays k*n_salts). When a type has fewer than k
     members the sketch is exact by construction.
     """
+    from .relational14 import kmv_sketches
+
     ev = _t(spark, sf_dir, "events")
     du = ev.select("event_type", "user_id").distinct()
-    hv = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
-    hashed = du.select(
-        "event_type",
-        F.pmod("user_id", F.lit(n_salts)).alias("salt"),
-        hv.alias("hv"),
-    )
-    per_salt = hashed.groupBy("event_type", "salt").agg(
-        F.slice(F.array_sort(F.collect_list("hv")), 1, k).alias("mins")
-    )
-    merged = per_salt.groupBy("event_type").agg(
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("mins"))), 1, k
-        ).alias("mins")
-    )
+    merged = kmv_sketches(du, k=k, n_salts=n_salts)
     agg = merged.select(
         "event_type",
         F.element_at("mins", F.size("mins")).alias("h_k"),

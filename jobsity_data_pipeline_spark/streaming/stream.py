@@ -1140,6 +1140,26 @@ def kmv_from_state(spark: SparkSession, state_path: str,
     return st.select("event_type", F.round(est, 2).alias("kmv_est"))
 
 
+def kmv_overlap_from_state(spark: SparkSession, state_path: str,
+                           k: int = 64) -> DataFrame:
+    """Pairwise audience-overlap estimates served FROM the maintained
+    KMV state: the kmv_pair_overlap set algebra
+    (operators/relational14.py) over the streamed sketches — union /
+    intersection / Jaccard per type pair answered from O(types x k)
+    state without ever touching the corpus, the daily-run form of
+    events_type_overlap_kmv. Identical numbers to the batch sketches
+    by construction (same md5 bottom-k, same estimator; the only
+    divergence class is the 32-bit hash-prefix collision note on
+    stream_kmv_upsert, where the streamed state is value-distinct
+    BEFORE truncation)."""
+    from ..operators.relational14 import kmv_pair_overlap
+
+    st = _state_or_adopt(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published KMV state at {state_path}")
+    return kmv_pair_overlap(st, k=k)
+
+
 def bm25_from_index(spark: SparkSession, table_dir: str,
                     k: int | None = None,
                     terms: tuple[str, ...] | None = None) -> DataFrame:

@@ -137,3 +137,104 @@ class TestQualityClassifier:
         assert R14._halfup6(-0.0000005) == -0.000001
         assert R14._halfup6(1.2345674) == 1.234567
         assert R14._halfup6(-1.2345674) == -1.234567
+
+
+class TestKmvOverlap:
+    def _du(self, spark, pairs):
+        return spark.createDataFrame(
+            pairs, "event_type string, user_id long")
+
+    def test_exact_when_sketch_holds_everything(self, spark):
+        # |A|=50, |B|=50, |A∩B|=25, |A∪B|=75 <= k=128: the bottom-k
+        # sketch holds every distinct hash, so union / intersection /
+        # Jaccard estimates are EXACT by construction
+        du = self._du(
+            spark,
+            [("A", u) for u in range(1, 51)]
+            + [("B", u) for u in range(26, 76)],
+        )
+        out = R14.kmv_pair_overlap(
+            R14.kmv_sketches(du, k=128), k=128).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["kmv_union_est"] == 75.0
+        assert r["kmv_inter_est"] == 25.0
+        # halfup(1000 * 25 / 75) = 333
+        assert r["kmv_jaccard_pm"] == 333
+
+    def test_disjoint_sets_estimate_zero_overlap(self, spark):
+        du = self._du(
+            spark,
+            [("A", u) for u in range(1, 41)]
+            + [("B", u) for u in range(100, 140)],
+        )
+        r = R14.kmv_pair_overlap(
+            R14.kmv_sketches(du, k=128), k=128).collect()[0]
+        assert r["kmv_inter_est"] == 0.0
+        assert r["kmv_jaccard_pm"] == 0
+        assert r["kmv_union_est"] == 80.0
+
+    def test_estimate_tracks_exact_on_corpus(self, spark):
+        rows = (
+            R14.events_type_overlap_kmv(spark, SF_SMOKE).collect()
+        )
+        assert rows
+        for r in rows:
+            union = r["na"] + r["nb"] - r["co_users"]
+            if union <= 64:
+                # sketch not full: estimates are exact
+                assert r["jaccard_err_pm"] == 0
+                assert r["kmv_union_est"] == float(union)
+            else:
+                # k=64 KMV: ~1/sqrt(k) relative error class; permille
+                # Jaccard should sit within 250 of exact
+                assert abs(r["jaccard_err_pm"]) <= 250
+
+    def test_overlap_served_from_streamed_state(self, spark, tmp_path):
+        """kmv_overlap_from_state over stream_kmv_upsert's maintained
+        state serves the SAME pair numbers as the batch sketch algebra
+        over the unioned corpus."""
+        import datetime as dt
+
+        from jobsity_data_pipeline_spark.streaming.stream import (
+            kmv_overlap_from_state, stream_kmv_upsert,
+        )
+
+        schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(minutes=i), (i * 7) % 211,
+             "view" if i % 3 else "purchase", 1.0, "{}")
+            for i in range(600)
+        ]
+        src = tmp_path / "events"
+        for third in (0, 1, 2):
+            spark.createDataFrame(
+                [r for i, r in enumerate(rows) if i % 3 == third],
+                schema,
+            ).coalesce(1).write.mode("append").parquet(str(src))
+        state = str(tmp_path / "kmv_state")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_kmv_upsert(stream, state, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        batch_du = (
+            spark.createDataFrame(rows, schema)
+            .select("event_type", "user_id").distinct()
+        )
+        want = sorted(
+            tuple(r) for r in R14.kmv_pair_overlap(
+                R14.kmv_sketches(batch_du), k=64).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in kmv_overlap_from_state(spark, state).collect()
+        )
+        assert got == want
