@@ -288,6 +288,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 additions
         "docs_quality_classifier": R14.docs_quality_classifier,
         "events_type_overlap_kmv": R14.events_type_overlap_kmv,
+        "orders_forecast_ses": R14.orders_forecast_ses,
     }
 
 
@@ -5685,6 +5686,35 @@ def oracle_sql() -> dict[str, str]:
         ) >= 500
     """
     out["docs_quality_classifier"] = _quality_classifier_sql()
+    out["orders_forecast_ses"] = """
+        WITH RECURSIVE m AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY o_year, o_month) AS i,
+                   o_year, o_month, rev_c
+            FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1, 2
+            )
+        ),
+        ses AS (
+            SELECT i, o_year, o_month, rev_c,
+                   rev_c AS level_c, CAST(NULL AS BIGINT) AS forecast_c
+            FROM m WHERE i = 1
+            UNION ALL
+            SELECT m.i, m.o_year, m.o_month, m.rev_c,
+                   (2 * (1 * m.rev_c + 3 * s.level_c) + 4)
+                       // (2 * 4) AS level_c,
+                   s.level_c AS forecast_c
+            FROM ses s JOIN m ON m.i = s.i + 1
+        )
+        SELECT o_year, o_month, rev_c, forecast_c,
+               CAST((2 * 1000 * abs(rev_c - forecast_c) + rev_c)
+                    // (2 * rev_c) AS BIGINT) AS ape_permille
+        FROM ses WHERE forecast_c IS NOT NULL
+        ORDER BY o_year, o_month
+    """
     out["events_type_overlap_kmv"] = """
         WITH du AS (
             SELECT DISTINCT event_type, user_id FROM events

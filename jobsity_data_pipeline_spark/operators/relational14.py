@@ -378,3 +378,79 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_forecast_ses
+# ---------------------------------------------------------------------------
+
+# α = SES_ALPHA_NUM / SES_ALPHA_DEN (exact rational so the level
+# recurrence stays in integer cents)
+SES_ALPHA_NUM = 1
+SES_ALPHA_DEN = 4
+# bounded-model precondition: the monthly aggregate is collected to
+# the driver — calendar-bounded by construction (a century of months
+# is 1200 rows), enforced loudly like the markov |types| cap
+_SES_MAX_MONTHS = 4096
+
+
+def orders_forecast_ses(spark: SparkSession, sf_dir: str,
+                        alpha_num: int = SES_ALPHA_NUM,
+                        alpha_den: int = SES_ALPHA_DEN) -> DataFrame:
+    """Simple-exponential-smoothing one-step-ahead backtest of monthly
+    order revenue — the rung above orders_forecast_snaive every
+    demand planner climbs next (same output shape, so the two APE
+    columns A/B directly). Forecast for month t is the smoothed level
+    after month t−1; level updates as
+    level ← halfup((α·rev + (1−α)·level) ), α = alpha_num/alpha_den
+    carried as an EXACT integer-cent recurrence (halfup division by
+    alpha_den each step), initialized at the first month's actual.
+
+    Engine-exact: revenue aggregates to exact integer cents (one
+    corpus scan, partial-agg), and the sequential recurrence — which
+    no window can express because each level depends on the rounded
+    previous level — runs driver-side over the CALENDAR-BOUNDED
+    monthly frame (the events_markov_stationary bounded-model-state
+    convention, cap enforced loudly), replayed by the oracle as a
+    DuckDB recursive CTE stepping the identical integer arithmetic.
+    Scale shape: the corpus-sized work is exactly one scan + one
+    partial-agg shuffle to |months| rows; the iteration is O(months)
+    integer ops on the driver — identical at 100 TB.
+    """
+    from ..functions import money as M
+
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(F.sum(M.cents("o_totalprice")).alias("rev_c"))
+    )
+    rows = m.limit(_SES_MAX_MONTHS + 1).collect()
+    if len(rows) > _SES_MAX_MONTHS:
+        raise ValueError(
+            f"orders_forecast_ses: > {_SES_MAX_MONTHS} months; the "
+            f"driver-side recurrence is for calendar-bounded monthly "
+            f"aggregates only"
+        )
+    months = sorted(
+        (int(r["o_year"]), int(r["o_month"]), int(r["rev_c"]))
+        for r in rows
+    )
+    out = []
+    level = None
+    for y, mo, rev in months:
+        if level is None:
+            level = rev
+            continue
+        fc = level
+        ape = (2 * 1000 * abs(rev - fc) + rev) // (2 * rev)
+        out.append((y, mo, rev, fc, ape))
+        x = alpha_num * rev + (alpha_den - alpha_num) * level
+        level = (2 * x + alpha_den) // (2 * alpha_den)
+    return spark.createDataFrame(
+        out,
+        "o_year long, o_month long, rev_c long, forecast_c long, "
+        "ape_permille long",
+    ).orderBy("o_year", "o_month")

@@ -238,3 +238,53 @@ class TestKmvOverlap:
             for r in kmv_overlap_from_state(spark, state).collect()
         )
         assert got == want
+
+
+class TestForecastSes:
+    def _monthly(self, sf_dir):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{sf_dir}/orders.parquet'"
+        )
+        return con.execute("""
+            SELECT CAST(year(o_orderdate) AS BIGINT),
+                   CAST(month(o_orderdate) AS BIGINT),
+                   CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT)
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """).fetchall()
+
+    def test_matches_python_replay_exactly(self, spark):
+        months = self._monthly(SF_SMOKE)
+        level = None
+        want = []
+        for y, mo, rev in months:
+            if level is None:
+                level = rev
+                continue
+            fc = level
+            want.append((y, mo, rev, fc,
+                         (2 * 1000 * abs(rev - fc) + rev) // (2 * rev)))
+            level = (2 * (1 * rev + 3 * level) + 4) // 8
+        got = [
+            tuple(r)
+            for r in R14.orders_forecast_ses(spark, SF_SMOKE)
+            .orderBy("o_year", "o_month").collect()
+        ]
+        assert got == want
+        assert len(got) == len(months) - 1
+
+    def test_alpha_one_is_naive_forecast(self, spark):
+        """α = 1 collapses SES to the naive last-value forecast:
+        every forecast equals the previous month's actual."""
+        months = self._monthly(SF_SMOKE)
+        got = [
+            tuple(r)
+            for r in R14.orders_forecast_ses(
+                spark, SF_SMOKE, alpha_num=1, alpha_den=1)
+            .orderBy("o_year", "o_month").collect()
+        ]
+        for (y, mo, rev, fc, _), (_, _, prev_rev) in zip(
+                got, months[:-1]):
+            assert fc == prev_rev
