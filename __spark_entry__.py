@@ -289,6 +289,7 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": R14.docs_quality_classifier,
         "events_type_overlap_kmv": R14.events_type_overlap_kmv,
         "orders_forecast_ses": R14.orders_forecast_ses,
+        "orders_bloom_pruned": R14.orders_bloom_pruned,
     }
 
 
@@ -5686,6 +5687,14 @@ def oracle_sql() -> dict[str, str]:
         ) >= 500
     """
     out["docs_quality_classifier"] = _quality_classifier_sql()
+    out["orders_bloom_pruned"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               CAST(sum({_REV_E4}) AS BIGINT) AS rev_e4
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
     out["orders_forecast_ses"] = """
         WITH RECURSIVE m AS MATERIALIZED (
             SELECT row_number() OVER (ORDER BY o_year, o_month) AS i,

@@ -977,3 +977,38 @@ def test_round8_wave_plan_shapes(spark):
     # chi2's marginal joins broadcast (tiny re-aggregations)
     assert _plan(R13.orders_priority_chi2(spark, SF_SMOKE)).count(
         "BroadcastHashJoin") >= 2
+
+
+def test_bloom_prune_filter_sits_below_the_fact_join(spark):
+    """orders_bloom_pruned's Bloom probe (md5 + element_at map lookup)
+    must filter the FACT side BEFORE the orderkey equi-join — the
+    whole point of the operator is that the join shuffle never sees
+    pruned rows. Round-9 gate for bloom_pruned_join consumers."""
+    from jobsity_data_pipeline_spark.operators import relational14 as R14
+
+    df = R14.orders_bloom_pruned(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def has_probe_filter(node):
+        # the optimizer may keep the probe as a Filter or fold it into
+        # the broadcast join's condition — both evaluate before the
+        # equi-join shuffle
+        return any(
+            n.nodeName() in ("Filter", "Join")
+            and "element_at" in n.toString().split("\n")[0]
+            for n in walk(node)
+        )
+
+    equi_joins = [
+        n for n in walk(plan)
+        if n.nodeName() == "Join" and "o_orderkey" in
+        n.toString().split("\n")[0]
+    ]
+    assert equi_joins, "expected the orderkey equi-join in the plan"
+    j = equi_joins[0]
+    # the fact (left) subtree carries the probe filter; the build side
+    # does not probe
+    assert has_probe_filter(j.children().apply(0)), (
+        "bloom probe filter must sit below the equi-join on the fact "
+        "side"
+    )

@@ -288,3 +288,72 @@ class TestForecastSes:
         for (y, mo, rev, fc, _), (_, _, prev_rev) in zip(
                 got, months[:-1]):
             assert fc == prev_rev
+
+
+class TestBloomPrunedJoin:
+    def test_output_identical_to_plain_join(self, spark):
+        from jobsity_data_pipeline_spark.operators.skew import (
+            bloom_pruned_join,
+        )
+        from jobsity_data_pipeline_spark.session import read_table
+
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        o = read_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        got = sorted(
+            tuple(r) for r in bloom_pruned_join(
+                li, o, "l_orderkey", "o_orderkey"
+            ).select("l_orderkey", "l_linenumber").collect()
+        )
+        want = sorted(
+            tuple(r) for r in li.join(
+                o, li["l_orderkey"] == o["o_orderkey"]
+            ).select("l_orderkey", "l_linenumber").collect()
+        )
+        assert got == want and got
+
+    def test_prune_reduces_fact_rows(self, spark):
+        """The broadcast Bloom probe drops most non-matching fact rows
+        BEFORE the shuffle: pruned row count sits between the exact
+        match count and well under the full fact count."""
+        from jobsity_data_pipeline_spark.operators.skew import (
+            BLOOM_COL, _bloom_pos,
+        )
+        from jobsity_data_pipeline_spark.session import read_table
+
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        o = read_table(spark, SF_SMOKE, "orders").where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        ).select("o_orderkey")
+        m_bits, k = 1 << 16, 3
+        pos = o.select(F.explode(F.array(
+            *[_bloom_pos("o_orderkey", i, m_bits) for i in range(k)]
+        )).alias("pos")).distinct()
+        bits = pos.agg(F.map_from_entries(F.collect_list(
+            F.struct(F.col("pos"), F.lit(True)))).alias(BLOOM_COL))
+        cond = None
+        for i in range(k):
+            p = F.coalesce(F.element_at(
+                F.col(BLOOM_COL), _bloom_pos("l_orderkey", i, m_bits)
+            ), F.lit(False))
+            cond = p if cond is None else (cond & p)
+        n_fact = li.count()
+        n_pruned = li.join(F.broadcast(bits)).where(cond).count()
+        n_match = li.join(o, li["l_orderkey"] == o["o_orderkey"],
+                          "left_semi").count()
+        assert n_match <= n_pruned  # no false negatives
+        assert n_pruned < n_fact * 0.5  # real shuffle-volume reduction
+
+    def test_rejects_fact_preserving_joins(self, spark):
+        from jobsity_data_pipeline_spark.operators.skew import (
+            bloom_pruned_join,
+        )
+        from jobsity_data_pipeline_spark.session import read_table
+
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        o = read_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+        with pytest.raises(ValueError, match="left/full outer"):
+            bloom_pruned_join(li, o, "l_orderkey", "o_orderkey",
+                              how="left")
