@@ -394,14 +394,13 @@ def grouped_topk(
     a buffer — graceful, not wrong. The merge runs as a tree whose
     depth scales with ``n_salts`` (a projection first compacts the
     sparse split dimension to its mod-256 residue, so the tree never
-    pays levels for the static 2^20 domain); each level's buffers
-    stay <= _MERGE_FANIN*k structs, via one extra residue-merge
-    level exactly when defaultParallelism exceeds the fan-in cap
-    (below that, populated splits <= 256 bound the first level by
-    themselves — exceeding it on a small-parallelism config with
-    pathologically many input splits degrades buffer size
-    gracefully, never correctness). Top-k merge is associative, so
-    the tree is exact at any shape.
+    pays levels for the static 2^20 domain); an UNCONDITIONAL
+    residue-merge level then restores the per-buffer <=
+    _MERGE_FANIN*k cap — populated splits are bounded by INPUT
+    SPLITS, not parallelism, so a many-small-files corpus on a small
+    cluster needs the level just as much as a big cluster does (and
+    it is a cheap hash aggregate on an already k-truncated frame).
+    Top-k merge is associative, so the tree is exact at any shape.
 
     ``order_cols`` is the ASCENDING composite sort (negate a column
     for descending) and must be a total order within each group (end

@@ -1140,6 +1140,86 @@ def kmv_from_state(spark: SparkSession, state_path: str,
     return st.select("event_type", F.round(est, 2).alias("kmv_est"))
 
 
+def stream_topk_upsert(events: DataFrame, state_path: str,
+                       checkpoint: str, group_cols: list[str],
+                       order_cols: list, payload_cols: list,
+                       k: int = 10):
+    """Maintain per-group top-k state over a stream — the streaming
+    twin of the batch ``grouped_topk`` kernel (operators/ranking.py),
+    completing the sketch-maintainer family: leaderboards served from
+    maintained state instead of a corpus rank per query.
+
+    Per micro-batch the input reduces to its per-group bottom-k
+    struct array (the grouped_topk item layout: ascending
+    ``order_cols`` fields, payload nested so it never decides
+    placement); the state merge is bottom-k of the DISTINCT union —
+    an ABSORBING merge exactly like stream_kmv_upsert's (min-k of a
+    union = min-k of the per-side min-k's, and array_distinct
+    collapses a replayed item), so batch replay cannot corrupt the
+    leaderboard and no commit-protocol idempotence is needed. The
+    absorbing claim leans on grouped_topk's documented contract that
+    ``order_cols`` end with a unique id: full-struct distinctness
+    then equals row identity, and a replayed row collapses while two
+    legitimately tied rows never share a struct. State is
+    O(groups x k) regardless of stream volume, on the manifest
+    protocol. Read with topk_from_state — ranks match the batch
+    ``grouped_topk`` over the unioned corpus value-for-value."""
+    from ..sources.snapshot import publish_snapshot
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        item = F.struct(
+            *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
+            F.struct(*payload_cols).alias("_p"),
+        )
+        delta = batch_df.groupBy(*group_cols).agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list(item))),
+                1, k,
+            ).alias("_tk")
+        )
+        state = _state_or_adopt(spark, state_path)
+        merged = (
+            delta if state is None else state.unionByName(delta)
+        ).groupBy(*group_cols).agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("_tk")))
+                ),
+                1, k,
+            ).alias("_tk")
+        )
+        publish_snapshot(merged, state_path, f"topkbatch{batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def topk_from_state(spark: SparkSession, state_path: str,
+                    rank_col: str = "rnk") -> DataFrame:
+    """Per-group leaderboard served from the maintained top-k state:
+    the grouped_topk output shape (group cols + payload cols +
+    1-based rank), bit-identical to the batch kernel over the same
+    rows by the absorbing-merge argument on stream_topk_upsert."""
+    st = _state_or_adopt(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published top-k state at {state_path}")
+    group_cols = [c for c in st.columns if c != "_tk"]
+    return st.select(
+        *group_cols, F.posexplode("_tk").alias("_pos", "_it")
+    ).select(
+        *group_cols,
+        F.col("_it._p.*"),
+        (F.col("_pos") + 1).cast("long").alias(rank_col),
+    )
+
+
 def kmv_overlap_from_state(spark: SparkSession, state_path: str,
                            k: int = 64) -> DataFrame:
     """Pairwise audience-overlap estimates served FROM the maintained

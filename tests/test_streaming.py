@@ -1167,3 +1167,85 @@ def test_cms_probe_counts_empty_buckets_as_zero(spark):
     assert got[999_999] == 0
     # present keys keep the upper-bound contract
     assert got[1] >= 5 and got[2] >= 3
+
+
+def test_stream_topk_upsert_equals_batch_and_merge_is_absorbing(
+    spark, tmp_path
+):
+    """Round-9: the streamed per-group top-k state serves the SAME
+    leaderboard as the batch grouped_topk kernel over the union of
+    micro-batches (ranks, payloads, everything), and re-merging the
+    full state into itself changes nothing (bottom-k of the distinct
+    union is an absorbing merge, the KMV replay-safety class)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.ranking import (
+        grouped_topk,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import read_latest
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        stream_topk_upsert, topk_from_state,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 37,
+         ("view", "purchase", "click")[i % 3],
+         float((i * 731) % 997), "{}")
+        for i in range(600)
+    ]
+    src = tmp_path / "events"
+    for third in (0, 1, 2):
+        spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 3 == third], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "topk_state")
+    order_cols = [-F.col("value"), F.col("event_id")]
+    payload_cols = [F.col("event_id"), F.col("user_id"),
+                    F.col("value")]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_topk_upsert(
+        stream, state, str(tmp_path / "ckpt"),
+        ["event_type"], order_cols, payload_cols, k=5,
+    )
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame(rows, schema)
+    want = sorted(
+        tuple(r) for r in grouped_topk(
+            batch, ["event_type"], order_cols, payload_cols, 5,
+            F.col("event_id"),
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in topk_from_state(spark, state).collect()
+    )
+    assert got == want and len(got) == 15
+
+    # absorbing: re-merging the full state into itself changes nothing
+    st = read_latest(spark, state)
+    re_merged = (
+        st.unionByName(st)
+        .groupBy("event_type")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("_tk")))
+                ), 1, 5,
+            ).alias("_tk")
+        )
+    )
+    a = {r.event_type: list(r._tk) for r in st.collect()}
+    b = {r.event_type: list(r._tk) for r in re_merged.collect()}
+    assert a == b
