@@ -1192,7 +1192,8 @@ def read_point(spark: SparkSession, table_dir: str, key: str,
 
 
 def compact(spark: SparkSession, table_dir: str,
-            target_files: int = 1) -> dict:
+            target_files: int = 1,
+            cluster_by: str | None = None) -> dict:
     """Small-file compaction inside the manifest protocol: rewrite the
     CURRENT version's file list into ``target_files`` files and publish
     the result as a new version. Published data files are never
@@ -1203,6 +1204,17 @@ def compact(spark: SparkSession, table_dir: str,
     (``compact-*``), so a replayed micro-batch still finds its own
     ``batchN`` manifest and skips.
 
+    ``cluster_by`` re-CLUSTERS while compacting (the
+    write_range_clustered layout, writers.py, run inside the manifest
+    protocol): the rewrite range-partitions + sorts on the key, so
+    every output file carries a DISJOINT [min, max] range and the
+    key's manifest stats — which degrade as interleaved appends
+    overlap their ranges — tighten back to O(1)-file point reads.
+    The cluster key is added to the tracked stats set, so maintenance
+    can retro-fit data skipping onto a table whose writers never
+    published stats for it. Without ``cluster_by`` the rewrite is a
+    plain repartition (file-count maintenance only).
+
     At scale, run per partition/range and coalesce to a file-size
     target; here the knob is the file count, which is what the local
     tests can assert.
@@ -1212,13 +1224,22 @@ def compact(spark: SparkSession, table_dir: str,
         if man is None or not man["files"]:
             return {"files_before": 0, "files_after": 0, "version": None}
         df = _read_files(spark, man["files"])
-        new_files = _write_data(df.repartition(target_files), table_dir)
+        if cluster_by is None:
+            out = df.repartition(target_files)
+        else:
+            out = df.repartitionByRange(
+                target_files, cluster_by
+            ).sortWithinPartitions(cluster_by)
+        new_files = _write_data(out, table_dir)
         # recompute data-skipping stats for every key the prior
-        # manifest tracked — compaction must not silently drop the
-        # skipping index
+        # manifest tracked (compaction must not silently drop the
+        # skipping index), plus the cluster key
+        keys = set(man.get("stats", {}))
+        if cluster_by is not None:
+            keys.add(cluster_by)
         stats = {
             k: (_file_stats(new_files, k) or {})
-            for k in man.get("stats", {})
+            for k in keys
         }
         # CAS on the read version: compaction rewrites EXACTLY the read
         # file list — publishing over an interleaved append would erase

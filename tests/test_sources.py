@@ -1740,3 +1740,56 @@ def test_rehash_preserves_multikey_stats_and_reruns_after_marker_loss(
     assert SN.rehash_table(spark, t, key="trip_key")["status"] \
         == "published"
     assert SN.latest_manifest(t)["hash_version"] == SN._HASH_VERSION
+
+
+def test_compact_cluster_by_restores_data_skipping(spark, tmp_path,
+                                                   monkeypatch):
+    """Round-9: interleaved appends overlap every file's key range, so
+    a point read must open all of them; compact(cluster_by=...)
+    re-clusters during maintenance and the manifest stats tighten back
+    to an O(1)-file point read — proven manifest-ALONE by poisoning
+    the footer reader for the read path (the
+    test_manifest_stats_enable_footerless_pruning pattern)."""
+    import pyarrow.parquet
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    # four appends, each spanning the WHOLE key range (worst-case
+    # interleaving: every file's [min,max] covers every key)
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(i, f"v{b}_{i}") for i in range(b, 400, 4)],
+            "trip_key long, v string",
+        ).coalesce(1)
+        assert SN.upsert_batch(df, b, t) == "published"
+
+    man = SN.latest_manifest(t)
+    assert len(man["files"]) == 4
+    hit, _ = SN._prune_by_stats(
+        man["stats"]["trip_key"], man["files"], [200])
+    assert len(hit) == 4  # degraded: every file may hold key 200
+
+    res = SN.compact(spark, t, target_files=4, cluster_by="trip_key")
+    assert res["files_after"] == 4
+
+    man2 = SN.latest_manifest(t)
+    hit2, clear2 = SN._prune_by_stats(
+        man2["stats"]["trip_key"], man2["files"], [200])
+    assert len(hit2) == 1  # re-clustered: disjoint ranges, O(1) files
+    assert len(clear2) == 3
+
+    # the point read itself runs footerless off the manifest stats
+    def poisoned(*a, **k):
+        raise AssertionError("footer read despite manifest stats")
+
+    monkeypatch.setattr(pyarrow.parquet, "ParquetFile", poisoned)
+    got = {
+        tuple(r)
+        for r in SN.read_point(spark, t, "trip_key", 200).collect()
+    }
+    assert got == {(200, "v0_200")}
+    monkeypatch.undo()
+
+    # row content is unchanged by the clustered rewrite
+    assert SN.read_latest(spark, t).count() == 400
