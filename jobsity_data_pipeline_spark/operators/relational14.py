@@ -336,8 +336,12 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
     joins."""
     ev = _t(spark, sf_dir, "events")
     du = ev.select("event_type", "user_id").distinct()
-    est = kmv_pair_overlap(
-        kmv_sketches(du, k=k, n_salts=n_salts), k=k)
+    # pin the |types|-row sketch frame: the pair self-join consumes it
+    # twice, and without the pin each side would recompute the whole
+    # corpus-scale sketch aggregation (tiny state, the 1-row-pin
+    # convention of _power_rounds)
+    sk = kmv_sketches(du, k=k, n_salts=n_salts).localCheckpoint()
+    est = kmv_pair_overlap(sk, k=k)
     a = du.select("user_id", F.col("event_type").alias("type_a"))
     b = du.select("user_id", F.col("event_type").alias("type_b"))
     co = (
@@ -369,7 +373,7 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
         )
     )
     return (
-        exact.join(est, ["type_a", "type_b"])
+        exact.join(F.broadcast(est), ["type_a", "type_b"])
         .select(
             "type_a", "type_b", "na", "nb", "co_users", "jaccard_pm",
             "kmv_union_est", "kmv_inter_est", "kmv_jaccard_pm",
