@@ -318,7 +318,7 @@ class TestBloomPrunedJoin:
         BEFORE the shuffle: pruned row count sits between the exact
         match count and well under the full fact count."""
         from jobsity_data_pipeline_spark.operators.skew import (
-            BLOOM_COL, _bloom_pos,
+            bloom_prune,
         )
         from jobsity_data_pipeline_spark.session import read_table
 
@@ -327,20 +327,8 @@ class TestBloomPrunedJoin:
             (F.col("o_orderpriority") == "1-URGENT")
             & (F.col("o_orderstatus") == "F")
         ).select("o_orderkey")
-        m_bits, k = 1 << 16, 3
-        pos = o.select(F.explode(F.array(
-            *[_bloom_pos("o_orderkey", i, m_bits) for i in range(k)]
-        )).alias("pos")).distinct()
-        bits = pos.agg(F.map_from_entries(F.collect_list(
-            F.struct(F.col("pos"), F.lit(True)))).alias(BLOOM_COL))
-        cond = None
-        for i in range(k):
-            p = F.coalesce(F.element_at(
-                F.col(BLOOM_COL), _bloom_pos("l_orderkey", i, m_bits)
-            ), F.lit(False))
-            cond = p if cond is None else (cond & p)
         n_fact = li.count()
-        n_pruned = li.join(F.broadcast(bits)).where(cond).count()
+        n_pruned = bloom_prune(li, o, "l_orderkey", "o_orderkey").count()
         n_match = li.join(o, li["l_orderkey"] == o["o_orderkey"],
                           "left_semi").count()
         assert n_match <= n_pruned  # no false negatives
