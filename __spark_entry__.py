@@ -5719,8 +5719,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ses s JOIN m ON m.i = s.i + 1
         )
         SELECT o_year, o_month, rev_c, forecast_c,
-               CAST((2 * 1000 * abs(rev_c - forecast_c) + rev_c)
-                    // (2 * rev_c) AS BIGINT) AS ape_permille
+               CAST((2 * 1000 * abs(rev_c - forecast_c)
+                     + greatest(rev_c, 1))
+                    // (2 * greatest(rev_c, 1)) AS BIGINT)
+                   AS ape_permille
         FROM ses WHERE forecast_c IS NOT NULL
         ORDER BY o_year, o_month
     """

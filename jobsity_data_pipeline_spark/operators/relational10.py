@@ -43,25 +43,15 @@ GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 
 
-def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher rule battery per document (arXiv:2112.11446 §A1.1,
-    adapted to the deterministic-token convention of this repo):
-
-    - ``word_count_ok``: 50 <= n_words <= 100000
-    - ``mean_word_ok``: mean word length in [3, 10] chars
-    - ``symbol_ok``: (# + ellipsis occurrences) / n_words <= 0.1
-    - ``alpha_ok``: >= 80% of words contain an alphabetic char
-    - ``stop_ok``: >= 2 DISTINCT English stopwords present
-    - ``keep``: all of the above
-
-    Every ratio threshold is evaluated in integer cross-multiplied
-    form (10*n_symbols <= n_words, 10*n_alpha >= 8*n_words, char_sum
-    BETWEEN 3*n_words AND 10*n_words) — no float division anywhere, so
-    the flags can never sit on an engine-dependent rounding boundary.
-    One explode + one partial-agg shuffle on doc_id; the per-doc text
-    stats ride the same scan.
-    """
-    d = _t(spark, sf_dir, "documents")
+def gopher_word_stats(d: DataFrame) -> DataFrame:
+    """Per-doc integer word statistics the Gopher battery judges:
+    (doc_id, source, n_symbols, n_words, char_sum, n_alpha,
+    n_stop_distinct), zero-filled for token-less docs. One explode +
+    one partial-agg shuffle on doc_id. SHARED staging: both
+    docs_gopher_rules and the trained quality classifier's feature
+    extraction (relational14._qc_features) consume this frame, so the
+    weak label the classifier distills can never silently drift from
+    the battery it claims to distill."""
     staged = d.select(
         "doc_id", "source",
         F.size(
@@ -79,7 +69,7 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("w").isin(stop), F.col("w"))
         ).alias("n_stop_distinct"),
     )
-    j = (
+    return (
         staged.select("doc_id", "source", "n_symbols")
         .join(wstats, "doc_id", "left")
         .select(
@@ -90,8 +80,14 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_stop_distinct", F.lit(0)).alias("n_stop_distinct"),
         )
     )
+
+
+def gopher_flags() -> dict:
+    """The five rule flags as boolean Columns over a gopher_word_stats
+    frame — integer cross-multiplied thresholds, ONE definition (the
+    classifier's weak label is the conjunction of exactly these)."""
     n, cs = F.col("n_words"), F.col("char_sum")
-    flags = {
+    return {
         "word_count_ok":
             (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
         "mean_word_ok": (cs >= 3 * n) & (cs <= 10 * n) & (n > 0),
@@ -99,6 +95,38 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha_ok": (10 * F.col("n_alpha")) >= (8 * n),
         "stop_ok": F.col("n_stop_distinct") >= 2,
     }
+
+
+def gopher_keep_expr():
+    """AND of all gopher_flags() as one boolean Column."""
+    keep = None
+    for v in gopher_flags().values():
+        keep = v if keep is None else (keep & v)
+    return keep
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery per document (arXiv:2112.11446 §A1.1,
+    adapted to the deterministic-token convention of this repo):
+
+    - ``word_count_ok``: 50 <= n_words <= 100000
+    - ``mean_word_ok``: mean word length in [3, 10] chars
+    - ``symbol_ok``: (# + ellipsis occurrences) / n_words <= 0.1
+    - ``alpha_ok``: >= 80% of words contain an alphabetic char
+    - ``stop_ok``: >= 2 DISTINCT English stopwords present
+    - ``keep``: all of the above
+
+    Every ratio threshold is evaluated in integer cross-multiplied
+    form (10*n_symbols <= n_words, 10*n_alpha >= 8*n_words, char_sum
+    BETWEEN 3*n_words AND 10*n_words) — no float division anywhere, so
+    the flags can never sit on an engine-dependent rounding boundary.
+    One explode + one partial-agg shuffle on doc_id; the per-doc text
+    stats ride the same scan (gopher_word_stats, shared with the
+    trained classifier's feature extraction).
+    """
+    d = _t(spark, sf_dir, "documents")
+    j = gopher_word_stats(d)
+    flags = gopher_flags()
     out = j.select(
         "doc_id", "source", "n_words",
         *[v.cast("int").alias(k) for k, v in flags.items()],

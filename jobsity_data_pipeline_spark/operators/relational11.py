@@ -621,7 +621,13 @@ PCS_ROUNDS = 3
 # scan and the total-variance pass ONCE per corpus instead of once per
 # PCA query (the _ivf_assigned_and_probes / PQ-codebook convention).
 # Entries are localCheckpointed frames owned by the keyed session.
+# Bounded: the pinned frame is CORPUS-SIZED, so the memo evicts
+# oldest-first past _CENTERED_CACHE_MAX entries — dropping the dict
+# reference releases the checkpoint RDD to the ContextCleaner (the
+# emb_top_pcs prior-residual pattern), so a long-lived multi-corpus
+# session never accumulates unbounded executor storage.
 _CENTERED_CACHE: dict = {}
+_CENTERED_CACHE_MAX = 2
 
 
 def _centered_shared(
@@ -637,6 +643,8 @@ def _centered_shared(
     if ck not in _CENTERED_CACHE:
         xc, mean, dim = _centered_arrays(spark, sf_dir, cache=True)
         tv = _total_var(xc).localCheckpoint()
+        while len(_CENTERED_CACHE) >= _CENTERED_CACHE_MAX:
+            _CENTERED_CACHE.pop(next(iter(_CENTERED_CACHE)))
         _CENTERED_CACHE[ck] = (xc, mean, dim, tv)
     return _CENTERED_CACHE[ck]
 

@@ -86,51 +86,18 @@ def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                          1 and 2 — the ≥2 rule)
 
     All integer division on non-negative operands — engine-exact;
-    centering subtracts constants AFTER the division.
+    centering subtracts constants AFTER the division. Staging and the
+    keep conjunction come from relational10's gopher_word_stats /
+    gopher_keep_expr — ONE definition, so the weak label can never
+    drift from the battery it distills.
     One explode + one partial-agg shuffle on doc_id (the
     docs_gopher_rules plan shape; cites the same Rae et al. 2021
     §A1.1 thresholds for the label)."""
-    from ..functions import text as TX
-    from .relational10 import GOPHER_MAX_WORDS, GOPHER_MIN_WORDS
+    from .relational10 import gopher_keep_expr, gopher_word_stats
 
     d = _t(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0)
-        ).cast("long").alias("n_symbols"),
-        TX.tokens("text").alias("tk"),
-    )
-    tok = staged.select("doc_id", F.explode("tk").alias("w"))
-    stop = list(TX.STOPWORDS["en"])
-    wstats = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_words"),
-        F.sum(F.length("w")).alias("char_sum"),
-        F.sum(F.col("w").rlike("[A-Za-z]").cast("long")).alias("n_alpha"),
-        F.countDistinct(
-            F.when(F.col("w").isin(stop), F.col("w"))
-        ).alias("n_stop_distinct"),
-    )
-    j = (
-        staged.select("doc_id", "n_symbols")
-        .join(wstats, "doc_id", "left")
-        .select(
-            "doc_id", "n_symbols",
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.coalesce("char_sum", F.lit(0)).alias("char_sum"),
-            F.coalesce("n_alpha", F.lit(0)).alias("n_alpha"),
-            F.coalesce("n_stop_distinct", F.lit(0)).alias(
-                "n_stop_distinct"),
-        )
-    )
-    n, cs = F.col("n_words"), F.col("char_sum")
-    keep = (
-        (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
-        & (cs >= 3 * n) & (cs <= 10 * n) & (n > 0)
-        & ((10 * F.col("n_symbols")) <= n)
-        & ((10 * F.col("n_alpha")) >= (8 * n))
-        & (F.col("n_stop_distinct") >= 2)
-    )
+    j = gopher_word_stats(d)
+    keep = gopher_keep_expr()
     return j.select(
         "doc_id",
         (keep.cast("long") * F.lit(1_000_000)).alias("y_e6"),
@@ -329,11 +296,17 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
     maintainable by stream_kmv_upsert) answers every ad-hoc pair
     query without touching the corpus.
 
-    Plan: ONE distinct over (user, type) feeds both sides — the
-    sketch build (salted two-stage bottom-k, no window) and the exact
-    co-occurrence (user-key equi-join, |types|-bounded fan-out);
-    everything after is |types|²-row arithmetic with broadcast
-    joins."""
+    Plan: the same (user, type) distinct pipeline feeds four
+    consumers — the sketch build (salted two-stage bottom-k, no
+    window; eagerly pinned as |types| rows), the two sides of the
+    exact co-occurrence self-join (user-key equi-join,
+    |types|-bounded fan-out), and the per-type sizes — so this AUDIT
+    query pays up to four corpus-scale distinct pipelines (exchange
+    reuse collapses the identical ones at runtime where AQE can).
+    The daily 100 TB path that touches no corpus at all is
+    kmv_overlap_from_state over the streamed sketches; this operator
+    exists to certify it against the exact numbers. Everything after
+    the distinct is |types|²-row arithmetic with broadcast joins."""
     ev = _t(spark, sf_dir, "events")
     du = ev.select("event_type", "user_id").distinct()
     # pin the |types|-row sketch frame: the pair self-join consumes it
@@ -449,7 +422,11 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str,
             level = rev
             continue
         fc = level
-        ape = (2 * 1000 * abs(rev - fc) + rev) // (2 * rev)
+        # greatest(rev, 1): a zero-revenue month (credits netting to
+        # zero) must not crash the APE division; the oracle guards
+        # identically
+        d = max(rev, 1)
+        ape = (2 * 1000 * abs(rev - fc) + d) // (2 * d)
         out.append((y, mo, rev, fc, ape))
         x = alpha_num * rev + (alpha_den - alpha_num) * level
         level = (2 * x + alpha_den) // (2 * alpha_den)

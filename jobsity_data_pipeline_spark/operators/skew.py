@@ -126,8 +126,14 @@ def bloom_prune(fact: DataFrame, small: DataFrame, fact_key: str,
     never false negatives). Exposed separately so callers can prune
     before a DIFFERENT downstream operator (aggregation-before-join,
     a second filter) and so tests can measure the reduction."""
-    if BLOOM_COL in fact.columns:
-        raise ValueError(f"fact side already has a {BLOOM_COL} column")
+    clashing = [
+        c for c in (BLOOM_COL,
+                    *[f"__jdp_bp{i}" for i in range(k_hashes)])
+        if c in fact.columns
+    ]
+    if clashing:
+        raise ValueError(
+            f"fact side already has bloom working columns {clashing}")
     n_words = (m_bits + 63) // 64
     pos = small.select(
         F.explode(

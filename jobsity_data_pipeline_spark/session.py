@@ -124,22 +124,39 @@ def ensure_parallelism(spark: SparkSession, df):
     spark.sql.files.maxPartitionBytes so this is a no-op there — the
     shuffle only triggers when the input underuses the cluster.
 
-    PRECONDITION (asserted): ``df`` must be a shuffle-free plan — a
+    PRECONDITION (enforced): ``df`` must be a shuffle-free plan — a
     raw ``read_table`` scan plus narrow projections/filters. The
     partition-count probe goes through ``df.rdd``, which under AQE
     MATERIALIZES any shuffle stages in the plan just to expose a
     count (the measured grouped_topk double-run gotcha,
     ranking.py) — safe only when there is nothing to materialize.
     Derived frames should pick an explicit partition count instead.
+    The check walks the logical tree's nodeName()s (a plan-STRING
+    substring match would false-positive on column names like
+    'JoinDate') and raises ValueError rather than assert (asserts
+    vanish under python -O, which is exactly when a silent
+    double-materialization would slip through).
     """
-    plan = df._jdf.queryExecution().logical().toString()
-    assert not any(op in plan for op in
-                   ("Aggregate", "Join", "Window", "Repartition",
-                    "Distinct", "Deduplicate", "Sort")), (
-        "ensure_parallelism is scan-only: the df.rdd partition probe "
-        "materializes shuffle stages under AQE; pass a raw read_table "
-        "scan or repartition explicitly"
-    )
+    banned = {
+        "Aggregate", "Join", "Window", "Repartition",
+        "RepartitionByExpression", "Distinct", "Deduplicate", "Sort",
+    }
+
+    def _walk(node):
+        yield node.nodeName()
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from _walk(ch.apply(i))
+
+    hits = banned.intersection(
+        _walk(df._jdf.queryExecution().logical()))
+    if hits:
+        raise ValueError(
+            f"ensure_parallelism is scan-only (found {sorted(hits)}): "
+            "the df.rdd partition probe materializes shuffle stages "
+            "under AQE; pass a raw read_table scan or repartition "
+            "explicitly"
+        )
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

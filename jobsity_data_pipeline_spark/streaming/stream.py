@@ -1025,9 +1025,16 @@ def stream_moments_upsert(events: DataFrame, table_dir: str,
             # the key parses unambiguously no matter what characters
             # event_type contains (the integer-fields-first rule from
             # stream_cms_upsert; event_type|token would silently merge
-            # distinct deltas if a type ever ended in '|<digits>')
+            # distinct deltas if a type ever ended in '|<digits>').
+            # The 'm2' namespace prefix migrates LIVE pre-change state
+            # tables: a legacy '<type>|<batch>' key can only start
+            # with 'm2|' when type == 'm2', and its second segment is
+            # then a digit-only batch token — never equal to a new
+            # key's '<digits>|<type>' tail — so upsert_batch's key
+            # anti-join can never collide old rows with new deltas.
             "delta_key",
-            F.concat_ws("|", F.lit(str(batch_id)), F.col("event_type")),
+            F.concat_ws("|", F.lit("m2"), F.lit(str(batch_id)),
+                        F.col("event_type")),
         )
         upsert_batch(delta, batch_id, table_dir, key="delta_key")
 

@@ -980,7 +980,7 @@ def test_round8_wave_plan_shapes(spark):
 
 
 def test_bloom_prune_filter_sits_below_the_fact_join(spark):
-    """orders_bloom_pruned's Bloom probe (md5 + element_at map lookup)
+    """orders_bloom_pruned's Bloom probe (xxhash64 + packed-word bit test)
     must filter the FACT side BEFORE the orderkey equi-join — the
     whole point of the operator is that the join shuffle never sees
     pruned rows. Round-9 gate for bloom_pruned_join consumers."""

@@ -264,8 +264,9 @@ class TestForecastSes:
                 level = rev
                 continue
             fc = level
+            d = max(rev, 1)
             want.append((y, mo, rev, fc,
-                         (2 * 1000 * abs(rev - fc) + rev) // (2 * rev)))
+                         (2 * 1000 * abs(rev - fc) + d) // (2 * d)))
             level = (2 * (1 * rev + 3 * level) + 4) // 8
         got = [
             tuple(r)
