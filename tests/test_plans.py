@@ -1012,3 +1012,33 @@ def test_bloom_prune_filter_sits_below_the_fact_join(spark):
         "bloom probe filter must sit below the equi-join on the fact "
         "side"
     )
+
+
+def test_round9_plan_shapes(spark):
+    """Round-9 additions stay window-free (every ranking/merge is a
+    mergeable aggregate) and ensure_parallelism enforces its scan-only
+    contract as a real error, not a strippable assert."""
+    import pytest
+
+    from jobsity_data_pipeline_spark.operators import relational14 as R14
+    from jobsity_data_pipeline_spark.session import (
+        ensure_parallelism, read_table,
+    )
+
+    def windows(df):
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return [n for n in walk(plan) if n.nodeName() == "Window"]
+
+    assert not windows(R14.events_type_overlap_kmv(spark, SF_SMOKE))
+    assert not windows(R14.orders_bloom_pruned(spark, SF_SMOKE))
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    # narrow projection/filter over a raw scan: allowed
+    ensure_parallelism(
+        spark, li.select("l_orderkey").where(F.col("l_quantity") > 1))
+    # any shuffle-bearing derived frame: loud ValueError (the df.rdd
+    # probe would materialize its stages under AQE)
+    with pytest.raises(ValueError, match="scan-only"):
+        ensure_parallelism(spark, li.groupBy("l_orderkey").count())
+    with pytest.raises(ValueError, match="scan-only"):
+        ensure_parallelism(spark, li.join(li.limit(1), "l_orderkey"))
