@@ -126,15 +126,19 @@ def bloom_prune(fact: DataFrame, small: DataFrame, fact_key: str,
     never false negatives). Exposed separately so callers can prune
     before a DIFFERENT downstream operator (aggregation-before-join,
     a second filter) and so tests can measure the reduction."""
-    clashing = [
-        c for c in (BLOOM_COL,
-                    *[f"__jdp_bp{i}" for i in range(k_hashes)])
-        if c in fact.columns
-    ]
-    if clashing:
-        raise ValueError(
-            f"fact side already has bloom working columns {clashing}")
-    n_words = (m_bits + 63) // 64
+    bits = bloom_bits_dense(
+        bloom_words(small, small_key, m_bits, k_hashes), m_bits)
+    return bloom_probe(fact, bits, fact_key, m_bits, k_hashes)
+
+
+def bloom_words(small: DataFrame, small_key: str,
+                m_bits: int = 1 << 16, k_hashes: int = 3) -> DataFrame:
+    """The Bloom bitset as SPARSE (w, b) word rows — per 64-bit word
+    index, the OR of its set bits (<= m_bits/64 rows). This is the
+    MERGEABLE form: bit_or across shards/batches is associative,
+    commutative, and ABSORBING (re-OR-ing the same bits is a no-op),
+    which is what lets a streaming maintainer keep it as replay-safe
+    state (stream_bloom_upsert)."""
     pos = small.select(
         F.explode(
             F.array(
@@ -143,14 +147,18 @@ def bloom_prune(fact: DataFrame, small: DataFrame, fact_key: str,
             )
         ).alias("pos")
     )
-    # per-word OR of the set bits (<= n_words rows), then assemble the
-    # DENSE word array once: gaps fill with 0 via a bounded map lookup
-    # (n_words^2 ops, one row, build-time only)
-    words = pos.select(
+    return pos.select(
         F.expr("CAST(pos div 64 AS INT)").alias("w"),
         F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("b"),
     ).groupBy("w").agg(F.expr("bit_or(b)").alias("b"))
-    bits = words.agg(
+
+
+def bloom_bits_dense(words: DataFrame, m_bits: int) -> DataFrame:
+    """Assemble sparse (w, b) word rows into the DENSE 1-row
+    array<long> the O(1) probe indexes; gaps fill with 0 via a
+    bounded map lookup (n_words^2 ops, one row, build-time only)."""
+    n_words = (m_bits + 63) // 64
+    return words.agg(
         F.map_from_entries(
             F.collect_list(F.struct("w", "b"))
         ).alias("_wm")
@@ -162,6 +170,21 @@ def bloom_prune(fact: DataFrame, small: DataFrame, fact_key: str,
             ),
         ).alias(BLOOM_COL)
     )
+
+
+def bloom_probe(fact: DataFrame, bits: DataFrame, fact_key: str,
+                m_bits: int = 1 << 16, k_hashes: int = 3) -> DataFrame:
+    """Filter ``fact`` through a prebuilt dense bitset frame
+    (bloom_bits_dense output) — the probe half of bloom_prune, also
+    serving a STREAM-MAINTAINED bitset (bloom_filter_from_state)."""
+    clashing = [
+        c for c in (BLOOM_COL,
+                    *[f"__jdp_bp{i}" for i in range(k_hashes)])
+        if c in fact.columns
+    ]
+    if clashing:
+        raise ValueError(
+            f"fact side already has bloom working columns {clashing}")
     probed = fact.join(F.broadcast(bits))
     probe_cols = []
     for i in range(k_hashes):

@@ -1147,6 +1147,58 @@ def kmv_from_state(spark: SparkSession, state_path: str,
     return st.select("event_type", F.round(est, 2).alias("kmv_est"))
 
 
+def stream_bloom_upsert(events: DataFrame, state_path: str,
+                        checkpoint: str, key_col: str = "user_id",
+                        m_bits: int = 1 << 16, k_hashes: int = 3):
+    """Maintain the packed Bloom bitset (operators/skew.py's
+    bloom_words form: per 64-bit word index, the OR of its set bits)
+    over a stream — the join-pruning filter kept CURRENT as data
+    arrives, so a nightly bloom_pruned_join never rebuilds the build
+    side's bitset from scratch. The state merge is per-word
+    ``bit_or`` — associative, commutative, and ABSORBING (re-OR-ing a
+    replayed batch's bits is a no-op), the HLL-register replay-safety
+    class, so no commit-protocol idempotence is needed. State is
+    <= m_bits/64 rows regardless of stream volume, on the manifest
+    protocol. Serve with bloom_filter_from_state + skew.bloom_probe;
+    bits are IDENTICAL to a batch bloom_words over the union by the
+    OR-algebra. NOTE: Bloom bits only absorb inserts — deletes need a
+    rebuild (compact the upstream table, re-stream), the standard
+    Bloom limitation."""
+    from ..operators.skew import bloom_words
+    from ..sources.snapshot import publish_snapshot
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = bloom_words(batch_df, key_col, m_bits, k_hashes)
+        state = _state_or_adopt(spark, state_path)
+        merged = (
+            delta if state is None else state.unionByName(delta)
+        ).groupBy("w").agg(F.expr("bit_or(b)").alias("b"))
+        publish_snapshot(merged, state_path, f"bloombatch{batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bloom_filter_from_state(spark: SparkSession, state_path: str,
+                            m_bits: int = 1 << 16) -> DataFrame:
+    """The maintained Bloom bitset as the dense 1-row array<long>
+    frame skew.bloom_probe consumes — prune a fact scan against a
+    STREAM-MAINTAINED filter without touching the build corpus."""
+    from ..operators.skew import bloom_bits_dense
+
+    st = _state_or_adopt(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published Bloom state at {state_path}")
+    return bloom_bits_dense(st, m_bits)
+
+
 def stream_topk_upsert(events: DataFrame, state_path: str,
                        checkpoint: str, group_cols: list[str],
                        order_cols: list, payload_cols: list,

@@ -1249,3 +1249,80 @@ def test_stream_topk_upsert_equals_batch_and_merge_is_absorbing(
     a = {r.event_type: list(r._tk) for r in st.collect()}
     b = {r.event_type: list(r._tk) for r in re_merged.collect()}
     assert a == b
+
+
+def test_stream_bloom_upsert_equals_batch_and_merge_is_absorbing(
+    spark, tmp_path
+):
+    """Round-9: the streamed Bloom word state equals a batch
+    bloom_words over the union of micro-batches bit-for-bit, re-OR-ing
+    the state into itself changes nothing (bit_or is absorbing), and
+    a fact prune served from the state passes exactly the rows the
+    batch-built prune passes."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.skew import (
+        bloom_probe, bloom_prune, bloom_words,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import read_latest
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        bloom_filter_from_state, stream_bloom_upsert,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), (i * 13) % 409,
+         "view", 1.0, "{}")
+        for i in range(600)
+    ]
+    src = tmp_path / "events"
+    for third in (0, 1, 2):
+        spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 3 == third], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "bloom_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_bloom_upsert(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame(rows, schema)
+    want_words = {
+        r.w: r.b for r in bloom_words(batch, "user_id").collect()
+    }
+    st = read_latest(spark, state)
+    got_words = {r.w: r.b for r in st.collect()}
+    assert got_words == want_words
+
+    # absorbing: re-OR-ing the full state into itself changes nothing
+    re_merged = (
+        st.unionByName(st).groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("b"))
+    )
+    assert {r.w: r.b for r in re_merged.collect()} == got_words
+
+    # prune served from the maintained state == batch-built prune
+    fact = spark.range(1200).select(F.col("id").alias("k"))
+    small = batch.select(F.col("user_id").alias("k2"))
+    want = sorted(
+        r.k for r in bloom_prune(fact, small, "k", "k2").collect()
+    )
+    bits = bloom_filter_from_state(spark, state)
+    got = sorted(
+        r.k for r in bloom_probe(fact, bits, "k").collect()
+    )
+    assert got == want
+    # sanity: the filter passes every true member and prunes most
+    members = {r[2] for r in rows}
+    assert members.issubset(set(got))
+    assert len(got) < 1200
