@@ -199,6 +199,99 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str,
     return spark.createDataFrame(out_rows, schema).orderBy("round")
 
 
+# trained weights memoized per (app, sf_dir, rounds) so applying the
+# classifier (docs_classifier_yield) doesn't re-run training when the
+# trajectory query already did — the _centered_shared convention
+# (weights are 6 floats: no storage concern, no eviction needed)
+_QC_WEIGHTS_CACHE: dict = {}
+
+
+def _qc_trained_weights(spark: SparkSession, sf_dir: str,
+                        rounds: int = QC_ROUNDS) -> list:
+    ck = (spark.sparkContext.applicationId, sf_dir, rounds)
+    if ck not in _QC_WEIGHTS_CACHE:
+        rows = (
+            docs_quality_classifier(spark, sf_dir, rounds=rounds)
+            .orderBy("round").collect()
+        )
+        if not rows:
+            _QC_WEIGHTS_CACHE[ck] = [0.0] * len(QC_XS)
+        else:
+            last = rows[-1]
+            _QC_WEIGHTS_CACHE[ck] = [last[w] for w in QC_WEIGHTS]
+    return _QC_WEIGHTS_CACHE[ck]
+
+
+def docs_classifier_yield(spark: SparkSession, sf_dir: str,
+                          rounds: int = QC_ROUNDS) -> DataFrame:
+    """The trained quality classifier APPLIED as a corpus filter —
+    per-source filtering yield at the final weights (the number a
+    data-mixture owner actually reads: what fraction of each source
+    survives the p >= 0.5 cut, and how often the trained cut agrees
+    with the rule battery it distilled). One row per source:
+    (source, n_docs, n_keep, keep_permille, agree_permille).
+
+    Round-10 staging note: unit-tested operator (pure-Python replay);
+    the oracle + driver row land next round — this round's 50-key
+    sweep budget re-earns the full r5 tier. Scoring is the same
+    engine-exact arithmetic as training (algebraic sigmoid over the
+    shared gopher_word_stats features, integer micro-unit p), with
+    the trained weights memoized per (app, corpus, rounds) so the
+    trajectory query and this one share a single training run.
+    Scale: training's rounds+1 passes (amortized via the memo), plus
+    ONE scoring scan and a |sources|-row aggregate."""
+    from .relational10 import gopher_keep_expr, gopher_word_stats
+
+    w = _qc_trained_weights(spark, sf_dir, rounds)
+    d = _t(spark, sf_dir, "documents")
+    j = gopher_word_stats(d)
+    feats = j.select(
+        "source",
+        (gopher_keep_expr().cast("long") * F.lit(1_000_000)).alias(
+            "y_e6"),
+        F.lit(1000).cast("long").alias("x0"),
+        F.expr("least(n_words, 100) * 10 - 500").alias("x1"),
+        F.expr(
+            "least((char_sum * 100) div greatest(n_words, 1), 1000)"
+            " - 450"
+        ).alias("x2"),
+        F.expr(
+            "(n_alpha * 1000) div greatest(n_words, 1) - 800"
+        ).alias("x3"),
+        F.expr(
+            "least((n_symbols * 1000) div greatest(n_words, 1), 1000)"
+            " - 100"
+        ).alias("x4"),
+        F.expr("least(n_stop_distinct, 10) * 100 - 150").alias("x5"),
+    )
+    z = None
+    for wj, xj in zip(w, QC_XS):
+        term = F.lit(wj) * (F.col(xj) / F.lit(1000.0))
+        z = term if z is None else z + term
+    p = F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
+    p_e6 = F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long")
+    pred = p_e6 >= 500_000
+    lbl = F.col("y_e6") == 1_000_000
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(pred.cast("long")).alias("n_keep"),
+            F.sum((pred == lbl).cast("long")).alias("n_agree"),
+        )
+        .select(
+            "source", "n_docs", "n_keep",
+            F.expr(
+                "(2 * 1000 * n_keep + n_docs) div (2 * n_docs)"
+            ).alias("keep_permille"),
+            F.expr(
+                "(2 * 1000 * n_agree + n_docs) div (2 * n_docs)"
+            ).alias("agree_permille"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # events_type_overlap_kmv
 # ---------------------------------------------------------------------------
@@ -430,6 +523,86 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str,
         out.append((y, mo, rev, fc, ape))
         x = alpha_num * rev + (alpha_den - alpha_num) * level
         level = (2 * x + alpha_den) // (2 * alpha_den)
+    return spark.createDataFrame(
+        out,
+        "o_year long, o_month long, rev_c long, forecast_c long, "
+        "ape_permille long",
+    ).orderBy("o_year", "o_month")
+
+
+def orders_forecast_holt(spark: SparkSession, sf_dir: str,
+                         alpha_num: int = 1, alpha_den: int = 4,
+                         beta_num: int = 1,
+                         beta_den: int = 4) -> DataFrame:
+    """Holt's linear (double exponential) smoothing backtest — the
+    trend-aware rung above orders_forecast_ses, same output shape
+    (o_year, o_month, rev_c, forecast_c, ape_permille) so all three
+    forecasters (snaive / SES / Holt) A/B on one join.
+
+    One-step-ahead: forecast_t = level + trend (both integer cents);
+    then level' = halfup(α·rev + (1−α)·(level+trend)) and
+    trend' = halfup(β·(level'−level) + (1−β)·trend), α, β exact
+    rationals, trend signed (sign-aware halfup, the _halfup6
+    convention in integer space). Init: level = first month's actual,
+    trend = 0 — so α=1, β=0 degenerates to the naive last-value
+    forecast exactly like SES's α=1 (pinned in tests). The corpus
+    work is one scan + one partial-agg to the calendar-bounded
+    monthly frame; the sequential recurrence runs driver-side under
+    the shared month cap (the orders_forecast_ses convention).
+
+    Round-10 staging note: unit-tested operator (pure-Python replay);
+    the oracle (recursive CTE, the SES precedent) + driver row land
+    next round — this round's 50-key sweep budget re-earns the full
+    r5 tier."""
+    from ..functions import money as M
+
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(F.sum(M.cents("o_totalprice")).alias("rev_c"))
+    )
+    rows = m.limit(_SES_MAX_MONTHS + 1).collect()
+    if len(rows) > _SES_MAX_MONTHS:
+        raise ValueError(
+            f"orders_forecast_holt: > {_SES_MAX_MONTHS} months; the "
+            f"driver-side recurrence is for calendar-bounded monthly "
+            f"aggregates only"
+        )
+    months = sorted(
+        (int(r["o_year"]), int(r["o_month"]), int(r["rev_c"]))
+        for r in rows
+    )
+
+    def hup(x: int, d: int) -> int:
+        # sign-aware half-up of x/d (d > 0) in exact integers
+        if x >= 0:
+            return (2 * x + d) // (2 * d)
+        return -((2 * (-x) + d) // (2 * d))
+
+    out = []
+    level = None
+    trend = 0
+    for y, mo, rev in months:
+        if level is None:
+            level = rev
+            continue
+        fc = level + trend
+        dd = max(rev, 1)
+        ape = (2 * 1000 * abs(rev - fc) + dd) // (2 * dd)
+        out.append((y, mo, rev, fc, ape))
+        new_level = hup(
+            alpha_num * rev + (alpha_den - alpha_num) * (level + trend),
+            alpha_den,
+        )
+        trend = hup(
+            beta_num * (new_level - level)
+            + (beta_den - beta_num) * trend,
+            beta_den,
+        )
+        level = new_level
     return spark.createDataFrame(
         out,
         "o_year long, o_month long, rev_c long, forecast_c long, "

@@ -45,7 +45,7 @@ def _py_features(sf_dir: str):
         FROM staged s LEFT JOIN ws USING (doc_id)
     """).fetchall()
     feats = []
-    for _, nsym, n, cs, na, nst in rows:
+    for doc_id, nsym, n, cs, na, nst in rows:
         keep = (
             50 <= n <= 100_000
             and cs >= 3 * n and cs <= 10 * n and n > 0
@@ -54,6 +54,7 @@ def _py_features(sf_dir: str):
             and nst >= 2
         )
         feats.append((
+            doc_id,
             1_000_000 if keep else 0,
             (1000,
              min(n, 100) * 10 - 500,
@@ -76,7 +77,7 @@ def _py_train(feats, lr: float, rounds: int):
         g = [0] * 6
         agree = 0
         pred_pos = 0
-        for y, xs in feats:
+        for _doc, y, xs in feats:
             z = 0.0
             for wj, xj in zip(w, xs):
                 z = z + wj * (xj / 1000.0)
@@ -284,6 +285,95 @@ class TestForecastSes:
             tuple(r)
             for r in R14.orders_forecast_ses(
                 spark, SF_SMOKE, alpha_num=1, alpha_den=1)
+            .orderBy("o_year", "o_month").collect()
+        ]
+        for (y, mo, rev, fc, _), (_, _, prev_rev) in zip(
+                got, months[:-1]):
+            assert fc == prev_rev
+
+
+class TestClassifierYield:
+    def test_matches_python_replay(self, spark):
+        """Per-source yield of the trained classifier replayed in pure
+        Python from the same features and final weights."""
+        feats_rows = _py_features(SF_SMOKE)
+        traj = _py_train(feats_rows, R14.QC_LR, R14.QC_ROUNDS)
+        w = list(traj[-1][1:7])
+        # per-source replay needs the source column: re-extract with it
+        import duckdb as dd
+        con = dd.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_SMOKE}/documents.parquet'"
+        )
+        src_of = dict(con.execute(
+            "SELECT doc_id, source FROM documents").fetchall())
+        by_src = {}
+        for doc_id, y, xs in feats_rows:
+            src = src_of[doc_id]
+            z = 0.0
+            for wj, xj in zip(w, xs):
+                z = z + wj * (xj / 1000.0)
+            p = 0.5 + (0.5 * z) / (1.0 + abs(z))
+            pe6 = math.floor(p * 1e6 + 0.5)
+            st = by_src.setdefault(src, [0, 0, 0])
+            st[0] += 1
+            st[1] += 1 if pe6 >= 500_000 else 0
+            st[2] += 1 if (pe6 >= 500_000) == (y == 1_000_000) else 0
+        want = sorted(
+            (s, n, k, (2 * 1000 * k + n) // (2 * n),
+             (2 * 1000 * a + n) // (2 * n))
+            for s, (n, k, a) in by_src.items()
+        )
+        got = sorted(
+            tuple(r)
+            for r in R14.docs_classifier_yield(spark, SF_SMOKE)
+            .collect()
+        )
+        assert got == want
+
+    def test_weights_memo_shared(self, spark):
+        w1 = R14._qc_trained_weights(spark, SF_SMOKE)
+        w2 = R14._qc_trained_weights(spark, SF_SMOKE)
+        assert w1 is w2  # memoized, training ran once
+
+
+class TestForecastHolt:
+    def test_matches_python_replay(self, spark):
+        months = TestForecastSes()._monthly(SF_SMOKE)
+        level, trend = None, 0
+
+        def hup(x, d):
+            if x >= 0:
+                return (2 * x + d) // (2 * d)
+            return -((2 * (-x) + d) // (2 * d))
+
+        want = []
+        for y, mo, rev in months:
+            if level is None:
+                level = rev
+                continue
+            fc = level + trend
+            dd = max(rev, 1)
+            want.append((y, mo, rev, fc,
+                         (2 * 1000 * abs(rev - fc) + dd) // (2 * dd)))
+            nl = hup(1 * rev + 3 * (level + trend), 4)
+            trend = hup(1 * (nl - level) + 3 * trend, 4)
+            level = nl
+        got = [
+            tuple(r)
+            for r in R14.orders_forecast_holt(spark, SF_SMOKE)
+            .orderBy("o_year", "o_month").collect()
+        ]
+        assert got == want
+
+    def test_alpha_one_beta_zero_is_naive(self, spark):
+        months = TestForecastSes()._monthly(SF_SMOKE)
+        got = [
+            tuple(r)
+            for r in R14.orders_forecast_holt(
+                spark, SF_SMOKE, alpha_num=1, alpha_den=1,
+                beta_num=0, beta_den=1)
             .orderBy("o_year", "o_month").collect()
         ]
         for (y, mo, rev, fc, _), (_, _, prev_rev) in zip(
