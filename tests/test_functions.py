@@ -248,3 +248,42 @@ def test_geohash_known_vectors(spark):
         ).collect()
     ]
     assert all(full.startswith(p5) for full, p5 in zip(out, out5))
+
+
+class TestKmvOverlapProperties:
+    """Hypothesis: KMV pair set-algebra is EXACT whenever the union
+    sketch holds every distinct hash (k >= |A ∪ B|) — for any two
+    integer key sets."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _overlap(spark, a, b, k):
+        from pyspark.sql import functions as F
+
+        from jobsity_data_pipeline_spark.operators.relational14 import (
+            kmv_pair_overlap, kmv_sketches,
+        )
+
+        du = spark.createDataFrame(
+            [("A", u) for u in sorted(a)] + [("B", u) for u in sorted(b)],
+            "event_type string, user_id long",
+        )
+        rows = kmv_pair_overlap(kmv_sketches(du, k=k), k=k).collect()
+        return rows[0] if rows else None
+
+    @given(
+        a=st.sets(st.integers(0, 200), min_size=1, max_size=30),
+        b=st.sets(st.integers(0, 200), min_size=1, max_size=30),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_exact_when_union_fits(self, spark, a, b):
+        r = self._overlap(spark, a, b, k=128)
+        union, inter = len(a | b), len(a & b)
+        # md5-prefix collisions between distinct keys are possible in
+        # principle (~2^-32) but not at these sizes
+        assert r["kmv_union_est"] == float(union)
+        assert r["kmv_inter_est"] == float(inter)
+        assert r["kmv_jaccard_pm"] == (
+            2 * 1000 * inter + union) // (2 * union)

@@ -436,3 +436,64 @@ class TestBloomPrunedJoin:
         with pytest.raises(ValueError, match="left/full outer"):
             bloom_pruned_join(li, o, "l_orderkey", "o_orderkey",
                               how="left")
+
+
+class TestBoundedModelGuards:
+    def test_markov_type_cap_raises_loudly(self, spark, monkeypatch):
+        from jobsity_data_pipeline_spark.operators import relational13 as R13
+
+        monkeypatch.setattr(R13, "_MARKOV_MAX_TYPES", 1)
+        with pytest.raises(ValueError, match="low-cardinality"):
+            R13.events_markov_stationary(spark, SF_SMOKE)
+
+    def test_ses_month_cap_raises_loudly(self, spark, monkeypatch):
+        monkeypatch.setattr(R14, "_SES_MAX_MONTHS", 3)
+        with pytest.raises(ValueError, match="calendar-bounded"):
+            R14.orders_forecast_ses(spark, SF_SMOKE)
+        with pytest.raises(ValueError, match="calendar-bounded"):
+            R14.orders_forecast_holt(spark, SF_SMOKE)
+
+
+class TestBloomJoinModes:
+    def test_left_semi_matches_plain(self, spark):
+        from jobsity_data_pipeline_spark.operators.skew import (
+            bloom_pruned_join,
+        )
+        from jobsity_data_pipeline_spark.session import read_table
+
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        o = read_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        got = sorted(
+            tuple(r) for r in bloom_pruned_join(
+                li, o, "l_orderkey", "o_orderkey", how="left_semi"
+            ).select("l_orderkey", "l_linenumber").collect()
+        )
+        want = sorted(
+            tuple(r) for r in li.join(
+                o, li["l_orderkey"] == o["o_orderkey"], "left_semi"
+            ).select("l_orderkey", "l_linenumber").collect()
+        )
+        assert got == want and got
+
+    def test_right_join_preserves_unmatched_small_rows(self, spark):
+        from jobsity_data_pipeline_spark.operators.skew import (
+            bloom_pruned_join,
+        )
+
+        fact = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string")
+        small = spark.createDataFrame(
+            [(1,), (99,)], "sk long")
+        got = sorted(
+            (r["sk"], r["v"]) for r in bloom_pruned_join(
+                fact, small, "k", "sk", how="right").collect()
+        )
+        # sk=99 has no fact match but the RIGHT join preserves it
+        want = sorted(
+            (r["sk"], r["v"]) for r in fact.join(
+                small, fact["k"] == small["sk"], "right").collect()
+        )
+        assert got == want
+        assert (99, None) in got
