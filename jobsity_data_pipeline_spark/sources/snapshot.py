@@ -1193,7 +1193,8 @@ def read_point(spark: SparkSession, table_dir: str, key: str,
 
 def compact(spark: SparkSession, table_dir: str,
             target_files: int = 1,
-            cluster_by: str | None = None) -> dict:
+            cluster_by: str | None = None,
+            only_smaller_than: int | None = None) -> dict:
     """Small-file compaction inside the manifest protocol: rewrite the
     CURRENT version's file list into ``target_files`` files and publish
     the result as a new version. Published data files are never
@@ -1215,6 +1216,17 @@ def compact(spark: SparkSession, table_dir: str,
     published stats for it. Without ``cluster_by`` the rewrite is a
     plain repartition (file-count maintenance only).
 
+    ``only_smaller_than`` (bytes) is the BIN-PACKING mode (Delta
+    OPTIMIZE semantics): rewrite only the files under the size
+    threshold — the steady-state maintenance a streaming sink needs,
+    where each micro-batch appends a small file next to
+    already-compacted big ones. Untouched files keep their paths (so
+    time travel, caches, and their existing per-file stats entries
+    all carry unchanged); only the rewritten tail pays footer reads.
+    NOTE: combining with ``cluster_by`` clusters the REWRITTEN subset
+    only — kept files' ranges still overlap the new ones, so a full
+    re-cluster needs only_smaller_than=None.
+
     At scale, run per partition/range and coalesce to a file-size
     target; here the knob is the file count, which is what the local
     tests can assert.
@@ -1223,7 +1235,22 @@ def compact(spark: SparkSession, table_dir: str,
         man = latest_manifest(table_dir)
         if man is None or not man["files"]:
             return {"files_before": 0, "files_after": 0, "version": None}
-        df = _read_files(spark, man["files"])
+        if only_smaller_than is None:
+            rewrite, keep = list(man["files"]), []
+        else:
+            rewrite, keep = [], []
+            for p in man["files"]:
+                (rewrite if os.path.getsize(p) < only_smaller_than
+                 else keep).append(p)
+            if len(rewrite) <= 1:
+                # nothing to bin-pack: 0 or 1 small file gains no
+                # file-count reduction — publish nothing
+                return {
+                    "files_before": len(man["files"]),
+                    "files_after": len(man["files"]),
+                    "version": man["version"],
+                }
+        df = _read_files(spark, rewrite)
         if cluster_by is None:
             out = df.repartition(target_files)
         else:
@@ -1231,28 +1258,35 @@ def compact(spark: SparkSession, table_dir: str,
                 target_files, cluster_by
             ).sortWithinPartitions(cluster_by)
         new_files = _write_data(out, table_dir)
-        # recompute data-skipping stats for every key the prior
-        # manifest tracked (compaction must not silently drop the
-        # skipping index), plus the cluster key
+        all_files = keep + new_files
+        # data-skipping stats: carry the kept files' entries verbatim
+        # (their footers were already paid for), recompute for the
+        # rewritten files, for every key the prior manifest tracked
+        # plus the cluster key (kept files simply lack entries for a
+        # NEW key — readers treat missing as a hit, defensively)
         keys = set(man.get("stats", {}))
         if cluster_by is not None:
             keys.add(cluster_by)
-        stats = {
-            k: (_file_stats(new_files, k) or {})
-            for k in keys
-        }
+        stats = {}
+        for k in keys:
+            fresh = _file_stats(new_files, k) or {}
+            carried = {
+                p: v for p, v in man.get("stats", {}).get(k, {}).items()
+                if p in keep
+            }
+            stats[k] = {**carried, **fresh}
         # CAS on the read version: compaction rewrites EXACTLY the read
         # file list — publishing over an interleaved append would erase
         # the appended rows from the latest view
         version = _publish(
-            table_dir, new_files, f"compact-{uuid.uuid4().hex[:8]}",
+            table_dir, all_files, f"compact-{uuid.uuid4().hex[:8]}",
             extra={"stats": stats, **_carry_extras(man)},
             expected_version=man["version"],
         )
         if version != -1:
             return {
                 "files_before": len(man["files"]),
-                "files_after": len(new_files),
+                "files_after": len(all_files),
                 "version": version,
             }
     raise RuntimeError(

@@ -1793,3 +1793,51 @@ def test_compact_cluster_by_restores_data_skipping(spark, tmp_path,
 
     # row content is unchanged by the clustered rewrite
     assert SN.read_latest(spark, t).count() == 400
+
+
+def test_compact_bin_packing_rewrites_only_small_files(spark, tmp_path):
+    """Round-9: compact(only_smaller_than=...) is the Delta-OPTIMIZE
+    bin-packer — the big file keeps its PATH (no rewrite, stats entry
+    carried verbatim), the small append tail merges, rows and point
+    reads survive, and a second pass is a no-op when nothing is left
+    to pack."""
+    import os
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    big = spark.createDataFrame(
+        [(i, "x" * 64) for i in range(5000)], "trip_key long, v string"
+    ).coalesce(1)
+    assert SN.upsert_batch(big, 0, t) == "published"
+    for b in (1, 2, 3):
+        small = spark.createDataFrame(
+            [(10_000 + b * 10 + i, "y") for i in range(5)],
+            "trip_key long, v string",
+        ).coalesce(1)
+        assert SN.upsert_batch(small, b, t) == "published"
+
+    man = SN.latest_manifest(t)
+    assert len(man["files"]) == 4
+    sizes = sorted(os.path.getsize(p) for p in man["files"])
+    threshold = sizes[-1]  # everything but the big file is "small"
+    big_path = max(man["files"], key=os.path.getsize)
+    big_stats = man["stats"]["trip_key"][big_path]
+
+    res = SN.compact(spark, t, target_files=1,
+                     only_smaller_than=threshold)
+    assert res["files_after"] == 2  # big file + one packed file
+
+    man2 = SN.latest_manifest(t)
+    assert big_path in man2["files"]  # untouched, same path
+    assert man2["stats"]["trip_key"][big_path] == big_stats  # carried
+    assert SN.read_latest(spark, t).count() == 5015
+    got = {tuple(r)
+           for r in SN.read_point(spark, t, "trip_key", 10011).collect()}
+    assert got == {(10011, "y")}
+
+    # second pass: one small file left at most -> no-op, same version
+    res2 = SN.compact(spark, t, target_files=1,
+                      only_smaller_than=threshold)
+    assert res2["version"] == man2["version"]
+    assert res2["files_after"] == len(man2["files"])
