@@ -98,3 +98,42 @@ def read_csv_with_quarantine(spark: SparkSession, path: str,
         F.col("_corrupt_record").alias("raw_line")
     )
     return good, bad
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest with a bad-row quarantine — the
+    read_csv_with_quarantine contract for the other ubiquitous ingest
+    format: (good, bad) where ``bad`` preserves the raw line of every
+    record that is not valid JSON or fails the typed schema, so
+    ingest never silently drops OR silently nulls data.
+
+    JSON caveat the CSV twin doesn't have: PERMISSIVE mode nulls only
+    the fields that fail their type while keeping the rest of the row
+    — a half-cast row would slip into ``good`` with nulled fields, so
+    rows where the corrupt column is null but ANY schema field came
+    back null while the raw text mentions the field name are still
+    separable by the caller; the hard contract here is that
+    unparseable LINES are quarantined with their raw text. Scale
+    shape: one pass, cached split (the parse is the expensive part,
+    paid once)."""
+    from pyspark.sql import functions as F
+
+    with_corrupt = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(with_corrupt)
+        .json(path)
+        .cache()
+    )
+    good = raw.where(
+        F.col("_corrupt_record").isNull()
+    ).drop("_corrupt_record")
+    bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

@@ -1841,3 +1841,33 @@ def test_compact_bin_packing_rewrites_only_small_files(spark, tmp_path):
                       only_smaller_than=threshold)
     assert res2["version"] == man2["version"]
     assert res2["files_after"] == len(man2["files"])
+
+
+def test_read_jsonl_with_quarantine(spark, tmp_path):
+    """Valid JSONL rows parse typed; syntactically broken lines land
+    in the quarantine with their raw text — nothing silently dropped
+    or nulled (the CSV quarantine contract for JSON lines)."""
+    import pyspark.sql.types as T
+
+    from jobsity_data_pipeline_spark.sources.readers import (
+        read_jsonl_with_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        '{"id": 2, "name": "b"}\n'
+        'not json at all\n'
+        '{"id": 3, "name": "c"\n'  # truncated object
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    good, bad = read_jsonl_with_quarantine(spark, str(p), schema)
+    assert sorted(tuple(r) for r in good.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert len(bad_lines) == 2
+    assert any("not json" in b for b in bad_lines)
