@@ -22,6 +22,15 @@ serving layer, each with an exact DuckDB oracle twin:
   Fixed α as an exact integer-cent recurrence (level carried in
   cents, half-up per step), so every month's one-step-ahead forecast
   and APE replay in SQL.
+- orders_bloom_pruned: the bloom_pruned_join (operators/skew.py)
+  demonstrated end-to-end — broadcast packed-bitset probe drops fact
+  rows before the join shuffle; output provably identical to the
+  plain join (the oracle).
+- docs_classifier_yield (r10-staged): the trained classifier applied
+  as a per-source corpus filter, sharing one training run with the
+  trajectory query via a weights memo.
+- orders_forecast_holt (r10-staged): Holt's linear double-exponential
+  smoothing — the trend-aware rung above SES, same A/B output shape.
 
 Reference parity note: the reference pipeline (119 lines of Postgres
 SQL/loader, src/sqls/create_objects.sql) has no ML or sketch surface;
