@@ -1355,13 +1355,11 @@ def _kmeans_fit_sql(rounds: int = 3) -> str:
     return "".join(parts)
 
 
-def _quality_classifier_sql(rounds: int = 16) -> str:
-    """Unrolled DuckDB replay of relational14.docs_quality_classifier:
-    the gopher-style integer feature staging (MATERIALIZED once), then
-    ``rounds`` gradient steps, each one g-CTE (integer micro-unit
-    probabilities via the algebraic sigmoid, EXACT integer gradient
-    sums) and one w-CTE (the same deterministic double update +
-    sign-aware half-up 6-dp re-round the engine computes driver-side).
+def _qc_chain_parts(rounds: int = 16) -> list[str]:
+    """The classifier oracle's shared WITH-chain (feature staging +
+    w0..w{rounds}/g0..g{rounds} gradient steps) — consumed by the
+    registered trajectory oracle (_quality_classifier_sql) and the
+    r10-staged yield oracle (_classifier_yield_sql), ONE definition.
     Every CTE is MATERIALIZED — the markov lesson: an inlined chain
     re-plans the whole upstream into every step."""
     nx = 6
@@ -1369,7 +1367,7 @@ def _quality_classifier_sql(rounds: int = 16) -> str:
         f"w.w{j} * (f.x{j} / 1000.0)" for j in range(nx))
     parts = ["""
         WITH staged AS (
-            SELECT doc_id,
+            SELECT doc_id, source,
                    len(regexp_extract_all(text, '#|\\.\\.\\.'))
                        AS n_symbols,
                    list_filter(regexp_split_to_array(text, '\\s+'),
@@ -1389,7 +1387,7 @@ def _quality_classifier_sql(rounds: int = 16) -> str:
             GROUP BY doc_id
         ),
         feats AS MATERIALIZED (
-            SELECT doc_id,
+            SELECT doc_id, source,
                    CAST((n_words BETWEEN 50 AND 100000)
                         AND (char_sum >= 3 * n_words
                              AND char_sum <= 10 * n_words
@@ -1408,8 +1406,8 @@ def _quality_classifier_sql(rounds: int = 16) -> str:
                          1000) - 100 AS x4,
                    least(n_stop_distinct, 10) * 100 - 150 AS x5
             FROM (
-                SELECT s.doc_id, CAST(s.n_symbols AS BIGINT)
-                           AS n_symbols,
+                SELECT s.doc_id, s.source,
+                       CAST(s.n_symbols AS BIGINT) AS n_symbols,
                        coalesce(ws.n_words, 0) AS n_words,
                        coalesce(ws.char_sum, 0) AS char_sum,
                        coalesce(ws.n_alpha, 0) AS n_alpha,
@@ -1458,6 +1456,15 @@ def _quality_classifier_sql(rounds: int = 16) -> str:
             SELECT {upds}
             FROM w{r} w CROSS JOIN g{r} g
         )""")
+    return parts
+
+
+def _quality_classifier_sql(rounds: int = 16) -> str:
+    """Unrolled DuckDB replay of relational14.docs_quality_classifier:
+    the shared chain (_qc_chain_parts) + one trajectory arm per round
+    (weights in force, predicted-keep yield, agreement permille)."""
+    nx = 6
+    parts = _qc_chain_parts(rounds)
     wnames = ("w_bias", "w_words", "w_meanlen", "w_alpha", "w_symbol",
               "w_stop")
     arms = []
@@ -1473,6 +1480,94 @@ def _quality_classifier_sql(rounds: int = 16) -> str:
     parts.append("\n        UNION ALL".join(arms))
     parts.append("\n        ORDER BY round")
     return "".join(parts)
+
+
+def _classifier_yield_sql(rounds: int = 16) -> str:
+    """R10-STAGED (deliberately NOT registered in oracle_sql() this
+    round — the 50-key sweep budget re-earns the full r5 tier):
+    DuckDB replay of relational14.docs_classifier_yield — the shared
+    classifier chain, then ONE scoring pass with the final weights
+    aggregated per source. Validated now by a parity-style unit test
+    (tests/test_relational14.py) so round-10 registration is a
+    two-line change."""
+    nx = 6
+    parts = _qc_chain_parts(rounds)
+    zexpr = " + ".join(
+        f"w.w{j} * (f.x{j} / 1000.0)" for j in range(nx))
+    parts.append(f""",
+        scored AS (
+            SELECT source, y_e6,
+                   CAST(floor((0.5 + (0.5 * z) / (1.0 + abs(z)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS p_e6
+            FROM (SELECT f.source, f.y_e6, {zexpr} AS z
+                  FROM feats f CROSS JOIN w{rounds} w)
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN p_e6 >= 500000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keep,
+               (2 * 1000 * CAST(sum(CASE WHEN p_e6 >= 500000
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                + count(*)) // (2 * count(*)) AS keep_permille,
+               (2 * 1000 * CAST(sum(CASE WHEN (p_e6 >= 500000)
+                                              = (y_e6 = 1000000)
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                + count(*)) // (2 * count(*)) AS agree_permille
+        FROM scored GROUP BY source ORDER BY source""")
+    return "".join(parts)
+
+
+def _hup_sql(o: str, d: int) -> str:
+    """Sign-aware half-up of (o)/d in exact integer SQL — the
+    relational14 hup() twin."""
+    return (f"CASE WHEN ({o}) >= 0 THEN (2 * ({o}) + {d}) // (2 * {d})"
+            f" ELSE -((2 * (-({o})) + {d}) // (2 * {d})) END")
+
+
+def _holt_sql(alpha_num: int = 1, alpha_den: int = 4,
+              beta_num: int = 1, beta_den: int = 4) -> str:
+    """R10-STAGED (not registered this round — budget): DuckDB
+    recursive-CTE replay of relational14.orders_forecast_holt, the
+    SES oracle's pattern with a second trend column; the nl (new
+    level) expression inlines twice because the trend update consumes
+    it. Validated by a parity-style unit test now."""
+    nl = _hup_sql(
+        f"{alpha_num} * m.rev_c + {alpha_den - alpha_num}"
+        f" * (s.level_c + s.trend_c)", alpha_den)
+    trend = _hup_sql(
+        f"{beta_num} * (({nl}) - s.level_c)"
+        f" + {beta_den - beta_num} * s.trend_c", beta_den)
+    return f"""
+        WITH RECURSIVE m AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY o_year, o_month) AS i,
+                   o_year, o_month, rev_c
+            FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1, 2
+            )
+        ),
+        holt AS (
+            SELECT i, o_year, o_month, rev_c,
+                   rev_c AS level_c, CAST(0 AS BIGINT) AS trend_c,
+                   CAST(NULL AS BIGINT) AS forecast_c
+            FROM m WHERE i = 1
+            UNION ALL
+            SELECT m.i, m.o_year, m.o_month, m.rev_c,
+                   {nl} AS level_c,
+                   {trend} AS trend_c,
+                   s.level_c + s.trend_c AS forecast_c
+            FROM holt s JOIN m ON m.i = s.i + 1
+        )
+        SELECT o_year, o_month, rev_c, forecast_c,
+               CAST((2 * 1000 * abs(rev_c - forecast_c)
+                     + greatest(rev_c, 1))
+                    // (2 * greatest(rev_c, 1)) AS BIGINT)
+                   AS ape_permille
+        FROM holt WHERE forecast_c IS NOT NULL
+        ORDER BY o_year, o_month
+    """
 
 
 def oracle_sql() -> dict[str, str]:

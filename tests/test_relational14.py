@@ -497,3 +497,52 @@ class TestBloomJoinModes:
         )
         assert got == want
         assert (99, None) in got
+
+
+class TestStagedR10Oracles:
+    """The round-10-staged oracle generators (_classifier_yield_sql,
+    _holt_sql — deliberately unregistered this round to protect the
+    50-key sweep budget) already replay their operators exactly, so
+    round-10 registration is a two-line change."""
+
+    def _duck(self, sf_dir, tables):
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'"
+            )
+        return con
+
+    @staticmethod
+    def _norm(cols, rows):
+        def nc(v):
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else repr(v)
+            return str(v)
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(nc(r[i]) for i in order) for r in rows)
+
+    def test_classifier_yield_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        sdf = R14.docs_classifier_yield(spark, SF_SMOKE)
+        a = self._norm(
+            sdf.columns, [tuple(r) for r in sdf.collect()])
+        cur = self._duck(SF_SMOKE, ("documents",)).execute(
+            entrymod._classifier_yield_sql())
+        b = self._norm(
+            [d[0] for d in cur.description], cur.fetchall())
+        assert a == b
+
+    def test_holt_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        sdf = R14.orders_forecast_holt(spark, SF_SMOKE)
+        a = self._norm(
+            sdf.columns, [tuple(r) for r in sdf.collect()])
+        cur = self._duck(SF_SMOKE, ("orders",)).execute(
+            entrymod._holt_sql())
+        b = self._norm(
+            [d[0] for d in cur.description], cur.fetchall())
+        assert a == b
