@@ -1570,6 +1570,99 @@ def _holt_sql(alpha_num: int = 1, alpha_den: int = 4,
     """
 
 
+def _hll_overlap_sql() -> str:
+    """R10-STAGED (not registered this round — budget): DuckDB replay
+    of relational14.events_type_overlap_hll. The register build and
+    estimator are the events_hll_distinct fragments verbatim; the
+    pair union merges registers by max, the intersection is clamped
+    inclusion–exclusion, and the permille uses the shared
+    floor(x + 0.5) double half-up. Validated by a parity-style unit
+    test now."""
+    est = """
+                SELECT {keys},
+                       (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                           / (sum(pow(2.0, -mx)) + (256 - count(*)))
+                           AS raw_est,
+                       count(*) AS used_regs
+                FROM {src} GROUP BY {grp}"""
+    corr = """
+                SELECT {keys},
+                       CASE WHEN raw_est <= 2.5 * 256
+                                 AND (256 - used_regs) > 0
+                            THEN 256.0 * ln(256.0 / (256 - used_regs))
+                            ELSE raw_est END AS raw_est
+                FROM {src}"""
+    return f"""
+        WITH h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       )::BIGINT AS hv
+            FROM events
+        ),
+        mx AS MATERIALIZED (
+            SELECT event_type, reg, max(rho) AS mx FROM (
+                SELECT event_type, hv % 256 AS reg,
+                       CASE WHEN hv // 256 = 0 THEN 25
+                            ELSE 25 - length(bin(hv // 256)) END AS rho
+                FROM h
+            ) GROUP BY 1, 2
+        ),
+        est_t AS ({corr.format(src=f"({est.format(keys='event_type', src='mx', grp='1')})", keys='event_type')}),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM mx) a
+            JOIN (SELECT DISTINCT event_type FROM mx) b
+              ON a.event_type < b.event_type
+        ),
+        pmx AS (
+            SELECT p.type_a, p.type_b, m.reg, max(m.mx) AS mx
+            FROM pairs p JOIN mx m
+              ON m.event_type = p.type_a OR m.event_type = p.type_b
+            GROUP BY 1, 2, 3
+        ),
+        est_u AS ({corr.format(src=f"({est.format(keys='type_a, type_b', src='pmx', grp='1, 2')})", keys='type_a, type_b')}),
+        sk AS (
+            SELECT u.type_a, u.type_b, u.raw_est AS u_raw,
+                   greatest(0.0, (ea.raw_est + eb.raw_est) - u.raw_est)
+                       AS i_raw
+            FROM est_u u
+            JOIN est_t ea ON ea.event_type = u.type_a
+            JOIN est_t eb ON eb.event_type = u.type_b
+        ),
+        du AS (SELECT DISTINCT event_type, user_id FROM events),
+        co AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS co_users
+            FROM du a JOIN du b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        s AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1)
+        SELECT sk.type_a, sk.type_b,
+               CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+               CAST(coalesce(co.co_users, 0) AS BIGINT) AS co_users,
+               CAST((2 * 1000 * coalesce(co.co_users, 0)
+                     + (sa.n + sb.n - coalesce(co.co_users, 0)))
+                    // (2 * (sa.n + sb.n - coalesce(co.co_users, 0)))
+                    AS BIGINT) AS jaccard_pm,
+               round(u_raw, 4) AS hll_union_est,
+               round(i_raw, 4) AS hll_inter_est,
+               CAST(floor(1000.0 * i_raw / u_raw + 0.5) AS BIGINT)
+                   AS hll_jaccard_pm,
+               CAST(floor(1000.0 * i_raw / u_raw + 0.5) AS BIGINT)
+                   - CAST((2 * 1000 * coalesce(co.co_users, 0)
+                           + (sa.n + sb.n - coalesce(co.co_users, 0)))
+                          // (2 * (sa.n + sb.n
+                                   - coalesce(co.co_users, 0)))
+                          AS BIGINT) AS jaccard_err_pm
+        FROM sk
+        LEFT JOIN co ON co.type_a = sk.type_a AND co.type_b = sk.type_b
+        JOIN s sa ON sk.type_a = sa.event_type
+        JOIN s sb ON sk.type_b = sb.event_type
+        ORDER BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     wom_dt = _WOM.format(c="date_time")
     sw_hits = (

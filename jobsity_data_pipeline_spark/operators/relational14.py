@@ -459,6 +459,116 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
     )
 
 
+def events_type_overlap_hll(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Audience overlap between event types served from the HLL
+    register sketches — the inclusion–exclusion sibling of
+    events_type_overlap_kmv, for shops whose maintained state is the
+    HLL family (stream_hll_upsert) rather than KMV: union = estimate
+    over the register-MAX merge of the pair (the sketch's native
+    union), intersection = est(A) + est(B) − est(A∪B) clamped at 0
+    (I-E inherits both sketches' error, the standard caveat), plus
+    the exact co-audience columns and a signed permille error —
+    the same A/B audit shape as the KMV twin.
+
+    Engine-exact by the events_hll_distinct convention: integer rho
+    via bin()-length, order-independent dyadic register sums, one
+    CASE linear-counting correction — every double both engines
+    compute identically. Plan: ONE corpus pass to the |types|×256
+    register frame (pinned: three consumers), then pair algebra on
+    bounded frames; the exact side is the usual distinct + user-key
+    self-join.
+
+    Round-10 staging note: unit-tested + staged oracle
+    (__spark_entry__._hll_overlap_sql); queries() registration lands
+    next round — this round's 50-key budget re-earns the r5 tier."""
+    from .relational7 import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"]).localCheckpoint()
+    est_t = hll_estimate(regs, ["event_type"])
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            F.broadcast(
+                types.select(F.col("event_type").alias("type_b"))),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    pregs = (
+        pairs.join(
+            regs,
+            (regs["event_type"] == F.col("type_a"))
+            | (regs["event_type"] == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    est_u = hll_estimate(pregs, ["type_a", "type_b"]).select(
+        "type_a", "type_b", F.col("raw_est").alias("u_raw"))
+    ea = est_t.select(F.col("event_type").alias("type_a"),
+                      F.col("raw_est").alias("a_raw"))
+    eb = est_t.select(F.col("event_type").alias("type_b"),
+                      F.col("raw_est").alias("b_raw"))
+    sk = (
+        est_u.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a", "type_b", "u_raw",
+            F.greatest(
+                F.lit(0.0),
+                (F.col("a_raw") + F.col("b_raw")) - F.col("u_raw"),
+            ).alias("i_raw"),
+        )
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    a = du.select("user_id", F.col("event_type").alias("type_a"))
+    b = du.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("co_users"))
+    )
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("nb"))
+    exact = (
+        sk.select("type_a", "type_b")
+        .join(co, ["type_a", "type_b"], "left")
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "na", "nb",
+            F.coalesce("co_users", F.lit(0)).alias("co_users"),
+        )
+        .withColumn(
+            "jaccard_pm",
+            F.expr(
+                "(2 * 1000 * co_users + (na + nb - co_users))"
+                " div (2 * (na + nb - co_users))"
+            ),
+        )
+    )
+    hll_pm = F.floor(
+        F.lit(1000.0) * F.col("i_raw") / F.col("u_raw") + F.lit(0.5)
+    ).cast("long")
+    return (
+        exact.join(F.broadcast(sk), ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b", "na", "nb", "co_users", "jaccard_pm",
+            F.round("u_raw", 4).alias("hll_union_est"),
+            F.round("i_raw", 4).alias("hll_inter_est"),
+            hll_pm.alias("hll_jaccard_pm"),
+            (hll_pm - F.col("jaccard_pm")).alias("jaccard_err_pm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # orders_forecast_ses
 # ---------------------------------------------------------------------------

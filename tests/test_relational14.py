@@ -546,3 +546,61 @@ class TestStagedR10Oracles:
         b = self._norm(
             [d[0] for d in cur.description], cur.fetchall())
         assert a == b
+
+
+class TestHllOverlapStaged:
+    def test_hll_overlap_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        sdf = R14.events_type_overlap_hll(spark, SF_SMOKE)
+        cols = sdf.columns
+
+        def nc(v):
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else repr(v)
+            return str(v)
+
+        def nm(cs, rows):
+            o = sorted(range(len(cs)), key=lambda i: cs[i])
+            return sorted(tuple(nc(r[i]) for i in o) for r in rows)
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'{SF_SMOKE}/events.parquet'"
+        )
+        cur = con.execute(entrymod._hll_overlap_sql())
+        a = nm(cols, [tuple(r) for r in sdf.collect()])
+        b = nm([d[0] for d in cur.description], cur.fetchall())
+        assert a == b
+
+    def test_inclusion_exclusion_identity_when_subset(self, spark):
+        """A ⊂ B: intersection estimate == est(A) exactly (union
+        registers equal B's, so I-E reduces to est(A) + est(B) −
+        est(B))."""
+        from pyspark.sql import functions as F
+
+        from jobsity_data_pipeline_spark.operators.relational7 import (
+            hll_estimate, hll_registers,
+        )
+
+        du = spark.createDataFrame(
+            [("A", u) for u in range(1, 40)]
+            + [("B", u) for u in range(1, 200)],
+            "event_type string, user_id long",
+        )
+        regs = hll_registers(du, "user_id", ["event_type"])
+        ests = {
+            r["event_type"]: r["raw_est"]
+            for r in hll_estimate(regs, ["event_type"]).collect()
+        }
+        pregs = regs.groupBy("reg").agg(F.max("mx").alias("mx"))
+        u_raw = hll_estimate(
+            pregs.withColumn("g", F.lit(1)), ["g"]).collect()[0][
+            "raw_est"]
+        # union of A⊂B is B: register-max merge reproduces B's sketch
+        assert u_raw == ests["B"]
+        inter = max(0.0, (ests["A"] + ests["B"]) - u_raw)
+        # (A+B)-B recovers A only up to one ulp in floats — the I-E
+        # identity is mathematical, not bitwise
+        assert abs(inter - ests["A"]) <= 1e-9 * ests["A"]
