@@ -290,6 +290,13 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_overlap_kmv": R14.events_type_overlap_kmv,
         "orders_forecast_ses": R14.orders_forecast_ses,
         "orders_bloom_pruned": R14.orders_bloom_pruned,
+        # round-10 registrations: the three r9-staged operators (their
+        # oracles were parity-validated in round 9) plus the new
+        # KMV containment/overlap-coefficient audit
+        "docs_classifier_yield": R14.docs_classifier_yield,
+        "orders_forecast_holt": R14.orders_forecast_holt,
+        "events_type_overlap_hll": R14.events_type_overlap_hll,
+        "events_type_containment_kmv": R14.events_type_containment_kmv,
     }
 
 
@@ -303,19 +310,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so this is purely a priority permutation.
     """
     q = _queries_declared()
-    out = {k: q[k] for k in _ROUND9_PRIORITY if k in q}
+    out = {k: q[k] for k in _ROUND10_PRIORITY if k in q}
     # any key in NO list (a new query not yet registered anywhere)
     # runs right after the explicit priorities — a budget-truncated
     # sweep must reach never-verified surface before re-verifying
     # greens, even when the priority tuple wasn't updated
     known = (
-        set(_ROUND9_PRIORITY)
+        set(_ROUND10_PRIORITY)
         | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
         | _SAMPLED_R5 | _SAMPLED_R6 | _SAMPLED_R7 | _SAMPLED_R8
+        | _SAMPLED_R9
     )
     out.update({k: v for k, v in q.items() if k not in known})
     for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
-                 _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8):
+                 _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8,
+                 _SAMPLED_R9):
         out.update(
             {k: v for k, v in q.items()
              if k in tier and k not in out and k not in _later_tiers(tier)}
@@ -328,7 +337,8 @@ def _later_tiers(tier: frozenset) -> frozenset:
     """Keys re-sampled in a LATER round than ``tier`` — their freshest
     row supersedes the older one, so they sort with the later tier."""
     order = (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
-             _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8)
+             _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8,
+             _SAMPLED_R9)
     for i, t in enumerate(order):
         if tier is t:
             later: frozenset = frozenset()
@@ -383,6 +393,43 @@ def _later_tiers(tier: frozenset) -> frozenset:
 # exact-equality unit tests, so their fresh r7/r8 rows still certify
 # the values and they do not consume budget slots. Done criterion:
 # zero r5-latest keys remain after CORRECTNESS_r09.
+# Round-10 rotation (budget 50): after CORRECTNESS_r09 every key's
+# latest row is green; freshest-row tiers are r9 (50) / r8 (50) /
+# r7 (48) / r6 (46) — nothing older. The r6-latest tier is the oldest
+# debt on the board (three testdata regenerations), so the whole
+# 46-key tier re-earns this round; the THREE round-9-staged operators
+# registered this round (docs_classifier_yield, orders_forecast_holt,
+# events_type_overlap_hll — oracles parity-validated in round 9) plus
+# the ONE new round-10 query (events_type_containment_kmv) auto-front
+# between the explicit list and the tiers via the `known` rule in
+# queries() — 46 + 4 = exactly the 50-key budget. The distinct-pin
+# added to events_type_overlap_kmv / events_type_overlap_hll this
+# round is a plan-only change (bit-identical output, exact-equality
+# unit tests), so their fresh r9 rows still certify the values and
+# they do not consume budget slots. Done criterion: zero r6-latest
+# keys remain after CORRECTNESS_r10.
+_ROUND10_PRIORITY: tuple[str, ...] = (
+    # the full r6-latest tier — oldest driver rows on the board
+    "docs_bpe_fertility", "docs_char_entropy", "docs_containment_pairs",
+    "docs_decontaminate", "docs_dedup_clusters", "docs_dedup_keep",
+    "docs_fingerprint", "docs_group_split", "docs_lang_id",
+    "docs_minhash_est_vs_exact", "docs_minhash_pairs",
+    "docs_ngram_jaccard", "docs_redact_pii", "docs_simhash",
+    "docs_tfidf_top_terms", "docs_zipf_slope", "dq_report",
+    "emb_dedup_stats", "emb_kcenter_sample", "emb_kmeans_assign",
+    "emb_near_dup", "emb_quantize_int8", "events_anomaly_zscore",
+    "events_grouping_sets", "events_hdr_quantiles",
+    "events_hopping_counts", "events_m4_downsample", "events_retention",
+    "events_running_total", "events_session_window",
+    "events_transition_matrix", "events_unpivot_metrics",
+    "lineitem_scd2_asof", "media_features", "orders_forecast_snaive",
+    "orders_part_pairs", "orders_rollup", "orders_scd2",
+    "orders_yoy_growth", "parts_pagerank", "q12_ship_latency",
+    "q13_customer_distribution", "q16_supplier_count",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q4_order_priority",
+)
+
 _ROUND9_PRIORITY: tuple[str, ...] = (
     # the full r5-latest tier — oldest driver rows on the board
     "customer_pareto", "docs_bm25_topk", "docs_bpe_encode",
@@ -704,6 +751,30 @@ _SAMPLED_R8: frozenset = frozenset({
     "suppliers_with_returns", "top_customers_per_nation",
     "trip_geohash_cells", "trip_grouping_bins", "trip_ingest_dedup",
     "weekly_avg_by_region",
+})
+
+
+_SAMPLED_R9: frozenset = frozenset({
+    # round 9 (50 hash rows, zero rows-only), from CORRECTNESS_r09.json
+    "customer_pareto", "docs_bm25_topk", "docs_bpe_encode",
+    "docs_bpe_merges", "docs_clean_corpus_stats", "docs_exact_dedup",
+    "docs_quality", "docs_quality_classifier", "docs_repetition",
+    "docs_sample_stratified", "docs_token_stats", "docs_top_bigrams",
+    "docs_train_val_test", "emb_kmeans_fit", "events_concurrency",
+    "events_daily_gapfill", "events_enriched", "events_hourly",
+    "events_key_skew", "events_kmv_distinct", "events_props_json",
+    "events_top_type_per_user", "events_type_overlap_kmv",
+    "events_value_cusum", "events_value_histogram",
+    "events_value_rolling_1h", "events_watermark_lateness",
+    "media_frame_manifest", "order_aging_buckets",
+    "orders_bloom_pruned", "orders_cube", "orders_customer_rfm",
+    "orders_forecast_ses", "orders_price_corr", "parts_er_pairs",
+    "promo_revenue_ratio", "q10_returned_items", "q11_important_stock",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_wealthy_inactive", "q2_min_cost_supplier", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "stream_events_hourly",
 })
 
 
@@ -1483,13 +1554,10 @@ def _quality_classifier_sql(rounds: int = 16) -> str:
 
 
 def _classifier_yield_sql(rounds: int = 16) -> str:
-    """R10-STAGED (deliberately NOT registered in oracle_sql() this
-    round — the 50-key sweep budget re-earns the full r5 tier):
-    DuckDB replay of relational14.docs_classifier_yield — the shared
-    classifier chain, then ONE scoring pass with the final weights
-    aggregated per source. Validated now by a parity-style unit test
-    (tests/test_relational14.py) so round-10 registration is a
-    two-line change."""
+    """DuckDB replay of relational14.docs_classifier_yield — the
+    shared classifier chain, then ONE scoring pass with the final
+    weights aggregated per source. Staged + parity-validated in round
+    9 (tests/test_relational14.py), registered in round 10."""
     nx = 6
     parts = _qc_chain_parts(rounds)
     zexpr = " + ".join(
@@ -1525,11 +1593,11 @@ def _hup_sql(o: str, d: int) -> str:
 
 def _holt_sql(alpha_num: int = 1, alpha_den: int = 4,
               beta_num: int = 1, beta_den: int = 4) -> str:
-    """R10-STAGED (not registered this round — budget): DuckDB
-    recursive-CTE replay of relational14.orders_forecast_holt, the
-    SES oracle's pattern with a second trend column; the nl (new
-    level) expression inlines twice because the trend update consumes
-    it. Validated by a parity-style unit test now."""
+    """DuckDB recursive-CTE replay of
+    relational14.orders_forecast_holt, the SES oracle's pattern with
+    a second trend column; the nl (new level) expression inlines
+    twice because the trend update consumes it. Staged +
+    parity-validated in round 9, registered in round 10."""
     nl = _hup_sql(
         f"{alpha_num} * m.rev_c + {alpha_den - alpha_num}"
         f" * (s.level_c + s.trend_c)", alpha_den)
@@ -1571,13 +1639,12 @@ def _holt_sql(alpha_num: int = 1, alpha_den: int = 4,
 
 
 def _hll_overlap_sql() -> str:
-    """R10-STAGED (not registered this round — budget): DuckDB replay
-    of relational14.events_type_overlap_hll. The register build and
-    estimator are the events_hll_distinct fragments verbatim; the
-    pair union merges registers by max, the intersection is clamped
-    inclusion–exclusion, and the permille uses the shared
-    floor(x + 0.5) double half-up. Validated by a parity-style unit
-    test now."""
+    """DuckDB replay of relational14.events_type_overlap_hll. The
+    register build and estimator are the events_hll_distinct
+    fragments verbatim; the pair union merges registers by max, the
+    intersection is clamped inclusion–exclusion, and the permille
+    uses the shared floor(x + 0.5) double half-up. Staged +
+    parity-validated in round 9, registered in round 10."""
     est = """
                 SELECT {keys},
                        (0.7213 / (1 + 1.079 / 256)) * 256 * 256
@@ -1659,6 +1726,126 @@ def _hll_overlap_sql() -> str:
         LEFT JOIN co ON co.type_a = sk.type_a AND co.type_b = sk.type_b
         JOIN s sa ON sk.type_a = sa.event_type
         JOIN s sb ON sk.type_b = sb.event_type
+        ORDER BY 1, 2
+    """
+
+
+def _kmv_containment_sql(k: int = 64) -> str:
+    """DuckDB replay of relational14.events_type_containment_kmv: the
+    events_type_overlap_kmv oracle's sketch chain plus per-type sketch
+    estimates (count / max over the bottom-k rows — the mins-array
+    size / last element in the Spark kernel) feeding the asymmetric
+    containment and overlap-coefficient estimates. Every double
+    expression keeps the kernel's exact parenthesization
+    (((est_u · matches) / m_u) for the unrounded intersection, then
+    ((1000.0 · inter) / est) + 0.5 under floor) so both engines run
+    the same IEEE arithmetic."""
+    est_u = (f"CASE WHEN uk.m_u < {k} THEN CAST(uk.m_u AS DOUBLE)"
+             f" ELSE {float(k - 1)} / uk.h_k END")
+    inter = f"({est_u}) * coalesce(mm.matches, 0) / uk.m_u"
+    est_a = (f"CASE WHEN sta.m_t < {k} THEN CAST(sta.m_t AS DOUBLE)"
+             f" ELSE {float(k - 1)} / sta.h_t END")
+    est_b = (f"CASE WHEN stb.m_t < {k} THEN CAST(stb.m_t AS DOUBLE)"
+             f" ELSE {float(k - 1)} / stb.h_t END")
+    cont_a = (f"CAST(floor(1000.0 * ({inter}) / ({est_a}) + 0.5)"
+              f" AS BIGINT)")
+    cont_b = (f"CAST(floor(1000.0 * ({inter}) / ({est_b}) + 0.5)"
+              f" AS BIGINT)")
+    ovl = (f"CAST(floor(1000.0 * ({inter})"
+           f" / least(({est_a}), ({est_b})) + 0.5) AS BIGINT)")
+    x_cont_a = ("(2 * 1000 * coalesce(co.co_users, 0) + sa.n)"
+                " // (2 * sa.n)")
+    x_cont_b = ("(2 * 1000 * coalesce(co.co_users, 0) + sb.n)"
+                " // (2 * sb.n)")
+    x_ovl = ("(2 * 1000 * coalesce(co.co_users, 0) + least(sa.n, sb.n))"
+             " // (2 * least(sa.n, sb.n))")
+    return f"""
+        WITH du AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT / 4294967296.0 AS hv
+            FROM du
+        ),
+        skm AS MATERIALIZED (
+            SELECT event_type, hv FROM (
+                SELECT event_type, hv,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY hv
+                       ) AS rn
+                FROM h
+            ) WHERE rn <= {k}
+        ),
+        skv AS MATERIALIZED (
+            SELECT DISTINCT event_type, hv FROM skm
+        ),
+        st AS MATERIALIZED (
+            SELECT event_type, count(*) AS m_t, max(hv) AS h_t
+            FROM skm GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM du) a
+            JOIN (SELECT DISTINCT event_type FROM du) b
+              ON a.event_type < b.event_type
+        ),
+        um AS (
+            SELECT p.type_a, p.type_b, s.hv
+            FROM pairs p JOIN skm s
+              ON s.event_type = p.type_a OR s.event_type = p.type_b
+            GROUP BY 1, 2, 3
+        ),
+        ur AS MATERIALIZED (
+            SELECT type_a, type_b, hv,
+                   row_number() OVER (
+                       PARTITION BY type_a, type_b ORDER BY hv
+                   ) AS rn
+            FROM um
+        ),
+        uk AS (
+            SELECT type_a, type_b, max(hv) AS h_k, count(*) AS m_u
+            FROM ur WHERE rn <= {k} GROUP BY 1, 2
+        ),
+        mm AS (
+            SELECT u.type_a, u.type_b, count(*) AS matches
+            FROM ur u
+            JOIN skv xa ON xa.event_type = u.type_a AND xa.hv = u.hv
+            JOIN skv xb ON xb.event_type = u.type_b AND xb.hv = u.hv
+            WHERE u.rn <= {k}
+            GROUP BY 1, 2
+        ),
+        co AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS co_users
+            FROM du a JOIN du b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        s AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1)
+        SELECT p.type_a, p.type_b,
+               CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+               CAST(coalesce(co.co_users, 0) AS BIGINT) AS co_users,
+               CAST({x_cont_a} AS BIGINT) AS cont_a_pm,
+               CAST({x_cont_b} AS BIGINT) AS cont_b_pm,
+               CAST({x_ovl} AS BIGINT) AS overlap_pm,
+               round({est_a}, 2) AS kmv_a_est,
+               round({est_b}, 2) AS kmv_b_est,
+               {cont_a} AS kmv_cont_a_pm,
+               {cont_b} AS kmv_cont_b_pm,
+               {ovl} AS kmv_overlap_pm,
+               {cont_a} - CAST({x_cont_a} AS BIGINT) AS cont_a_err_pm,
+               {cont_b} - CAST({x_cont_b} AS BIGINT) AS cont_b_err_pm,
+               {ovl} - CAST({x_ovl} AS BIGINT) AS overlap_err_pm
+        FROM pairs p
+        JOIN uk USING (type_a, type_b)
+        LEFT JOIN mm USING (type_a, type_b)
+        LEFT JOIN co ON co.type_a = p.type_a AND co.type_b = p.type_b
+        JOIN s sa ON p.type_a = sa.event_type
+        JOIN s sb ON p.type_b = sb.event_type
+        JOIN st sta ON p.type_a = sta.event_type
+        JOIN st stb ON p.type_b = stb.event_type
         ORDER BY 1, 2
     """
 
@@ -6005,6 +6192,13 @@ def oracle_sql() -> dict[str, str]:
         JOIN s sb ON p.type_b = sb.event_type
         ORDER BY 1, 2
     """
+    # round-10 registrations: the r9-staged trio (oracles were
+    # parity-validated in round 9, tests/test_relational14.py) plus
+    # the KMV containment/overlap-coefficient audit
+    out["docs_classifier_yield"] = _classifier_yield_sql()
+    out["orders_forecast_holt"] = _holt_sql()
+    out["events_type_overlap_hll"] = _hll_overlap_sql()
+    out["events_type_containment_kmv"] = _kmv_containment_sql()
     out["emb_kcenter_sample"] = _kcenter_sql()
     out["emb_top_pc"] = _top_pc_sql()
     out["emb_top_pcs"] = _top_pcs_sql()

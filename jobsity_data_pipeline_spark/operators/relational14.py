@@ -26,11 +26,14 @@ serving layer, each with an exact DuckDB oracle twin:
   demonstrated end-to-end — broadcast packed-bitset probe drops fact
   rows before the join shuffle; output provably identical to the
   plain join (the oracle).
-- docs_classifier_yield (r10-staged): the trained classifier applied
-  as a per-source corpus filter, sharing one training run with the
+- docs_classifier_yield: the trained classifier applied as a
+  per-source corpus filter, sharing one training run with the
   trajectory query via a weights memo.
-- orders_forecast_holt (r10-staged): Holt's linear double-exponential
-  smoothing — the trend-aware rung above SES, same A/B output shape.
+- orders_forecast_holt: Holt's linear double-exponential smoothing —
+  the trend-aware rung above SES, same A/B output shape.
+- events_type_containment_kmv (round 10): asymmetric containment /
+  overlap-coefficient audit from the KMV sketches — the subset
+  relationships Jaccard structurally misses.
 
 Reference parity note: the reference pipeline (119 lines of Postgres
 SQL/loader, src/sqls/create_objects.sql) has no ML or sketch surface;
@@ -240,11 +243,9 @@ def docs_classifier_yield(spark: SparkSession, sf_dir: str,
     with the rule battery it distilled). One row per source:
     (source, n_docs, n_keep, keep_permille, agree_permille).
 
-    Round-10 staging note: unit-tested operator (pure-Python replay);
-    the oracle + driver row land next round — this round's 50-key
-    sweep budget re-earns the full r5 tier. Scoring is the same
-    engine-exact arithmetic as training (algebraic sigmoid over the
-    shared gopher_word_stats features, integer micro-unit p), with
+    Scoring is the same engine-exact arithmetic as training
+    (algebraic sigmoid over the shared gopher_word_stats features,
+    integer micro-unit p), with
     the trained weights memoized per (app, corpus, rounds) so the
     trajectory query and this one share a single training run.
     Scale: training's rounds+1 passes (amortized via the memo), plus
@@ -348,7 +349,20 @@ def kmv_pair_overlap(sk: DataFrame, k: int,
     ops run on |groups|-row frames — dimension-scale, broadcast-safe.
     Value-equality dedup (array_distinct) merges hash collisions
     identically in both engines; when the union sketch is not full
-    the estimates are exact by construction."""
+    the estimates are exact by construction.
+
+    Beyond Jaccard, serves the ASYMMETRIC containment estimates
+    C(A,B) = |A∩B|/|A| and C(B,A) = |A∩B|/|B| plus the overlap
+    coefficient |A∩B|/min(|A|,|B|) — the engine's own
+    docs_containment_pairs (dedup.py) proves why Jaccard alone misses
+    subset relationships (a small audience wholly inside a large one
+    has tiny Jaccard but containment ≈ 1); the sketch-level numbers
+    close the same blind spot without touching the corpus. Each uses
+    the per-set KMV estimate (m if the sketch is not full, else
+    (k−1)/h_k) as the denominator and the UNROUNDED intersection
+    estimate as the numerator; the permilles are floor(x + 0.5)
+    double half-ups — every double the same IEEE arithmetic in both
+    engines."""
     a = sk.select(F.col(group).alias("type_a"),
                   F.col("mins").alias("mins_a"))
     b = sk.select(F.col(group).alias("type_b"),
@@ -369,19 +383,36 @@ def kmv_pair_overlap(sk: DataFrame, k: int,
             F.array_intersect(
                 "u", F.array_intersect("mins_a", "mins_b"))
         ).cast("long").alias("matches"),
+        F.size("mins_a").alias("m_a"),
+        F.element_at("mins_a", F.size("mins_a")).alias("h_a"),
+        F.size("mins_b").alias("m_b"),
+        F.element_at("mins_b", F.size("mins_b")).alias("h_b"),
     )
     est_u = F.when(
         F.col("m_u") < k, F.col("m_u").cast("double")
     ).otherwise(F.lit(float(k - 1)) / F.col("h_k"))
+    est_a = F.when(
+        F.col("m_a") < k, F.col("m_a").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("h_a"))
+    est_b = F.when(
+        F.col("m_b") < k, F.col("m_b").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("h_b"))
+    inter = est_u * F.col("matches") / F.col("m_u")
+    pm = lambda x: F.floor(x + F.lit(0.5)).cast("long")  # noqa: E731
     return pr.select(
         "type_a", "type_b", "matches",
         F.col("m_u").cast("long").alias("m_u"),
         F.round(est_u, 2).alias("kmv_union_est"),
-        F.round(est_u * F.col("matches") / F.col("m_u"), 2).alias(
-            "kmv_inter_est"),
+        F.round(inter, 2).alias("kmv_inter_est"),
         F.expr(
             "(2 * 1000 * matches + m_u) div (2 * m_u)"
         ).alias("kmv_jaccard_pm"),
+        F.round(est_a, 2).alias("kmv_a_est"),
+        F.round(est_b, 2).alias("kmv_b_est"),
+        pm(F.lit(1000.0) * inter / est_a).alias("kmv_cont_a_pm"),
+        pm(F.lit(1000.0) * inter / est_b).alias("kmv_cont_b_pm"),
+        pm(F.lit(1000.0) * inter / F.least(est_a, est_b)).alias(
+            "kmv_overlap_pm"),
     )
 
 
@@ -402,15 +433,18 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
     consumers — the sketch build (salted two-stage bottom-k, no
     window; eagerly pinned as |types| rows), the two sides of the
     exact co-occurrence self-join (user-key equi-join,
-    |types|-bounded fan-out), and the per-type sizes — so this AUDIT
-    query pays up to four corpus-scale distinct pipelines (exchange
-    reuse collapses the identical ones at runtime where AQE can).
-    The daily 100 TB path that touches no corpus at all is
-    kmv_overlap_from_state over the streamed sketches; this operator
-    exists to certify it against the exact numbers. Everything after
-    the distinct is |types|²-row arithmetic with broadcast joins."""
+    |types|-bounded fan-out), and the per-type sizes — so ``du`` is
+    PINNED once (localCheckpoint: the audit pays ONE corpus-scale
+    distinct instead of up to four; swap for persist(MEMORY_AND_DISK)
+    on a real cluster run, the emb_top_pcs pin posture — the pinned
+    frame is the |types|·|users|-bounded distinct, far smaller than
+    the corpus). The daily 100 TB path that touches no corpus at all
+    is kmv_overlap_from_state over the streamed sketches; this
+    operator exists to certify it against the exact numbers.
+    Everything after the distinct is |types|²-row arithmetic with
+    broadcast joins."""
     ev = _t(spark, sf_dir, "events")
-    du = ev.select("event_type", "user_id").distinct()
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint()
     # pin the |types|-row sketch frame: the pair self-join consumes it
     # twice, and without the pin each side would recompute the whole
     # corpus-scale sketch aggregation (tiny state, the 1-row-pin
@@ -459,6 +493,88 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
     )
 
 
+def events_type_containment_kmv(spark: SparkSession, sf_dir: str,
+                                k: int = 64,
+                                n_salts: int = 32) -> DataFrame:
+    """Asymmetric audience containment between event types served FROM
+    the KMV sketches, next to the exact answer — the subset-audit
+    sibling of events_type_overlap_kmv. Jaccard structurally misses
+    subset relationships (the engine's own docs_containment_pairs,
+    dedup.py, exists for exactly this reason at document level): a
+    niche audience living wholly inside a mass one scores a tiny
+    Jaccard but containment ≈ 1000‰. Per type pair (a < b): the exact
+    containments C(A,B) = co/|A| and C(B,A) = co/|B| and the overlap
+    coefficient co/min(|A|,|B|) in integer half-up permille, the
+    sketch-served estimates of all three (kmv_pair_overlap's new
+    columns — inter_est over the per-set KMV estimates), and signed
+    error columns.
+
+    Plan: identical to events_type_overlap_kmv — ONE pinned
+    (type, user) distinct feeds the sketch build, the exact
+    co-occurrence self-join, and the per-type sizes; everything
+    downstream is |types|²-row arithmetic with broadcast joins. The
+    daily no-corpus path is the same kmv_overlap_from_state (the
+    kernel's containment columns flow through it)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint()
+    sk = kmv_sketches(du, k=k, n_salts=n_salts).localCheckpoint()
+    est = kmv_pair_overlap(sk, k=k)
+    a = du.select("user_id", F.col("event_type").alias("type_a"))
+    b = du.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("co_users"))
+    )
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("nb"))
+    exact = (
+        est.select("type_a", "type_b")
+        .join(co, ["type_a", "type_b"], "left")
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "na", "nb",
+            F.coalesce("co_users", F.lit(0)).alias("co_users"),
+        )
+        .withColumn(
+            "cont_a_pm",
+            F.expr("(2 * 1000 * co_users + na) div (2 * na)"),
+        )
+        .withColumn(
+            "cont_b_pm",
+            F.expr("(2 * 1000 * co_users + nb) div (2 * nb)"),
+        )
+        .withColumn(
+            "overlap_pm",
+            F.expr(
+                "(2 * 1000 * co_users + least(na, nb))"
+                " div (2 * least(na, nb))"
+            ),
+        )
+    )
+    return (
+        exact.join(F.broadcast(est), ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b", "na", "nb", "co_users",
+            "cont_a_pm", "cont_b_pm", "overlap_pm",
+            "kmv_a_est", "kmv_b_est",
+            "kmv_cont_a_pm", "kmv_cont_b_pm", "kmv_overlap_pm",
+            (F.col("kmv_cont_a_pm") - F.col("cont_a_pm")).alias(
+                "cont_a_err_pm"),
+            (F.col("kmv_cont_b_pm") - F.col("cont_b_pm")).alias(
+                "cont_b_err_pm"),
+            (F.col("kmv_overlap_pm") - F.col("overlap_pm")).alias(
+                "overlap_err_pm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def events_type_overlap_hll(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Audience overlap between event types served from the HLL
@@ -474,18 +590,20 @@ def events_type_overlap_hll(spark: SparkSession,
     Engine-exact by the events_hll_distinct convention: integer rho
     via bin()-length, order-independent dyadic register sums, one
     CASE linear-counting correction — every double both engines
-    compute identically. Plan: ONE corpus pass to the |types|×256
-    register frame (pinned: three consumers), then pair algebra on
-    bounded frames; the exact side is the usual distinct + user-key
-    self-join.
-
-    Round-10 staging note: unit-tested + staged oracle
-    (__spark_entry__._hll_overlap_sql); queries() registration lands
-    next round — this round's 50-key budget re-earns the r5 tier."""
+    compute identically. Plan: ONE corpus-scale pass total — the
+    (type, user) distinct is PINNED (localCheckpoint; swap for
+    persist(MEMORY_AND_DISK) on a real cluster) and feeds the
+    register build (register-max over duplicates is
+    duplicate-insensitive, so registers from the distinct are
+    bit-identical to registers from the raw stream), the exact
+    co-occurrence self-join, and the per-type sizes; the |types|×256
+    register frame is pinned too (three consumers). Pair algebra runs
+    on bounded frames."""
     from .relational7 import hll_estimate, hll_registers
 
     ev = _t(spark, sf_dir, "events")
-    regs = hll_registers(ev, "user_id", ["event_type"]).localCheckpoint()
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint()
+    regs = hll_registers(du, "user_id", ["event_type"]).localCheckpoint()
     est_t = hll_estimate(regs, ["event_type"])
     types = regs.select("event_type").distinct()
     pairs = (
@@ -522,7 +640,6 @@ def events_type_overlap_hll(spark: SparkSession,
             ).alias("i_raw"),
         )
     )
-    du = ev.select("event_type", "user_id").distinct()
     a = du.select("user_id", F.col("event_type").alias("type_a"))
     b = du.select("user_id", F.col("event_type").alias("type_b"))
     co = (
@@ -667,12 +784,8 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str,
     forecast exactly like SES's α=1 (pinned in tests). The corpus
     work is one scan + one partial-agg to the calendar-bounded
     monthly frame; the sequential recurrence runs driver-side under
-    the shared month cap (the orders_forecast_ses convention).
-
-    Round-10 staging note: unit-tested operator (pure-Python replay);
-    the oracle (recursive CTE, the SES precedent) + driver row land
-    next round — this round's 50-key sweep budget re-earns the full
-    r5 tier."""
+    the shared month cap (the orders_forecast_ses convention). The
+    oracle is a recursive CTE (the SES precedent)."""
     from ..functions import money as M
 
     o = _t(spark, sf_dir, "orders")

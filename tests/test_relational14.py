@@ -191,6 +191,41 @@ class TestKmvOverlap:
                 # Jaccard should sit within 250 of exact
                 assert abs(r["jaccard_err_pm"]) <= 250
 
+    def test_containment_exact_and_catches_subset(self, spark):
+        # B wholly inside A: Jaccard is small (21/60) but containment
+        # of B in A is 1000‰ — the blind spot the containment columns
+        # exist for. k=128 > |A∪B|, so every estimate is exact.
+        du = self._du(
+            spark,
+            [("A", u) for u in range(1, 61)]
+            + [("B", u) for u in range(20, 41)],
+        )
+        r = R14.kmv_pair_overlap(
+            R14.kmv_sketches(du, k=128), k=128).collect()[0]
+        assert r["kmv_a_est"] == 60.0
+        assert r["kmv_b_est"] == 21.0
+        assert r["kmv_cont_b_pm"] == 1000      # B ⊂ A exactly
+        assert r["kmv_overlap_pm"] == 1000
+        assert r["kmv_cont_a_pm"] == 350       # halfup(1000*21/60)
+        assert r["kmv_jaccard_pm"] == 350      # union == A here
+
+    def test_overlap_coefficient_is_max_containment(self, spark):
+        # inter/min(est_a, est_b) == max(inter/est_a, inter/est_b) and
+        # the floor(x+0.5) permille round is monotone, so the identity
+        # survives rounding on every pair — exact and sketch-served
+        rows = R14.events_type_containment_kmv(
+            spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            assert r["kmv_overlap_pm"] == max(
+                r["kmv_cont_a_pm"], r["kmv_cont_b_pm"])
+            assert r["overlap_pm"] == max(
+                r["cont_a_pm"], r["cont_b_pm"])
+            # k=64 sketch: containment errors sit in the same
+            # ~1/sqrt(k) class as the Jaccard column's bound
+            assert abs(r["cont_a_err_pm"]) <= 300
+            assert abs(r["cont_b_err_pm"]) <= 300
+
     def test_overlap_served_from_streamed_state(self, spark, tmp_path):
         """kmv_overlap_from_state over stream_kmv_upsert's maintained
         state serves the SAME pair numbers as the batch sketch algebra
