@@ -638,8 +638,15 @@ def _centered_shared(
     Bit-identical to the recompute path — every cross-round quantity
     is 6-dp rounded after normalization (cache-invariance is
     unit-tested on both operators), so serving the suite's PCA
-    queries from one shared pin changes no output."""
-    ck = (spark.sparkContext.applicationId, sf_dir)
+    queries from one shared pin changes no output. The key carries a
+    data fingerprint (session.corpus_fingerprint: mtimes + bytes of
+    the embeddings parquet), so regenerating the corpus under a
+    long-lived application invalidates the pin instead of serving
+    stale data."""
+    from ..session import corpus_fingerprint
+
+    ck = (spark.sparkContext.applicationId, sf_dir,
+          corpus_fingerprint(sf_dir, "embeddings"))
     if ck not in _CENTERED_CACHE:
         xc, mean, dim = _centered_arrays(spark, sf_dir, cache=True)
         tv = _total_var(xc).localCheckpoint()

@@ -211,17 +211,26 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str,
     return spark.createDataFrame(out_rows, schema).orderBy("round")
 
 
-# trained weights memoized per (app, sf_dir, rounds) so applying the
-# classifier (docs_classifier_yield) doesn't re-run training when the
-# trajectory query already did — the _centered_shared convention
-# (weights are 6 floats: no storage concern, no eviction needed)
+# trained weights memoized per (app, corpus-fingerprint, rounds) so
+# applying the classifier (docs_classifier_yield, the streaming
+# scorer) doesn't re-run training when the trajectory query already
+# did — the _centered_shared convention: BOUNDED with oldest-first
+# eviction (entries are only 6 floats, but the codebase convention is
+# bounded memos), and the fingerprint in the key re-trains if the
+# documents parquet is regenerated within one long-lived application
 _QC_WEIGHTS_CACHE: dict = {}
+_QC_WEIGHTS_CACHE_MAX = 8
 
 
 def _qc_trained_weights(spark: SparkSession, sf_dir: str,
                         rounds: int = QC_ROUNDS) -> list:
-    ck = (spark.sparkContext.applicationId, sf_dir, rounds)
+    from ..session import corpus_fingerprint
+
+    ck = (spark.sparkContext.applicationId, sf_dir, rounds,
+          corpus_fingerprint(sf_dir, "documents"))
     if ck not in _QC_WEIGHTS_CACHE:
+        while len(_QC_WEIGHTS_CACHE) >= _QC_WEIGHTS_CACHE_MAX:
+            _QC_WEIGHTS_CACHE.pop(next(iter(_QC_WEIGHTS_CACHE)))
         rows = (
             docs_quality_classifier(spark, sf_dir, rounds=rounds)
             .orderBy("round").collect()
@@ -234,26 +243,17 @@ def _qc_trained_weights(spark: SparkSession, sf_dir: str,
     return _QC_WEIGHTS_CACHE[ck]
 
 
-def docs_classifier_yield(spark: SparkSession, sf_dir: str,
-                          rounds: int = QC_ROUNDS) -> DataFrame:
-    """The trained quality classifier APPLIED as a corpus filter —
-    per-source filtering yield at the final weights (the number a
-    data-mixture owner actually reads: what fraction of each source
-    survives the p >= 0.5 cut, and how often the trained cut agrees
-    with the rule battery it distilled). One row per source:
-    (source, n_docs, n_keep, keep_permille, agree_permille).
-
-    Scoring is the same engine-exact arithmetic as training
-    (algebraic sigmoid over the shared gopher_word_stats features,
-    integer micro-unit p), with
-    the trained weights memoized per (app, corpus, rounds) so the
-    trajectory query and this one share a single training run.
-    Scale: training's rounds+1 passes (amortized via the memo), plus
-    ONE scoring scan and a |sources|-row aggregate."""
+def classifier_scored(d: DataFrame, w: list) -> DataFrame:
+    """Stateless scoring kernel: (source, y_e6, p_e6) per document at
+    a FIXED weight vector — the trained classifier's serve-time form,
+    shared by the batch yield (docs_classifier_yield) and the
+    streaming maintainer (stream_classifier_counts), so both paths
+    run ONE definition of the engine-exact arithmetic (algebraic
+    sigmoid over the shared gopher_word_stats features, integer
+    micro-unit p). Pure per-row codegen after the per-doc feature
+    aggregation — batch-local, no cross-batch state."""
     from .relational10 import gopher_keep_expr, gopher_word_stats
 
-    w = _qc_trained_weights(spark, sf_dir, rounds)
-    d = _t(spark, sf_dir, "documents")
     j = gopher_word_stats(d)
     feats = j.select(
         "source",
@@ -280,25 +280,60 @@ def docs_classifier_yield(spark: SparkSession, sf_dir: str,
         z = term if z is None else z + term
     p = F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
     p_e6 = F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long")
-    pred = p_e6 >= 500_000
+    return feats.select("source", "y_e6", p_e6.alias("p_e6"))
+
+
+def classifier_source_counts(scored: DataFrame) -> DataFrame:
+    """Per-source curation counters (source, n_docs, n_keep, n_agree)
+    over a scoring frame — exact integer SUMS, so counters from
+    disjoint shards / micro-batches add up to the corpus counters
+    (the streaming maintainer's merge is plain addition)."""
+    pred = F.col("p_e6") >= 500_000
     lbl = F.col("y_e6") == 1_000_000
-    return (
-        feats.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(pred.cast("long")).alias("n_keep"),
-            F.sum((pred == lbl).cast("long")).alias("n_agree"),
-        )
-        .select(
-            "source", "n_docs", "n_keep",
-            F.expr(
-                "(2 * 1000 * n_keep + n_docs) div (2 * n_docs)"
-            ).alias("keep_permille"),
-            F.expr(
-                "(2 * 1000 * n_agree + n_docs) div (2 * n_docs)"
-            ).alias("agree_permille"),
-        )
-        .orderBy("source")
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(pred.cast("long")).alias("n_keep"),
+        F.sum((pred == lbl).cast("long")).alias("n_agree"),
+    )
+
+
+def classifier_yield_from_counts(counts: DataFrame) -> DataFrame:
+    """The reported yield shape from the counter frame: integer
+    half-up permilles, ordered by source — shared by the batch
+    operator and the state-served classifier_yield_from_state so
+    their outputs are bit-identical over the same counters."""
+    return counts.select(
+        "source", "n_docs", "n_keep",
+        F.expr(
+            "(2 * 1000 * n_keep + n_docs) div (2 * n_docs)"
+        ).alias("keep_permille"),
+        F.expr(
+            "(2 * 1000 * n_agree + n_docs) div (2 * n_docs)"
+        ).alias("agree_permille"),
+    ).orderBy("source")
+
+
+def docs_classifier_yield(spark: SparkSession, sf_dir: str,
+                          rounds: int = QC_ROUNDS) -> DataFrame:
+    """The trained quality classifier APPLIED as a corpus filter —
+    per-source filtering yield at the final weights (the number a
+    data-mixture owner actually reads: what fraction of each source
+    survives the p >= 0.5 cut, and how often the trained cut agrees
+    with the rule battery it distilled). One row per source:
+    (source, n_docs, n_keep, keep_permille, agree_permille).
+
+    Scoring is the shared classifier_scored kernel (the same
+    engine-exact arithmetic as training), with the trained weights
+    memoized per (app, corpus, rounds) so the trajectory query and
+    this one share a single training run. Scale: training's rounds+1
+    passes (amortized via the memo), plus ONE scoring scan and a
+    |sources|-row aggregate. The streaming serve path over the same
+    kernels is stream_classifier_counts / classifier_yield_from_state
+    (streaming/stream.py)."""
+    w = _qc_trained_weights(spark, sf_dir, rounds)
+    d = _t(spark, sf_dir, "documents")
+    return classifier_yield_from_counts(
+        classifier_source_counts(classifier_scored(d, w))
     )
 
 

@@ -153,21 +153,50 @@ def bloom_words(small: DataFrame, small_key: str,
     ).groupBy("w").agg(F.expr("bit_or(b)").alias("b"))
 
 
+# above this word count the one-row map gap-fill (quadratic: MapType
+# element_at is a linear scan, n_words lookups) switches to the
+# distributed range-join assembly — 4096 words (2^18 bits) bounds the
+# map path at ~1.7e7 comparisons while keeping the common small-filter
+# build join-free
+_BLOOM_DENSE_MAP_MAX_WORDS = 4096
+
+
 def bloom_bits_dense(words: DataFrame, m_bits: int) -> DataFrame:
     """Assemble sparse (w, b) word rows into the DENSE 1-row
-    array<long> the O(1) probe indexes; gaps fill with 0 via a
-    bounded map lookup (n_words^2 ops, one row, build-time only)."""
+    array<long> the O(1) probe indexes. Two gap-fill strategies with
+    identical output: at or below _BLOOM_DENSE_MAP_MAX_WORDS words, a
+    bounded one-row map lookup (n_words² ops — MapType element_at is
+    a linear scan, so this path is capped, the markov-cap lesson
+    applied as an automatic switch instead of a ValueError); above
+    it, a DISTRIBUTED range left-join + sorted collect
+    (O(n_words log n_words), executor-parallel) so sizing m_bits at
+    ~10× a large build side (the bloom_pruned_join guidance) never
+    silently explodes into a quadratic single-row transform."""
     n_words = (m_bits + 63) // 64
-    return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("w", "b"))
-        ).alias("_wm")
-    ).select(
+    if n_words <= _BLOOM_DENSE_MAP_MAX_WORDS:
+        return words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "b"))
+            ).alias("_wm")
+        ).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_wm"), i), F.lit(0).cast("long")
+                ),
+            ).alias(BLOOM_COL)
+        )
+    spark = words.sparkSession
+    idx = spark.range(n_words).select(F.col("id").cast("int").alias("w"))
+    filled = idx.join(words, "w", "left").select(
+        "w", F.coalesce("b", F.lit(0).cast("long")).alias("b"))
+    # sort_array orders the structs by w (first field), so the
+    # extracted b array is positional — one bounded-HOF pass on the
+    # single collected row
+    return filled.agg(
         F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("_wm"), i), F.lit(0).cast("long")
-            ),
+            F.sort_array(F.collect_list(F.struct("w", "b"))),
+            lambda s: s["b"],
         ).alias(BLOOM_COL)
     )
 

@@ -114,6 +114,31 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     return {name: read_table(spark, sf_dir, name) for name in names}
 
 
+def corpus_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap data fingerprint of one corpus table — (table, max
+    mtime_ns, total bytes) over its parquet file or directory — for
+    per-(app, corpus) memo KEYS (the _centered_shared /
+    _qc_trained_weights pins): if the parquet under ``sf_dir`` is
+    regenerated within one long-lived Spark application, the
+    fingerprint changes and the memo re-derives instead of silently
+    serving stale pinned data. Driver-side os.stat only — no Spark
+    job, negligible next to any query it guards."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            mx, tot = 0, 0
+            for root, _dirs, files in os.walk(p):
+                for fn in files:
+                    st = os.stat(os.path.join(root, fn))
+                    mx = max(mx, st.st_mtime_ns)
+                    tot += st.st_size
+            return (name, mx, tot)
+        st = os.stat(p)
+        return (name, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (name, -1, -1)
+
+
 def ensure_parallelism(spark: SparkSession, df):
     """Repartition a too-few-partitions RAW SCAN up to the session's
     core count.
@@ -137,9 +162,15 @@ def ensure_parallelism(spark: SparkSession, df):
     vanish under python -O, which is exactly when a silent
     double-materialization would slip through).
     """
+    # 'Distinct' is deliberately absent: PySpark .distinct() lowers to
+    # a Deduplicate node, so 'Distinct' never appears as a logical
+    # nodeName. GlobalLimit (plans a single-partition exchange) and
+    # Expand (backs rollup/cube/grouping-sets) materialize under the
+    # rdd probe just like the classic shuffles, so they're banned too.
     banned = {
         "Aggregate", "Join", "Window", "Repartition",
-        "RepartitionByExpression", "Distinct", "Deduplicate", "Sort",
+        "RepartitionByExpression", "Deduplicate", "Sort",
+        "GlobalLimit", "Expand",
     }
 
     def _walk(node):

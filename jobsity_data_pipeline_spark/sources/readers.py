@@ -109,15 +109,23 @@ def read_jsonl_with_quarantine(
     record that is not valid JSON or fails the typed schema, so
     ingest never silently drops OR silently nulls data.
 
-    JSON caveat the CSV twin doesn't have: PERMISSIVE mode nulls only
-    the fields that fail their type while keeping the rest of the row
-    — a half-cast row would slip into ``good`` with nulled fields, so
-    rows where the corrupt column is null but ANY schema field came
-    back null while the raw text mentions the field name are still
-    separable by the caller; the hard contract here is that
-    unparseable LINES are quarantined with their raw text. Scale
-    shape: one pass, cached split (the parse is the expensive part,
-    paid once)."""
+    The quarantine contract, stated plainly (verified against the
+    PERMISSIVE parser): a line that is not valid JSON lands in ``bad``
+    with its raw text, AND a line where any field fails its declared
+    type ALSO lands in ``bad`` — the parser sets the corrupt column
+    (preserving the raw line) whenever any field fails to cast, even
+    though it still parses the other fields. So every row in ``good``
+    parsed completely; nothing half-cast slips through with silently
+    nulled fields. (A field that is merely ABSENT from the JSON is
+    null in ``good`` by JSON semantics — absence is not a type
+    failure.)
+
+    Scale/lifecycle: one parse pass; both splits are eagerly
+    materialized via localCheckpoint (the parse is the expensive
+    part, paid once) and the intermediate parse frame is unpersisted
+    before returning — nothing stays pinned in executor storage for
+    the session beyond the two returned frames, which the
+    ContextCleaner reclaims when the caller drops them."""
     from pyspark.sql import functions as F
 
     with_corrupt = T.StructType(
@@ -132,8 +140,9 @@ def read_jsonl_with_quarantine(
     )
     good = raw.where(
         F.col("_corrupt_record").isNull()
-    ).drop("_corrupt_record")
+    ).drop("_corrupt_record").localCheckpoint()
     bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
-    )
+    ).localCheckpoint()
+    raw.unpersist()
     return good, bad

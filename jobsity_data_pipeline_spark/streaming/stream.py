@@ -1066,6 +1066,77 @@ def welch_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
     return welch_stats(st)
 
 
+def stream_classifier_counts(docs: DataFrame, table_dir: str,
+                             checkpoint: str, weights: list):
+    """Score a DOCUMENT STREAM with the trained quality classifier's
+    fixed weight vector and maintain per-source curation counters
+    (n_docs, n_keep, n_agree) as APPEND-ONLY DELTAS in a snapshot
+    table — the production serve path of docs_quality_classifier:
+    train once (6 floats of model state, relational14's
+    _qc_trained_weights memo), then filter the firehose with a
+    stateless codegen scorer and keep the mixture owner's yield
+    numbers live without ever rescanning the corpus.
+
+    Counters are SUMS — non-absorbing, a replayed count-merge would
+    double-count — so idempotence comes from the manifest batch token
+    exactly as in stream_cms_upsert / stream_moments_upsert; the read
+    side sums the deltas (classifier_yield_from_state). The per-batch
+    scoring is the SAME classifier_scored / classifier_source_counts
+    kernels the batch docs_classifier_yield uses (per-doc features
+    are batch-local by construction — a document's score depends only
+    on its own text), so summed integer deltas reproduce the batch
+    counters exactly. Delta key is namespaced token-first
+    ('qc|<batch>|<source>') per the stream_moments_upsert key rule.
+    State grows O(batches x sources); snapshot.compact reclaims file
+    count when wanted."""
+    from ..operators.relational14 import (
+        classifier_scored, classifier_source_counts,
+    )
+    from ..sources.snapshot import upsert_batch
+
+    w = list(weights)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = classifier_source_counts(
+            classifier_scored(batch_df, w)
+        ).withColumn(
+            "delta_key",
+            F.concat_ws("|", F.lit("qc"), F.lit(str(batch_id)),
+                        F.col("source")),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def classifier_yield_from_state(spark: SparkSession,
+                                table_dir: str) -> DataFrame:
+    """Per-source curation yield served FROM the maintained counter
+    deltas: sum-merge the per-batch integer counters (recovering the
+    exact corpus counters), then the shared permille shape — output
+    bit-identical to batch docs_classifier_yield over the same corpus
+    at the same weights, without touching a single document."""
+    from ..operators.relational14 import classifier_yield_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(f"no published classifier state at {table_dir}")
+    counts = deltas.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_keep").alias("n_keep"),
+        F.sum("n_agree").alias("n_agree"),
+    )
+    return classifier_yield_from_counts(counts)
+
+
 def stream_kmv_upsert(events: DataFrame, state_path: str,
                       checkpoint: str, k: int = 64):
     """Maintain the KMV (k-minimum-values) distinct-user sketch per

@@ -1042,3 +1042,24 @@ def test_round9_plan_shapes(spark):
         ensure_parallelism(spark, li.groupBy("l_orderkey").count())
     with pytest.raises(ValueError, match="scan-only"):
         ensure_parallelism(spark, li.join(li.limit(1), "l_orderkey"))
+
+
+def test_round10_parallelism_gate_covers_limit_expand_distinct(spark):
+    """Round-10 gate extension: GlobalLimit (single-partition
+    exchange), Expand-bearing rollups, and .distinct() (lowers to
+    Deduplicate, never a 'Distinct' nodeName) all materialize under
+    the df.rdd probe — each must trip the scan-only ValueError."""
+    import pytest
+
+    from jobsity_data_pipeline_spark.session import (
+        ensure_parallelism, read_table,
+    )
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    with pytest.raises(ValueError, match="scan-only"):
+        ensure_parallelism(spark, li.limit(10))
+    with pytest.raises(ValueError, match="scan-only"):
+        ensure_parallelism(
+            spark, li.rollup("l_returnflag").count())
+    with pytest.raises(ValueError, match="scan-only"):
+        ensure_parallelism(spark, li.select("l_orderkey").distinct())

@@ -372,6 +372,32 @@ class TestClassifierYield:
         w2 = R14._qc_trained_weights(spark, SF_SMOKE)
         assert w1 is w2  # memoized, training ran once
 
+    def test_weights_memo_invalidates_on_regenerated_corpus(
+        self, spark, tmp_path
+    ):
+        """The memo key carries session.corpus_fingerprint, so
+        rewriting the documents parquet under the SAME sf_dir within
+        one application retrains instead of serving stale weights."""
+        stop = "the and of to a in is it for on"
+
+        def write(texts):
+            rows = [(i, t, "en", "s", len(t))
+                    for i, t in enumerate(texts)]
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string,"
+                " source string, n_chars long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / "documents.parquet"))
+
+        # corpus 1: all docs fail the gopher battery (tiny)
+        write(["tiny"] * 30)
+        w1 = R14._qc_trained_weights(spark, str(tmp_path), rounds=2)
+        # corpus 2 at the SAME path: a mix, so gradients differ
+        write([(stop + " ") * 6 + f"filler{i}" for i in range(30)])
+        w2 = R14._qc_trained_weights(spark, str(tmp_path), rounds=2)
+        assert w1 is not w2 and w1 != w2
+
 
 class TestForecastHolt:
     def test_matches_python_replay(self, spark):
@@ -459,6 +485,23 @@ class TestBloomPrunedJoin:
                           "left_semi").count()
         assert n_match <= n_pruned  # no false negatives
         assert n_pruned < n_fact * 0.5  # real shuffle-volume reduction
+
+    def test_dense_assembly_paths_identical(self, spark, monkeypatch):
+        """The distributed range-join gap-fill (large-filter path)
+        assembles the EXACT bitset the bounded map path builds — same
+        words, same gaps, same order — and the probe through either
+        passes the same rows."""
+        from jobsity_data_pipeline_spark.operators import skew
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(0, 5000, 7)], "k long")
+        words = skew.bloom_words(keys, "k", m_bits=1 << 12)
+        small = skew.bloom_bits_dense(words, 1 << 12).collect()
+        monkeypatch.setattr(skew, "_BLOOM_DENSE_MAP_MAX_WORDS", 1)
+        dist = skew.bloom_bits_dense(words, 1 << 12).collect()
+        assert len(small) == len(dist) == 1
+        assert small[0][skew.BLOOM_COL] == dist[0][skew.BLOOM_COL]
+        assert len(small[0][skew.BLOOM_COL]) == (1 << 12) // 64
 
     def test_rejects_fact_preserving_joins(self, spark):
         from jobsity_data_pipeline_spark.operators.skew import (

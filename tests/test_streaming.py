@@ -1326,3 +1326,91 @@ def test_stream_bloom_upsert_equals_batch_and_merge_is_absorbing(
     members = {r[2] for r in rows}
     assert members.issubset(set(got))
     assert len(got) < 1200
+
+
+def test_stream_classifier_counts_serves_batch_yield_bitexact(
+    spark, tmp_path
+):
+    """Round-10: the document stream scored with the trained
+    classifier's fixed weights and maintained as per-source counter
+    deltas serves yield numbers BIT-IDENTICAL to the batch
+    docs_classifier_yield over the union (summed exact integer
+    counters -> the shared permille shape), and a replayed batch
+    cannot double-count (manifest token idempotence — counters are
+    the non-absorbing case)."""
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational14 import (
+        _qc_trained_weights, classifier_scored,
+        classifier_source_counts, docs_classifier_yield,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        classifier_yield_from_state, stream_classifier_counts,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    stop = "the and of to a in is it for on"
+    rows = []
+    for i in range(120):
+        src_name = ["web", "wiki", "forum"][i % 3]
+        if i % 4 == 0:
+            text = "tiny doc"  # fails the gopher word-count rule
+        else:
+            # 55+ words, stopword-bearing, mostly alpha — passes
+            text = (stop + " ") * 5 + " ".join(
+                f"word{i}x{j}" for j in range(5 + i % 9)
+            )
+        rows.append((i, text, "en", src_name, len(text)))
+
+    src = tmp_path / "docs"
+    for half in (0, 1):  # two files -> two micro-batches
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == half], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    # the batch twin reads <dir>/documents.parquet
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf_like / "documents.parquet"))
+
+    w = _qc_trained_weights(spark, str(sf_like), rounds=4)
+    table = str(tmp_path / "qc_counts")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_classifier_counts(stream, table, str(tmp_path / "ckpt"), w)
+    q.awaitTermination(120)
+
+    want = docs_classifier_yield(spark, str(sf_like), rounds=4).collect()
+    got = classifier_yield_from_state(spark, table).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 3
+    # the filter actually separates: some source keeps less than all
+    assert any(r["keep_permille"] < 1000 for r in got)
+
+    # replaying batch 0's delta under its original token is a no-op
+    v = latest_manifest(table)["version"]
+    b0 = classifier_source_counts(
+        classifier_scored(
+            spark.createDataFrame(
+                [r for j, r in enumerate(rows) if j % 2 == 0], schema
+            ), w)
+    ).withColumn(
+        "delta_key",
+        F.concat_ws("|", F.lit("qc"), F.lit("0"), F.col("source")),
+    )
+    assert upsert_batch(b0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert [
+        tuple(r)
+        for r in classifier_yield_from_state(spark, table).collect()
+    ] == [tuple(r) for r in want]
