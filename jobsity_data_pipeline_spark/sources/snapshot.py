@@ -1193,7 +1193,7 @@ def read_point(spark: SparkSession, table_dir: str, key: str,
 
 def compact(spark: SparkSession, table_dir: str,
             target_files: int = 1,
-            cluster_by: str | None = None,
+            cluster_by: str | list | tuple | None = None,
             only_smaller_than: int | None = None) -> dict:
     """Small-file compaction inside the manifest protocol: rewrite the
     CURRENT version's file list into ``target_files`` files and publish
@@ -1205,16 +1205,22 @@ def compact(spark: SparkSession, table_dir: str,
     (``compact-*``), so a replayed micro-batch still finds its own
     ``batchN`` manifest and skips.
 
-    ``cluster_by`` re-CLUSTERS while compacting (the
-    write_range_clustered layout, writers.py, run inside the manifest
-    protocol): the rewrite range-partitions + sorts on the key, so
-    every output file carries a DISJOINT [min, max] range and the
-    key's manifest stats — which degrade as interleaved appends
+    ``cluster_by`` re-CLUSTERS while compacting: a single column (str
+    or 1-list) runs the write_range_clustered layout inside the
+    manifest protocol — the rewrite range-partitions + sorts on the
+    key, so every output file carries a DISJOINT [min, max] range and
+    the key's manifest stats — which degrade as interleaved appends
     overlap their ranges — tighten back to O(1)-file point reads.
-    The cluster key is added to the tracked stats set, so maintenance
-    can retro-fit data skipping onto a table whose writers never
-    published stats for it. Without ``cluster_by`` the rewrite is a
-    plain repartition (file-count maintenance only).
+    TWO OR MORE columns run the Z-ORDER layout (writers.zorder_tagged,
+    the OPTIMIZE ZORDER BY pattern): rows range-write on the Morton
+    interleave of the columns' equi-depth ranks, so every file's
+    footer carries tight min/max on ALL the cluster columns at once —
+    a predicate on any of them prunes most files, where single-column
+    range clustering helps only its own column. Every cluster column
+    joins the tracked stats set, so maintenance can retro-fit data
+    skipping onto a table whose writers never published stats for it.
+    Without ``cluster_by`` the rewrite is a plain repartition
+    (file-count maintenance only).
 
     ``only_smaller_than`` (bytes) is the BIN-PACKING mode (Delta
     OPTIMIZE semantics): rewrite only the files under the size
@@ -1250,23 +1256,34 @@ def compact(spark: SparkSession, table_dir: str,
                     "files_after": len(man["files"]),
                     "version": man["version"],
                 }
+        cluster_cols = (
+            [cluster_by] if isinstance(cluster_by, str)
+            else list(cluster_by or [])
+        )
         df = _read_files(spark, rewrite)
-        if cluster_by is None:
+        if not cluster_cols:
             out = df.repartition(target_files)
-        else:
+        elif len(cluster_cols) == 1:
             out = df.repartitionByRange(
-                target_files, cluster_by
-            ).sortWithinPartitions(cluster_by)
+                target_files, cluster_cols[0]
+            ).sortWithinPartitions(cluster_cols[0])
+        else:
+            from .writers import zorder_tagged
+
+            out = (
+                zorder_tagged(df, cluster_cols)
+                .repartitionByRange(target_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
         new_files = _write_data(out, table_dir)
         all_files = keep + new_files
         # data-skipping stats: carry the kept files' entries verbatim
         # (their footers were already paid for), recompute for the
         # rewritten files, for every key the prior manifest tracked
-        # plus the cluster key (kept files simply lack entries for a
-        # NEW key — readers treat missing as a hit, defensively)
-        keys = set(man.get("stats", {}))
-        if cluster_by is not None:
-            keys.add(cluster_by)
+        # plus the cluster key(s) (kept files simply lack entries for
+        # a NEW key — readers treat missing as a hit, defensively)
+        keys = set(man.get("stats", {})) | set(cluster_cols)
         stats = {}
         for k in keys:
             fresh = _file_stats(new_files, k) or {}

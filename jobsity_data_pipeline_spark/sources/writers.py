@@ -110,37 +110,56 @@ def write_zorder_clustered(df: DataFrame, path: str, col_a: str, col_b: str,
     rank is a JVM count-of-boundaries-below lookup. The only wide
     operation is the final range repartition itself.
     """
+    (
+        zorder_tagged(df, [col_a, col_b], bits=bits)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_tagged(df: DataFrame, cols: list[str],
+                  bits: int = 6) -> DataFrame:
+    """``df`` plus a ``_z`` Morton column interleaving ``bits``-bit
+    equi-depth ranks of N cluster columns (bit i of column j lands at
+    position i·N + j — for N=2 this is exactly the classic 2-D
+    interleave). The shared kernel behind write_zorder_clustered and
+    snapshot.compact's multi-column ``cluster_by``: one
+    approx-quantile aggregate for the boundaries (N·2^bits scalars to
+    the driver), then pure codegen shifts/masks per row. Rank lookups
+    are bounded per-row array HOFs (2^bits elements — the sanctioned
+    case). Columns must cast to double (numeric/date-epoch); the
+    caller drops ``_z`` after the range write."""
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    b_a, b_b = df.agg(
-        F.percentile_approx(col_a, qs).alias("a"),
-        F.percentile_approx(col_b, qs).alias("b"),
-    ).collect()[0]
+    bounds = df.agg(*[
+        F.percentile_approx(c, qs).alias(f"b{j}")
+        for j, c in enumerate(cols)
+    ]).collect()[0]
 
-    def rank_expr(col: str, bounds) -> F.Column:
-        arr = F.array(*[F.lit(float(x)) for x in bounds])
+    def rank_expr(col: str, bs) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in bs])
         return F.size(
             F.filter(arr, lambda b: b <= F.col(col).cast("double"))
         ).cast("long")
 
-    tagged = df.withColumn("_ra", rank_expr(col_a, b_a)).withColumn(
-        "_rb", rank_expr(col_b, b_b)
-    )
+    tagged = df
+    rcols = []
+    for j, c in enumerate(cols):
+        rc = f"_zr{j}"
+        rcols.append(rc)
+        tagged = tagged.withColumn(rc, rank_expr(c, bounds[f"b{j}"]))
     one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
+    n = len(cols)
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(F.col("_ra"), i).bitwiseAND(one), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(
-                F.shiftright(F.col("_rb"), i).bitwiseAND(one), 2 * i + 1
+        for j, rc in enumerate(rcols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(rc), i).bitwiseAND(one),
+                    i * n + j,
+                )
             )
-        )
-    (
-        tagged.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_ra", "_rb", "_z")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    return tagged.withColumn("_z", z).drop(*rcols)

@@ -1795,6 +1795,46 @@ def test_compact_cluster_by_restores_data_skipping(spark, tmp_path,
     assert SN.read_latest(spark, t).count() == 400
 
 
+def test_compact_zorder_multi_column_prunes_both_keys(spark, tmp_path):
+    """Round-10: compact(cluster_by=[a, b]) runs the Z-order layout —
+    after maintenance the manifest stats prune point reads on EITHER
+    column to a strict subset of the files, where the degraded
+    interleaved layout had every file hit on both; both columns join
+    the tracked stats set and rows are unchanged."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    # four appends, each spanning the WHOLE range of BOTH keys
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(i % 20, i // 20, f"v{b}_{i}")
+             for i in range(b, 400, 4)],
+            "ka long, kb long, v string",
+        ).coalesce(1)
+        assert SN.upsert_batch(df, b, t, key="v") == "published"
+
+    man = SN.latest_manifest(t)
+    assert len(man["files"]) == 4
+    hit_a, _ = SN._prune_by_stats(
+        man["stats"].get("ka", {}), man["files"], [7])
+    assert len(hit_a) == 4  # degraded (or untracked): all files hit
+
+    res = SN.compact(spark, t, target_files=4, cluster_by=["ka", "kb"])
+    assert res["files_after"] == 4
+
+    man2 = SN.latest_manifest(t)
+    assert set(man2["stats"]) >= {"ka", "kb"}
+    hit_a2, _ = SN._prune_by_stats(
+        man2["stats"]["ka"], man2["files"], [7])
+    hit_b2, _ = SN._prune_by_stats(
+        man2["stats"]["kb"], man2["files"], [13])
+    # z-order quadrants: a point on either dimension prunes files
+    assert len(hit_a2) < 4 and len(hit_b2) < 4
+    # row content is unchanged by the clustered rewrite
+    assert SN.read_latest(spark, t).count() == 400
+    assert SN.read_latest(spark, t).where("ka = 7").count() == 20
+
+
 def test_compact_bin_packing_rewrites_only_small_files(spark, tmp_path):
     """Round-9: compact(only_smaller_than=...) is the Delta-OPTIMIZE
     bin-packer — the big file keeps its PATH (no rewrite, stats entry
