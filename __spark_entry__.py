@@ -1638,6 +1638,70 @@ def _holt_sql(alpha_num: int = 1, alpha_den: int = 4,
     """
 
 
+def _hw_sql(alpha_num: int = 1, alpha_den: int = 4,
+            beta_num: int = 1, beta_den: int = 4,
+            gamma_num: int = 1, gamma_den: int = 4) -> str:
+    """R11-STAGED (not registered this round — budget): DuckDB
+    recursive-CTE replay of relational14.orders_forecast_hw — the
+    Holt oracle's pattern with the 12 calendar-month seasonal columns
+    carried through the recursion and exactly one rotated per step
+    (CASE on m.o_month). The nl (new level) expression inlines into
+    the trend and every seasonal update, the SES/Holt convention.
+    Validated by a parity-style unit test now."""
+    s_mo = ("CASE m.o_month "
+            + " ".join(f"WHEN {j} THEN s.s{j}" for j in range(1, 13))
+            + " END")
+    nl = _hup_sql(
+        f"{alpha_num} * (m.rev_c - ({s_mo})) + {alpha_den - alpha_num}"
+        f" * (s.level_c + s.trend_c)", alpha_den)
+    nt = _hup_sql(
+        f"{beta_num} * (({nl}) - s.level_c)"
+        f" + {beta_den - beta_num} * s.trend_c", beta_den)
+    s_upd = ",\n                   ".join(
+        f"CASE WHEN m.o_month = {j} THEN "
+        + _hup_sql(
+            f"{gamma_num} * (m.rev_c - ({nl}))"
+            f" + {gamma_den - gamma_num} * s.s{j}", gamma_den)
+        + f" ELSE s.s{j} END AS s{j}"
+        for j in range(1, 13))
+    s_zero = ", ".join(
+        f"CAST(0 AS BIGINT) AS s{j}" for j in range(1, 13))
+    return f"""
+        WITH RECURSIVE m AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY o_year, o_month) AS i,
+                   o_year, o_month, rev_c
+            FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1, 2
+            )
+        ),
+        hw AS (
+            SELECT i, o_year, o_month, rev_c,
+                   rev_c AS level_c, CAST(0 AS BIGINT) AS trend_c,
+                   {s_zero},
+                   CAST(NULL AS BIGINT) AS forecast_c
+            FROM m WHERE i = 1
+            UNION ALL
+            SELECT m.i, m.o_year, m.o_month, m.rev_c,
+                   {nl} AS level_c,
+                   {nt} AS trend_c,
+                   {s_upd},
+                   s.level_c + s.trend_c + ({s_mo}) AS forecast_c
+            FROM hw s JOIN m ON m.i = s.i + 1
+        )
+        SELECT o_year, o_month, rev_c, forecast_c,
+               CAST((2 * 1000 * abs(rev_c - forecast_c)
+                     + greatest(rev_c, 1))
+                    // (2 * greatest(rev_c, 1)) AS BIGINT)
+                   AS ape_permille
+        FROM hw WHERE forecast_c IS NOT NULL
+        ORDER BY o_year, o_month
+    """
+
+
 def _hll_overlap_sql() -> str:
     """DuckDB replay of relational14.events_type_overlap_hll. The
     register build and estimator are the events_hll_distinct

@@ -734,6 +734,151 @@ SES_ALPHA_DEN = 4
 # is 1200 rows), enforced loudly like the markov |types| cap
 _SES_MAX_MONTHS = 4096
 
+# one output shape for the whole forecaster family (snaive's shape),
+# so every rung A/Bs on a single join
+FORECAST_SCHEMA = (
+    "o_year long, o_month long, rev_c long, forecast_c long, "
+    "ape_permille long"
+)
+
+
+def _hup(x: int, d: int) -> int:
+    """Sign-aware half-up of x/d (d > 0) in exact integers — the
+    integer-space twin of _halfup6, shared by every forecaster
+    recurrence (and replayed identically by the oracles' _hup_sql)."""
+    if x >= 0:
+        return (2 * x + d) // (2 * d)
+    return -((2 * (-x) + d) // (2 * d))
+
+
+def collect_months(m: DataFrame, op_name: str) -> list:
+    """Collect a (o_year, o_month, rev_c) monthly aggregate to the
+    driver under the loud calendar-bound cap (ONE job via
+    limit(cap+1)), sorted — the bounded-model staging every
+    forecaster recurrence shares, also fed by the streaming state
+    (monthly_rev_from_state) so served forecasts are bit-identical
+    to batch."""
+    rows = m.limit(_SES_MAX_MONTHS + 1).collect()
+    if len(rows) > _SES_MAX_MONTHS:
+        raise ValueError(
+            f"{op_name}: > {_SES_MAX_MONTHS} months; the driver-side "
+            f"recurrence is for calendar-bounded monthly aggregates "
+            f"only"
+        )
+    return sorted(
+        (int(r["o_year"]), int(r["o_month"]), int(r["rev_c"]))
+        for r in rows
+    )
+
+
+def ses_backtest(months: list, alpha_num: int = SES_ALPHA_NUM,
+                 alpha_den: int = SES_ALPHA_DEN) -> list:
+    """The SES one-step-ahead recurrence as a pure function of the
+    sorted month list — exact integer cents, halfup per step; shared
+    by the batch operator and forecast_from_state."""
+    out = []
+    level = None
+    for y, mo, rev in months:
+        if level is None:
+            level = rev
+            continue
+        fc = level
+        d = max(rev, 1)
+        ape = (2 * 1000 * abs(rev - fc) + d) // (2 * d)
+        out.append((y, mo, rev, fc, ape))
+        x = alpha_num * rev + (alpha_den - alpha_num) * level
+        level = (2 * x + alpha_den) // (2 * alpha_den)
+    return out
+
+
+def holt_backtest(months: list, alpha_num: int = 1, alpha_den: int = 4,
+                  beta_num: int = 1, beta_den: int = 4) -> list:
+    """Holt's linear recurrence as a pure function of the month list —
+    level + signed trend, sign-aware halfup (_hup) per update."""
+    out = []
+    level = None
+    trend = 0
+    for y, mo, rev in months:
+        if level is None:
+            level = rev
+            continue
+        fc = level + trend
+        dd = max(rev, 1)
+        ape = (2 * 1000 * abs(rev - fc) + dd) // (2 * dd)
+        out.append((y, mo, rev, fc, ape))
+        new_level = _hup(
+            alpha_num * rev + (alpha_den - alpha_num) * (level + trend),
+            alpha_den,
+        )
+        trend = _hup(
+            beta_num * (new_level - level)
+            + (beta_den - beta_num) * trend,
+            beta_den,
+        )
+        level = new_level
+    return out
+
+
+def hw_backtest(months: list, alpha_num: int = 1, alpha_den: int = 4,
+                beta_num: int = 1, beta_den: int = 4,
+                gamma_num: int = 1, gamma_den: int = 4) -> list:
+    """Holt-Winters ADDITIVE recurrence (period 12, seasonal state
+    keyed by CALENDAR month 1..12 so missing months cannot shift the
+    index): forecast_t = level + trend + s[month]; then
+    level' = hup(α·(rev − s[month]) + (1−α)·(level+trend)),
+    trend' = hup(β·(level'−level) + (1−β)·trend),
+    s[month] ← hup(γ·(rev − level') + (1−γ)·s[month]).
+    Seasonal state inits at 0 (the first cycle behaves exactly like
+    Holt, then seasonality is learned) — the zero init is what keeps
+    the recurrence engine-exact with no decomposition preamble, and
+    γ=0 degenerates to Holt EXACTLY (pinned in tests)."""
+    out = []
+    level = None
+    trend = 0
+    seas = {m: 0 for m in range(1, 13)}
+    for y, mo, rev in months:
+        if level is None:
+            level = rev
+            continue
+        fc = level + trend + seas[mo]
+        dd = max(rev, 1)
+        ape = (2 * 1000 * abs(rev - fc) + dd) // (2 * dd)
+        out.append((y, mo, rev, fc, ape))
+        new_level = _hup(
+            alpha_num * (rev - seas[mo])
+            + (alpha_den - alpha_num) * (level + trend),
+            alpha_den,
+        )
+        trend = _hup(
+            beta_num * (new_level - level)
+            + (beta_den - beta_num) * trend,
+            beta_den,
+        )
+        seas[mo] = _hup(
+            gamma_num * (rev - new_level)
+            + (gamma_den - gamma_num) * seas[mo],
+            gamma_den,
+        )
+        level = new_level
+    return out
+
+
+def _monthly_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecaster family's shared corpus stage: exact integer-cent
+    monthly order revenue (one scan + one partial-agg shuffle to the
+    calendar-bounded frame). The streamed twin is
+    stream_monthly_rev_upsert / monthly_rev_from_state."""
+    from ..functions import money as M
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(F.sum(M.cents("o_totalprice")).alias("rev_c"))
+    )
+
 
 def orders_forecast_ses(spark: SparkSession, sf_dir: str,
                         alpha_num: int = SES_ALPHA_NUM,
@@ -753,51 +898,21 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str,
     previous level — runs driver-side over the CALENDAR-BOUNDED
     monthly frame (the events_markov_stationary bounded-model-state
     convention, cap enforced loudly), replayed by the oracle as a
-    DuckDB recursive CTE stepping the identical integer arithmetic.
+    DuckDB recursive CTE stepping the identical integer arithmetic;
+    the APE guard greatest(rev, 1) keeps a zero-revenue month
+    (credits netting to zero) from crashing the division, guarded
+    identically in the oracle.
     Scale shape: the corpus-sized work is exactly one scan + one
     partial-agg shuffle to |months| rows; the iteration is O(months)
-    integer ops on the driver — identical at 100 TB.
+    integer ops on the driver — identical at 100 TB. The recurrence
+    is the shared pure-Python ses_backtest kernel, also served
+    corpus-free from streamed state by forecast_from_state
+    (streaming/stream.py).
     """
-    from ..functions import money as M
-
-    o = _t(spark, sf_dir, "orders")
-    m = (
-        o.groupBy(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            F.month("o_orderdate").cast("long").alias("o_month"),
-        )
-        .agg(F.sum(M.cents("o_totalprice")).alias("rev_c"))
-    )
-    rows = m.limit(_SES_MAX_MONTHS + 1).collect()
-    if len(rows) > _SES_MAX_MONTHS:
-        raise ValueError(
-            f"orders_forecast_ses: > {_SES_MAX_MONTHS} months; the "
-            f"driver-side recurrence is for calendar-bounded monthly "
-            f"aggregates only"
-        )
-    months = sorted(
-        (int(r["o_year"]), int(r["o_month"]), int(r["rev_c"]))
-        for r in rows
-    )
-    out = []
-    level = None
-    for y, mo, rev in months:
-        if level is None:
-            level = rev
-            continue
-        fc = level
-        # greatest(rev, 1): a zero-revenue month (credits netting to
-        # zero) must not crash the APE division; the oracle guards
-        # identically
-        d = max(rev, 1)
-        ape = (2 * 1000 * abs(rev - fc) + d) // (2 * d)
-        out.append((y, mo, rev, fc, ape))
-        x = alpha_num * rev + (alpha_den - alpha_num) * level
-        level = (2 * x + alpha_den) // (2 * alpha_den)
+    months = collect_months(
+        _monthly_rev(spark, sf_dir), "orders_forecast_ses")
     return spark.createDataFrame(
-        out,
-        "o_year long, o_month long, rev_c long, forecast_c long, "
-        "ape_permille long",
+        ses_backtest(months, alpha_num, alpha_den), FORECAST_SCHEMA
     ).orderBy("o_year", "o_month")
 
 
@@ -820,60 +935,50 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str,
     work is one scan + one partial-agg to the calendar-bounded
     monthly frame; the sequential recurrence runs driver-side under
     the shared month cap (the orders_forecast_ses convention). The
-    oracle is a recursive CTE (the SES precedent)."""
-    from ..functions import money as M
-
-    o = _t(spark, sf_dir, "orders")
-    m = (
-        o.groupBy(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            F.month("o_orderdate").cast("long").alias("o_month"),
-        )
-        .agg(F.sum(M.cents("o_totalprice")).alias("rev_c"))
-    )
-    rows = m.limit(_SES_MAX_MONTHS + 1).collect()
-    if len(rows) > _SES_MAX_MONTHS:
-        raise ValueError(
-            f"orders_forecast_holt: > {_SES_MAX_MONTHS} months; the "
-            f"driver-side recurrence is for calendar-bounded monthly "
-            f"aggregates only"
-        )
-    months = sorted(
-        (int(r["o_year"]), int(r["o_month"]), int(r["rev_c"]))
-        for r in rows
-    )
-
-    def hup(x: int, d: int) -> int:
-        # sign-aware half-up of x/d (d > 0) in exact integers
-        if x >= 0:
-            return (2 * x + d) // (2 * d)
-        return -((2 * (-x) + d) // (2 * d))
-
-    out = []
-    level = None
-    trend = 0
-    for y, mo, rev in months:
-        if level is None:
-            level = rev
-            continue
-        fc = level + trend
-        dd = max(rev, 1)
-        ape = (2 * 1000 * abs(rev - fc) + dd) // (2 * dd)
-        out.append((y, mo, rev, fc, ape))
-        new_level = hup(
-            alpha_num * rev + (alpha_den - alpha_num) * (level + trend),
-            alpha_den,
-        )
-        trend = hup(
-            beta_num * (new_level - level)
-            + (beta_den - beta_num) * trend,
-            beta_den,
-        )
-        level = new_level
+    oracle is a recursive CTE (the SES precedent). The recurrence is
+    the shared pure-Python holt_backtest kernel, also served
+    corpus-free from streamed state by forecast_from_state."""
+    months = collect_months(
+        _monthly_rev(spark, sf_dir), "orders_forecast_holt")
     return spark.createDataFrame(
-        out,
-        "o_year long, o_month long, rev_c long, forecast_c long, "
-        "ape_permille long",
+        holt_backtest(months, alpha_num, alpha_den, beta_num, beta_den),
+        FORECAST_SCHEMA,
+    ).orderBy("o_year", "o_month")
+
+
+def orders_forecast_hw(spark: SparkSession, sf_dir: str,
+                       alpha_num: int = 1, alpha_den: int = 4,
+                       beta_num: int = 1, beta_den: int = 4,
+                       gamma_num: int = 1,
+                       gamma_den: int = 4) -> DataFrame:
+    """Holt-Winters ADDITIVE one-step-ahead backtest of monthly order
+    revenue — the seasonal capstone of the forecaster ladder
+    (snaive / SES / Holt / HW), same output shape so all four A/B on
+    one join. forecast_t = level + trend + s[calendar month]; the
+    seasonal index is keyed by calendar month 1..12 (not position),
+    so a missing month cannot shift the cycle, and it inits at ZERO —
+    the first cycle behaves exactly like Holt, then seasonality is
+    learned (γ=0 degenerates to Holt EXACTLY, pinned in tests; the
+    zero init is what keeps the recurrence engine-exact with no
+    decomposition preamble).
+
+    Engine-exact by the family convention: exact integer cents, every
+    update a sign-aware integer halfup (_hup), replayed by the staged
+    oracle as a recursive CTE carrying the 12 seasonal columns and
+    rotating exactly one per step (__spark_entry__._hw_sql). Corpus
+    work: the shared _monthly_rev scan; the recurrence is the pure
+    hw_backtest kernel under the shared month cap, also served
+    corpus-free from streamed state by forecast_from_state.
+
+    Round-11 staging note: unit-tested + staged oracle; queries()
+    registration lands next round — this round's 50-key budget
+    re-earns the full r6 tier."""
+    months = collect_months(
+        _monthly_rev(spark, sf_dir), "orders_forecast_hw")
+    return spark.createDataFrame(
+        hw_backtest(months, alpha_num, alpha_den, beta_num, beta_den,
+                    gamma_num, gamma_den),
+        FORECAST_SCHEMA,
     ).orderBy("o_year", "o_month")
 
 

@@ -1137,6 +1137,95 @@ def classifier_yield_from_state(spark: SparkSession,
     return classifier_yield_from_counts(counts)
 
 
+def stream_monthly_rev_upsert(orders: DataFrame, table_dir: str,
+                              checkpoint: str,
+                              date_col: str = "o_orderdate",
+                              amount_col: str = "o_totalprice"):
+    """Maintain the forecaster family's monthly revenue frame over an
+    ORDER STREAM as APPEND-ONLY DELTAS in a snapshot table: each
+    micro-batch writes its own (o_year, o_month, rev_c) partial sums
+    keyed by batch token. Revenue sums are SUMS — non-absorbing, a
+    replayed merge would double-count — so idempotence comes from the
+    manifest batch token exactly as in stream_cms_upsert /
+    stream_moments_upsert; the read side sum-merges
+    (monthly_rev_from_state) and recovers the batch _monthly_rev
+    aggregate's exact integer cents, so every forecaster served from
+    state (forecast_from_state) is bit-identical to its batch twin.
+    State grows O(batches × months) — a few rows per batch regardless
+    of stream volume; snapshot.compact reclaims file count."""
+    from ..functions import money as M
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = (
+            batch_df.groupBy(
+                F.year(date_col).cast("long").alias("o_year"),
+                F.month(date_col).cast("long").alias("o_month"),
+            )
+            .agg(F.sum(M.cents(amount_col)).alias("rev_c"))
+            .withColumn(
+                "delta_key",
+                F.concat_ws("|", F.lit("rev"), F.lit(str(batch_id)),
+                            F.col("o_year"), F.col("o_month")),
+            )
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        orders.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def monthly_rev_from_state(spark: SparkSession,
+                           table_dir: str) -> DataFrame:
+    """The calendar-bounded monthly revenue frame recovered from the
+    maintained deltas — exact integer cents, identical to the batch
+    _monthly_rev aggregate over the same orders."""
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(f"no published monthly state at {table_dir}")
+    return deltas.groupBy("o_year", "o_month").agg(
+        F.sum("rev_c").alias("rev_c")
+    )
+
+
+def forecast_from_state(spark: SparkSession, table_dir: str,
+                        method: str = "ses", **params) -> DataFrame:
+    """A forecaster backtest served FROM the maintained monthly state
+    — the corpus-free daily-run form of the orders_forecast_* family:
+    the state is O(months) rows however big the order stream was, and
+    the recurrence is the SAME pure-Python kernel
+    (ses_backtest / holt_backtest / hw_backtest, relational14) over
+    the sum-merged months, so the served backtest is bit-identical to
+    the batch operator over the same orders (proven in tests).
+    ``params`` pass through to the kernel (alpha_num, ...)."""
+    from ..operators.relational14 import (
+        FORECAST_SCHEMA, collect_months, holt_backtest, hw_backtest,
+        ses_backtest,
+    )
+
+    kernels = {
+        "ses": ses_backtest, "holt": holt_backtest, "hw": hw_backtest,
+    }
+    if method not in kernels:
+        raise ValueError(
+            f"forecast_from_state: method must be one of "
+            f"{sorted(kernels)}, got {method!r}")
+    months = collect_months(
+        monthly_rev_from_state(spark, table_dir),
+        f"forecast_from_state[{method}]")
+    return spark.createDataFrame(
+        kernels[method](months, **params), FORECAST_SCHEMA
+    ).orderBy("o_year", "o_month")
+
+
 def stream_kmv_upsert(events: DataFrame, state_path: str,
                       checkpoint: str, k: int = 64):
     """Maintain the KMV (k-minimum-values) distinct-user sketch per

@@ -578,10 +578,9 @@ class TestBloomJoinModes:
 
 
 class TestStagedR10Oracles:
-    """The round-10-staged oracle generators (_classifier_yield_sql,
-    _holt_sql — deliberately unregistered this round to protect the
-    50-key sweep budget) already replay their operators exactly, so
-    round-10 registration is a two-line change."""
+    """Staged in round 9, REGISTERED in round 10 (_classifier_yield_sql,
+    _holt_sql now back oracle_sql() entries); these parity pins remain
+    as the fast local regression check for the registered pair."""
 
     def _duck(self, sf_dir, tables):
         con = duckdb.connect()
@@ -623,6 +622,49 @@ class TestStagedR10Oracles:
             entrymod._holt_sql())
         b = self._norm(
             [d[0] for d in cur.description], cur.fetchall())
+        assert a == b
+
+
+class TestForecastHw:
+    def test_gamma_zero_degenerates_to_holt(self, spark):
+        hw = [tuple(r) for r in R14.orders_forecast_hw(
+            spark, SF_SMOKE, gamma_num=0).collect()]
+        holt = [tuple(r) for r in R14.orders_forecast_holt(
+            spark, SF_SMOKE).collect()]
+        assert hw == holt and hw
+
+    def test_seasonal_state_learns(self, spark):
+        # at the default gamma the seasonal index moves off zero, so
+        # HW must diverge from Holt after the first cycle
+        hw = [tuple(r) for r in R14.orders_forecast_hw(
+            spark, SF_SMOKE).collect()]
+        holt = [tuple(r) for r in R14.orders_forecast_holt(
+            spark, SF_SMOKE).collect()]
+        assert len(hw) == len(holt)
+        assert hw != holt
+
+    def test_seasonal_keyed_by_calendar_month(self, spark):
+        # pure-kernel check: a gap (missing month) must NOT shift the
+        # seasonal cycle — the index is keyed by calendar month
+        months = [(2024, m, 100_00 + (5000 if m == 6 else 0))
+                  for m in range(1, 13) if m != 3]
+        months += [(2025, m, 100_00 + (5000 if m == 6 else 0))
+                   for m in range(1, 13)]
+        rows = R14.hw_backtest(months)
+        by_key = {(y, m): fc for y, m, _r, fc, _a in rows}
+        # June 2025's forecast carries the learned June bump while
+        # May 2025's does not
+        assert by_key[(2025, 6)] > by_key[(2025, 5)]
+
+    def test_hw_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        t = TestStagedR10Oracles()
+        sdf = R14.orders_forecast_hw(spark, SF_SMOKE)
+        a = t._norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+        cur = t._duck(SF_SMOKE, ("orders",)).execute(
+            entrymod._hw_sql())
+        b = t._norm([d[0] for d in cur.description], cur.fetchall())
         assert a == b
 
 

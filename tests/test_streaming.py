@@ -1414,3 +1414,103 @@ def test_stream_classifier_counts_serves_batch_yield_bitexact(
         tuple(r)
         for r in classifier_yield_from_state(spark, table).collect()
     ] == [tuple(r) for r in want]
+
+
+def test_stream_monthly_rev_serves_forecasts_bitexact(spark, tmp_path):
+    """Round-10: monthly revenue maintained as per-batch integer-cent
+    deltas serves every forecaster (SES / Holt / HW) BIT-IDENTICAL to
+    its batch twin over the same orders — the corpus-free daily-run
+    form of the forecast family — and a replayed batch cannot
+    double-count (manifest token idempotence, sums are
+    non-absorbing)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.functions import money as M
+    from jobsity_data_pipeline_spark.operators import relational14 as R14
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        forecast_from_state, monthly_rev_from_state,
+        stream_monthly_rev_upsert,
+    )
+
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    )
+    rows = [
+        (i, i % 50, "F", round(100 + (i * 37 % 900) / 4, 2),
+         dt.datetime(2023 + i % 3, 1 + i % 12, 1 + i % 28),
+         "3-MEDIUM")
+        for i in range(900)
+    ]
+    src = tmp_path / "orders"
+    for third in (0, 1, 2):  # three files -> three micro-batches
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 3 == third], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    table = str(tmp_path / "monthly")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_monthly_rev_upsert(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # the served monthly frame equals the batch aggregate exactly
+    batch = spark.createDataFrame(rows, schema)
+    want_m = sorted(
+        tuple(r) for r in batch.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        ).agg(F.sum(M.cents("o_totalprice")).alias("rev_c")).collect()
+    )
+    got_m = sorted(
+        tuple(r)
+        for r in monthly_rev_from_state(spark, table).collect()
+    )
+    assert got_m == want_m
+
+    # every forecaster served from state == its kernel over the batch
+    months = sorted((int(y), int(m), int(c)) for y, m, c in want_m)
+    for method, kernel in (
+        ("ses", R14.ses_backtest), ("holt", R14.holt_backtest),
+        ("hw", R14.hw_backtest),
+    ):
+        got = [
+            tuple(r)
+            for r in forecast_from_state(spark, table, method=method)
+            .collect()
+        ]
+        assert got == kernel(months), method
+
+    # replaying batch 0's delta under its original token is a no-op
+    v = latest_manifest(table)["version"]
+    b0 = (
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 3 == 0], schema
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(F.sum(M.cents("o_totalprice")).alias("rev_c"))
+        .withColumn(
+            "delta_key",
+            F.concat_ws("|", F.lit("rev"), F.lit("0"),
+                        F.col("o_year"), F.col("o_month")),
+        )
+    )
+    assert upsert_batch(b0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert sorted(
+        tuple(r)
+        for r in monthly_rev_from_state(spark, table).collect()
+    ) == want_m
