@@ -1321,9 +1321,10 @@ def stream_bloom_upsert(events: DataFrame, state_path: str,
     <= m_bits/64 rows regardless of stream volume, on the manifest
     protocol. Serve with bloom_filter_from_state + skew.bloom_probe;
     bits are IDENTICAL to a batch bloom_words over the union by the
-    OR-algebra. NOTE: Bloom bits only absorb inserts — deletes need a
-    rebuild (compact the upstream table, re-stream), the standard
-    Bloom limitation."""
+    OR-algebra. NOTE: Bloom BITS only absorb inserts — for a
+    delete-bearing build side use the counting sibling
+    (stream_cbloom_upsert), which tracks per-position counters and
+    serves the identical packed filter over the surviving keys."""
     from ..operators.skew import bloom_words
     from ..sources.snapshot import publish_snapshot
 
@@ -1357,6 +1358,68 @@ def bloom_filter_from_state(spark: SparkSession, state_path: str,
     if st is None:
         raise ValueError(f"no published Bloom state at {state_path}")
     return bloom_bits_dense(st, m_bits)
+
+
+def stream_cbloom_upsert(keys: DataFrame, table_dir: str,
+                         checkpoint: str, key_col: str = "user_id",
+                         sign_col: str | None = None,
+                         m_bits: int = 1 << 16, k_hashes: int = 3):
+    """COUNTING-Bloom maintainer — the delete-capable sibling of
+    stream_bloom_upsert: each micro-batch appends signed per-position
+    counter deltas (skew.bloom_pos_counts: +1 per hash position for
+    an insert, −1 for a delete via the ±1 ``sign_col``; feed it from
+    a CDC/change feed — deleting a never-inserted key corrupts any
+    counting filter, the standard caveat). Counters are SUMS —
+    non-absorbing, a replayed merge would double-count — so
+    idempotence comes from the manifest batch token exactly as in
+    stream_cms_upsert; the read side sum-merges and keeps positions
+    with cnt > 0, which are BIT-FOR-BIT the plain bloom positions
+    over the SURVIVING key multiset — so the served filter never
+    degrades as deletes accumulate and needs no rebuild. State grows
+    O(batches × touched positions), bounded by m_bits per batch;
+    snapshot.compact reclaims file count."""
+    from ..operators.skew import bloom_pos_counts
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = bloom_pos_counts(
+            batch_df, key_col, m_bits, k_hashes, sign_col=sign_col
+        ).withColumn(
+            "delta_key",
+            F.concat_ws("|", F.lit("cb"), F.lit(str(batch_id)),
+                        F.col("pos")),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        keys.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cbloom_filter_from_state(spark: SparkSession, table_dir: str,
+                             m_bits: int = 1 << 16) -> DataFrame:
+    """The maintained counting-Bloom filter served as the dense 1-row
+    array<long> frame skew.bloom_probe consumes: sum-merge the
+    per-batch counter deltas, keep positions with cnt > 0, pack — the
+    filter over exactly the keys whose inserts outnumber their
+    deletes, identical to a from-scratch bloom_words build over the
+    surviving multiset."""
+    from ..operators.skew import (
+        bloom_bits_dense, bloom_words_from_counts,
+    )
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published counting-Bloom state at {table_dir}")
+    counts = deltas.groupBy("pos").agg(F.sum("cnt").alias("cnt"))
+    return bloom_bits_dense(bloom_words_from_counts(counts), m_bits)
 
 
 def stream_topk_upsert(events: DataFrame, state_path: str,

@@ -1514,3 +1514,82 @@ def test_stream_monthly_rev_serves_forecasts_bitexact(spark, tmp_path):
         tuple(r)
         for r in monthly_rev_from_state(spark, table).collect()
     ) == want_m
+
+
+def test_stream_cbloom_deletes_serve_surviving_key_filter(
+    spark, tmp_path
+):
+    """Round-10: the counting-Bloom maintainer absorbs DELETES — after
+    a stream of inserts and deletes the served packed filter is
+    BIT-FOR-BIT the plain bloom_words build over the SURVIVING keys
+    (counters track the multiset exactly), probing prunes like the
+    batch filter, and a replayed batch cannot double-count."""
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.skew import (
+        bloom_bits_dense, bloom_pos_counts, bloom_probe, bloom_words,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        cbloom_filter_from_state, stream_cbloom_upsert,
+    )
+
+    schema = "user_id long, s int"
+    # batch 0: insert keys 0..199; batch 1: insert 200..299 and
+    # DELETE the odd keys of batch 0
+    b0 = [(k, 1) for k in range(200)]
+    b1 = [(k, 1) for k in range(200, 300)] \
+        + [(k, -1) for k in range(1, 200, 2)]
+    src = tmp_path / "keys"
+    for rows in (b0, b1):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    table = str(tmp_path / "cbloom")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_cbloom_upsert(
+        stream, table, str(tmp_path / "ckpt"), key_col="user_id",
+        sign_col="s")
+    q.awaitTermination(120)
+
+    survivors = [k for k in range(0, 200, 2)] + list(range(200, 300))
+    want_bits = bloom_bits_dense(
+        bloom_words(
+            spark.createDataFrame([(k,) for k in survivors],
+                                  "user_id long"),
+            "user_id"),
+        1 << 16,
+    ).collect()[0][0]
+    got = cbloom_filter_from_state(spark, table)
+    assert got.collect()[0][0] == want_bits
+
+    # probing through the served filter passes every survivor and
+    # prunes most non-members (e.g. the deleted keys)
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"))
+    passed = {
+        r["user_id"]
+        for r in bloom_probe(fact, got, "user_id").collect()
+    }
+    assert set(survivors).issubset(passed)
+    assert len(passed) < 600  # deleted odd keys + far keys pruned
+
+    # replaying batch 0's delta under its original token is a no-op
+    v = latest_manifest(table)["version"]
+    d0 = bloom_pos_counts(
+        spark.createDataFrame(b0, schema), "user_id", sign_col="s"
+    ).withColumn(
+        "delta_key",
+        F.concat_ws("|", F.lit("cb"), F.lit("0"), F.col("pos")),
+    )
+    assert upsert_batch(d0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert cbloom_filter_from_state(spark, table).collect()[0][0] \
+        == want_bits
