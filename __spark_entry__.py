@@ -1794,6 +1794,89 @@ def _hll_overlap_sql() -> str:
     """
 
 
+# snaive / SES oracle bodies as module constants: each backs its own
+# registered key AND rides as an arm of the staged tournament oracle
+# (_tournament_sql) — ONE definition each, so the A/B can never drift
+# from the operators it compares
+_SNAIVE_SQL = """
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS rev_c
+            FROM orders GROUP BY 1, 2
+        ),
+        f AS (
+            SELECT *, lag(rev_c) OVER (
+                       PARTITION BY o_month ORDER BY o_year) AS forecast_c
+            FROM m
+        )
+        SELECT o_year, o_month, rev_c, forecast_c,
+               (2 * 1000 * abs(rev_c - forecast_c) + rev_c)
+               // (2 * rev_c) AS ape_permille
+        FROM f WHERE forecast_c IS NOT NULL
+    """
+
+_SES_SQL = """
+        WITH RECURSIVE m AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY o_year, o_month) AS i,
+                   o_year, o_month, rev_c
+            FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1, 2
+            )
+        ),
+        ses AS (
+            SELECT i, o_year, o_month, rev_c,
+                   rev_c AS level_c, CAST(NULL AS BIGINT) AS forecast_c
+            FROM m WHERE i = 1
+            UNION ALL
+            SELECT m.i, m.o_year, m.o_month, m.rev_c,
+                   (2 * (1 * m.rev_c + 3 * s.level_c) + 4)
+                       // (2 * 4) AS level_c,
+                   s.level_c AS forecast_c
+            FROM ses s JOIN m ON m.i = s.i + 1
+        )
+        SELECT o_year, o_month, rev_c, forecast_c,
+               CAST((2 * 1000 * abs(rev_c - forecast_c)
+                     + greatest(rev_c, 1))
+                    // (2 * greatest(rev_c, 1)) AS BIGINT)
+                   AS ape_permille
+        FROM ses WHERE forecast_c IS NOT NULL
+        ORDER BY o_year, o_month
+    """
+
+
+def _tournament_sql() -> str:
+    """R11-STAGED (not registered this round — budget): DuckDB replay
+    of relational14.orders_forecast_tournament — the four forecaster
+    arms' own oracle bodies (snaive/SES literals, Holt/HW generators)
+    run inside derived tables (DuckDB allows a WITH RECURSIVE in a
+    subquery), unioned under a method tag, and aggregated to the
+    integer halfup mean / max APE summary. sum(BIGINT) is HUGEINT in
+    DuckDB, so the sum casts back before the halfup arithmetic.
+    Validated by a parity-style unit test now."""
+    return f"""
+        SELECT method, CAST(count(*) AS BIGINT) AS n_months,
+               CAST((2 * CAST(sum(ape_permille) AS BIGINT) + count(*))
+                    // (2 * count(*)) AS BIGINT) AS mean_ape_pm,
+               CAST(max(ape_permille) AS BIGINT) AS max_ape_pm
+        FROM (
+            SELECT 'snaive' AS method, ape_permille FROM ({_SNAIVE_SQL})
+            UNION ALL
+            SELECT 'ses' AS method, ape_permille FROM ({_SES_SQL})
+            UNION ALL
+            SELECT 'holt' AS method, ape_permille FROM ({_holt_sql()})
+            UNION ALL
+            SELECT 'hw' AS method, ape_permille FROM ({_hw_sql()})
+        )
+        GROUP BY method ORDER BY method
+    """
+
+
 def _kmv_containment_sql(k: int = 64) -> str:
     """DuckDB replay of relational14.events_type_containment_kmv: the
     events_type_overlap_kmv oracle's sketch chain plus per-type sketch
@@ -6134,37 +6217,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
         GROUP BY 1, 2 ORDER BY 1, 2
     """
-    out["orders_forecast_ses"] = """
-        WITH RECURSIVE m AS MATERIALIZED (
-            SELECT row_number() OVER (ORDER BY o_year, o_month) AS i,
-                   o_year, o_month, rev_c
-            FROM (
-                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                       CAST(month(o_orderdate) AS BIGINT) AS o_month,
-                       CAST(sum(CAST(round(o_totalprice * 100, 0)
-                                     AS BIGINT)) AS BIGINT) AS rev_c
-                FROM orders GROUP BY 1, 2
-            )
-        ),
-        ses AS (
-            SELECT i, o_year, o_month, rev_c,
-                   rev_c AS level_c, CAST(NULL AS BIGINT) AS forecast_c
-            FROM m WHERE i = 1
-            UNION ALL
-            SELECT m.i, m.o_year, m.o_month, m.rev_c,
-                   (2 * (1 * m.rev_c + 3 * s.level_c) + 4)
-                       // (2 * 4) AS level_c,
-                   s.level_c AS forecast_c
-            FROM ses s JOIN m ON m.i = s.i + 1
-        )
-        SELECT o_year, o_month, rev_c, forecast_c,
-               CAST((2 * 1000 * abs(rev_c - forecast_c)
-                     + greatest(rev_c, 1))
-                    // (2 * greatest(rev_c, 1)) AS BIGINT)
-                   AS ape_permille
-        FROM ses WHERE forecast_c IS NOT NULL
-        ORDER BY o_year, o_month
-    """
+    out["orders_forecast_ses"] = _SES_SQL
     out["events_type_overlap_kmv"] = """
         WITH du AS (
             SELECT DISTINCT event_type, user_id FROM events
@@ -6305,24 +6358,7 @@ def oracle_sql() -> dict[str, str]:
                // (2 * max(tot)) AS rev_share_permille
         FROM cls GROUP BY 1, 2
     """
-    out["orders_forecast_snaive"] = """
-        WITH m AS (
-            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   CAST(month(o_orderdate) AS BIGINT) AS o_month,
-                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                        AS BIGINT) AS rev_c
-            FROM orders GROUP BY 1, 2
-        ),
-        f AS (
-            SELECT *, lag(rev_c) OVER (
-                       PARTITION BY o_month ORDER BY o_year) AS forecast_c
-            FROM m
-        )
-        SELECT o_year, o_month, rev_c, forecast_c,
-               (2 * 1000 * abs(rev_c - forecast_c) + rev_c)
-               // (2 * rev_c) AS ape_permille
-        FROM f WHERE forecast_c IS NOT NULL
-    """
+    out["orders_forecast_snaive"] = _SNAIVE_SQL
     # each event belongs to exactly size/slide = 2 epoch-aligned
     # 6h-every-3h windows: starts floor_3h(ts) and floor_3h(ts) - 3h
     out["events_hopping_counts"] = """

@@ -982,6 +982,73 @@ def orders_forecast_hw(spark: SparkSession, sf_dir: str,
     ).orderBy("o_year", "o_month")
 
 
+def snaive_backtest(months: list) -> list:
+    """orders_forecast_snaive's exact numbers as a pure function of
+    the sorted month list: forecast = the most recent PRIOR year's
+    value for the same calendar month (the window's lag within the
+    month partition ordered by year — a gap year falls back to the
+    latest year that has the month, exactly like lag()), APE dividing
+    by rev_c directly (the snaive operator's guard-free formula,
+    relational11.py). Feeds the tournament and forecast_from_state."""
+    by_month: dict = {}
+    out = []
+    for y, mo, rev in months:
+        if mo in by_month:
+            fc = by_month[mo]
+            out.append(
+                (y, mo, rev, fc,
+                 (2 * 1000 * abs(rev - fc) + rev) // (2 * rev)))
+        by_month[mo] = rev
+    return out
+
+
+def orders_forecast_tournament(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The forecaster family's A/B capstone: all four rungs
+    (snaive / SES / Holt / HW) backtested over the SAME monthly frame
+    and scored side by side — one row per method with its month
+    count, half-up integer mean APE permille, and worst month. This
+    is the query a demand planner actually runs to pick the rung; the
+    family docstrings promise the four-way A/B and this operator is
+    it, from ONE corpus scan (the shared _monthly_rev aggregate; all
+    four recurrences are driver-side pure kernels over the same
+    collected months, the bounded-model convention).
+
+    Engine-exact: each arm's APE rows are its registered operator's
+    numbers bit-for-bit (shared kernels, pinned in tests), and the
+    summary is integer arithmetic (mean = halfup of an exact integer
+    sum). The staged oracle unions the four arms' SQL (the recursive
+    CTEs run inside derived tables) and aggregates identically.
+
+    Round-11 staging note: unit-tested + staged oracle
+    (__spark_entry__._tournament_sql); queries() registration lands
+    next round — this round's 50-key budget re-earns the r6 tier."""
+    months = collect_months(
+        _monthly_rev(spark, sf_dir), "orders_forecast_tournament")
+    arms = {
+        "hw": hw_backtest(months),
+        "holt": holt_backtest(months),
+        "ses": ses_backtest(months),
+        "snaive": snaive_backtest(months),
+    }
+    rows = []
+    for method in sorted(arms):
+        r = arms[method]
+        n = len(r)
+        if n == 0:
+            continue
+        s = sum(ape for *_x, ape in r)
+        rows.append(
+            (method, n, (2 * s + n) // (2 * n),
+             max(ape for *_x, ape in r))
+        )
+    return spark.createDataFrame(
+        rows,
+        "method string, n_months long, mean_ape_pm long, "
+        "max_ape_pm long",
+    ).orderBy("method")
+
+
 # ---------------------------------------------------------------------------
 # orders_bloom_pruned
 # ---------------------------------------------------------------------------

@@ -1044,6 +1044,23 @@ def test_round9_plan_shapes(spark):
         ensure_parallelism(spark, li.join(li.limit(1), "l_orderkey"))
 
 
+def test_round10_overlap_audits_pin_the_corpus_distinct(spark):
+    """Round-10 (the round-9 verdict's watch item): the overlap audits
+    pin the corpus-scale (type, user) distinct once — the returned
+    frame's logical plan must contain ZERO parquet relations (every
+    consumer reads the localCheckpoint-pinned LogicalRDD), so the
+    audit pays exactly one corpus distinct instead of up to four."""
+    from jobsity_data_pipeline_spark.operators import relational14 as R14
+
+    for op in (R14.events_type_overlap_kmv, R14.events_type_overlap_hll,
+               R14.events_type_containment_kmv):
+        df = op(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        names = [n.nodeName() for n in walk(plan)]
+        assert "Relation" not in names, op.__name__
+        assert any("RDD" in n for n in names), op.__name__
+
+
 def test_round10_parallelism_gate_covers_limit_expand_distinct(spark):
     """Round-10 gate extension: GlobalLimit (single-partition
     exchange), Expand-bearing rollups, and .distinct() (lowers to

@@ -668,6 +668,50 @@ class TestForecastHw:
         assert a == b
 
 
+class TestForecastTournament:
+    def test_snaive_kernel_matches_operator(self, spark):
+        from jobsity_data_pipeline_spark.operators.relational11 import (
+            orders_forecast_snaive,
+        )
+
+        months = TestForecastSes()._monthly(SF_SMOKE)
+        want = sorted(
+            tuple(r)
+            for r in orders_forecast_snaive(spark, SF_SMOKE).collect()
+        )
+        assert sorted(R14.snaive_backtest(months)) == want
+
+    def test_summary_matches_arm_kernels(self, spark):
+        months = TestForecastSes()._monthly(SF_SMOKE)
+        got = {
+            r["method"]: (r["n_months"], r["mean_ape_pm"],
+                          r["max_ape_pm"])
+            for r in R14.orders_forecast_tournament(
+                spark, SF_SMOKE).collect()
+        }
+        for method, kernel in (
+            ("snaive", R14.snaive_backtest), ("ses", R14.ses_backtest),
+            ("holt", R14.holt_backtest), ("hw", R14.hw_backtest),
+        ):
+            rows = kernel(months)
+            n = len(rows)
+            s = sum(a for *_x, a in rows)
+            assert got[method] == (
+                n, (2 * s + n) // (2 * n), max(a for *_x, a in rows)
+            ), method
+
+    def test_tournament_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        t = TestStagedR10Oracles()
+        sdf = R14.orders_forecast_tournament(spark, SF_SMOKE)
+        a = t._norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+        cur = t._duck(SF_SMOKE, ("orders",)).execute(
+            entrymod._tournament_sql())
+        b = t._norm([d[0] for d in cur.description], cur.fetchall())
+        assert a == b
+
+
 class TestHllOverlapStaged:
     def test_hll_overlap_oracle_parity(self, spark):
         import __spark_entry__ as entrymod
