@@ -801,6 +801,53 @@ def read_version(spark: SparkSession, table_dir: str,
     return None
 
 
+def restore(table_dir: str, version: int) -> dict:
+    """Delta-style RESTORE: republish version ``version``'s exact file
+    list — and its stats map and carried extras (hash_version,
+    bm25_terms, ...) — as a NEW latest version. Published data files
+    are never mutated, so this is a METADATA-ONLY commit: no data is
+    copied, every version in between stays time-travelable, and the
+    bad deploy's commits remain on the history for the post-mortem.
+    The restore manifest gets its own ``restore-*`` token namespace,
+    so batch-id idempotence is untouched: a replayed micro-batch
+    still finds its original ``batchN`` manifest and skips, exactly
+    as across a compaction boundary.
+
+    The file list depends only on the TARGET version (not the current
+    latest), so the publish needs no CAS guard — like Delta RESTORE,
+    it intentionally REPLACES whatever the latest view holds,
+    including commits that land while the restore is in flight.
+    Fails loudly (ValueError) if the target version is unknown or any
+    of its data files has been vacuumed — publishing a manifest with
+    dangling paths would poison every later reader."""
+    man = _manifest_at(table_dir, version)
+    if man is None:
+        raise ValueError(
+            f"restore: no version {version} at {table_dir} "
+            f"(never published, or retired by vacuum)"
+        )
+    missing = [p for p in man["files"] if not os.path.exists(p)]
+    if missing:
+        raise ValueError(
+            f"restore: version {version} references {len(missing)} "
+            f"vacuumed data file(s) at {table_dir} (e.g. {missing[0]}); "
+            f"its data is gone — restore a retained version"
+        )
+    extras = {
+        k: v for k, v in man.items()
+        if k not in ("version", "batch", "files")
+    }
+    new_version = _publish(
+        table_dir, list(man["files"]),
+        f"restore-{uuid.uuid4().hex[:8]}", extra=extras,
+    )
+    return {
+        "restored_from": version,
+        "version": new_version,
+        "files": len(man["files"]),
+    }
+
+
 def _manifest_at(table_dir: str, version: int) -> dict | None:
     for v, _tok, path in _manifests(table_dir):
         if v == version:

@@ -1911,3 +1911,56 @@ def test_read_jsonl_with_quarantine(spark, tmp_path):
     bad_lines = sorted(r.raw_line for r in bad.collect())
     assert len(bad_lines) == 2
     assert any("not json" in b for b in bad_lines)
+
+
+def test_restore_republishes_old_version_metadata_only(spark, tmp_path):
+    """Round-10: snapshot.restore rolls the LATEST view back to a prior
+    version as a NEW commit — no data copied, in-between versions stay
+    time-travelable, batch-id idempotence survives, the stats map
+    rides along, and appends continue on top; restoring an unknown or
+    vacuumed version fails loudly."""
+    import pytest
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    for b in range(3):  # v1..v3
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"v{b}_{i}") for i in range(5)],
+            "trip_key long, v string",
+        ).coalesce(1)
+        assert SN.upsert_batch(df, b, t) == "published"
+    v1_rows = {tuple(r) for r in SN.read_version(spark, t, 1).collect()}
+    v1_stats = SN._manifest_at(t, 1).get("stats")
+    assert SN.read_latest(spark, t).count() == 15
+
+    res = SN.restore(t, 1)
+    assert res["restored_from"] == 1 and res["version"] == 4
+
+    # latest view == v1, no data was rewritten (same file paths)
+    assert {tuple(r) for r in SN.read_latest(spark, t).collect()} \
+        == v1_rows
+    man4 = SN.latest_manifest(t)
+    assert man4["files"] == SN._manifest_at(t, 1)["files"]
+    assert man4.get("stats") == v1_stats
+    # in-between history stays time-travelable
+    assert SN.read_version(spark, t, 3).count() == 15
+    # batch idempotence: the rolled-back batches' tokens still skip
+    replay = spark.createDataFrame(
+        [(10, "dup")], "trip_key long, v string")
+    assert SN.upsert_batch(replay, 1, t) == "skipped_duplicate"
+    # and new appends land on top of the restored view
+    df3 = spark.createDataFrame(
+        [(90, "new")], "trip_key long, v string").coalesce(1)
+    assert SN.upsert_batch(df3, 99, t) == "published"
+    assert SN.read_latest(spark, t).count() == 6
+
+    with pytest.raises(ValueError, match="no version 42"):
+        SN.restore(t, 42)
+
+    # vacuumed target: retire v1-v3's unreferenced data, then restore
+    SN.restore(t, 4)  # latest references only v1's files again... keep
+    SN.vacuum(t, keep_versions=2, retention_seconds=0.0)
+    # v2's extra data dirs are gone; restoring v3 must fail loudly
+    with pytest.raises(ValueError, match="vacuumed|no version"):
+        SN.restore(t, 3)
