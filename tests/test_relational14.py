@@ -768,3 +768,57 @@ class TestHllOverlapStaged:
         # (A+B)-B recovers A only up to one ulp in floats — the I-E
         # identity is mathematical, not bitwise
         assert abs(inter - ests["A"]) <= 1e-9 * ests["A"]
+
+
+class TestForecastKernelProperties:
+    """Hypothesis properties over the pure recurrence kernels — the
+    documented algebraic identities must hold for ANY nonnegative
+    integer-cent month series (the money domain), not just the
+    testdata corpus."""
+
+    def _months(self, revs):
+        return [(2020 + i // 12, 1 + i % 12, r)
+                for i, r in enumerate(revs)]
+
+    def test_holt_beta_zero_is_ses(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=10**13),
+                        min_size=2, max_size=40))
+        def prop(revs):
+            m = self._months(revs)
+            assert R14.holt_backtest(m, beta_num=0) \
+                == R14.ses_backtest(m)
+
+        prop()
+
+    def test_hw_gamma_zero_is_holt(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=10**13),
+                        min_size=2, max_size=40))
+        def prop(revs):
+            m = self._months(revs)
+            assert R14.hw_backtest(m, gamma_num=0) \
+                == R14.holt_backtest(m)
+
+        prop()
+
+    def test_ses_alpha_one_is_naive(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=10**13),
+                        min_size=2, max_size=40))
+        def prop(revs):
+            m = self._months(revs)
+            rows = R14.ses_backtest(m, alpha_num=1, alpha_den=1)
+            for i, (_y, _mo, rev, fc, _a) in enumerate(rows):
+                assert fc == m[i][2]  # forecast = previous actual
+
+        prop()

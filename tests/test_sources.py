@@ -1964,3 +1964,28 @@ def test_restore_republishes_old_version_metadata_only(spark, tmp_path):
     # v2's extra data dirs are gone; restoring v3 must fail loudly
     with pytest.raises(ValueError, match="vacuumed|no version"):
         SN.restore(t, 3)
+
+
+def test_change_feed_across_restore_emits_rollback_deletes(
+    spark, tmp_path
+):
+    """Round-10: a restore is a real commit, so the CDC surface must
+    describe it — the feed across the restore boundary emits DELETEs
+    for exactly the rows the rollback removed, and downstream
+    incremental consumers converge without rescanning the table."""
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    for b in range(3):  # v1: keys 0-4, v2: +10-14, v3: +20-24
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"v{b}_{i}") for i in range(5)],
+            "trip_key long, v string",
+        ).coalesce(1)
+        assert SN.upsert_batch(df, b, t) == "published"
+
+    assert SN.restore(t, 1)["version"] == 4
+    feed = SN.change_feed(spark, t, from_version=3, to_version=4)
+    rows = {(r["trip_key"], r["_change_type"]) for r in feed.collect()}
+    want_deleted = {(k, "delete") for k in
+                    list(range(10, 15)) + list(range(20, 25))}
+    assert rows == want_deleted  # no phantom inserts, all rollbacks
