@@ -848,6 +848,55 @@ def restore(table_dir: str, version: int) -> dict:
     }
 
 
+def clone_table(src_dir: str, dst_dir: str,
+                version: int | None = None) -> dict:
+    """SHALLOW (zero-copy) clone — the Delta CLONE pattern: publish
+    the source version's exact file list + stats + carried extras as
+    ``dst_dir``'s version 1. No data is copied, so a 100 TB table
+    clones in one manifest write; the clone then diverges freely
+    (its appends/compactions write under its own directory and never
+    touch the source). The clone manifest records its provenance
+    (``cloned_from``) and starts a FRESH history: source batch
+    tokens are deliberately not carried, so streams must attach with
+    new checkpoints (replaying a source batch into the clone is a
+    new commit, not a skip).
+
+    The standard shallow-clone caveat, stated loudly: the clone
+    REFERENCES the source's data files. vacuum() on the CLONE is safe
+    (it only sweeps data dirs under its own directory), but vacuum()
+    on the SOURCE can delete files the clone still references once
+    the source itself stops referencing them — retain the source or
+    re-publish (compact) the clone before vacuuming the source."""
+    man = (latest_manifest(src_dir) if version is None
+           else _manifest_at(src_dir, version))
+    if man is None or not man["files"]:
+        raise ValueError(
+            f"clone_table: no published data at {src_dir}"
+            + (f" version {version}" if version is not None else "")
+        )
+    if _manifests(dst_dir):
+        raise ValueError(
+            f"clone_table: {dst_dir} is already a snapshot table — "
+            f"clone only into a fresh directory"
+        )
+    extras = {
+        k: v for k, v in man.items()
+        if k not in ("version", "batch", "files")
+    }
+    extras["cloned_from"] = {
+        "table": os.path.abspath(src_dir), "version": man["version"],
+    }
+    v = _publish(
+        dst_dir, list(man["files"]),
+        f"clone-{uuid.uuid4().hex[:8]}", extra=extras,
+    )
+    return {
+        "version": v,
+        "source_version": man["version"],
+        "files": len(man["files"]),
+    }
+
+
 def _manifest_at(table_dir: str, version: int) -> dict | None:
     for v, _tok, path in _manifests(table_dir):
         if v == version:

@@ -1989,3 +1989,56 @@ def test_change_feed_across_restore_emits_rollback_deletes(
     want_deleted = {(k, "delete") for k in
                     list(range(10, 15)) + list(range(20, 25))}
     assert rows == want_deleted  # no phantom inserts, all rollbacks
+
+
+def test_clone_table_zero_copy_divergence_and_vacuum_safety(
+    spark, tmp_path
+):
+    """Round-10: shallow clone publishes the source's file list as a
+    fresh table — reads match the source without copying data, the
+    clone diverges independently, the clone's vacuum never touches
+    source files, and cloning into an existing table refuses."""
+    import pytest
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    src = str(tmp_path / "src")
+    for b in range(2):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"v{b}_{i}") for i in range(5)],
+            "trip_key long, v string",
+        ).coalesce(1)
+        assert SN.upsert_batch(df, b, src) == "published"
+    src_rows = {tuple(r) for r in SN.read_latest(spark, src).collect()}
+
+    dst = str(tmp_path / "dst")
+    res = SN.clone_table(src, dst)
+    assert res["version"] == 1 and res["source_version"] == 2
+    assert {tuple(r) for r in SN.read_latest(spark, dst).collect()} \
+        == src_rows
+    # provenance + stats carried
+    man = SN.latest_manifest(dst)
+    assert man["cloned_from"]["version"] == 2
+    assert man.get("stats") == SN.latest_manifest(src).get("stats")
+
+    # divergence: appends to the clone never touch the source
+    add = spark.createDataFrame(
+        [(99, "clone_only")], "trip_key long, v string").coalesce(1)
+    assert SN.upsert_batch(add, 7, dst) == "published"
+    assert SN.read_latest(spark, dst).count() == 11
+    assert {tuple(r) for r in SN.read_latest(spark, src).collect()} \
+        == src_rows
+
+    # vacuum on the clone sweeps only its OWN data dirs: after the
+    # clone compacts (stops referencing source files), a
+    # zero-retention vacuum must leave the source fully readable
+    SN.compact(spark, dst, target_files=1)
+    SN.vacuum(dst, keep_versions=1, retention_seconds=0.0)
+    assert SN.read_latest(spark, dst).count() == 11
+    assert {tuple(r) for r in SN.read_latest(spark, src).collect()} \
+        == src_rows
+
+    with pytest.raises(ValueError, match="already a snapshot table"):
+        SN.clone_table(src, dst)
+    with pytest.raises(ValueError, match="no published data"):
+        SN.clone_table(str(tmp_path / "empty"), str(tmp_path / "d2"))
