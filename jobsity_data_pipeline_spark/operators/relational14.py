@@ -451,6 +451,46 @@ def kmv_pair_overlap(sk: DataFrame, k: int,
     )
 
 
+def _pair_exact_audience(du: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The EXACT side of every pairwise audience audit — ONE
+    definition shared by events_type_overlap_kmv /
+    events_type_containment_kmv / events_type_overlap_hll: per
+    (type_a < type_b) pair from ``pairs``, the per-type audience
+    sizes (na, nb) and the exact co-audience via the user-key
+    equi-join self-join over the PINNED distinct ``du``
+    (|types|-bounded fan-out per user, linear in users); missing
+    pairs coalesce to 0 co-users."""
+    a = du.select("user_id", F.col("event_type").alias("type_a"))
+    b = du.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("co_users"))
+    )
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("nb"))
+    return (
+        pairs.select("type_a", "type_b")
+        .join(co, ["type_a", "type_b"], "left")
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "na", "nb",
+            F.coalesce("co_users", F.lit(0)).alias("co_users"),
+        )
+    )
+
+
+_EXACT_JACCARD_PM = (
+    "(2 * 1000 * co_users + (na + nb - co_users))"
+    " div (2 * (na + nb - co_users))"
+)
+
+
 def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
                             k: int = 64,
                             n_salts: int = 32) -> DataFrame:
@@ -486,36 +526,8 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
     # convention of _power_rounds)
     sk = kmv_sketches(du, k=k, n_salts=n_salts).localCheckpoint()
     est = kmv_pair_overlap(sk, k=k)
-    a = du.select("user_id", F.col("event_type").alias("type_a"))
-    b = du.select("user_id", F.col("event_type").alias("type_b"))
-    co = (
-        a.join(b, "user_id")
-        .where(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count("*").alias("co_users"))
-    )
-    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
-    sa = sizes.select(F.col("event_type").alias("type_a"),
-                      F.col("n").alias("na"))
-    sb = sizes.select(F.col("event_type").alias("type_b"),
-                      F.col("n").alias("nb"))
-    exact = (
-        est.select("type_a", "type_b")
-        .join(co, ["type_a", "type_b"], "left")
-        .join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
-        .select(
-            "type_a", "type_b", "na", "nb",
-            F.coalesce("co_users", F.lit(0)).alias("co_users"),
-        )
-        .withColumn(
-            "jaccard_pm",
-            F.expr(
-                "(2 * 1000 * co_users + (na + nb - co_users))"
-                " div (2 * (na + nb - co_users))"
-            ),
-        )
-    )
+    exact = _pair_exact_audience(du, est).withColumn(
+        "jaccard_pm", F.expr(_EXACT_JACCARD_PM))
     return (
         exact.join(F.broadcast(est), ["type_a", "type_b"])
         .select(
@@ -554,28 +566,8 @@ def events_type_containment_kmv(spark: SparkSession, sf_dir: str,
     du = ev.select("event_type", "user_id").distinct().localCheckpoint()
     sk = kmv_sketches(du, k=k, n_salts=n_salts).localCheckpoint()
     est = kmv_pair_overlap(sk, k=k)
-    a = du.select("user_id", F.col("event_type").alias("type_a"))
-    b = du.select("user_id", F.col("event_type").alias("type_b"))
-    co = (
-        a.join(b, "user_id")
-        .where(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count("*").alias("co_users"))
-    )
-    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
-    sa = sizes.select(F.col("event_type").alias("type_a"),
-                      F.col("n").alias("na"))
-    sb = sizes.select(F.col("event_type").alias("type_b"),
-                      F.col("n").alias("nb"))
     exact = (
-        est.select("type_a", "type_b")
-        .join(co, ["type_a", "type_b"], "left")
-        .join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
-        .select(
-            "type_a", "type_b", "na", "nb",
-            F.coalesce("co_users", F.lit(0)).alias("co_users"),
-        )
+        _pair_exact_audience(du, est)
         .withColumn(
             "cont_a_pm",
             F.expr("(2 * 1000 * co_users + na) div (2 * na)"),
@@ -675,36 +667,8 @@ def events_type_overlap_hll(spark: SparkSession,
             ).alias("i_raw"),
         )
     )
-    a = du.select("user_id", F.col("event_type").alias("type_a"))
-    b = du.select("user_id", F.col("event_type").alias("type_b"))
-    co = (
-        a.join(b, "user_id")
-        .where(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count("*").alias("co_users"))
-    )
-    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
-    sa = sizes.select(F.col("event_type").alias("type_a"),
-                      F.col("n").alias("na"))
-    sb = sizes.select(F.col("event_type").alias("type_b"),
-                      F.col("n").alias("nb"))
-    exact = (
-        sk.select("type_a", "type_b")
-        .join(co, ["type_a", "type_b"], "left")
-        .join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
-        .select(
-            "type_a", "type_b", "na", "nb",
-            F.coalesce("co_users", F.lit(0)).alias("co_users"),
-        )
-        .withColumn(
-            "jaccard_pm",
-            F.expr(
-                "(2 * 1000 * co_users + (na + nb - co_users))"
-                " div (2 * (na + nb - co_users))"
-            ),
-        )
-    )
+    exact = _pair_exact_audience(du, sk).withColumn(
+        "jaccard_pm", F.expr(_EXACT_JACCARD_PM))
     hll_pm = F.floor(
         F.lit(1000.0) * F.col("i_raw") / F.col("u_raw") + F.lit(0.5)
     ).cast("long")
