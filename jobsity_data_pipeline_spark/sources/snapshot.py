@@ -848,6 +848,58 @@ def restore(table_dir: str, version: int) -> dict:
     }
 
 
+def analyze(table_dir: str, keys: list[str]) -> dict:
+    """ANALYZE — retro-fit data-skipping stats for ``keys`` onto the
+    CURRENT version without touching a single data file (the
+    Delta/Iceberg compute-stats maintenance verb): read each live
+    file's footer once, merge the new per-file [min, max] entries
+    into the manifest's stats map, and republish the SAME file list
+    as a new version under a ``analyze-*`` token. After this,
+    read_point / _prune_by_stats prune on the new key from the
+    manifest alone — data skipping added to a column the writers
+    never tracked, without the rewrite compact(cluster_by=...) pays
+    (ranges may still overlap; clustering is what TIGHTENS them).
+
+    Keys whose footers lack usable statistics for some file are
+    SKIPPED and reported (publishing a partial map would mark the
+    missing files as always-hit, which is correct but useless).
+    CAS-guarded like every derived-list writer: the file list and
+    stats derive from a read version, so an interleaved commit
+    forces a re-read instead of silently erasing its files."""
+    for _attempt in range(10):
+        man = latest_manifest(table_dir)
+        if man is None or not man["files"]:
+            return {"version": None, "added": [], "skipped": list(keys)}
+        added, skipped = [], []
+        stats = {k: dict(v) for k, v in man.get("stats", {}).items()}
+        for k in keys:
+            fresh = _file_stats(man["files"], k)
+            if fresh is None:
+                skipped.append(k)
+                continue
+            stats[k] = {**stats.get(k, {}), **fresh}
+            added.append(k)
+        if not added:
+            return {"version": man["version"], "added": [],
+                    "skipped": skipped}
+        extras = {
+            kk: vv for kk, vv in man.items()
+            if kk not in ("version", "batch", "files", "stats")
+        }
+        version = _publish(
+            table_dir, list(man["files"]),
+            f"analyze-{uuid.uuid4().hex[:8]}",
+            extra={"stats": stats, **extras},
+            expected_version=man["version"],
+        )
+        if version != -1:
+            return {"version": version, "added": added,
+                    "skipped": skipped}
+    raise RuntimeError(
+        f"analyze: lost the publish race 10 times at {table_dir}"
+    )
+
+
 def clone_table(src_dir: str, dst_dir: str,
                 version: int | None = None) -> dict:
     """SHALLOW (zero-copy) clone — the Delta CLONE pattern: publish

@@ -2042,3 +2042,57 @@ def test_clone_table_zero_copy_divergence_and_vacuum_safety(
         SN.clone_table(src, dst)
     with pytest.raises(ValueError, match="no published data"):
         SN.clone_table(str(tmp_path / "empty"), str(tmp_path / "d2"))
+
+
+def test_analyze_retrofits_data_skipping_without_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10: snapshot.analyze publishes [min, max] stats for a new
+    query column by reading footers ONCE — same file list (no data
+    rewritten), point reads on the new key then prune from the
+    manifest alone (poisoned-footer proof), and a key with unusable
+    footer stats is skipped, not half-published."""
+    import pyarrow.parquet
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    t = str(tmp_path / "tbl")
+    # four appends, DISJOINT ranges on a column the writer never
+    # tracked (value) — analyze can expose the natural clustering
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b * 100 + i, b * 1000 + i, f"v{b}_{i}")
+             for i in range(50)],
+            "trip_key long, value long, v string",
+        ).coalesce(1)
+        assert SN.upsert_batch(df, b, t) == "published"
+
+    man = SN.latest_manifest(t)
+    assert "value" not in man.get("stats", {})
+
+    res = SN.analyze(t, ["value", "no_such_col"])
+    assert res["added"] == ["value"]
+    assert res["skipped"] == ["no_such_col"]
+    man2 = SN.latest_manifest(t)
+    assert man2["files"] == man["files"]  # zero rewrite
+    hit, clear = SN._prune_by_stats(
+        man2["stats"]["value"], man2["files"], [2025])
+    assert len(hit) == 1 and len(clear) == 3
+
+    # the point read itself runs footerless off the new stats
+    def poisoned(*a, **k):
+        raise AssertionError("footer read despite manifest stats")
+
+    monkeypatch.setattr(pyarrow.parquet, "ParquetFile", poisoned)
+    got = {tuple(r)
+           for r in SN.read_point(spark, t, "value", 2025).collect()}
+    assert got == {(225, 2025, "v2_25")}
+    monkeypatch.undo()
+
+    # idempotent maintenance: analyzing again re-publishes the same
+    # numbers (and prior stats keys are carried)
+    res2 = SN.analyze(t, ["value"])
+    assert res2["added"] == ["value"]
+    man3 = SN.latest_manifest(t)
+    assert man3["stats"]["value"] == man2["stats"]["value"]
+    assert set(man3["stats"]) >= set(man2["stats"])
