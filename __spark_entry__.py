@@ -36,6 +36,7 @@ from jobsity_data_pipeline_spark.operators import relational11 as R11
 from jobsity_data_pipeline_spark.operators import relational12 as R12
 from jobsity_data_pipeline_spark.operators import relational13 as R13
 from jobsity_data_pipeline_spark.operators import relational14 as R14
+from jobsity_data_pipeline_spark.operators import relational15 as R15
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -1994,6 +1995,180 @@ def _kmv_containment_sql(k: int = 64) -> str:
         JOIN st sta ON p.type_a = sta.event_type
         JOIN st stb ON p.type_b = stb.event_type
         ORDER BY 1, 2
+    """
+
+
+def _kanon_sql(bucket_chars: int = 256, risk_k: int = 5) -> str:
+    """R12-STAGED (not registered this round — budget): DuckDB replay
+    of relational15.docs_k_anonymity. All-integer arithmetic (DuckDB's
+    HUGEINT sums cast back to BIGINT before the half-up permille), so
+    the match is bit-for-bit. Validated by a parity-style unit test
+    now (tests/test_relational15.py)."""
+    return f"""
+        WITH classes AS (
+            SELECT lang, source, n_chars // {int(bucket_chars)}
+                       AS len_bucket,
+                   count(*) AS k
+            FROM documents GROUP BY 1, 2, 3
+        ),
+        dist AS (
+            SELECT k, count(*) AS n_classes,
+                   CAST(sum(k) AS BIGINT) AS n_docs
+            FROM classes GROUP BY k
+        ),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM dist)
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(n_classes AS BIGINT) AS n_classes,
+               n_docs,
+               CAST((2000 * n_docs + total) // (2 * total) AS BIGINT)
+                   AS docs_pm,
+               k < {int(risk_k)} AS at_risk
+        FROM dist CROSS JOIN tot
+        ORDER BY k
+    """
+
+
+def _acf_sql(max_lag: int = 7) -> str:
+    """R12-STAGED (not registered this round — budget): DuckDB replay
+    of relational15.events_acf. The five sufficient sums run in
+    HUGEINT (the Spark side's decimal(38,0) twin — both exact), and
+    the Pearson ratio repeats the kernel's exact expression shape
+    (num / sqrt(denx * deny), each factor cast to DOUBLE from the
+    exact integer) so both engines run identical IEEE arithmetic.
+    Validated by a parity-style unit test now."""
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        span AS (
+            SELECT CAST(min(ts) AS DATE) AS d0,
+                   CAST(max(ts) AS DATE) AS d1
+            FROM events
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS d
+            FROM span
+        ),
+        filled AS (
+            SELECT s.d, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM spine s LEFT JOIN daily c ON c.d = s.d
+        ),
+        lags AS (
+            SELECT CAST(unnest(range(1, {int(max_lag) + 1}))
+                        AS INTEGER) AS lag
+        ),
+        pairs AS (
+            SELECT l.lag, a.c AS x, b.c AS y
+            FROM lags l
+            JOIN filled a ON TRUE
+            JOIN filled b ON b.d = a.d + l.lag
+        ),
+        s AS (
+            SELECT lag, count(*) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM pairs GROUP BY lag
+        )
+        SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS acf
+        FROM s ORDER BY lag
+    """
+
+
+def _ks_sql() -> str:
+    """R12-STAGED (not registered this round — budget): DuckDB replay
+    of relational15.docs_ks_source_drift. D's numerator stays the
+    exact integer cross-product max|cum_a*n_b − cum_b*n_a| (HUGEINT ≡
+    the Spark decimal(38,0)); only the final division and the
+    significance scaling are doubles, with the kernel's exact
+    parenthesization ((d/den) * sqrt(den/(n_a+n_b))). Validated by a
+    parity-style unit test now."""
+    return """
+        WITH cnt AS (
+            SELECT source, n_chars AS x, count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        xs AS (SELECT DISTINCT x FROM cnt),
+        srcs AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+        ),
+        grid AS (
+            SELECT s.source, xs.x FROM (SELECT source FROM srcs) s, xs
+        ),
+        ecdf AS (
+            SELECT g.source, g.x,
+                   CAST(sum(coalesce(c.c, 0)) OVER (
+                       PARTITION BY g.source ORDER BY g.x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS HUGEINT) AS cum
+            FROM grid g
+            LEFT JOIN cnt c ON c.source = g.source AND c.x = g.x
+        ),
+        j AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   max(abs(a.cum * nb.n - b.cum * na.n)) AS d_num
+            FROM ecdf a
+            JOIN ecdf b ON a.x = b.x AND a.source < b.source
+            JOIN srcs na ON na.source = a.source
+            JOIN srcs nb ON nb.source = b.source
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT source_a, source_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6)
+                   AS ks_d,
+               round((CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+                     * sqrt(CAST(n_a * n_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_scaled
+        FROM j ORDER BY source_a, source_b
+    """
+
+
+def _benford_sql() -> str:
+    """R12-STAGED (not registered this round — budget): DuckDB replay
+    of relational15.events_benford. The Benford expectations embed
+    ``repr()`` of the SAME Python doubles the Spark operator uses
+    (relational15.BENFORD_P), so both engines start from identical
+    bits; counts are exact ints and the expectation / chi² columns
+    repeat the kernel's expression shape. Validated by a parity-style
+    unit test now."""
+    ps = ", ".join(
+        f"({d}, {v!r})" for d, v in enumerate(R15.BENFORD_P, start=1)
+    )
+    return f"""
+        WITH p AS (
+            SELECT * FROM (VALUES {ps}) AS t(digit, bp)
+        ),
+        c AS (
+            SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit,
+                   count(*) AS observed
+            FROM (
+                SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            )
+            WHERE cents > 0 GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(observed) AS BIGINT) AS nn FROM c)
+        SELECT p.digit,
+               CAST(coalesce(c.observed, 0) AS BIGINT) AS observed,
+               round(CAST(nn AS DOUBLE) * p.bp, 4) AS expected,
+               round((CAST(coalesce(c.observed, 0) AS DOUBLE)
+                      - CAST(nn AS DOUBLE) * p.bp)
+                     * (CAST(coalesce(c.observed, 0) AS DOUBLE)
+                        - CAST(nn AS DOUBLE) * p.bp)
+                     / (CAST(nn AS DOUBLE) * p.bp), 6) AS chi2_contrib
+        FROM p LEFT JOIN c USING (digit) CROSS JOIN tot
+        ORDER BY p.digit
     """
 
 

@@ -1,0 +1,333 @@
+"""Round-10 wave — distribution-drift and audit statistics over the
+documents / events tables, each with an exact DuckDB oracle twin
+(staged in ``__spark_entry__`` for a later sweep budget):
+
+- docs_k_anonymity: k-anonymity audit over quasi-identifier
+  equivalence classes (lang, source, coarse length bucket) — the
+  privacy-review table a training-data release needs: for every class
+  size k, how many classes and documents sit at that k, what permille
+  of the corpus they are, and whether the class is re-identifiable
+  under the k<5 rule of thumb. All integer arithmetic (half-up
+  permille), so the oracle matches bit-for-bit.
+- events_acf: sample autocorrelation of the daily event-count series
+  at lags 1..max_lag over a zero-filled calendar. Sufficient
+  statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT decimal
+  integers (order-independent, 128-bit headroom for 1e9-events/day
+  series), and the Pearson ratio is one identical double expression
+  in both engines.
+- docs_ks_source_drift: two-sample Kolmogorov–Smirnov distance
+  between every pair of sources on the n_chars distribution — the
+  drift statistic a corpus-mixing pipeline watches when a new crawl
+  lands. D is carried as an exact integer cross-product
+  max|F_a(x)·n_b − F_b(x)·n_a| before ONE double division, so no
+  float ECDF crosses an engine boundary.
+- events_benford: first-significant-digit distribution of positive
+  value cents vs Benford's law with per-digit chi-squared
+  contributions (the orders_priority_chi2 convention: each row is its
+  own statistic; consumers sum the column). The Benford expectations
+  are shared literal doubles — the SQL twin embeds ``repr()`` of the
+  same Python constants, so both engines start from identical bits.
+
+Reference parity note: the reference pipeline (119 lines of Postgres
+SQL/loader, src/sqls/create_objects.sql) has no statistics surface;
+these extend the warehouse exactly as the round-8 statistics wave
+(relational13.py) did.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import ensure_parallelism, read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return ensure_parallelism(spark, read_table(spark, sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# docs_k_anonymity
+# ---------------------------------------------------------------------------
+
+KANON_BUCKET_CHARS = 256
+KANON_RISK_K = 5
+
+
+def docs_k_anonymity(spark: SparkSession, sf_dir: str,
+                     bucket_chars: int = KANON_BUCKET_CHARS,
+                     risk_k: int = KANON_RISK_K) -> DataFrame:
+    """k-anonymity audit: group documents into quasi-identifier
+    equivalence classes (lang, source, n_chars div ``bucket_chars``)
+    and report the class-size (k) distribution — one row per distinct
+    k with the number of classes and documents at that size, the
+    half-up permille of the corpus they represent, and an ``at_risk``
+    flag for k < ``risk_k`` (a released row in such a class is
+    re-identifiable among fewer than ``risk_k`` peers).
+
+    Plan: ONE corpus scan partial-aggregates to the QI classes
+    (bounded by |langs| x |sources| x length-buckets — metadata-sized
+    regardless of row count); the k-distribution and the corpus total
+    are re-aggregations of that tiny frame, so the 1-row total joins
+    back broadcast. Every column is exact integer math (the
+    ``(2·1000·part + whole) div (2·whole)`` half-up permille
+    convention), hence bit-reproducible in the oracle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    classes = (
+        d.select(
+            "lang", "source",
+            F.expr(f"n_chars div {int(bucket_chars)}").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count("*").alias("k"))
+    )
+    dist = (
+        classes.groupBy("k")
+        .agg(F.count("*").alias("n_classes"), F.sum("k").alias("n_docs"))
+    )
+    tot = dist.agg(F.sum("n_docs").alias("total"))
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("(2000 * n_docs + total) div (2 * total)")
+            .cast("long").alias("docs_pm"),
+            (F.col("k") < F.lit(int(risk_k))).alias("at_risk"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_acf
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def events_acf(spark: SparkSession, sf_dir: str,
+               max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..``max_lag`` — "is traffic weekly-periodic" in one table. The
+    series is the zero-filled calendar of daily counts over the full
+    [min(ts), max(ts)] span (a gap is a real 0, not a dropped pair),
+    and each lag's statistic is the Pearson correlation of the
+    (c_t, c_{t+lag}) pairs.
+
+    Exactness: the five sufficient sums accumulate as decimal(38,0)
+    integers — order-independent and with 128-bit headroom so a
+    1e9-events/day series squared over years cannot overflow (the
+    oracle's HUGEINT matches) — and only the final ratio is a double,
+    computed by one identical expression in both engines.
+
+    Plan: ONE fact scan partial-aggregates to daily counts (span-sized
+    — trivially small even at 100 TB); the calendar spine explodes
+    from a broadcast 1-row span aggregate; the lag fan-out and the
+    self-join run entirely on broadcast day-sized frames. No window is
+    needed at all.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("c"))
+    )
+    span = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = span.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    filled = (
+        spine.join(daily, "d", "left")
+        .select("d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    lags = spark.range(1, int(max_lag) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    dec = "decimal(19,0)"
+    left = (
+        filled.crossJoin(F.broadcast(lags))
+        .select(
+            "lag",
+            F.date_add("d", F.col("lag")).alias("d2"),
+            F.col("c").cast(dec).alias("x"),
+        )
+    )
+    right = filled.select(
+        F.col("d").alias("d2"), F.col("c").cast(dec).alias("y")
+    )
+    s = (
+        left.join(F.broadcast(right), "d2")
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast(dec)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("acf"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# docs_ks_source_drift
+# ---------------------------------------------------------------------------
+
+
+def docs_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between every pair of
+    sources on the document-length (n_chars) distribution — the drift
+    monitor a corpus-mixing pipeline runs when a new crawl lands: a
+    large D means the new source's length profile differs from an
+    incumbent's, so mixing weights and length filters need a second
+    look.
+
+    D = max over x of |F_a(x) − F_b(x)| evaluated on the union grid of
+    observed lengths, carried EXACTLY as the integer cross-product
+    max|cum_a·n_b − cum_b·n_a| (decimal(38,0) headroom — 1e11 docs per
+    source still fits) and divided once at the end; ``ks_scaled`` is
+    the classic D·sqrt(n_a·n_b/(n_a+n_b)) significance scaling, again
+    one shared double expression over exact integers.
+
+    Plan: ONE corpus scan reduces to (source, n_chars) counts —
+    bounded by |sources| x distinct lengths, metadata-sized at any
+    row count. The ECDF is a running sum per source over that tiny
+    grid (one window on a post-aggregation frame), the pair fan-out a
+    self-join on the grid key, and both per-source totals broadcast.
+    """
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.groupBy("source", F.col("n_chars").alias("x"))
+        .agg(F.count("*").alias("c"))
+    )
+    xs = cnt.select("x").distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = xs.crossJoin(F.broadcast(srcs.select("source")))
+    w = (
+        Window.partitionBy("source").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(19,0)"
+    ecdf = (
+        grid.join(cnt, ["source", "x"], "left")
+        .select(
+            "source", "x", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        .withColumn("cum", F.sum("c").over(w).cast(dec))
+    )
+    a = ecdf.select(
+        F.col("source").alias("source_a"), "x", F.col("cum").alias("cum_a")
+    )
+    b = ecdf.select(
+        F.col("source").alias("source_b"), "x", F.col("cum").alias("cum_b")
+    )
+    na = srcs.select(
+        F.col("source").alias("source_a"), F.col("n").cast(dec).alias("n_a")
+    )
+    nb = srcs.select(
+        F.col("source").alias("source_b"), F.col("n").cast(dec).alias("n_b")
+    )
+    pairs = (
+        a.join(b, "x")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).alias("dnum"),
+        )
+    )
+    den = (F.col("n_a") * F.col("n_b")).cast("double")
+    ks_d = F.col("d_num").cast("double") / den
+    scale = F.sqrt(
+        den / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return (
+        pairs.groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.max("dnum").alias("d_num"))
+        .select(
+            "source_a", "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(ks_d, 6).alias("ks_d"),
+            F.round(ks_d * scale, 6).alias("ks_scaled"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_benford
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9 — computed ONCE here; the SQL oracle
+# embeds repr() of these exact doubles so both engines share bits.
+BENFORD_P = tuple(math.log10(1.0 + 1.0 / d) for d in range(1, 10))
+
+
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit audit of positive event values against
+    Benford's law — the classic fabricated-data / instrumentation-bug
+    screen for a metrics table. One row per digit 1..9 with the
+    observed count, the Benford expectation n·log10(1+1/d), and the
+    per-digit chi-squared contribution (the orders_priority_chi2
+    convention: consumers sum the column for the test statistic; no
+    float total whose addend order could differ is baked in).
+
+    Values quantize to exact integer cents first (the money.cents
+    convention shared with every revenue operator), the digit is the
+    first character of the decimal rendering — pure integer/string
+    logic, no float log extraction — and zero/negative values are
+    excluded (Benford applies to positive magnitudes).
+
+    Plan: ONE fact scan partial-aggregates to at most 9 digit counts;
+    the digit spine (1..9) and the 1-row total join back broadcast, so
+    absent digits still report observed=0 with their full expectation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    counts = (
+        ev.select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("observed"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p = F.element_at(
+        F.array(*[F.lit(v) for v in BENFORD_P]), F.col("digit")
+    )
+    tot = counts.agg(F.sum("observed").alias("nn"))
+    obs = F.coalesce(F.col("observed"), F.lit(0)).cast("long")
+    exp = F.col("nn").cast("double") * p
+    return (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            obs.alias("observed"),
+            F.round(exp, 4).alias("expected"),
+            F.round(
+                (obs.cast("double") - exp) * (obs.cast("double") - exp) / exp,
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )

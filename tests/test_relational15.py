@@ -1,0 +1,243 @@
+"""Unit tests for the round-10 distribution-drift / audit wave
+(operators/relational15.py): exact expected rows on tiny literal
+frames, invariants on the real tables, plan-shape checks for the
+scale-critical joins, and parity against the R12-staged DuckDB
+oracles (__spark_entry__._kanon_sql/_acf_sql/_ks_sql/_benford_sql).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+from jobsity_data_pipeline_spark.operators import relational15 as R15
+from tests.conftest import SF_SMOKE
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def _duck(sf_dir: str, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _nc(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_nc(r[i]) for i in order) for r in rows)
+
+
+def _parity(spark_df, con, sql):
+    a = _norm(spark_df.columns, [tuple(r) for r in spark_df.collect()])
+    cur = con.execute(sql)
+    b = _norm([d[0] for d in cur.description], cur.fetchall())
+    assert a == b
+
+
+class TestKAnonymity:
+    def test_known_distribution(self, spark, tmp_path):
+        rows = [
+            # three docs in one (en, web, bucket 0) class
+            (1, "t", "en", "web", 10),
+            (2, "t", "en", "web", 20),
+            (3, "t", "en", "web", 255),
+            # singleton classes: a bucket-1 doc and a de doc
+            (4, "t", "en", "web", 300),
+            (5, "t", "de", "web", 10),
+        ]
+        out = {
+            r.k: (r.n_classes, r.n_docs, r.docs_pm, r.at_risk)
+            for r in R15.docs_k_anonymity(
+                spark, _write_docs(spark, tmp_path, rows)
+            ).collect()
+        }
+        # k=1: two singleton classes, 2/5 docs -> 400 pm; k=3: one class
+        assert out == {1: (2, 2, 400, True), 3: (1, 3, 600, True)}
+
+    def test_invariants_on_smoke(self, spark):
+        rows = R15.docs_k_anonymity(spark, SF_SMOKE).collect()
+        total = sum(r.n_docs for r in rows)
+        con = _duck(SF_SMOKE, ("documents",))
+        assert total == con.execute(
+            "SELECT count(*) FROM documents").fetchone()[0]
+        for r in rows:
+            assert r.n_docs == r.k * r.n_classes
+            assert r.at_risk == (r.k < R15.KANON_RISK_K)
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.docs_k_anonymity(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("documents",)),
+            entrymod._kanon_sql(),
+        )
+
+
+class TestAcf:
+    def test_alternating_series(self, spark, tmp_path):
+        # daily counts [2, 0, 2, 0, 2] — day 2 and 4 have NO rows, the
+        # zero-filled calendar must treat them as real zeros
+        t = dt.datetime(2024, 1, 1, 6)
+        rows, eid = [], 0
+        for day in (0, 2, 4):
+            for _ in range(2):
+                eid += 1
+                rows.append(
+                    (eid, t + dt.timedelta(days=day), 1, "a", 1.0, "{}")
+                )
+        out = {
+            r.lag: (r.n_pairs, r.acf)
+            for r in R15.events_acf(
+                spark, _write_events(spark, tmp_path, rows), max_lag=2
+            ).collect()
+        }
+        # perfectly anti-phase at lag 1, in-phase at lag 2
+        assert out == {1: (4, -1.0), 2: (3, 1.0)}
+
+    def test_bounds_on_smoke(self, spark):
+        rows = R15.events_acf(spark, SF_SMOKE).collect()
+        assert [r.lag for r in rows] == list(range(1, R15.ACF_MAX_LAG + 1))
+        for r in rows:
+            assert abs(r.acf) <= 1.0 + 1e-9
+        # each extra lag drops exactly one pair off the calendar span
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_pairs == b.n_pairs + 1
+
+    def test_plan_broadcasts_day_frames(self, spark):
+        plan = R15.events_acf(spark, SF_SMOKE)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.events_acf(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("events",)),
+            entrymod._acf_sql(),
+        )
+
+
+class TestKsSourceDrift:
+    def test_disjoint_and_identical(self, spark, tmp_path):
+        rows = [
+            (1, "t", "en", "a", 1), (2, "t", "en", "a", 2),
+            (3, "t", "en", "b", 3), (4, "t", "en", "b", 4),
+            (5, "t", "en", "c", 1), (6, "t", "en", "c", 2),
+        ]
+        out = {
+            (r.source_a, r.source_b): r
+            for r in R15.docs_ks_source_drift(
+                spark, _write_docs(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        # disjoint supports: D = 1; identical distributions: D = 0
+        assert out[("a", "b")].ks_d == 1.0
+        assert out[("a", "c")].ks_d == 0.0
+        assert out[("b", "c")].ks_d == 1.0
+        # scaling at n=2,2: sqrt(4/4) = 1
+        assert out[("a", "b")].ks_scaled == 1.0
+        assert out[("a", "c")].ks_scaled == 0.0
+
+    def test_pairs_and_bounds_on_smoke(self, spark):
+        rows = R15.docs_ks_source_drift(spark, SF_SMOKE).collect()
+        srcs = set()
+        for r in rows:
+            assert r.source_a < r.source_b
+            assert 0.0 <= r.ks_d <= 1.0
+            srcs.add(r.source_a)
+            srcs.add(r.source_b)
+        n = len(srcs)
+        assert len(rows) == n * (n - 1) // 2
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.docs_ks_source_drift(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("documents",)),
+            entrymod._ks_sql(),
+        )
+
+
+class TestBenford:
+    def test_known_digits(self, spark, tmp_path):
+        t = dt.datetime(2024, 1, 1)
+        vals = [1.00, 1.23, 25.00, 0.09, -3.0, 0.0]
+        rows = [
+            (i + 1, t, 1, "a", v, "{}") for i, v in enumerate(vals)
+        ]
+        out = {
+            r.digit: r
+            for r in R15.events_benford(
+                spark, _write_events(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert sorted(out) == list(range(1, 10))
+        # cents: 100 -> 1, 123 -> 1, 2500 -> 2, 9 -> 9; <=0 excluded
+        obs = {d: out[d].observed for d in out}
+        assert obs == {1: 2, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0,
+                       9: 1}
+        n = 4
+        for d in range(1, 10):
+            want = round(n * R15.BENFORD_P[d - 1], 4)
+            assert out[d].expected == pytest.approx(want, abs=5e-5)
+
+    def test_totals_on_smoke(self, spark):
+        rows = R15.events_benford(spark, SF_SMOKE).collect()
+        assert [r.digit for r in rows] == list(range(1, 10))
+        n = sum(r.observed for r in rows)
+        # expectations must sum to ~n (Benford probabilities sum to 1)
+        assert sum(r.expected for r in rows) == pytest.approx(n, abs=0.01)
+        con = _duck(SF_SMOKE, ("events",))
+        want = con.execute(
+            "SELECT count(*) FROM events "
+            "WHERE CAST(round(value * 100, 0) AS BIGINT) > 0"
+        ).fetchone()[0]
+        assert n == want
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.events_benford(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("events",)),
+            entrymod._benford_sql(),
+        )
