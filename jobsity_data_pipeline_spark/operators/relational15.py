@@ -56,6 +56,48 @@ KANON_BUCKET_CHARS = 256
 KANON_RISK_K = 5
 
 
+def kanon_classes(d: DataFrame,
+                  bucket_chars: int = KANON_BUCKET_CHARS) -> DataFrame:
+    """Quasi-identifier equivalence classes of a documents frame:
+    (lang, source, n_chars div ``bucket_chars``) with the class size
+    ``k``. Shared by the batch audit and the streaming maintainer —
+    per-batch class counts are plain integer sums, so summed deltas
+    reproduce the corpus classes exactly."""
+    return (
+        d.select(
+            "lang", "source",
+            F.expr(f"n_chars div {int(bucket_chars)}").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count("*").alias("k"))
+    )
+
+
+def kanon_dist(classes: DataFrame,
+               risk_k: int = KANON_RISK_K) -> DataFrame:
+    """The k-size distribution over a (lang, source, len_bucket, k)
+    classes frame — the shape both docs_k_anonymity and the
+    state-served kanon_from_state return, so stream == batch is an
+    identity of this one kernel."""
+    dist = (
+        classes.groupBy("k")
+        .agg(F.count("*").alias("n_classes"), F.sum("k").alias("n_docs"))
+    )
+    tot = dist.agg(F.sum("n_docs").alias("total"))
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("(2000 * n_docs + total) div (2 * total)")
+            .cast("long").alias("docs_pm"),
+            (F.col("k") < F.lit(int(risk_k))).alias("at_risk"),
+        )
+        .orderBy("k")
+    )
+
+
 def docs_k_anonymity(spark: SparkSession, sf_dir: str,
                      bucket_chars: int = KANON_BUCKET_CHARS,
                      risk_k: int = KANON_RISK_K) -> DataFrame:
@@ -76,31 +118,7 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str,
     convention), hence bit-reproducible in the oracle.
     """
     d = _t(spark, sf_dir, "documents")
-    classes = (
-        d.select(
-            "lang", "source",
-            F.expr(f"n_chars div {int(bucket_chars)}").alias("len_bucket"),
-        )
-        .groupBy("lang", "source", "len_bucket")
-        .agg(F.count("*").alias("k"))
-    )
-    dist = (
-        classes.groupBy("k")
-        .agg(F.count("*").alias("n_classes"), F.sum("k").alias("n_docs"))
-    )
-    tot = dist.agg(F.sum("n_docs").alias("total"))
-    return (
-        dist.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("k").cast("long").alias("k"),
-            F.col("n_classes").cast("long").alias("n_classes"),
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.expr("(2000 * n_docs + total) div (2 * total)")
-            .cast("long").alias("docs_pm"),
-            (F.col("k") < F.lit(int(risk_k))).alias("at_risk"),
-        )
-        .orderBy("k")
-    )
+    return kanon_dist(kanon_classes(d, bucket_chars), risk_k)
 
 
 # ---------------------------------------------------------------------------
@@ -186,32 +204,22 @@ def events_acf(spark: SparkSession, sf_dir: str,
 # ---------------------------------------------------------------------------
 
 
-def docs_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov distance between every pair of
-    sources on the document-length (n_chars) distribution — the drift
-    monitor a corpus-mixing pipeline runs when a new crawl lands: a
-    large D means the new source's length profile differs from an
-    incumbent's, so mixing weights and length filters need a second
-    look.
-
-    D = max over x of |F_a(x) − F_b(x)| evaluated on the union grid of
-    observed lengths, carried EXACTLY as the integer cross-product
-    max|cum_a·n_b − cum_b·n_a| (decimal(38,0) headroom — 1e11 docs per
-    source still fits) and divided once at the end; ``ks_scaled`` is
-    the classic D·sqrt(n_a·n_b/(n_a+n_b)) significance scaling, again
-    one shared double expression over exact integers.
-
-    Plan: ONE corpus scan reduces to (source, n_chars) counts —
-    bounded by |sources| x distinct lengths, metadata-sized at any
-    row count. The ECDF is a running sum per source over that tiny
-    grid (one window on a post-aggregation frame), the pair fan-out a
-    self-join on the grid key, and both per-source totals broadcast.
-    """
-    d = _t(spark, sf_dir, "documents")
-    cnt = (
+def ks_counts(d: DataFrame) -> DataFrame:
+    """(source, n_chars, count) reduction of a documents frame — the
+    sufficient statistic for the KS drift audit. Shared by the batch
+    operator and the streaming maintainer: counts are plain integer
+    sums, so summed per-batch deltas reproduce the corpus counts
+    exactly and ks_from_counts serves identical numbers."""
+    return (
         d.groupBy("source", F.col("n_chars").alias("x"))
         .agg(F.count("*").alias("c"))
     )
+
+
+def ks_from_counts(cnt: DataFrame) -> DataFrame:
+    """The pairwise KS table from a (source, x, c) counts frame — the
+    shape both docs_ks_source_drift and the state-served ks_from_state
+    return, so stream == batch is an identity of this one kernel."""
     xs = cnt.select("x").distinct()
     srcs = cnt.groupBy("source").agg(F.sum("c").alias("n"))
     grid = xs.crossJoin(F.broadcast(srcs.select("source")))
@@ -268,6 +276,30 @@ def docs_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def docs_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between every pair of
+    sources on the document-length (n_chars) distribution — the drift
+    monitor a corpus-mixing pipeline runs when a new crawl lands: a
+    large D means the new source's length profile differs from an
+    incumbent's, so mixing weights and length filters need a second
+    look.
+
+    D = max over x of |F_a(x) − F_b(x)| evaluated on the union grid of
+    observed lengths, carried EXACTLY as the integer cross-product
+    max|cum_a·n_b − cum_b·n_a| (decimal(38,0) headroom — 1e11 docs per
+    source still fits) and divided once at the end; ``ks_scaled`` is
+    the classic D·sqrt(n_a·n_b/(n_a+n_b)) significance scaling, again
+    one shared double expression over exact integers.
+
+    Plan: ONE corpus scan reduces to (source, n_chars) counts —
+    bounded by |sources| x distinct lengths, metadata-sized at any
+    row count. The ECDF is a running sum per source over that tiny
+    grid (one window on a post-aggregation frame), the pair fan-out a
+    self-join on the grid key, and both per-source totals broadcast.
+    """
+    return ks_from_counts(ks_counts(_t(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------

@@ -1562,3 +1562,122 @@ def bm25_from_index(spark: SparkSession, table_dir: str,
         per_doc.drop("doc_key"), terms=use_terms,
         k=BM25_TOPK if k is None else k,
     )
+
+
+def stream_kanon_counts(docs: DataFrame, table_dir: str,
+                        checkpoint: str,
+                        bucket_chars: int | None = None):
+    """Maintain the k-anonymity audit's quasi-identifier class counts
+    over a DOCUMENT STREAM — the privacy review kept current as a
+    corpus grows, without rescanning it: per micro-batch the input
+    reduces to its (lang, source, len_bucket) class counts (the
+    shared relational15.kanon_classes kernel), appended as integer
+    deltas on the snapshot protocol.
+
+    Counters are SUMS — non-absorbing, a replayed count-merge would
+    double-count — so idempotence comes from the manifest batch token
+    exactly as in stream_cms_upsert / stream_classifier_counts; the
+    read side (kanon_from_state) sum-merges per class, recovering the
+    exact corpus class sizes, then runs the shared kanon_dist kernel
+    — output bit-identical to batch docs_k_anonymity over the same
+    documents. Delta key is namespaced token-first
+    ('ka|<batch>|<lang>|<source>|<bucket>') per the
+    stream_moments_upsert key rule. State grows O(batches x classes);
+    snapshot.compact reclaims file count when wanted."""
+    from ..operators.relational15 import KANON_BUCKET_CHARS, kanon_classes
+    from ..sources.snapshot import upsert_batch
+
+    bc = KANON_BUCKET_CHARS if bucket_chars is None else int(bucket_chars)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = kanon_classes(batch_df, bc).withColumn(
+            "delta_key",
+            F.concat_ws("|", F.lit("ka"), F.lit(str(batch_id)),
+                        F.col("lang"), F.col("source"),
+                        F.col("len_bucket")),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kanon_from_state(spark: SparkSession, table_dir: str,
+                     risk_k: int | None = None) -> DataFrame:
+    """The k-anonymity distribution served FROM the maintained class
+    counters: sum-merge the per-batch integer deltas (recovering the
+    exact per-class k), then the shared kanon_dist kernel — output
+    bit-identical to batch docs_k_anonymity over the same corpus
+    without touching a single document."""
+    from ..operators.relational15 import KANON_RISK_K, kanon_dist
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published k-anonymity state at {table_dir}")
+    classes = (
+        deltas.groupBy("lang", "source", "len_bucket")
+        .agg(F.sum("k").alias("k"))
+    )
+    return kanon_dist(
+        classes, KANON_RISK_K if risk_k is None else int(risk_k)
+    )
+
+
+def stream_sourcelen_counts(docs: DataFrame, table_dir: str,
+                            checkpoint: str):
+    """Maintain the (source, n_chars) count table over a DOCUMENT
+    STREAM — the sufficient statistic of the KS source-drift audit
+    (relational15.ks_counts), so the drift monitor runs daily from
+    O(sources x distinct-lengths) state instead of a corpus scan.
+
+    Counters are SUMS (non-absorbing): idempotence comes from the
+    manifest batch token, the stream_classifier_counts pattern; the
+    read side (ks_from_state) sum-merges and runs the shared
+    ks_from_counts kernel — output bit-identical to batch
+    docs_ks_source_drift over the same documents. Delta key is
+    namespaced token-first ('kl|<batch>|<source>|<x>')."""
+    from ..operators.relational15 import ks_counts
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = ks_counts(batch_df).withColumn(
+            "delta_key",
+            F.concat_ws("|", F.lit("kl"), F.lit(str(batch_id)),
+                        F.col("source"), F.col("x")),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ks_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The pairwise KS drift table served FROM the maintained
+    (source, n_chars) counters: sum-merge the per-batch deltas
+    (recovering the exact count table), then the shared
+    ks_from_counts kernel — bit-identical to batch
+    docs_ks_source_drift over the same corpus, corpus-free."""
+    from ..operators.relational15 import ks_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published source-length state at {table_dir}")
+    return ks_from_counts(
+        deltas.groupBy("source", "x").agg(F.sum("c").alias("c"))
+    )

@@ -1593,3 +1593,145 @@ def test_stream_cbloom_deletes_serve_surviving_key_filter(
     assert latest_manifest(table)["version"] == v
     assert cbloom_filter_from_state(spark, table).collect()[0][0] \
         == want_bits
+
+
+def test_stream_kanon_counts_serves_batch_audit_bitexact(spark, tmp_path):
+    """Round-10: QI-class counters maintained as per-batch integer
+    deltas serve the k-anonymity distribution BIT-IDENTICAL to the
+    batch docs_k_anonymity over the union (summed exact class counts
+    -> the shared kanon_dist kernel), and a replayed batch cannot
+    double-count (manifest token idempotence — counters are the
+    non-absorbing case)."""
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational15 import (
+        docs_k_anonymity, kanon_classes,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        kanon_from_state, stream_kanon_counts,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    rows = [
+        (i, "t", ["en", "de"][i % 2], ["web", "wiki", "forum"][i % 3],
+         (i * 97) % 1200)
+        for i in range(120)
+    ]
+    src = tmp_path / "docs"
+    for half in (0, 1):  # two files -> two micro-batches
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == half], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf_like / "documents.parquet"))
+
+    table = str(tmp_path / "kanon_counts")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_kanon_counts(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = [tuple(r)
+            for r in docs_k_anonymity(spark, str(sf_like)).collect()]
+    got = [tuple(r) for r in kanon_from_state(spark, table).collect()]
+    assert got == want and got
+
+    # replaying batch 0's delta under its original token is a no-op
+    v = latest_manifest(table)["version"]
+    b0 = kanon_classes(
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == 0], schema
+        )
+    ).withColumn(
+        "delta_key",
+        F.concat_ws("|", F.lit("ka"), F.lit("0"), F.col("lang"),
+                    F.col("source"), F.col("len_bucket")),
+    )
+    assert upsert_batch(b0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert [tuple(r) for r in kanon_from_state(spark, table).collect()] \
+        == want
+
+
+def test_stream_sourcelen_counts_serves_batch_ks_bitexact(
+    spark, tmp_path
+):
+    """Round-10: (source, n_chars) counters maintained as per-batch
+    integer deltas serve the pairwise KS drift table BIT-IDENTICAL to
+    the batch docs_ks_source_drift over the union (summed exact counts
+    -> the shared ks_from_counts kernel), and a replayed batch cannot
+    double-count."""
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational15 import (
+        docs_ks_source_drift, ks_counts,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        ks_from_state, stream_sourcelen_counts,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    # three sources with deliberately different length profiles
+    rows = [
+        (i, "t", "en", ["web", "wiki", "forum"][i % 3],
+         [50 + i % 7, 400 + i % 11, 50 + i % 7][i % 3] + (i % 5))
+        for i in range(150)
+    ]
+    src = tmp_path / "docs"
+    for half in (0, 1):
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == half], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf_like / "documents.parquet"))
+
+    table = str(tmp_path / "kl_counts")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_sourcelen_counts(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = [tuple(r)
+            for r in docs_ks_source_drift(spark, str(sf_like)).collect()]
+    got = [tuple(r) for r in ks_from_state(spark, table).collect()]
+    assert got == want and len(got) == 3
+
+    # replaying batch 0's delta under its original token is a no-op
+    v = latest_manifest(table)["version"]
+    b0 = ks_counts(
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == 0], schema
+        )
+    ).withColumn(
+        "delta_key",
+        F.concat_ws("|", F.lit("kl"), F.lit("0"), F.col("source"),
+                    F.col("x")),
+    )
+    assert upsert_batch(b0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert [tuple(r) for r in ks_from_state(spark, table).collect()] \
+        == want
