@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -121,6 +122,11 @@ def _publish(table_dir: str, files: list[str], batch_token: str,
         body = {"version": version, "batch": batch_token, "files": files}
         if extra:
             body.update(extra)
+        # Stamped AFTER the extras merge so a restore/clone that
+        # carries an old manifest's metadata can never publish a
+        # stale commit time — every version's committed_at is its own
+        # wall-clock, the read_asof/history contract.
+        body["committed_at"] = time.time()
         tmp = os.path.join(table_dir, f".manifest-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(body, f)
@@ -257,6 +263,10 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
                for _, tok, _ in _manifests(table_dir, with_tokens=True)):
             return "skipped_duplicate"
         man = latest_manifest(table_dir)
+        if _attempt == 0:
+            # after the token check (a replayed batch still skips) and
+            # before any data write — a violating batch leaves no file
+            _enforce_constraints(batch, man, "upsert_batch")
         if man is None:
             base_version = 0
             new_rows = batch
@@ -434,7 +444,8 @@ def _carry_extras(man: dict | None) -> dict:
     if not man:
         return {}
     return {k: v for k, v in man.items()
-            if k not in ("version", "batch", "files", "stats")}
+            if k not in ("version", "batch", "files", "stats",
+                         "committed_at")}
 
 
 def merge_into(source: DataFrame, batch_id: int, table_dir: str,
@@ -526,6 +537,10 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
             return {"status": "skipped_duplicate",
                     "deleted": 0, "updated": 0, "inserted": 0}
         man = latest_manifest(table_dir)
+        if _attempt == 0:
+            # every row a merge can write (insert or rewrite) comes
+            # from src, so one batch-scan validation covers both paths
+            _enforce_constraints(src, man, "merge_into")
         if man is None or not man["files"]:
             ins = src.where(ins_pred)
             n_ins = ins.count()
@@ -801,6 +816,53 @@ def read_version(spark: SparkSession, table_dir: str,
     return None
 
 
+def history(table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per published version, ascending —
+    version, batch token, file count, and the commit wall-clock
+    (``committed_at``; for manifests published before the field
+    existed, the manifest file's mtime — the same fallback Delta's
+    timestamp time-travel uses on its commit files). Vacuum-retired
+    versions are skipped rather than half-reported."""
+    out = []
+    for v, tok, path in _manifests(table_dir):
+        try:
+            with open(path) as f:
+                man = json.load(f)
+        except FileNotFoundError:
+            continue  # retired by a concurrent vacuum
+        out.append({
+            "version": v,
+            "batch": man.get("batch", tok),
+            "n_files": len(man.get("files", [])),
+            "committed_at": man.get(
+                "committed_at", os.path.getmtime(path)),
+        })
+    return out
+
+
+def read_asof(spark: SparkSession, table_dir: str,
+              ts: float) -> DataFrame | None:
+    """Time travel BY TIMESTAMP: read the latest version whose commit
+    wall-clock is <= ``ts`` (epoch seconds, or a datetime) — "what did
+    the table look like at 09:00", the form incident reviews actually
+    ask in. Resolution uses each manifest's ``committed_at`` stamp
+    (mtime fallback for pre-stamp manifests, the Delta convention);
+    returns None when the table has no version that old. Restores and
+    clones stamp FRESH commit times (the stale stamp is stripped from
+    carried extras), so a restored table's as-of view stays monotone:
+    asking for a time after the restore returns the restored list,
+    asking before it returns whatever was latest then."""
+    if hasattr(ts, "timestamp"):
+        ts = ts.timestamp()
+    best = None
+    for h in history(table_dir):
+        if h["committed_at"] <= ts:
+            best = h["version"]
+    if best is None:
+        return None
+    return read_version(spark, table_dir, best)
+
+
 def restore(table_dir: str, version: int) -> dict:
     """Delta-style RESTORE: republish version ``version``'s exact file
     list — and its stats map and carried extras (hash_version,
@@ -897,6 +959,116 @@ def analyze(table_dir: str, keys: list[str]) -> dict:
                     "skipped": skipped}
     raise RuntimeError(
         f"analyze: lost the publish race 10 times at {table_dir}"
+    )
+
+
+def _enforce_constraints(df: DataFrame, man: dict | None,
+                         what: str) -> None:
+    """Validate an incoming frame against the table's CHECK
+    constraints (manifest ``constraints`` map, name -> SQL boolean
+    expression) BEFORE any data file is written. SQL CHECK semantics:
+    a row violates only when the expression is FALSE — NULL passes
+    (that's what ``x IS NOT NULL`` is for). ONE aggregate pass over
+    the batch counts every constraint's violations together, so the
+    cost is a single batch scan regardless of constraint count; the
+    error names every violated constraint with its row count."""
+    cons = (man or {}).get("constraints") or {}
+    if not cons:
+        return
+    from pyspark.sql import functions as F
+
+    names = sorted(cons)
+    row = df.agg(*[
+        F.sum(
+            F.when(F.expr(cons[n]).eqNullSafe(F.lit(False)), 1)
+            .otherwise(0)
+        ).alias(f"_c{i}")
+        for i, n in enumerate(names)
+    ]).collect()[0]
+    bad = {
+        n: int(row[f"_c{i}"] or 0)
+        for i, n in enumerate(names) if (row[f"_c{i}"] or 0) > 0
+    }
+    if bad:
+        raise ValueError(
+            f"{what}: CHECK constraint(s) violated: " + "; ".join(
+                f"{n} ({cons[n]!r}): {c} row(s)" for n, c in bad.items()
+            )
+        )
+
+
+def set_constraint(spark: SparkSession, table_dir: str,
+                   name: str, expr: str) -> dict:
+    """ADD CONSTRAINT — Delta-style table-level CHECK: persist
+    ``name -> expr`` in the manifest's ``constraints`` map (carried
+    forward by every writer via _carry_extras, like hash_version),
+    after validating the CURRENT table data against it — adding a
+    constraint existing rows violate would make the table lie, so it
+    fails loudly instead (the Delta ALTER TABLE ADD CONSTRAINT
+    contract). Ingest writers (upsert_batch / upsert_replacing /
+    merge_into) then reject any batch carrying a violating row before
+    writing a single data file. Metadata-only commit under the CAS
+    guard (file list carried by reference)."""
+    for _attempt in range(10):
+        man = latest_manifest(table_dir)
+        if man is None or not man["files"]:
+            raise ValueError(
+                f"set_constraint: no published table at {table_dir} — "
+                f"constraints attach to an existing table"
+            )
+        _enforce_constraints(
+            _read_files(spark, man["files"]),
+            {"constraints": {name: expr}},
+            "set_constraint(existing data)",
+        )
+        cons = dict(man.get("constraints") or {})
+        cons[name] = expr
+        extras = {
+            k: v for k, v in man.items()
+            if k not in ("version", "batch", "files", "constraints")
+        }
+        v = _publish(
+            table_dir, list(man["files"]),
+            f"constraint-{uuid.uuid4().hex[:8]}",
+            extra={**extras, "constraints": cons},
+            expected_version=man["version"],
+        )
+        if v != -1:
+            return {"version": v, "constraints": cons}
+    raise RuntimeError(
+        f"set_constraint: lost the publish race 10 times at {table_dir}"
+    )
+
+
+def drop_constraint(table_dir: str, name: str) -> dict:
+    """DROP CONSTRAINT: remove ``name`` from the manifest's
+    constraints map as a metadata-only commit. Unknown names raise
+    (a typo'd drop silently succeeding would leave the caller
+    believing enforcement stopped)."""
+    for _attempt in range(10):
+        man = latest_manifest(table_dir)
+        cons = dict((man or {}).get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"drop_constraint: no constraint {name!r} at {table_dir}"
+            )
+        del cons[name]
+        extras = {
+            k: v for k, v in man.items()
+            if k not in ("version", "batch", "files", "constraints")
+        }
+        if cons:
+            extras["constraints"] = cons
+        v = _publish(
+            table_dir, list(man["files"]),
+            f"constraint-{uuid.uuid4().hex[:8]}",
+            extra=extras,
+            expected_version=man["version"],
+        )
+        if v != -1:
+            return {"version": v, "constraints": cons}
+    raise RuntimeError(
+        f"drop_constraint: lost the publish race 10 times at {table_dir}"
     )
 
 

@@ -2096,3 +2096,130 @@ def test_analyze_retrofits_data_skipping_without_rewrite(
     man3 = SN.latest_manifest(t)
     assert man3["stats"]["value"] == man2["stats"]["value"]
     assert set(man3["stats"]) >= set(man2["stats"])
+
+
+def test_history_and_read_asof(spark, tmp_path):
+    """Round-10: every publish stamps its own commit wall-clock;
+    history() reports it ascending and read_asof() resolves the
+    latest version at-or-before a timestamp — including across a
+    restore, whose manifest gets a FRESH stamp (the stale one is
+    stripped from carried extras) so the as-of view stays monotone."""
+    import datetime as dt
+    import json as js
+    import time
+
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        history, publish_snapshot, read_asof, restore,
+    )
+
+    table = str(tmp_path / "t")
+    publish_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, v string"), table, "b1"
+    )
+    t_between = time.time()
+    time.sleep(0.05)
+    publish_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, "b2",
+    )
+
+    h = history(table)
+    assert [x["version"] for x in h] == [1, 2]
+    assert h[0]["committed_at"] <= h[1]["committed_at"]
+    assert [x["batch"] for x in h] == ["b1", "b2"]
+
+    # between the two commits -> v1; now -> v2; before v1 -> None
+    assert read_asof(spark, table, t_between).count() == 1
+    assert read_asof(spark, table, time.time()).count() == 2
+    assert read_asof(spark, table, h[0]["committed_at"] - 10) is None
+    # datetime form accepted
+    assert read_asof(spark, table, dt.datetime.now()).count() == 2
+
+    # restore(1) publishes v3 with a FRESH stamp, not v1's
+    time.sleep(0.05)
+    restore(table, 1)
+    h = history(table)
+    assert [x["version"] for x in h] == [1, 2, 3]
+    assert h[2]["committed_at"] > h[1]["committed_at"]
+    # as-of now sees the restored (1-row) list; as-of t_between still v1
+    assert read_asof(spark, table, time.time()).count() == 1
+    assert read_asof(spark, table, t_between).count() == 1
+
+    # legacy manifests without the stamp fall back to file mtime
+    mpath = f"{table}/manifest-000002.json"
+    with open(mpath) as f:
+        man = js.load(f)
+    man.pop("committed_at")
+    with open(mpath, "w") as f:
+        js.dump(man, f)
+    h = history(table)
+    assert h[1]["committed_at"] > 0
+    assert read_asof(spark, table, time.time()).count() == 1
+
+
+def test_check_constraints_enforced_on_ingest(spark, tmp_path):
+    """Round-10: Delta-style table CHECK constraints — persisted in
+    the manifest, validated against existing data on ADD, enforced on
+    every ingest path BEFORE any data write (violating batches leave
+    no version and may retry under the same id), NULL passes (SQL
+    CHECK semantics), carried across commits, and droppable."""
+    import pytest as _pt
+
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        drop_constraint, latest_manifest, merge_into, read_latest,
+        set_constraint, upsert_batch,
+    )
+
+    schema = "id long, v string, price double"
+    table = str(tmp_path / "t")
+    upsert_batch(
+        spark.createDataFrame([(1, "a", 5.0), (2, "b", 0.0)], schema),
+        0, table, key="id",
+    )
+    r = set_constraint(spark, table, "price_nonneg", "price >= 0")
+    assert r["constraints"] == {"price_nonneg": "price >= 0"}
+    v_before = latest_manifest(table)["version"]
+
+    # violating batch: loud error naming the constraint, no publish
+    with _pt.raises(ValueError, match="price_nonneg"):
+        upsert_batch(
+            spark.createDataFrame([(3, "c", -1.0)], schema),
+            1, table, key="id",
+        )
+    assert latest_manifest(table)["version"] == v_before
+
+    # the failed batch id is NOT burned: a corrected retry publishes
+    assert upsert_batch(
+        spark.createDataFrame([(3, "c", 1.0)], schema),
+        1, table, key="id",
+    ) == "published"
+    # NULL passes a CHECK (SQL semantics)
+    assert upsert_batch(
+        spark.createDataFrame([(4, "d", None)], schema),
+        2, table, key="id",
+    ) == "published"
+    assert read_latest(spark, table).count() == 4
+    # constraints carried forward across ingest commits
+    assert latest_manifest(table)["constraints"] == {
+        "price_nonneg": "price >= 0"
+    }
+
+    # merge_into validates its source too
+    with _pt.raises(ValueError, match="price_nonneg"):
+        merge_into(
+            spark.createDataFrame([(9, "x", -2.0)], schema),
+            3, table, key="id",
+        )
+
+    # adding a constraint the EXISTING data violates fails loudly
+    with _pt.raises(ValueError, match="v_short"):
+        set_constraint(spark, table, "v_short", "length(v) > 5")
+
+    # dropped -> the same violating batch now lands
+    drop_constraint(table, "price_nonneg")
+    assert upsert_batch(
+        spark.createDataFrame([(5, "e", -9.0)], schema),
+        4, table, key="id",
+    ) == "published"
+    with _pt.raises(ValueError, match="no constraint"):
+        drop_constraint(table, "nope")
