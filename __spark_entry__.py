@@ -2172,6 +2172,71 @@ def _benford_sql() -> str:
     """
 
 
+def _km_sql() -> str:
+    """R12-STAGED (not registered this round — budget): DuckDB replay
+    of relational15.orders_survival_km. The product-limit recurrence
+    steps in a recursive CTE over the event-time rows with the
+    IDENTICAL integer micro-unit half-up arithmetic the km_curve
+    kernel runs (s and n−d are nonnegative, so plain floor division
+    is the sign-aware half-up), n_risk from a 1-PRECEDING running sum
+    over the duration grid. Validated by a parity-style unit test
+    now (tests/test_relational15.py)."""
+    return """
+        WITH RECURSIVE done AS (
+            SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS last_ship
+            FROM lineitem GROUP BY 1
+        ),
+        hz AS (
+            SELECT CAST(max(l_shipdate) AS DATE) AS horizon FROM lineitem
+        ),
+        sub AS (
+            SELECT CASE WHEN o.o_orderstatus = 'F'
+                             AND d.last_ship IS NOT NULL
+                        THEN d.last_ship - CAST(o.o_orderdate AS DATE)
+                        ELSE hz.horizon - CAST(o.o_orderdate AS DATE)
+                   END AS t,
+                   (o.o_orderstatus = 'F' AND d.last_ship IS NOT NULL)
+                       AS ev
+            FROM orders o
+            LEFT JOIN done d ON d.l_orderkey = o.o_orderkey
+            CROSS JOIN hz
+        ),
+        att AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d
+            FROM sub GROUP BY t
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sub),
+        r AS (
+            SELECT t, d,
+                   (SELECT n FROM tot)
+                   - CAST(coalesce(sum(a) OVER (
+                         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+            FROM att
+        ),
+        evt AS (
+            SELECT row_number() OVER (ORDER BY t) AS i, t, n_risk, d
+            FROM r WHERE d > 0
+        ),
+        rec AS (
+            SELECT i, t, n_risk, d,
+                   (2 * 1000000 * (n_risk - d) + n_risk)
+                       // (2 * n_risk) AS s
+            FROM evt WHERE i = 1
+            UNION ALL
+            SELECT e.i, e.t, e.n_risk, e.d,
+                   (2 * rec.s * (e.n_risk - e.d) + e.n_risk)
+                       // (2 * e.n_risk)
+            FROM rec JOIN evt e ON e.i = rec.i + 1
+        )
+        SELECT CAST(t AS BIGINT) AS t_days, n_risk, d AS d_events,
+               CAST(s AS BIGINT) AS survival_ppm
+        FROM rec ORDER BY t_days
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     wom_dt = _WOM.format(c="date_time")
     sw_hits = (

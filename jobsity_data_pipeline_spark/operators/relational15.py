@@ -363,3 +363,102 @@ def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_survival_km
+# ---------------------------------------------------------------------------
+
+# (span-days x 2 event flags) — ~7 calendar years is ~5.1k
+# rows, so 16384 is pure headroom while still loudly bounded
+KM_MAX_TIMES = 16384
+
+
+def km_curve(rows: list) -> list:
+    """The Kaplan–Meier product-limit recurrence as a pure function of
+    (t, is_event, count) triples — exact integer micro-units (ppm),
+    half-up per step, so the batch operator and the oracle's recursive
+    CTE replay it bit-for-bit (the ses_backtest convention).
+
+    Standard KM conventions: subjects censored AT an event time are
+    still at risk for that event (events precede censoring on ties);
+    censoring times that host no event emit no row (they only shrink
+    the next n_risk). Returns (t, n_risk, d_events, survival_ppm)
+    per event time, ascending.
+    """
+    total = sum(c for _, _, c in rows)
+    at_t: dict = {}
+    d_t: dict = {}
+    for t, ev, c in rows:
+        at_t[t] = at_t.get(t, 0) + c
+        if ev:
+            d_t[t] = d_t.get(t, 0) + c
+    s = 1_000_000
+    removed = 0
+    out = []
+    for t in sorted(at_t):
+        n_risk = total - removed
+        d = d_t.get(t, 0)
+        if d > 0:
+            s = (2 * s * (n_risk - d) + n_risk) // (2 * n_risk)
+            out.append((t, n_risk, d, s))
+        removed += at_t[t]
+    return out
+
+
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of order fulfilment time — "what
+    fraction of orders is still open after t days", the right-censored
+    estimate a naive average of finished orders gets wrong (it
+    silently drops every order still open, biasing fulfilment time
+    low). Subjects are orders; the event is completion (status 'F',
+    time = days from order date to the LAST line-item ship date);
+    open orders ('O'/'P', or F-rows with no line items) are CENSORED
+    at the observation horizon (the global max ship date) — they
+    stop being at risk without counting as events, exactly what the
+    product-limit estimator is for.
+
+    S(t) is carried as exact integer micro-units with the family's
+    sign-aware half-up per step (s ← halfup(s·(n−d)/n)), so the whole
+    curve replays bit-for-bit in the oracle's recursive CTE and in
+    the pure-Python km_curve kernel.
+
+    Plan: one lineitem scan partial-aggregates to per-order last-ship
+    dates, one shuffle equi-join against orders, then everything
+    reduces to (duration, is_event) counts — bounded by the CALENDAR
+    (distinct day counts), not the corpus, so the driver-side
+    recurrence stays O(span) at 100 TB under the loud KM_MAX_TIMES
+    cap (the collect_months convention).
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    done = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    gmax = li.agg(F.max(F.to_date("l_shipdate")).alias("horizon"))
+    ev = (F.col("o_orderstatus") == "F") & F.col("last_ship").isNotNull()
+    sub = (
+        o.join(done, o.o_orderkey == done.l_orderkey, "left")
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.when(ev, F.datediff("last_ship", F.to_date("o_orderdate")))
+            .otherwise(F.datediff("horizon", F.to_date("o_orderdate")))
+            .alias("t"),
+            ev.alias("ev"),
+        )
+    )
+    dur = sub.groupBy("t", "ev").agg(F.count("*").alias("c"))
+    rows = dur.limit(KM_MAX_TIMES + 1).collect()
+    if len(rows) > KM_MAX_TIMES:
+        raise ValueError(
+            f"orders_survival_km: > {KM_MAX_TIMES} (duration, event) "
+            f"rows; the driver-side recurrence is for calendar-bounded "
+            f"duration grids only"
+        )
+    curve = km_curve(
+        [(int(r["t"]), bool(r["ev"]), int(r["c"])) for r in rows]
+    )
+    return spark.createDataFrame(
+        [(int(t), int(n), int(d), int(s)) for t, n, d, s in curve],
+        "t_days long, n_risk long, d_events long, survival_ppm long",
+    ).orderBy("t_days")

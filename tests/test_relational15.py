@@ -241,3 +241,86 @@ class TestBenford:
             _duck(SF_SMOKE, ("events",)),
             entrymod._benford_sql(),
         )
+
+
+def _write_orders_lineitem(spark, tmp_path, orders, lineitems):
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        lineitems,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    return str(tmp_path)
+
+
+class TestSurvivalKm:
+    def test_kernel_hand_example(self):
+        # events at t=1 (1 of 4) and t=3 (2 of 2 remaining after a
+        # censoring at t=2 removed one subject)
+        rows = [(1, True, 1), (2, False, 1), (3, True, 2)]
+        assert R15.km_curve(rows) == [
+            (1, 4, 1, 750000), (3, 2, 2, 0),
+        ]
+
+    def test_censored_at_event_time_still_at_risk(self):
+        rows = [(5, True, 1), (5, False, 1)]
+        assert R15.km_curve(rows) == [(5, 2, 1, 500000)]
+
+    def test_operator_known_curve(self, spark, tmp_path):
+        import datetime as dt
+
+        d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+        li_extra = (1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O")
+        orders = [
+            (1, 1, "F", 1.0, d(1), "1-URGENT"),   # event t=2
+            (2, 1, "F", 1.0, d(1), "1-URGENT"),   # event t=4
+            (3, 1, "O", 1.0, d(2), "1-URGENT"),   # censored t=3
+            (4, 1, "F", 1.0, d(1), "1-URGENT"),   # no lines -> censored t=4
+        ]
+        lis = [
+            (1, *li_extra, d(2)), (1, *li_extra, d(3)),  # last ship Jan 3
+            (2, *li_extra, d(5)),                        # horizon Jan 5
+        ]
+        got = [
+            tuple(r)
+            for r in R15.orders_survival_km(
+                spark, _write_orders_lineitem(spark, tmp_path, orders, lis)
+            ).collect()
+        ]
+        assert got == [(2, 4, 1, 750000), (4, 2, 1, 375000)]
+
+    def test_monotone_on_smoke(self, spark):
+        rows = R15.orders_survival_km(spark, SF_SMOKE).collect()
+        assert rows
+        prev_s, prev_n = 1_000_000, None
+        for r in rows:
+            assert r.survival_ppm <= prev_s
+            assert r.d_events >= 1
+            if prev_n is not None:
+                assert r.n_risk < prev_n
+            prev_s, prev_n = r.survival_ppm, r.n_risk
+
+    def test_cap_raises(self, spark, monkeypatch):
+        monkeypatch.setattr(R15, "KM_MAX_TIMES", 1)
+        with pytest.raises(ValueError, match="duration grids"):
+            R15.orders_survival_km(spark, SF_SMOKE)
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.orders_survival_km(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("orders", "lineitem")),
+            entrymod._km_sql(),
+        )
