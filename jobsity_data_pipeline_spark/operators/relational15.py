@@ -128,34 +128,27 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str,
 ACF_MAX_LAG = 7
 
 
-def events_acf(spark: SparkSession, sf_dir: str,
-               max_lag: int = ACF_MAX_LAG) -> DataFrame:
-    """Sample autocorrelation of the daily event-count series at lags
-    1..``max_lag`` — "is traffic weekly-periodic" in one table. The
-    series is the zero-filled calendar of daily counts over the full
-    [min(ts), max(ts)] span (a gap is a real 0, not a dropped pair),
-    and each lag's statistic is the Pearson correlation of the
-    (c_t, c_{t+lag}) pairs.
-
-    Exactness: the five sufficient sums accumulate as decimal(38,0)
-    integers — order-independent and with 128-bit headroom so a
-    1e9-events/day series squared over years cannot overflow (the
-    oracle's HUGEINT matches) — and only the final ratio is a double,
-    computed by one identical expression in both engines.
-
-    Plan: ONE fact scan partial-aggregates to daily counts (span-sized
-    — trivially small even at 100 TB); the calendar spine explodes
-    from a broadcast 1-row span aggregate; the lag fan-out and the
-    self-join run entirely on broadcast day-sized frames. No window is
-    needed at all.
-    """
-    ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("c"))
+def daily_counts(ev: DataFrame) -> DataFrame:
+    """(day, count) reduction of an events frame — the sufficient
+    statistic for the ACF audit. Shared by the batch operator and the
+    streaming maintainer: counts are plain integer sums, so summed
+    per-batch deltas reproduce the corpus series exactly and
+    acf_from_daily serves identical numbers."""
+    return ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
     )
-    span = ev.agg(
-        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
-    )
+
+
+def acf_from_daily(spark: SparkSession, daily: DataFrame,
+                   max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """The lag-correlation table from a (d, c) daily-count frame — the
+    shape both events_acf and the state-served acf_from_state return,
+    so stream == batch is an identity of this one kernel. The calendar
+    span derives from the daily frame itself (min/max day == min/max
+    event-ts date, so zero-count edge days cannot exist in either
+    path), keeping the whole computation on the post-aggregation
+    frame — one corpus pass total for the batch operator."""
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     spine = span.select(F.explode(F.sequence("d0", "d1")).alias("d"))
     filled = (
         spine.join(daily, "d", "left")
@@ -197,6 +190,32 @@ def events_acf(spark: SparkSession, sf_dir: str,
         F.col("n").cast("long").alias("n_pairs"),
         F.round(num / F.sqrt(denx * deny), 6).alias("acf"),
     ).orderBy("lag")
+
+
+def events_acf(spark: SparkSession, sf_dir: str,
+               max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..``max_lag`` — "is traffic weekly-periodic" in one table. The
+    series is the zero-filled calendar of daily counts over the full
+    [min(ts), max(ts)] span (a gap is a real 0, not a dropped pair),
+    and each lag's statistic is the Pearson correlation of the
+    (c_t, c_{t+lag}) pairs.
+
+    Exactness: the five sufficient sums accumulate as decimal(38,0)
+    integers — order-independent and with 128-bit headroom so a
+    1e9-events/day series squared over years cannot overflow (the
+    oracle's HUGEINT matches) — and only the final ratio is a double,
+    computed by one identical expression in both engines.
+
+    Plan: ONE fact scan total — the corpus partial-aggregates to
+    daily counts (span-sized, trivially small even at 100 TB) and
+    everything downstream (span, spine, lag fan-out, self-join) runs
+    in acf_from_daily on that post-aggregation frame over broadcast
+    joins. No window is needed at all.
+    """
+    return acf_from_daily(
+        spark, daily_counts(_t(spark, sf_dir, "events")), max_lag
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -330,9 +349,19 @@ def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digit spine (1..9) and the 1-row total join back broadcast, so
     absent digits still report observed=0 with their full expectation.
     """
-    ev = _t(spark, sf_dir, "events")
+    return benford_from_counts(
+        spark, benford_digit_counts(_t(spark, sf_dir, "events"))
+    )
+
+
+def benford_digit_counts(ev: DataFrame) -> DataFrame:
+    """(digit, observed) reduction of an events frame — the sufficient
+    statistic for the Benford audit. Shared by the batch operator and
+    the streaming maintainer (summed per-batch deltas reproduce the
+    corpus digit counts exactly, so benford_from_counts serves
+    identical numbers)."""
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    counts = (
+    return (
         ev.select(cents.alias("cents"))
         .where(F.col("cents") > 0)
         .select(
@@ -342,6 +371,14 @@ def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count("*").alias("observed"))
     )
+
+
+def benford_from_counts(spark: SparkSession,
+                        counts: DataFrame) -> DataFrame:
+    """The Benford audit table from a (digit, observed) counts frame —
+    the shape both events_benford and the state-served
+    benford_from_state return, so stream == batch is an identity of
+    this one kernel."""
     spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
     p = F.element_at(
         F.array(*[F.lit(v) for v in BENFORD_P]), F.col("digit")

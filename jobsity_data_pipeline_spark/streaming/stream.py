@@ -1681,3 +1681,104 @@ def ks_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
     return ks_from_counts(
         deltas.groupBy("source", "x").agg(F.sum("c").alias("c"))
     )
+
+
+def stream_daily_counts(events: DataFrame, table_dir: str,
+                        checkpoint: str):
+    """Maintain the daily event-count series over an EVENT STREAM —
+    the sufficient statistic of the ACF periodicity audit
+    (relational15.daily_counts), so "is traffic weekly-periodic" is
+    answered from O(span-days) state instead of a corpus scan.
+
+    Counters are SUMS (non-absorbing): idempotence comes from the
+    manifest batch token, the stream_classifier_counts pattern; the
+    read side (acf_from_state) sum-merges per day and runs the shared
+    acf_from_daily kernel — output bit-identical to batch events_acf
+    over the same events. Delta key is namespaced token-first
+    ('dc|<batch>|<day>')."""
+    from ..operators.relational15 import daily_counts
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = daily_counts(batch_df).withColumn(
+            "delta_key",
+            F.concat_ws("|", F.lit("dc"), F.lit(str(batch_id)),
+                        F.col("d")),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def acf_from_state(spark: SparkSession, table_dir: str,
+                   max_lag: int | None = None) -> DataFrame:
+    """The daily-count autocorrelation table served FROM the
+    maintained counters: sum-merge the per-batch deltas (recovering
+    the exact daily series) and run the shared acf_from_daily kernel
+    — bit-identical to batch events_acf over the same corpus,
+    corpus-free."""
+    from ..operators.relational15 import ACF_MAX_LAG, acf_from_daily
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published daily-count state at {table_dir}")
+    return acf_from_daily(
+        spark, deltas.groupBy("d").agg(F.sum("c").alias("c")),
+        ACF_MAX_LAG if max_lag is None else int(max_lag),
+    )
+
+
+def stream_digit_counts(events: DataFrame, table_dir: str,
+                        checkpoint: str):
+    """Maintain the Benford first-digit counters over an EVENT STREAM
+    (relational15.benford_digit_counts) — the fabricated-data screen
+    kept current from at most 9 counter rows per batch. Counters are
+    SUMS (non-absorbing): manifest batch-token idempotence; serve
+    with benford_from_state, bit-identical to batch events_benford.
+    Delta key is namespaced token-first ('bf|<batch>|<digit>')."""
+    from ..operators.relational15 import benford_digit_counts
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = benford_digit_counts(batch_df).withColumn(
+            "delta_key",
+            F.concat_ws("|", F.lit("bf"), F.lit(str(batch_id)),
+                        F.col("digit")),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def benford_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The Benford audit table served FROM the maintained digit
+    counters: sum-merge the per-batch deltas and run the shared
+    benford_from_counts kernel — bit-identical to batch
+    events_benford over the same corpus, corpus-free."""
+    from ..operators.relational15 import benford_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published digit-count state at {table_dir}")
+    return benford_from_counts(
+        spark,
+        deltas.groupBy("digit").agg(F.sum("observed").alias("observed")),
+    )

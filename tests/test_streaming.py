@@ -1735,3 +1735,145 @@ def test_stream_sourcelen_counts_serves_batch_ks_bitexact(
     assert latest_manifest(table)["version"] == v
     assert [tuple(r) for r in ks_from_state(spark, table).collect()] \
         == want
+
+
+def test_stream_daily_counts_serves_batch_acf_bitexact(spark, tmp_path):
+    """Round-10: daily event counters maintained as per-batch integer
+    deltas serve the ACF table BIT-IDENTICAL to batch events_acf over
+    the union (summed exact daily counts -> the shared acf_from_daily
+    kernel), and a replayed batch cannot double-count."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational15 import (
+        daily_counts, events_acf,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        acf_from_state, stream_daily_counts,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1)
+    # 60 days, deliberately bursty with some silent days
+    rows = [
+        (i, base + dt.timedelta(days=(i * 7) % 60, hours=i % 24),
+         i % 5, "a", 1.0, "{}")
+        for i in range(400)
+    ]
+    src = tmp_path / "events"
+    for half in (0, 1):
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == half], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf_like / "events.parquet"))
+
+    table = str(tmp_path / "dc_counts")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_daily_counts(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = [tuple(r) for r in events_acf(spark, str(sf_like)).collect()]
+    got = [tuple(r) for r in acf_from_state(spark, table).collect()]
+    assert got == want and len(got) == 7
+
+    # replaying batch 0's delta under its original token is a no-op
+    v = latest_manifest(table)["version"]
+    b0 = daily_counts(
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == 0], schema
+        )
+    ).withColumn(
+        "delta_key",
+        F.concat_ws("|", F.lit("dc"), F.lit("0"), F.col("d")),
+    )
+    assert upsert_batch(b0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert [tuple(r) for r in acf_from_state(spark, table).collect()] \
+        == want
+
+
+def test_stream_digit_counts_serves_batch_benford_bitexact(
+    spark, tmp_path
+):
+    """Round-10: Benford digit counters maintained as per-batch
+    integer deltas serve the audit table BIT-IDENTICAL to batch
+    events_benford over the union, and a replayed batch cannot
+    double-count."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational15 import (
+        benford_digit_counts, events_benford,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        benford_from_state, stream_digit_counts,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, i % 5, "a",
+         round(((i * 37) % 900 + 1) * (10 ** (i % 3)) / 100, 2), "{}")
+        for i in range(300)
+    ]
+    src = tmp_path / "events"
+    for half in (0, 1):
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == half], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf_like / "events.parquet"))
+
+    table = str(tmp_path / "bf_counts")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_digit_counts(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = [tuple(r)
+            for r in events_benford(spark, str(sf_like)).collect()]
+    got = [tuple(r) for r in benford_from_state(spark, table).collect()]
+    assert got == want and len(got) == 9
+
+    # replaying batch 0's delta under its original token is a no-op
+    v = latest_manifest(table)["version"]
+    b0 = benford_digit_counts(
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == 0], schema
+        )
+    ).withColumn(
+        "delta_key",
+        F.concat_ws("|", F.lit("bf"), F.lit("0"), F.col("digit")),
+    )
+    assert upsert_batch(b0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert [tuple(r)
+            for r in benford_from_state(spark, table).collect()] == want
