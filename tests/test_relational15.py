@@ -324,3 +324,78 @@ class TestSurvivalKm:
             _duck(SF_SMOKE, ("orders", "lineitem")),
             entrymod._km_sql(),
         )
+
+
+class TestKmKernelProperties:
+    """Hypothesis properties of the pure product-limit kernel: the
+    exact integer recurrence must track a float KM reference within
+    per-step rounding error, and the structural invariants must hold
+    for ANY censoring pattern."""
+
+    @staticmethod
+    def _float_km(rows):
+        total = sum(c for _, _, c in rows)
+        at_t, d_t = {}, {}
+        for t, ev, c in rows:
+            at_t[t] = at_t.get(t, 0) + c
+            if ev:
+                d_t[t] = d_t.get(t, 0) + c
+        s, removed, out = 1.0, 0, []
+        for t in sorted(at_t):
+            n = total - removed
+            d = d_t.get(t, 0)
+            if d > 0:
+                s *= (n - d) / n
+                out.append((t, n, d, s))
+            removed += at_t[t]
+        return out
+
+    def test_tracks_float_reference(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(
+            st.tuples(st.integers(0, 30), st.booleans(),
+                      st.integers(1, 5)),
+            min_size=1, max_size=40,
+        ))
+        def check(rows):
+            got = R15.km_curve(rows)
+            ref = self._float_km(rows)
+            assert [(g[0], g[1], g[2]) for g in got] \
+                == [(r[0], r[1], r[2]) for r in ref]
+            # half-up per step: cumulative drift bounded by one ppm
+            # per event step (each step rounds once)
+            for i, (g, r) in enumerate(zip(got, ref)):
+                assert abs(g[3] - r[3] * 1e6) <= i + 1
+            # structural invariants
+            prev = 1_000_000
+            for _t, n, d, s in got:
+                assert 0 <= s <= prev
+                assert 1 <= d <= n
+                prev = s
+
+        check()
+
+    def test_no_censoring_equals_ecdf_complement(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(st.integers(0, 20), min_size=1, max_size=30))
+        def check(times):
+            rows = [(t, True, 1) for t in times]
+            got = R15.km_curve(rows)
+            n = len(times)
+            # with zero censoring, KM reduces to 1 - ECDF: after the
+            # last event time S = 0, and at each event time
+            # S = (subjects with time > t) / n up to rounding
+            for t, n_risk, d, s in got:
+                exact = sum(1 for x in times if x > t)
+                # the recurrence rounds each step; allow the same
+                # cumulative ppm bound
+                assert abs(s - exact * 1_000_000 // n) <= len(got)
+            assert got[-1][3] == 0
+
+        check()
