@@ -1,0 +1,61 @@
+"""Tests for the ``python -m jobsity_data_pipeline_spark`` CLI — the
+operational surface mirroring how the reference repo is driven
+(a script over CSV + warehouse). list/oracle are Spark-free;
+run/ingest reuse the session fixture's JVM via get_spark's
+getOrCreate."""
+
+from __future__ import annotations
+
+from jobsity_data_pipeline_spark.__main__ import main
+from tests.conftest import SF_SMOKE
+
+
+def test_list_filters(capsys):
+    assert main(["list", "q1_"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["q1_pricing_summary"]
+    assert main(["list"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) >= 198
+
+
+def test_oracle_prints_sql(capsys):
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+    assert main(["oracle", "nope"]) == 1
+
+
+def test_run_query(spark, capsys):
+    assert main(["run", "dq_report", "--sf-dir", SF_SMOKE,
+                 "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "check" in out and "n_bad" in out
+    assert main(["run", "nope"]) == 1
+
+
+def test_run_explain(spark, capsys):
+    assert main(["run", "q1_pricing_summary", "--sf-dir", SF_SMOKE,
+                 "--explain"]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_ingest_trips(spark, tmp_path, capsys):
+    rows = [
+        ("Prague", "POINT (14.4973 50.0013)", "POINT (14.4310 50.0405)",
+         "2018-05-28 09:03:40", "funny_car"),
+        ("Turin", "POINT (7.6728 44.9957)", "POINT (7.7203 45.0678)",
+         "2018-05-21 02:54:04", "baba_car"),
+        # duplicate of row 0: the reference's ON CONFLICT DO NOTHING
+        ("Prague", "POINT (14.4973 50.0013)", "POINT (14.4310 50.0405)",
+         "2018-05-28 09:03:40", "funny_car"),
+    ]
+    p = tmp_path / "trips.csv"
+    p.write_text("\n".join(
+        ["region,origin_coord,destination_coord,datetime,datasource"]
+        + [",".join(f'"{c}"' for c in r) for r in rows]
+    ))
+    table = str(tmp_path / "trips_tbl")
+    assert main(["ingest", str(p), table]) == 0
+    assert "2 rows" in capsys.readouterr().out
+    # replaying the same batch id is the idempotent no-op
+    assert main(["ingest", str(p), table, "--batch-id", "0"]) == 0
+    assert "skipped_duplicate" in capsys.readouterr().out
