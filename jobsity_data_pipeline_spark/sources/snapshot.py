@@ -1673,3 +1673,62 @@ def vacuum(table_dir: str, keep_versions: int = 2,
         "data_dirs_live": len(live),
         "files_removed": removed_files,
     }
+
+
+def maintain(spark: SparkSession, table_dir: str,
+             small_file_bytes: int = 8 << 20,
+             min_small_files: int = 4,
+             target_files: int = 1,
+             cluster_by: str | list | tuple | None = None,
+             analyze_keys: list[str] | None = None,
+             keep_versions: int = 8,
+             retention_seconds: float = 3600.0,
+             vacuum_old: bool = False) -> dict:
+    """The nightly table-maintenance verb — one call chaining the three
+    maintenance primitives in their only sensible order, with the
+    policy knobs a scheduler wants:
+
+    1. COMPACT (bin-packing) when at least ``min_small_files`` live
+       files are under ``small_file_bytes`` — the steady-state cleanup
+       a streaming upsert sink needs; ``cluster_by`` re-clusters the
+       rewritten tail for data skipping.
+    2. ANALYZE ``analyze_keys`` whose stats entries are missing or
+       stale for some live file — point reads / delete pruning then
+       work from the manifest alone. Keys already fully covered are
+       skipped without a footer read.
+    3. VACUUM (opt-in: destroys time travel beyond ``keep_versions``)
+       retires old manifests and unreferenced data under the retention
+       window.
+
+    Each step is the underlying primitive verbatim — same CAS guards,
+    same idempotence — so maintain() adds policy, not new commit
+    machinery. Returns the three step reports (None where a step
+    didn't run)."""
+    report: dict = {"compact": None, "analyze": None, "vacuum": None}
+    man = latest_manifest(table_dir)
+    if man is None or not man["files"]:
+        return report
+    small = [p for p in man["files"]
+             if os.path.getsize(p) < small_file_bytes]
+    if len(small) >= min_small_files:
+        report["compact"] = compact(
+            spark, table_dir, target_files=target_files,
+            cluster_by=cluster_by,
+            only_smaller_than=small_file_bytes,
+        )
+        man = latest_manifest(table_dir)
+    if analyze_keys:
+        stats = (man or {}).get("stats", {})
+        live = set((man or {}).get("files", []))
+        missing = [
+            k for k in analyze_keys
+            if not live <= set(stats.get(k, {}))
+        ]
+        if missing:
+            report["analyze"] = analyze(table_dir, missing)
+    if vacuum_old:
+        report["vacuum"] = vacuum(
+            table_dir, keep_versions=keep_versions,
+            retention_seconds=retention_seconds,
+        )
+    return report

@@ -2223,3 +2223,45 @@ def test_check_constraints_enforced_on_ingest(spark, tmp_path):
     ) == "published"
     with _pt.raises(ValueError, match="no constraint"):
         drop_constraint(table, "nope")
+
+
+def test_maintain_chains_compact_analyze_vacuum(spark, tmp_path):
+    """Round-10: maintain() is policy over the three primitives —
+    bin-pack compaction only past the small-file threshold, analyze
+    only for keys with missing stats coverage, vacuum only opt-in —
+    and a freshly maintained table is a no-op on the next run."""
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, maintain, read_latest, upsert_batch,
+    )
+
+    table = str(tmp_path / "t")
+    # four streaming-style small appends -> four small files
+    for b in range(4):
+        upsert_batch(
+            spark.createDataFrame(
+                [(b * 10 + i, f"v{b}", float(i)) for i in range(5)],
+                "id long, v string, price double",
+            ),
+            b, table, key="id",
+        )
+    assert len(latest_manifest(table)["files"]) == 4
+
+    r = maintain(spark, table, analyze_keys=["price"])
+    assert r["compact"]["files_after"] < r["compact"]["files_before"]
+    assert r["analyze"]["added"] == ["price"]
+    assert r["vacuum"] is None  # opt-in only
+    assert read_latest(spark, table).count() == 20
+    man = latest_manifest(table)
+    # every live file has a price stats entry after analyze
+    assert set(man["files"]) <= set(man["stats"]["price"])
+
+    # steady state: nothing small, stats covered -> full no-op
+    r2 = maintain(spark, table, analyze_keys=["price"])
+    assert r2 == {"compact": None, "analyze": None, "vacuum": None}
+
+    # vacuum is opt-in and reports
+    r3 = maintain(spark, table, analyze_keys=["price"],
+                  vacuum_old=True, keep_versions=1,
+                  retention_seconds=0.0)
+    assert r3["vacuum"]["manifests_retired"] >= 1
+    assert read_latest(spark, table).count() == 20
