@@ -60,6 +60,17 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("table_dir")
     p_ing.add_argument("--batch-id", type=int, default=0)
 
+    p_hist = sub.add_parser(
+        "history", help="DESCRIBE HISTORY of a snapshot table")
+    p_hist.add_argument("table_dir")
+
+    p_mnt = sub.add_parser(
+        "maintain", help="nightly maintenance: compact/analyze/vacuum")
+    p_mnt.add_argument("table_dir")
+    p_mnt.add_argument("--analyze-keys", default="",
+                       help="comma-separated stats keys")
+    p_mnt.add_argument("--vacuum", action="store_true")
+
     a = p.parse_args(argv)
     e = _entrymod()
 
@@ -74,6 +85,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"no oracle for {a.query!r}", file=sys.stderr)
             return 1
         print(sql.strip())
+        return 0
+
+    if a.cmd == "history":
+        import datetime as dt
+
+        from .sources.snapshot import history
+
+        for h in history(a.table_dir):
+            ts = dt.datetime.fromtimestamp(
+                h["committed_at"], dt.timezone.utc
+            ).isoformat(timespec="seconds")
+            print(f"v{h['version']:>6}  {ts}  "
+                  f"{h['n_files']:>5} file(s)  {h['batch']}")
         return 0
 
     from .session import get_spark
@@ -106,6 +130,19 @@ def main(argv: list[str] | None = None) -> int:
         status = upsert_batch(staging, a.batch_id, a.table_dir)
         n = read_latest(spark, a.table_dir).count()
         print(f"{status}: table now has {n} rows")
+        return 0
+
+    if a.cmd == "maintain":
+        import json
+
+        from .sources.snapshot import maintain
+
+        spark = get_spark(app_name="cli-maintain")
+        keys = [k for k in a.analyze_keys.split(",") if k]
+        print(json.dumps(maintain(
+            spark, a.table_dir, analyze_keys=keys or None,
+            vacuum_old=a.vacuum,
+        )))
         return 0
 
     return 2

@@ -59,3 +59,27 @@ def test_ingest_trips(spark, tmp_path, capsys):
     # replaying the same batch id is the idempotent no-op
     assert main(["ingest", str(p), table, "--batch-id", "0"]) == 0
     assert "skipped_duplicate" in capsys.readouterr().out
+
+
+def test_history_and_maintain(spark, tmp_path, capsys):
+    from jobsity_data_pipeline_spark.sources.snapshot import upsert_batch
+
+    table = str(tmp_path / "t")
+    for b in range(4):
+        upsert_batch(
+            spark.createDataFrame(
+                [(b * 10 + i, float(i)) for i in range(5)],
+                "id long, price double",
+            ),
+            b, table, key="id",
+        )
+    assert main(["history", table]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert len(lines) == 4 and lines[0].startswith("v     1")
+
+    assert main(["maintain", table, "--analyze-keys", "price"]) == 0
+    out = capsys.readouterr().out
+    assert '"compact"' in out and '"analyze"' in out
+    assert main(["history", table]) == 0
+    # compaction (and analyze) published new versions
+    assert len(capsys.readouterr().out.splitlines()) >= 5
