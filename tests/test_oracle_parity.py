@@ -132,3 +132,28 @@ def test_no_oracle_sums_raw_money_floats():
     }
     bad = {k: v for k, v in bad.items() if v}
     assert not bad, f"oracles accumulating raw money floats: {bad}"
+
+
+def test_no_staged_oracle_emits_hugeint_or_decimal():
+    """The same output-type audit over the STAGED oracle generators
+    (parity-tested now, queries() registration deferred for sweep
+    budget) — a staged oracle that widens to HUGEINT/DECIMAL would
+    pass its local parity test today and hash-mismatch the round it
+    registers, the exact r3 escape class this gate exists for."""
+    staged = {
+        "orders_forecast_hw": entrymod._hw_sql(),
+        "orders_forecast_tournament": entrymod._tournament_sql(),
+        "docs_k_anonymity": entrymod._kanon_sql(),
+        "events_acf": entrymod._acf_sql(),
+        "docs_ks_source_drift": entrymod._ks_sql(),
+        "events_benford": entrymod._benford_sql(),
+        "orders_survival_km": entrymod._km_sql(),
+    }
+    con = _duck(SF_SMOKE)
+    bad = {}
+    for name, sql in sorted(staged.items()):
+        types = [str(t).upper() for t in con.sql(sql).types]
+        hits = [t for t in types if "HUGEINT" in t or "DECIMAL" in t]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"staged oracles emitting HUGEINT/DECIMAL: {bad}"
