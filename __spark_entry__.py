@@ -431,6 +431,42 @@ _ROUND10_PRIORITY: tuple[str, ...] = (
     "q4_order_priority",
 )
 
+# Round-11 prep, STAGED NOT WIRED (queries() still runs the round-10
+# rotation above — the driver's r10 sweep must sample the r6 tier).
+# Assuming CORRECTNESS_r10 comes back green on the 50 keys below, the
+# r11 builder should: (1) define _SAMPLED_R10 = the 46-key
+# _ROUND10_PRIORITY tuple + the four round-10 registrations
+# (docs_classifier_yield, orders_forecast_holt,
+# events_type_overlap_hll, events_type_containment_kmv), (2) add it
+# to the tier chains in queries()/_later_tiers, (3) switch the
+# priority to this tuple — the full 48-key r7-latest tier
+# (_SAMPLED_R7 minus every later tier, verified 48 keys) — and
+# (4) register the two r11-staged queries (orders_forecast_hw,
+# orders_forecast_tournament), which auto-front as never-sampled:
+# 48 + 2 = exactly the 50-key budget. The five r12-staged audit
+# queries (docs_k_anonymity, events_acf, docs_ks_source_drift,
+# events_benford, orders_survival_km) must stay UNREGISTERED in r11
+# or they would push tier keys out of the budget.
+_ROUND11_PRIORITY_STAGED: tuple[str, ...] = (
+    "customer_balance_deciles", "customer_interpurchase_gaps",
+    "docs_bigram_logprob", "docs_bloom_probe", "docs_boilerplate_spans",
+    "docs_chunk_windows", "docs_dup_ngram_fraction", "docs_dup_spans",
+    "docs_length_filter_yield", "docs_minhash_bands", "docs_mix_weights",
+    "docs_ngram_novelty", "docs_pack_sequences",
+    "docs_preprocess_pipeline", "docs_quality_tiers", "docs_shard_plan",
+    "docs_simhash_pairs", "docs_source_divergence", "docs_token_gini",
+    "docs_unigram_logprob", "docs_weighted_sample", "docs_winnow_pairs",
+    "emb_ann_recall", "emb_cosine_topk", "emb_hard_negatives",
+    "emb_hard_negatives_ann", "emb_hardneg_recall", "emb_ivf_ann",
+    "emb_ivfpq_ann", "emb_ivfpq_residual_ann", "emb_knn_classify",
+    "emb_lsh_ann", "emb_matryoshka_recall", "emb_pq_ann",
+    "emb_pq_rerank", "emb_pq_trained_ann", "emb_top_pc", "emb_top_pcs",
+    "events_attribution", "events_dau_mau", "events_hll_distinct",
+    "events_range_join", "events_type_cooccurrence", "events_type_runs",
+    "events_user_paths", "events_windowed_funnel", "orders_open_backlog",
+    "parts_triangles",
+)
+
 _ROUND9_PRIORITY: tuple[str, ...] = (
     # the full r5-latest tier — oldest driver rows on the board
     "customer_pareto", "docs_bm25_topk", "docs_bpe_encode",
