@@ -1080,3 +1080,24 @@ def test_round10_parallelism_gate_covers_limit_expand_distinct(spark):
             spark, li.rollup("l_returnflag").count())
     with pytest.raises(ValueError, match="scan-only"):
         ensure_parallelism(spark, li.select("l_orderkey").distinct())
+
+
+def test_no_registered_query_compiles_a_cartesian_product(spark):
+    """Blanket scale gate over the ENTIRE registered surface: no
+    queries() entry may compile to a CartesianProduct node — the one
+    join strategy that cannot survive 100 TB (every crossJoin in the
+    engine pairs with a broadcast/1-row side, which Spark plans as
+    BroadcastNestedLoopJoin instead). Compile-only (executedPlan
+    toString, nothing runs), so a future operator that silently loses
+    its broadcast hint fails HERE rather than in a cluster OOM."""
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution(
+        ).executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, (
+        f"queries compiling CartesianProduct joins: {offenders}"
+    )
