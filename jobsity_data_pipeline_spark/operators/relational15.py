@@ -469,10 +469,31 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    done = li.groupBy("l_orderkey").agg(
+    done = lastship_counts(li)
+    return km_table(spark, o, done)
+
+
+def lastship_counts(li: DataFrame) -> DataFrame:
+    """(l_orderkey, last_ship) reduction of a lineitem frame — the
+    sufficient statistic for the survival audit. Shared by the batch
+    operator and the streaming maintainer: per-order max ship date is
+    an ABSORBING max-merge (max of per-batch maxes = corpus max, and
+    re-merging a replayed batch is a no-op), so km_table over merged
+    state serves identical numbers."""
+    return li.groupBy("l_orderkey").agg(
         F.max(F.to_date("l_shipdate")).alias("last_ship")
     )
-    gmax = li.agg(F.max(F.to_date("l_shipdate")).alias("horizon"))
+
+
+def km_table(spark: SparkSession, o: DataFrame,
+             done: DataFrame) -> DataFrame:
+    """The survival table from an orders frame + a per-order
+    (l_orderkey, last_ship) frame — the shape both orders_survival_km
+    and the state-served km_from_state return, so stream == batch is
+    an identity of this one kernel. The observation horizon is
+    max(last_ship) over the per-order frame (equal to the global max
+    ship date: the max of per-order maxes)."""
+    gmax = done.agg(F.max("last_ship").alias("horizon"))
     ev = (F.col("o_orderstatus") == "F") & F.col("last_ship").isNotNull()
     sub = (
         o.join(done, o.o_orderkey == done.l_orderkey, "left")

@@ -1782,3 +1782,55 @@ def benford_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
         spark,
         deltas.groupBy("digit").agg(F.sum("observed").alias("observed")),
     )
+
+
+def stream_lastship_upsert(lineitems: DataFrame, state_path: str,
+                           checkpoint: str):
+    """Maintain per-order last-ship dates over a LINE-ITEM STREAM —
+    the sufficient statistic of the Kaplan–Meier fulfilment survival
+    audit (relational15.lastship_counts), so the curve is served from
+    one compact row per order instead of re-scanning the (much wider
+    and many-times-larger) line-item corpus.
+
+    The state merge is per-order MAX — associative, commutative, and
+    ABSORBING (re-maxing a replayed batch's dates is a no-op, the
+    stream_kmv_upsert replay-safety class), so no commit-protocol
+    idempotence is needed. Serve with km_from_state; the table is
+    bit-identical to batch orders_survival_km because both run the
+    shared km_table kernel and max-of-maxes equals the corpus max."""
+    from ..operators.relational15 import lastship_counts
+    from ..sources.snapshot import publish_snapshot
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = lastship_counts(batch_df)
+        state = _state_or_adopt(spark, state_path)
+        merged = (
+            delta if state is None else state.unionByName(delta)
+        ).groupBy("l_orderkey").agg(
+            F.max("last_ship").alias("last_ship")
+        )
+        publish_snapshot(merged, state_path, f"lastshipbatch{batch_id}")
+
+    return (
+        lineitems.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def km_from_state(spark: SparkSession, state_path: str,
+                  orders: DataFrame) -> DataFrame:
+    """The Kaplan–Meier survival table served FROM the maintained
+    per-order last-ship state joined against the orders dimension —
+    bit-identical to batch orders_survival_km over the same data
+    (shared km_table kernel), without touching a single line item."""
+    from ..operators.relational15 import km_table
+
+    st = _state_or_adopt(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published last-ship state at {state_path}")
+    return km_table(spark, orders, st)

@@ -1877,3 +1877,83 @@ def test_stream_digit_counts_serves_batch_benford_bitexact(
     assert latest_manifest(table)["version"] == v
     assert [tuple(r)
             for r in benford_from_state(spark, table).collect()] == want
+
+
+def test_stream_lastship_serves_batch_km_bitexact(spark, tmp_path):
+    """Round-10: per-order last-ship state maintained by ABSORBING
+    max-merge serves the Kaplan-Meier table BIT-IDENTICAL to batch
+    orders_survival_km over the union (shared km_table kernel,
+    max-of-maxes == corpus max), and re-merging the full state into
+    itself changes nothing (the absorbing replay-safety class)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational15 import (
+        orders_survival_km,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import read_latest
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        km_from_state, stream_lastship_upsert,
+    )
+
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string"
+    )
+    l_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    base = dt.datetime(2024, 1, 1)
+    orders = [
+        (k, 1, ["F", "O", "P"][k % 3], 1.0,
+         base + dt.timedelta(days=k % 9), "1-URGENT")
+        for k in range(40)
+    ]
+    lis = [
+        (k % 40, 1, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         base + dt.timedelta(days=3 + (k * 13 + i * 5) % 50))
+        for k in range(80) for i in range(2)
+    ]
+    src = tmp_path / "li"
+    for half in (0, 1):  # two files -> two micro-batches; orders'
+        # line items deliberately SPAN batches so only the absorbing
+        # max over both reproduces the per-order last ship
+        spark.createDataFrame(
+            [r for j, r in enumerate(lis) if j % 2 == half], l_schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    spark.createDataFrame(orders, o_schema).coalesce(1).write.parquet(
+        str(sf_like / "orders.parquet"))
+    spark.createDataFrame(lis, l_schema).coalesce(1).write.parquet(
+        str(sf_like / "lineitem.parquet"))
+
+    state = str(tmp_path / "lastship")
+    stream = (
+        spark.readStream.schema(l_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_lastship_upsert(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    odf = spark.read.parquet(str(sf_like / "orders.parquet"))
+    want = [tuple(r)
+            for r in orders_survival_km(spark, str(sf_like)).collect()]
+    got = [tuple(r) for r in km_from_state(spark, state, odf).collect()]
+    assert got == want and got
+
+    # absorbing: re-merging the full state into itself is a no-op
+    st = read_latest(spark, state)
+    re_merged = (
+        st.unionByName(st).groupBy("l_orderkey")
+        .agg(F.max("last_ship").alias("last_ship"))
+    )
+    a = sorted(tuple(r) for r in st.collect())
+    b = sorted(tuple(r) for r in re_merged.collect())
+    assert a == b
