@@ -27,6 +27,19 @@ documents / events tables, each with an exact DuckDB oracle twin
   own statistic; consumers sum the column). The Benford expectations
   are shared literal doubles — the SQL twin embeds ``repr()`` of the
   same Python constants, so both engines start from identical bits.
+- orders_survival_km: right-censored Kaplan–Meier survival curve of
+  order fulfilment time. The product-limit recurrence runs in exact
+  integer micro-units with half-up per step (the forecaster-family
+  convention), factored into the pure ``km_curve`` kernel so the
+  curve replays bit-for-bit in the oracle's recursive CTE, the unit
+  tests, and a hypothesis float-reference property.
+
+Every operator here splits into a SUFFICIENT-STATISTIC kernel
+(kanon_classes / ks_counts / daily_counts / benford_digit_counts /
+lastship_counts) and a SERVING kernel over that statistic — the
+streaming maintainers in streaming/stream.py feed the same serving
+kernels from counter-delta or absorbing-merge state, so every audit
+has a corpus-free stream-served twin proven bit-identical in tests.
 
 Reference parity note: the reference pipeline (119 lines of Postgres
 SQL/loader, src/sqls/create_objects.sql) has no statistics surface;
