@@ -2273,6 +2273,76 @@ def _km_sql() -> str:
     """
 
 
+def _km_grouped_sql() -> str:
+    """R13-STAGED: DuckDB replay of
+    relational15.orders_survival_km_by_priority — the _km_sql chain
+    with the stratum carried through (per-group totals/running sums,
+    row numbers partitioned per group) and a recursive CTE whose
+    frontier advances EVERY group one event-time per iteration
+    (rec JOIN evt ON same group AND i+1). The horizon stays global:
+    curves must be comparable across strata. Validated by a
+    parity-style unit test now."""
+    return """
+        WITH RECURSIVE done AS (
+            SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS last_ship
+            FROM lineitem GROUP BY 1
+        ),
+        hz AS (
+            SELECT CAST(max(l_shipdate) AS DATE) AS horizon FROM lineitem
+        ),
+        sub AS (
+            SELECT o.o_orderpriority AS g,
+                   CASE WHEN o.o_orderstatus = 'F'
+                             AND d.last_ship IS NOT NULL
+                        THEN d.last_ship - CAST(o.o_orderdate AS DATE)
+                        ELSE hz.horizon - CAST(o.o_orderdate AS DATE)
+                   END AS t,
+                   (o.o_orderstatus = 'F' AND d.last_ship IS NOT NULL)
+                       AS ev
+            FROM orders o
+            LEFT JOIN done d ON d.l_orderkey = o.o_orderkey
+            CROSS JOIN hz
+        ),
+        att AS (
+            SELECT g, t, CAST(count(*) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d
+            FROM sub GROUP BY g, t
+        ),
+        tot AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n FROM sub GROUP BY g
+        ),
+        r AS (
+            SELECT att.g, att.t, att.d,
+                   tot.n - CAST(coalesce(sum(att.a) OVER (
+                       PARTITION BY att.g ORDER BY att.t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+            FROM att JOIN tot ON tot.g = att.g
+        ),
+        evt AS (
+            SELECT row_number() OVER (
+                       PARTITION BY g ORDER BY t) AS i,
+                   g, t, n_risk, d
+            FROM r WHERE d > 0
+        ),
+        rec AS (
+            SELECT i, g, t, n_risk, d,
+                   (2 * 1000000 * (n_risk - d) + n_risk)
+                       // (2 * n_risk) AS s
+            FROM evt WHERE i = 1
+            UNION ALL
+            SELECT e.i, e.g, e.t, e.n_risk, e.d,
+                   (2 * rec.s * (e.n_risk - e.d) + e.n_risk)
+                       // (2 * e.n_risk)
+            FROM rec JOIN evt e ON e.g = rec.g AND e.i = rec.i + 1
+        )
+        SELECT g AS o_orderpriority, CAST(t AS BIGINT) AS t_days,
+               n_risk, d AS d_events, CAST(s AS BIGINT) AS survival_ppm
+        FROM rec ORDER BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     wom_dt = _WOM.format(c="date_time")
     sw_hits = (

@@ -533,3 +533,80 @@ def km_table(spark: SparkSession, o: DataFrame,
         [(int(t), int(n), int(d), int(s)) for t, n, d, s in curve],
         "t_days long, n_risk long, d_events long, survival_ppm long",
     ).orderBy("t_days")
+
+
+# the grouped grid multiplies the calendar bound by |strata|; 8x the
+# flat cap keeps it loud while covering low-cardinality group columns
+# (an order-priority/flag-like stratum) over ~7 calendar years
+KM_GROUPED_MAX = KM_MAX_TIMES * 8
+
+
+def km_table_grouped(spark: SparkSession, o: DataFrame, done: DataFrame,
+                     group_col: str) -> DataFrame:
+    """Stratified product-limit curves: one Kaplan–Meier table per
+    value of ``group_col``, all censored at the SAME global
+    observation horizon (max last_ship over the whole per-order frame
+    — the horizon is when data collection stopped, not a property of
+    the stratum, so curves stay comparable across groups). Each
+    stratum's rows are exactly what km_table would produce on that
+    stratum's orders alone (pinned in tests), so the grouped form is
+    the per-group identity of the same kernel."""
+    gmax = done.agg(F.max("last_ship").alias("horizon"))
+    ev = (F.col("o_orderstatus") == "F") & F.col("last_ship").isNotNull()
+    sub = (
+        o.join(done, o.o_orderkey == done.l_orderkey, "left")
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.col(group_col).alias("g"),
+            F.when(ev, F.datediff("last_ship", F.to_date("o_orderdate")))
+            .otherwise(F.datediff("horizon", F.to_date("o_orderdate")))
+            .alias("t"),
+            ev.alias("ev"),
+        )
+    )
+    dur = sub.groupBy("g", "t", "ev").agg(F.count("*").alias("c"))
+    rows = dur.limit(KM_GROUPED_MAX + 1).collect()
+    if len(rows) > KM_GROUPED_MAX:
+        raise ValueError(
+            f"km_table_grouped: > {KM_GROUPED_MAX} (group, duration, "
+            f"event) rows; the driver-side recurrence is for "
+            f"calendar-bounded duration grids over low-cardinality "
+            f"strata only"
+        )
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(
+            (int(r["t"]), bool(r["ev"]), int(r["c"]))
+        )
+    out = []
+    for g in sorted(by_g):
+        out.extend(
+            (g, int(t), int(n), int(d), int(s))
+            for t, n, d, s in km_curve(by_g[g])
+        )
+    return spark.createDataFrame(
+        out,
+        f"{group_col} string, t_days long, n_risk long, "
+        f"d_events long, survival_ppm long",
+    ).orderBy(group_col, "t_days")
+
+
+def orders_survival_km_by_priority(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Stratified fulfilment survival: one Kaplan–Meier curve per
+    order priority — "do urgent orders actually complete faster", the
+    comparison the flat orders_survival_km cannot answer. Same event/
+    censoring semantics and exact integer micro-unit recurrence; all
+    strata share the global observation horizon so the curves are
+    directly comparable.
+
+    Plan: identical to orders_survival_km (one lineitem reduction +
+    one equi-join) with the stratum column carried through the
+    calendar-bounded grid — |priorities| x span rows under the same
+    loud cap, then |priorities| independent driver recurrences.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return km_table_grouped(
+        spark, o, lastship_counts(li), "o_orderpriority"
+    )

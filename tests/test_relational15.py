@@ -12,6 +12,7 @@ import math
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from jobsity_data_pipeline_spark.operators import relational15 as R15
 from tests.conftest import SF_SMOKE
@@ -399,3 +400,37 @@ class TestKmKernelProperties:
             assert got[-1][3] == 0
 
         check()
+
+
+class TestSurvivalKmGrouped:
+    def test_each_stratum_equals_filtered_flat_curve(self, spark):
+        # the grouped form is the per-group identity of km_table:
+        # stratum g's rows == the flat curve over g's orders alone
+        # (same global horizon — done is corpus-wide in both paths)
+        from jobsity_data_pipeline_spark.session import read_table
+
+        grouped = R15.orders_survival_km_by_priority(spark, SF_SMOKE)
+        by_g: dict = {}
+        for r in grouped.collect():
+            by_g.setdefault(r.o_orderpriority, []).append(
+                (r.t_days, r.n_risk, r.d_events, r.survival_ppm))
+        o = read_table(spark, SF_SMOKE, "orders")
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        done = R15.lastship_counts(li)
+        assert by_g
+        for g, rows in list(by_g.items())[:2]:  # two strata suffice
+            flat = [
+                tuple(r) for r in R15.km_table(
+                    spark, o.where(F.col("o_orderpriority") == g), done
+                ).collect()
+            ]
+            assert rows == flat
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.orders_survival_km_by_priority(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("orders", "lineitem")),
+            entrymod._km_grouped_sql(),
+        )
