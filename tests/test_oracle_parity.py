@@ -148,6 +148,7 @@ def test_no_staged_oracle_emits_hugeint_or_decimal():
         "docs_ks_source_drift": entrymod._ks_sql(),
         "events_benford": entrymod._benford_sql(),
         "orders_survival_km": entrymod._km_sql(),
+        "orders_survival_km_by_priority": entrymod._km_grouped_sql(),
     }
     con = _duck(SF_SMOKE)
     bad = {}
