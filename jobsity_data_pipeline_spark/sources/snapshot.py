@@ -258,15 +258,22 @@ def upsert_batch(batch: DataFrame, batch_id: int, table_dir: str,
     # like the reference's ON CONFLICT DO NOTHING, intra-batch key
     # collisions also keep exactly one row
     batch = batch.dropDuplicates([key])
+    cons_checked: dict | None = None
     for _attempt in range(10):
         if any(tok == token
                for _, tok, _ in _manifests(table_dir, with_tokens=True)):
             return "skipped_duplicate"
         man = latest_manifest(table_dir)
-        if _attempt == 0:
+        cons_now = (man or {}).get("constraints")
+        if _attempt == 0 or cons_now != cons_checked:
             # after the token check (a replayed batch still skips) and
-            # before any data write — a violating batch leaves no file
+            # before any data write — a violating batch leaves no
+            # file. Re-validated on a CAS retry whenever the
+            # constraint set changed underneath us (an interleaved
+            # set_constraint must gate THIS batch too, not just the
+            # next one); an unchanged set skips the extra scan.
             _enforce_constraints(batch, man, "upsert_batch")
+            cons_checked = cons_now
         if man is None:
             base_version = 0
             new_rows = batch
@@ -531,16 +538,21 @@ def merge_into(source: DataFrame, batch_id: int, table_dir: str,
         )
     else:
         ins_pred = F.lit(bool(when_not_matched_insert))
+    cons_checked: dict | None = None
     for _attempt in range(10):
         if any(tok == token
                for _, tok, _ in _manifests(table_dir, with_tokens=True)):
             return {"status": "skipped_duplicate",
                     "deleted": 0, "updated": 0, "inserted": 0}
         man = latest_manifest(table_dir)
-        if _attempt == 0:
+        cons_now = (man or {}).get("constraints")
+        if _attempt == 0 or cons_now != cons_checked:
             # every row a merge can write (insert or rewrite) comes
-            # from src, so one batch-scan validation covers both paths
+            # from src, so one batch-scan validation covers both
+            # paths; re-validated on a CAS retry whenever the
+            # constraint set changed underneath us
             _enforce_constraints(src, man, "merge_into")
+            cons_checked = cons_now
         if man is None or not man["files"]:
             ins = src.where(ins_pred)
             n_ins = ins.count()

@@ -2265,3 +2265,47 @@ def test_maintain_chains_compact_analyze_vacuum(spark, tmp_path):
                   retention_seconds=0.0)
     assert r3["vacuum"]["manifests_retired"] >= 1
     assert read_latest(spark, table).count() == 20
+
+
+def test_constraint_added_mid_upsert_gates_the_retry(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 race close: a set_constraint that lands between a
+    writer's validation and its (CAS-failed) publish must gate the
+    RETRY of that same batch — enforcement re-runs on any attempt
+    where the manifest's constraint set changed, so the interleaved
+    constraint can never be bypassed by in-flight writers."""
+    import pytest as _pt
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    table = str(tmp_path / "t")
+    SN.upsert_batch(
+        spark.createDataFrame([(1, 2.0)], "id long, price double"),
+        0, table, key="id",
+    )
+
+    real_publish = SN._publish
+    fired = {"done": False}
+
+    def racing_publish(*args, **kwargs):
+        if not fired["done"]:
+            fired["done"] = True
+            # the interleaved committer: adds the constraint with the
+            # REAL publish, then forces the in-flight writer's CAS to
+            # fail exactly as a lost race would
+            monkeypatch.setattr(SN, "_publish", real_publish)
+            SN.set_constraint(spark, table, "price_nonneg", "price >= 0")
+            return -1
+        return real_publish(*args, **kwargs)
+
+    monkeypatch.setattr(SN, "_publish", racing_publish)
+    with _pt.raises(ValueError, match="price_nonneg"):
+        SN.upsert_batch(
+            spark.createDataFrame([(2, -5.0)], "id long, price double"),
+            1, table, key="id",
+        )
+    # nothing violating was published, and the constraint stands
+    man = SN.latest_manifest(table)
+    assert man["constraints"] == {"price_nonneg": "price >= 0"}
+    assert SN.read_latest(spark, table).where("price < 0").count() == 0
