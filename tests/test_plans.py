@@ -1083,21 +1083,33 @@ def test_round10_parallelism_gate_covers_limit_expand_distinct(spark):
 
 
 def test_no_registered_query_compiles_a_cartesian_product(spark):
-    """Blanket scale gate over the ENTIRE registered surface: no
-    queries() entry may compile to a CartesianProduct node — the one
-    join strategy that cannot survive 100 TB (every crossJoin in the
-    engine pairs with a broadcast/1-row side, which Spark plans as
-    BroadcastNestedLoopJoin instead). Compile-only (executedPlan
-    toString, nothing runs), so a future operator that silently loses
-    its broadcast hint fails HERE rather than in a cluster OOM."""
+    """Blanket scale gate over the ENTIRE registered surface, ONE
+    compile-only sweep asserting two never-at-100TB plan shapes are
+    absent from every queries() entry:
+
+    - CartesianProduct: the join strategy that cannot survive scale
+      (every crossJoin in the engine pairs with a broadcast/1-row
+      side, which Spark plans as BroadcastNestedLoopJoin instead) —
+      an operator that silently loses its broadcast hint fails HERE
+      rather than in a cluster OOM.
+    - BatchEvalPython: a row-at-a-time (non-Arrow) Python UDF — the
+      engine's claim is Arrow-batched exchanges only (ArrowEvalPython
+      / MapInPandas / FlatMapGroupsInPandas), so a plain @udf slipping
+      into a hot path fails in CI, not in a 10-100x throughput cliff.
+    """
     import __spark_entry__ as entrymod
 
-    offenders = []
+    cartesian, row_udf = [], []
     for name, fn in entrymod.queries().items():
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution(
         ).executedPlan().toString()
         if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, (
-        f"queries compiling CartesianProduct joins: {offenders}"
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_udf.append(name)
+    assert not cartesian, (
+        f"queries compiling CartesianProduct joins: {cartesian}"
+    )
+    assert not row_udf, (
+        f"queries compiling row-at-a-time Python UDFs: {row_udf}"
     )
