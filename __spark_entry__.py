@@ -2343,6 +2343,75 @@ def _km_grouped_sql() -> str:
     """
 
 
+def _mw_sql() -> str:
+    """R13-STAGED: DuckDB replay of relational15.events_mannwhitney.
+    Doubled average ranks, the rank sum, U1 and the tie term Σ(t³−t)
+    stay exact HUGEINT integers (the Spark side's decimal(38,0)
+    twin); the z expression repeats the kernel's exact shape
+    (num / (2·sqrt(var)), var = (n1·n2/12)·((n+1) − tie/(n·(n−1)))).
+    Validated by a parity-style unit test now."""
+    return """
+        WITH cnt AS (
+            SELECT event_type AS t,
+                   CAST(round(value * 100, 0) AS BIGINT) AS vc,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        types AS (SELECT DISTINCT t FROM cnt),
+        contrib AS (
+            SELECT a.t AS ta, b.t AS tb, a.vc,
+                   a.c AS ca, 0 AS cb
+            FROM cnt a JOIN types b ON a.t < b.t
+            UNION ALL
+            SELECT a.t AS ta, b.t AS tb, b.vc,
+                   0 AS ca, b.c AS cb
+            FROM types a JOIN cnt b ON a.t < b.t
+        ),
+        g AS (
+            SELECT ta, tb, vc,
+                   CAST(sum(ca) AS HUGEINT) AS ca,
+                   CAST(sum(cb) AS HUGEINT) AS cb
+            FROM contrib GROUP BY 1, 2, 3
+        ),
+        w AS (
+            SELECT ta, tb, ca, cb,
+                   CAST(coalesce(sum(ca + cb) OVER (
+                       PARTITION BY ta, tb ORDER BY vc
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS HUGEINT) AS cumb
+            FROM g
+        ),
+        s AS (
+            SELECT ta, tb,
+                   sum(ca) AS n1, sum(cb) AS n2,
+                   sum(ca * (2 * cumb + (ca + cb) + 1)) AS r1d,
+                   sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                       AS tie
+            FROM w GROUP BY 1, 2
+        )
+        SELECT ta AS type_a, tb AS type_b,
+               CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+               CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+               round(
+                   CAST(r1d - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                   / (2.0 * sqrt(
+                       (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                       * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                          - CAST(tie AS DOUBLE)
+                            / (CAST(n1 + n2 AS DOUBLE)
+                               * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+                   )), 4) AS z_stat
+        FROM s
+        WHERE n1 >= 1 AND n2 >= 1
+          AND (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+              * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                 - CAST(tie AS DOUBLE)
+                   / (CAST(n1 + n2 AS DOUBLE)
+                      * (CAST(n1 + n2 AS DOUBLE) - 1.0))) > 0
+        ORDER BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     wom_dt = _WOM.format(c="date_time")
     sw_hits = (

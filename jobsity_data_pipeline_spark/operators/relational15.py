@@ -610,3 +610,134 @@ def orders_survival_km_by_priority(spark: SparkSession,
     return km_table_grouped(
         spark, o, lastship_counts(li), "o_orderpriority"
     )
+
+
+# ---------------------------------------------------------------------------
+# events_mannwhitney
+# ---------------------------------------------------------------------------
+
+
+def mw_counts(e: DataFrame) -> DataFrame:
+    """(event_type, value-cents, count) reduction of an events frame —
+    the sufficient statistic for the rank-sum test (ranks depend only
+    on the multiset of values). Counts are plain integer sums, so
+    summed per-batch deltas reproduce the corpus counts exactly and
+    mw_from_counts serves identical statistics."""
+    from ..functions import money as M
+
+    return (
+        e.select("event_type", M.cents("value").alias("vc"))
+        .groupBy("event_type", "vc")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def mw_from_counts(cnt: DataFrame) -> DataFrame:
+    """Pairwise Mann–Whitney U (rank-sum) statistics from a
+    (event_type, vc, c) counts frame — the nonparametric sibling of
+    welch_stats for value distributions that are skewed or
+    heavy-tailed, where the t-test's mean comparison misleads.
+
+    Exactness: tied values get average ranks, carried in DOUBLED
+    integer units (2·rank = 2·cum_before + t + 1 — always an
+    integer), so the rank sum R1, U1 and the tie-correction term
+    Σ(t³−t) are EXACT decimal(38,0)/HUGEINT integers; only the final
+    normal-approximation z (tie-corrected variance) is a double, one
+    identical expression in both engines. Degenerate pairs (either
+    side empty, or every value tied so the variance is 0) are
+    FILTERED, the welch_stats convention.
+
+    Plan: everything here runs on the post-aggregation counts frame —
+    the pair fan-out explodes each (type, value) row against the tiny
+    broadcast type list, one window ranks per pair, and the per-pair
+    reduction is a partial-aggregable groupBy. The corpus is touched
+    only by mw_counts' ONE scan.
+    """
+    types = cnt.select(F.col("event_type").alias("t2")).distinct()
+    dec = "decimal(19,0)"
+    left = (
+        cnt.join(
+            F.broadcast(types), F.col("event_type") < F.col("t2")
+        )
+        .select(
+            F.col("event_type").alias("ta"), F.col("t2").alias("tb"),
+            "vc", F.col("c").alias("ca"), F.lit(0).alias("cb"),
+        )
+    )
+    right = (
+        cnt.join(
+            F.broadcast(types), F.col("t2") < F.col("event_type")
+        )
+        .select(
+            F.col("t2").alias("ta"), F.col("event_type").alias("tb"),
+            "vc", F.lit(0).alias("ca"), F.col("c").alias("cb"),
+        )
+    )
+    g = (
+        left.unionByName(right)
+        .groupBy("ta", "tb", "vc")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    wbefore = (
+        Window.partitionBy("ta", "tb").orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = g.select(
+        "ta", "tb",
+        F.col("ca").cast(dec).alias("ca"),
+        F.col("cb").cast(dec).alias("cb"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(wbefore), F.lit(0)
+        ).cast(dec).alias("cumb"),
+    )
+    t = F.col("ca") + F.col("cb")
+    s = w.groupBy("ta", "tb").agg(
+        F.sum("ca").alias("n1"),
+        F.sum("cb").alias("n2"),
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("cumb") + t + F.lit(1))
+        ).alias("r1d"),
+        F.sum(t * t * t - t).alias("tie"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1d = F.col("r1d") - F.col("n1") * (F.col("n1") + F.lit(1))
+    numd = (u1d - F.col("n1") * F.col("n2")).cast("double")
+    var = (n1d * n2d / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("tie").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    return (
+        s.where((F.col("n1") >= 1) & (F.col("n2") >= 1))
+        .select(
+            F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+            F.col("n1").cast("long").alias("n_a"),
+            F.col("n2").cast("long").alias("n_b"),
+            (u1d.cast("double") / F.lit(2.0)).alias("u_stat"),
+            F.round(
+                numd / (F.lit(2.0) * F.sqrt(var)), 4
+            ).alias("z_stat"),
+            var.alias("_var"),
+        )
+        .where(F.col("_var") > 0)
+        .drop("_var")
+        .orderBy("type_a", "type_b")
+    )
+
+
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test between every ordered pair of event types'
+    ``value`` distributions — the rank-based "is one distribution
+    stochastically larger" answer that stays valid where
+    events_welch_ttest's mean comparison is distorted by skew or
+    outliers. U, the exact half-integer statistic; z, the
+    tie-corrected normal approximation.
+
+    Plan: ONE partial-aggregable scan reduces the corpus to
+    (type, value-cents) counts (mw_counts); everything pairwise —
+    rank window included — runs on that bounded frame
+    (mw_from_counts). The counts are sum-mergeable, so the statistic
+    is servable from maintained streaming state exactly like the
+    Welch moments."""
+    return mw_from_counts(mw_counts(_t(spark, sf_dir, "events")))

@@ -149,6 +149,7 @@ def test_no_staged_oracle_emits_hugeint_or_decimal():
         "events_benford": entrymod._benford_sql(),
         "orders_survival_km": entrymod._km_sql(),
         "orders_survival_km_by_priority": entrymod._km_grouped_sql(),
+        "events_mannwhitney": entrymod._mw_sql(),
     }
     con = _duck(SF_SMOKE)
     bad = {}

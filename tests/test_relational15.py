@@ -434,3 +434,67 @@ class TestSurvivalKmGrouped:
             _duck(SF_SMOKE, ("orders", "lineitem")),
             entrymod._km_grouped_sql(),
         )
+
+
+class TestMannWhitney:
+    def test_hand_example_with_ties(self, spark, tmp_path):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "a", 1.00, "{}"), (2, t0, 1, "a", 2.00, "{}"),
+            (3, t0, 1, "b", 2.00, "{}"), (4, t0, 1, "b", 3.00, "{}"),
+        ]
+        out = R15.events_mannwhitney(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # ranks 1, 2.5 | 2.5, 4 -> R1 = 3.5, U1 = 0.5; tie term 6;
+        # var = (4/12)*(5 - 6/12) = 1.5; z = -1.5/sqrt(1.5)
+        assert (r.type_a, r.type_b, r.n_a, r.n_b) == ("a", "b", 2, 2)
+        assert r.u_stat == 0.5
+        assert r.z_stat == pytest.approx(-1.2247, abs=1e-4)
+
+    def test_symmetry_gives_zero_z(self, spark, tmp_path):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for i, v in enumerate([1.0, 2.0, 5.0, 9.0]):
+            rows.append((2 * i, t0, 1, "a", v, "{}"))
+            rows.append((2 * i + 1, t0, 1, "b", v, "{}"))
+        out = R15.events_mannwhitney(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+        r = out[0]
+        # identical multisets: U1 = n1*n2/2 exactly -> z = 0
+        assert r.u_stat == 8.0
+        assert r.z_stat == 0.0
+
+    def test_complete_separation(self, spark, tmp_path):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, t0, 1, "a", float(i + 1), "{}") for i in range(5)]
+        rows += [(10 + i, t0, 1, "b", float(100 + i), "{}")
+                 for i in range(5)]
+        r = R15.events_mannwhitney(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()[0]
+        # every a-value below every b-value: U1 = 0, strongly negative z
+        assert r.u_stat == 0.0
+        assert r.z_stat < -2.5
+
+    def test_pairs_on_smoke(self, spark):
+        rows = R15.events_mannwhitney(spark, SF_SMOKE).collect()
+        types = set()
+        for r in rows:
+            assert r.type_a < r.type_b
+            types.add(r.type_a)
+            types.add(r.type_b)
+        n = len(types)
+        assert len(rows) == n * (n - 1) // 2
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.events_mannwhitney(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("events",)),
+            entrymod._mw_sql(),
+        )
