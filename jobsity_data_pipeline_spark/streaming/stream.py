@@ -1834,3 +1834,54 @@ def km_from_state(spark: SparkSession, state_path: str,
     if st is None:
         raise ValueError(f"no published last-ship state at {state_path}")
     return km_table(spark, orders, st)
+
+
+def stream_mw_counts(events: DataFrame, table_dir: str,
+                     checkpoint: str):
+    """Maintain the (event_type, value-cents) count table over an
+    EVENT STREAM — the sufficient statistic of the Mann–Whitney
+    rank-sum test (relational15.mw_counts), completing the pattern:
+    the nonparametric test family is served from state exactly like
+    the parametric one (stream_moments_upsert).
+
+    Counters are SUMS (non-absorbing): manifest batch-token
+    idempotence; serve with mw_from_state, bit-identical to batch
+    events_mannwhitney. Delta key is namespaced token-first
+    ('mw|<batch>|<type>|<vc>'). State grows O(batches x types x
+    distinct cents values); snapshot.compact reclaims file count."""
+    from ..operators.relational15 import mw_counts
+    from ..sources.snapshot import upsert_batch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = mw_counts(batch_df).withColumn(
+            "delta_key",
+            F.concat_ws("|", F.lit("mw"), F.lit(str(batch_id)),
+                        F.col("event_type"), F.col("vc")),
+        )
+        upsert_batch(delta, batch_id, table_dir, key="delta_key")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def mw_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Pairwise Mann–Whitney statistics served FROM the maintained
+    value-count state: sum-merge the per-batch deltas and run the
+    shared mw_from_counts kernel — bit-identical to batch
+    events_mannwhitney over the same corpus, corpus-free."""
+    from ..operators.relational15 import mw_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published value-count state at {table_dir}")
+    return mw_from_counts(
+        deltas.groupBy("event_type", "vc").agg(F.sum("c").alias("c"))
+    )

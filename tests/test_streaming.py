@@ -1957,3 +1957,76 @@ def test_stream_lastship_serves_batch_km_bitexact(spark, tmp_path):
     a = sorted(tuple(r) for r in st.collect())
     b = sorted(tuple(r) for r in re_merged.collect())
     assert a == b
+
+
+def test_stream_mw_counts_serves_batch_ranksum_bitexact(spark, tmp_path):
+    """Round-10: value-cents counters maintained as per-batch integer
+    deltas serve the Mann-Whitney table BIT-IDENTICAL to batch
+    events_mannwhitney over the union (summed exact counts -> the
+    shared mw_from_counts kernel), and a replayed batch cannot
+    double-count."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from jobsity_data_pipeline_spark.operators.relational15 import (
+        events_mannwhitney, mw_counts,
+    )
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, upsert_batch,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        mw_from_state, stream_mw_counts,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase"]
+    rows = [
+        (i, base, i % 7, types[i % 3],
+         round(((i * 37) % 200) / 100 + (i % 3) * 0.5, 2), "{}")
+        for i in range(240)
+    ]
+    src = tmp_path / "events"
+    for half in (0, 1):
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == half], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf_like / "events.parquet"))
+
+    table = str(tmp_path / "mw_counts")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_mw_counts(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = [tuple(r)
+            for r in events_mannwhitney(spark, str(sf_like)).collect()]
+    got = [tuple(r) for r in mw_from_state(spark, table).collect()]
+    assert got == want and len(got) == 3
+
+    # replaying batch 0's delta under its original token is a no-op
+    v = latest_manifest(table)["version"]
+    b0 = mw_counts(
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 2 == 0], schema
+        )
+    ).withColumn(
+        "delta_key",
+        F.concat_ws("|", F.lit("mw"), F.lit("0"),
+                    F.col("event_type"), F.col("vc")),
+    )
+    assert upsert_batch(b0, 0, table, key="delta_key") \
+        == "skipped_duplicate"
+    assert latest_manifest(table)["version"] == v
+    assert [tuple(r) for r in mw_from_state(spark, table).collect()] \
+        == want
