@@ -6,8 +6,32 @@ getOrCreate."""
 
 from __future__ import annotations
 
+import pytest
+
 from jobsity_data_pipeline_spark.__main__ import main
 from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _preserve_session_conf(request):
+    """The CLI builds its own session via get_spark — in production a
+    fresh process, but under the shared test session getOrCreate
+    APPLIES the builder's options (e.g. shuffle.partitions=32) to the
+    live session, which breaks later bucketing tests that pin buckets
+    to the fixture's partition count. Snapshot and restore the knobs
+    get_spark sets."""
+    spark = request.getfixturevalue("spark") if (
+        "spark" in request.fixturenames
+    ) else None
+    if spark is None:
+        yield
+        return
+    keys = ("spark.sql.shuffle.partitions",
+            "spark.sql.files.maxPartitionBytes")
+    saved = {k: spark.conf.get(k) for k in keys}
+    yield
+    for k, v in saved.items():
+        spark.conf.set(k, v)
 
 
 def test_list_filters(capsys):

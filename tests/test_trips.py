@@ -151,11 +151,14 @@ def test_bucketed_upsert_is_colocated_and_idempotent(spark, trips_df, tmp_path):
 
     table = "trips_hist_buckettest"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # buckets must equal the join parallelism (session shuffle
-    # partitions = 8): a mismatch makes EnsureRequirements re-shuffle
-    # the bucketed side instead of the batch
+    # buckets must equal the join parallelism (the session's LIVE
+    # shuffle-partition count — read it rather than assuming the
+    # fixture's 8, since another test may have retuned the shared
+    # session): a mismatch makes EnsureRequirements re-shuffle the
+    # bucketed side instead of the batch
+    nbk = int(spark.conf.get("spark.sql.shuffle.partitions"))
     write_hist_bucketed(
-        TP.dedup_staging(trips_df).limit(3), table, buckets=8,
+        TP.dedup_staging(trips_df).limit(3), table, buckets=nbk,
         path=str(tmp_path / "hist"),
     )
     hist = spark.table(table)
@@ -172,10 +175,10 @@ def test_bucketed_upsert_is_colocated_and_idempotent(spark, trips_df, tmp_path):
         # hist is read pre-partitioned off disk; only staging shuffles
         assert "Bucketed: true" in plan
         assert plan.count("hashpartitioning(trip_key") == 1
-        TP.upsert_bucketed(spark, trips_df, table=table, buckets=8)
+        TP.upsert_bucketed(spark, trips_df, table=table, buckets=nbk)
         assert spark.table(table).count() == 5
         # re-ingesting the same batch adds nothing (ON CONFLICT DO NOTHING)
-        TP.upsert_bucketed(spark, trips_df, table=table, buckets=8)
+        TP.upsert_bucketed(spark, trips_df, table=table, buckets=nbk)
         assert spark.table(table).count() == 5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
