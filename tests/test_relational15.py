@@ -498,3 +498,43 @@ class TestMannWhitney:
             _duck(SF_SMOKE, ("events",)),
             entrymod._mw_sql(),
         )
+
+
+class TestAcfNumpyReference:
+    def test_matches_numpy_pearson(self, spark, tmp_path):
+        """Independent float reference: the engine's exact-integer
+        sufficient-sum ACF must agree with numpy's Pearson correlation
+        of the lagged series to a rounding ulp, for deterministic
+        pseudo-random daily counts (LCG — no RNG in tests)."""
+        import numpy as np
+
+        t0 = dt.datetime(2024, 3, 1)
+        # 40-day series from a fixed LCG, including zeros
+        x, counts = 12345, []
+        for _ in range(40):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            counts.append((x >> 16) % 7)  # 0..6 events that day
+        rows, eid = [], 0
+        for day, c in enumerate(counts):
+            for _ in range(c):
+                eid += 1
+                rows.append(
+                    (eid, t0 + dt.timedelta(days=day, hours=eid % 20),
+                     1, "a", 1.0, "{}")
+                )
+        # day 0 and the last day must be non-empty so the observed
+        # span equals the constructed one
+        assert counts[0] > 0 and counts[-1] > 0
+        got = {
+            r.lag: (r.n_pairs, r.acf)
+            for r in R15.events_acf(
+                spark, _write_events(spark, tmp_path, rows), max_lag=5
+            ).collect()
+        }
+        arr = np.array(counts, dtype=float)
+        for lag in range(1, 6):
+            a, b = arr[:-lag], arr[lag:]
+            want = float(np.corrcoef(a, b)[0, 1])
+            n_pairs, acf = got[lag]
+            assert n_pairs == len(arr) - lag
+            assert acf == pytest.approx(want, abs=1e-6)
