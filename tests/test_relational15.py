@@ -538,3 +538,47 @@ class TestAcfNumpyReference:
             n_pairs, acf = got[lag]
             assert n_pairs == len(arr) - lag
             assert acf == pytest.approx(want, abs=1e-6)
+
+
+class TestMwNaiveReference:
+    def test_matches_naive_rank_implementation(self, spark, tmp_path):
+        """Independent reference: the doubled-integer rank algebra
+        must agree with a naive float implementation (sort, average
+        ranks over tie runs, textbook U and tie-corrected z) on
+        deterministic LCG-generated values with heavy ties."""
+        t0 = dt.datetime(2024, 1, 1)
+        x, rows, vals = 777, [], {"a": [], "b": []}
+        for i in range(120):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            side = "a" if i % 2 == 0 else "b"
+            v = ((x >> 12) % 15) / 4.0 + (0.25 if side == "b" else 0.0)
+            vals[side].append(round(v * 100))  # cents
+            rows.append((i, t0, 1, side, v, "{}"))
+        r = R15.events_mannwhitney(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()[0]
+
+        av, bv = vals["a"], vals["b"]
+        pooled = sorted(
+            [(v, "a") for v in av] + [(v, "b") for v in bv]
+        )
+        ranks, i = {}, 0
+        while i < len(pooled):
+            j = i
+            while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+                j += 1
+            avg = (i + 1 + j) / 2.0  # average of ranks i+1..j
+            ranks[pooled[i][0]] = avg
+            i = j
+        r1 = sum(ranks[v] for v in av)
+        n1, n2 = len(av), len(bv)
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        n = n1 + n2
+        from collections import Counter
+
+        tie = sum(t ** 3 - t for t in Counter(v for v, _ in pooled).values())
+        var = (n1 * n2 / 12.0) * ((n + 1) - tie / (n * (n - 1)))
+        z = (u1 - n1 * n2 / 2.0) / (var ** 0.5)
+        assert (r.n_a, r.n_b) == (n1, n2)
+        assert r.u_stat == u1
+        assert r.z_stat == pytest.approx(z, abs=1e-4)
