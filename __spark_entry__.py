@@ -298,6 +298,20 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_forecast_holt": R14.orders_forecast_holt,
         "events_type_overlap_hll": R14.events_type_overlap_hll,
         "events_type_containment_kmv": R14.events_type_containment_kmv,
+        # round-11 registrations: ALL NINE staged operators at once
+        # (oracles were parity-validated in rounds 9/10,
+        # tests/test_relational14.py + tests/test_relational15.py) —
+        # never-verified surface outranks re-verifying greens, so the
+        # whole staged backlog converts to driver rows this round
+        "orders_forecast_hw": R14.orders_forecast_hw,
+        "orders_forecast_tournament": R14.orders_forecast_tournament,
+        "docs_k_anonymity": R15.docs_k_anonymity,
+        "events_acf": R15.events_acf,
+        "docs_ks_source_drift": R15.docs_ks_source_drift,
+        "events_benford": R15.events_benford,
+        "orders_survival_km": R15.orders_survival_km,
+        "orders_survival_km_by_priority": R15.orders_survival_km_by_priority,
+        "events_mannwhitney": R15.events_mannwhitney,
     }
 
 
@@ -311,21 +325,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so this is purely a priority permutation.
     """
     q = _queries_declared()
-    out = {k: q[k] for k in _ROUND10_PRIORITY if k in q}
+    out = {k: q[k] for k in _ROUND11_PRIORITY if k in q}
     # any key in NO list (a new query not yet registered anywhere)
     # runs right after the explicit priorities — a budget-truncated
     # sweep must reach never-verified surface before re-verifying
     # greens, even when the priority tuple wasn't updated
     known = (
-        set(_ROUND10_PRIORITY)
+        set(_ROUND11_PRIORITY)
         | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
         | _SAMPLED_R5 | _SAMPLED_R6 | _SAMPLED_R7 | _SAMPLED_R8
-        | _SAMPLED_R9
+        | _SAMPLED_R9 | _SAMPLED_R10
     )
     out.update({k: v for k, v in q.items() if k not in known})
     for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
                  _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8,
-                 _SAMPLED_R9):
+                 _SAMPLED_R9, _SAMPLED_R10):
         out.update(
             {k: v for k, v in q.items()
              if k in tier and k not in out and k not in _later_tiers(tier)}
@@ -339,7 +353,7 @@ def _later_tiers(tier: frozenset) -> frozenset:
     row supersedes the older one, so they sort with the later tier."""
     order = (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
              _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8,
-             _SAMPLED_R9)
+             _SAMPLED_R9, _SAMPLED_R10)
     for i, t in enumerate(order):
         if tier is t:
             later: frozenset = frozenset()
@@ -431,23 +445,30 @@ _ROUND10_PRIORITY: tuple[str, ...] = (
     "q4_order_priority",
 )
 
-# Round-11 prep, STAGED NOT WIRED (queries() still runs the round-10
-# rotation above — the driver's r10 sweep must sample the r6 tier).
-# Assuming CORRECTNESS_r10 comes back green on the 50 keys below, the
-# r11 builder should: (1) define _SAMPLED_R10 = the 46-key
-# _ROUND10_PRIORITY tuple + the four round-10 registrations
-# (docs_classifier_yield, orders_forecast_holt,
-# events_type_overlap_hll, events_type_containment_kmv), (2) add it
-# to the tier chains in queries()/_later_tiers, (3) switch the
-# priority to this tuple — the full 48-key r7-latest tier
-# (_SAMPLED_R7 minus every later tier, verified 48 keys) — and
-# (4) register the two r11-staged queries (orders_forecast_hw,
-# orders_forecast_tournament), which auto-front as never-sampled:
-# 48 + 2 = exactly the 50-key budget. The five r12-staged audit
-# queries (docs_k_anonymity, events_acf, docs_ks_source_drift,
-# events_benford, orders_survival_km) must stay UNREGISTERED in r11
-# or they would push tier keys out of the budget.
-_ROUND11_PRIORITY_STAGED: tuple[str, ...] = (
+# Round-11 rotation (budget 50): after CORRECTNESS_r10 every key's
+# latest row is green; freshest-row tiers are r10 (50) / r9 (50) /
+# r8 (50) / r7 (48) — nothing older. This round registers ALL NINE
+# staged operators at once (the judge's r10 directive: never-verified
+# surface outranks re-verifying greens, and all nine oracles are
+# already parity-green at sf0.001/0.01/0.1) — they lead the tuple —
+# followed by 41 of the 48-key r7-latest tier: 9 + 41 = exactly the
+# 50-key budget. The SEVEN r7 keys displaced to r12 are the
+# individual ANN-variant audits (emb_ivf_ann, emb_ivfpq_ann,
+# emb_ivfpq_residual_ann, emb_lsh_ann, emb_pq_ann, emb_pq_rerank,
+# emb_pq_trained_ann): emb_ann_recall — which IS in this round's 41 —
+# runs the exact baseline plus every one of those variants' kernels
+# in a single quality gate, so their code paths are still exercised
+# by a fresh r11 row while their own rows re-earn in r12. Done
+# criterion: nine never-sampled keys gain their first driver row and
+# the r7-latest tier shrinks to exactly those seven keys.
+_ROUND11_PRIORITY: tuple[str, ...] = (
+    # (0) the nine round-11 registrations — first driver rows ever
+    "orders_forecast_hw", "orders_forecast_tournament",
+    "docs_k_anonymity", "events_acf", "docs_ks_source_drift",
+    "events_benford", "orders_survival_km",
+    "orders_survival_km_by_priority", "events_mannwhitney",
+    # (1) the r7-latest tier minus the seven ANN variants covered
+    # transitively by emb_ann_recall
     "customer_balance_deciles", "customer_interpurchase_gaps",
     "docs_bigram_logprob", "docs_bloom_probe", "docs_boilerplate_spans",
     "docs_chunk_windows", "docs_dup_ngram_fraction", "docs_dup_spans",
@@ -457,10 +478,8 @@ _ROUND11_PRIORITY_STAGED: tuple[str, ...] = (
     "docs_simhash_pairs", "docs_source_divergence", "docs_token_gini",
     "docs_unigram_logprob", "docs_weighted_sample", "docs_winnow_pairs",
     "emb_ann_recall", "emb_cosine_topk", "emb_hard_negatives",
-    "emb_hard_negatives_ann", "emb_hardneg_recall", "emb_ivf_ann",
-    "emb_ivfpq_ann", "emb_ivfpq_residual_ann", "emb_knn_classify",
-    "emb_lsh_ann", "emb_matryoshka_recall", "emb_pq_ann",
-    "emb_pq_rerank", "emb_pq_trained_ann", "emb_top_pc", "emb_top_pcs",
+    "emb_hard_negatives_ann", "emb_hardneg_recall", "emb_knn_classify",
+    "emb_matryoshka_recall", "emb_top_pc", "emb_top_pcs",
     "events_attribution", "events_dau_mau", "events_hll_distinct",
     "events_range_join", "events_type_cooccurrence", "events_type_runs",
     "events_user_paths", "events_windowed_funnel", "orders_open_backlog",
@@ -812,6 +831,31 @@ _SAMPLED_R9: frozenset = frozenset({
     "q22_wealthy_inactive", "q2_min_cost_supplier", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "stream_events_hourly",
+})
+
+
+_SAMPLED_R10: frozenset = frozenset({
+    # round 10 (50 hash rows, zero rows-only), from CORRECTNESS_r10.json
+    "docs_bpe_fertility", "docs_char_entropy", "docs_classifier_yield",
+    "docs_containment_pairs", "docs_decontaminate",
+    "docs_dedup_clusters", "docs_dedup_keep", "docs_fingerprint",
+    "docs_group_split", "docs_lang_id", "docs_minhash_est_vs_exact",
+    "docs_minhash_pairs", "docs_ngram_jaccard", "docs_redact_pii",
+    "docs_simhash", "docs_tfidf_top_terms", "docs_zipf_slope",
+    "dq_report", "emb_dedup_stats", "emb_kcenter_sample",
+    "emb_kmeans_assign", "emb_near_dup", "emb_quantize_int8",
+    "events_anomaly_zscore", "events_grouping_sets",
+    "events_hdr_quantiles", "events_hopping_counts",
+    "events_m4_downsample", "events_retention", "events_running_total",
+    "events_session_window", "events_transition_matrix",
+    "events_type_containment_kmv", "events_type_overlap_hll",
+    "events_unpivot_metrics", "lineitem_scd2_asof", "media_features",
+    "orders_forecast_holt", "orders_forecast_snaive",
+    "orders_part_pairs", "orders_rollup", "orders_scd2",
+    "orders_yoy_growth", "parts_pagerank", "q12_ship_latency",
+    "q13_customer_distribution", "q16_supplier_count",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q4_order_priority",
 })
 
 
@@ -1678,7 +1722,7 @@ def _holt_sql(alpha_num: int = 1, alpha_den: int = 4,
 def _hw_sql(alpha_num: int = 1, alpha_den: int = 4,
             beta_num: int = 1, beta_den: int = 4,
             gamma_num: int = 1, gamma_den: int = 4) -> str:
-    """R11-STAGED (not registered this round — budget): DuckDB
+    """REGISTERED ROUND 11 (staged in r9, parity-green since): DuckDB
     recursive-CTE replay of relational14.orders_forecast_hw — the
     Holt oracle's pattern with the 12 calendar-month seasonal columns
     carried through the recursion and exactly one rotated per step
@@ -1888,7 +1932,7 @@ _SES_SQL = """
 
 
 def _tournament_sql() -> str:
-    """R11-STAGED (not registered this round — budget): DuckDB replay
+    """REGISTERED ROUND 11 (staged in r9, parity-green since): DuckDB replay
     of relational14.orders_forecast_tournament — the four forecaster
     arms' own oracle bodies (snaive/SES literals, Holt/HW generators)
     run inside derived tables (DuckDB allows a WITH RECURSIVE in a
@@ -2035,7 +2079,7 @@ def _kmv_containment_sql(k: int = 64) -> str:
 
 
 def _kanon_sql(bucket_chars: int = 256, risk_k: int = 5) -> str:
-    """R12-STAGED (not registered this round — budget): DuckDB replay
+    """REGISTERED ROUND 11 (staged in r10, parity-green since): DuckDB replay
     of relational15.docs_k_anonymity. All-integer arithmetic (DuckDB's
     HUGEINT sums cast back to BIGINT before the half-up permille), so
     the match is bit-for-bit. Validated by a parity-style unit test
@@ -2065,7 +2109,7 @@ def _kanon_sql(bucket_chars: int = 256, risk_k: int = 5) -> str:
 
 
 def _acf_sql(max_lag: int = 7) -> str:
-    """R12-STAGED (not registered this round — budget): DuckDB replay
+    """REGISTERED ROUND 11 (staged in r10, parity-green since): DuckDB replay
     of relational15.events_acf. The five sufficient sums run in
     HUGEINT (the Spark side's decimal(38,0) twin — both exact), and
     the Pearson ratio repeats the kernel's exact expression shape
@@ -2120,7 +2164,7 @@ def _acf_sql(max_lag: int = 7) -> str:
 
 
 def _ks_sql() -> str:
-    """R12-STAGED (not registered this round — budget): DuckDB replay
+    """REGISTERED ROUND 11 (staged in r10, parity-green since): DuckDB replay
     of relational15.docs_ks_source_drift. D's numerator stays the
     exact integer cross-product max|cum_a*n_b − cum_b*n_a| (HUGEINT ≡
     the Spark decimal(38,0)); only the final division and the
@@ -2170,7 +2214,7 @@ def _ks_sql() -> str:
 
 
 def _benford_sql() -> str:
-    """R12-STAGED (not registered this round — budget): DuckDB replay
+    """REGISTERED ROUND 11 (staged in r10, parity-green since): DuckDB replay
     of relational15.events_benford. The Benford expectations embed
     ``repr()`` of the SAME Python doubles the Spark operator uses
     (relational15.BENFORD_P), so both engines start from identical
@@ -2209,7 +2253,7 @@ def _benford_sql() -> str:
 
 
 def _km_sql() -> str:
-    """R12-STAGED (not registered this round — budget): DuckDB replay
+    """REGISTERED ROUND 11 (staged in r10, parity-green since): DuckDB replay
     of relational15.orders_survival_km. The product-limit recurrence
     steps in a recursive CTE over the event-time rows with the
     IDENTICAL integer micro-unit half-up arithmetic the km_curve
@@ -2274,7 +2318,7 @@ def _km_sql() -> str:
 
 
 def _km_grouped_sql() -> str:
-    """R13-STAGED: DuckDB replay of
+    """REGISTERED ROUND 11 (staged in r10): DuckDB replay of
     relational15.orders_survival_km_by_priority — the _km_sql chain
     with the stratum carried through (per-group totals/running sums,
     row numbers partitioned per group) and a recursive CTE whose
@@ -2344,7 +2388,8 @@ def _km_grouped_sql() -> str:
 
 
 def _mw_sql() -> str:
-    """R13-STAGED: DuckDB replay of relational15.events_mannwhitney.
+    """REGISTERED ROUND 11 (staged in r10): DuckDB replay of
+    relational15.events_mannwhitney.
     Doubled average ranks, the rank sum, U1 and the tie term Σ(t³−t)
     stay exact HUGEINT integers (the Spark side's decimal(38,0)
     twin); the z expression repeats the kernel's exact shape
@@ -6731,6 +6776,17 @@ def oracle_sql() -> dict[str, str]:
     out["orders_forecast_holt"] = _holt_sql()
     out["events_type_overlap_hll"] = _hll_overlap_sql()
     out["events_type_containment_kmv"] = _kmv_containment_sql()
+    # round-11 registrations: the full staged backlog (nine operators,
+    # oracles parity-validated at sf0.001/0.01/0.1 in rounds 9/10)
+    out["orders_forecast_hw"] = _hw_sql()
+    out["orders_forecast_tournament"] = _tournament_sql()
+    out["docs_k_anonymity"] = _kanon_sql()
+    out["events_acf"] = _acf_sql()
+    out["docs_ks_source_drift"] = _ks_sql()
+    out["events_benford"] = _benford_sql()
+    out["orders_survival_km"] = _km_sql()
+    out["orders_survival_km_by_priority"] = _km_grouped_sql()
+    out["events_mannwhitney"] = _mw_sql()
     out["emb_kcenter_sample"] = _kcenter_sql()
     out["emb_top_pc"] = _top_pc_sql()
     out["emb_top_pcs"] = _top_pcs_sql()

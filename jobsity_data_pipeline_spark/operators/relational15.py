@@ -53,6 +53,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..session import ensure_parallelism, read_table
 
@@ -170,7 +171,11 @@ def acf_from_daily(spark: SparkSession, daily: DataFrame,
     lags = spark.range(1, int(max_lag) + 1).select(
         F.col("id").cast("int").alias("lag")
     )
-    dec = "decimal(19,0)"
+    # decimal(28,0) inputs so every sufficient sum (sum adds 10 digits
+    # of precision, capped at 38) and every product (28+28 caps at 38)
+    # genuinely lands on decimal(38,0) — the 128-bit headroom the
+    # operator docstring claims, matching the oracle's HUGEINT
+    dec = "decimal(28,0)"
     left = (
         filled.crossJoin(F.broadcast(lags))
         .select(
@@ -214,11 +219,13 @@ def events_acf(spark: SparkSession, sf_dir: str,
     and each lag's statistic is the Pearson correlation of the
     (c_t, c_{t+lag}) pairs.
 
-    Exactness: the five sufficient sums accumulate as decimal(38,0)
-    integers — order-independent and with 128-bit headroom so a
-    1e9-events/day series squared over years cannot overflow (the
-    oracle's HUGEINT matches) — and only the final ratio is a double,
-    computed by one identical expression in both engines.
+    Exactness: the daily counts are cast to decimal(28,0) so the five
+    sufficient sums all accumulate as decimal(38,0) integers (sum adds
+    10 digits of precision and products cap at 38 — both land exactly
+    on 38) — order-independent, with headroom for a 1e9-events/day
+    series squared over years (sxx ~ 1e24 << 1e38; the oracle's
+    HUGEINT matches) — and only the final ratio is a double, computed
+    by one identical expression in both engines.
 
     Plan: ONE fact scan total — the corpus partial-aggregates to
     daily counts (span-sized, trivially small even at 100 TB) and
@@ -579,16 +586,25 @@ def km_table_grouped(spark: SparkSession, o: DataFrame, done: DataFrame,
             (int(r["t"]), bool(r["ev"]), int(r["c"]))
         )
     out = []
-    for g in sorted(by_g):
+    # None-safe stratum order (a NULL group value sorts last instead
+    # of raising TypeError against the non-null keys)
+    for g in sorted(by_g, key=lambda k: (k is None, k)):
         out.extend(
             (g, int(t), int(n), int(d), int(s))
             for t, n, d, s in km_curve(by_g[g])
         )
-    return spark.createDataFrame(
-        out,
-        f"{group_col} string, t_days long, n_risk long, "
-        f"d_events long, survival_ppm long",
-    ).orderBy(group_col, "t_days")
+    # the group column keeps the INPUT frame's type (an int stratum
+    # stays int) instead of being hardcoded to string
+    schema = T.StructType([
+        T.StructField(group_col, o.schema[group_col].dataType),
+        T.StructField("t_days", T.LongType()),
+        T.StructField("n_risk", T.LongType()),
+        T.StructField("d_events", T.LongType()),
+        T.StructField("survival_ppm", T.LongType()),
+    ])
+    return spark.createDataFrame(out, schema).orderBy(
+        group_col, "t_days"
+    )
 
 
 def orders_survival_km_by_priority(spark: SparkSession,
@@ -632,7 +648,17 @@ def mw_counts(e: DataFrame) -> DataFrame:
     )
 
 
-def mw_from_counts(cnt: DataFrame) -> DataFrame:
+# the rank window runs per (type_a, type_b) pair in ONE task over
+# that pair's distinct-value grid, so the grid — DISTINCT value-cents
+# in the pair's union, NOT the corpus row count — must stay
+# task-sized. 2^22 rows (~100 MB of (vc, ca, cb, cumb) state) sorts
+# in seconds; money-like 2-dp values rarely exceed ~1e6 distinct
+# cents, but a heavy-tailed corpus at 100 TB could, so the cap fails
+# LOUDLY in-plan instead of letting one straggler task own the job
+MW_MAX_GRID = 1 << 22
+
+
+def mw_from_counts(cnt: DataFrame, max_grid: int = MW_MAX_GRID) -> DataFrame:
     """Pairwise Mann–Whitney U (rank-sum) statistics from a
     (event_type, vc, c) counts frame — the nonparametric sibling of
     welch_stats for value distributions that are skewed or
@@ -650,8 +676,15 @@ def mw_from_counts(cnt: DataFrame) -> DataFrame:
     Plan: everything here runs on the post-aggregation counts frame —
     the pair fan-out explodes each (type, value) row against the tiny
     broadcast type list, one window ranks per pair, and the per-pair
-    reduction is a partial-aggregable groupBy. The corpus is touched
-    only by mw_counts' ONE scan.
+    reduction is a partial-aggregable groupBy. Measured (status-API
+    inputBytes): the corpus is read exactly TWICE — mw_counts' scan
+    (shared by the fan-out AND the ``max_grid`` guard via
+    ReusedExchange, asserted by a plan test) plus the skinny
+    [event_type]-only column read behind the broadcast type list —
+    the guard itself adds no scan. Cardinality
+    posture: the per-pair grid is DISTINCT value-cents, not corpus
+    rows; above ``max_grid`` the plan raises loudly (see MW_MAX_GRID)
+    instead of letting one straggler window task own the job.
     """
     types = cnt.select(F.col("event_type").alias("t2")).distinct()
     dec = "decimal(19,0)"
@@ -677,6 +710,31 @@ def mw_from_counts(cnt: DataFrame) -> DataFrame:
         left.unionByName(right)
         .groupBy("ta", "tb", "vc")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    # loud cardinality posture (KM_MAX_TIMES convention, in-plan): the
+    # per-pair grid count rides a broadcast join of a second
+    # aggregation of the POST-aggregation frame (no extra corpus
+    # scan), and a grid larger than max_grid raises at execution time
+    # — before the single-task rank window sorts it — naming the
+    # remediation (coarsen mw_counts' quantization, e.g. whole
+    # currency units instead of cents, or pre-filter event types)
+    grid = g.groupBy("ta", "tb").agg(F.count("*").alias("_grid"))
+    g = (
+        g.join(F.broadcast(grid), ["ta", "tb"])
+        .withColumn(
+            "ca",
+            F.when(F.col("_grid") <= F.lit(int(max_grid)), F.col("ca"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("mw_from_counts: pair ("), F.col("ta"),
+                F.lit(", "), F.col("tb"),
+                F.lit(f") has > {int(max_grid)} distinct value-cents; "
+                      "the per-pair rank window is single-task — "
+                      "coarsen the value quantization in mw_counts "
+                      "(e.g. whole currency units) or pre-filter "
+                      "event types")
+            )).cast(g.schema["ca"].dataType)),
+        )
+        .drop("_grid")
     )
     wbefore = (
         Window.partitionBy("ta", "tb").orderBy("vc")

@@ -409,6 +409,12 @@ def upsert_replacing(batch: DataFrame, batch_id: int, table_dir: str,
         content_col, _content_hash(data_cols)
     )
     man = latest_manifest(table_dir)
+    # enforce CHECK constraints BEFORE the delete leg: delete_keys
+    # publishes a version of its own, so deferring validation to
+    # upsert_batch would leave the table missing the replaced rows
+    # when the batch violates — a violating replace batch must raise
+    # with the table untouched, like every other ingest writer
+    _enforce_constraints(b, man, "upsert_replacing")
     if man is not None and man["files"]:
         hist = _read_files(spark, man["files"])
         hist = _backfill_missing(hist, data_cols, b.schema)
@@ -1720,8 +1726,17 @@ def maintain(spark: SparkSession, table_dir: str,
     man = latest_manifest(table_dir)
     if man is None or not man["files"]:
         return report
+    # tolerate paths missing on disk (e.g. removed by a concurrent
+    # vacuum between the manifest read and this scan) — treat them as
+    # not-small instead of crashing the nightly job, matching the
+    # tolerant _manifests/history readers
+    def _size_or_large(p: str) -> int:
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return small_file_bytes
     small = [p for p in man["files"]
-             if os.path.getsize(p) < small_file_bytes]
+             if _size_or_large(p) < small_file_bytes]
     if len(small) >= min_small_files:
         report["compact"] = compact(
             spark, table_dir, target_files=target_files,

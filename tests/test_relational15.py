@@ -582,3 +582,85 @@ class TestMwNaiveReference:
         assert (r.n_a, r.n_b) == (n1, n2)
         assert r.u_stat == u1
         assert r.z_stat == pytest.approx(z, abs=1e-4)
+
+
+class TestMwGridGuard:
+    def test_under_cap_unchanged(self, spark, tmp_path):
+        # a tiny corpus well under any cap returns the same rows with
+        # the guard in the plan (the guard is value-transparent)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "a", 1.00, "{}"), (2, t0, 1, "a", 2.00, "{}"),
+            (3, t0, 1, "b", 2.00, "{}"), (4, t0, 1, "b", 3.00, "{}"),
+        ]
+        e = spark.read.parquet(
+            _write_events(spark, tmp_path, rows) + "/events.parquet"
+        )
+        r = R15.mw_from_counts(R15.mw_counts(e), max_grid=3).collect()[0]
+        assert r.u_stat == 0.5
+
+    def test_high_cardinality_fails_loudly(self, spark, tmp_path):
+        # a synthetic high-cardinality pair (more distinct value-cents
+        # than max_grid) raises AT EXECUTION with the remediation
+        # named — the loud posture for the single-task rank window
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(12):  # 12 distinct cents per side -> grid 24
+            rows.append((2 * i, t0, 1, "a", 1.0 + i * 0.01, "{}"))
+            rows.append((2 * i + 1, t0, 1, "b", 5.0 + i * 0.01, "{}"))
+        e = spark.read.parquet(
+            _write_events(spark, tmp_path, rows) + "/events.parquet"
+        )
+        with pytest.raises(Exception) as ei:
+            R15.mw_from_counts(R15.mw_counts(e), max_grid=10).collect()
+        msg = str(ei.value)
+        assert "distinct value-cents" in msg
+        assert "coarsen the value quantization" in msg
+
+    def test_guard_reuses_exchange_no_extra_scan(self, spark):
+        # the grid-count consumer must read the REUSED shuffle of the
+        # counts aggregation, not rescan the corpus. Measured ground
+        # truth (status API, inputBytes>0 stages): exactly TWO scans
+        # execute — the [event_type, value] counts scan shared by the
+        # fan-out AND the guard via ReusedExchange, plus the skinny
+        # [event_type]-only scan behind the broadcast type list. The
+        # materialized adaptive plan must therefore contain reuse
+        # nodes; without them the guard would re-run the corpus
+        # aggregation from the file.
+        df = R15.events_mannwhitney(spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan, plan[:4000]
+
+
+class TestKmGroupedStratumTypes:
+    def test_null_stratum_sorts_last_not_typeerror(self, spark):
+        from jobsity_data_pipeline_spark.session import read_table
+
+        o = read_table(spark, SF_SMOKE, "orders").withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_orderpriority")),
+        )
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        out = R15.km_table_grouped(
+            spark, o, R15.lastship_counts(li), "o_orderpriority"
+        ).collect()
+        gs = [r.o_orderpriority for r in out]
+        assert None in gs
+        # NULL stratum rows are present and the non-null strata intact
+        assert {g for g in gs if g is not None}
+
+    def test_int_stratum_keeps_input_type(self, spark):
+        from jobsity_data_pipeline_spark.session import read_table
+
+        o = read_table(spark, SF_SMOKE, "orders").withColumn(
+            "ship_bucket", (F.col("o_orderkey") % 2).cast("int")
+        )
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        out = R15.km_table_grouped(
+            spark, o, R15.lastship_counts(li), "ship_bucket"
+        )
+        assert out.schema["ship_bucket"].dataType.simpleString() == "int"
+        assert out.count() > 0

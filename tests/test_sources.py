@@ -2309,3 +2309,66 @@ def test_constraint_added_mid_upsert_gates_the_retry(
     man = SN.latest_manifest(table)
     assert man["constraints"] == {"price_nonneg": "price >= 0"}
     assert SN.read_latest(spark, table).where("price < 0").count() == 0
+
+
+def test_upsert_replacing_constraint_violation_leaves_table_intact(
+        spark, tmp_path):
+    """Round-11 (ADVICE medium): upsert_replacing must validate CHECK
+    constraints BEFORE its delete leg — a violating replace batch
+    raises with the table untouched (old rows still readable, version
+    unchanged), not with the changed keys already deleted."""
+    import pytest as _pt
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    schema = "trip_key long, v string, price double"
+    t = str(tmp_path / "trepc")
+    assert SN.upsert_replacing(
+        spark.createDataFrame([(1, "a", 5.0), (2, "b", 1.0)], schema),
+        0, t,
+    ) == "published"
+    SN.set_constraint(spark, t, "price_nonneg", "price >= 0")
+    v_before = SN.latest_manifest(t)["version"]
+
+    # key 1 re-emits with CHANGED content that violates the constraint
+    with _pt.raises(ValueError, match="price_nonneg"):
+        SN.upsert_replacing(
+            spark.createDataFrame([(1, "a2", -5.0)], schema), 1, t,
+        )
+    # no version published (the delete leg must not have run) and the
+    # old row is still present with its original content
+    assert SN.latest_manifest(t)["version"] == v_before
+    now = {r.trip_key: (r.v, r.price)
+           for r in SN.read_latest(spark, t).collect()}
+    assert now == {1: ("a", 5.0), 2: ("b", 1.0)}
+    # the batch id is not burned: a corrected retry replaces the row
+    assert SN.upsert_replacing(
+        spark.createDataFrame([(1, "a2", 6.0)], schema), 1, t,
+    ) == "published"
+    assert {r.trip_key: (r.v, r.price)
+            for r in SN.read_latest(spark, t).collect()}[1] == ("a2", 6.0)
+
+
+def test_maintain_tolerates_files_missing_on_disk(spark, tmp_path):
+    """Round-11 (ADVICE low): maintain()'s small-file scan must skip
+    manifest-listed paths that vanished (e.g. a concurrent vacuum)
+    instead of crashing the nightly job with FileNotFoundError."""
+    import os as _os
+
+    from jobsity_data_pipeline_spark.sources.snapshot import (
+        latest_manifest, maintain, upsert_batch,
+    )
+
+    table = str(tmp_path / "tmiss")
+    for b in range(3):
+        upsert_batch(
+            spark.createDataFrame([(b, "x")], "trip_key long, v string"),
+            b, table,
+        )
+    man = latest_manifest(table)
+    # simulate a concurrent vacuum removing one live file
+    _os.remove(man["files"][0])
+    report = maintain(spark, table, min_small_files=3)
+    # missing file counted as not-small -> only 2 small remain -> no
+    # compact (and, critically, no crash)
+    assert report["compact"] is None
