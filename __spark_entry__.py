@@ -1933,13 +1933,15 @@ _SES_SQL = """
 
 def _tournament_sql() -> str:
     """REGISTERED ROUND 11 (staged in r9, parity-green since): DuckDB replay
-    of relational14.orders_forecast_tournament — the four forecaster
-    arms' own oracle bodies (snaive/SES literals, Holt/HW generators)
-    run inside derived tables (DuckDB allows a WITH RECURSIVE in a
-    subquery), unioned under a method tag, and aggregated to the
-    integer halfup mean / max APE summary. sum(BIGINT) is HUGEINT in
-    DuckDB, so the sum casts back before the halfup arithmetic.
-    Validated by a parity-style unit test now."""
+    of relational14.orders_forecast_tournament — the five forecaster
+    arms' own oracle bodies (snaive/SES literals, Holt/damped-Holt/HW
+    generators) run inside derived tables (DuckDB allows a WITH
+    RECURSIVE in a subquery), unioned under a method tag, and
+    aggregated to the integer halfup mean / max APE summary.
+    sum(BIGINT) is HUGEINT in DuckDB, so the sum casts back before
+    the halfup arithmetic. Validated by a parity-style unit test;
+    the damped arm joined in round 11 alongside its staged
+    standalone operator."""
     return f"""
         SELECT method, CAST(count(*) AS BIGINT) AS n_months,
                CAST((2 * CAST(sum(ape_permille) AS BIGINT) + count(*))
@@ -1951,6 +1953,9 @@ def _tournament_sql() -> str:
             SELECT 'ses' AS method, ape_permille FROM ({_SES_SQL})
             UNION ALL
             SELECT 'holt' AS method, ape_permille FROM ({_holt_sql()})
+            UNION ALL
+            SELECT 'holt_damped' AS method, ape_permille
+            FROM ({_holt_damped_sql()})
             UNION ALL
             SELECT 'hw' AS method, ape_permille FROM ({_hw_sql()})
         )
@@ -2455,6 +2460,145 @@ def _mw_sql() -> str:
                       * (CAST(n1 + n2 AS DOUBLE) - 1.0))) > 0
         ORDER BY 1, 2
     """
+
+
+def _holt_damped_sql(alpha_num: int = 1, alpha_den: int = 4,
+                     beta_num: int = 1, beta_den: int = 4,
+                     phi_num: int = 4, phi_den: int = 5) -> str:
+    """R12-STAGED: DuckDB recursive-CTE replay of
+    relational14.orders_forecast_holt_damped — the Holt oracle with
+    the damped trend pb = hup(φ·trend) inlined everywhere the kernel
+    reuses the rounded integer (forecast, level update, trend
+    update). φ = 1 makes pb = trend and the SQL degenerates to
+    _holt_sql's recurrence exactly. Validated by a parity-style unit
+    test now."""
+    pb = _hup_sql(f"{phi_num} * s.trend_c", phi_den)
+    nl = _hup_sql(
+        f"{alpha_num} * m.rev_c + {alpha_den - alpha_num}"
+        f" * (s.level_c + ({pb}))", alpha_den)
+    trend = _hup_sql(
+        f"{beta_num} * (({nl}) - s.level_c)"
+        f" + {beta_den - beta_num} * ({pb})", beta_den)
+    return f"""
+        WITH RECURSIVE m AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY o_year, o_month) AS i,
+                   o_year, o_month, rev_c
+            FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1, 2
+            )
+        ),
+        hd AS (
+            SELECT i, o_year, o_month, rev_c,
+                   rev_c AS level_c, CAST(0 AS BIGINT) AS trend_c,
+                   CAST(NULL AS BIGINT) AS forecast_c
+            FROM m WHERE i = 1
+            UNION ALL
+            SELECT m.i, m.o_year, m.o_month, m.rev_c,
+                   {nl} AS level_c,
+                   {trend} AS trend_c,
+                   s.level_c + ({pb}) AS forecast_c
+            FROM hd s JOIN m ON m.i = s.i + 1
+        )
+        SELECT o_year, o_month, rev_c, forecast_c,
+               CAST((2 * 1000 * abs(rev_c - forecast_c)
+                     + greatest(rev_c, 1))
+                    // (2 * greatest(rev_c, 1)) AS BIGINT)
+                   AS ape_permille
+        FROM hd WHERE forecast_c IS NOT NULL
+        ORDER BY o_year, o_month
+    """
+
+
+def _ad_sql() -> str:
+    """R12-STAGED: DuckDB replay of relational15.docs_ad_source_drift.
+    The per-value components (2Ma, 2Ba, I, den) are exact HUGEINT
+    integers (the Spark decimal(38,0) twin); the per-value term
+    l·I²/den and the final (N−1)/(N·n_a·n_b) scaling repeat the
+    kernel's exact double-expression shape, rounded to 4 dp (the
+    docs_zipf_slope double-aggregation precedent). Validated by a
+    parity-style unit test now."""
+    two_ba = "(2 * (a.cum + b.cum) - (a.c + b.c))"
+    i_num = (f"((na.n + nb.n) * (2 * a.cum - a.c)"
+             f" - na.n * {two_ba})")
+    den = (f"({two_ba} * (2 * (na.n + nb.n) - {two_ba})"
+           f" - (na.n + nb.n) * (a.c + b.c))")
+    return f"""
+        WITH cnt AS (
+            SELECT source, n_chars AS x, count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        xs AS (SELECT DISTINCT x FROM cnt),
+        srcs AS (
+            SELECT source, CAST(sum(c) AS HUGEINT) AS n
+            FROM cnt GROUP BY 1
+        ),
+        ecdf AS (
+            SELECT g.source, g.x,
+                   CAST(coalesce(c.c, 0) AS HUGEINT) AS c,
+                   CAST(sum(coalesce(c.c, 0)) OVER (
+                       PARTITION BY g.source ORDER BY g.x
+                   ) AS HUGEINT) AS cum
+            FROM (SELECT s.source, xs.x FROM xs CROSS JOIN srcs s) g
+            LEFT JOIN cnt c ON g.source = c.source AND g.x = c.x
+        ),
+        t AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   CASE WHEN {den} <> 0 THEN
+                       CAST(a.c + b.c AS DOUBLE)
+                       * CAST({i_num} AS DOUBLE)
+                       * CAST({i_num} AS DOUBLE)
+                       / CAST({den} AS DOUBLE)
+                   ELSE 0.0 END AS term
+            FROM ecdf a
+            JOIN ecdf b ON a.x = b.x AND a.source < b.source
+            JOIN srcs na ON na.source = a.source
+            JOIN srcs nb ON nb.source = b.source
+            WHERE a.c + b.c > 0
+        ),
+        s AS (
+            SELECT source_a, source_b, n_a, n_b,
+                   sum(term) AS s, count(*) AS n_values
+            FROM t GROUP BY 1, 2, 3, 4
+        )
+        SELECT source_a, source_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(n_values AS BIGINT) AS n_values,
+               round((CAST(n_a + n_b AS DOUBLE) - 1.0)
+                     / (CAST(n_a + n_b AS DOUBLE)
+                        * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                     * s, 4) AS ad_a2
+        FROM s WHERE n_values >= 2
+        ORDER BY 1, 2
+    """
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operators that are BUILT + unit-tested + oracle-parity-green
+    but not yet in queries(): the driver's 50-key correctness budget
+    per round means registration is rotated, and these are next
+    round's registrations. The CLI surfaces them (``list --staged``,
+    ``run``/``oracle`` with a staged banner) so the operational
+    surface matches the built surface; the correctness driver only
+    sees queries()."""
+    return {
+        "orders_forecast_holt_damped": R14.orders_forecast_holt_damped,
+        "docs_ad_source_drift": R15.docs_ad_source_drift,
+    }
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for staged_queries() — same contract as
+    oracle_sql(), validated by the same parity tests, promoted
+    verbatim on registration."""
+    return {
+        "orders_forecast_holt_damped": _holt_damped_sql(),
+        "docs_ad_source_drift": _ad_sql(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -19,6 +19,57 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _query_metrics(spark, group: str) -> dict:
+    """Plan-shape counters for one query run, attributed via its job
+    group: job/stage/task counts from the status tracker (no UI
+    needed) plus shuffle/input bytes from the REST status API when the
+    UI is up. These decompose a wall-time drift into 'the plan changed'
+    (job/stage/task counts moved) vs 'the host or corpus changed'
+    (counts flat, bytes or seconds moved)."""
+    tracker = spark.sparkContext.statusTracker()
+    jids = tracker.getJobIdsForGroup(group)
+    stage_ids: set[int] = set()
+    for j in jids:
+        ji = tracker.getJobInfo(j)
+        if ji:
+            stage_ids.update(ji.stageIds)
+    ntasks = 0
+    for s in stage_ids:
+        si = tracker.getStageInfo(s)
+        if si:
+            ntasks += si.numTasks
+    m = {"jobs": len(jids), "stages": len(stage_ids), "tasks": ntasks}
+    try:
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        sr = sw = ib = 0
+        # per-stage endpoint: a handful of small targeted calls per
+        # query (the full /stages listing is megabytes once thousands
+        # of stages are retained — fetching it per query dominated the
+        # bench wall-clock)
+        for sid in stage_ids:
+            try:
+                attempts = json.load(urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app}/stages/{sid}"
+                    f"?details=false", timeout=5
+                ))
+            except Exception:
+                continue  # skipped/evicted stage
+            for a in attempts:
+                sr += a.get("shuffleReadBytes", 0)
+                sw += a.get("shuffleWriteBytes", 0)
+                ib += a.get("inputBytes", 0)
+        mb = 1048576.0
+        m["shuffle_read_mb"] = round(sr / mb, 2)
+        m["shuffle_write_mb"] = round(sw / mb, 2)
+        m["input_mb"] = round(ib / mb, 2)
+    except Exception:
+        pass  # UI off: counts alone still decompose plans
+    return m
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -29,6 +80,14 @@ def main() -> None:
         app_name="jobsity-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+        # the UI (off by default in get_spark) feeds the per-stage
+        # shuffle/input byte counters; retained-job/stage limits are
+        # raised so the per-query snapshot never races eviction
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedJobs": "4000",
+            "spark.ui.retainedStages": "4000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -51,20 +110,31 @@ def main() -> None:
 
     # Best of 2 runs per query: the host is shared, and a single run can
     # catch a foreign CPU burst; the minimum reflects the plan's cost.
+    # The second (steady-state) run carries a job group so its
+    # job/stage/task/shuffle counters attribute to the query — the
+    # decomposition channel for cross-round wall-time drift.
     timings: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
+    sc = spark.sparkContext
     for name, fn in queries.items():
         best = -1.0
         try:
-            for _ in range(2):
+            for i in range(2):
                 gc.collect()  # release prior checkpoint RDD/broadcast refs
+                group = f"bench:{name}:{i}"
+                sc.setJobGroup(group, name)
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
+                sc.setJobGroup("", "")
                 best = elapsed if best < 0 else min(best, elapsed)
+                if i == 1:
+                    metrics[name] = _query_metrics(spark, group)
             timings[name] = best
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
+            sc.setJobGroup("", "")
             print(f"BENCH_ERROR {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -90,6 +160,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": by_time,
                 "sf": float(sf) if sf else None,
+                # per-query plan-shape counters (steady-state run):
+                # jobs/stages/tasks + shuffle/input MB — flat counts
+                # with moving wall-time = host/corpus variance, moved
+                # counts = a real plan regression
+                "plan_metrics": {k: metrics[k] for k in by_time
+                                 if k in metrics},
             }
         )
     )

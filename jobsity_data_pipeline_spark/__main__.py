@@ -4,10 +4,15 @@ The reference repo is driven as a script (``src/insert_postgres.py``
 run against a CSV + Postgres); this engine's equivalent operational
 surface is a small CLI over the driver contract:
 
-    python -m jobsity_data_pipeline_spark list [pattern]
+    python -m jobsity_data_pipeline_spark list [pattern] [--staged]
     python -m jobsity_data_pipeline_spark run <query> [--sf-dir DIR]
         [--limit N] [--explain]
     python -m jobsity_data_pipeline_spark oracle <query>
+
+``run`` and ``oracle`` also reach STAGED queries (built +
+oracle-parity-green but not yet registered in the driver's
+correctness rotation) with a loud stderr banner, so the operational
+surface always matches the built surface.
     python -m jobsity_data_pipeline_spark ingest <trips.csv> <table_dir>
 
 ``run`` executes any of the ~200 registered queries on the parquet
@@ -43,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     p_list = sub.add_parser("list", help="list registered queries")
     p_list.add_argument("pattern", nargs="?", default="",
                         help="substring filter")
+    p_list.add_argument("--staged", action="store_true",
+                        help="list STAGED queries instead (built + "
+                             "oracle-parity-green, not yet in the "
+                             "registered driver surface)")
 
     p_run = sub.add_parser("run", help="run a registered query")
     p_run.add_argument("query")
@@ -74,13 +83,27 @@ def main(argv: list[str] | None = None) -> int:
     a = p.parse_args(argv)
     e = _entrymod()
 
+    def _staged_queries() -> dict:
+        return getattr(e, "staged_queries", dict)() or {}
+
+    def _staged_banner(name: str) -> None:
+        print(f"[staged] {name}: built + oracle-parity-green, "
+              f"no driver correctness row yet (registration next "
+              f"rotation)", file=sys.stderr)
+
     if a.cmd == "list":
-        names = [k for k in e.queries() if a.pattern in k]
+        pool = _staged_queries() if a.staged else e.queries()
+        names = [k for k in pool if a.pattern in k]
         print("\n".join(sorted(names)))
         return 0
 
     if a.cmd == "oracle":
         sql = e.oracle_sql().get(a.query)
+        if sql is None:
+            staged = getattr(e, "staged_oracle_sql", dict)() or {}
+            sql = staged.get(a.query)
+            if sql is not None:
+                _staged_banner(a.query)
         if sql is None:
             print(f"no oracle for {a.query!r}", file=sys.stderr)
             return 1
@@ -105,8 +128,12 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "run":
         q = e.queries().get(a.query)
         if q is None:
-            print(f"unknown query {a.query!r} (try `list`)",
-                  file=sys.stderr)
+            q = _staged_queries().get(a.query)
+            if q is not None:
+                _staged_banner(a.query)
+        if q is None:
+            print(f"unknown query {a.query!r} (try `list` or "
+                  f"`list --staged`)", file=sys.stderr)
             return 1
         spark = get_spark(app_name=f"cli-{a.query}")
         df = q(spark, a.sf_dir)

@@ -783,6 +783,52 @@ def holt_backtest(months: list, alpha_num: int = 1, alpha_den: int = 4,
     return out
 
 
+def holt_damped_backtest(months: list,
+                         alpha_num: int = 1, alpha_den: int = 4,
+                         beta_num: int = 1, beta_den: int = 4,
+                         phi_num: int = 4, phi_den: int = 5) -> list:
+    """Damped-trend Holt (Gardner–McKenzie) recurrence as a pure
+    function of the month list — the rung between Holt and HW for
+    series whose trend should flatten at the horizon instead of
+    extrapolating linearly forever. The damped trend pb = hup(φ·trend)
+    is computed ONCE per step as a rounded integer and reused in all
+    three places (forecast, level update, trend update), which is
+    what keeps the recurrence engine-exact and lets the oracle replay
+    it with a single inlined expression:
+
+        pb      = hup(φ·trend)
+        fc_t    = level + pb
+        level'  = hup(α·rev + (1−α)·(level + pb))
+        trend'  = hup(β·(level'−level) + (1−β)·pb)
+
+    φ = phi_num/phi_den in (0, 1]; φ = 1 gives pb = trend exactly, so
+    the recurrence degenerates to holt_backtest bit-for-bit (pinned
+    in tests)."""
+    out = []
+    level = None
+    trend = 0
+    for y, mo, rev in months:
+        if level is None:
+            level = rev
+            continue
+        pb = _hup(phi_num * trend, phi_den)
+        fc = level + pb
+        dd = max(rev, 1)
+        ape = (2 * 1000 * abs(rev - fc) + dd) // (2 * dd)
+        out.append((y, mo, rev, fc, ape))
+        new_level = _hup(
+            alpha_num * rev + (alpha_den - alpha_num) * (level + pb),
+            alpha_den,
+        )
+        trend = _hup(
+            beta_num * (new_level - level)
+            + (beta_den - beta_num) * pb,
+            beta_den,
+        )
+        level = new_level
+    return out
+
+
 def hw_backtest(months: list, alpha_num: int = 1, alpha_den: int = 4,
                 beta_num: int = 1, beta_den: int = 4,
                 gamma_num: int = 1, gamma_den: int = 4) -> list:
@@ -934,14 +980,47 @@ def orders_forecast_hw(spark: SparkSession, sf_dir: str,
     hw_backtest kernel under the shared month cap, also served
     corpus-free from streamed state by forecast_from_state.
 
-    Round-11 staging note: unit-tested + staged oracle; queries()
-    registration lands next round — this round's 50-key budget
-    re-earns the full r6 tier."""
+    Registered in round 11 (staged in r9): first driver row this
+    round, leading the rotation with the rest of the staged backlog."""
     months = collect_months(
         _monthly_rev(spark, sf_dir), "orders_forecast_hw")
     return spark.createDataFrame(
         hw_backtest(months, alpha_num, alpha_den, beta_num, beta_den,
                     gamma_num, gamma_den),
+        FORECAST_SCHEMA,
+    ).orderBy("o_year", "o_month")
+
+
+def orders_forecast_holt_damped(spark: SparkSession, sf_dir: str,
+                                alpha_num: int = 1, alpha_den: int = 4,
+                                beta_num: int = 1, beta_den: int = 4,
+                                phi_num: int = 4,
+                                phi_den: int = 5) -> DataFrame:
+    """Damped-trend Holt one-step-ahead backtest of monthly order
+    revenue — the Gardner–McKenzie rung between Holt and HW: the
+    trend contribution is damped by φ each step (default 4/5), so a
+    transient revenue ramp stops being extrapolated linearly. Same
+    output shape as the rest of the forecaster family, so all five
+    rungs A/B on one join; φ = 1 degenerates to orders_forecast_holt
+    EXACTLY (pinned in tests).
+
+    Engine-exact by the family convention (exact integer cents,
+    sign-aware halfup per update; the damped trend hup(φ·b) is ONE
+    rounded integer reused by forecast, level and trend updates) and
+    replayed by the staged oracle's recursive CTE
+    (__spark_entry__._holt_damped_sql). Corpus work: the shared
+    _monthly_rev scan; the recurrence is the pure
+    holt_damped_backtest kernel under the shared month cap.
+
+    Round-12 staging note: unit-tested + staged oracle + CLI-visible
+    via staged_queries(); queries() registration lands next round —
+    this round's 50-key budget converts the nine-operator staged
+    backlog plus the r7 tier."""
+    months = collect_months(
+        _monthly_rev(spark, sf_dir), "orders_forecast_holt_damped")
+    return spark.createDataFrame(
+        holt_damped_backtest(months, alpha_num, alpha_den,
+                             beta_num, beta_den, phi_num, phi_den),
         FORECAST_SCHEMA,
     ).orderBy("o_year", "o_month")
 
@@ -968,15 +1047,14 @@ def snaive_backtest(months: list) -> list:
 
 def orders_forecast_tournament(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    """The forecaster family's A/B capstone: all four rungs
-    (snaive / SES / Holt / HW) backtested over the SAME monthly frame
-    and scored side by side — one row per method with its month
-    count, half-up integer mean APE permille, and worst month. This
-    is the query a demand planner actually runs to pick the rung; the
-    family docstrings promise the four-way A/B and this operator is
-    it, from ONE corpus scan (the shared _monthly_rev aggregate; all
-    four recurrences are driver-side pure kernels over the same
-    collected months, the bounded-model convention).
+    """The forecaster family's A/B capstone: all five rungs
+    (snaive / SES / Holt / damped Holt / HW) backtested over the SAME
+    monthly frame and scored side by side — one row per method with
+    its month count, half-up integer mean APE permille, and worst
+    month. This is the query a demand planner actually runs to pick
+    the rung, from ONE corpus scan (the shared _monthly_rev
+    aggregate; all five recurrences are driver-side pure kernels over
+    the same collected months, the bounded-model convention).
 
     Engine-exact: each arm's APE rows are its registered operator's
     numbers bit-for-bit (shared kernels, pinned in tests), and the
@@ -984,14 +1062,15 @@ def orders_forecast_tournament(spark: SparkSession,
     sum). The staged oracle unions the four arms' SQL (the recursive
     CTEs run inside derived tables) and aggregates identically.
 
-    Round-11 staging note: unit-tested + staged oracle
-    (__spark_entry__._tournament_sql); queries() registration lands
-    next round — this round's 50-key budget re-earns the r6 tier."""
+    Registered in round 11 (staged in r9): first driver row this
+    round; the damped-Holt arm joined the union in round 11 alongside
+    its staged standalone operator."""
     months = collect_months(
         _monthly_rev(spark, sf_dir), "orders_forecast_tournament")
     arms = {
         "hw": hw_backtest(months),
         "holt": holt_backtest(months),
+        "holt_damped": holt_damped_backtest(months),
         "ses": ses_backtest(months),
         "snaive": snaive_backtest(months),
     }

@@ -341,6 +341,132 @@ def docs_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_from_counts(ks_counts(_t(spark, sf_dir, "documents")))
 
 
+def ad_from_counts(cnt: DataFrame) -> DataFrame:
+    """Pairwise two-sample Anderson–Darling statistics from the SAME
+    (source, x, c) counts frame the KS audit reduces to — the
+    tail-sensitive twin of ks_from_counts (KS weights the middle of
+    the distribution; AD's 1/(B(N−B)) weight makes tail drift — the
+    long-document or truncation regressions a length filter actually
+    cares about — count at full strength). Because the sufficient
+    statistic is shared, the streaming KS state maintainer serves
+    this audit too, corpus-free.
+
+    Tie-adjusted midrank form (Scholz–Stephens A²akN, k = 2): over
+    the distinct pooled values j with pair counts fa, fb (l = fa+fb),
+        A² = (N−1)/(N·n_a·n_b) · Σ_j l_j · I_j² / den_j
+        I_j   = N·(2·cum_a − fa) − n_a·(2·(cum_a+cum_b) − l)
+        den_j = (2Ba)·(2N − 2Ba) − N·l,  2Ba = 2·(cum_a+cum_b) − l
+    carried in DOUBLED integer units so every component (2Ma, 2Ba, I,
+    den) is an exact integer — I ≤ 2N² fits decimal(38,0) up to
+    N ~ 1e18 — and only the per-value term l·I²/den is a double
+    (the docs_zipf_slope precedent: double aggregation + round(4)
+    holds the oracle hash; the terms are all non-negative and of
+    comparable magnitude, so the sum is well-conditioned). Degenerate
+    pairs (fewer than two distinct pooled values, where den = 0) are
+    FILTERED, the mw_from_counts convention.
+
+    Plan: identical shape to ks_from_counts — one window over the
+    metadata-sized (source, x) grid, a self-join on the grid key,
+    broadcast per-source totals, partial-aggregable final groupBy.
+    """
+    xs = cnt.select("x").distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = xs.crossJoin(F.broadcast(srcs.select("source")))
+    w = (
+        Window.partitionBy("source").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(38,0)"
+    ecdf = (
+        grid.join(cnt, ["source", "x"], "left")
+        .select(
+            "source", "x", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        .withColumn("cum", F.sum("c").over(w))
+    )
+    a = ecdf.select(
+        F.col("source").alias("source_a"), "x",
+        F.col("c").alias("fa"), F.col("cum").alias("cum_a"),
+    )
+    b = ecdf.select(
+        F.col("source").alias("source_b"), "x",
+        F.col("c").alias("fb"), F.col("cum").alias("cum_b"),
+    )
+    na = srcs.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    nb = srcs.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    l_ = (F.col("fa") + F.col("fb")).cast(dec)
+    n_tot = (F.col("n_a") + F.col("n_b")).cast(dec)
+    two_ma = (F.lit(2) * F.col("cum_a") - F.col("fa")).cast(dec)
+    two_ba = (
+        F.lit(2) * (F.col("cum_a") + F.col("cum_b"))
+    ).cast(dec) - l_
+    i_num = n_tot * two_ma - F.col("n_a").cast(dec) * two_ba
+    den = two_ba * (F.lit(2) * n_tot - two_ba) - n_tot * l_
+    # den = 0 only on a pair's single pooled value (l = N), where the
+    # numerator is identically 0 too and the whole pair is filtered by
+    # n_values >= 2 below — guard the 0/0 so ANSI mode doesn't raise
+    # during aggregation (oracle mirrors the CASE)
+    term = F.when(
+        den != F.lit(0),
+        l_.cast("double") * i_num.cast("double") * i_num.cast("double")
+        / den.cast("double"),
+    ).otherwise(F.lit(0.0))
+    pairs = (
+        a.join(b, "x")
+        .where(F.col("source_a") < F.col("source_b"))
+        .where(F.col("fa") + F.col("fb") > 0)
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b",
+            term.alias("term"),
+        )
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = nad + nbd
+    a2 = (nd - F.lit(1.0)) / (nd * nad * nbd) * F.col("s")
+    return (
+        pairs.groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.sum("term").alias("s"),
+             F.count("*").alias("n_values"))
+        .where(F.col("n_values") >= 2)
+        .select(
+            "source_a", "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_values").cast("long").alias("n_values"),
+            F.round(a2, 4).alias("ad_a2"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def docs_ad_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling statistic between every pair of
+    sources on the document-length (n_chars) distribution — the
+    tail-weighted twin of docs_ks_source_drift: KS's max-gap statistic
+    is blind to drift concentrated in the distribution's tails, while
+    AD's 1/(B(N−B)) weighting is exactly where truncation bugs and
+    long-document contamination live. Run both; disagreement (low KS,
+    high AD) localizes the drift to the tails.
+
+    Semantics, exactness and plan shape: see ad_from_counts — the
+    corpus is touched by ONE partial-agg scan to (source, n_chars)
+    counts (the ks_counts reduction, shared with the KS audit and its
+    streaming state), and everything pairwise runs on that
+    metadata-sized grid.
+
+    Round-12 staging note: unit-tested + staged oracle
+    (__spark_entry__._ad_sql) + CLI-visible via staged_queries();
+    queries() registration lands next round."""
+    return ad_from_counts(ks_counts(_t(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # events_benford
 # ---------------------------------------------------------------------------

@@ -107,3 +107,30 @@ def test_history_and_maintain(spark, tmp_path, capsys):
     assert main(["history", table]) == 0
     # compaction (and analyze) published new versions
     assert len(capsys.readouterr().out.splitlines()) >= 5
+
+
+def test_list_staged(capsys):
+    """Round-11 (r10 verdict task 4): the staged surface is visible to
+    the operational CLI — `list --staged` enumerates built +
+    parity-green but not-yet-registered queries."""
+    assert main(["list", "--staged"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "orders_forecast_holt_damped" in out
+    assert "docs_ad_source_drift" in out
+    # staged keys are NOT in the registered listing
+    assert main(["list", "holt_damped"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_run_and_oracle_reach_staged_with_banner(spark, capsys):
+    """`run`/`oracle` execute a staged key end-to-end, with the
+    'staged — no driver row yet' banner on stderr."""
+    assert main(["oracle", "docs_ad_source_drift"]) == 0
+    cap = capsys.readouterr()
+    assert "ad_a2" in cap.out
+    assert "[staged]" in cap.err
+    assert main(["run", "orders_forecast_holt_damped",
+                 "--sf-dir", SF_SMOKE, "--limit", "3"]) == 0
+    cap = capsys.readouterr()
+    assert "forecast_c" in cap.out
+    assert "[staged]" in cap.err

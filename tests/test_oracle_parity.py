@@ -76,6 +76,44 @@ def test_parity(spark, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+STAGED_QUERIES = entrymod.staged_queries()
+STAGED_ORACLES = entrymod.staged_oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_ORACLES))
+def test_staged_parity(spark, name):
+    """Driver-strength parity for the STAGED registry too, so a
+    staged operator is hash-green BEFORE the round it registers —
+    new staged waves are covered automatically via
+    staged_queries()/staged_oracle_sql()."""
+    import os
+
+    sf = os.environ.get("PARITY_SF_DIR", SF_SMOKE)
+    sdf = STAGED_QUERIES[name](spark, sf)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf)
+    cur = con.execute(STAGED_ORACLES[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count spark={len(srows)} duckdb={len(drows)}"
+    )
+    sn = _norm_rows(scols, srows)
+    dn = _norm_rows(dcols, drows)
+    if sn != dn:
+        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_staged_and_registered_surfaces_are_disjoint():
+    assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
+    assert not set(STAGED_QUERIES) & set(QUERIES)
+
+
 def test_no_oracle_emits_hugeint_or_decimal():
     """One-pass oracle output-type audit (the judge's r3 scan, now a
     permanent gate): HUGEINT/DECIMAL columns survive fetchall() as
@@ -135,22 +173,16 @@ def test_no_oracle_sums_raw_money_floats():
 
 
 def test_no_staged_oracle_emits_hugeint_or_decimal():
-    """The same output-type audit over the STAGED oracle generators
+    """The same output-type audit over the STAGED oracle registry
     (parity-tested now, queries() registration deferred for sweep
     budget) — a staged oracle that widens to HUGEINT/DECIMAL would
     pass its local parity test today and hash-mismatch the round it
-    registers, the exact r3 escape class this gate exists for."""
-    staged = {
-        "orders_forecast_hw": entrymod._hw_sql(),
-        "orders_forecast_tournament": entrymod._tournament_sql(),
-        "docs_k_anonymity": entrymod._kanon_sql(),
-        "events_acf": entrymod._acf_sql(),
-        "docs_ks_source_drift": entrymod._ks_sql(),
-        "events_benford": entrymod._benford_sql(),
-        "orders_survival_km": entrymod._km_sql(),
-        "orders_survival_km_by_priority": entrymod._km_grouped_sql(),
-        "events_mannwhitney": entrymod._mw_sql(),
-    }
+    registers, the exact r3 escape class this gate exists for. The
+    round-10 staged nine registered in round 11 and are covered by
+    the registered sweep; this now audits staged_oracle_sql()
+    directly so every future staged wave is covered automatically."""
+    staged = entrymod.staged_oracle_sql()
+    assert staged  # the registry exists and is non-empty this round
     con = _duck(SF_SMOKE)
     bad = {}
     for name, sql in sorted(staged.items()):

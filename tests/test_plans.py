@@ -1113,3 +1113,95 @@ def test_no_registered_query_compiles_a_cartesian_product(spark):
     assert not row_udf, (
         f"queries compiling row-at-a-time Python UDFs: {row_udf}"
     )
+
+
+def test_no_registered_query_funnels_corpus_through_global_limit(spark):
+    """Round-11 blanket gate (the r10 verdict's task 6, first shape):
+    a PHYSICAL GlobalLimit/CollectLimit whose subtree scans a table
+    without any aggregation in between funnels the corpus through a
+    single partition — the limit-over-corpus shape the Cartesian and
+    row-UDF gates don't see. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition partial top-k — scale-safe,
+    NOT flagged); collect-side limits (the KM grids) never appear in
+    a returned plan. Compiled with AQE off so the physical tree is
+    walkable; the shape is a compile-time property."""
+    import __spark_entry__ as entrymod
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        offenders = []
+        for name, fn in entrymod.queries().items():
+            pp = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan()
+            for node in walk(pp):
+                nn = node.nodeName()
+                if "GlobalLimit" not in nn and "CollectLimit" not in nn:
+                    continue
+                sub = [m.nodeName() for m in walk(node)]
+                has_scan = any("Scan" in s and "Exchange" not in s
+                               for s in sub)
+                has_reducer = any(
+                    ("Aggregate" in s) or ("TakeOrdered" in s)
+                    or ("Deduplicate" in s) for s in sub
+                )
+                if has_scan and not has_reducer:
+                    offenders.append(name)
+                    break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert not offenders, (
+        f"queries funneling an unaggregated scan through a "
+        f"single-partition limit: {offenders}"
+    )
+
+
+# Queries whose compiled plan contains a SortMergeJoin/ShuffledHashJoin
+# at smoke scale. Every entry is a reviewed big-big join (both sides
+# corpus-derived and same order of magnitude: pair/block joins, rank
+# iterations, fact-fact enrichment) or a join over a localCheckpoint-
+# pinned frame whose stats are opaque to the planner but whose size is
+# bounded by construction (the overlap audits' per-type aggregates).
+# The gate is a RATCHET: a new query that should broadcast a
+# metadata-scale side but compiles a shuffle join instead shows up
+# here and fails CI until either fixed or reviewed onto this list.
+_SHUFFLE_JOIN_REVIEWED = {
+    "docs_ks_source_drift",      # (source,n_chars) grid self-join
+    "docs_mix_weights",          # corpus-derived grids both sides
+    "emb_ann_recall",            # exact-vs-ANN corpus join (quality gate)
+    "emb_hardneg_recall",        # same family
+    "emb_matryoshka_recall",     # same family
+    "events_range_join",         # range join, both sides event-scale
+    "parts_triangles",           # edge-edge-edge, all corpus-scale
+    "emb_ivfpq_ann",             # candidate join at corpus scale
+    "emb_ivfpq_residual_ann",    # candidate join at corpus scale
+    "emb_semdedup",              # block-pair joins, both sides corpus
+    "orders_customer_rfm",       # orders x customer fact-fact
+    "events_type_overlap_kmv",   # pinned distinct (stats-opaque RDD)
+    "events_type_overlap_hll",   # pinned distinct (stats-opaque RDD)
+    "events_type_containment_kmv",  # pinned distinct
+    "emb_near_dup",              # block-pair join, both sides corpus
+    "docs_minhash_est_vs_exact", # pair joins, both sides pair-scale
+    "docs_dedup_keep",           # cluster x docs, both corpus-scale
+    "docs_group_split",          # group spine x docs
+    "parts_pagerank",            # 10 rank iterations, edge x rank
+}
+
+
+def test_shuffle_join_surface_is_ratcheted(spark):
+    """Round-11 blanket gate (the r10 verdict's task 6, second shape):
+    the set of registered queries compiling a non-broadcast join must
+    not grow beyond the reviewed list above — a new query that misses
+    a broadcast on a metadata-scale side fails here instead of
+    shuffling a corpus against a 100-row dim at 100 TB."""
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution(
+        ).executedPlan().toString()
+        if ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan) \
+                and name not in _SHUFFLE_JOIN_REVIEWED:
+            offenders.append(name)
+    assert not offenders, (
+        f"queries compiling unreviewed shuffle joins: {offenders}"
+    )

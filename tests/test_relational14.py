@@ -689,9 +689,13 @@ class TestForecastTournament:
             for r in R14.orders_forecast_tournament(
                 spark, SF_SMOKE).collect()
         }
+        assert set(got) == {"snaive", "ses", "holt", "holt_damped",
+                            "hw"}
         for method, kernel in (
             ("snaive", R14.snaive_backtest), ("ses", R14.ses_backtest),
-            ("holt", R14.holt_backtest), ("hw", R14.hw_backtest),
+            ("holt", R14.holt_backtest),
+            ("holt_damped", R14.holt_damped_backtest),
+            ("hw", R14.hw_backtest),
         ):
             rows = kernel(months)
             n = len(rows)
@@ -822,3 +826,51 @@ class TestForecastKernelProperties:
                 assert fc == m[i][2]  # forecast = previous actual
 
         prop()
+
+
+class TestHoltDampedStaged:
+    def test_hand_recurrence(self):
+        # months: rev 100, 200, 300 cents; alpha=beta=1/4, phi=4/5
+        months = [(2024, 1, 100), (2024, 2, 200), (2024, 3, 300)]
+        out = R14.holt_damped_backtest(months)
+        # step 1: level=100, trend=0, pb=0 -> fc=100; ape=|200-100|/200
+        #   nl = hup(1*200 + 3*100, 4) = hup(500,4) = 125
+        #   nt = hup(1*(125-100) + 3*0, 4) = hup(25,4) = 6
+        assert out[0] == (2024, 2, 200, 100, 500)
+        # step 2: pb = hup(4*6,5) = hup(24,5) = 5 -> fc = 125+5 = 130
+        #   ape = hup(1000*|300-130|, 300) = hup(170000,300) = 567
+        assert out[1] == (2024, 3, 300, 130, 567)
+
+    def test_phi_one_degenerates_to_holt(self, spark):
+        h = R14.orders_forecast_holt(spark, SF_SMOKE).collect()
+        d = R14.orders_forecast_holt_damped(
+            spark, SF_SMOKE, phi_num=1, phi_den=1).collect()
+        assert [tuple(r) for r in h] == [tuple(r) for r in d]
+
+    def test_damping_shrinks_trend_contribution(self):
+        # on a pure ramp, damped forecasts never exceed undamped ones
+        months = [(2024, m, 100 * m) for m in range(1, 11)]
+        und = R14.holt_backtest(months)
+        dam = R14.holt_damped_backtest(months)
+        assert all(df[3] <= hf[3] for df, hf in zip(dam, und))
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        t = TestStagedR10Oracles()
+        sdf = R14.orders_forecast_holt_damped(spark, SF_SMOKE)
+        a = t._norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+        cur = t._duck(SF_SMOKE, ("orders",)).execute(
+            entrymod._holt_damped_sql())
+        b = t._norm([d[0] for d in cur.description], cur.fetchall())
+        assert a == b
+
+    def test_in_staged_registry(self):
+        import __spark_entry__ as entrymod
+
+        sq = entrymod.staged_queries()
+        so = entrymod.staged_oracle_sql()
+        assert set(sq) == set(so)
+        assert "orders_forecast_holt_damped" in sq
+        # staged and registered surfaces are disjoint
+        assert not set(sq) & set(entrymod.queries())

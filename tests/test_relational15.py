@@ -664,3 +664,111 @@ class TestKmGroupedStratumTypes:
         )
         assert out.schema["ship_bucket"].dataType.simpleString() == "int"
         assert out.count() > 0
+
+
+class TestAdSourceDrift:
+    """Round-11 staged: two-sample Anderson-Darling drift audit —
+    textbook-reference cross-check, degenerate filtering, staged
+    oracle parity, and the shared-sufficient-statistic property."""
+
+    @staticmethod
+    def _ad2_naive(xs, ys):
+        # Scholz-Stephens A2akN (k=2, midrank/tie version) written the
+        # textbook per-sample-loop way — deliberately NOT the shared
+        # cumulative-count shape the operator uses
+        pooled = sorted(set(xs) | set(ys))
+        n1, n2 = len(xs), len(ys)
+        N = n1 + n2
+        total = 0.0
+        bprev = 0
+        for z in pooled:
+            f1 = sum(1 for v in xs if v == z)
+            f2 = sum(1 for v in ys if v == z)
+            lj = f1 + f2
+            if lj == 0:
+                continue
+            m1 = sum(1 for v in xs if v < z) + f1 / 2.0
+            m2 = sum(1 for v in ys if v < z) + f2 / 2.0
+            ba = bprev + lj / 2.0
+            den = ba * (N - ba) - N * lj / 4.0
+            if den > 0:
+                total += (lj / N) * (
+                    (N * m1 - n1 * ba) ** 2 / den / n1
+                    + (N * m2 - n2 * ba) ** 2 / den / n2
+                )
+            bprev += lj
+        return (N - 1) / N * total
+
+    def test_matches_textbook_reference_on_smoke(self, spark):
+        con = _duck(SF_SMOKE, ("documents",))
+        raw = con.execute(
+            "SELECT source, n_chars FROM documents").fetchall()
+        by_src: dict = {}
+        for s, x in raw:
+            by_src.setdefault(s, []).append(x)
+        got = {(r.source_a, r.source_b): r.ad_a2
+               for r in R15.docs_ad_source_drift(spark, SF_SMOKE)
+               .collect()}
+        assert got
+        for (a, b), v in got.items():
+            want = self._ad2_naive(by_src[a], by_src[b])
+            assert v == pytest.approx(want, abs=5e-4), (a, b)
+
+    def test_identical_samples_give_small_a2(self, spark, tmp_path):
+        # same distribution -> E[A2] ~ 1; identical multisets land low
+        rows = [(i, "t", "en", "a" if i % 2 == 0 else "b", 10 + i % 7)
+                for i in range(200)]
+        out = R15.docs_ad_source_drift(
+            spark, _write_docs(spark, tmp_path, rows)).collect()
+        assert len(out) == 1
+        assert out[0].ad_a2 < 1.0
+
+    def test_tail_shift_scores_high(self, spark, tmp_path):
+        # c == a except its top 30% is 10x longer (a pure tail drift),
+        # while b == a shifted by nothing: the drifted pair's A2 must
+        # sit far above the undrifted pair's (same n, same body)
+        rows = []
+        for i in range(100):
+            rows.append((i, "t", "en", "a", 100 + i))
+            rows.append((1000 + i, "t", "en", "b", 100 + i))
+            nc_ = 100 + i if i < 70 else (100 + i) * 10
+            rows.append((2000 + i, "t", "en", "c", nc_))
+        out = {(r.source_a, r.source_b): r.ad_a2
+               for r in R15.docs_ad_source_drift(
+                   spark, _write_docs(spark, tmp_path, rows)).collect()}
+        # identical multisets: the tie-adjusted A2 is exactly its
+        # degenerate floor; the 30% tail drift scores far above it
+        assert out[("a", "c")] > 2.0
+        assert out[("a", "c")] > out[("a", "b")] + 2.0
+        assert out[("a", "c")] == out[("b", "c")]
+
+    def test_degenerate_single_value_pair_filtered(self, spark,
+                                                   tmp_path):
+        # every doc in both sources has the same length: fewer than
+        # two distinct pooled values -> the pair is filtered (the
+        # mw_from_counts convention), not a division by zero
+        rows = [(1, "t", "en", "a", 10), (2, "t", "en", "a", 10),
+                (3, "t", "en", "b", 10), (4, "t", "en", "b", 10)]
+        out = R15.docs_ad_source_drift(
+            spark, _write_docs(spark, tmp_path, rows)).collect()
+        assert out == []
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.docs_ad_source_drift(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("documents",)),
+            entrymod._ad_sql(),
+        )
+
+    def test_shares_ks_sufficient_statistic(self, spark):
+        # ad_from_counts over the KS audit's counts reduction equals
+        # the operator — the streaming KS state serves AD corpus-free
+        from jobsity_data_pipeline_spark.session import read_table
+
+        cnt = R15.ks_counts(read_table(spark, SF_SMOKE, "documents"))
+        a = [tuple(r) for r in R15.ad_from_counts(cnt).collect()]
+        b = [tuple(r) for r in
+             R15.docs_ad_source_drift(spark, SF_SMOKE).collect()]
+        assert a == b
