@@ -2577,6 +2577,55 @@ def _ad_sql() -> str:
     """
 
 
+def _theilsen_sql() -> str:
+    """R13-STAGED: DuckDB replay of relational15.events_trend_theilsen.
+    The pairwise slope is the SAME sign-aware integer half-up in 1e-6
+    units (both engines' CASE keeps the numerator positive, so
+    truncating div == flooring // on every row), the median is
+    constructed manually (row_number middle picks, avg of the one or
+    two middle values), and only the final rescale is a double.
+    Validated by a parity-style unit test now."""
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+        spine AS (
+            SELECT CAST(unnest(generate_series(
+                       span.d0, span.d1, INTERVAL 1 DAY)) AS DATE) AS d,
+                   span.d0
+            FROM span
+        ),
+        filled AS (
+            SELECT CAST(date_diff('day', s.d0, s.d) AS BIGINT) AS i,
+                   CAST(coalesce(dd.c, 0) AS BIGINT) AS c
+            FROM spine s LEFT JOIN daily dd ON s.d = dd.d
+        ),
+        pairs AS (
+            SELECT CASE WHEN b.c >= a.c THEN
+                       (2 * (b.c - a.c) * 1000000 + (b.i - a.i))
+                       // (2 * (b.i - a.i))
+                   ELSE
+                       -((2 * (a.c - b.c) * 1000000 + (b.i - a.i))
+                         // (2 * (b.i - a.i)))
+                   END AS s_e6
+            FROM filled a JOIN filled b ON a.i < b.i
+        ),
+        r AS (
+            SELECT s_e6, row_number() OVER (ORDER BY s_e6) AS rn
+            FROM pairs
+        ),
+        nn AS (SELECT count(*) AS n FROM pairs)
+        SELECT CAST(nn.n AS BIGINT) AS n_pairs,
+               round(avg(CAST(r.s_e6 AS DOUBLE)) / 1000000.0, 6)
+                   AS sen_slope_per_day
+        FROM r, nn
+        WHERE rn = (nn.n + 1) // 2 OR rn = nn.n // 2 + 1
+        GROUP BY nn.n
+    """
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operators that are BUILT + unit-tested + oracle-parity-green
     but not yet in queries(): the driver's 50-key correctness budget
@@ -2588,6 +2637,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "orders_forecast_holt_damped": R14.orders_forecast_holt_damped,
         "docs_ad_source_drift": R15.docs_ad_source_drift,
+        "events_trend_theilsen": R15.events_trend_theilsen,
     }
 
 
@@ -2598,6 +2648,7 @@ def staged_oracle_sql() -> dict[str, str]:
     return {
         "orders_forecast_holt_damped": _holt_damped_sql(),
         "docs_ad_source_drift": _ad_sql(),
+        "events_trend_theilsen": _theilsen_sql(),
     }
 
 

@@ -925,3 +925,121 @@ def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     is servable from maintained streaming state exactly like the
     Welch moments."""
     return mw_from_counts(mw_counts(_t(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# events_trend_theilsen
+# ---------------------------------------------------------------------------
+
+# the pair fan-out is span_days^2 / 2 rows; ~11 years of daily data is
+# ~8M pairs — still a post-aggregation frame, but loud like KM/MW
+TS_MAX_DAYS = 4096
+
+
+def theilsen_from_daily(spark: SparkSession,
+                        daily: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of a (d, c) daily-count frame — the
+    median of all pairwise slopes (c_j − c_i)/(j − i), the
+    outlier-immune answer to "is traffic growing" that OLS
+    (lineitem_ols_elasticity's kernel) cannot give: a single
+    spike/outage day moves the mean-based slope arbitrarily but moves
+    the MEDIAN of ~n²/2 slopes not at all (up to 29% contamination).
+
+    Exactness: the calendar is zero-filled (a gap day is a real 0,
+    the ACF convention); each pair's slope is the exact integer
+    ratio Δcount/Δdays rounded HALF-UP to 1e-6 (one integer hup in
+    both engines — no raw double division feeds the sort), and the
+    median is constructed manually: sort the rounded slopes, average
+    the middle two under even count with one shared (a+b)/2 double
+    expression — no engine's percentile-interpolation quirks cross
+    the boundary. The intercept column is median(c) − slope·median(d
+    index), both medians built the same way.
+
+    Plan: ONE corpus scan partial-aggregates to daily counts; the
+    zero-filled spine, the pair self-join (span² — loud TS_MAX_DAYS
+    cap via an in-plan guard), the sort and the middle-row pick all
+    run on post-aggregation frames. The daily counts are the SAME
+    sufficient statistic the ACF audit maintains from its stream
+    (stream_daily_counts), so this trend is state-servable
+    corpus-free (theilsen_from_state)."""
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("d"), "d0"
+    )
+    filled = (
+        spine.join(daily, "d", "left")
+        .select(
+            F.datediff("d", "d0").cast("long").alias("i"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    # loud span cap, in-plan (the MW_MAX_GRID convention): raise
+    # before the quadratic fan-out if the calendar exceeds the cap
+    ndays = filled.groupBy().agg(F.count("*").alias("_nd"))
+    guarded = (
+        filled.crossJoin(F.broadcast(ndays))
+        .withColumn(
+            "c",
+            F.when(F.col("_nd") <= F.lit(TS_MAX_DAYS), F.col("c"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("events_trend_theilsen: calendar span "),
+                F.col("_nd").cast("string"),
+                F.lit(f" days > {TS_MAX_DAYS}; the pairwise-slope "
+                      "frame is span^2 — aggregate to weeks/months "
+                      "or window the input")
+            )).cast("long")),
+        )
+        .drop("_nd")
+    )
+    a = guarded.select(F.col("i").alias("ia"), F.col("c").alias("ca"))
+    b = guarded.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
+    # slope in exact 1e-6 units, sign-aware half-up: one INTEGER (div)
+    # expression both engines share — no raw double division feeds
+    # the sort
+    slope_e6 = F.expr(
+        "CASE WHEN cb >= ca THEN"
+        " (2 * (cb - ca) * 1000000 + (ib - ia)) div (2 * (ib - ia))"
+        " ELSE"
+        " -((2 * (ca - cb) * 1000000 + (ib - ia)) div (2 * (ib - ia)))"
+        " END"
+    ).cast("long")
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(slope_e6.alias("s_e6"))
+    )
+    w = Window.orderBy("s_e6")
+    ranked = pairs.select(
+        "s_e6", F.row_number().over(w).alias("rn")
+    )
+    n = pairs.groupBy().agg(F.count("*").alias("n"))
+    # rows where rn in {floor((n+1)/2), floor(n/2)+1} — 1 row when n
+    # odd, 2 when even; the median is their mean (identical values
+    # when odd)
+    mid = (
+        ranked.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+    )
+    return (
+        mid.groupBy("n")
+        .agg(F.avg(F.col("s_e6").cast("double")).alias("med_e6"))
+        .select(
+            F.col("n").cast("long").alias("n_pairs"),
+            F.round(F.col("med_e6") / F.lit(1_000_000.0), 6)
+            .alias("sen_slope_per_day"),
+        )
+    )
+
+
+def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event counts — see
+    theilsen_from_daily for semantics, exactness and the plan shape.
+
+    Round-13 staging note: unit-tested + staged oracle
+    (__spark_entry__._theilsen_sql) + CLI-visible via
+    staged_queries(); registration follows the rotation."""
+    return theilsen_from_daily(
+        spark, daily_counts(_t(spark, sf_dir, "events"))
+    )

@@ -1103,12 +1103,19 @@ def clone_table(src_dir: str, dst_dir: str,
     new checkpoints (replaying a source batch into the clone is a
     new commit, not a skip).
 
-    The standard shallow-clone caveat, stated loudly: the clone
-    REFERENCES the source's data files. vacuum() on the CLONE is safe
-    (it only sweeps data dirs under its own directory), but vacuum()
-    on the SOURCE can delete files the clone still references once
-    the source itself stops referencing them — retain the source or
-    re-publish (compact) the clone before vacuuming the source."""
+    The standard shallow-clone caveat, now ENFORCED instead of
+    docstring-only: the clone REFERENCES the source's data files, so
+    clone_table also drops a consumer registration
+    (``_clones/<id>.json``) in the SOURCE directory — metadata-only,
+    no source version churn — and vacuum() on the source reads those
+    registrations, skips data directories a live clone still
+    references (with a loud warning naming the clone), and only
+    deletes them under ``force=True``. vacuum() on the CLONE is safe
+    unconditionally (it only sweeps data dirs under its own
+    directory). A registration whose clone directory has since
+    disappeared, or whose clone no longer references any source file
+    (e.g. re-published by compact), is garbage-collected by the next
+    source vacuum."""
     man = (latest_manifest(src_dir) if version is None
            else _manifest_at(src_dir, version))
     if man is None or not man["files"]:
@@ -1132,6 +1139,18 @@ def clone_table(src_dir: str, dst_dir: str,
         dst_dir, list(man["files"]),
         f"clone-{uuid.uuid4().hex[:8]}", extra=extras,
     )
+    # consumer registration in the SOURCE (metadata-only sidecar, no
+    # source version churn): lets the source's vacuum() protect data
+    # dirs this clone still references
+    reg_dir = os.path.join(src_dir, "_clones")
+    os.makedirs(reg_dir, exist_ok=True)
+    reg = os.path.join(reg_dir, f"{uuid.uuid4().hex[:12]}.json")
+    with open(reg + ".tmp", "w") as f:
+        json.dump({
+            "clone_dir": os.path.abspath(dst_dir),
+            "source_version": man["version"],
+        }, f)
+    os.replace(reg + ".tmp", reg)
     return {
         "version": v,
         "source_version": man["version"],
@@ -1649,8 +1668,45 @@ def compact(spark: SparkSession, table_dir: str,
     )
 
 
+def _clone_referenced_dirs(table_dir: str) -> dict[str, set]:
+    """Data directories under ``table_dir`` that a REGISTERED shallow
+    clone (clone_table's ``_clones/*.json`` sidecars) still references
+    in its LATEST manifest, as {clone_dir: {data_dir, ...}}. Stale
+    registrations — clone directory gone, or the clone re-published
+    past every source file — are deleted as they are discovered."""
+    reg_dir = os.path.join(table_dir, "_clones")
+    if not os.path.isdir(reg_dir):
+        return {}
+    prefix = os.path.abspath(table_dir) + os.sep
+    out: dict[str, set] = {}
+    for name in sorted(os.listdir(reg_dir)):
+        if not name.endswith(".json"):
+            continue
+        path = os.path.join(reg_dir, name)
+        try:
+            with open(path) as f:
+                clone_dir = json.load(f)["clone_dir"]
+            man = latest_manifest(clone_dir)
+        except (OSError, ValueError, KeyError):
+            man = None
+        refs = {
+            os.path.dirname(p) for p in (man or {}).get("files", [])
+            if os.path.abspath(p).startswith(prefix)
+        }
+        if refs:
+            out.setdefault(clone_dir, set()).update(refs)
+        else:
+            # clone gone or fully diverged: registration is stale
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    return out
+
+
 def vacuum(table_dir: str, keep_versions: int = 2,
-           retention_seconds: float = 3600.0) -> dict:
+           retention_seconds: float = 3600.0,
+           force: bool = False) -> dict:
     """Retire old versions: drop all but the newest ``keep_versions``
     manifests, then delete every data directory no surviving manifest
     references — which also sweeps orphans from writers that crashed
@@ -1662,6 +1718,13 @@ def vacuum(table_dir: str, keep_versions: int = 2,
     data but not yet renamed its manifest, and sweeping its files would
     publish a manifest referencing nothing. Pass 0 only when no writer
     can be active.
+
+    Shallow-clone protection: a data directory that a REGISTERED live
+    clone (clone_table) still references is SKIPPED with a loud
+    warning naming the clone — deleting it would corrupt the clone's
+    reads. Pass ``force=True`` to delete anyway (after re-publishing
+    or dropping the clone). Skipped dirs are reported under
+    ``skipped_clone_referenced``.
     """
     import time
 
@@ -1677,19 +1740,39 @@ def vacuum(table_dir: str, keep_versions: int = 2,
     for _v, _tok, path in retired:
         os.remove(path)
     import shutil
+    import warnings
+
+    clone_refs = {} if force else _clone_referenced_dirs(table_dir)
+    protected: dict[str, list] = {}
+    for clone_dir, dirs in clone_refs.items():
+        for d in dirs:
+            protected.setdefault(os.path.abspath(d), []).append(clone_dir)
 
     now = time.time()
+    skipped_clone = 0
     for name in os.listdir(table_dir):
         full = os.path.join(table_dir, name)
         if name.startswith("data-") and os.path.isdir(full) and full not in live:
             if now - os.path.getmtime(full) < retention_seconds:
                 continue  # possibly an in-flight writer's uncommitted files
+            holders = protected.get(os.path.abspath(full))
+            if holders:
+                skipped_clone += 1
+                warnings.warn(
+                    f"vacuum({table_dir}): keeping {name} — still "
+                    f"referenced by shallow clone(s) {sorted(holders)}; "
+                    f"re-publish (compact) or drop the clone, or pass "
+                    f"force=True to delete anyway",
+                    stacklevel=2,
+                )
+                continue
             removed_files += sum(len(fs) for _, _, fs in os.walk(full))
             shutil.rmtree(full)
     return {
         "manifests_retired": len(retired),
         "data_dirs_live": len(live),
         "files_removed": removed_files,
+        "skipped_clone_referenced": skipped_clone,
     }
 
 

@@ -1207,12 +1207,13 @@ def forecast_from_state(spark: SparkSession, table_dir: str,
     the batch operator over the same orders (proven in tests).
     ``params`` pass through to the kernel (alpha_num, ...)."""
     from ..operators.relational14 import (
-        FORECAST_SCHEMA, collect_months, holt_backtest, hw_backtest,
-        ses_backtest,
+        FORECAST_SCHEMA, collect_months, holt_backtest,
+        holt_damped_backtest, hw_backtest, ses_backtest,
     )
 
     kernels = {
-        "ses": ses_backtest, "holt": holt_backtest, "hw": hw_backtest,
+        "ses": ses_backtest, "holt": holt_backtest,
+        "holt_damped": holt_damped_backtest, "hw": hw_backtest,
     }
     if method not in kernels:
         raise ValueError(
@@ -1683,6 +1684,25 @@ def ks_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def ad_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The pairwise Anderson–Darling drift table served FROM the SAME
+    maintained (source, n_chars) counters as ks_from_state — the two
+    audits share one sufficient statistic, so one stream maintainer
+    serves both. Sum-merge the per-batch deltas, then the shared
+    ad_from_counts kernel — bit-identical to batch
+    docs_ad_source_drift over the same corpus, corpus-free."""
+    from ..operators.relational15 import ad_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published source-length state at {table_dir}")
+    return ad_from_counts(
+        deltas.groupBy("source", "x").agg(F.sum("c").alias("c"))
+    )
+
+
 def stream_daily_counts(events: DataFrame, table_dir: str,
                         checkpoint: str):
     """Maintain the daily event-count series over an EVENT STREAM —
@@ -1714,6 +1734,25 @@ def stream_daily_counts(events: DataFrame, table_dir: str,
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def theilsen_from_state(spark: SparkSession,
+                        table_dir: str) -> DataFrame:
+    """The Theil-Sen robust daily-count trend served FROM the SAME
+    maintained daily counters as acf_from_state — one stream
+    maintainer (stream_daily_counts), two audits. Sum-merge the
+    per-batch deltas, then the shared theilsen_from_daily kernel —
+    bit-identical to batch events_trend_theilsen over the same
+    events, corpus-free."""
+    from ..operators.relational15 import theilsen_from_daily
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(f"no published daily-count state at {table_dir}")
+    return theilsen_from_daily(
+        spark, deltas.groupBy("d").agg(F.sum("c").alias("c"))
     )
 
 

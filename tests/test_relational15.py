@@ -772,3 +772,76 @@ class TestAdSourceDrift:
         b = [tuple(r) for r in
              R15.docs_ad_source_drift(spark, SF_SMOKE).collect()]
         assert a == b
+
+
+class TestTheilSenStaged:
+    def test_matches_naive_reference_on_smoke(self, spark):
+        import datetime as _dt
+
+        con = _duck(SF_SMOKE, ("events",))
+        days = dict(con.execute(
+            "SELECT CAST(ts AS DATE) d, count(*) FROM events GROUP BY 1"
+        ).fetchall())
+        d0, d1 = min(days), max(days)
+        span = [(i, days.get(d0 + _dt.timedelta(days=i), 0))
+                for i in range((d1 - d0).days + 1)]
+
+        def hup(num, den):
+            if num >= 0:
+                return (2 * num + den) // (2 * den)
+            return -((2 * (-num) + den) // (2 * den))
+
+        slopes = sorted(
+            hup((span[y][1] - span[x][1]) * 1_000_000,
+                span[y][0] - span[x][0])
+            for x in range(len(span)) for y in range(x + 1, len(span))
+        )
+        n = len(slopes)
+        want = round(
+            (slopes[(n + 1) // 2 - 1] + slopes[n // 2]) / 2.0 / 1e6, 6)
+        r = R15.events_trend_theilsen(spark, SF_SMOKE).collect()[0]
+        assert r.n_pairs == n
+        assert r.sen_slope_per_day == want
+
+    def test_robust_to_single_outlier(self, spark, tmp_path):
+        # a clean +2/day ramp with ONE 1000x spike day: OLS would be
+        # dragged far off; the Sen slope stays exactly 2.0
+        t0 = dt.datetime(2024, 1, 1, 6)
+        rows, eid = [], 0
+        for day in range(12):
+            c = 2 * (day + 1) if day != 6 else 2000
+            for _ in range(c):
+                eid += 1
+                rows.append(
+                    (eid, t0 + dt.timedelta(days=day), 1, "a", 1.0, "{}")
+                )
+        r = R15.events_trend_theilsen(
+            spark, _write_events(spark, tmp_path, rows)).collect()[0]
+        assert r.sen_slope_per_day == 2.0
+
+    def test_span_cap_fails_loudly(self, spark, tmp_path):
+        import jobsity_data_pipeline_spark.operators.relational15 as M
+
+        t0 = dt.datetime(2024, 1, 1, 6)
+        rows = [(1, t0, 1, "a", 1.0, "{}"),
+                (2, t0 + dt.timedelta(days=9), 1, "a", 1.0, "{}")]
+        e = spark.read.parquet(
+            _write_events(spark, tmp_path, rows) + "/events.parquet")
+        orig = M.TS_MAX_DAYS
+        M.TS_MAX_DAYS = 5
+        try:
+            with pytest.raises(Exception) as ei:
+                M.theilsen_from_daily(
+                    spark, M.daily_counts(e)).collect()
+            assert "aggregate to weeks/months" in str(ei.value)
+        finally:
+            M.TS_MAX_DAYS = orig
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.events_trend_theilsen(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("events",)),
+            entrymod._theilsen_sql(),
+        )

@@ -2372,3 +2372,66 @@ def test_maintain_tolerates_files_missing_on_disk(spark, tmp_path):
     # missing file counted as not-small -> only 2 small remain -> no
     # compact (and, critically, no crash)
     assert report["compact"] is None
+
+
+def test_source_vacuum_protects_clone_referenced_files(spark, tmp_path):
+    """Round-11 (r10 verdict task 7): clone_table registers itself in
+    the SOURCE (_clones sidecar), and vacuum on the source SKIPS data
+    dirs a live clone still references — with a warning naming the
+    clone — instead of silently corrupting the clone's reads. force
+    deletes anyway; a diverged clone's stale registration is GC'd."""
+    import warnings as _w
+
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "trip_key long, v string"
+    ).coalesce(1)
+    assert SN.upsert_batch(df, 0, src) == "published"
+    dst = str(tmp_path / "dst")
+    SN.clone_table(src, dst)
+    clone_rows = {tuple(r) for r in SN.read_latest(spark, dst).collect()}
+
+    # source moves on: a compact republishes its data elsewhere, so
+    # the original data dir is unreferenced BY THE SOURCE but still
+    # referenced by the clone
+    SN.compact(spark, src, target_files=1)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        rep = SN.vacuum(src, keep_versions=1, retention_seconds=0.0)
+    assert rep["skipped_clone_referenced"] >= 1
+    assert any("shallow clone" in str(c.message) for c in caught)
+    # the clone still reads its full snapshot
+    assert {tuple(r) for r in SN.read_latest(spark, dst).collect()} \
+        == clone_rows
+
+    # the clone re-publishes (compact) -> stops referencing source
+    # files -> the next source vacuum GC's the registration and
+    # removes the dir with no warning
+    SN.compact(spark, dst, target_files=1)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        rep2 = SN.vacuum(src, keep_versions=1, retention_seconds=0.0)
+    assert rep2["skipped_clone_referenced"] == 0
+    assert not any("shallow clone" in str(c.message) for c in caught)
+    assert SN.read_latest(spark, dst).count() == 5
+    assert SN.read_latest(spark, src).count() == 5
+
+
+def test_source_vacuum_force_overrides_clone_protection(spark, tmp_path):
+    from jobsity_data_pipeline_spark.sources import snapshot as SN
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "trip_key long, v string"
+    ).coalesce(1)
+    assert SN.upsert_batch(df, 0, src) == "published"
+    SN.clone_table(src, str(tmp_path / "dst"))
+    SN.compact(spark, src, target_files=1)
+    rep = SN.vacuum(src, keep_versions=1, retention_seconds=0.0,
+                    force=True)
+    assert rep["skipped_clone_referenced"] == 0
+    assert rep["files_removed"] >= 1
+    # the source itself remains fully readable
+    assert SN.read_latest(spark, src).count() == 4

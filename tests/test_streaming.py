@@ -1481,6 +1481,7 @@ def test_stream_monthly_rev_serves_forecasts_bitexact(spark, tmp_path):
     months = sorted((int(y), int(m), int(c)) for y, m, c in want_m)
     for method, kernel in (
         ("ses", R14.ses_backtest), ("holt", R14.holt_backtest),
+        ("holt_damped", R14.holt_damped_backtest),
         ("hw", R14.hw_backtest),
     ):
         got = [
@@ -1719,6 +1720,20 @@ def test_stream_sourcelen_counts_serves_batch_ks_bitexact(
     got = [tuple(r) for r in ks_from_state(spark, table).collect()]
     assert got == want and len(got) == 3
 
+    # the SAME state serves the staged Anderson-Darling audit too
+    # (shared sufficient statistic): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational15 import (
+        docs_ad_source_drift,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        ad_from_state,
+    )
+
+    want_ad = [tuple(r)
+               for r in docs_ad_source_drift(
+                   spark, str(sf_like)).collect()]
+    assert [tuple(r) for r in ad_from_state(spark, table).collect()]         == want_ad
+
     # replaying batch 0's delta under its original token is a no-op
     v = latest_manifest(table)["version"]
     b0 = ks_counts(
@@ -1789,6 +1804,20 @@ def test_stream_daily_counts_serves_batch_acf_bitexact(spark, tmp_path):
     want = [tuple(r) for r in events_acf(spark, str(sf_like)).collect()]
     got = [tuple(r) for r in acf_from_state(spark, table).collect()]
     assert got == want and len(got) == 7
+
+    # the SAME state serves the staged Theil-Sen trend too (shared
+    # sufficient statistic): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational15 import (
+        events_trend_theilsen,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        theilsen_from_state,
+    )
+
+    want_ts = [tuple(r) for r in
+               events_trend_theilsen(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in theilsen_from_state(spark, table).collect()]         == want_ts
 
     # replaying batch 0's delta under its original token is a no-op
     v = latest_manifest(table)["version"]
