@@ -1100,7 +1100,9 @@ def test_no_registered_query_compiles_a_cartesian_product(spark):
     import __spark_entry__ as entrymod
 
     cartesian, row_udf = [], []
-    for name, fn in entrymod.queries().items():
+    pool = dict(entrymod.queries())
+    pool.update(entrymod.staged_queries())  # gate the staged surface too
+    for name, fn in pool.items():
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution(
         ).executedPlan().toString()
         if "CartesianProduct" in plan:
@@ -1131,7 +1133,9 @@ def test_no_registered_query_funnels_corpus_through_global_limit(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         offenders = []
-        for name, fn in entrymod.queries().items():
+        pool = dict(entrymod.queries())
+        pool.update(entrymod.staged_queries())  # gate the staged surface too
+        for name, fn in pool.items():
             pp = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan()
             for node in walk(pp):
                 nn = node.nodeName()
@@ -1184,6 +1188,10 @@ _SHUFFLE_JOIN_REVIEWED = {
     "docs_dedup_keep",           # cluster x docs, both corpus-scale
     "docs_group_split",          # group spine x docs
     "parts_pagerank",            # 10 rank iterations, edge x rank
+    # staged surface (gated BEFORE registration so the rotation can
+    # never trip this ratchet):
+    "docs_ad_source_drift",      # grid self-join, the KS audit's twin
+    "events_trend_theilsen",     # span^2 pair self-join, capped
 }
 
 
@@ -1196,7 +1204,9 @@ def test_shuffle_join_surface_is_ratcheted(spark):
     import __spark_entry__ as entrymod
 
     offenders = []
-    for name, fn in entrymod.queries().items():
+    pool = dict(entrymod.queries())
+    pool.update(entrymod.staged_queries())  # ratchet the staged surface too
+    for name, fn in pool.items():
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution(
         ).executedPlan().toString()
         if ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan) \
@@ -1205,3 +1215,23 @@ def test_shuffle_join_surface_is_ratcheted(spark):
     assert not offenders, (
         f"queries compiling unreviewed shuffle joins: {offenders}"
     )
+
+
+def test_staged_audit_plans_broadcast_metadata_sides(spark):
+    """Round-11 staged ops, plan shape: the AD drift's per-source
+    totals and the Theil-Sen day-count frames are metadata-sized and
+    must reach their joins broadcast (the ACF convention); the grid
+    self-joins themselves are the reviewed KS shape."""
+    from jobsity_data_pipeline_spark.operators import relational15 as R15
+
+    ad = R15.docs_ad_source_drift(spark, SF_SMOKE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in ad
+    assert "CartesianProduct" not in ad
+
+    ts = R15.events_trend_theilsen(spark, SF_SMOKE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the pair fan-out is an inequality join over the broadcast-able
+    # day frame: BroadcastNestedLoopJoin, never CartesianProduct
+    assert "CartesianProduct" not in ts
+    assert "BatchEvalPython" not in ad and "BatchEvalPython" not in ts
