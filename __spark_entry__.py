@@ -2577,6 +2577,41 @@ def _ad_sql() -> str:
     """
 
 
+def _ldiv_sql(bucket_chars: int = 256, risk_l: int = 2) -> str:
+    """R13-STAGED: DuckDB replay of relational15.docs_l_diversity.
+    All-integer arithmetic over the SAME classes CTE as _kanon_sql
+    (one more GROUP BY level: distinct langs per (source, bucket)
+    class), so the match is bit-for-bit. Validated by a parity-style
+    unit test now."""
+    return f"""
+        WITH classes AS (
+            SELECT lang, source, n_chars // {int(bucket_chars)}
+                       AS len_bucket,
+                   count(*) AS k
+            FROM documents GROUP BY 1, 2, 3
+        ),
+        per_class AS (
+            SELECT source, len_bucket, count(*) AS l,
+                   CAST(sum(k) AS BIGINT) AS docs
+            FROM classes GROUP BY 1, 2
+        ),
+        dist AS (
+            SELECT l, count(*) AS n_classes,
+                   CAST(sum(docs) AS BIGINT) AS n_docs
+            FROM per_class GROUP BY l
+        ),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM dist)
+        SELECT CAST(l AS BIGINT) AS l,
+               CAST(n_classes AS BIGINT) AS n_classes,
+               n_docs,
+               CAST((2000 * n_docs + total) // (2 * total) AS BIGINT)
+                   AS docs_pm,
+               l < {int(risk_l)} AS at_risk
+        FROM dist CROSS JOIN tot
+        ORDER BY l
+    """
+
+
 def _theilsen_sql() -> str:
     """R13-STAGED: DuckDB replay of relational15.events_trend_theilsen.
     The pairwise slope is the SAME sign-aware integer half-up in 1e-6
@@ -2638,6 +2673,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_forecast_holt_damped": R14.orders_forecast_holt_damped,
         "docs_ad_source_drift": R15.docs_ad_source_drift,
         "events_trend_theilsen": R15.events_trend_theilsen,
+        "docs_l_diversity": R15.docs_l_diversity,
     }
 
 
@@ -2649,6 +2685,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "orders_forecast_holt_damped": _holt_damped_sql(),
         "docs_ad_source_drift": _ad_sql(),
         "events_trend_theilsen": _theilsen_sql(),
+        "docs_l_diversity": _ldiv_sql(),
     }
 
 

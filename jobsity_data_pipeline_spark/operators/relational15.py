@@ -135,6 +135,71 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str,
     return kanon_dist(kanon_classes(d, bucket_chars), risk_k)
 
 
+LDIV_RISK_L = 2
+
+
+def ldiv_dist(classes: DataFrame, risk_l: int = LDIV_RISK_L) -> DataFrame:
+    """The l-diversity distribution over the SAME
+    (lang, source, len_bucket, k) classes frame the k-anonymity audit
+    reduces to: per (source, len_bucket) quasi-identifier class, l =
+    the number of DISTINCT sensitive values (lang) present, then one
+    row per distinct l with the class/document counts, half-up
+    permille, and an at_risk flag for l < ``risk_l`` (every document
+    in such a class shares its sensitive value with at most l-1
+    alternatives — the attribute-disclosure failure k-anonymity alone
+    cannot see: a class can be large AND uniform). Shared by the
+    batch audit and ldiv_from_state — the kanon stream maintainer
+    serves both audits."""
+    per_class = (
+        classes.groupBy("source", "len_bucket")
+        .agg(F.count("*").alias("l"), F.sum("k").alias("docs"))
+    )
+    dist = (
+        per_class.groupBy("l")
+        .agg(F.count("*").alias("n_classes"),
+             F.sum("docs").alias("n_docs"))
+    )
+    tot = dist.agg(F.sum("n_docs").alias("total"))
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("l").cast("long").alias("l"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("(2000 * n_docs + total) div (2 * total)")
+            .cast("long").alias("docs_pm"),
+            (F.col("l") < F.lit(int(risk_l))).alias("at_risk"),
+        )
+        .orderBy("l")
+    )
+
+
+def docs_l_diversity(spark: SparkSession, sf_dir: str,
+                     bucket_chars: int = KANON_BUCKET_CHARS,
+                     risk_l: int = LDIV_RISK_L) -> DataFrame:
+    """l-diversity audit over (source, length-bucket) quasi-identifier
+    classes with lang as the sensitive attribute — the
+    attribute-disclosure sibling of docs_k_anonymity: a class can
+    pass k-anonymity (many documents) while every document shares one
+    lang, so an adversary who locates a row in the class learns the
+    sensitive value with certainty. One row per distinct diversity
+    level l with class/document counts, half-up permille, and the
+    l < risk_l flag.
+
+    Plan and exactness: the docs_k_anonymity shape exactly — ONE
+    corpus scan to the (lang, source, len_bucket, k) classes
+    (kanon_classes, the SHARED sufficient statistic, so the kanon
+    stream maintainer serves this audit too via ldiv_from_state),
+    then two re-aggregations of that metadata-sized frame and a
+    broadcast 1-row total; every column exact integer math.
+
+    Round-13 staging note: unit-tested + staged oracle
+    (__spark_entry__._ldiv_sql) + CLI-visible via staged_queries();
+    registration follows the rotation."""
+    d = _t(spark, sf_dir, "documents")
+    return ldiv_dist(kanon_classes(d, bucket_chars), risk_l)
+
+
 # ---------------------------------------------------------------------------
 # events_acf
 # ---------------------------------------------------------------------------

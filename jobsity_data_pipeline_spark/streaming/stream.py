@@ -1737,6 +1737,30 @@ def stream_daily_counts(events: DataFrame, table_dir: str,
     )
 
 
+def ldiv_from_state(spark: SparkSession, table_dir: str,
+                    risk_l: int | None = None) -> DataFrame:
+    """The l-diversity distribution served FROM the SAME maintained
+    class counters as kanon_from_state — one maintainer
+    (stream_kanon_counts), two privacy audits. Sum-merge the
+    per-batch deltas (recovering the exact per-class k), then the
+    shared ldiv_dist kernel — bit-identical to batch
+    docs_l_diversity over the same corpus, corpus-free."""
+    from ..operators.relational15 import LDIV_RISK_L, ldiv_dist
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published k-anonymity state at {table_dir}")
+    classes = (
+        deltas.groupBy("lang", "source", "len_bucket")
+        .agg(F.sum("k").alias("k"))
+    )
+    return ldiv_dist(
+        classes, LDIV_RISK_L if risk_l is None else int(risk_l)
+    )
+
+
 def theilsen_from_state(spark: SparkSession,
                         table_dir: str) -> DataFrame:
     """The Theil-Sen robust daily-count trend served FROM the SAME

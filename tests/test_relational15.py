@@ -845,3 +845,54 @@ class TestTheilSenStaged:
             _duck(SF_SMOKE, ("events",)),
             entrymod._theilsen_sql(),
         )
+
+
+class TestLDiversityStaged:
+    def test_known_distribution(self, spark, tmp_path):
+        rows = [
+            # class (web, bucket 0): en + de -> l = 2, 3 docs
+            (1, "t", "en", "web", 10),
+            (2, "t", "en", "web", 20),
+            (3, "t", "de", "web", 30),
+            # class (wiki, bucket 0): en only -> l = 1 (UNIFORM), 2
+            # docs — passes k-anonymity at k=2 yet fully discloses lang
+            (4, "t", "en", "wiki", 10),
+            (5, "t", "en", "wiki", 40),
+        ]
+        out = {
+            r.l: (r.n_classes, r.n_docs, r.docs_pm, r.at_risk)
+            for r in R15.docs_l_diversity(
+                spark, _write_docs(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert out == {1: (1, 2, 400, True), 2: (1, 3, 600, False)}
+
+    def test_invariants_on_smoke(self, spark):
+        rows = R15.docs_l_diversity(spark, SF_SMOKE).collect()
+        con = _duck(SF_SMOKE, ("documents",))
+        assert sum(r.n_docs for r in rows) == con.execute(
+            "SELECT count(*) FROM documents").fetchone()[0]
+        n_langs = con.execute(
+            "SELECT count(DISTINCT lang) FROM documents").fetchone()[0]
+        for r in rows:
+            assert 1 <= r.l <= n_langs
+            assert r.at_risk == (r.l < R15.LDIV_RISK_L)
+
+    def test_shares_kanon_sufficient_statistic(self, spark):
+        from jobsity_data_pipeline_spark.session import read_table
+
+        classes = R15.kanon_classes(
+            read_table(spark, SF_SMOKE, "documents"))
+        a = [tuple(r) for r in R15.ldiv_dist(classes).collect()]
+        b = [tuple(r) for r in
+             R15.docs_l_diversity(spark, SF_SMOKE).collect()]
+        assert a == b
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R15.docs_l_diversity(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("documents",)),
+            entrymod._ldiv_sql(),
+        )

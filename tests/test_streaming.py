@@ -1665,6 +1665,20 @@ def test_stream_kanon_counts_serves_batch_audit_bitexact(spark, tmp_path):
     assert [tuple(r) for r in kanon_from_state(spark, table).collect()] \
         == want
 
+    # the SAME state serves the staged l-diversity audit too (shared
+    # sufficient statistic): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational15 import (
+        docs_l_diversity,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        ldiv_from_state,
+    )
+
+    want_l = [tuple(r) for r in
+              docs_l_diversity(spark, str(sf_like)).collect()]
+    assert [tuple(r) for r in ldiv_from_state(spark, table).collect()] \
+        == want_l
+
 
 def test_stream_sourcelen_counts_serves_batch_ks_bitexact(
     spark, tmp_path
