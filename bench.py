@@ -99,8 +99,12 @@ def main() -> None:
     # codegen classes so the timed pass measures steady-state
     # throughput, not first-run JIT.
     warm_dir = "/root/testdata/sf0.001"
+    try:
+        staged = entrymod.staged_queries()
+    except AttributeError:
+        staged = {}
     if os.path.isdir(warm_dir):
-        for name, fn in queries.items():
+        for name, fn in list(queries.items()) + list(staged.items()):
             try:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
@@ -137,6 +141,26 @@ def main() -> None:
             sc.setJobGroup("", "")
             print(f"BENCH_ERROR {name}: {exc}", file=sys.stderr)
 
+    # staged surface (built + parity-green, not yet registered): timed
+    # under the same protocol so the round the key registers, its cost
+    # is already on record; kept OUT of the headline total/queries
+    # (the driver's contract) under their own key
+    staged_timings: dict[str, float] = {}
+    for name, fn in staged.items():
+        best = -1.0
+        try:
+            for _ in range(2):
+                gc.collect()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                best = elapsed if best < 0 else min(best, elapsed)
+            staged_timings[name] = best
+        except Exception as exc:
+            staged_timings[name] = -1.0
+            print(f"BENCH_ERROR staged {name}: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     n_err = sum(1 for t in timings.values() if t < 0)
@@ -166,6 +190,7 @@ def main() -> None:
                 # counts = a real plan regression
                 "plan_metrics": {k: metrics[k] for k in by_time
                                  if k in metrics},
+                "staged": staged_timings,
             }
         )
     )
