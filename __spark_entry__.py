@@ -37,6 +37,7 @@ from jobsity_data_pipeline_spark.operators import relational12 as R12
 from jobsity_data_pipeline_spark.operators import relational13 as R13
 from jobsity_data_pipeline_spark.operators import relational14 as R14
 from jobsity_data_pipeline_spark.operators import relational15 as R15
+from jobsity_data_pipeline_spark.operators import relational16 as R16
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -2661,6 +2662,195 @@ def _theilsen_sql() -> str:
     """
 
 
+def _mk_sql() -> str:
+    """R14-STAGED: DuckDB replay of
+    relational16.events_trend_mannkendall. S, the 18ths-deferred
+    variance numerator and both tau-b denominator factors are exact
+    integers over the SAME zero-filled calendar; z (continuity-
+    corrected) and tau_b repeat the kernel's double expressions
+    verbatim. Validated by a parity-style unit test now."""
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+        spine AS (
+            SELECT CAST(unnest(generate_series(
+                       span.d0, span.d1, INTERVAL 1 DAY)) AS DATE) AS d,
+                   span.d0
+            FROM span
+        ),
+        filled AS (
+            SELECT CAST(date_diff('day', s.d0, s.d) AS BIGINT) AS i,
+                   CAST(coalesce(dd.c, 0) AS BIGINT) AS c
+            FROM spine s LEFT JOIN daily dd ON s.d = dd.d
+        ),
+        sgn AS (
+            SELECT CAST(coalesce(sum(
+                       CASE WHEN b.c > a.c THEN 1
+                            WHEN b.c < a.c THEN -1
+                            ELSE 0 END), 0) AS BIGINT) AS s
+            FROM filled a JOIN filled b ON a.i < b.i
+        ),
+        tg AS (SELECT c, count(*) AS t FROM filled GROUP BY c),
+        ties AS (
+            SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_var,
+                   CAST(sum(t * (t - 1)) AS BIGINT) AS tie_tau,
+                   CAST(sum(t) AS BIGINT) AS n
+            FROM tg
+        ),
+        j AS (
+            SELECT sgn.s, ties.n, ties.tie_tau,
+                   ties.n * (ties.n - 1) * (2 * ties.n + 5)
+                       - ties.tie_var AS var18
+            FROM sgn CROSS JOIN ties
+        )
+        SELECT n AS n_days, s AS s_stat,
+               round(CAST(var18 AS DOUBLE) / 18.0, 4) AS var_s,
+               round(CASE
+                   WHEN var18 <= 0 THEN 0.0
+                   WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   ELSE 0.0 END, 4) AS z_stat,
+               round(CASE
+                   WHEN CAST(n * (n - 1) AS DOUBLE) / 2.0
+                        - CAST(tie_tau AS DOUBLE) / 2.0 > 0
+                   THEN CAST(s AS DOUBLE) / sqrt(
+                       (CAST(n * (n - 1) AS DOUBLE) / 2.0
+                        - CAST(tie_tau AS DOUBLE) / 2.0)
+                       * (CAST(n * (n - 1) AS DOUBLE) / 2.0))
+                   ELSE 0.0 END, 6) AS tau_b
+        FROM j
+    """
+
+
+def _kw_sql() -> str:
+    """R14-STAGED: DuckDB replay of
+    relational16.events_kruskalwallis. Doubled average ranks on the
+    POOLED value distribution keep every per-type rank sum and the
+    tie term exact HUGEINT integers (the Spark decimal(38,0) twin);
+    the per-type contribution, H, the tie correction and the mean
+    rank repeat the kernel's double expressions verbatim. Validated
+    by a parity-style unit test now."""
+    return """
+        WITH cnt AS (
+            SELECT event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS vc,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        pooled AS (SELECT vc, sum(c) AS t FROM cnt GROUP BY vc),
+        ranked AS (
+            SELECT vc, CAST(t AS HUGEINT) AS t,
+                   CAST(coalesce(sum(t) OVER (
+                       ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS HUGEINT) AS cumb
+            FROM pooled
+        ),
+        r2 AS (
+            SELECT vc, t, 2 * cumb + t + 1 AS r2 FROM ranked
+        ),
+        per_type AS (
+            SELECT event_type,
+                   CAST(sum(c) AS BIGINT) AS n_i,
+                   sum(CAST(c AS HUGEINT) * r2.r2) AS rd
+            FROM cnt JOIN r2 USING (vc) GROUP BY 1
+        ),
+        gl AS (
+            SELECT CAST(sum(t) AS HUGEINT) AS nn,
+                   CAST(sum(t * t * t - t) AS HUGEINT) AS tie
+            FROM r2
+        ),
+        kk AS (SELECT count(*) AS k FROM per_type),
+        terms AS (
+            SELECT event_type, n_i, nn, tie, k,
+                   CAST(rd AS DOUBLE) AS rdd,
+                   CAST(n_i AS DOUBLE) AS nid,
+                   CAST(nn AS DOUBLE) AS nd
+            FROM per_type CROSS JOIN gl CROSS JOIN kk
+        ),
+        contrib AS (
+            SELECT *,
+                   3.0 * rdd * rdd / (nd * (nd + 1) * nid)
+                   - 3.0 * (nd + 1) * nid / nd AS hc
+            FROM terms
+        ),
+        h AS (SELECT sum(hc) AS h FROM contrib)
+        SELECT event_type, n_i AS n,
+               round(rdd / (2.0 * nid), 6) AS mean_rank,
+               round(hc, 6) AS h_contrib,
+               round(h.h, 4) AS h_stat,
+               round(CASE
+                   WHEN k >= 2 AND 1.0 - CAST(tie AS DOUBLE)
+                        / (nd * nd * nd - nd) > 0
+                   THEN h.h / (1.0 - CAST(tie AS DOUBLE)
+                        / (nd * nd * nd - nd))
+                   END, 4) AS h_tie_corrected,
+               CAST(k - 1 AS BIGINT) AS df
+        FROM contrib CROSS JOIN h
+        ORDER BY event_type
+    """
+
+
+def _cramers_sql(bucket_chars: int = 256) -> str:
+    """R14-STAGED: DuckDB replay of relational16.docs_cramers_v over
+    the SAME (lang, source, len_bucket, k) classes reduction as the
+    k-anonymity oracle. Each chi-squared cell numerator is the exact
+    HUGEINT integer N*o - n_l*n_s (the Spark decimal(38,0) twin)
+    cast to double once; zero cells of the full r x c grid
+    participate. Validated by a parity-style unit test now."""
+    return f"""
+        WITH classes AS (
+            SELECT lang, source,
+                   n_chars // {int(bucket_chars)} AS len_bucket,
+                   count(*) AS k
+            FROM documents GROUP BY 1, 2, 3
+        ),
+        cells AS (
+            SELECT lang, source, sum(k) AS o FROM classes GROUP BY 1, 2
+        ),
+        nl AS (SELECT lang, sum(o) AS n_l FROM cells GROUP BY 1),
+        ns AS (SELECT source, sum(o) AS n_s FROM cells GROUP BY 1),
+        tot AS (SELECT sum(o) AS nn FROM cells),
+        grid AS (
+            SELECT CAST(nl.n_l AS HUGEINT) AS n_l,
+                   CAST(ns.n_s AS HUGEINT) AS n_s,
+                   CAST(tot.nn AS HUGEINT) AS nn,
+                   CAST(coalesce(c.o, 0) AS HUGEINT) AS o
+            FROM nl CROSS JOIN ns
+            LEFT JOIN cells c
+              ON c.lang = nl.lang AND c.source = ns.source
+            CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT max(CAST(nn AS DOUBLE)) AS nd,
+                   sum(CAST(nn * o - n_l * n_s AS DOUBLE)
+                       * CAST(nn * o - n_l * n_s AS DOUBLE)
+                       / (CAST(nn AS DOUBLE) * CAST(n_l AS DOUBLE)
+                          * CAST(n_s AS DOUBLE))) AS chi2
+            FROM grid
+        ),
+        shape AS (
+            SELECT (SELECT count(*) FROM nl) AS r,
+                   (SELECT count(*) FROM ns) AS c
+        )
+        SELECT CAST(nd AS BIGINT) AS n_docs,
+               CAST(r AS BIGINT) AS n_langs,
+               CAST(c AS BIGINT) AS n_sources,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+               round(chi2, 4) AS chi2,
+               round(CASE WHEN least(r - 1, c - 1) > 0
+                   THEN sqrt(chi2 / (nd
+                        * CAST(least(r - 1, c - 1) AS DOUBLE)))
+                   END, 6) AS cramers_v
+        FROM agg CROSS JOIN shape
+    """
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operators that are BUILT + unit-tested + oracle-parity-green
     but not yet in queries(): the driver's 50-key correctness budget
@@ -2674,6 +2864,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ad_source_drift": R15.docs_ad_source_drift,
         "events_trend_theilsen": R15.events_trend_theilsen,
         "docs_l_diversity": R15.docs_l_diversity,
+        "events_trend_mannkendall": R16.events_trend_mannkendall,
+        "events_kruskalwallis": R16.events_kruskalwallis,
+        "docs_cramers_v": R16.docs_cramers_v,
     }
 
 
@@ -2686,6 +2879,9 @@ def staged_oracle_sql() -> dict[str, str]:
         "docs_ad_source_drift": _ad_sql(),
         "events_trend_theilsen": _theilsen_sql(),
         "docs_l_diversity": _ldiv_sql(),
+        "events_trend_mannkendall": _mk_sql(),
+        "events_kruskalwallis": _kw_sql(),
+        "docs_cramers_v": _cramers_sql(),
     }
 
 

@@ -1,0 +1,429 @@
+"""Round-11 late wave — three audit statistics that each ride an
+EXISTING streamed sufficient statistic (zero new stream maintainers,
+zero new corpus reductions; every kernel here is one more serving of
+state the engine already keeps current):
+
+- events_trend_mannkendall: the Mann–Kendall trend TEST over the
+  zero-filled daily event-count calendar — the significance twin of
+  the staged Theil–Sen SLOPE (same daily_counts state, same guarded
+  span² pair frame): S = Σ sign(c_j − c_i) over time-ordered pairs
+  is an exact integer, the tie-corrected variance is an exact
+  integer over 18, and only the continuity-corrected z and the
+  Kendall τ_b rescale are final shared double expressions.
+- events_kruskalwallis: the k-sample generalization of the
+  Mann–Whitney rank-sum test over the SAME (event_type, value-cents,
+  count) state — "do the k event types share one value distribution"
+  in a single table, where running all k(k−1)/2 pairwise MW tests
+  would multiply the false-positive rate. Doubled average ranks keep
+  every rank sum an exact decimal(38,0)/HUGEINT integer.
+- docs_cramers_v: Cramér's V association strength between lang and
+  source, served from the SAME (lang, source, len_bucket, k)
+  quasi-identifier classes the k-anonymity/l-diversity audits reduce
+  to — "is language mix independent of source" as one effect-size
+  number the raw chi-squared (which grows with N even for trivial
+  effects) cannot give.
+
+Every operator splits into the established SUFFICIENT-STATISTIC /
+SERVING-KERNEL form; the serving kernels are fed corpus-free by the
+round-10/11 stream maintainers (stream_daily_counts, stream_mw_counts,
+stream_kanon_counts) via mk_from_state / kw_from_state /
+cramersv_from_state in streaming/stream.py, bit-identical to batch.
+
+Reference parity note: the reference pipeline (119 lines of Postgres
+SQL/loader, src/sqls/create_objects.sql) has no statistics surface;
+these extend the warehouse exactly as relational13/relational15 did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import ensure_parallelism, read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return ensure_parallelism(spark, read_table(spark, sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# events_trend_mannkendall
+# ---------------------------------------------------------------------------
+
+# the pair fan-out is span_days^2 / 2 rows — the Theil-Sen bound, and
+# the same loud posture (the two trend statistics share one frame)
+MK_MAX_DAYS = 4096
+
+
+def mannkendall_from_daily(spark: SparkSession,
+                           daily: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test of a (d, c) daily-count frame — the
+    nonparametric "is there ANY monotonic trend" answer whose null
+    distribution is exact: S = Σ_{i<j} sign(c_j − c_i) counts
+    concordant minus discordant time-ordered pairs, so a series with
+    no trend has E[S] = 0 regardless of the count distribution. The
+    companion τ_b (Kendall's tau-b against the gapless time index)
+    rescales S to [−1, 1] as the effect size, and z is the
+    continuity-corrected normal approximation under the tie-corrected
+    variance — the test statistic the staged Theil–Sen SLOPE
+    (theilsen_from_daily, same pair frame) does not provide.
+
+    Exactness: the calendar is zero-filled (a gap day is a real 0,
+    the ACF convention); S, the variance numerator
+    n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (t = tied-count group sizes, 18ths
+    deferred), and the τ_b denominator factors D0 = n(n−1)/2 and
+    D1 = D0 − Σ_t t(t−1)/2 are ALL exact integers — the time index is
+    gapless so its tie term vanishes — and only z and τ_b are final
+    double expressions shared verbatim with the oracle. Degenerate
+    all-tied series (var = 0, forcing S = 0) report z = 0 and
+    τ_b = 0 by the guarded CASE both engines share.
+
+    Plan: ONE corpus scan partial-aggregates to daily counts;
+    the zero-filled spine, the span² pair self-join (loud MK_MAX_DAYS
+    cap via the in-plan guard — the theilsen_from_daily posture), the
+    tie-group reduction and the 1-row combine all run on
+    post-aggregation frames over broadcast joins. The daily counts
+    are the SAME sufficient statistic the ACF/Theil–Sen audits
+    maintain from their stream (stream_daily_counts), so this test
+    is state-servable corpus-free (mk_from_state)."""
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("d"), "d0"
+    )
+    filled = (
+        spine.join(daily, "d", "left")
+        .select(
+            F.datediff("d", "d0").cast("long").alias("i"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    # loud span cap, in-plan (the theilsen_from_daily guard verbatim):
+    # raise before the quadratic fan-out if the calendar exceeds it
+    ndays = filled.groupBy().agg(F.count("*").alias("_nd"))
+    guarded = (
+        filled.crossJoin(F.broadcast(ndays))
+        .withColumn(
+            "c",
+            F.when(F.col("_nd") <= F.lit(MK_MAX_DAYS), F.col("c"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("events_trend_mannkendall: calendar span "),
+                F.col("_nd").cast("string"),
+                F.lit(f" days > {MK_MAX_DAYS}; the sign-pair frame "
+                      "is span^2 — aggregate to weeks/months or "
+                      "window the input")
+            )).cast("long")),
+        )
+        .drop("_nd")
+    )
+    a = guarded.select(F.col("i").alias("ia"), F.col("c").alias("ca"))
+    b = guarded.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
+    s_row = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            F.when(F.col("cb") > F.col("ca"), F.lit(1))
+            .when(F.col("cb") < F.col("ca"), F.lit(-1))
+            .otherwise(F.lit(0)).cast("long").alias("sgn")
+        )
+        .agg(F.coalesce(F.sum("sgn"), F.lit(0)).alias("s"))
+    )
+    # tied-count groups of the FILLED series (the zero fill makes gap
+    # days a real tie group); the time index is gapless so only the
+    # value ties correct the variance / tau denominator
+    ties = (
+        guarded.groupBy("c").agg(F.count("*").alias("t"))
+        .agg(
+            F.count("*").alias("n_value_groups"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tie_var"),
+            F.sum(F.col("t") * (F.col("t") - 1)).alias("tie_tau"),
+            F.sum("t").alias("n"),
+        )
+    )
+    j = s_row.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var18 = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_var")
+    ).alias("var18")
+    d0 = (n * (n - 1)).cast("double") / F.lit(2.0)
+    d1 = d0 - F.col("tie_tau").cast("double") / F.lit(2.0)
+    sd = F.col("s").cast("double")
+    var_s = F.col("var18").cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("var18") <= 0, F.lit(0.0))
+        .when(F.col("s") > 0, (sd - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (sd + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    tau = F.when(
+        d1 > 0, sd / F.sqrt(d1 * d0)
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select("s", "n", var18, "tie_tau")
+        .select(
+            n.cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("s_stat"),
+            F.round(var_s, 4).alias("var_s"),
+            F.round(z, 4).alias("z_stat"),
+            F.round(tau, 6).alias("tau_b"),
+        )
+    )
+
+
+def events_trend_mannkendall(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test of daily event counts — see
+    mannkendall_from_daily for semantics, exactness and plan shape.
+
+    Round-14 staging note: unit-tested + staged oracle
+    (__spark_entry__._mk_sql) + CLI-visible via staged_queries();
+    registration follows the rotation."""
+    from .relational15 import daily_counts
+
+    return mannkendall_from_daily(
+        spark, daily_counts(_t(spark, sf_dir, "events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_kruskalwallis
+# ---------------------------------------------------------------------------
+
+# the pooled rank window runs in ONE task over the distinct
+# value-cents grid (no partition key exists: ranks are global by
+# construction), so the grid must stay task-sized — the MW_MAX_GRID
+# posture, same 2^22 bound (~100 MB of (vc, t, cum) state)
+KW_MAX_GRID = 1 << 22
+
+
+def kw_from_counts(cnt: DataFrame,
+                   max_grid: int = KW_MAX_GRID) -> DataFrame:
+    """Kruskal–Wallis H test from a (event_type, vc, c) counts frame —
+    the k-sample generalization of mw_from_counts: ONE rank-based
+    test of "do all k types share a value distribution", where
+    running every pairwise MW test inflates the family-wise error.
+    One row per event type with its exact sample size, its mean
+    pooled rank, and its additive contribution to H (the
+    orders_priority_chi2 convention: Σ h_contrib = h_stat, pinned in
+    tests), plus the shared H, tie-corrected H and degrees of freedom
+    broadcast onto every row.
+
+    Exactness: tied values get average ranks carried in DOUBLED
+    integer units (2·rank = 2·cum_before + t + 1, always an integer
+    on the POOLED distribution), so each type's rank sum R_i arrives
+    as an exact decimal(38,0)/HUGEINT integer (inputs cast
+    decimal(19,0) so the c·2r product lands exactly on 38 digits —
+    the mw_from_counts discipline) and the tie term Σ(t³−t) is an
+    exact integer too. H = 3·Σ_i Rd_i²/n_i / (N(N+1)) − 3(N+1) (the
+    doubled-rank form) and the correction C = 1 − Σ(t³−t)/(N³−N) are
+    final double expressions; the across-type sum of k positive,
+    comparable-magnitude double terms is well-conditioned (the
+    zipf-slope / ad_from_counts precedent) and both engines round
+    once at the end. Degenerate inputs — fewer than two types, or
+    every pooled value tied (C ≤ 0) — report NULL for the
+    tie-corrected H via the shared CASE.
+
+    Plan: everything runs on the post-aggregation counts frame — the
+    pooled per-value totals are a re-aggregation, the single global
+    rank window is loudly capped in-plan at ``max_grid`` distinct
+    values (see KW_MAX_GRID; the guard rides a broadcast of a second
+    re-aggregation, no extra corpus scan), the per-type reduction is
+    a partial-aggregable groupBy, and the 1-row globals broadcast
+    back onto the k-row output."""
+    dec = "decimal(19,0)"
+    pooled = cnt.groupBy("vc").agg(F.sum("c").alias("t"))
+    # loud cardinality posture (MW_MAX_GRID convention, in-plan): the
+    # pooled grid count joins back broadcast and a grid larger than
+    # max_grid raises before the single-task rank window sorts it
+    grid = pooled.groupBy().agg(F.count("*").alias("_grid"))
+    pooled = (
+        pooled.crossJoin(F.broadcast(grid))
+        .withColumn(
+            "t",
+            F.when(F.col("_grid") <= F.lit(int(max_grid)), F.col("t"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("kw_from_counts: > "),
+                F.lit(str(int(max_grid))),
+                F.lit(" distinct value-cents; the pooled rank window "
+                      "is single-task — coarsen the value quantization "
+                      "in mw_counts (e.g. whole currency units) or "
+                      "pre-filter event types")
+            )).cast(pooled.schema["t"].dataType)),
+        )
+        .drop("_grid")
+    )
+    wbefore = (
+        Window.orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = pooled.select(
+        "vc",
+        F.col("t").cast(dec).alias("t"),
+        F.coalesce(F.sum("t").over(wbefore), F.lit(0))
+        .cast(dec).alias("cumb"),
+    ).select(
+        "vc", "t",
+        (F.lit(2) * F.col("cumb") + F.col("t") + F.lit(1)).alias("r2"),
+    )
+    per_type = (
+        cnt.join(ranked.select("vc", "r2"), "vc")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_i"),
+            F.sum(F.col("c").cast(dec) * F.col("r2")).alias("rd"),
+        )
+    )
+    glob = ranked.agg(
+        F.sum("t").alias("nn"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie"),
+    )
+    k_row = per_type.groupBy().agg(F.count("*").alias("k"))
+    j = (
+        per_type
+        .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(k_row))
+    )
+    nd = F.col("nn").cast("double")
+    nid = F.col("n_i").cast("double")
+    rdd = F.col("rd").cast("double")
+    term = F.lit(3.0) * rdd * rdd / (nd * (nd + 1) * nid)
+    contrib = term - F.lit(3.0) * (nd + 1) * nid / nd
+    # H re-aggregates the unrounded per-type terms (k small positive
+    # doubles), then broadcasts back — Σ round(contrib) would drift
+    hsum = (
+        j.select(F.col("event_type").alias("et"), contrib.alias("hc"))
+        .agg(F.sum("hc").alias("h"))
+    )
+    out = j.crossJoin(F.broadcast(hsum))
+    c_corr = F.lit(1.0) - F.col("tie").cast("double") / (
+        nd * nd * nd - nd
+    )
+    h_tie = F.when(
+        (F.col("k") >= 2) & (c_corr > 0), F.col("h") / c_corr
+    ).otherwise(F.lit(None).cast("double"))
+    return out.select(
+        "event_type",
+        F.col("n_i").cast("long").alias("n"),
+        F.round(rdd / (F.lit(2.0) * nid), 6).alias("mean_rank"),
+        F.round(contrib, 6).alias("h_contrib"),
+        F.round(F.col("h"), 4).alias("h_stat"),
+        F.round(h_tie, 4).alias("h_tie_corrected"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    ).orderBy("event_type")
+
+
+def events_kruskalwallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test across ALL event types' ``value``
+    distributions — see kw_from_counts for semantics, exactness and
+    plan shape. ONE partial-aggregable scan reduces the corpus to the
+    (type, value-cents) counts (mw_counts — the SAME sufficient
+    statistic the Mann–Whitney audit maintains from its stream), so
+    the test is state-servable corpus-free (kw_from_state).
+
+    Round-14 staging note: unit-tested + staged oracle
+    (__spark_entry__._kw_sql) + CLI-visible via staged_queries();
+    registration follows the rotation."""
+    from .relational15 import mw_counts
+
+    return kw_from_counts(mw_counts(_t(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# docs_cramers_v
+# ---------------------------------------------------------------------------
+
+
+def cramers_from_classes(classes: DataFrame) -> DataFrame:
+    """Cramér's V association between lang and source from the SAME
+    (lang, source, len_bucket, k) quasi-identifier classes frame the
+    k-anonymity/l-diversity audits reduce to (kanon_classes — one
+    sufficient statistic, three audits): the lang×source contingency
+    table's chi-squared, rescaled to the [0, 1] effect size
+    V = sqrt(χ² / (N·min(r−1, c−1))) that stays comparable as the
+    corpus grows (raw χ² scales with N even when the association is
+    trivial). One summary row: corpus size, table shape, df, χ² and V.
+
+    Exactness: the χ² cell numerator is carried as the EXACT integer
+    N·o − n_l·n_s (decimal(19,0) inputs so the products land exactly
+    on decimal(38,0) — headroom to N ~ 1e18) and cast to double once
+    per cell: cell = num² / (N·n_l·n_s), the algebraic identity of
+    (o − e)²/e that never materializes a float expectation. Zero
+    cells of the r×c grid participate (observed 0 against a real
+    expectation — the textbook statistic), built by a broadcast
+    cross of the two marginal frames. The across-cell double sum is
+    r·c positive comparable terms (the orders_priority_chi2 family;
+    well-conditioned) rounded once at the end. A degenerate 1×c or
+    r×1 table (min(r−1, c−1) = 0) reports NULL V via the shared CASE.
+
+    Plan: the classes frame is metadata-sized, so every step —
+    marginals, the r×c grid, the 1-row totals — is a re-aggregation
+    with broadcast joins; the corpus is touched only by the ONE scan
+    that built the classes (or by none, served from the kanon stream
+    state via cramersv_from_state)."""
+    dec = "decimal(19,0)"
+    cells = classes.groupBy("lang", "source").agg(F.sum("k").alias("o"))
+    nl = cells.groupBy("lang").agg(F.sum("o").alias("n_l"))
+    ns = cells.groupBy("source").agg(F.sum("o").alias("n_s"))
+    nn = cells.agg(F.sum("o").alias("nn"))
+    grid = (
+        nl.crossJoin(F.broadcast(ns))
+        .join(cells, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n_l").cast(dec).alias("n_l"),
+            F.col("n_s").cast(dec).alias("n_s"),
+            F.col("nn").cast(dec).alias("nn"),
+            F.coalesce("o", F.lit(0)).cast(dec).alias("o"),
+        )
+    )
+    num = (F.col("nn") * F.col("o") - F.col("n_l") * F.col("n_s")) \
+        .cast("double")
+    den = (
+        F.col("nn").cast("double")
+        * F.col("n_l").cast("double")
+        * F.col("n_s").cast("double")
+    )
+    agg = grid.agg(
+        F.max(F.col("nn").cast("double")).alias("nd"),
+        F.sum(num * num / den).alias("chi2"),
+    )
+    shape = (
+        nl.groupBy().agg(F.count("*").alias("r"))
+        .crossJoin(F.broadcast(ns.groupBy().agg(F.count("*").alias("c"))))
+    )
+    j = agg.crossJoin(F.broadcast(shape))
+    mindim = F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+    v = F.when(
+        mindim > 0,
+        F.sqrt(F.col("chi2") / (F.col("nd") * mindim)),
+    ).otherwise(F.lit(None).cast("double"))
+    return j.select(
+        F.col("nd").cast("long").alias("n_docs"),
+        F.col("r").cast("long").alias("n_langs"),
+        F.col("c").cast("long").alias("n_sources"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("df"),
+        F.round(F.col("chi2"), 4).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def docs_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between document language and
+    source — "is the language mix a property of the source" as one
+    [0, 1] effect size; see cramers_from_classes for semantics,
+    exactness and plan shape. ONE corpus scan reduces to the
+    quasi-identifier classes (kanon_classes — the sufficient
+    statistic SHARED with docs_k_anonymity/docs_l_diversity and
+    their stream maintainer, so this audit is state-servable
+    corpus-free via cramersv_from_state).
+
+    Round-14 staging note: unit-tested + staged oracle
+    (__spark_entry__._cramers_sql) + CLI-visible via
+    staged_queries(); registration follows the rotation."""
+    from .relational15 import kanon_classes
+
+    return cramers_from_classes(
+        kanon_classes(_t(spark, sf_dir, "documents"))
+    )

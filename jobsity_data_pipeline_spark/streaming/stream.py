@@ -1761,6 +1761,64 @@ def ldiv_from_state(spark: SparkSession, table_dir: str,
     )
 
 
+def mk_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The Mann–Kendall trend test served FROM the SAME maintained
+    daily counters as acf_from_state / theilsen_from_state — one
+    stream maintainer (stream_daily_counts), three audits. Sum-merge
+    the per-batch deltas, then the shared mannkendall_from_daily
+    kernel — bit-identical to batch events_trend_mannkendall over
+    the same events, corpus-free."""
+    from ..operators.relational16 import mannkendall_from_daily
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(f"no published daily-count state at {table_dir}")
+    return mannkendall_from_daily(
+        spark, deltas.groupBy("d").agg(F.sum("c").alias("c"))
+    )
+
+
+def kw_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The Kruskal–Wallis H test served FROM the SAME maintained
+    value-count state as mw_from_state — one stream maintainer
+    (stream_mw_counts), two rank tests. Sum-merge the per-batch
+    deltas and run the shared kw_from_counts kernel — bit-identical
+    to batch events_kruskalwallis over the same corpus,
+    corpus-free."""
+    from ..operators.relational16 import kw_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published value-count state at {table_dir}")
+    return kw_from_counts(
+        deltas.groupBy("event_type", "vc").agg(F.sum("c").alias("c"))
+    )
+
+
+def cramersv_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Cramér's V lang×source association served FROM the SAME
+    maintained quasi-identifier class counters as kanon_from_state /
+    ldiv_from_state — one stream maintainer (stream_kanon_counts),
+    three audits. Sum-merge the per-batch deltas (recovering the
+    exact per-class k), then the shared cramers_from_classes kernel
+    — bit-identical to batch docs_cramers_v over the same corpus,
+    corpus-free."""
+    from ..operators.relational16 import cramers_from_classes
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published k-anonymity state at {table_dir}")
+    return cramers_from_classes(
+        deltas.groupBy("lang", "source", "len_bucket")
+        .agg(F.sum("k").alias("k"))
+    )
+
+
 def theilsen_from_state(spark: SparkSession,
                         table_dir: str) -> DataFrame:
     """The Theil-Sen robust daily-count trend served FROM the SAME

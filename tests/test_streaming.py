@@ -1679,6 +1679,21 @@ def test_stream_kanon_counts_serves_batch_audit_bitexact(spark, tmp_path):
     assert [tuple(r) for r in ldiv_from_state(spark, table).collect()] \
         == want_l
 
+    # ... and the staged Cramér's V association audit (third audit
+    # from the one maintainer): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational16 import (
+        docs_cramers_v,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        cramersv_from_state,
+    )
+
+    want_cv = [tuple(r) for r in
+               docs_cramers_v(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in cramersv_from_state(spark, table).collect()] \
+        == want_cv and len(want_cv) == 1
+
 
 def test_stream_sourcelen_counts_serves_batch_ks_bitexact(
     spark, tmp_path
@@ -1832,6 +1847,20 @@ def test_stream_daily_counts_serves_batch_acf_bitexact(spark, tmp_path):
                events_trend_theilsen(spark, str(sf_like)).collect()]
     assert [tuple(r)
             for r in theilsen_from_state(spark, table).collect()]         == want_ts
+
+    # ... and the staged Mann-Kendall trend test (third audit from
+    # the one maintainer): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational16 import (
+        events_trend_mannkendall,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        mk_from_state,
+    )
+
+    want_mk = [tuple(r) for r in
+               events_trend_mannkendall(spark, str(sf_like)).collect()]
+    assert [tuple(r) for r in mk_from_state(spark, table).collect()] \
+        == want_mk and len(want_mk) == 1
 
     # replaying batch 0's delta under its original token is a no-op
     v = latest_manifest(table)["version"]
@@ -2073,3 +2102,18 @@ def test_stream_mw_counts_serves_batch_ranksum_bitexact(spark, tmp_path):
     assert latest_manifest(table)["version"] == v
     assert [tuple(r) for r in mw_from_state(spark, table).collect()] \
         == want
+
+    # the SAME state serves the staged Kruskal-Wallis k-sample test
+    # too (shared sufficient statistic): bit-identical to its batch
+    # twin
+    from jobsity_data_pipeline_spark.operators.relational16 import (
+        events_kruskalwallis,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        kw_from_state,
+    )
+
+    want_kw = [tuple(r) for r in
+               events_kruskalwallis(spark, str(sf_like)).collect()]
+    assert [tuple(r) for r in kw_from_state(spark, table).collect()] \
+        == want_kw and len(want_kw) == 3
