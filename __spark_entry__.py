@@ -2851,6 +2851,99 @@ def _cramers_sql(bucket_chars: int = 256) -> str:
     """
 
 
+def _logrank_sql() -> str:
+    """R14-STAGED: DuckDB replay of
+    relational16.orders_logrank_priority. Same event/censoring
+    semantics as the KM oracles (_km_sql); at-risk counts are exact
+    integers from a 1-PRECEDING running sum per priority over the
+    duration grid, and the per-time E1/V1 terms repeat the kernel's
+    double expressions verbatim before one final rounding. Validated
+    by a parity-style unit test now."""
+    return """
+        WITH done AS (
+            SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS last_ship
+            FROM lineitem GROUP BY 1
+        ),
+        hz AS (
+            SELECT CAST(max(l_shipdate) AS DATE) AS horizon FROM lineitem
+        ),
+        sub AS (
+            SELECT o.o_orderpriority AS g,
+                   CASE WHEN o.o_orderstatus = 'F'
+                             AND d.last_ship IS NOT NULL
+                        THEN d.last_ship - CAST(o.o_orderdate AS DATE)
+                        ELSE hz.horizon - CAST(o.o_orderdate AS DATE)
+                   END AS t,
+                   (o.o_orderstatus = 'F' AND d.last_ship IS NOT NULL)
+                       AS ev
+            FROM orders o
+            LEFT JOIN done d ON d.l_orderkey = o.o_orderkey
+            CROSS JOIN hz
+        ),
+        per AS (
+            SELECT g, t, CAST(count(*) AS BIGINT) AS rem,
+                   CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d
+            FROM sub GROUP BY 1, 2
+        ),
+        ts AS (SELECT DISTINCT t FROM per),
+        gs AS (
+            SELECT g, CAST(sum(rem) AS BIGINT) AS n_g FROM per GROUP BY 1
+        ),
+        grid AS (SELECT gs.g, ts.t, gs.n_g FROM ts CROSS JOIN gs),
+        ecdf AS (
+            SELECT grid.g, grid.t, grid.n_g,
+                   coalesce(p.d, 0) AS d,
+                   grid.n_g - CAST(coalesce(sum(coalesce(p.rem, 0))
+                       OVER (PARTITION BY grid.g ORDER BY grid.t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS atrisk
+            FROM grid LEFT JOIN per p
+              ON p.g = grid.g AND p.t = grid.t
+        ),
+        pr AS (
+            SELECT a.g AS g_a, b.g AS g_b,
+                   a.n_g AS n_a, b.n_g AS n_b,
+                   a.d AS d_a, b.d AS d_b,
+                   a.atrisk AS r_a, b.atrisk AS r_b
+            FROM ecdf a JOIN ecdf b ON a.t = b.t AND a.g < b.g
+            WHERE a.d + b.d > 0
+        ),
+        s AS (
+            SELECT g_a, g_b,
+                   max(n_a) AS n_a, max(n_b) AS n_b,
+                   CAST(sum(d_a) AS BIGINT) AS o_a,
+                   sum(CAST(d_a + d_b AS DOUBLE) * CAST(r_a AS DOUBLE)
+                       / (CAST(r_a AS DOUBLE) + CAST(r_b AS DOUBLE)))
+                       AS e_a,
+                   sum(CASE WHEN CAST(r_a AS DOUBLE)
+                                 + CAST(r_b AS DOUBLE) > 1
+                       THEN CAST(d_a + d_b AS DOUBLE)
+                            * (CAST(r_a AS DOUBLE)
+                               / (CAST(r_a AS DOUBLE)
+                                  + CAST(r_b AS DOUBLE)))
+                            * (CAST(r_b AS DOUBLE)
+                               / (CAST(r_a AS DOUBLE)
+                                  + CAST(r_b AS DOUBLE)))
+                            * ((CAST(r_a AS DOUBLE)
+                                + CAST(r_b AS DOUBLE))
+                               - CAST(d_a + d_b AS DOUBLE))
+                            / ((CAST(r_a AS DOUBLE)
+                                + CAST(r_b AS DOUBLE)) - 1)
+                       ELSE 0.0 END) AS v1
+            FROM pr GROUP BY 1, 2
+        )
+        SELECT g_a AS priority_a, g_b AS priority_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               o_a,
+               round(e_a, 4) AS e_a,
+               round(CASE WHEN v1 > 0
+                   THEN (CAST(o_a AS DOUBLE) - e_a) / sqrt(v1)
+                   END, 4) AS z_stat
+        FROM s ORDER BY 1, 2
+    """
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operators that are BUILT + unit-tested + oracle-parity-green
     but not yet in queries(): the driver's 50-key correctness budget
@@ -2867,6 +2960,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_mannkendall": R16.events_trend_mannkendall,
         "events_kruskalwallis": R16.events_kruskalwallis,
         "docs_cramers_v": R16.docs_cramers_v,
+        "orders_logrank_priority": R16.orders_logrank_priority,
     }
 
 
@@ -2882,6 +2976,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "events_trend_mannkendall": _mk_sql(),
         "events_kruskalwallis": _kw_sql(),
         "docs_cramers_v": _cramers_sql(),
+        "orders_logrank_priority": _logrank_sql(),
     }
 
 

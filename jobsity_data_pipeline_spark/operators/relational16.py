@@ -1,4 +1,4 @@
-"""Round-11 late wave — three audit statistics that each ride an
+"""Round-11 late wave — four audit statistics that each ride an
 EXISTING streamed sufficient statistic (zero new stream maintainers,
 zero new corpus reductions; every kernel here is one more serving of
 state the engine already keeps current):
@@ -22,12 +22,17 @@ state the engine already keeps current):
   to — "is language mix independent of source" as one effect-size
   number the raw chi-squared (which grows with N even for trivial
   effects) cannot give.
+- orders_logrank_priority: pairwise two-sample log-rank tests over
+  the SAME per-order last-ship state as the Kaplan–Meier curves —
+  the survival family's COMPARISON member ("are two strata's hazards
+  different"), fully distributed (no driver recurrence, no cap).
 
 Every operator splits into the established SUFFICIENT-STATISTIC /
 SERVING-KERNEL form; the serving kernels are fed corpus-free by the
 round-10/11 stream maintainers (stream_daily_counts, stream_mw_counts,
-stream_kanon_counts) via mk_from_state / kw_from_state /
-cramersv_from_state in streaming/stream.py, bit-identical to batch.
+stream_kanon_counts, stream_lastship_upsert) via mk_from_state /
+kw_from_state / cramersv_from_state / logrank_from_state in
+streaming/stream.py, bit-identical to batch.
 
 Reference parity note: the reference pipeline (119 lines of Postgres
 SQL/loader, src/sqls/create_objects.sql) has no statistics surface;
@@ -426,4 +431,165 @@ def docs_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cramers_from_classes(
         kanon_classes(_t(spark, sf_dir, "documents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_logrank_priority
+# ---------------------------------------------------------------------------
+
+
+def logrank_pairs(per: DataFrame) -> DataFrame:
+    """Pairwise two-sample log-rank statistics from a per-group
+    duration grid (g, t, rem, d) — rem = subjects REMOVED at duration
+    t (events + censored), d = events at t; the reduction
+    logrank_table/surv_removals builds from orders + last-ship state.
+    The log-rank test is the survival family's COMPARISON member: the
+    stratified KM curves (km_table_grouped) show each stratum's
+    shape, this tests whether two strata's underlying hazards differ,
+    weighting every event time by its at-risk population (so early
+    differences among many subjects count more than late noise among
+    few survivors).
+
+    Semantics (standard, and the km_curve tie convention): at-risk at
+    time t counts everyone removed AT or AFTER t (events precede
+    censoring on ties — at_risk = n_g − removed strictly before t);
+    for each pooled event time, E1 accumulates d·r_a/(r_a+r_b) and V1
+    the hypergeometric variance d·(r_a/n)·(r_b/n)·(n−d)/(n−1);
+    z = (O1 − E1)/sqrt(V1), reported with O1 exact and E1/z rounded.
+
+    Exactness: at-risk counts, removal counts and O1 are exact
+    integers end-to-end; the per-time E1/V1 terms are identical
+    double expressions in both engines, summed over the
+    calendar-bounded grid and rounded once (the ad_from_counts
+    double-aggregation precedent — non-negative comparable terms).
+    Degenerate pairs (V1 = 0: a pair with no co-at-risk event time)
+    report NULL z via the shared CASE.
+
+    Plan: fully distributed — unlike the KM curve (a driver-side
+    product-limit recurrence under a loud cap), the log-rank sums
+    need no sequential pass, so there is NO collect and no cap: the
+    per-group at-risk series is one window over the
+    (|groups| × calendar) post-aggregation grid, the pair fan-out an
+    equi-join on the time key, and the final reduction a
+    partial-aggregable groupBy. Group totals broadcast."""
+    ts = per.select("t").distinct()
+    gs = per.groupBy("g").agg(F.sum("rem").alias("n_g"))
+    grid = ts.crossJoin(F.broadcast(gs.select("g", "n_g")))
+    w = (
+        Window.partitionBy("g").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ecdf = (
+        grid.join(per, ["g", "t"], "left")
+        .select(
+            "g", "t", "n_g",
+            F.coalesce("rem", F.lit(0)).alias("rem"),
+            F.coalesce("d", F.lit(0)).alias("d"),
+        )
+        .withColumn(
+            "atrisk",
+            F.col("n_g")
+            - F.coalesce(F.sum("rem").over(w), F.lit(0)),
+        )
+    )
+    a = ecdf.select(
+        F.col("g").alias("g_a"), "t", F.col("n_g").alias("n_a"),
+        F.col("d").alias("d_a"), F.col("atrisk").alias("r_a"),
+    )
+    b = ecdf.select(
+        F.col("g").alias("g_b"), "t", F.col("n_g").alias("n_b"),
+        F.col("d").alias("d_b"), F.col("atrisk").alias("r_b"),
+    )
+    pr = (
+        a.join(b, "t")
+        .where(F.col("g_a") < F.col("g_b"))
+        .where(F.col("d_a") + F.col("d_b") > 0)
+    )
+    dd = (F.col("d_a") + F.col("d_b")).cast("double")
+    ra = F.col("r_a").cast("double")
+    rb = F.col("r_b").cast("double")
+    nn = ra + rb
+    e1 = dd * ra / nn
+    v1 = F.when(
+        nn > 1,
+        dd * (ra / nn) * (rb / nn) * (nn - dd) / (nn - 1),
+    ).otherwise(F.lit(0.0))
+    s = pr.groupBy("g_a", "g_b").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum("d_a").alias("o_a"),
+        F.sum(e1).alias("e_a"),
+        F.sum(v1).alias("v1"),
+    )
+    z = F.when(
+        F.col("v1") > 0,
+        (F.col("o_a").cast("double") - F.col("e_a"))
+        / F.sqrt(F.col("v1")),
+    ).otherwise(F.lit(None).cast("double"))
+    return s.select(
+        F.col("g_a").alias("priority_a"),
+        F.col("g_b").alias("priority_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("o_a").cast("long").alias("o_a"),
+        F.round(F.col("e_a"), 4).alias("e_a"),
+        F.round(z, 4).alias("z_stat"),
+    ).orderBy("priority_a", "priority_b")
+
+
+def surv_removals(o: DataFrame, done: DataFrame,
+                  group_col: str) -> DataFrame:
+    """(g, t, rem, d) duration-grid reduction shared by the log-rank
+    test — the same event/censoring semantics as
+    relational15.km_table_grouped (event = completion at days to LAST
+    line-item ship; open/line-less orders censored at the global
+    max-ship horizon), reduced one step further to per-(group, t)
+    removal and event counts. Calendar × |groups| sized."""
+    gmax = done.agg(F.max("last_ship").alias("horizon"))
+    ev = (F.col("o_orderstatus") == "F") & F.col("last_ship").isNotNull()
+    return (
+        o.join(done, o.o_orderkey == done.l_orderkey, "left")
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.col(group_col).alias("g"),
+            F.when(ev, F.datediff("last_ship", F.to_date("o_orderdate")))
+            .otherwise(F.datediff("horizon", F.to_date("o_orderdate")))
+            .alias("t"),
+            ev.alias("ev"),
+        )
+        .groupBy("g", "t")
+        .agg(
+            F.count("*").alias("rem"),
+            F.sum(F.col("ev").cast("long")).alias("d"),
+        )
+    )
+
+
+def orders_logrank_priority(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Pairwise two-sample log-rank tests between order priorities'
+    fulfilment survival — "are urgent orders' completion hazards
+    actually different", the significance question the stratified
+    Kaplan–Meier curves (orders_survival_km_by_priority) display but
+    cannot answer. One row per priority pair with subject counts, the
+    exact observed event count O1, the expected count E1 under the
+    shared-hazard null, and the log-rank z.
+
+    Plan: the SAME one-lineitem-reduction + one-orders-join corpus
+    cost as the KM audits (shared lastship_counts sufficient
+    statistic — the streamed last-ship state serves this test too,
+    corpus-free, via logrank_from_state), then everything runs
+    distributed on the |priorities| × calendar grid: no driver
+    recurrence, no collect, no cap needed (see logrank_pairs).
+
+    Round-14 staging note: unit-tested + staged oracle
+    (__spark_entry__._logrank_sql) + CLI-visible via
+    staged_queries(); registration follows the rotation."""
+    from .relational15 import lastship_counts
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return logrank_pairs(
+        surv_removals(o, lastship_counts(li), "o_orderpriority")
     )

@@ -1957,6 +1957,24 @@ def km_from_state(spark: SparkSession, state_path: str,
     return km_table(spark, orders, st)
 
 
+def logrank_from_state(spark: SparkSession, state_path: str,
+                       orders: DataFrame) -> DataFrame:
+    """The pairwise log-rank survival comparison served FROM the SAME
+    maintained per-order last-ship state as km_from_state — one
+    absorbing-merge maintainer (stream_lastship_upsert), three
+    survival audits (flat KM, stratified KM, log-rank). Joined
+    against the orders dimension and reduced by the shared
+    surv_removals + logrank_pairs kernels — bit-identical to batch
+    orders_logrank_priority over the same data, without touching a
+    single line item."""
+    from ..operators.relational16 import logrank_pairs, surv_removals
+
+    st = _state_or_adopt(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published last-ship state at {state_path}")
+    return logrank_pairs(surv_removals(orders, st, "o_orderpriority"))
+
+
 def stream_mw_counts(events: DataFrame, table_dir: str,
                      checkpoint: str):
     """Maintain the (event_type, value-cents) count table over an

@@ -3,7 +3,7 @@
 frames, independent float references (numpy/pandas ranks) on the real
 smoke tables, loud-cap checks for the scale guards, and parity
 against the R14-staged DuckDB oracles
-(__spark_entry__._mk_sql/_kw_sql/_cramers_sql).
+(__spark_entry__._mk_sql/_kw_sql/_cramers_sql/_logrank_sql).
 """
 
 from __future__ import annotations
@@ -347,4 +347,133 @@ class TestCramersV:
             R16.docs_cramers_v(spark, SF_SMOKE),
             _duck(SF_SMOKE, ("documents",)),
             entrymod._cramers_sql(),
+        )
+
+
+def _write_orders_li(spark, tmp_path, orders, lis):
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string"
+    )
+    l_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    spark.createDataFrame(orders, o_schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(lis, l_schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def _li(k, day_base, days):
+    return (k, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+            day_base + dt.timedelta(days=days))
+
+
+class TestLogrank:
+    def test_identical_groups_give_zero_z(self, spark, tmp_path):
+        # two priorities with IDENTICAL duration/event multisets: at
+        # every event time r_a = r_b and d_a = d_b, so each per-time
+        # O-E is exactly 0 and z = 0.0 (not just approximately)
+        t0 = dt.datetime(2024, 1, 1)
+        orders, lis = [], []
+        for g, prio in enumerate(["1-URGENT", "2-HIGH"]):
+            for i in range(4):
+                k = g * 10 + i
+                status = "F" if i < 3 else "O"
+                orders.append((k, 1, status, 1.0, t0, prio))
+                lis.append(_li(k, t0, 2 + i * 3))
+        r = R16.orders_logrank_priority(
+            spark, _write_orders_li(spark, tmp_path, orders, lis)
+        ).collect()
+        assert len(r) == 1
+        assert (r[0].n_a, r[0].n_b) == (4, 4)
+        assert r[0].o_a == 3
+        assert r[0].e_a == 3.0
+        assert r[0].z_stat == 0.0
+
+    def test_no_co_at_risk_events_reports_null(self, spark, tmp_path):
+        # group b is censored strictly BEFORE group a's only event
+        # time: every event row has r_b = 0, so V1 = 0 and z is NULL
+        t0 = dt.datetime(2024, 1, 1)
+        orders = [
+            (1, 1, "F", 1.0, t0, "1-URGENT"),
+            # no line items -> censored at horizon (t0+5); ordering
+            # at horizon-2 gives duration 2 < 5
+            (2, 1, "O", 1.0, t0 + dt.timedelta(days=3), "2-HIGH"),
+        ]
+        lis = [_li(1, t0, 5)]
+        r = R16.orders_logrank_priority(
+            spark, _write_orders_li(spark, tmp_path, orders, lis)
+        ).collect()
+        assert len(r) == 1
+        assert r[0].o_a == 1
+        assert r[0].z_stat is None
+
+    def test_matches_subject_level_reference_on_smoke(self, spark):
+        # independent per-subject loop (no grids, no windows) over the
+        # same event/censoring semantics, all C(5,2) priority pairs
+        con = _duck(SF_SMOKE, ("orders", "lineitem"))
+        subs = con.execute("""
+            WITH done AS (
+                SELECT l_orderkey, CAST(max(l_shipdate) AS DATE)
+                    AS last_ship
+                FROM lineitem GROUP BY 1
+            ),
+            hz AS (
+                SELECT CAST(max(l_shipdate) AS DATE) AS horizon
+                FROM lineitem
+            )
+            SELECT o.o_orderpriority,
+                CASE WHEN o.o_orderstatus = 'F'
+                          AND d.last_ship IS NOT NULL
+                     THEN d.last_ship - CAST(o.o_orderdate AS DATE)
+                     ELSE hz.horizon - CAST(o.o_orderdate AS DATE)
+                END AS t,
+                (o.o_orderstatus = 'F' AND d.last_ship IS NOT NULL)
+                    AS ev
+            FROM orders o
+            LEFT JOIN done d ON d.l_orderkey = o.o_orderkey
+            CROSS JOIN hz
+        """).fetchall()
+
+        def ref(ga, gb):
+            a = [(t, e) for g, t, e in subs if g == ga]
+            b = [(t, e) for g, t, e in subs if g == gb]
+            o1 = e1 = v1 = 0.0
+            for t in sorted({t for t, e in a + b if e}):
+                ra = sum(1 for tt, _ in a if tt >= t)
+                rb = sum(1 for tt, _ in b if tt >= t)
+                da = sum(1 for tt, e in a if tt == t and e)
+                db = sum(1 for tt, e in b if tt == t and e)
+                d, n = da + db, ra + rb
+                if d == 0 or n == 0:
+                    continue
+                o1 += da
+                e1 += d * ra / n
+                if n > 1:
+                    v1 += d * (ra / n) * (rb / n) * (n - d) / (n - 1)
+            z = (o1 - e1) / math.sqrt(v1) if v1 > 0 else None
+            return int(o1), e1, z
+
+        rows = R16.orders_logrank_priority(spark, SF_SMOKE).collect()
+        n_groups = len({s[0] for s in subs})
+        assert len(rows) == n_groups * (n_groups - 1) // 2
+        for r in rows:
+            o1, e1, z = ref(r.priority_a, r.priority_b)
+            assert r.o_a == o1
+            assert r.e_a == pytest.approx(e1, abs=5e-4)
+            assert r.z_stat == pytest.approx(z, abs=5e-4)
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R16.orders_logrank_priority(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("orders", "lineitem")),
+            entrymod._logrank_sql(),
         )

@@ -1983,7 +1983,10 @@ def test_stream_lastship_serves_batch_km_bitexact(spark, tmp_path):
     base = dt.datetime(2024, 1, 1)
     orders = [
         (k, 1, ["F", "O", "P"][k % 3], 1.0,
-         base + dt.timedelta(days=k % 9), "1-URGENT")
+         base + dt.timedelta(days=k % 9),
+         # two priorities so the log-rank serve below has a pair
+         # (the flat KM assertions ignore the priority column)
+         ["1-URGENT", "2-HIGH"][k % 2])
         for k in range(40)
     ]
     lis = [
@@ -2029,6 +2032,22 @@ def test_stream_lastship_serves_batch_km_bitexact(spark, tmp_path):
     a = sorted(tuple(r) for r in st.collect())
     b = sorted(tuple(r) for r in re_merged.collect())
     assert a == b
+
+    # the SAME state serves the staged pairwise log-rank comparison
+    # too (third survival audit from the one maintainer):
+    # bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational16 import (
+        orders_logrank_priority,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        logrank_from_state,
+    )
+
+    want_lr = [tuple(r) for r in
+               orders_logrank_priority(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in logrank_from_state(spark, state, odf).collect()] \
+        == want_lr and len(want_lr) == 1
 
 
 def test_stream_mw_counts_serves_batch_ranksum_bitexact(spark, tmp_path):
