@@ -103,6 +103,17 @@ def main() -> None:
         staged = entrymod.staged_queries()
     except AttributeError:
         staged = {}
+
+    # Targeted A/B harness (the drift-decomposition workflow): a
+    # comma-separated SPARK_GRAFT_BENCH_ONLY restricts the run to the
+    # named keys — registered or staged — so a suspect query can be
+    # re-measured in isolation on a quiet host without paying the full
+    # sweep. The driver never sets this; the full sweep is unchanged.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {k.strip() for k in only.split(",") if k.strip()}
+        queries = {k: v for k, v in queries.items() if k in keep}
+        staged = {k: v for k, v in staged.items() if k in keep}
     if os.path.isdir(warm_dir):
         for name, fn in list(queries.items()) + list(staged.items()):
             try:
