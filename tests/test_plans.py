@@ -1192,6 +1192,12 @@ _SHUFFLE_JOIN_REVIEWED = {
     # never trip this ratchet):
     "docs_ad_source_drift",      # grid self-join, the KS audit's twin
     "events_trend_theilsen",     # span^2 pair self-join, capped
+    # at-risk grid self-join on the time key: both sides are the
+    # |priorities| x calendar post-window frame (metadata-sized,
+    # stats-opaque to the planner — the KS/AD grid class); the
+    # corpus-scale orders x last-ship join broadcasts at smoke and
+    # is a reviewed big-big equi-join at scale
+    "orders_logrank_priority",
 }
 
 
@@ -1235,3 +1241,40 @@ def test_staged_audit_plans_broadcast_metadata_sides(spark):
     # day frame: BroadcastNestedLoopJoin, never CartesianProduct
     assert "CartesianProduct" not in ts
     assert "BatchEvalPython" not in ad and "BatchEvalPython" not in ts
+
+
+def test_round11_late_staged_plans_broadcast_metadata_sides(spark):
+    """Round-11 late staged ops, plan shape: every post-aggregation
+    frame that joins back (tie totals, pooled grid counts, marginals,
+    group totals, at-risk series) is metadata-sized and must reach
+    its join broadcast; none of the four may compile a cartesian
+    product or a row-at-a-time Python UDF."""
+    from jobsity_data_pipeline_spark.operators import relational16 as R16
+
+    mk = R16.events_trend_mannkendall(
+        spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    # the sign-pair fan-out is the Theil-Sen inequality-join shape
+    # (BroadcastNestedLoopJoin); the 1-row tie/sign combines broadcast
+    assert "CartesianProduct" not in mk
+
+    kw = R16.events_kruskalwallis(
+        spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    # the pooled rank frame and the 1-row globals join back broadcast
+    assert "BroadcastHashJoin" in kw or "BroadcastNestedLoopJoin" in kw
+    assert "CartesianProduct" not in kw
+
+    cv = R16.docs_cramers_v(
+        spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    # the r x c marginal cross and the 1-row total are broadcast
+    assert "CartesianProduct" not in cv
+
+    lr = R16.orders_logrank_priority(
+        spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    # group totals broadcast onto the calendar grid; the horizon is a
+    # broadcast 1-row frame (the KM convention); the pair fan-out is
+    # an equi-join on the time key
+    assert "BroadcastHashJoin" in lr or "BroadcastNestedLoopJoin" in lr
+    assert "CartesianProduct" not in lr
+
+    for p in (mk, kw, cv, lr):
+        assert "BatchEvalPython" not in p
