@@ -313,6 +313,19 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_survival_km": R15.orders_survival_km,
         "orders_survival_km_by_priority": R15.orders_survival_km_by_priority,
         "events_mannwhitney": R15.events_mannwhitney,
+        # round-12 registrations: ALL EIGHT staged operators at once
+        # (the r11 verdict's directive — oracles parity-validated at
+        # sf0.001/0.01/0.1 in round 11, tests/test_relational14.py +
+        # test_relational15.py + test_relational16.py; promoted
+        # verbatim from staged_queries())
+        "orders_forecast_holt_damped": R14.orders_forecast_holt_damped,
+        "docs_ad_source_drift": R15.docs_ad_source_drift,
+        "events_trend_theilsen": R15.events_trend_theilsen,
+        "docs_l_diversity": R15.docs_l_diversity,
+        "events_trend_mannkendall": R16.events_trend_mannkendall,
+        "events_kruskalwallis": R16.events_kruskalwallis,
+        "docs_cramers_v": R16.docs_cramers_v,
+        "orders_logrank_priority": R16.orders_logrank_priority,
     }
 
 
@@ -326,21 +339,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so this is purely a priority permutation.
     """
     q = _queries_declared()
-    out = {k: q[k] for k in _ROUND11_PRIORITY if k in q}
+    out = {k: q[k] for k in _ROUND12_PRIORITY if k in q}
     # any key in NO list (a new query not yet registered anywhere)
     # runs right after the explicit priorities — a budget-truncated
     # sweep must reach never-verified surface before re-verifying
     # greens, even when the priority tuple wasn't updated
     known = (
-        set(_ROUND11_PRIORITY)
+        set(_ROUND12_PRIORITY)
         | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
         | _SAMPLED_R5 | _SAMPLED_R6 | _SAMPLED_R7 | _SAMPLED_R8
-        | _SAMPLED_R9 | _SAMPLED_R10
+        | _SAMPLED_R9 | _SAMPLED_R10 | _SAMPLED_R11
     )
     out.update({k: v for k, v in q.items() if k not in known})
     for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
                  _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8,
-                 _SAMPLED_R9, _SAMPLED_R10):
+                 _SAMPLED_R9, _SAMPLED_R10, _SAMPLED_R11):
         out.update(
             {k: v for k, v in q.items()
              if k in tier and k not in out and k not in _later_tiers(tier)}
@@ -354,7 +367,7 @@ def _later_tiers(tier: frozenset) -> frozenset:
     row supersedes the older one, so they sort with the later tier."""
     order = (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
              _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8,
-             _SAMPLED_R9, _SAMPLED_R10)
+             _SAMPLED_R9, _SAMPLED_R10, _SAMPLED_R11)
     for i, t in enumerate(order):
         if tier is t:
             later: frozenset = frozenset()
@@ -485,6 +498,47 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "events_range_join", "events_type_cooccurrence", "events_type_runs",
     "events_user_paths", "events_windowed_funnel", "orders_open_backlog",
     "parts_triangles",
+)
+
+# Round-12 rotation (budget 50): after CORRECTNESS_r11 every key's
+# latest row is green; freshest-row tiers are r11 (50) / r10 (50) /
+# r9 (50) / r8 (50) / r7 (7) — the r7 stragglers are the seven
+# ANN-variant audits displaced by round 11's nine registrations.
+# This round registers ALL EIGHT staged operators at once (the r11
+# verdict's directive — never-verified surface outranks re-verifying
+# greens, and all eight oracles are parity-green at
+# sf0.001/0.01/0.1): they lead the tuple, followed by the full
+# seven-key r7 tier (retiring r7 from the board entirely) and the
+# first 35 of the 50-key r8 tier (alphabetical; the remaining 15 —
+# orders_seasonal_decompose through weekly_avg_by_region — stay
+# r8-latest and are due in r13): 8 + 7 + 35 = exactly the 50-key
+# budget. Done criterion: eight never-sampled keys gain their first
+# driver row and nothing on the board is older than r8.
+_ROUND12_PRIORITY: tuple[str, ...] = (
+    # (0) the eight round-12 registrations — first driver rows ever
+    "orders_forecast_holt_damped", "docs_ad_source_drift",
+    "events_trend_theilsen", "docs_l_diversity",
+    "events_trend_mannkendall", "events_kruskalwallis",
+    "docs_cramers_v", "orders_logrank_priority",
+    # (1) the full r7-latest tier — the seven ANN-variant audits,
+    # the oldest driver rows on the board
+    "emb_ivf_ann", "emb_ivfpq_ann", "emb_ivfpq_residual_ann",
+    "emb_lsh_ann", "emb_pq_ann", "emb_pq_rerank", "emb_pq_trained_ann",
+    # (2) the first 35 of the 50-key r8-latest tier (alphabetical)
+    "bbox_weekly_avg", "customers_without_orders", "docs_dsir_weights",
+    "docs_gopher_rules", "docs_len_percentiles",
+    "docs_near_dup_verified", "docs_prefix_clusters", "docs_top_tokens",
+    "emb_cluster_purity", "emb_ivf_balance", "emb_label_affinity",
+    "emb_label_centroids", "emb_label_outliers", "emb_pq_codes",
+    "emb_semdedup", "events_asof_view_purchase",
+    "events_count_min_sketch", "events_daily_moving_avg",
+    "events_decayed_value", "events_funnel", "events_hll_rollup",
+    "events_markov_stationary", "events_pivot",
+    "events_quantile_sketch", "events_rolling_7d_users",
+    "events_sessionization", "events_user_daily", "events_welch_ttest",
+    "latest_datasource", "lineitem_ols_elasticity", "media_dedup",
+    "orders_association_rules", "orders_cohort_ltv",
+    "orders_percentiles", "orders_priority_chi2",
 )
 
 _ROUND9_PRIORITY: tuple[str, ...] = (
@@ -857,6 +911,30 @@ _SAMPLED_R10: frozenset = frozenset({
     "q13_customer_distribution", "q16_supplier_count",
     "q20_dominant_suppliers", "q21_waiting_suppliers",
     "q4_order_priority",
+})
+
+
+_SAMPLED_R11: frozenset = frozenset({
+    # round 11 (50 hash rows, zero rows-only), from CORRECTNESS_r11.json
+    "orders_forecast_hw", "orders_forecast_tournament",
+    "docs_k_anonymity", "events_acf", "docs_ks_source_drift",
+    "events_benford", "orders_survival_km",
+    "orders_survival_km_by_priority", "events_mannwhitney",
+    "customer_balance_deciles", "customer_interpurchase_gaps",
+    "docs_bigram_logprob", "docs_bloom_probe", "docs_boilerplate_spans",
+    "docs_chunk_windows", "docs_dup_ngram_fraction", "docs_dup_spans",
+    "docs_length_filter_yield", "docs_minhash_bands", "docs_mix_weights",
+    "docs_ngram_novelty", "docs_pack_sequences",
+    "docs_preprocess_pipeline", "docs_quality_tiers", "docs_shard_plan",
+    "docs_simhash_pairs", "docs_source_divergence", "docs_token_gini",
+    "docs_unigram_logprob", "docs_weighted_sample", "docs_winnow_pairs",
+    "emb_ann_recall", "emb_cosine_topk", "emb_hard_negatives",
+    "emb_hard_negatives_ann", "emb_hardneg_recall", "emb_knn_classify",
+    "emb_matryoshka_recall", "emb_top_pc", "emb_top_pcs",
+    "events_attribution", "events_dau_mau", "events_hll_distinct",
+    "events_range_join", "events_type_cooccurrence", "events_type_runs",
+    "events_user_paths", "events_windowed_funnel", "orders_open_backlog",
+    "parts_triangles",
 })
 
 
@@ -2808,7 +2886,9 @@ def _cramers_sql(bucket_chars: int = 256) -> str:
             SELECT lang, source,
                    n_chars // {int(bucket_chars)} AS len_bucket,
                    count(*) AS k
-            FROM documents GROUP BY 1, 2, 3
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2, 3
         ),
         cells AS (
             SELECT lang, source, sum(k) AS o FROM classes GROUP BY 1, 2
@@ -2869,11 +2949,12 @@ def _logrank_sql() -> str:
         ),
         sub AS (
             SELECT o.o_orderpriority AS g,
+                   GREATEST(0,
                    CASE WHEN o.o_orderstatus = 'F'
                              AND d.last_ship IS NOT NULL
                         THEN d.last_ship - CAST(o.o_orderdate AS DATE)
                         ELSE hz.horizon - CAST(o.o_orderdate AS DATE)
-                   END AS t,
+                   END) AS t,
                    (o.o_orderstatus = 'F' AND d.last_ship IS NOT NULL)
                        AS ev
             FROM orders o
@@ -2951,33 +3032,22 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round's registrations. The CLI surfaces them (``list --staged``,
     ``run``/``oracle`` with a staged banner) so the operational
     surface matches the built surface; the correctness driver only
-    sees queries()."""
-    return {
-        "orders_forecast_holt_damped": R14.orders_forecast_holt_damped,
-        "docs_ad_source_drift": R15.docs_ad_source_drift,
-        "events_trend_theilsen": R15.events_trend_theilsen,
-        "docs_l_diversity": R15.docs_l_diversity,
-        "events_trend_mannkendall": R16.events_trend_mannkendall,
-        "events_kruskalwallis": R16.events_kruskalwallis,
-        "docs_cramers_v": R16.docs_cramers_v,
-        "orders_logrank_priority": R16.orders_logrank_priority,
-    }
+    sees queries().
+
+    EMPTY since round 12: the full round-11 staged backlog (eight
+    operators) registered at once per the r11 verdict. The registry
+    and its consumers (CLI ``list --staged``, staged parity tests,
+    plan gates, bench staged timing loop) stay wired for the next
+    staged wave."""
+    return {}
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """DuckDB twins for staged_queries() — same contract as
     oracle_sql(), validated by the same parity tests, promoted
-    verbatim on registration."""
-    return {
-        "orders_forecast_holt_damped": _holt_damped_sql(),
-        "docs_ad_source_drift": _ad_sql(),
-        "events_trend_theilsen": _theilsen_sql(),
-        "docs_l_diversity": _ldiv_sql(),
-        "events_trend_mannkendall": _mk_sql(),
-        "events_kruskalwallis": _kw_sql(),
-        "docs_cramers_v": _cramers_sql(),
-        "orders_logrank_priority": _logrank_sql(),
-    }
+    verbatim on registration. Empty since round 12 (see
+    staged_queries())."""
+    return {}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7310,6 +7380,17 @@ def oracle_sql() -> dict[str, str]:
     out["orders_survival_km"] = _km_sql()
     out["orders_survival_km_by_priority"] = _km_grouped_sql()
     out["events_mannwhitney"] = _mw_sql()
+    # round-12 registrations: the full staged backlog (eight
+    # operators, oracles parity-validated at sf0.001/0.01/0.1 in
+    # round 11; promoted verbatim from staged_oracle_sql())
+    out["orders_forecast_holt_damped"] = _holt_damped_sql()
+    out["docs_ad_source_drift"] = _ad_sql()
+    out["events_trend_theilsen"] = _theilsen_sql()
+    out["docs_l_diversity"] = _ldiv_sql()
+    out["events_trend_mannkendall"] = _mk_sql()
+    out["events_kruskalwallis"] = _kw_sql()
+    out["docs_cramers_v"] = _cramers_sql()
+    out["orders_logrank_priority"] = _logrank_sql()
     out["emb_kcenter_sample"] = _kcenter_sql()
     out["emb_top_pc"] = _top_pc_sql()
     out["emb_top_pcs"] = _top_pcs_sql()

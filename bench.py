@@ -112,6 +112,14 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         keep = {k.strip() for k in only.split(",") if k.strip()}
+        unknown = keep - queries.keys() - staged.keys()
+        if unknown:
+            # a typo'd key would otherwise produce an empty-but-green
+            # bench run — fail loudly instead (r12 ADVICE fix)
+            raise SystemExit(
+                "SPARK_GRAFT_BENCH_ONLY names match no registered or "
+                f"staged query: {sorted(unknown)}"
+            )
         queries = {k: v for k, v in queries.items() if k in keep}
         staged = {k: v for k, v in staged.items() if k in keep}
     if os.path.isdir(warm_dir):
@@ -206,10 +214,40 @@ def main() -> None:
         )
     )
     sys.stdout.flush()
+    # Plan-shape ratchet: compare the steady-state job/stage counts
+    # against the committed PLAN_BASELINE.json and flag any registered
+    # query whose STAGE count grew >25% (jobs as a secondary signal) —
+    # the "flat counts = no regression" playbook as an automatic gate.
+    # Wall time is weather on a shared host; plan shape is not.
+    plan_regressions: dict[str, dict] = {}
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PLAN_BASELINE.json"
+    )
+    if os.path.isfile(base_path):
+        with open(base_path) as fh:
+            baseline = json.load(fh).get("plans", {})
+        for name, m in metrics.items():
+            b = baseline.get(name)
+            if not b:
+                continue
+            b_stages = b[1] if isinstance(b, list) else b.get("stages", 0)
+            if b_stages and m["stages"] > b_stages * 1.25:
+                plan_regressions[name] = {
+                    "stages": [b_stages, m["stages"]],
+                    "jobs": [b[0] if isinstance(b, list)
+                             else b.get("jobs", 0), m["jobs"]],
+                }
+                print(
+                    f"PLAN_REGRESSION {name}: stages "
+                    f"{b_stages} -> {m['stages']} (>25% vs baseline)",
+                    file=sys.stderr,
+                )
     # Repeat the headline numbers LAST so a truncated capture still
-    # has the total — plus the top-20 most expensive queries, so the
-    # expensive tier survives ANY truncation point regardless of the
-    # per-query line's fate.
+    # has the total — plus the top-20 most expensive queries, the
+    # compact per-query plan digest {name: [jobs, stages]} (~4 KB; the
+    # cross-round regression signal must survive into the recorded
+    # artifact, whose earlier lines get truncated), the staged-surface
+    # timings (registration-cost forecasting), and any ratchet hits.
     top20 = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
@@ -225,6 +263,12 @@ def main() -> None:
                 "errors": sorted(
                     k for k, t in timings.items() if t < 0),
                 "top20": top20,
+                "plan_digest": {
+                    k: [m["jobs"], m["stages"]]
+                    for k, m in sorted(metrics.items())
+                },
+                "staged": staged_timings,
+                "plan_regressions": plan_regressions,
             }
         )
     )

@@ -1012,10 +1012,8 @@ def orders_forecast_holt_damped(spark: SparkSession, sf_dir: str,
     _monthly_rev scan; the recurrence is the pure
     holt_damped_backtest kernel under the shared month cap.
 
-    Round-12 staging note: unit-tested + staged oracle + CLI-visible
-    via staged_queries(); queries() registration lands next round —
-    this round's 50-key budget converts the nine-operator staged
-    backlog plus the r7 tier."""
+    Registered in round 12 (all eight staged operators at once,
+    per the r11 verdict); oracle parity-validated while staged."""
     months = collect_months(
         _monthly_rev(spark, sf_dir), "orders_forecast_holt_damped")
     return spark.createDataFrame(

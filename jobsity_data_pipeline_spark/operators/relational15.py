@@ -193,9 +193,8 @@ def docs_l_diversity(spark: SparkSession, sf_dir: str,
     then two re-aggregations of that metadata-sized frame and a
     broadcast 1-row total; every column exact integer math.
 
-    Round-13 staging note: unit-tested + staged oracle
-    (__spark_entry__._ldiv_sql) + CLI-visible via staged_queries();
-    registration follows the rotation."""
+    Registered in round 12 (all eight staged operators at once,
+    per the r11 verdict); oracle parity-validated while staged."""
     d = _t(spark, sf_dir, "documents")
     return ldiv_dist(kanon_classes(d, bucket_chars), risk_l)
 
@@ -526,9 +525,8 @@ def docs_ad_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming state), and everything pairwise runs on that
     metadata-sized grid.
 
-    Round-12 staging note: unit-tested + staged oracle
-    (__spark_entry__._ad_sql) + CLI-visible via staged_queries();
-    queries() registration lands next round."""
+    Registered in round 12 (all eight staged operators at once,
+    per the r11 verdict); oracle parity-validated while staged."""
     return ad_from_counts(ks_counts(_t(spark, sf_dir, "documents")))
 
 
@@ -1102,9 +1100,8 @@ def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend of daily event counts — see
     theilsen_from_daily for semantics, exactness and the plan shape.
 
-    Round-13 staging note: unit-tested + staged oracle
-    (__spark_entry__._theilsen_sql) + CLI-visible via
-    staged_queries(); registration follows the rotation."""
+    Registered in round 12 (all eight staged operators at once,
+    per the r11 verdict); oracle parity-validated while staged."""
     return theilsen_from_daily(
         spark, daily_counts(_t(spark, sf_dir, "events"))
     )

@@ -181,9 +181,8 @@ def events_trend_mannkendall(spark: SparkSession,
     """Mann–Kendall trend test of daily event counts — see
     mannkendall_from_daily for semantics, exactness and plan shape.
 
-    Round-14 staging note: unit-tested + staged oracle
-    (__spark_entry__._mk_sql) + CLI-visible via staged_queries();
-    registration follows the rotation."""
+    Registered in round 12 (all eight staged operators at once,
+    per the r11 verdict); oracle parity-validated while staged."""
     from .relational15 import daily_counts
 
     return mannkendall_from_daily(
@@ -327,9 +326,8 @@ def events_kruskalwallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic the Mann–Whitney audit maintains from its stream), so
     the test is state-servable corpus-free (kw_from_state).
 
-    Round-14 staging note: unit-tested + staged oracle
-    (__spark_entry__._kw_sql) + CLI-visible via staged_queries();
-    registration follows the rotation."""
+    Registered in round 12 (all eight staged operators at once,
+    per the r11 verdict); oracle parity-validated while staged."""
     from .relational15 import mw_counts
 
     return kw_from_counts(mw_counts(_t(spark, sf_dir, "events")))
@@ -362,12 +360,24 @@ def cramers_from_classes(classes: DataFrame) -> DataFrame:
     well-conditioned) rounded once at the end. A degenerate 1×c or
     r×1 table (min(r−1, c−1) = 0) reports NULL V via the shared CASE.
 
+    NULL categories: rows with a NULL lang or NULL source are
+    EXCLUDED up front (r12 ADVICE fix) — a NULL is "category
+    unknown", not a category, and keeping such rows would inflate the
+    marginals and N while their observed counts drop out of the
+    null-unsafe r×c grid join, overstating χ²/V. N therefore counts
+    only fully-categorized documents; the oracle applies the same
+    WHERE, and the kanon stream state serves this audit through this
+    same kernel so stream == batch holds.
+
     Plan: the classes frame is metadata-sized, so every step —
     marginals, the r×c grid, the 1-row totals — is a re-aggregation
     with broadcast joins; the corpus is touched only by the ONE scan
     that built the classes (or by none, served from the kanon stream
     state via cramersv_from_state)."""
     dec = "decimal(19,0)"
+    classes = classes.where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     cells = classes.groupBy("lang", "source").agg(F.sum("k").alias("o"))
     nl = cells.groupBy("lang").agg(F.sum("o").alias("n_l"))
     ns = cells.groupBy("source").agg(F.sum("o").alias("n_s"))
@@ -424,9 +434,8 @@ def docs_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     their stream maintainer, so this audit is state-servable
     corpus-free via cramersv_from_state).
 
-    Round-14 staging note: unit-tested + staged oracle
-    (__spark_entry__._cramers_sql) + CLI-visible via
-    staged_queries(); registration follows the rotation."""
+    Registered in round 12 (all eight staged operators at once,
+    per the r11 verdict); oracle parity-validated while staged."""
     from .relational15 import kanon_classes
 
     return cramers_from_classes(
@@ -545,7 +554,14 @@ def surv_removals(o: DataFrame, done: DataFrame,
     relational15.km_table_grouped (event = completion at days to LAST
     line-item ship; open/line-less orders censored at the global
     max-ship horizon), reduced one step further to per-(group, t)
-    removal and event counts. Calendar × |groups| sized."""
+    removal and event counts. Calendar × |groups| sized.
+
+    Durations are clamped at 0 (r12 ADVICE fix): an order dated after
+    its own last ship, or after the global max-ship horizon, would
+    otherwise enter the at-risk grid with a NEGATIVE duration —
+    arithmetically harmless (both engines agreed) but semantically
+    wrong for a survival time. Such subjects now count as duration-0
+    removals; the oracle applies the same GREATEST(0, ·)."""
     gmax = done.agg(F.max("last_ship").alias("horizon"))
     ev = (F.col("o_orderstatus") == "F") & F.col("last_ship").isNotNull()
     return (
@@ -553,9 +569,13 @@ def surv_removals(o: DataFrame, done: DataFrame,
         .crossJoin(F.broadcast(gmax))
         .select(
             F.col(group_col).alias("g"),
-            F.when(ev, F.datediff("last_ship", F.to_date("o_orderdate")))
-            .otherwise(F.datediff("horizon", F.to_date("o_orderdate")))
-            .alias("t"),
+            F.greatest(
+                F.lit(0),
+                F.when(ev, F.datediff("last_ship",
+                                      F.to_date("o_orderdate")))
+                .otherwise(F.datediff("horizon",
+                                      F.to_date("o_orderdate"))),
+            ).alias("t"),
             ev.alias("ev"),
         )
         .groupBy("g", "t")
@@ -583,9 +603,8 @@ def orders_logrank_priority(spark: SparkSession,
     distributed on the |priorities| × calendar grid: no driver
     recurrence, no collect, no cap needed (see logrank_pairs).
 
-    Round-14 staging note: unit-tested + staged oracle
-    (__spark_entry__._logrank_sql) + CLI-visible via
-    staged_queries(); registration follows the rotation."""
+    Registered in round 12 (all eight staged operators at once,
+    per the r11 verdict); oracle parity-validated while staged."""
     from .relational15 import lastship_counts
 
     o = _t(spark, sf_dir, "orders")

@@ -110,27 +110,28 @@ def test_history_and_maintain(spark, tmp_path, capsys):
 
 
 def test_list_staged(capsys):
-    """Round-11 (r10 verdict task 4): the staged surface is visible to
-    the operational CLI — `list --staged` enumerates built +
-    parity-green but not-yet-registered queries."""
+    """Round-12: the whole round-11 staged backlog registered at once,
+    so the staged registry is EMPTY — `list --staged` still exits 0
+    (the machinery stays wired for the next staged wave) and the
+    promoted keys now appear in the REGISTERED listing."""
     assert main(["list", "--staged"]) == 0
     out = capsys.readouterr().out.splitlines()
-    assert "orders_forecast_holt_damped" in out
-    assert "docs_ad_source_drift" in out
-    # staged keys are NOT in the registered listing
+    assert out == [] or out == [""]
     assert main(["list", "holt_damped"]) == 0
-    assert capsys.readouterr().out.strip() == ""
+    assert "orders_forecast_holt_damped" in \
+        capsys.readouterr().out.splitlines()
 
 
-def test_run_and_oracle_reach_staged_with_banner(spark, capsys):
-    """`run`/`oracle` execute a staged key end-to-end, with the
-    'staged — no driver row yet' banner on stderr."""
+def test_run_and_oracle_reach_promoted_keys_without_banner(
+        spark, capsys):
+    """`run`/`oracle` execute a round-12-promoted key end-to-end via
+    the REGISTERED path — no 'staged' banner anymore."""
     assert main(["oracle", "docs_ad_source_drift"]) == 0
     cap = capsys.readouterr()
     assert "ad_a2" in cap.out
-    assert "[staged]" in cap.err
+    assert "[staged]" not in cap.err
     assert main(["run", "orders_forecast_holt_damped",
                  "--sf-dir", SF_SMOKE, "--limit", "3"]) == 0
     cap = capsys.readouterr()
     assert "forecast_c" in cap.out
-    assert "[staged]" in cap.err
+    assert "[staged]" not in cap.err

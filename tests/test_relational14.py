@@ -865,12 +865,16 @@ class TestHoltDampedStaged:
         b = t._norm([d[0] for d in cur.description], cur.fetchall())
         assert a == b
 
-    def test_in_staged_registry(self):
+    def test_in_registered_registry(self):
+        # registered in round 12 (promoted from the staged registry
+        # with the rest of the eight-operator backlog)
         import __spark_entry__ as entrymod
 
         sq = entrymod.staged_queries()
         so = entrymod.staged_oracle_sql()
         assert set(sq) == set(so)
-        assert "orders_forecast_holt_damped" in sq
+        q = entrymod.queries()
+        assert "orders_forecast_holt_damped" in q
+        assert "orders_forecast_holt_damped" in entrymod.oracle_sql()
         # staged and registered surfaces are disjoint
-        assert not set(sq) & set(entrymod.queries())
+        assert not set(sq) & set(q)

@@ -14,6 +14,7 @@ from collections import Counter
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from jobsity_data_pipeline_spark.operators import relational16 as R16
 from tests.conftest import SF_SMOKE
@@ -298,6 +299,30 @@ class TestCramersV:
         assert r.cramers_v is None
         assert r.chi2 == 0.0
 
+    def test_null_categories_excluded(self, spark, tmp_path):
+        # r12 ADVICE fix: NULL lang/source rows are dropped BEFORE the
+        # contingency table — they are not a category, and including
+        # them inflated N and the marginals while their observed
+        # counts fell out of the null-unsafe grid join. The result
+        # must equal the same corpus with those rows absent.
+        clean = [
+            (1, "t", "en", "web", 10), (2, "t", "en", "web", 20),
+            (3, "t", "de", "wiki", 10), (4, "t", "de", "wiki", 30),
+        ]
+        noisy = clean + [
+            (5, "t", None, "web", 10),
+            (6, "t", "en", None, 20),
+            (7, "t", None, None, 30),
+        ]
+        want = R16.docs_cramers_v(
+            spark, _write_docs(spark, tmp_path / "a", clean)
+        ).collect()[0]
+        got = R16.docs_cramers_v(
+            spark, _write_docs(spark, tmp_path / "b", noisy)
+        ).collect()[0]
+        assert got == want
+        assert got.n_docs == 4
+
     def test_matches_numpy_reference_on_smoke(self, spark):
         con = _duck(SF_SMOKE, ("documents",))
         ct = con.execute(
@@ -414,6 +439,31 @@ class TestLogrank:
         assert r[0].o_a == 1
         assert r[0].z_stat is None
 
+    def test_negative_duration_clamped_to_zero(self, spark, tmp_path):
+        # r12 ADVICE fix: an order dated AFTER the global max-ship
+        # horizon (or after its own last ship) is a duration-0
+        # subject, never a negative-duration one
+        t0 = dt.datetime(2024, 1, 1)
+        orders = [
+            (1, 1, "F", 1.0, t0, "1-URGENT"),
+            # dated 10 days past the horizon (t0+5): censored, t
+            # would be -5 unclamped
+            (2, 1, "O", 1.0, t0 + dt.timedelta(days=15), "2-HIGH"),
+            (3, 1, "O", 1.0, t0, "2-HIGH"),
+        ]
+        lis = [_li(1, t0, 5)]
+        sf = _write_orders_li(spark, tmp_path, orders, lis)
+        o = spark.read.parquet(sf + "/orders.parquet")
+        done = (
+            spark.read.parquet(sf + "/lineitem.parquet")
+            .groupBy("l_orderkey")
+            .agg(F.max("l_shipdate").alias("last_ship"))
+        )
+        per = R16.surv_removals(o, done, "o_orderpriority").collect()
+        ts = {r.t for r in per}
+        assert min(ts) >= 0
+        assert 0 in ts  # the clamped subject landed at t = 0
+
     def test_matches_subject_level_reference_on_smoke(self, spark):
         # independent per-subject loop (no grids, no windows) over the
         # same event/censoring semantics, all C(5,2) priority pairs
@@ -429,11 +479,12 @@ class TestLogrank:
                 FROM lineitem
             )
             SELECT o.o_orderpriority,
+                GREATEST(0,
                 CASE WHEN o.o_orderstatus = 'F'
                           AND d.last_ship IS NOT NULL
                      THEN d.last_ship - CAST(o.o_orderdate AS DATE)
                      ELSE hz.horizon - CAST(o.o_orderdate AS DATE)
-                END AS t,
+                END) AS t,
                 (o.o_orderstatus = 'F' AND d.last_ship IS NOT NULL)
                     AS ev
             FROM orders o
