@@ -194,15 +194,7 @@ def events_trend_mannkendall(spark: SparkSession,
 # events_kruskalwallis
 # ---------------------------------------------------------------------------
 
-# the pooled rank window runs in ONE task over the distinct
-# value-cents grid (no partition key exists: ranks are global by
-# construction), so the grid must stay task-sized — the MW_MAX_GRID
-# posture, same 2^22 bound (~100 MB of (vc, t, cum) state)
-KW_MAX_GRID = 1 << 22
-
-
-def kw_from_counts(cnt: DataFrame,
-                   max_grid: int = KW_MAX_GRID) -> DataFrame:
+def kw_from_counts(cnt: DataFrame) -> DataFrame:
     """Kruskal–Wallis H test from a (event_type, vc, c) counts frame —
     the k-sample generalization of mw_from_counts: ONE rank-based
     test of "do all k types share a value distribution", where
@@ -229,43 +221,29 @@ def kw_from_counts(cnt: DataFrame,
     tie-corrected H via the shared CASE.
 
     Plan: everything runs on the post-aggregation counts frame — the
-    pooled per-value totals are a re-aggregation, the single global
-    rank window is loudly capped in-plan at ``max_grid`` distinct
-    values (see KW_MAX_GRID; the guard rides a broadcast of a second
-    re-aggregation, no extra corpus scan), the per-type reduction is
-    a partial-aggregable groupBy, and the 1-row globals broadcast
-    back onto the k-row output."""
+    pooled per-value totals are a re-aggregation, the pooled rank is
+    a SEGMENTED prefix scan (ranking.distributed_cumsum: value-range
+    blocks from approximate cutoffs, per-block windows, broadcast
+    block offsets — integer sums throughout, so the cumulative is
+    exact and the output is bit-identical to the global-window form),
+    the per-type reduction is a partial-aggregable groupBy, and the
+    1-row globals broadcast back onto the k-row output. No single
+    task ever holds the full distinct-value grid and no cap is
+    needed — unlike the Mann–Whitney kernel's PER-PAIR windows (each
+    already partitioned by the pair key and loudly capped, a
+    different trade documented at MW_MAX_GRID), the KW rank is global
+    by construction, which is exactly the shape the segmented scan
+    exists for; round-12 upgrade per the r11 verdict's task 5."""
+    from .ranking import distributed_cumsum
+
     dec = "decimal(19,0)"
     pooled = cnt.groupBy("vc").agg(F.sum("c").alias("t"))
-    # loud cardinality posture (MW_MAX_GRID convention, in-plan): the
-    # pooled grid count joins back broadcast and a grid larger than
-    # max_grid raises before the single-task rank window sorts it
-    grid = pooled.groupBy().agg(F.count("*").alias("_grid"))
-    pooled = (
-        pooled.crossJoin(F.broadcast(grid))
-        .withColumn(
-            "t",
-            F.when(F.col("_grid") <= F.lit(int(max_grid)), F.col("t"))
-            .otherwise(F.raise_error(F.concat(
-                F.lit("kw_from_counts: > "),
-                F.lit(str(int(max_grid))),
-                F.lit(" distinct value-cents; the pooled rank window "
-                      "is single-task — coarsen the value quantization "
-                      "in mw_counts (e.g. whole currency units) or "
-                      "pre-filter event types")
-            )).cast(pooled.schema["t"].dataType)),
-        )
-        .drop("_grid")
-    )
-    wbefore = (
-        Window.orderBy("vc")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = pooled.select(
+    ranked = distributed_cumsum(
+        pooled, "t", "vc", [], out_col="_cum"
+    ).select(
         "vc",
         F.col("t").cast(dec).alias("t"),
-        F.coalesce(F.sum("t").over(wbefore), F.lit(0))
-        .cast(dec).alias("cumb"),
+        (F.col("_cum") - F.col("t")).cast(dec).alias("cumb"),
     ).select(
         "vc", "t",
         (F.lit(2) * F.col("cumb") + F.col("t") + F.lit(1)).alias("r2"),
