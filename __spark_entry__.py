@@ -38,6 +38,7 @@ from jobsity_data_pipeline_spark.operators import relational13 as R13
 from jobsity_data_pipeline_spark.operators import relational14 as R14
 from jobsity_data_pipeline_spark.operators import relational15 as R15
 from jobsity_data_pipeline_spark.operators import relational16 as R16
+from jobsity_data_pipeline_spark.operators import relational17 as R17
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -3025,6 +3026,222 @@ def _logrank_sql() -> str:
     """
 
 
+def _theilsu_sql(bucket_chars: int = 256) -> str:
+    """R13-STAGED: DuckDB replay of relational17.docs_theils_u over
+    the SAME NULL-filtered (lang, source, len_bucket, k) classes
+    reduction as the k-anonymity/Cramér's V oracles. The three
+    entropy sums repeat the Spark kernel's per-term double expression
+    (CAST to DOUBLE, n·ln(n)) over the same metadata-sized frames,
+    and every derived entropy/coefficient is the kernel's expression
+    verbatim with ONE final rounding. Validated by a parity-style
+    unit test now."""
+    return f"""
+        WITH classes AS (
+            SELECT lang, source,
+                   n_chars // {int(bucket_chars)} AS len_bucket,
+                   count(*) AS k
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        cells AS (
+            SELECT lang, source, sum(k) AS o FROM classes GROUP BY 1, 2
+        ),
+        nl AS (SELECT lang, sum(o) AS n_l FROM cells GROUP BY 1),
+        ns AS (SELECT source, sum(o) AS n_s FROM cells GROUP BY 1),
+        tot AS (SELECT sum(o) AS nn FROM cells),
+        sj AS (
+            SELECT sum(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE)))
+                AS s_joint
+            FROM cells
+        ),
+        sl AS (
+            SELECT sum(CAST(n_l AS DOUBLE) * ln(CAST(n_l AS DOUBLE)))
+                AS s_lang
+            FROM nl
+        ),
+        ss AS (
+            SELECT sum(CAST(n_s AS DOUBLE) * ln(CAST(n_s AS DOUBLE)))
+                AS s_source
+            FROM ns
+        ),
+        shape AS (
+            SELECT (SELECT count(*) FROM nl) AS r,
+                   (SELECT count(*) FROM ns) AS c
+        ),
+        h AS (
+            SELECT nn, r, c,
+                   ln(CAST(nn AS DOUBLE))
+                       - s_lang / CAST(nn AS DOUBLE) AS h_lang,
+                   ln(CAST(nn AS DOUBLE))
+                       - s_source / CAST(nn AS DOUBLE) AS h_source,
+                   ln(CAST(nn AS DOUBLE))
+                       - s_joint / CAST(nn AS DOUBLE) AS h_joint,
+                   ln(CAST(nn AS DOUBLE))
+                       + (s_joint - s_lang - s_source)
+                         / CAST(nn AS DOUBLE) AS mi
+            FROM tot
+            CROSS JOIN sj CROSS JOIN sl CROSS JOIN ss CROSS JOIN shape
+        )
+        SELECT CAST(nn AS BIGINT) AS n_docs,
+               CAST(r AS BIGINT) AS n_langs,
+               CAST(c AS BIGINT) AS n_sources,
+               round(h_lang, 6) AS h_lang,
+               round(h_source, 6) AS h_source,
+               round(h_joint, 6) AS h_joint,
+               round(mi, 6) AS mutual_info,
+               round(CASE WHEN h_lang > 0 THEN mi / h_lang END, 6)
+                   AS u_lang_given_source,
+               round(CASE WHEN h_source > 0 THEN mi / h_source END, 6)
+                   AS u_source_given_lang,
+               round(CASE WHEN (h_lang + h_source) > 0
+                   THEN 2.0 * mi / (h_lang + h_source) END, 6)
+                   AS u_symmetric
+        FROM h
+    """
+
+
+def _na_sql() -> str:
+    """R13-STAGED: DuckDB replay of relational17.orders_hazard_na.
+    Same clamped event/censoring semantics as the log-rank oracle
+    (_logrank_sql), reduced to the GLOBAL per-duration grid; at-risk
+    counts are exact integers from a 1-PRECEDING running sum, and the
+    hazard/variance prefixes are windows ORDERED BY t in both engines
+    — the same double terms added left-to-right in the same order, so
+    the prefixes are bit-identical before the single rounding.
+    Validated by a parity-style unit test now."""
+    return """
+        WITH done AS (
+            SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS last_ship
+            FROM lineitem GROUP BY 1
+        ),
+        hz AS (
+            SELECT CAST(max(l_shipdate) AS DATE) AS horizon FROM lineitem
+        ),
+        sub AS (
+            SELECT GREATEST(0,
+                   CASE WHEN o.o_orderstatus = 'F'
+                             AND d.last_ship IS NOT NULL
+                        THEN d.last_ship - CAST(o.o_orderdate AS DATE)
+                        ELSE hz.horizon - CAST(o.o_orderdate AS DATE)
+                   END) AS t,
+                   (o.o_orderstatus = 'F' AND d.last_ship IS NOT NULL)
+                       AS ev
+            FROM orders o
+            LEFT JOIN done d ON d.l_orderkey = o.o_orderkey
+            CROSS JOIN hz
+        ),
+        per AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS rem,
+                   CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d
+            FROM sub GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(rem) AS BIGINT) AS n_tot FROM per),
+        ecdf AS (
+            SELECT t, d,
+                   n_tot - CAST(coalesce(sum(rem)
+                       OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS atrisk
+            FROM per CROSS JOIN tot
+        ),
+        ev AS (
+            SELECT t, atrisk, d,
+                   CAST(d AS DOUBLE) / CAST(atrisk AS DOUBLE) AS h,
+                   CAST(d AS DOUBLE)
+                       / (CAST(atrisk AS DOUBLE)
+                          * CAST(atrisk AS DOUBLE)) AS v
+            FROM ecdf WHERE d > 0
+        ),
+        cum AS (
+            SELECT t, atrisk, d, h,
+                   sum(h) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ch,
+                   sum(v) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cv
+            FROM ev
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               atrisk AS at_risk,
+               d AS events,
+               round(h, 6) AS hazard,
+               round(ch, 6) AS na_cumhaz,
+               round(sqrt(cv), 6) AS na_se
+        FROM cum ORDER BY 1
+    """
+
+
+def _spearman_sql(max_lag: int = 7) -> str:
+    """R13-STAGED: DuckDB replay of relational17.events_spearman_acf
+    — the _acf_sql lag machinery with doubled pooled tie-averaged
+    ranks (2r = 2·cum_before + t + 1, exact integers on the
+    zero-filled calendar) in place of the raw counts, HUGEINT
+    sufficient sums, and the guarded Pearson-on-ranks ratio repeating
+    the kernel's exact expression shape. Validated by a parity-style
+    unit test now."""
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        span AS (
+            SELECT CAST(min(ts) AS DATE) AS d0,
+                   CAST(max(ts) AS DATE) AS d1
+            FROM events
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS d
+            FROM span
+        ),
+        filled AS (
+            SELECT s.d, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM spine s LEFT JOIN daily c ON c.d = s.d
+        ),
+        grid AS (SELECT c, count(*) AS t FROM filled GROUP BY 1),
+        ranked AS (
+            SELECT c,
+                   2 * CAST(coalesce(sum(t) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) + t + 1 AS r2
+            FROM grid
+        ),
+        series AS (
+            SELECT f.d, r.r2 FROM filled f JOIN ranked r ON r.c = f.c
+        ),
+        lags AS (
+            SELECT CAST(unnest(range(1, {int(max_lag) + 1}))
+                        AS INTEGER) AS lag
+        ),
+        pairs AS (
+            SELECT l.lag, a.r2 AS x, b.r2 AS y
+            FROM lags l
+            JOIN series a ON TRUE
+            JOIN series b ON b.d = a.d + l.lag
+        ),
+        s AS (
+            SELECT lag, count(*) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM pairs GROUP BY lag
+        )
+        SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+               round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                          AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                   THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE))
+                   END, 6) AS spearman_rho
+        FROM s ORDER BY lag
+    """
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operators that are BUILT + unit-tested + oracle-parity-green
     but not yet in queries(): the driver's 50-key correctness budget
@@ -3034,20 +3251,29 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     surface matches the built surface; the correctness driver only
     sees queries().
 
-    EMPTY since round 12: the full round-11 staged backlog (eight
-    operators) registered at once per the r11 verdict. The registry
-    and its consumers (CLI ``list --staged``, staged parity tests,
-    plan gates, bench staged timing loop) stay wired for the next
-    staged wave."""
-    return {}
+    Round-12 wave (staged for the r13 rotation): the full round-11
+    backlog registered at the start of round 12, and these three —
+    each the missing member of an existing family, riding existing
+    stream state (see operators/relational17.py) — refill the
+    registry behind the same blanket harnesses (CLI ``list
+    --staged``, staged parity tests, plan gates, bench staged
+    timing loop)."""
+    return {
+        "docs_theils_u": R17.docs_theils_u,
+        "orders_hazard_na": R17.orders_hazard_na,
+        "events_spearman_acf": R17.events_spearman_acf,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """DuckDB twins for staged_queries() — same contract as
     oracle_sql(), validated by the same parity tests, promoted
-    verbatim on registration. Empty since round 12 (see
-    staged_queries())."""
-    return {}
+    verbatim on registration."""
+    return {
+        "docs_theils_u": _theilsu_sql(),
+        "orders_hazard_na": _na_sql(),
+        "events_spearman_acf": _spearman_sql(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:

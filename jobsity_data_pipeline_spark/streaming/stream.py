@@ -1819,6 +1819,45 @@ def cramersv_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def theilsu_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficients served FROM the SAME
+    maintained quasi-identifier class counters as kanon_from_state /
+    ldiv_from_state / cramersv_from_state — one stream maintainer
+    (stream_kanon_counts), FOUR audits. Sum-merge the per-batch
+    deltas, then the shared theilsu_from_classes kernel —
+    bit-identical to batch docs_theils_u over the same corpus,
+    corpus-free."""
+    from ..operators.relational17 import theilsu_from_classes
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published k-anonymity state at {table_dir}")
+    return theilsu_from_classes(
+        deltas.groupBy("lang", "source", "len_bucket")
+        .agg(F.sum("k").alias("k"))
+    )
+
+
+def spearman_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The rank-autocorrelation table served FROM the SAME maintained
+    daily counters as acf_from_state / theilsen_from_state /
+    mk_from_state — one stream maintainer (stream_daily_counts), FOUR
+    audits. Sum-merge the per-batch deltas, then the shared
+    spearman_acf_from_daily kernel — bit-identical to batch
+    events_spearman_acf over the same events, corpus-free."""
+    from ..operators.relational17 import spearman_acf_from_daily
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(f"no published daily-count state at {table_dir}")
+    return spearman_acf_from_daily(
+        spark, deltas.groupBy("d").agg(F.sum("c").alias("c"))
+    )
+
+
 def theilsen_from_state(spark: SparkSession,
                         table_dir: str) -> DataFrame:
     """The Theil-Sen robust daily-count trend served FROM the SAME
@@ -1973,6 +2012,29 @@ def logrank_from_state(spark: SparkSession, state_path: str,
     if st is None:
         raise ValueError(f"no published last-ship state at {state_path}")
     return logrank_pairs(surv_removals(orders, st, "o_orderpriority"))
+
+
+def na_from_state(spark: SparkSession, state_path: str,
+                  orders: DataFrame) -> DataFrame:
+    """The Nelson–Aalen cumulative hazard served FROM the SAME
+    maintained per-order last-ship state as km_from_state /
+    logrank_from_state — one absorbing-merge maintainer
+    (stream_lastship_upsert), FOUR survival audits. Joined against
+    the orders dimension and reduced by the shared surv_removals +
+    na_table kernels — bit-identical to batch orders_hazard_na over
+    the same data, without touching a single line item."""
+    from ..operators.relational16 import surv_removals
+    from ..operators.relational17 import na_table
+
+    st = _state_or_adopt(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published last-ship state at {state_path}")
+    per = (
+        surv_removals(orders, st, "o_orderpriority")
+        .groupBy("t")
+        .agg(F.sum("rem").alias("rem"), F.sum("d").alias("d"))
+    )
+    return na_table(per)
 
 
 def stream_mw_counts(events: DataFrame, table_dir: str,

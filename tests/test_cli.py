@@ -110,13 +110,16 @@ def test_history_and_maintain(spark, tmp_path, capsys):
 
 
 def test_list_staged(capsys):
-    """Round-12: the whole round-11 staged backlog registered at once,
-    so the staged registry is EMPTY — `list --staged` still exits 0
-    (the machinery stays wired for the next staged wave) and the
-    promoted keys now appear in the REGISTERED listing."""
+    """Round-12: the whole round-11 staged backlog registered at once
+    and the new wave refilled the registry — `list --staged`
+    enumerates the r12-staged keys, and the promoted keys now appear
+    in the REGISTERED listing."""
     assert main(["list", "--staged"]) == 0
     out = capsys.readouterr().out.splitlines()
-    assert out == [] or out == [""]
+    assert "docs_theils_u" in out
+    assert "orders_hazard_na" in out
+    assert "events_spearman_acf" in out
+    assert "orders_forecast_holt_damped" not in out  # promoted r12
     assert main(["list", "holt_damped"]) == 0
     assert "orders_forecast_holt_damped" in \
         capsys.readouterr().out.splitlines()

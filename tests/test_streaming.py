@@ -1694,6 +1694,21 @@ def test_stream_kanon_counts_serves_batch_audit_bitexact(spark, tmp_path):
             for r in cramersv_from_state(spark, table).collect()] \
         == want_cv and len(want_cv) == 1
 
+    # ... and the staged Theil's U uncertainty coefficients (fourth
+    # audit from the one maintainer): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational17 import (
+        docs_theils_u,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        theilsu_from_state,
+    )
+
+    want_tu = [tuple(r) for r in
+               docs_theils_u(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in theilsu_from_state(spark, table).collect()] \
+        == want_tu and len(want_tu) == 1
+
 
 def test_stream_sourcelen_counts_serves_batch_ks_bitexact(
     spark, tmp_path
@@ -1861,6 +1876,21 @@ def test_stream_daily_counts_serves_batch_acf_bitexact(spark, tmp_path):
                events_trend_mannkendall(spark, str(sf_like)).collect()]
     assert [tuple(r) for r in mk_from_state(spark, table).collect()] \
         == want_mk and len(want_mk) == 1
+
+    # ... and the staged rank-autocorrelation table (fourth audit
+    # from the one maintainer): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational17 import (
+        events_spearman_acf,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        spearman_from_state,
+    )
+
+    want_sp = [tuple(r) for r in
+               events_spearman_acf(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in spearman_from_state(spark, table).collect()] \
+        == want_sp and len(want_sp) == 7
 
     # replaying batch 0's delta under its original token is a no-op
     v = latest_manifest(table)["version"]
@@ -2048,6 +2078,22 @@ def test_stream_lastship_serves_batch_km_bitexact(spark, tmp_path):
     assert [tuple(r)
             for r in logrank_from_state(spark, state, odf).collect()] \
         == want_lr and len(want_lr) == 1
+
+    # ... and the staged Nelson-Aalen cumulative hazard (fourth
+    # survival audit from the one maintainer): bit-identical to its
+    # batch twin
+    from jobsity_data_pipeline_spark.operators.relational17 import (
+        orders_hazard_na,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        na_from_state,
+    )
+
+    want_na = [tuple(r) for r in
+               orders_hazard_na(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in na_from_state(spark, state, odf).collect()] \
+        == want_na and want_na
 
 
 def test_stream_mw_counts_serves_batch_ranksum_bitexact(spark, tmp_path):
