@@ -3174,6 +3174,76 @@ def _na_sql() -> str:
     """
 
 
+def _js_sql() -> str:
+    """R13-STAGED: DuckDB replay of relational17.docs_js_divergence
+    over the SAME (source, n_chars) counts reduction as the KS/AD
+    oracles. Per-source entropies computed once; the per-pair mixture
+    entropy runs over the pooled grid with zero-count sides as real 0
+    rows; every per-term double expression repeats the Spark kernel's
+    shape verbatim (non-negative comparable terms, the zipf/AD
+    precedent) and JSD is clamped at 0 before the shared square root.
+    Validated by a parity-style unit test now."""
+    return """
+        WITH cnt AS (
+            SELECT source, n_chars AS x, count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        srcs AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n
+            FROM cnt GROUP BY 1
+        ),
+        ents AS (
+            SELECT cnt.source,
+                   -sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS h
+            FROM cnt JOIN srcs ON srcs.source = cnt.source
+            GROUP BY 1
+        ),
+        g AS (
+            SELECT source_a, source_b, x,
+                   CAST(sum(ca) AS BIGINT) AS ca,
+                   CAST(sum(cb) AS BIGINT) AS cb
+            FROM (
+                SELECT cnt.source AS source_a, o.source AS source_b,
+                       x, c AS ca, 0 AS cb
+                FROM cnt JOIN srcs o ON cnt.source < o.source
+                UNION ALL
+                SELECT o.source AS source_a, cnt.source AS source_b,
+                       x, 0 AS ca, c AS cb
+                FROM cnt JOIN srcs o ON o.source < cnt.source
+            ) GROUP BY 1, 2, 3
+        ),
+        s AS (
+            SELECT source_a, source_b,
+                   max(na.n) AS n_a, max(nb.n) AS n_b,
+                   count(*) AS n_values,
+                   -sum(((CAST(ca AS DOUBLE) / CAST(na.n AS DOUBLE)
+                          + CAST(cb AS DOUBLE) / CAST(nb.n AS DOUBLE))
+                         / 2.0)
+                        * ln((CAST(ca AS DOUBLE) / CAST(na.n AS DOUBLE)
+                              + CAST(cb AS DOUBLE)
+                                / CAST(nb.n AS DOUBLE)) / 2.0)) AS h_m
+            FROM g
+            JOIN srcs na ON na.source = g.source_a
+            JOIN srcs nb ON nb.source = g.source_b
+            GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(n_values AS BIGINT) AS n_values,
+               round(GREATEST(h_m - (ea.h + eb.h) / 2.0, 0.0), 6)
+                   AS js_divergence,
+               round(sqrt(GREATEST(h_m - (ea.h + eb.h) / 2.0, 0.0)), 6)
+                   AS js_distance
+        FROM s
+        JOIN ents ea ON ea.source = s.source_a
+        JOIN ents eb ON eb.source = s.source_b
+        ORDER BY 1, 2
+    """
+
+
 def _spearman_sql(max_lag: int = 7) -> str:
     """R13-STAGED: DuckDB replay of relational17.events_spearman_acf
     — the _acf_sql lag machinery with doubled pooled tie-averaged
@@ -3262,6 +3332,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_theils_u": R17.docs_theils_u,
         "orders_hazard_na": R17.orders_hazard_na,
         "events_spearman_acf": R17.events_spearman_acf,
+        "docs_js_divergence": R17.docs_js_divergence,
     }
 
 
@@ -3273,6 +3344,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "docs_theils_u": _theilsu_sql(),
         "orders_hazard_na": _na_sql(),
         "events_spearman_acf": _spearman_sql(),
+        "docs_js_divergence": _js_sql(),
     }
 
 

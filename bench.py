@@ -220,12 +220,17 @@ def main() -> None:
     # the "flat counts = no regression" playbook as an automatic gate.
     # Wall time is weather on a shared host; plan shape is not.
     plan_regressions: dict[str, dict] = {}
+    plan_unbaselined: list[str] = []
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "PLAN_BASELINE.json"
     )
     if os.path.isfile(base_path):
         with open(base_path) as fh:
             baseline = json.load(fh).get("plans", {})
+        # never silently skip a key: a query with no baseline entry
+        # (a fresh registration) is listed so the next deliberate
+        # baseline regeneration is visibly owed
+        plan_unbaselined = sorted(metrics.keys() - baseline.keys())
         for name, m in metrics.items():
             b = baseline.get(name)
             if not b:
@@ -269,6 +274,7 @@ def main() -> None:
                 },
                 "staged": staged_timings,
                 "plan_regressions": plan_regressions,
+                "plan_unbaselined": plan_unbaselined,
             }
         )
     )

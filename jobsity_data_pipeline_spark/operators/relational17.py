@@ -268,6 +268,141 @@ def orders_hazard_na(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# docs_js_divergence
+# ---------------------------------------------------------------------------
+
+
+def js_from_counts(cnt: DataFrame) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between every source pair's
+    n_chars distribution from the SAME (source, x, c) counts frame the
+    KS/AD drift audits reduce to (ks_counts — one sufficient
+    statistic, three drift audits). JS is the family's
+    INFORMATION-THEORETIC member: KS reports the worst single gap
+    (middle-sensitive), AD tail-weights the gaps, JS measures the
+    total information lost treating the two distributions as one —
+    bounded ([0, ln 2] nats), symmetric, defined even for disjoint
+    supports (where KL diverges), and its square root is a metric, so
+    source distances can be compared and triangulated. One row per
+    pair: sample sizes, pooled support size, the divergence and the
+    JS distance.
+
+    Exactness: counts are exact integers; the per-source entropies
+    H(P) = −Σ p·ln p (computed ONCE per source — they are
+    pair-independent) and the per-pair mixture entropy
+    H(M), m = (p_a + p_b)/2 over the pooled support, are sums of
+    non-negative comparable-magnitude double terms (the zipf-slope /
+    ad_from_counts precedent — the H-form is used precisely because
+    its terms are non-negative, unlike the per-term-signed KL-to-
+    mixture form), with the SAME per-term expression in both engines
+    and ONE rounding at the end. JSD = H(M) − (H(a)+H(b))/2 is
+    clamped at 0 before the square root (identical-distribution pairs
+    are 0 up to fp noise; both engines share the clamp expression).
+
+    Plan: the mw_from_counts pair fan-out shape — each (source, x)
+    row of the post-aggregation counts frame explodes against the
+    tiny broadcast source list, the per-pair pooled grid re-aggregates
+    (zero-count sides materialize as real 0 rows so the mixture term
+    is complete), per-source totals and entropies broadcast, and the
+    per-pair reduction is a partial-aggregable groupBy. Everything
+    runs on metadata-sized frames; the corpus is touched only by the
+    ONE scan that built the counts (or by none, served from the KS
+    stream state via js_from_state)."""
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ents = (
+        cnt.join(F.broadcast(srcs), "source")
+        .groupBy("source")
+        .agg((-F.sum(p * F.log(p))).alias("h"))
+    )
+    others = srcs.select(F.col("source").alias("s2"))
+    left = (
+        cnt.join(F.broadcast(others), F.col("source") < F.col("s2"))
+        .select(
+            F.col("source").alias("source_a"),
+            F.col("s2").alias("source_b"),
+            "x", F.col("c").alias("ca"), F.lit(0).alias("cb"),
+        )
+    )
+    right = (
+        cnt.join(F.broadcast(others), F.col("s2") < F.col("source"))
+        .select(
+            F.col("s2").alias("source_a"),
+            F.col("source").alias("source_b"),
+            "x", F.lit(0).alias("ca"), F.col("c").alias("cb"),
+        )
+    )
+    g = (
+        left.unionByName(right)
+        .groupBy("source_a", "source_b", "x")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    na = srcs.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    nb = srcs.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    m = (
+        F.col("ca").cast("double") / F.col("n_a").cast("double")
+        + F.col("cb").cast("double") / F.col("n_b").cast("double")
+    ) / F.lit(2.0)
+    s = (
+        g.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.count("*").alias("n_values"),
+            (-F.sum(m * F.log(m))).alias("h_m"),
+        )
+    )
+    ha = ents.select(
+        F.col("source").alias("source_a"), F.col("h").alias("h_a")
+    )
+    hb = ents.select(
+        F.col("source").alias("source_b"), F.col("h").alias("h_b")
+    )
+    jsd = F.greatest(
+        F.col("h_m") - (F.col("h_a") + F.col("h_b")) / F.lit(2.0),
+        F.lit(0.0),
+    )
+    return (
+        s.join(F.broadcast(ha), "source_a")
+        .join(F.broadcast(hb), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_values").cast("long").alias("n_values"),
+            F.round(jsd, 6).alias("js_divergence"),
+            F.round(F.sqrt(jsd), 6).alias("js_distance"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def docs_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between sources' document-
+    length distributions — "how much information separates these two
+    sources' length profiles" as a bounded, symmetric, metric-rooted
+    number next to KS's worst gap and AD's tail-weighted score; see
+    js_from_counts for semantics, exactness and plan shape. ONE
+    partial-aggregable corpus scan reduces to the (source, n_chars)
+    counts (ks_counts — the sufficient statistic SHARED with
+    docs_ks_source_drift/docs_ad_source_drift and their stream
+    maintainer, so this audit is state-servable corpus-free via
+    js_from_state).
+
+    Round-13 staging note: unit-tested + staged oracle
+    (__spark_entry__._js_sql) + CLI-visible via staged_queries();
+    registration follows the rotation."""
+    from .relational15 import ks_counts
+
+    return js_from_counts(ks_counts(_t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
 # events_spearman_acf
 # ---------------------------------------------------------------------------
 

@@ -1819,6 +1819,25 @@ def cramersv_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def js_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The pairwise Jensen–Shannon divergence table served FROM the
+    SAME maintained (source, n_chars) counters as ks_from_state /
+    ad_from_state — one stream maintainer (stream_sourcelen_counts),
+    THREE drift audits. Sum-merge the per-batch deltas, then the
+    shared js_from_counts kernel — bit-identical to batch
+    docs_js_divergence over the same corpus, corpus-free."""
+    from ..operators.relational17 import js_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published source-length state at {table_dir}")
+    return js_from_counts(
+        deltas.groupBy("source", "x").agg(F.sum("c").alias("c"))
+    )
+
+
 def theilsu_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
     """Theil's uncertainty coefficients served FROM the SAME
     maintained quasi-identifier class counters as kanon_from_state /

@@ -371,6 +371,81 @@ class TestSpearmanACF:
         )
 
 
+class TestJSDivergence:
+    def test_identical_distributions_are_zero(self, spark, tmp_path):
+        # same length profile in both sources: JSD = 0 exactly after
+        # the shared clamp + rounding
+        rows = [
+            (1, "t", "en", "web", 10), (2, "t", "en", "web", 20),
+            (3, "t", "en", "web", 20),
+            (4, "t", "en", "wiki", 10), (5, "t", "en", "wiki", 20),
+            (6, "t", "en", "wiki", 20),
+        ]
+        r = R17.docs_js_divergence(
+            spark, _write_docs(spark, tmp_path, rows)).collect()
+        assert len(r) == 1
+        assert (r[0].source_a, r[0].source_b) == ("web", "wiki")
+        assert (r[0].n_a, r[0].n_b, r[0].n_values) == (3, 3, 2)
+        assert r[0].js_divergence == 0.0
+        assert r[0].js_distance == 0.0
+
+    def test_disjoint_supports_are_ln2(self, spark, tmp_path):
+        # no shared length values: JSD = ln 2 (the bound), where KL
+        # would diverge — the property that makes JS usable on
+        # arbitrary source pairs
+        rows = [
+            (1, "t", "en", "web", 10), (2, "t", "en", "web", 20),
+            (3, "t", "en", "wiki", 30), (4, "t", "en", "wiki", 40),
+        ]
+        r = R17.docs_js_divergence(
+            spark, _write_docs(spark, tmp_path, rows)).collect()[0]
+        assert r.js_divergence == round(math.log(2), 6)
+        assert r.js_distance == round(math.sqrt(math.log(2)), 6)
+
+    def test_matches_reference_on_smoke(self, spark):
+        # independent python recomputation from the raw counts, all
+        # source pairs
+        con = _duck(SF_SMOKE, ("documents",))
+        cnt = Counter()
+        for src, x in con.execute(
+            "SELECT source, n_chars FROM documents"
+        ).fetchall():
+            cnt[(src, x)] += 1
+        n = Counter()
+        for (src, _), c in cnt.items():
+            n[src] += c
+
+        def jsd(a, b):
+            xs = {x for (s, x) in cnt if s in (a, b)}
+            out = 0.0
+            for x in xs:
+                pa = cnt.get((a, x), 0) / n[a]
+                pb = cnt.get((b, x), 0) / n[b]
+                m = (pa + pb) / 2
+                if pa:
+                    out += pa * math.log(pa / m) / 2
+                if pb:
+                    out += pb * math.log(pb / m) / 2
+            return out
+
+        rows = R17.docs_js_divergence(spark, SF_SMOKE).collect()
+        srcs = sorted(n)
+        assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+        for r in rows:
+            want = jsd(r.source_a, r.source_b)
+            assert r.js_divergence == pytest.approx(want, abs=5e-6)
+            assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R17.docs_js_divergence(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("documents",)),
+            entrymod._js_sql(),
+        )
+
+
 def test_wave_in_staged_registry():
     import __spark_entry__ as entrymod
 
@@ -378,6 +453,7 @@ def test_wave_in_staged_registry():
     so = entrymod.staged_oracle_sql()
     assert set(sq) == set(so) == {
         "docs_theils_u", "orders_hazard_na", "events_spearman_acf",
+        "docs_js_divergence",
     }
     # staged and registered surfaces are disjoint
     assert not set(sq) & set(entrymod.queries())

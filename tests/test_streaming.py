@@ -1778,6 +1778,21 @@ def test_stream_sourcelen_counts_serves_batch_ks_bitexact(
                    spark, str(sf_like)).collect()]
     assert [tuple(r) for r in ad_from_state(spark, table).collect()]         == want_ad
 
+    # ... and the staged Jensen-Shannon divergence table (third
+    # drift audit from the one maintainer): bit-identical to its
+    # batch twin
+    from jobsity_data_pipeline_spark.operators.relational17 import (
+        docs_js_divergence,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        js_from_state,
+    )
+
+    want_js = [tuple(r) for r in
+               docs_js_divergence(spark, str(sf_like)).collect()]
+    assert [tuple(r) for r in js_from_state(spark, table).collect()] \
+        == want_js and len(want_js) == 3
+
     # replaying batch 0's delta under its original token is a no-op
     v = latest_manifest(table)["version"]
     b0 = ks_counts(
