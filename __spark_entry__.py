@@ -3174,6 +3174,64 @@ def _na_sql() -> str:
     """
 
 
+def _benford_mad_sql() -> str:
+    """R13-STAGED: DuckDB replay of relational17.events_benford_mad
+    over the SAME digit-count reduction as the registered Benford
+    oracle (_benford_sql — identical repr'd expectation doubles). The
+    nine |obs/N − p| terms repeat the kernel's expression shape, the
+    worst digit is picked by (deviation DESC, digit ASC) in both
+    engines, and the Nigrini conformity CASE tests the UNROUNDED MAD.
+    Validated by a parity-style unit test now."""
+    ps = ", ".join(
+        f"({d}, {v!r})" for d, v in enumerate(R15.BENFORD_P, start=1)
+    )
+    return f"""
+        WITH p AS (
+            SELECT * FROM (VALUES {ps}) AS t(digit, bp)
+        ),
+        c AS (
+            SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit,
+                   count(*) AS observed
+            FROM (
+                SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            )
+            WHERE cents > 0 GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(coalesce(sum(observed), 0) AS BIGINT) AS nn
+            FROM c
+        ),
+        devs AS (
+            SELECT p.digit, nn,
+                   CASE WHEN nn > 0 THEN
+                       abs(CAST(coalesce(c.observed, 0) AS DOUBLE)
+                           / CAST(nn AS DOUBLE) - p.bp)
+                   END AS adev
+            FROM p LEFT JOIN c USING (digit) CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT nn, sum(adev) / 9.0 AS mad, max(adev) AS mx
+            FROM devs GROUP BY nn
+        ),
+        w AS (
+            SELECT digit AS wd FROM devs
+            ORDER BY adev DESC NULLS LAST, digit ASC LIMIT 1
+        )
+        SELECT CAST(nn AS BIGINT) AS n_values,
+               round(mad, 6) AS mad,
+               round(mx, 6) AS max_abs_dev,
+               CASE WHEN mad IS NOT NULL THEN wd END AS worst_digit,
+               CASE WHEN mad IS NULL THEN NULL
+                    WHEN mad < 0.006 THEN 'close'
+                    WHEN mad < 0.012 THEN 'acceptable'
+                    WHEN mad < 0.015 THEN 'marginal'
+                    ELSE 'nonconforming' END AS conformity
+        FROM agg CROSS JOIN w
+    """
+
+
 def _js_sql() -> str:
     """R13-STAGED: DuckDB replay of relational17.docs_js_divergence
     over the SAME (source, n_chars) counts reduction as the KS/AD
@@ -3333,6 +3391,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_hazard_na": R17.orders_hazard_na,
         "events_spearman_acf": R17.events_spearman_acf,
         "docs_js_divergence": R17.docs_js_divergence,
+        "events_benford_mad": R17.events_benford_mad,
     }
 
 
@@ -3345,6 +3404,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "orders_hazard_na": _na_sql(),
         "events_spearman_acf": _spearman_sql(),
         "docs_js_divergence": _js_sql(),
+        "events_benford_mad": _benford_mad_sql(),
     }
 
 

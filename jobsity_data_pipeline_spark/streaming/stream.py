@@ -1819,6 +1819,27 @@ def cramersv_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def benford_mad_from_state(spark: SparkSession,
+                           table_dir: str) -> DataFrame:
+    """The Nigrini MAD conformity summary served FROM the SAME
+    maintained digit counters as benford_from_state — one stream
+    maintainer (stream_digit_counts), TWO Benford audits. Sum-merge
+    the per-batch deltas, then the shared benford_mad_from_counts
+    kernel — bit-identical to batch events_benford_mad over the same
+    corpus, corpus-free."""
+    from ..operators.relational17 import benford_mad_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published digit-count state at {table_dir}")
+    return benford_mad_from_counts(
+        spark,
+        deltas.groupBy("digit").agg(F.sum("observed").alias("observed")),
+    )
+
+
 def js_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
     """The pairwise Jensen–Shannon divergence table served FROM the
     SAME maintained (source, n_chars) counters as ks_from_state /

@@ -371,6 +371,85 @@ class TestSpearmanACF:
         )
 
 
+class TestBenfordMAD:
+    def test_exact_benford_sample_is_close(self, spark, tmp_path):
+        # counts proportional to the Benford expectations (scaled to
+        # integers) sit well inside the 'close' band
+        import math as m
+
+        t0 = dt.datetime(2024, 1, 1, 6)
+        rows = []
+        k = 0
+        for d in range(1, 10):
+            # ~1000·p_d events with first digit d (value d.00)
+            for _ in range(round(1000 * m.log10(1 + 1 / d))):
+                rows.append((k, t0, 1, "view", float(d), "{}"))
+                k += 1
+        r = R17.events_benford_mad(
+            spark, _write_events(spark, tmp_path, rows)).collect()[0]
+        assert r.n_values == k
+        assert r.conformity == "close"
+        assert r.mad < 0.006
+
+    def test_single_digit_is_nonconforming(self, spark, tmp_path):
+        # every value starts with 9: the worst digit is 9 (deviation
+        # 1 − p_9 ≈ 0.954) and the verdict is nonconforming
+        t0 = dt.datetime(2024, 1, 1, 6)
+        rows = [(i, t0, 1, "view", 9.0, "{}") for i in range(50)]
+        r = R17.events_benford_mad(
+            spark, _write_events(spark, tmp_path, rows)).collect()[0]
+        assert r.conformity == "nonconforming"
+        assert r.worst_digit == 9
+        assert r.max_abs_dev == round(
+            1 - math.log10(1 + 1 / 9), 6)
+
+    def test_empty_input_reports_nulls(self, spark, tmp_path):
+        # no positive values: N = 0, NULL statistics, NULL verdict —
+        # not a raise, not a fake 'nonconforming'
+        t0 = dt.datetime(2024, 1, 1, 6)
+        rows = [(1, t0, 1, "view", 0.0, "{}"),
+                (2, t0, 1, "view", -3.0, "{}")]
+        r = R17.events_benford_mad(
+            spark, _write_events(spark, tmp_path, rows)).collect()[0]
+        assert r.n_values == 0
+        assert r.mad is None
+        assert r.worst_digit is None
+        assert r.conformity is None
+
+    def test_matches_reference_on_smoke(self, spark):
+        # independent python recomputation from the raw digit counts
+        con = _duck(SF_SMOKE, ("events",))
+        digits = Counter()
+        for (d,) in con.execute("""
+            SELECT CAST(substr(CAST(CAST(round(value * 100, 0)
+                AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+            FROM events WHERE round(value * 100, 0) > 0
+        """).fetchall():
+            digits[d] += 1
+        n = sum(digits.values())
+        devs = {
+            d: abs(digits.get(d, 0) / n - math.log10(1 + 1 / d))
+            for d in range(1, 10)
+        }
+        mad = sum(devs.values()) / 9
+        r = R17.events_benford_mad(spark, SF_SMOKE).collect()[0]
+        assert r.n_values == n
+        assert r.mad == pytest.approx(mad, abs=5e-6)
+        assert r.max_abs_dev == pytest.approx(max(devs.values()),
+                                              abs=5e-6)
+        assert r.worst_digit == max(
+            devs, key=lambda d: (devs[d], -d))
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        _parity(
+            R17.events_benford_mad(spark, SF_SMOKE),
+            _duck(SF_SMOKE, ("events",)),
+            entrymod._benford_mad_sql(),
+        )
+
+
 class TestJSDivergence:
     def test_identical_distributions_are_zero(self, spark, tmp_path):
         # same length profile in both sources: JSD = 0 exactly after
@@ -453,7 +532,7 @@ def test_wave_in_staged_registry():
     so = entrymod.staged_oracle_sql()
     assert set(sq) == set(so) == {
         "docs_theils_u", "orders_hazard_na", "events_spearman_acf",
-        "docs_js_divergence",
+        "docs_js_divergence", "events_benford_mad",
     }
     # staged and registered surfaces are disjoint
     assert not set(sq) & set(entrymod.queries())

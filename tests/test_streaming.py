@@ -1979,6 +1979,22 @@ def test_stream_digit_counts_serves_batch_benford_bitexact(
     got = [tuple(r) for r in benford_from_state(spark, table).collect()]
     assert got == want and len(got) == 9
 
+    # ... and the staged Nigrini MAD conformity summary (second
+    # Benford audit from the one maintainer): bit-identical to its
+    # batch twin
+    from jobsity_data_pipeline_spark.operators.relational17 import (
+        events_benford_mad,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        benford_mad_from_state,
+    )
+
+    want_bm = [tuple(r) for r in
+               events_benford_mad(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in benford_mad_from_state(spark, table).collect()] \
+        == want_bm and len(want_bm) == 1
+
     # replaying batch 0's delta under its original token is a no-op
     v = latest_manifest(table)["version"]
     b0 = benford_digit_counts(
