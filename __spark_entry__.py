@@ -3174,6 +3174,69 @@ def _na_sql() -> str:
     """
 
 
+def _theta_sql(alpha_num: int = 1, alpha_den: int = 4) -> str:
+    """R13-STAGED: DuckDB recursive-CTE replay of
+    relational14.orders_forecast_theta — the SES oracle's recurrence
+    plus five HUGEINT running-sum columns (n, Σi, Σy, Σiy, Σi²) and
+    the whole-history OLS drift hup(2·slope_num / slope_den) inlined
+    with a variable-denominator sign-aware half-up (slope_den > 0 for
+    n ≥ 2 by construction). n < 2 degenerates to _ses_sql's
+    recurrence exactly. Validated by a parity-style unit test now."""
+    num = "(2 * (s.n * s.siy - s.si * s.sy))"
+    den = "(s.n * s.sii - s.si * s.si)"
+    drift = (
+        f"CASE WHEN s.n < 2 THEN CAST(0 AS HUGEINT)"
+        f" WHEN ({num}) >= 0"
+        f" THEN (2 * ({num}) + ({den})) // (2 * ({den}))"
+        f" ELSE -((2 * (-({num})) + ({den})) // (2 * ({den}))) END"
+    )
+    nl = _hup_sql(
+        f"{alpha_num} * m.rev_c + {alpha_den - alpha_num} * s.level_c",
+        alpha_den)
+    return f"""
+        WITH RECURSIVE m AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY o_year, o_month) AS i,
+                   o_year, o_month, rev_c
+            FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1, 2
+            )
+        ),
+        th AS (
+            SELECT i, o_year, o_month, rev_c,
+                   CAST(rev_c AS HUGEINT) AS level_c,
+                   CAST(1 AS HUGEINT) AS n,
+                   CAST(1 AS HUGEINT) AS si,
+                   CAST(rev_c AS HUGEINT) AS sy,
+                   CAST(rev_c AS HUGEINT) AS siy,
+                   CAST(1 AS HUGEINT) AS sii,
+                   CAST(NULL AS HUGEINT) AS forecast_c
+            FROM m WHERE i = 1
+            UNION ALL
+            SELECT m.i, m.o_year, m.o_month, m.rev_c,
+                   CAST({nl} AS HUGEINT) AS level_c,
+                   s.n + 1 AS n,
+                   s.si + s.n + 1 AS si,
+                   s.sy + m.rev_c AS sy,
+                   s.siy + (s.n + 1) * m.rev_c AS siy,
+                   s.sii + (s.n + 1) * (s.n + 1) AS sii,
+                   s.level_c + ({drift}) AS forecast_c
+            FROM th s JOIN m ON m.i = s.i + 1
+        )
+        SELECT o_year, o_month, rev_c,
+               CAST(forecast_c AS BIGINT) AS forecast_c,
+               CAST((2 * 1000 * abs(rev_c - forecast_c)
+                     + greatest(rev_c, 1))
+                    // (2 * greatest(rev_c, 1)) AS BIGINT)
+                   AS ape_permille
+        FROM th WHERE forecast_c IS NOT NULL
+        ORDER BY o_year, o_month
+    """
+
+
 def _benford_mad_sql() -> str:
     """R13-STAGED: DuckDB replay of relational17.events_benford_mad
     over the SAME digit-count reduction as the registered Benford
@@ -3392,6 +3455,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_spearman_acf": R17.events_spearman_acf,
         "docs_js_divergence": R17.docs_js_divergence,
         "events_benford_mad": R17.events_benford_mad,
+        "orders_forecast_theta": R14.orders_forecast_theta,
     }
 
 
@@ -3405,6 +3469,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "events_spearman_acf": _spearman_sql(),
         "docs_js_divergence": _js_sql(),
         "events_benford_mad": _benford_mad_sql(),
+        "orders_forecast_theta": _theta_sql(),
     }
 
 

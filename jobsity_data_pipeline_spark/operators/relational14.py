@@ -783,6 +783,97 @@ def holt_backtest(months: list, alpha_num: int = 1, alpha_den: int = 4,
     return out
 
 
+def theta_backtest(months: list,
+                   alpha_num: int = 1, alpha_den: int = 4) -> list:
+    """Theta-method (θ = 2) one-step-ahead recurrence as a pure
+    function of the month list — the M3-competition winner
+    (Assimakopoulos & Nikolopoulos 2000) in its Hyndman–Billah
+    SES-plus-drift equivalent form: the forecast is the SES level
+    plus a drift proportional to the OLS slope of the WHOLE history
+    against its time index, which is what lets theta track a trending
+    series SES alone lags behind, without Holt's tendency to chase
+    transient ramps (the drift refits on ALL history, not on recent
+    deltas).
+
+    The engine's exact definition (documented, since published theta
+    variants differ in the tail term): at month t with n ≥ 2 prior
+    months consumed,
+
+        slope_num = n·Σiy − Σi·Σy        (exact integers, i = 1..n)
+        slope_den = n·Σi² − (Σi)²        (> 0 for n ≥ 2)
+        drift     = hup(2·slope_num / slope_den)   (= 2·b̂, one
+                    sign-aware half-up rounded integer — the
+                    Hyndman–Billah h = 1 drift b̂/(2α) at α = 1/4,
+                    with the geometric (1−α)ⁿ tail dropped, the
+                    standard large-n simplification)
+        fc_t      = level + drift
+        level'    = hup(α·rev + (1−α)·level)       (plain SES)
+
+    Everything is exact integer cents with sign-aware half-up per
+    update (the family convention), so the oracle's recursive CTE
+    replays it bit-for-bit carrying the five running sums as HUGEINT
+    columns. n < 2 months of history ⇒ drift = 0 (degenerates to
+    SES exactly, pinned in tests); a perfectly linear ramp halves
+    SES's steady-state lag (also pinned)."""
+    out = []
+    level = None
+    n = si = sy = siy = sii = 0
+    for y, mo, rev in months:
+        if level is None:
+            level = rev
+            n, si, sy, siy, sii = 1, 1, rev, rev, 1
+            continue
+        if n >= 2:
+            num_b = n * siy - si * sy
+            den_b = n * sii - si * si
+            drift = _hup(2 * num_b, den_b)
+        else:
+            drift = 0
+        fc = level + drift
+        dd = max(rev, 1)
+        ape = (2 * 1000 * abs(rev - fc) + dd) // (2 * dd)
+        out.append((y, mo, rev, fc, ape))
+        level = _hup(
+            alpha_num * rev + (alpha_den - alpha_num) * level,
+            alpha_den,
+        )
+        n += 1
+        si += n
+        sy += rev
+        siy += n * rev
+        sii += n * n
+    return out
+
+
+def orders_forecast_theta(spark: SparkSession, sf_dir: str,
+                          alpha_num: int = 1,
+                          alpha_den: int = 4) -> DataFrame:
+    """Theta-method one-step-ahead backtest of monthly order revenue
+    — the sixth rung of the forecaster family (snaive / SES / Holt /
+    damped Holt / HW / theta), the M3 winner that adds a
+    whole-history OLS drift to the SES level; see theta_backtest for
+    the engine's exact definition and its relation to the published
+    variants. Same output shape as the rest of the family, so all
+    rungs A/B on one join; fewer than two history months degenerates
+    to orders_forecast_ses EXACTLY (pinned in tests).
+
+    Engine-exact by the family convention (exact integer cents,
+    sign-aware halfup per update; the drift is ONE rounded integer
+    from five exact running sums) and replayed by the staged oracle's
+    recursive CTE (__spark_entry__._theta_sql). Corpus work: the
+    shared _monthly_rev scan; the recurrence is the pure
+    theta_backtest kernel under the shared month cap.
+
+    Round-13 staging note: unit-tested + staged oracle + CLI-visible
+    via staged_queries(); registration follows the rotation."""
+    months = collect_months(
+        _monthly_rev(spark, sf_dir), "orders_forecast_theta")
+    return spark.createDataFrame(
+        theta_backtest(months, alpha_num, alpha_den),
+        FORECAST_SCHEMA,
+    ).orderBy("o_year", "o_month")
+
+
 def holt_damped_backtest(months: list,
                          alpha_num: int = 1, alpha_den: int = 4,
                          beta_num: int = 1, beta_den: int = 4,

@@ -1209,11 +1209,13 @@ def forecast_from_state(spark: SparkSession, table_dir: str,
     from ..operators.relational14 import (
         FORECAST_SCHEMA, collect_months, holt_backtest,
         holt_damped_backtest, hw_backtest, ses_backtest,
+        theta_backtest,
     )
 
     kernels = {
         "ses": ses_backtest, "holt": holt_backtest,
         "holt_damped": holt_damped_backtest, "hw": hw_backtest,
+        "theta": theta_backtest,
     }
     if method not in kernels:
         raise ValueError(

@@ -828,6 +828,55 @@ class TestForecastKernelProperties:
         prop()
 
 
+class TestThetaStaged:
+    def test_hand_recurrence(self):
+        # months: rev 100, 200, 300, 400 cents; alpha = 1/4
+        months = [(2024, 1, 100), (2024, 2, 200), (2024, 3, 300),
+                  (2024, 4, 400)]
+        out = R14.theta_backtest(months)
+        # step 1 (n=1 < 2): drift 0, fc = level = 100; ape 500
+        #   level' = hup(200 + 3*100, 4) = 125
+        assert out[0] == (2024, 2, 200, 100, 500)
+        # step 2 (n=2, sums i=1..2 of 100,200): num = 2*500-3*300
+        #   = 100, den = 2*5-9 = 1, drift = hup(200,1) = 200
+        #   fc = 125 + 200 = 325; ape = hup(25000/300) = 83
+        #   level' = hup(300 + 3*125, 4) = 169
+        assert out[1] == (2024, 3, 300, 325, 83)
+        # step 3 (n=3): num = 3*1400-6*600 = 600, den = 3*14-36 = 6
+        #   drift = hup(1200,6) = 200; fc = 369; ape = hup(31000/400)
+        assert out[2] == (2024, 4, 400, 369, 78)
+
+    def test_short_history_degenerates_to_ses(self):
+        # with a single history month the drift is 0 by the n >= 2
+        # guard: theta == SES exactly
+        months = [(2024, 1, 137), (2024, 2, 991)]
+        assert R14.theta_backtest(months) == R14.ses_backtest(months)
+
+    def test_linear_ramp_beats_ses(self):
+        # the whole point: the OLS drift halves SES's steady-state
+        # lag on a trending series, so theta's total APE is strictly
+        # lower on a pure ramp
+        months = [(2024 + (m - 1) // 12, (m - 1) % 12 + 1, 1000 * m)
+                  for m in range(1, 25)]
+        th = R14.theta_backtest(months)
+        se = R14.ses_backtest(months)
+        assert sum(r[4] for r in th) < sum(r[4] for r in se)
+        # drift tracks the exact slope once history is long enough:
+        # late forecasts sit closer than SES's (1-a)/a lag
+        assert abs(th[-1][3] - th[-1][2]) < abs(se[-1][3] - se[-1][2])
+
+    def test_oracle_parity(self, spark):
+        import __spark_entry__ as entrymod
+
+        t = TestStagedR10Oracles()
+        sdf = R14.orders_forecast_theta(spark, SF_SMOKE)
+        a = t._norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+        cur = t._duck(SF_SMOKE, ("orders",)).execute(
+            entrymod._theta_sql())
+        b = t._norm([d[0] for d in cur.description], cur.fetchall())
+        assert a == b
+
+
 class TestHoltDampedStaged:
     def test_hand_recurrence(self):
         # months: rev 100, 200, 300 cents; alpha=beta=1/4, phi=4/5

@@ -533,6 +533,7 @@ def test_wave_in_staged_registry():
     assert set(sq) == set(so) == {
         "docs_theils_u", "orders_hazard_na", "events_spearman_acf",
         "docs_js_divergence", "events_benford_mad",
+        "orders_forecast_theta",
     }
     # staged and registered surfaces are disjoint
     assert not set(sq) & set(entrymod.queries())

@@ -1483,6 +1483,7 @@ def test_stream_monthly_rev_serves_forecasts_bitexact(spark, tmp_path):
         ("ses", R14.ses_backtest), ("holt", R14.holt_backtest),
         ("holt_damped", R14.holt_damped_backtest),
         ("hw", R14.hw_backtest),
+        ("theta", R14.theta_backtest),  # staged r13: same state
     ):
         got = [
             tuple(r)
