@@ -2355,11 +2355,12 @@ def _km_sql() -> str:
             SELECT CAST(max(l_shipdate) AS DATE) AS horizon FROM lineitem
         ),
         sub AS (
-            SELECT CASE WHEN o.o_orderstatus = 'F'
+            SELECT GREATEST(0,
+                   CASE WHEN o.o_orderstatus = 'F'
                              AND d.last_ship IS NOT NULL
                         THEN d.last_ship - CAST(o.o_orderdate AS DATE)
                         ELSE hz.horizon - CAST(o.o_orderdate AS DATE)
-                   END AS t,
+                   END) AS t,
                    (o.o_orderstatus = 'F' AND d.last_ship IS NOT NULL)
                        AS ev
             FROM orders o
@@ -2421,11 +2422,12 @@ def _km_grouped_sql() -> str:
         ),
         sub AS (
             SELECT o.o_orderpriority AS g,
+                   GREATEST(0,
                    CASE WHEN o.o_orderstatus = 'F'
                              AND d.last_ship IS NOT NULL
                         THEN d.last_ship - CAST(o.o_orderdate AS DATE)
                         ELSE hz.horizon - CAST(o.o_orderdate AS DATE)
-                   END AS t,
+                   END) AS t,
                    (o.o_orderstatus = 'F' AND d.last_ship IS NOT NULL)
                        AS ev
             FROM orders o
@@ -3178,12 +3180,14 @@ def _theta_sql(alpha_num: int = 1, alpha_den: int = 4) -> str:
     """R13-STAGED: DuckDB recursive-CTE replay of
     relational14.orders_forecast_theta — the SES oracle's recurrence
     plus five HUGEINT running-sum columns (n, Σi, Σy, Σiy, Σi²) and
-    the whole-history OLS drift hup(2·slope_num / slope_den) inlined
-    with a variable-denominator sign-aware half-up (slope_den > 0 for
-    n ≥ 2 by construction). n < 2 degenerates to _ses_sql's
-    recurrence exactly. Validated by a parity-style unit test now."""
-    num = "(2 * (s.n * s.siy - s.si * s.sy))"
-    den = "(s.n * s.sii - s.si * s.si)"
+    the whole-history OLS drift hup(α_den·slope_num /
+    (2·α_num·slope_den)) — b̂/(2α), the multiplier following α like
+    the kernel's — inlined with a variable-denominator sign-aware
+    half-up (slope_den > 0 for n ≥ 2 by construction). n < 2
+    degenerates to _ses_sql's recurrence exactly. Validated by a
+    parity-style unit test now."""
+    num = f"({alpha_den} * (s.n * s.siy - s.si * s.sy))"
+    den = f"(2 * {alpha_num} * (s.n * s.sii - s.si * s.si))"
     drift = (
         f"CASE WHEN s.n < 2 THEN CAST(0 AS HUGEINT)"
         f" WHEN ({num}) >= 0"

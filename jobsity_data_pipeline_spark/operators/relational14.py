@@ -801,11 +801,13 @@ def theta_backtest(months: list,
 
         slope_num = n·Σiy − Σi·Σy        (exact integers, i = 1..n)
         slope_den = n·Σi² − (Σi)²        (> 0 for n ≥ 2)
-        drift     = hup(2·slope_num / slope_den)   (= 2·b̂, one
-                    sign-aware half-up rounded integer — the
-                    Hyndman–Billah h = 1 drift b̂/(2α) at α = 1/4,
-                    with the geometric (1−α)ⁿ tail dropped, the
-                    standard large-n simplification)
+        drift     = hup(slope_num·α_den / (2·α_num·slope_den))
+                    (= b̂/(2α), one sign-aware half-up rounded
+                    integer — the Hyndman–Billah h = 1 drift with the
+                    geometric (1−α)ⁿ tail dropped, the standard
+                    large-n simplification; = 2·b̂ at the default
+                    α = 1/4, and the multiplier follows α so the
+                    tunable level and the drift stay the SAME theta)
         fc_t      = level + drift
         level'    = hup(α·rev + (1−α)·level)       (plain SES)
 
@@ -826,7 +828,8 @@ def theta_backtest(months: list,
         if n >= 2:
             num_b = n * siy - si * sy
             den_b = n * sii - si * si
-            drift = _hup(2 * num_b, den_b)
+            drift = _hup(alpha_den * num_b,
+                         2 * alpha_num * den_b)
         else:
             drift = 0
         fc = level + drift

@@ -708,9 +708,13 @@ def km_table(spark: SparkSession, o: DataFrame,
         o.join(done, o.o_orderkey == done.l_orderkey, "left")
         .crossJoin(F.broadcast(gmax))
         .select(
-            F.when(ev, F.datediff("last_ship", F.to_date("o_orderdate")))
-            .otherwise(F.datediff("horizon", F.to_date("o_orderdate")))
-            .alias("t"),
+            F.greatest(
+                F.lit(0),
+                F.when(ev, F.datediff("last_ship",
+                                      F.to_date("o_orderdate")))
+                .otherwise(F.datediff("horizon",
+                                      F.to_date("o_orderdate"))),
+            ).alias("t"),
             ev.alias("ev"),
         )
     )
@@ -754,9 +758,13 @@ def km_table_grouped(spark: SparkSession, o: DataFrame, done: DataFrame,
         .crossJoin(F.broadcast(gmax))
         .select(
             F.col(group_col).alias("g"),
-            F.when(ev, F.datediff("last_ship", F.to_date("o_orderdate")))
-            .otherwise(F.datediff("horizon", F.to_date("o_orderdate")))
-            .alias("t"),
+            F.greatest(
+                F.lit(0),
+                F.when(ev, F.datediff("last_ship",
+                                      F.to_date("o_orderdate")))
+                .otherwise(F.datediff("horizon",
+                                      F.to_date("o_orderdate"))),
+            ).alias("t"),
             ev.alias("ev"),
         )
     )

@@ -69,7 +69,11 @@ def theilsu_from_classes(classes: DataFrame) -> DataFrame:
 
     NULL categories are excluded exactly as in cramers_from_classes
     (a NULL is "category unknown", not a category — the r12 posture),
-    so all four association audits agree on N.
+    so the two ASSOCIATION audits (V and U) agree on N. The two
+    PRIVACY audits over the same state (k-anonymity, l-diversity)
+    deliberately do NOT exclude them — a NULL-category document still
+    sits in a re-identifiable equivalence class, so privacy N counts
+    every document; the split is intentional, per audit semantics.
 
     Exactness: counts are exact integers; the three entropy sums
     Σ n·ln(n) (over cells, lang marginals, source marginals) are sums

@@ -846,6 +846,16 @@ class TestThetaStaged:
         #   drift = hup(1200,6) = 200; fc = 369; ape = hup(31000/400)
         assert out[2] == (2024, 4, 400, 369, 78)
 
+    def test_drift_multiplier_follows_alpha(self):
+        # the Hyndman-Billah drift is b/(2*alpha), not a hardcoded
+        # 2*b: at alpha = 1/2 the multiplier is 1, so the same
+        # history produces HALF the default drift
+        months = [(2024, 1, 100), (2024, 2, 200), (2024, 3, 300)]
+        out = R14.theta_backtest(months, alpha_num=1, alpha_den=2)
+        # level after month 2 = hup(200 + 100, 2) = 150; slope = 100
+        # -> drift = hup(2*100, 2*1*1) = 100 (= b, not 2b)
+        assert out[1] == (2024, 3, 300, 250, 167)
+
     def test_short_history_degenerates_to_ses(self):
         # with a single history month the drift is 0 by the n >= 2
         # guard: theta == SES exactly
