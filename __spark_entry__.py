@@ -327,6 +327,18 @@ def _queries_declared() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kruskalwallis": R16.events_kruskalwallis,
         "docs_cramers_v": R16.docs_cramers_v,
         "orders_logrank_priority": R16.orders_logrank_priority,
+        # round-13 registrations: ALL SIX staged operators at once
+        # (the standing directive — never-verified surface outranks
+        # re-verifying greens; oracles parity-validated at
+        # sf0.001/0.01/0.1 in round 12, tests/test_relational17.py +
+        # test_relational14.py; promoted verbatim from
+        # staged_queries())
+        "docs_theils_u": R17.docs_theils_u,
+        "orders_hazard_na": R17.orders_hazard_na,
+        "events_spearman_acf": R17.events_spearman_acf,
+        "docs_js_divergence": R17.docs_js_divergence,
+        "events_benford_mad": R17.events_benford_mad,
+        "orders_forecast_theta": R14.orders_forecast_theta,
     }
 
 
@@ -340,21 +352,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so this is purely a priority permutation.
     """
     q = _queries_declared()
-    out = {k: q[k] for k in _ROUND12_PRIORITY if k in q}
+    out = {k: q[k] for k in _ROUND13_PRIORITY if k in q}
     # any key in NO list (a new query not yet registered anywhere)
     # runs right after the explicit priorities — a budget-truncated
     # sweep must reach never-verified surface before re-verifying
     # greens, even when the priority tuple wasn't updated
     known = (
-        set(_ROUND12_PRIORITY)
+        set(_ROUND13_PRIORITY)
         | _SAMPLED_R1 | _SAMPLED_R2 | _SAMPLED_R3 | _SAMPLED_R4
         | _SAMPLED_R5 | _SAMPLED_R6 | _SAMPLED_R7 | _SAMPLED_R8
-        | _SAMPLED_R9 | _SAMPLED_R10 | _SAMPLED_R11
+        | _SAMPLED_R9 | _SAMPLED_R10 | _SAMPLED_R11 | _SAMPLED_R12
     )
     out.update({k: v for k, v in q.items() if k not in known})
     for tier in (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
                  _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8,
-                 _SAMPLED_R9, _SAMPLED_R10, _SAMPLED_R11):
+                 _SAMPLED_R9, _SAMPLED_R10, _SAMPLED_R11,
+                 _SAMPLED_R12):
         out.update(
             {k: v for k, v in q.items()
              if k in tier and k not in out and k not in _later_tiers(tier)}
@@ -368,7 +381,7 @@ def _later_tiers(tier: frozenset) -> frozenset:
     row supersedes the older one, so they sort with the later tier."""
     order = (_SAMPLED_R1, _SAMPLED_R2, _SAMPLED_R3, _SAMPLED_R4,
              _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7, _SAMPLED_R8,
-             _SAMPLED_R9, _SAMPLED_R10, _SAMPLED_R11)
+             _SAMPLED_R9, _SAMPLED_R10, _SAMPLED_R11, _SAMPLED_R12)
     for i, t in enumerate(order):
         if tier is t:
             later: frozenset = frozenset()
@@ -540,6 +553,53 @@ _ROUND12_PRIORITY: tuple[str, ...] = (
     "latest_datasource", "lineitem_ols_elasticity", "media_dedup",
     "orders_association_rules", "orders_cohort_ltv",
     "orders_percentiles", "orders_priority_chi2",
+)
+
+# Round-13 rotation (budget 50): after CORRECTNESS_r12 every key's
+# latest row is green; freshest-row tiers are r12 (50) / r11 (50) /
+# r10 (50) / r9 (50) / r8 (15) — nothing older. This round registers
+# ALL SIX staged operators at once (the standing directive —
+# never-verified surface outranks re-verifying greens, and all six
+# oracles are parity-green at sf0.001/0.01/0.1): they lead the tuple.
+# Next come the TWO rewritten-output keys (orders_survival_km,
+# orders_survival_km_by_priority — the round-12 duration-0 clamp
+# aligned the KM kernels with the log-rank/NA family, changing output
+# on corpora containing subjects dated past their last ship, which
+# the smoke corpus has; their r11 rows certify the OLD semantics, so
+# they re-earn first). Then the full 15-key r8-latest remainder
+# (orders_seasonal_decompose .. weekly_avg_by_region — due since the
+# r12 split) and the first 27 of the 50-key r9-latest tier
+# (alphabetical; the remaining 23 — events_watermark_lateness onward
+# minus the 27 taken — stay r9-latest, due in r14):
+# 6 + 2 + 15 + 27 = exactly the 50-key budget. Done criterion: six
+# never-sampled keys gain their first driver row, both KM keys
+# re-certify the clamped semantics, and the r8 tier retires.
+_ROUND13_PRIORITY: tuple[str, ...] = (
+    # (0) the six round-13 registrations — first driver rows ever
+    "docs_theils_u", "orders_hazard_na", "events_spearman_acf",
+    "docs_js_divergence", "events_benford_mad", "orders_forecast_theta",
+    # (1) rewritten-output keys: the KM pair re-earns the duration-0
+    # clamp (round-12 self-review finding 1)
+    "orders_survival_km", "orders_survival_km_by_priority",
+    # (2) the full r8-latest remainder — oldest driver rows on the board
+    "orders_seasonal_decompose", "part_type_hhi", "parts_abc_xyz",
+    "parts_top_by_brand", "q1_pricing_summary",
+    "q3_shipping_priority", "regions_for_datasource",
+    "sql_weekly_avg", "supplier_scorecard",
+    "suppliers_with_returns", "top_customers_per_nation",
+    "trip_geohash_cells", "trip_grouping_bins", "trip_ingest_dedup",
+    "weekly_avg_by_region",
+    # (3) the first 27 of the 50-key r9-latest tier (alphabetical)
+    "customer_pareto", "docs_bm25_topk", "docs_bpe_encode",
+    "docs_bpe_merges", "docs_clean_corpus_stats", "docs_exact_dedup",
+    "docs_quality", "docs_quality_classifier", "docs_repetition",
+    "docs_sample_stratified", "docs_token_stats", "docs_top_bigrams",
+    "docs_train_val_test", "emb_kmeans_fit", "events_concurrency",
+    "events_daily_gapfill", "events_enriched", "events_hourly",
+    "events_key_skew", "events_kmv_distinct", "events_props_json",
+    "events_top_type_per_user", "events_type_overlap_kmv",
+    "events_value_cusum", "events_value_histogram",
+    "events_value_rolling_1h", "events_watermark_lateness",
 )
 
 _ROUND9_PRIORITY: tuple[str, ...] = (
@@ -936,6 +996,31 @@ _SAMPLED_R11: frozenset = frozenset({
     "events_range_join", "events_type_cooccurrence", "events_type_runs",
     "events_user_paths", "events_windowed_funnel", "orders_open_backlog",
     "parts_triangles",
+})
+
+
+_SAMPLED_R12: frozenset = frozenset({
+    # round 12 (50 hash rows, zero rows-only), from CORRECTNESS_r12.json
+    "orders_forecast_holt_damped", "docs_ad_source_drift",
+    "events_trend_theilsen", "docs_l_diversity",
+    "events_trend_mannkendall", "events_kruskalwallis",
+    "docs_cramers_v", "orders_logrank_priority",
+    "emb_ivf_ann", "emb_ivfpq_ann", "emb_ivfpq_residual_ann",
+    "emb_lsh_ann", "emb_pq_ann", "emb_pq_rerank", "emb_pq_trained_ann",
+    "bbox_weekly_avg", "customers_without_orders", "docs_dsir_weights",
+    "docs_gopher_rules", "docs_len_percentiles",
+    "docs_near_dup_verified", "docs_prefix_clusters", "docs_top_tokens",
+    "emb_cluster_purity", "emb_ivf_balance", "emb_label_affinity",
+    "emb_label_centroids", "emb_label_outliers", "emb_pq_codes",
+    "emb_semdedup", "events_asof_view_purchase",
+    "events_count_min_sketch", "events_daily_moving_avg",
+    "events_decayed_value", "events_funnel", "events_hll_rollup",
+    "events_markov_stationary", "events_pivot",
+    "events_quantile_sketch", "events_rolling_7d_users",
+    "events_sessionization", "events_user_daily", "events_welch_ttest",
+    "latest_datasource", "lineitem_ols_elasticity", "media_dedup",
+    "orders_association_rules", "orders_cohort_ltv",
+    "orders_percentiles", "orders_priority_chi2",
 })
 
 
@@ -3092,11 +3177,11 @@ def _theilsu_sql(bucket_chars: int = 256) -> str:
                round(h_source, 6) AS h_source,
                round(h_joint, 6) AS h_joint,
                round(mi, 6) AS mutual_info,
-               round(CASE WHEN h_lang > 0 THEN mi / h_lang END, 6)
+               round(CASE WHEN r > 1 THEN mi / h_lang END, 6)
                    AS u_lang_given_source,
-               round(CASE WHEN h_source > 0 THEN mi / h_source END, 6)
+               round(CASE WHEN c > 1 THEN mi / h_source END, 6)
                    AS u_source_given_lang,
-               round(CASE WHEN (h_lang + h_source) > 0
+               round(CASE WHEN (r > 1 OR c > 1)
                    THEN 2.0 * mi / (h_lang + h_source) END, 6)
                    AS u_symmetric
         FROM h
@@ -3446,35 +3531,22 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     surface matches the built surface; the correctness driver only
     sees queries().
 
-    Round-12 wave (staged for the r13 rotation): the full round-11
-    backlog registered at the start of round 12, and these three —
-    each the missing member of an existing family, riding existing
-    stream state (see operators/relational17.py) — refill the
-    registry behind the same blanket harnesses (CLI ``list
-    --staged``, staged parity tests, plan gates, bench staged
-    timing loop)."""
-    return {
-        "docs_theils_u": R17.docs_theils_u,
-        "orders_hazard_na": R17.orders_hazard_na,
-        "events_spearman_acf": R17.events_spearman_acf,
-        "docs_js_divergence": R17.docs_js_divergence,
-        "events_benford_mad": R17.events_benford_mad,
-        "orders_forecast_theta": R14.orders_forecast_theta,
-    }
+    Round-13 state: the full round-12 wave (docs_theils_u,
+    orders_hazard_na, events_spearman_acf, docs_js_divergence,
+    events_benford_mad, orders_forecast_theta) registered at the
+    start of round 13 — promoted verbatim into _queries_declared() /
+    oracle_sql(). New round-13 staged operators are added here as
+    they are built; the blanket harnesses (CLI ``list --staged``,
+    staged parity tests, plan gates, bench staged timing loop) pick
+    any entry up automatically."""
+    return {}
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """DuckDB twins for staged_queries() — same contract as
     oracle_sql(), validated by the same parity tests, promoted
     verbatim on registration."""
-    return {
-        "docs_theils_u": _theilsu_sql(),
-        "orders_hazard_na": _na_sql(),
-        "events_spearman_acf": _spearman_sql(),
-        "docs_js_divergence": _js_sql(),
-        "events_benford_mad": _benford_mad_sql(),
-        "orders_forecast_theta": _theta_sql(),
-    }
+    return {}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7818,6 +7890,15 @@ def oracle_sql() -> dict[str, str]:
     out["events_kruskalwallis"] = _kw_sql()
     out["docs_cramers_v"] = _cramers_sql()
     out["orders_logrank_priority"] = _logrank_sql()
+    # round-13 registrations: the full staged backlog (six operators,
+    # oracles parity-validated at sf0.001/0.01/0.1 in round 12;
+    # promoted verbatim from staged_oracle_sql())
+    out["docs_theils_u"] = _theilsu_sql()
+    out["orders_hazard_na"] = _na_sql()
+    out["events_spearman_acf"] = _spearman_sql()
+    out["docs_js_divergence"] = _js_sql()
+    out["events_benford_mad"] = _benford_mad_sql()
+    out["orders_forecast_theta"] = _theta_sql()
     out["emb_kcenter_sample"] = _kcenter_sql()
     out["emb_top_pc"] = _top_pc_sql()
     out["emb_top_pcs"] = _top_pcs_sql()

@@ -248,36 +248,54 @@ def main() -> None:
                     file=sys.stderr,
                 )
     # Repeat the headline numbers LAST so a truncated capture still
-    # has the total — plus the top-20 most expensive queries, the
-    # compact per-query plan digest {name: [jobs, stages]} (~4 KB; the
-    # cross-round regression signal must survive into the recorded
-    # artifact, whose earlier lines get truncated), the staged-surface
-    # timings (registration-cost forecasting), and any ratchet hits.
+    # has the total. The recorder parses ONLY the final line and keeps
+    # ONLY the last 2000 chars of output — round 12 proved that the
+    # hard way: inlining the full 215-query plan digest grew the final
+    # line past the capture window and the artifact recorded
+    # `parsed: null`. So the final line carries the headline plus
+    # detail tiers that are DROPPED, richest-first, until the line
+    # fits a 1900-char budget; the full per-query timings and
+    # plan_metrics always remain on the (earlier) full line for local
+    # runs, and the ratchet verdicts (plan_regressions /
+    # plan_unbaselined) are the artifact's cross-round plan signal.
     top20 = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf) if sf else None,
-                "n_queries": len(timings),
-                "n_errors": n_err,
-                "errors": sorted(
-                    k for k, t in timings.items() if t < 0),
-                "top20": top20,
-                "plan_digest": {
-                    k: [m["jobs"], m["stages"]]
-                    for k, m in sorted(metrics.items())
-                },
-                "staged": staged_timings,
-                "plan_regressions": plan_regressions,
-                "plan_unbaselined": plan_unbaselined,
-            }
-        )
-    )
+    headline = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf else None,
+        "n_queries": len(timings),
+        "n_errors": n_err,
+        "errors": sorted(k for k, t in timings.items() if t < 0),
+        "plan_regressions": plan_regressions,
+        "n_plan_unbaselined": len(plan_unbaselined),
+    }
+    # least-important first: dropped in this order until the line fits
+    detail_tiers = [
+        ("plan_unbaselined", plan_unbaselined),
+        ("plan_digest_top20",
+         {k: [metrics[k]["jobs"], metrics[k]["stages"]]
+          for k in top20 if k in metrics}),
+        ("staged", staged_timings),
+        ("top20", top20),
+    ]
+    final = dict(headline)
+    for key, payload in detail_tiers:
+        final[key] = payload
+    while len(json.dumps(final)) > 1900 and detail_tiers:
+        dropped, _ = detail_tiers.pop(0)
+        final.pop(dropped, None)
+    if len(json.dumps(final)) > 1900:
+        # pathological round (mass errors / mass regressions): keep
+        # the headline parseable no matter what
+        final["errors"] = final["errors"][:10]
+        final["plan_regressions"] = {
+            "n": len(plan_regressions),
+            "keys": sorted(plan_regressions)[:10],
+        }
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

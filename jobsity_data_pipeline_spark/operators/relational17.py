@@ -125,12 +125,20 @@ def theilsu_from_classes(classes: DataFrame) -> DataFrame:
     mi = F.log(nd) + (
         F.col("s_joint") - F.col("s_lang") - F.col("s_source")
     ) / nd
-    u_ls = F.when(h_lang > 0, mi / h_lang) \
+    # Degenerate-direction guard on the exact INTEGER shape (r/c), not
+    # the floating-point entropy: for a single-category margin the
+    # IEEE sum ln(N) - (N*lnN)/N need not cancel to exactly 0.0, and
+    # Spark/DuckDB may order the n*ln(n) terms differently — guarding
+    # on h > 0 could then disagree across engines (NULL in one, a
+    # ratio of ~1e-16 noise in the other). r == 1 (resp. c == 1) IS
+    # the degenerate case, computed identically in both engines
+    # (mirrors cramers_from_classes' min(r-1, c-1) = 0 guard).
+    u_ls = F.when(F.col("r") > 1, mi / h_lang) \
         .otherwise(F.lit(None).cast("double"))
-    u_sl = F.when(h_source > 0, mi / h_source) \
+    u_sl = F.when(F.col("c") > 1, mi / h_source) \
         .otherwise(F.lit(None).cast("double"))
     u_sym = F.when(
-        (h_lang + h_source) > 0,
+        (F.col("r") > 1) | (F.col("c") > 1),
         F.lit(2.0) * mi / (h_lang + h_source),
     ).otherwise(F.lit(None).cast("double"))
     return j.select(
@@ -291,9 +299,11 @@ def benford_mad_from_counts(spark: SparkSession,
     with N, so at corpus scale even immaterial deviations become
     "significant"; the Mean Absolute Deviation of the digit
     PROPORTIONS (1/9 · Σ|obs_d/N − p_d|) is N-free, and Nigrini's
-    published bands (close ≤ 0.006 < acceptable ≤ 0.012 < marginal ≤
-    0.015 < nonconforming) turn it into the verdict an audit actually
-    reports. One summary row: N, the MAD, the worst digit's absolute
+    published bands — half-open, exactly as the kernel and oracle
+    compare: close < 0.006 ≤ acceptable < 0.012 ≤ marginal < 0.015 ≤
+    nonconforming (a MAD exactly on a threshold lands in the
+    next-worse band, identically in both engines) — turn it into the
+    verdict an audit actually reports. One summary row: N, the MAD, the worst digit's absolute
     deviation and identity, and the conformity band.
 
     Exactness: counts are exact integers; the nine |obs/N − p| terms

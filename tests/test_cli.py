@@ -110,18 +110,18 @@ def test_history_and_maintain(spark, tmp_path, capsys):
 
 
 def test_list_staged(capsys):
-    """Round-12: the whole round-11 staged backlog registered at once
-    and the new wave refilled the registry — `list --staged`
-    enumerates the r12-staged keys, and the promoted keys now appear
-    in the REGISTERED listing."""
+    """Round-13: the whole round-12 staged wave registered at once —
+    `list --staged` enumerates whatever is currently staged (may be
+    empty between waves), and the promoted keys now appear in the
+    REGISTERED listing only."""
     assert main(["list", "--staged"]) == 0
     out = capsys.readouterr().out.splitlines()
-    assert "docs_theils_u" in out
-    assert "orders_hazard_na" in out
-    assert "events_spearman_acf" in out
-    assert "orders_forecast_holt_damped" not in out  # promoted r12
-    assert main(["list", "holt_damped"]) == 0
-    assert "orders_forecast_holt_damped" in \
+    assert "docs_theils_u" not in out  # promoted r13
+    assert "orders_forecast_theta" not in out  # promoted r13
+    assert main(["list", "theils"]) == 0
+    assert "docs_theils_u" in capsys.readouterr().out.splitlines()
+    assert main(["list", "theta"]) == 0
+    assert "orders_forecast_theta" in \
         capsys.readouterr().out.splitlines()
 
 

@@ -525,15 +525,19 @@ class TestJSDivergence:
         )
 
 
-def test_wave_in_staged_registry():
+def test_wave_in_registered_registry():
+    # registered in round 13 (the whole six-operator round-12 wave
+    # promoted from the staged registry at once)
     import __spark_entry__ as entrymod
 
     sq = entrymod.staged_queries()
     so = entrymod.staged_oracle_sql()
-    assert set(sq) == set(so) == {
-        "docs_theils_u", "orders_hazard_na", "events_spearman_acf",
-        "docs_js_divergence", "events_benford_mad",
-        "orders_forecast_theta",
-    }
+    assert set(sq) == set(so)
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    for key in ("docs_theils_u", "orders_hazard_na",
+                "events_spearman_acf", "docs_js_divergence",
+                "events_benford_mad", "orders_forecast_theta"):
+        assert key in q and key in o
     # staged and registered surfaces are disjoint
-    assert not set(sq) & set(entrymod.queries())
+    assert not set(sq) & set(q)
