@@ -39,6 +39,7 @@ from jobsity_data_pipeline_spark.operators import relational14 as R14
 from jobsity_data_pipeline_spark.operators import relational15 as R15
 from jobsity_data_pipeline_spark.operators import relational16 as R16
 from jobsity_data_pipeline_spark.operators import relational17 as R17
+from jobsity_data_pipeline_spark.operators import relational18 as R18
 from jobsity_data_pipeline_spark.operators import kmeans as KM
 from jobsity_data_pipeline_spark.operators import multimodal as MM
 from jobsity_data_pipeline_spark.operators import similarity as S
@@ -3522,6 +3523,308 @@ def _spearman_sql(max_lag: int = 7) -> str:
     """
 
 
+def _cliffs_sql() -> str:
+    """R14-STAGED: DuckDB replay of relational18.events_cliffs_delta.
+    The greater/equal cross-pair counts and n_a·n_b stay exact
+    HUGEINT integers over the SAME per-pair value-count grid as
+    _mw_sql (shared sufficient statistic); only the delta ratio is a
+    double, the kernel's expression verbatim, and the magnitude CASE
+    compares the ROUNDED delta against the Romano et al. literals
+    exactly as the kernel does. Validated by a parity-style unit
+    test now."""
+    return """
+        WITH cnt AS (
+            SELECT event_type AS t,
+                   CAST(round(value * 100, 0) AS BIGINT) AS vc,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        types AS (SELECT DISTINCT t FROM cnt),
+        contrib AS (
+            SELECT a.t AS ta, b.t AS tb, a.vc,
+                   a.c AS ca, 0 AS cb
+            FROM cnt a JOIN types b ON a.t < b.t
+            UNION ALL
+            SELECT a.t AS ta, b.t AS tb, b.vc,
+                   0 AS ca, b.c AS cb
+            FROM types a JOIN cnt b ON a.t < b.t
+        ),
+        g AS (
+            SELECT ta, tb, vc,
+                   CAST(sum(ca) AS HUGEINT) AS ca,
+                   CAST(sum(cb) AS HUGEINT) AS cb
+            FROM contrib GROUP BY 1, 2, 3
+        ),
+        w AS (
+            SELECT ta, tb, ca, cb,
+                   CAST(coalesce(sum(cb) OVER (
+                       PARTITION BY ta, tb ORDER BY vc
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS HUGEINT) AS cb_below
+            FROM g
+        ),
+        s AS (
+            SELECT ta, tb,
+                   sum(ca) AS n1, sum(cb) AS n2,
+                   sum(ca * cb_below) AS gt,
+                   sum(ca * cb) AS eq
+            FROM w GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT ta, tb, n1, n2,
+                   round(
+                       (CAST(gt AS DOUBLE)
+                        - CAST(n1 * n2 - gt - eq AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+                       6) AS delta
+            FROM s WHERE n1 >= 1 AND n2 >= 1
+        )
+        SELECT ta AS type_a, tb AS type_b,
+               CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+               delta AS cliffs_delta,
+               CASE WHEN abs(delta) < CAST(0.147 AS DOUBLE)
+                        THEN 'negligible'
+                    WHEN abs(delta) < CAST(0.33 AS DOUBLE)
+                        THEN 'small'
+                    WHEN abs(delta) < CAST(0.474 AS DOUBLE)
+                        THEN 'medium'
+                    ELSE 'large' END AS magnitude
+        FROM d ORDER BY 1, 2
+    """
+
+
+def _gk_sql(bucket_chars: int = 256) -> str:
+    """R14-STAGED: DuckDB replay of relational18.docs_gk_lambda over
+    the SAME NULL-filtered classes reduction as the Cramér's
+    V/Theil's U oracles. Every numerator/denominator is an exact
+    integer (sums and maxes of class counts); the three guarded
+    divisions repeat the kernel's double expressions with the same
+    INTEGER degenerate guards. Validated by a parity-style unit test
+    now."""
+    return f"""
+        WITH classes AS (
+            SELECT lang, source,
+                   n_chars // {int(bucket_chars)} AS len_bucket,
+                   count(*) AS k
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        cells AS (
+            SELECT lang, source, sum(k) AS o FROM classes GROUP BY 1, 2
+        ),
+        ssm AS (
+            SELECT coalesce(sum(mx), 0) AS ssm FROM (
+                SELECT max(o) AS mx FROM cells GROUP BY source
+            )
+        ),
+        slm AS (
+            SELECT coalesce(sum(mx), 0) AS slm FROM (
+                SELECT max(o) AS mx FROM cells GROUP BY lang
+            )
+        ),
+        marg AS (
+            SELECT coalesce(max(n_l), 0) AS max_l, count(*) AS r
+            FROM (SELECT sum(o) AS n_l FROM cells GROUP BY lang)
+        ),
+        marg_s AS (
+            SELECT coalesce(max(n_s), 0) AS max_s, count(*) AS c
+            FROM (SELECT sum(o) AS n_s FROM cells GROUP BY source)
+        ),
+        tot AS (SELECT coalesce(sum(o), 0) AS nn FROM cells)
+        SELECT CAST(nn AS BIGINT) AS n_docs,
+               CAST(r AS BIGINT) AS n_langs,
+               CAST(c AS BIGINT) AS n_sources,
+               round(CASE WHEN nn > max_l THEN
+                   CAST(ssm - max_l AS DOUBLE)
+                   / CAST(nn - max_l AS DOUBLE) END, 6)
+                   AS lambda_lang_given_source,
+               round(CASE WHEN nn > max_s THEN
+                   CAST(slm - max_s AS DOUBLE)
+                   / CAST(nn - max_s AS DOUBLE) END, 6)
+                   AS lambda_source_given_lang,
+               round(CASE WHEN 2 * nn > max_l + max_s THEN
+                   CAST(ssm + slm - max_l - max_s AS DOUBLE)
+                   / CAST(2 * nn - max_l - max_s AS DOUBLE) END, 6)
+                   AS lambda_symmetric
+        FROM tot CROSS JOIN ssm CROSS JOIN slm
+        CROSS JOIN marg CROSS JOIN marg_s
+    """
+
+
+def _runs_sql() -> str:
+    """R14-STAGED: DuckDB replay of relational18.events_runs_test.
+    The doubled-unit median (m2 = the sum of the two middle-rank
+    counts), the above/below dichotomization (2c vs m2 — integer),
+    n_above/n_below/n_runs and the degenerate guards are ALL exact
+    integers over the SAME zero-filled calendar as the _mk_sql /
+    _spearman_sql oracles; the normal-approximation z repeats the
+    kernel's double expression verbatim. Validated by a parity-style
+    unit test now."""
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+        spine AS (
+            SELECT CAST(unnest(generate_series(
+                       span.d0, span.d1, INTERVAL 1 DAY)) AS DATE) AS d
+            FROM span
+        ),
+        filled AS (
+            SELECT s.d, CAST(coalesce(dd.c, 0) AS BIGINT) AS c
+            FROM spine s LEFT JOIN daily dd ON s.d = dd.d
+        ),
+        n AS (SELECT count(*) AS n FROM filled),
+        ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c, d) AS rn
+            FROM filled
+        ),
+        m2 AS (
+            SELECT CAST(sum(c * (
+                       (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END)
+                       + (CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END)
+                   )) AS BIGINT) AS m2
+            FROM ranked CROSS JOIN n
+        ),
+        keep AS (
+            SELECT f.d,
+                   CASE WHEN 2 * f.c > m2.m2 THEN 1 ELSE 0 END AS s
+            FROM filled f CROSS JOIN m2
+            WHERE 2 * f.c <> m2.m2
+        ),
+        runs AS (
+            SELECT s,
+                   CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                             OR lag(s) OVER (ORDER BY d) <> s
+                        THEN 1 ELSE 0 END AS newrun
+            FROM keep
+        ),
+        agg AS (
+            SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS n1,
+                   CAST(coalesce(sum(1 - s), 0) AS BIGINT) AS n2,
+                   CAST(coalesce(sum(newrun), 0) AS BIGINT) AS rr
+            FROM runs
+        ),
+        j AS (
+            SELECT n.n, agg.n1, agg.n2, agg.rr,
+                   2 * agg.n1 * agg.n2 AS a,
+                   agg.n1 + agg.n2 AS nk
+            FROM n CROSS JOIN agg
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               n1 AS n_above, n2 AS n_below,
+               CAST(n - nk AS BIGINT) AS n_excluded,
+               rr AS n_runs,
+               round(CASE WHEN n1 >= 1 AND n2 >= 1 AND a > nk THEN
+                   (CAST(rr AS DOUBLE)
+                    - (1.0 + CAST(a AS DOUBLE) / CAST(nk AS DOUBLE)))
+                   / sqrt(CAST(a AS DOUBLE)
+                          * (CAST(a AS DOUBLE) - CAST(nk AS DOUBLE))
+                          / (CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE)
+                             * (CAST(nk AS DOUBLE) - 1.0)))
+               END, 4) AS z_stat
+        FROM j
+    """
+
+
+def _cvm_sql() -> str:
+    """R14-STAGED: DuckDB replay of relational18.docs_cvm_source_drift.
+    The per-value gap numerator d = cum_a·n_b − cum_b·n_a is an exact
+    HUGEINT (the Spark decimal(38,0) twin, the _ad_sql headroom
+    argument); the per-value term t·d² and the final
+    T = Σ/(n_a·n_b·(n_a+n_b)²) repeat the kernel's double-expression
+    shapes, rounded 6 dp. Validated by a parity-style unit test
+    now."""
+    return """
+        WITH cnt AS (
+            SELECT source, n_chars AS x, count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        xs AS (SELECT DISTINCT x FROM cnt),
+        srcs AS (
+            SELECT source, CAST(sum(c) AS HUGEINT) AS n
+            FROM cnt GROUP BY 1
+        ),
+        ecdf AS (
+            SELECT g.source, g.x,
+                   CAST(coalesce(c.c, 0) AS HUGEINT) AS c,
+                   CAST(sum(coalesce(c.c, 0)) OVER (
+                       PARTITION BY g.source ORDER BY g.x
+                   ) AS HUGEINT) AS cum
+            FROM (SELECT s.source, xs.x FROM xs CROSS JOIN srcs s) g
+            LEFT JOIN cnt c ON g.source = c.source AND g.x = c.x
+        ),
+        t AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   CAST(a.c + b.c AS DOUBLE)
+                   * CAST(a.cum * nb.n - b.cum * na.n AS DOUBLE)
+                   * CAST(a.cum * nb.n - b.cum * na.n AS DOUBLE)
+                       AS term
+            FROM ecdf a
+            JOIN ecdf b ON a.x = b.x AND a.source < b.source
+            JOIN srcs na ON na.source = a.source
+            JOIN srcs nb ON nb.source = b.source
+            WHERE a.c + b.c > 0
+        ),
+        s AS (
+            SELECT source_a, source_b, n_a, n_b,
+                   sum(term) AS s, count(*) AS n_values
+            FROM t GROUP BY 1, 2, 3, 4
+        )
+        SELECT source_a, source_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(n_values AS BIGINT) AS n_values,
+               round(s / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                          * (CAST(n_a AS DOUBLE)
+                             + CAST(n_b AS DOUBLE))), 6) AS cvm_t,
+               round((1.0 + 1.0 / (CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE))) / 6.0, 6)
+                   AS e_null
+        FROM s WHERE n_values >= 2
+        ORDER BY 1, 2
+    """
+
+
+def _rmst_sql() -> str:
+    """R14-STAGED: DuckDB replay of relational18.orders_survival_rmst.
+    The KM curve is _km_sql's recursive CTE verbatim as a derived
+    table (the tournament-oracle nesting precedent); the step areas
+    survival_ppm·Δt and the head term t_first·1e6 are exact BIGINT
+    ppm-days, rmst_days the single rounded double. Validated by a
+    parity-style unit test now."""
+    return f"""
+        WITH curve AS ({_km_sql()}),
+        seg AS (
+            SELECT t_days, survival_ppm,
+                   lead(t_days) OVER (ORDER BY t_days) AS t_next
+            FROM curve
+        ),
+        agg AS (
+            SELECT count(*) AS n_times,
+                   coalesce(min(t_days), 0) AS t_first,
+                   max(t_days) AS tau,
+                   coalesce(sum(CASE WHEN t_next IS NOT NULL
+                       THEN survival_ppm * (t_next - t_days)
+                       ELSE 0 END), 0) AS area_ppm
+            FROM seg
+        )
+        SELECT CAST(n_times AS BIGINT) AS n_times,
+               CAST(CASE WHEN n_times > 0 THEN tau END AS BIGINT)
+                   AS tau_days,
+               CAST(CASE WHEN n_times > 0
+                   THEN t_first * 1000000 + area_ppm END AS BIGINT)
+                   AS rmst_ppm_days,
+               round(CASE WHEN n_times > 0
+                   THEN CAST(t_first * 1000000 + area_ppm AS DOUBLE)
+                        / 1000000.0 END, 6) AS rmst_days
+        FROM agg
+    """
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operators that are BUILT + unit-tested + oracle-parity-green
     but not yet in queries(): the driver's 50-key correctness budget
@@ -3538,15 +3841,37 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql(). New round-13 staged operators are added here as
     they are built; the blanket harnesses (CLI ``list --staged``,
     staged parity tests, plan gates, bench staged timing loop) pick
-    any entry up automatically."""
-    return {}
+    any entry up automatically.
+
+    Round-13 wave (staged for the r14 rotation): five
+    family-completing audits, each riding an EXISTING stream
+    maintainer (see operators/relational18.py) — Cliff's delta (the
+    rank family's effect size, the seat the r12 Hodges–Lehmann
+    evaluation left open), Goodman–Kruskal lambda (the association
+    family's predictive member), the Wald–Wolfowitz runs test (the
+    daily-series family's randomness member), two-sample Cramér–von
+    Mises (the drift family's quadratic member), and restricted mean
+    survival time (the survival family's scalar summary)."""
+    return {
+        "events_cliffs_delta": R18.events_cliffs_delta,
+        "docs_gk_lambda": R18.docs_gk_lambda,
+        "events_runs_test": R18.events_runs_test,
+        "docs_cvm_source_drift": R18.docs_cvm_source_drift,
+        "orders_survival_rmst": R18.orders_survival_rmst,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """DuckDB twins for staged_queries() — same contract as
     oracle_sql(), validated by the same parity tests, promoted
     verbatim on registration."""
-    return {}
+    return {
+        "events_cliffs_delta": _cliffs_sql(),
+        "docs_gk_lambda": _gk_sql(),
+        "events_runs_test": _runs_sql(),
+        "docs_cvm_source_drift": _cvm_sql(),
+        "orders_survival_rmst": _rmst_sql(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:

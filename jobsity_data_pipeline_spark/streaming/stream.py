@@ -2128,3 +2128,101 @@ def mw_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
     return mw_from_counts(
         deltas.groupBy("event_type", "vc").agg(F.sum("c").alias("c"))
     )
+
+
+def cliffs_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Pairwise Cliff's delta effect sizes served FROM the SAME
+    maintained value-count state as mw_from_state / kw_from_state —
+    one stream maintainer (stream_mw_counts), THREE rank audits.
+    Sum-merge the per-batch deltas and run the shared
+    cliffs_from_counts kernel — bit-identical to batch
+    events_cliffs_delta over the same corpus, corpus-free."""
+    from ..operators.relational18 import cliffs_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published value-count state at {table_dir}")
+    return cliffs_from_counts(
+        deltas.groupBy("event_type", "vc").agg(F.sum("c").alias("c"))
+    )
+
+
+def gk_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Goodman–Kruskal lambda served FROM the SAME maintained
+    quasi-identifier class counters as kanon_from_state /
+    ldiv_from_state / cramersv_from_state / theilsu_from_state — one
+    stream maintainer (stream_kanon_counts), FIVE audits. Sum-merge
+    the per-batch deltas (recovering the exact per-class k), then the
+    shared gk_lambda_from_classes kernel — bit-identical to batch
+    docs_gk_lambda over the same corpus, corpus-free."""
+    from ..operators.relational18 import gk_lambda_from_classes
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published k-anonymity state at {table_dir}")
+    return gk_lambda_from_classes(
+        deltas.groupBy("lang", "source", "len_bucket")
+        .agg(F.sum("k").alias("k"))
+    )
+
+
+def runs_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The Wald–Wolfowitz runs test served FROM the SAME maintained
+    daily counters as acf_from_state / theilsen_from_state /
+    mk_from_state / spearman_from_state — one stream maintainer
+    (stream_daily_counts), FIVE daily-series audits. Sum-merge the
+    per-batch deltas, then the shared runs_from_daily kernel —
+    bit-identical to batch events_runs_test over the same events,
+    corpus-free."""
+    from ..operators.relational18 import runs_from_daily
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(f"no published daily-count state at {table_dir}")
+    return runs_from_daily(
+        spark, deltas.groupBy("d").agg(F.sum("c").alias("c"))
+    )
+
+
+def cvm_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The pairwise Cramér–von Mises drift table served FROM the SAME
+    maintained (source, n_chars) counters as ks_from_state /
+    ad_from_state / js_from_state — one stream maintainer
+    (stream_sourcelen_counts), FOUR drift audits. Sum-merge the
+    per-batch deltas, then the shared cvm_from_counts kernel —
+    bit-identical to batch docs_cvm_source_drift over the same
+    corpus, corpus-free."""
+    from ..operators.relational18 import cvm_from_counts
+    from ..sources.snapshot import read_latest
+
+    deltas = read_latest(spark, table_dir)
+    if deltas is None:
+        raise ValueError(
+            f"no published source-length state at {table_dir}")
+    return cvm_from_counts(
+        deltas.groupBy("source", "x").agg(F.sum("c").alias("c"))
+    )
+
+
+def rmst_from_state(spark: SparkSession, state_path: str,
+                    orders: DataFrame) -> DataFrame:
+    """Restricted mean survival time served FROM the SAME maintained
+    per-order last-ship state as km_from_state / logrank_from_state /
+    na_from_state — one absorbing-merge maintainer
+    (stream_lastship_upsert), FIVE survival audits. Joined against
+    the orders dimension, reduced by the shared km_table kernel, and
+    summarized by rmst_from_curve — bit-identical to batch
+    orders_survival_rmst over the same data, without touching a
+    single line item."""
+    from ..operators.relational15 import km_table
+    from ..operators.relational18 import rmst_from_curve
+
+    st = _state_or_adopt(spark, state_path)
+    if st is None:
+        raise ValueError(f"no published last-ship state at {state_path}")
+    return rmst_from_curve(km_table(spark, orders, st))

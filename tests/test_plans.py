@@ -1191,6 +1191,10 @@ _SHUFFLE_JOIN_REVIEWED = {
     # staged surface (gated BEFORE registration so the rotation can
     # never trip this ratchet):
     "docs_ad_source_drift",      # grid self-join, the KS audit's twin
+    # same reviewed (source, n_chars) grid self-join shape as KS/AD:
+    # both sides are the post-aggregation distinct-length grid
+    # (metadata-sized, stats-opaque), never the corpus
+    "docs_cvm_source_drift",
     "events_trend_theilsen",     # span^2 pair self-join, capped
     # at-risk grid self-join on the time key: both sides are the
     # |priorities| x calendar post-window frame (metadata-sized,

@@ -1710,6 +1710,21 @@ def test_stream_kanon_counts_serves_batch_audit_bitexact(spark, tmp_path):
             for r in theilsu_from_state(spark, table).collect()] \
         == want_tu and len(want_tu) == 1
 
+    # ... and the staged Goodman-Kruskal lambda (fifth audit from the
+    # one maintainer): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational18 import (
+        docs_gk_lambda,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        gk_from_state,
+    )
+
+    want_gk = [tuple(r) for r in
+               docs_gk_lambda(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in gk_from_state(spark, table).collect()] \
+        == want_gk and len(want_gk) == 1
+
 
 def test_stream_sourcelen_counts_serves_batch_ks_bitexact(
     spark, tmp_path
@@ -1793,6 +1808,20 @@ def test_stream_sourcelen_counts_serves_batch_ks_bitexact(
                docs_js_divergence(spark, str(sf_like)).collect()]
     assert [tuple(r) for r in js_from_state(spark, table).collect()] \
         == want_js and len(want_js) == 3
+
+    # ... and the staged Cramér-von Mises drift table (fourth drift
+    # audit from the one maintainer): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational18 import (
+        docs_cvm_source_drift,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        cvm_from_state,
+    )
+
+    want_cvm = [tuple(r) for r in
+                docs_cvm_source_drift(spark, str(sf_like)).collect()]
+    assert [tuple(r) for r in cvm_from_state(spark, table).collect()] \
+        == want_cvm and len(want_cvm) == 3
 
     # replaying batch 0's delta under its original token is a no-op
     v = latest_manifest(table)["version"]
@@ -1907,6 +1936,21 @@ def test_stream_daily_counts_serves_batch_acf_bitexact(spark, tmp_path):
     assert [tuple(r)
             for r in spearman_from_state(spark, table).collect()] \
         == want_sp and len(want_sp) == 7
+
+    # ... and the staged Wald-Wolfowitz runs test (fifth audit from
+    # the one maintainer): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational18 import (
+        events_runs_test,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        runs_from_state,
+    )
+
+    want_rt = [tuple(r) for r in
+               events_runs_test(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in runs_from_state(spark, table).collect()] \
+        == want_rt and len(want_rt) == 1
 
     # replaying batch 0's delta under its original token is a no-op
     v = latest_manifest(table)["version"]
@@ -2127,6 +2171,22 @@ def test_stream_lastship_serves_batch_km_bitexact(spark, tmp_path):
             for r in na_from_state(spark, state, odf).collect()] \
         == want_na and want_na
 
+    # ... and the staged restricted mean survival time (fifth
+    # survival audit from the one maintainer): bit-identical to its
+    # batch twin
+    from jobsity_data_pipeline_spark.operators.relational18 import (
+        orders_survival_rmst,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        rmst_from_state,
+    )
+
+    want_rm = [tuple(r) for r in
+               orders_survival_rmst(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in rmst_from_state(spark, state, odf).collect()] \
+        == want_rm and len(want_rm) == 1
+
 
 def test_stream_mw_counts_serves_batch_ranksum_bitexact(spark, tmp_path):
     """Round-10: value-cents counters maintained as per-batch integer
@@ -2214,3 +2274,18 @@ def test_stream_mw_counts_serves_batch_ranksum_bitexact(spark, tmp_path):
                events_kruskalwallis(spark, str(sf_like)).collect()]
     assert [tuple(r) for r in kw_from_state(spark, table).collect()] \
         == want_kw and len(want_kw) == 3
+
+    # ... and the staged Cliff's delta effect sizes (third rank audit
+    # from the one maintainer): bit-identical to its batch twin
+    from jobsity_data_pipeline_spark.operators.relational18 import (
+        events_cliffs_delta,
+    )
+    from jobsity_data_pipeline_spark.streaming.stream import (
+        cliffs_from_state,
+    )
+
+    want_cd = [tuple(r) for r in
+               events_cliffs_delta(spark, str(sf_like)).collect()]
+    assert [tuple(r)
+            for r in cliffs_from_state(spark, table).collect()] \
+        == want_cd and len(want_cd) == 3
