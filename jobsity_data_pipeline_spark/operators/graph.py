@@ -44,19 +44,28 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
     for _ in range(max_iter):
+        # r13 perf: the convergence check rides the SAME join+aggregate
+        # as the label update — the self-loop row (v == u) carries each
+        # node's old label into its group, so min(when(v==u, label))
+        # recovers it without the second labels-vs-labels join+count
+        # the old form paid per round (one join + one count job fewer
+        # per iteration; the changed-count now scans the checkpointed
+        # node-sized frame)
         new_labels = (
             looped.join(labels, looped["v"] == labels["id"])
             .groupBy(F.col("u").alias("id"))
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(F.col("v") == F.col("u"), F.col("label"))
+                ).alias("_old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(
+            F.col("label") != F.col("_old")
+        ).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
@@ -121,10 +130,16 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Returns one row: nodes, edges, wedges (Σ d·(d-1)/2), triangles,
     and the global clustering coefficient 3·triangles / wedges.
     """
-    # deg (node-sized) is checkpointed for its 3 uses; und (edge-sized)
-    # is NOT — re-running its codegen'd upstream twice is cheaper than
-    # materializing millions of pair rows through the block manager
-    und = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).distinct()
+    # deg (node-sized) is checkpointed for its 3 uses; und is pinned
+    # LAZILY (r13): its upstream is not a scan but a corpus self-join
+    # + distinct (parts_triangles), and re-running that per reference
+    # (the degree pass AND the orientation pass) was measured at 2x
+    # the query's input bytes — one executor-local copy of the edge
+    # list (two longs per edge) is the cheaper side of that trade at
+    # any scale where the edge list fits the cluster's disks
+    und = pairs.select(
+        F.col(a).alias("x"), F.col(b).alias("y")
+    ).distinct().localCheckpoint(eager=False)
     deg = (
         undirect(und, "x", "y").groupBy("u").agg(F.count("*").alias("d"))
         .localCheckpoint()
@@ -139,7 +154,11 @@ def triangle_stats(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
     ).localCheckpoint()
-    adj = oe.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # r13: the adjacency frame feeds BOTH sides of the closing join —
+    # pin it lazily so the collect_list aggregation runs once
+    adj = oe.groupBy("src").agg(
+        F.collect_list("dst").alias("nbrs")
+    ).localCheckpoint(eager=False)
     au = adj.select(F.col("src").alias("u_"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v_"), F.col("nbrs").alias("nv"))
     closed = (

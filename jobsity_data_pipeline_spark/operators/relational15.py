@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..session import ensure_parallelism, read_table
+from ..session import ensure_parallelism, pin, read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -93,7 +93,9 @@ def kanon_dist(classes: DataFrame,
     classes frame — the shape both docs_k_anonymity and the
     state-served kanon_from_state return, so stream == batch is an
     identity of this one kernel."""
-    dist = (
+    # r13 perf: dist feeds the 1-row total AND the broadcast-back —
+    # pin it so the corpus reduction behind it runs once (session.pin)
+    dist = pin(
         classes.groupBy("k")
         .agg(F.count("*").alias("n_classes"), F.sum("k").alias("n_docs"))
     )
@@ -154,7 +156,8 @@ def ldiv_dist(classes: DataFrame, risk_l: int = LDIV_RISK_L) -> DataFrame:
         classes.groupBy("source", "len_bucket")
         .agg(F.count("*").alias("l"), F.sum("k").alias("docs"))
     )
-    dist = (
+    # r13 perf: the kanon_dist pin, l-diversity edition
+    dist = pin(
         per_class.groupBy("l")
         .agg(F.count("*").alias("n_classes"),
              F.sum("docs").alias("n_docs"))
@@ -226,9 +229,14 @@ def acf_from_daily(spark: SparkSession, daily: DataFrame,
     event-ts date, so zero-count edge days cannot exist in either
     path), keeping the whole computation on the post-aggregation
     frame — one corpus pass total for the batch operator."""
+    # r13 perf: daily feeds the span agg AND the spine join, and the
+    # zero-filled series feeds both lag-join sides — pin both so the
+    # corpus reduction and the fill run once (session.pin; the frames
+    # are calendar-bounded)
+    daily = pin(daily)
     span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     spine = span.select(F.explode(F.sequence("d0", "d1")).alias("d"))
-    filled = (
+    filled = pin(
         spine.join(daily, "d", "left")
         .select("d", F.coalesce("c", F.lit(0)).alias("c"))
     )
@@ -323,15 +331,20 @@ def ks_from_counts(cnt: DataFrame) -> DataFrame:
     """The pairwise KS table from a (source, x, c) counts frame — the
     shape both docs_ks_source_drift and the state-served ks_from_state
     return, so stream == batch is an identity of this one kernel."""
+    # r13 perf: cnt feeds the grid axes AND the ECDF join, srcs three
+    # consumers, and the ECDF both self-join legs — pin them so the
+    # corpus reduction and the grid window run once (session.pin; all
+    # frames are |sources| x distinct-lengths bounded)
+    cnt = pin(cnt)
     xs = cnt.select("x").distinct()
-    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    srcs = pin(cnt.groupBy("source").agg(F.sum("c").alias("n")))
     grid = xs.crossJoin(F.broadcast(srcs.select("source")))
     w = (
         Window.partitionBy("source").orderBy("x")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     dec = "decimal(19,0)"
-    ecdf = (
+    ecdf = pin(
         grid.join(cnt, ["source", "x"], "left")
         .select(
             "source", "x", F.coalesce("c", F.lit(0)).alias("c")
@@ -433,15 +446,17 @@ def ad_from_counts(cnt: DataFrame) -> DataFrame:
     metadata-sized (source, x) grid, a self-join on the grid key,
     broadcast per-source totals, partial-aggregable final groupBy.
     """
+    # r13 perf: the ks_from_counts pins, AD edition (same shape)
+    cnt = pin(cnt)
     xs = cnt.select("x").distinct()
-    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    srcs = pin(cnt.groupBy("source").agg(F.sum("c").alias("n")))
     grid = xs.crossJoin(F.broadcast(srcs.select("source")))
     w = (
         Window.partitionBy("source").orderBy("x")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     dec = "decimal(38,0)"
-    ecdf = (
+    ecdf = pin(
         grid.join(cnt, ["source", "x"], "left")
         .select(
             "source", "x", F.coalesce("c", F.lit(0)).alias("c")
@@ -592,6 +607,9 @@ def benford_from_counts(spark: SparkSession,
     p = F.element_at(
         F.array(*[F.lit(v) for v in BENFORD_P]), F.col("digit")
     )
+    # r13 perf: counts feeds the total AND the spine join — pin so
+    # the corpus reduction behind the 9-row frame runs once
+    counts = pin(counts)
     tot = counts.agg(F.sum("observed").alias("nn"))
     obs = F.coalesce(F.col("observed"), F.lit(0)).cast("long")
     exp = F.col("nn").cast("double") * p
@@ -702,6 +720,9 @@ def km_table(spark: SparkSession, o: DataFrame,
     an identity of this one kernel. The observation horizon is
     max(last_ship) over the per-order frame (equal to the global max
     ship date: the max of per-order maxes)."""
+    # r13 perf: done feeds the horizon agg AND the subject join — pin
+    # so the lineitem reduction behind it runs once (session.pin)
+    done = pin(done)
     gmax = done.agg(F.max("last_ship").alias("horizon"))
     ev = (F.col("o_orderstatus") == "F") & F.col("last_ship").isNotNull()
     sub = (
@@ -751,6 +772,7 @@ def km_table_grouped(spark: SparkSession, o: DataFrame, done: DataFrame,
     stratum's rows are exactly what km_table would produce on that
     stratum's orders alone (pinned in tests), so the grouped form is
     the per-group identity of the same kernel."""
+    done = pin(done)  # r13 perf: the km_table pin, grouped edition
     gmax = done.agg(F.max("last_ship").alias("horizon"))
     ev = (F.col("o_orderstatus") == "F") & F.col("last_ship").isNotNull()
     sub = (
@@ -883,6 +905,11 @@ def mw_from_counts(cnt: DataFrame, max_grid: int = MW_MAX_GRID) -> DataFrame:
     rows; above ``max_grid`` the plan raises loudly (see MW_MAX_GRID)
     instead of letting one straggler window task own the job.
     """
+    # r13 perf: cnt feeds the type list AND both fan-out legs, and
+    # the per-pair grid feeds the guard count AND the guarded rank —
+    # pin both so the corpus reduction and the pair fan-out run once
+    # (session.pin; both frames are distinct-value-cents bounded)
+    cnt = pin(cnt)
     types = cnt.select(F.col("event_type").alias("t2")).distinct()
     dec = "decimal(19,0)"
     left = (
@@ -903,14 +930,13 @@ def mw_from_counts(cnt: DataFrame, max_grid: int = MW_MAX_GRID) -> DataFrame:
             "vc", F.lit(0).alias("ca"), F.col("c").alias("cb"),
         )
     )
-    g = (
+    g = pin(
         left.unionByName(right)
         .groupBy("ta", "tb", "vc")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
     # loud cardinality posture (KM_MAX_TIMES convention, in-plan): the
-    # per-pair grid count rides a broadcast join of a second
-    # aggregation of the POST-aggregation frame (no extra corpus
+    # per-pair grid count rides the PINNED pair grid (no extra corpus
     # scan), and a grid larger than max_grid raises at execution time
     # — before the single-task rank window sorts it — naming the
     # remediation (coarsen mw_counts' quantization, e.g. whole
@@ -1033,11 +1059,17 @@ def theilsen_from_daily(spark: SparkSession,
     sufficient statistic the ACF audit maintains from its stream
     (stream_daily_counts), so this trend is state-servable
     corpus-free (theilsen_from_state)."""
+    # r13 perf pins (session.pin): daily feeds span + fill, filled
+    # feeds the cap count + the guard, the guarded series feeds both
+    # pair legs, and the span^2/2 slope frame feeds the rank window
+    # AND the 1-row count — pinning `pairs` halves the quadratic
+    # fan-out, the dominant term
+    daily = pin(daily)
     span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     spine = span.select(
         F.explode(F.sequence("d0", "d1")).alias("d"), "d0"
     )
-    filled = (
+    filled = pin(
         spine.join(daily, "d", "left")
         .select(
             F.datediff("d", "d0").cast("long").alias("i"),
@@ -1062,6 +1094,7 @@ def theilsen_from_daily(spark: SparkSession,
         )
         .drop("_nd")
     )
+    guarded = pin(guarded)
     a = guarded.select(F.col("i").alias("ia"), F.col("c").alias("ca"))
     b = guarded.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
     # slope in exact 1e-6 units, sign-aware half-up: one INTEGER (div)
@@ -1074,7 +1107,7 @@ def theilsen_from_daily(spark: SparkSession,
         " -((2 * (ca - cb) * 1000000 + (ib - ia)) div (2 * (ib - ia)))"
         " END"
     ).cast("long")
-    pairs = (
+    pairs = pin(
         a.join(b, F.col("ia") < F.col("ib"))
         .select(slope_e6.alias("s_e6"))
     )

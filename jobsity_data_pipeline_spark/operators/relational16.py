@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import ensure_parallelism, read_table
+from ..session import ensure_parallelism, pin, read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -91,11 +91,15 @@ def mannkendall_from_daily(spark: SparkSession,
     are the SAME sufficient statistic the ACF/Theil–Sen audits
     maintain from their stream (stream_daily_counts), so this test
     is state-servable corpus-free (mk_from_state)."""
+    # r13 perf pins (session.pin): daily feeds span + fill, filled
+    # feeds the cap count + the guard, and the guarded series feeds
+    # both sign-pair legs AND the tie reduction
+    daily = pin(daily)
     span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     spine = span.select(
         F.explode(F.sequence("d0", "d1")).alias("d"), "d0"
     )
-    filled = (
+    filled = pin(
         spine.join(daily, "d", "left")
         .select(
             F.datediff("d", "d0").cast("long").alias("i"),
@@ -120,6 +124,7 @@ def mannkendall_from_daily(spark: SparkSession,
         )
         .drop("_nd")
     )
+    guarded = pin(guarded)
     a = guarded.select(F.col("i").alias("ia"), F.col("c").alias("ca"))
     b = guarded.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
     s_row = (
@@ -234,11 +239,22 @@ def kw_from_counts(cnt: DataFrame) -> DataFrame:
     different trade documented at MW_MAX_GRID), the KW rank is global
     by construction, which is exactly the shape the segmented scan
     exists for; round-12 upgrade per the r11 verdict's task 5."""
+    from ..session import pin
     from .ranking import distributed_cumsum
 
     dec = "decimal(19,0)"
-    pooled = cnt.groupBy("vc").agg(F.sum("c").alias("t"))
-    ranked = distributed_cumsum(
+    # r13 perf: the counts frame feeds the pooled re-aggregation AND
+    # the per-type join, and the ranked grid feeds the per-type join
+    # AND the 1-row globals — pin both (plus the k-row per_type) so
+    # the corpus reduction and the segmented rank run ONCE instead of
+    # Catalyst cloning them per reference (was a 160 KB plan / 111
+    # stages at sf0.1; the frames are distinct-value-cents / k-row
+    # bounded by design)
+    cnt = pin(cnt)
+    # the pooled grid is itself consumed 3x inside distributed_cumsum
+    # (cutoffs, the blocked frame, the per-block totals)
+    pooled = pin(cnt.groupBy("vc").agg(F.sum("c").alias("t")))
+    ranked = pin(distributed_cumsum(
         pooled, "t", "vc", [], out_col="_cum"
     ).select(
         "vc",
@@ -247,8 +263,8 @@ def kw_from_counts(cnt: DataFrame) -> DataFrame:
     ).select(
         "vc", "t",
         (F.lit(2) * F.col("cumb") + F.col("t") + F.lit(1)).alias("r2"),
-    )
-    per_type = (
+    ))
+    per_type = pin(
         cnt.join(ranked.select("vc", "r2"), "vc")
         .groupBy("event_type")
         .agg(
@@ -356,7 +372,12 @@ def cramers_from_classes(classes: DataFrame) -> DataFrame:
     classes = classes.where(
         F.col("lang").isNotNull() & F.col("source").isNotNull()
     )
-    cells = classes.groupBy("lang", "source").agg(F.sum("k").alias("o"))
+    # r13 perf: the r x c cell table feeds both marginals, the total
+    # AND the grid join — pin it so the corpus reduction behind it
+    # runs once (session.pin)
+    cells = pin(
+        classes.groupBy("lang", "source").agg(F.sum("k").alias("o"))
+    )
     nl = cells.groupBy("lang").agg(F.sum("o").alias("n_l"))
     ns = cells.groupBy("source").agg(F.sum("o").alias("n_s"))
     nn = cells.agg(F.sum("o").alias("nn"))
@@ -460,6 +481,12 @@ def logrank_pairs(per: DataFrame) -> DataFrame:
     (|groups| × calendar) post-aggregation grid, the pair fan-out an
     equi-join on the time key, and the final reduction a
     partial-aggregable groupBy. Group totals broadcast."""
+    # r13 perf: per feeds the time axis, the group totals AND the
+    # grid join, and the at-risk series feeds both pair legs — pin
+    # them so the orders+lineitem reduction and the at-risk window
+    # run once (session.pin; both frames are |groups| x calendar
+    # bounded)
+    per = pin(per)
     ts = per.select("t").distinct()
     gs = per.groupBy("g").agg(F.sum("rem").alias("n_g"))
     grid = ts.crossJoin(F.broadcast(gs.select("g", "n_g")))
@@ -480,6 +507,7 @@ def logrank_pairs(per: DataFrame) -> DataFrame:
             - F.coalesce(F.sum("rem").over(w), F.lit(0)),
         )
     )
+    ecdf = pin(ecdf)
     a = ecdf.select(
         F.col("g").alias("g_a"), "t", F.col("n_g").alias("n_a"),
         F.col("d").alias("d_a"), F.col("atrisk").alias("r_a"),

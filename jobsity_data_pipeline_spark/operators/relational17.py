@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import ensure_parallelism, read_table
+from ..session import ensure_parallelism, pin, read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -94,9 +94,14 @@ def theilsu_from_classes(classes: DataFrame) -> DataFrame:
     classes = classes.where(
         F.col("lang").isNotNull() & F.col("source").isNotNull()
     )
-    cells = classes.groupBy("lang", "source").agg(F.sum("k").alias("o"))
-    nl = cells.groupBy("lang").agg(F.sum("o").alias("n_l"))
-    ns = cells.groupBy("source").agg(F.sum("o").alias("n_s"))
+    # r13 perf: the cell table feeds both marginals, the joint-entropy
+    # sum AND the total — pin it so the corpus reduction behind it
+    # runs once (session.pin)
+    cells = pin(
+        classes.groupBy("lang", "source").agg(F.sum("k").alias("o"))
+    )
+    nl = pin(cells.groupBy("lang").agg(F.sum("o").alias("n_l")))
+    ns = pin(cells.groupBy("source").agg(F.sum("o").alias("n_s")))
 
     def _nlogn(df: DataFrame, col: str, out: str) -> DataFrame:
         x = F.col(col).cast("double")
@@ -211,6 +216,9 @@ def na_table(per: DataFrame) -> DataFrame:
     a few thousand rows at ANY corpus size — the logrank-grid
     argument), never corpus-sized; no collect, no cap needed. The
     1-row subject total broadcasts."""
+    # r13 perf: per feeds the 1-row total AND the at-risk window —
+    # pin so the orders+lineitem reduction runs once (session.pin)
+    per = pin(per)
     n_tot = per.agg(F.sum("rem").alias("n_tot"))
     w_before = (
         Window.orderBy("t")
@@ -327,6 +335,10 @@ def benford_mad_from_counts(spark: SparkSession,
     p = F.element_at(
         F.array(*[F.lit(v) for v in BENFORD_P]), F.col("digit")
     )
+    # r13 perf: counts feeds the total AND the spine join, and the
+    # 9-row deviations frame feeds the MAD agg AND the worst-digit
+    # pick — pin both (session.pin)
+    counts = pin(counts)
     tot = counts.agg(
         F.coalesce(F.sum("observed"), F.lit(0)).alias("nn")
     )
@@ -335,7 +347,7 @@ def benford_mad_from_counts(spark: SparkSession,
         F.col("nn") > 0,
         F.abs(obs.cast("double") / F.col("nn").cast("double") - p),
     ).otherwise(F.lit(None).cast("double"))
-    devs = (
+    devs = pin(
         spine.join(F.broadcast(counts), "digit", "left")
         .crossJoin(F.broadcast(tot))
         .select("digit", "nn", adev.alias("adev"))
@@ -428,9 +440,13 @@ def js_from_counts(cnt: DataFrame) -> DataFrame:
     runs on metadata-sized frames; the corpus is touched only by the
     ONE scan that built the counts (or by none, served from the KS
     stream state via js_from_state)."""
-    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    # r13 perf pins (session.pin): cnt feeds the totals, the
+    # entropies and both fan-out legs; srcs four consumers; the
+    # per-source entropies both pair sides
+    cnt = pin(cnt)
+    srcs = pin(cnt.groupBy("source").agg(F.sum("c").alias("n")))
     p = F.col("c").cast("double") / F.col("n").cast("double")
-    ents = (
+    ents = pin(
         cnt.join(F.broadcast(srcs), "source")
         .groupBy("source")
         .agg((-F.sum(p * F.log(p))).alias("h"))
@@ -569,9 +585,13 @@ def spearman_acf_from_daily(spark: SparkSession, daily: DataFrame,
     is state-servable corpus-free (spearman_from_state)."""
     from .ranking import distributed_cumsum
 
+    # r13 perf pins (session.pin): daily feeds span + fill, the
+    # zero-filled series feeds the tie grid AND the rank join-back,
+    # and the ranked series both lag-join legs
+    daily = pin(daily)
     span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     spine = span.select(F.explode(F.sequence("d0", "d1")).alias("d"))
-    filled = (
+    filled = pin(
         spine.join(daily, "d", "left")
         .select("d", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
     )
@@ -583,7 +603,9 @@ def spearman_acf_from_daily(spark: SparkSession, daily: DataFrame,
         (F.lit(2) * (F.col("_cum") - F.col("t"))
          + F.col("t") + F.lit(1)).alias("r2"),
     )
-    series = filled.join(F.broadcast(ranked), "c").select("d", "r2")
+    series = pin(
+        filled.join(F.broadcast(ranked), "c").select("d", "r2")
+    )
     lags = spark.range(1, int(max_lag) + 1).select(
         F.col("id").cast("int").alias("lag")
     )

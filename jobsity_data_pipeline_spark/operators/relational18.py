@@ -59,7 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import ensure_parallelism, read_table
+from ..session import ensure_parallelism, pin, read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -118,6 +118,10 @@ def cliffs_from_counts(cnt: DataFrame,
 
     mg = MW_MAX_GRID if max_grid is None else int(max_grid)
     dec = "decimal(19,0)"
+    # r13 perf: the mw_from_counts pins, Cliff's-delta edition —
+    # cnt feeds the type list and both fan-out legs, the pair grid
+    # the guard count and the guarded window (session.pin)
+    cnt = pin(cnt)
     types = cnt.select(F.col("event_type").alias("t2")).distinct()
     left = (
         cnt.join(F.broadcast(types), F.col("event_type") < F.col("t2"))
@@ -133,7 +137,7 @@ def cliffs_from_counts(cnt: DataFrame,
             "vc", F.lit(0).alias("ca"), F.col("c").alias("cb"),
         )
     )
-    g = (
+    g = pin(
         left.unionByName(right)
         .groupBy("ta", "tb", "vc")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
@@ -262,7 +266,12 @@ def gk_lambda_from_classes(classes: DataFrame) -> DataFrame:
     classes = classes.where(
         F.col("lang").isNotNull() & F.col("source").isNotNull()
     )
-    cells = classes.groupBy("lang", "source").agg(F.sum("k").alias("o"))
+    # r13 perf: the cell table feeds both marginals, both modal-max
+    # reductions AND the total — pin it so the corpus reduction
+    # behind it runs once (session.pin)
+    cells = pin(
+        classes.groupBy("lang", "source").agg(F.sum("k").alias("o"))
+    )
     nl = cells.groupBy("lang").agg(F.sum("o").alias("n_l"))
     ns = cells.groupBy("source").agg(F.sum("o").alias("n_s"))
     # Σ over sources of the source's modal-language count (the router
@@ -373,9 +382,13 @@ def runs_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
     aggregate. The daily counts are the SAME sufficient statistic
     the ACF family maintains from its stream (stream_daily_counts),
     so the test is state-servable corpus-free (runs_from_state)."""
+    # r13 perf pins (session.pin): daily feeds span + fill; the
+    # zero-filled calendar feeds the rank, the 1-row count AND the
+    # median-split keep
+    daily = pin(daily)
     span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     spine = span.select(F.explode(F.sequence("d0", "d1")).alias("d"))
-    filled = (
+    filled = pin(
         spine.join(daily, "d", "left")
         .select("d", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
     )
@@ -503,15 +516,17 @@ def cvm_from_counts(cnt: DataFrame) -> DataFrame:
     partial-aggregable final groupBy; the corpus is touched only by
     the ONE scan that built the counts (or by none, served from the
     sourcelen stream state via cvm_from_state)."""
+    # r13 perf: the ks_from_counts pins, CvM edition (same shape)
+    cnt = pin(cnt)
     xs = cnt.select("x").distinct()
-    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    srcs = pin(cnt.groupBy("source").agg(F.sum("c").alias("n")))
     grid = xs.crossJoin(F.broadcast(srcs.select("source")))
     w = (
         Window.partitionBy("source").orderBy("x")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     dec = "decimal(38,0)"
-    ecdf = (
+    ecdf = pin(
         grid.join(cnt, ["source", "x"], "left")
         .select("source", "x", F.coalesce("c", F.lit(0)).alias("c"))
         .withColumn("cum", F.sum("c").over(w))

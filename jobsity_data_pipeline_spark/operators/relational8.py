@@ -497,14 +497,25 @@ def docs_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
-    per_stage = staged.groupBy("stage").agg(
+    from ..session import pin
+
+    # r13 perf: the stage attribution partitions the corpus (the
+    # when-chain is exhaustive: every doc lands in exactly one stage),
+    # so the 'input' totals are the integer SUM of the per-stage rows
+    # — derive them from the pinned stage-count frame instead of
+    # re-evaluating the whole feat+dfrac pipeline a second time
+    # (session.pin; was 2 full corpus passes for one 6-row union)
+    per_stage = pin(staged.groupBy("stage").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-    )
-    input_row = staged.agg(
+    ))
+    input_row = per_stage.agg(
         F.lit("input").alias("stage"),
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+        # coalesce keeps the empty-corpus row bit-identical to the old
+        # count(*) form: count over no rows was 0, sum stays NULL
+        F.coalesce(F.sum("n_docs"), F.lit(0).cast("long"))
+        .alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
     )
     return per_stage.unionByName(input_row).orderBy("stage")
 

@@ -139,6 +139,37 @@ def corpus_fingerprint(sf_dir: str, name: str) -> tuple:
         return (name, -1, -1)
 
 
+def pin(df):
+    """Pin a METADATA-SIZED frame with a lazy localCheckpoint so every
+    downstream reference reads one shared computation instead of
+    cloning the whole upstream Catalyst subtree.
+
+    The statistics/audit kernels are diamond-shaped: a corpus-wide
+    reduction to a small sufficient statistic (distinct value-cents,
+    calendar grids, quasi-identifier classes, k-row per-group frames)
+    is then consumed 3-6 times (per-group stats, 1-row globals, the
+    broadcast-back). Catalyst clones the reduction per reference, so
+    the compiled plan re-expands the corpus scan each time — measured
+    at sf0.1 as 60-160 KB physical plans and 40-110 stages for
+    metadata-sized math. ReusedExchange recovers some of it at
+    runtime, but the planning cost and the job/stage fan-out remain.
+
+    ``localCheckpoint(eager=False)`` truncates the lineage to one
+    LogicalRDD: the statistic is computed ONCE by the first consuming
+    job (no extra materialization job) and every other reference reads
+    the checkpointed partitions. At 100 TB this is strictly better —
+    the corpus is scanned once instead of per-reference — and the
+    pinned frame is bounded by METADATA cardinality by each caller's
+    design, so the executor-local copy is KBs. Only pin frames with
+    that bound: corpus-sized frames keep the recompute posture
+    (emb_top_pc's documented trade).
+
+    Numerics are unchanged: the pinned frame is the same plan computed
+    once; downstream arithmetic is identical.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 def ensure_parallelism(spark: SparkSession, df):
     """Repartition a too-few-partitions RAW SCAN up to the session's
     core count.

@@ -1276,8 +1276,12 @@ def test_round11_late_staged_plans_broadcast_metadata_sides(spark):
         spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     # group totals broadcast onto the calendar grid; the horizon is a
     # broadcast 1-row frame (the KM convention); the pair fan-out is
-    # an equi-join on the time key
-    assert "BroadcastHashJoin" in lr or "BroadcastNestedLoopJoin" in lr
+    # an equi-join on the time key. Since r13 the kernel pins the
+    # at-risk grid (session.pin), so those broadcast joins live inside
+    # the checkpointed subtree and the visible plan joins two scans of
+    # the pinned ExistingRDD instead.
+    assert ("BroadcastHashJoin" in lr or "BroadcastNestedLoopJoin" in lr
+            or "ExistingRDD" in lr)
     assert "CartesianProduct" not in lr
 
     for p in (mk, kw, cv, lr):

@@ -618,20 +618,21 @@ class TestMwGridGuard:
         assert "coarsen the value quantization" in msg
 
     def test_guard_reuses_exchange_no_extra_scan(self, spark):
-        # the grid-count consumer must read the REUSED shuffle of the
-        # counts aggregation, not rescan the corpus. Measured ground
-        # truth (status API, inputBytes>0 stages): exactly TWO scans
-        # execute — the [event_type, value] counts scan shared by the
-        # fan-out AND the guard via ReusedExchange, plus the skinny
-        # [event_type]-only scan behind the broadcast type list. The
-        # materialized adaptive plan must therefore contain reuse
-        # nodes; without them the guard would re-run the corpus
-        # aggregation from the file.
+        # the grid-count consumer must not rescan the corpus. Before
+        # r13 this rode a ReusedExchange of the counts aggregation
+        # (asserted here); since r13 the kernel PINS the counts and
+        # the pair grid (session.pin), which is strictly stronger:
+        # the corpus scan lives only inside the checkpointed counts
+        # subtree (computed once), and every downstream consumer —
+        # the type list, both fan-out legs, the guard — reads the
+        # pinned RDD. The final plan therefore scans ExistingRDDs
+        # and contains NO parquet scan at all.
         df = R15.events_mannwhitney(spark, SF_SMOKE)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
-        assert "ReusedExchange" in plan, plan[:4000]
+        assert "ExistingRDD" in plan, plan[:4000]
+        assert "Scan parquet" not in plan, plan[:4000]
 
 
 class TestKmGroupedStratumTypes:

