@@ -84,7 +84,12 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     crosses to the driver.
     """
     edges = edges.localCheckpoint()
-    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    # deg's keys ARE the node set (undirected edges: every node has an
+    # out-edge), so it both rides the edge join and seeds the rank
+    # vector — the former separate nodes-distinct aggregation was a
+    # second full-edge pass for a frame deg already contains (guide
+    # §2.4: fewer passes over the fat side)
+    deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
     # degree is loop-invariant: attach it to the edge list ONCE so each
     # iteration is exactly one join (ranks) + one aggregate; the join
     # explicit repartition on u (a broadcast of deg would otherwise
@@ -93,9 +98,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     # ranks (hash-partitioned on node by its groupBy) is exchange-free
     # and each iteration costs one shuffle (the groupBy)
     ed = edges.join(deg, "u").repartition(F.col("u")).localCheckpoint()
-    nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint()
-    n = nodes.count()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    n = deg.count()
+    ranks = deg.select(
+        F.col("u").alias("node"), F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint()
     # no per-round checkpoint: unlike connected_components there is no
     # mid-loop action, so the single downstream action runs each round's
     # join+agg exactly once — eager checkpoints would just add one
