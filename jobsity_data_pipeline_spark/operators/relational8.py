@@ -1444,7 +1444,6 @@ def trained_pq_tables(spark: SparkSession, sf_dir: str,
     ADC distance tables (qid, subspace, code, dq). Shared by
     emb_pq_trained_ann (flat ADC scan) and similarity.emb_ivfpq_ann
     (cell-pruned ADC scan)."""
-    from ..session import memo_lock
     from .kmeans import pq_train_codebooks
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1456,62 +1455,54 @@ def trained_pq_tables(spark: SparkSession, sf_dir: str,
     # reuses them. The in-session equivalent (same convention as
     # dedup._PAIRS_CACHE) keys the trained frame on (app, corpus,
     # params) so the recall gate's A/B row and repeated scans don't
-    # re-run Lloyd rounds. Per-key memo_lock (double-checked): the
-    # recall gate's overlapped searches share these tables across
-    # threads, and without the lock two thunks missing the memo
-    # together would both pay the Lloyd rounds + encode scan.
+    # re-run Lloyd rounds.
     ck = (
         spark.sparkContext.applicationId, sf_dir, n_subspaces, n_codes,
         iters,
     )
+    if ck in _PQ_CODEBOOK_CACHE:
+        cent = _PQ_CODEBOOK_CACHE[ck]
+    else:
+        cent = pq_train_codebooks(
+            spark, e, n_subspaces=n_subspaces, n_codes=n_codes,
+            iters=iters,
+        ).localCheckpoint()
+        _PQ_CODEBOOK_CACHE[ck] = cent
+    # The corpus CODES are as much a per-snapshot artifact as the
+    # codebooks — production encodes the corpus once when the index is
+    # built and every ADC scan reads the stored codes. Cache the
+    # (codes, qd) tables under the same convention (checkpointed,
+    # keyed per app/corpus/params) so the two consumers sharing these
+    # params (emb_pq_trained_ann, emb_ivfpq_ann) and the recall
+    # gate's branches never re-derive the encode scan.
+    # codes are query-independent — cache under ck so consumers that
+    # differ only in n_queries still share the corpus encode; only the
+    # tiny query-side distance table keys on n_queries
     qk = ck + (n_queries,)
-    with memo_lock(("pq_tables",) + ck):
-        if ck in _PQ_CODEBOOK_CACHE:
-            cent = _PQ_CODEBOOK_CACHE[ck]
-        else:
-            cent = pq_train_codebooks(
-                spark, e, n_subspaces=n_subspaces, n_codes=n_codes,
-                iters=iters,
-            ).localCheckpoint()
-            _PQ_CODEBOOK_CACHE[ck] = cent
-        # The corpus CODES are as much a per-snapshot artifact as the
-        # codebooks — production encodes the corpus once when the
-        # index is built and every ADC scan reads the stored codes.
-        # Cache the (codes, qd) tables under the same convention
-        # (checkpointed, keyed per app/corpus/params) so the two
-        # consumers sharing these params (emb_pq_trained_ann,
-        # emb_ivfpq_ann) and the recall gate's branches never
-        # re-derive the encode scan.
-        # codes are query-independent — cache under ck so consumers
-        # that differ only in n_queries still share the corpus encode;
-        # only the tiny query-side distance table keys on n_queries
-        if ck in _PQ_TABLES_CACHE and qk in _PQ_QD_CACHE:
-            return _PQ_TABLES_CACHE[ck], _PQ_QD_CACHE[qk]
-        from .kmeans import pq_code_distances, pq_nearest_code
-
-        x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
-        # distances as integer micro-units (pq_code_distances): the
-        # code argmin and the downstream ADC sum are then engine-exact
-        # — integer sums are order-independent, so the oracle's SQL
-        # replay hash-matches (what moved these ops out of rows-only)
-        d = pq_code_distances(x, cent, ["vec_id"])
-        if ck not in _PQ_TABLES_CACHE:
-            # EAGER: the index materializes once inside the builder's
-            # lock, so concurrent overlapped searches read a finished
-            # code table instead of racing to compute the same lazy RDD
-            _PQ_TABLES_CACHE[ck] = pq_nearest_code(
-                d, ["vec_id"]
-            ).localCheckpoint()
-        if qk not in _PQ_QD_CACHE:
-            _PQ_QD_CACHE[qk] = (
-                d.where(F.col("vec_id") < n_queries)
-                .select(
-                    F.col("vec_id").alias("qid"), "subspace", "code",
-                    F.col("d6").alias("dq6"),
-                )
-                .localCheckpoint()
-            )
+    if ck in _PQ_TABLES_CACHE and qk in _PQ_QD_CACHE:
         return _PQ_TABLES_CACHE[ck], _PQ_QD_CACHE[qk]
+    from .kmeans import pq_code_distances, pq_nearest_code
+
+    x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    # distances as integer micro-units (pq_code_distances): the code
+    # argmin and the downstream ADC sum are then engine-exact —
+    # integer sums are order-independent, so the oracle's SQL replay
+    # hash-matches (this is what moved these ops out of rows-only)
+    d = pq_code_distances(x, cent, ["vec_id"])
+    if ck not in _PQ_TABLES_CACHE:
+        _PQ_TABLES_CACHE[ck] = pq_nearest_code(d, ["vec_id"]).localCheckpoint(
+            eager=False
+        )
+    if qk not in _PQ_QD_CACHE:
+        _PQ_QD_CACHE[qk] = (
+            d.where(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("qid"), "subspace", "code",
+                F.col("d6").alias("dq6"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return _PQ_TABLES_CACHE[ck], _PQ_QD_CACHE[qk]
 
 
 def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,

@@ -46,14 +46,8 @@ _CENTROID_CACHE: dict[str, object] = {}
 
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
     if sf_dir not in _DIM_CACHE:
-        from ..session import memo_lock
-
-        with memo_lock(("emb_dim", sf_dir)):
-            if sf_dir not in _DIM_CACHE:
-                row = read_table(spark, sf_dir, "embeddings").select(
-                    "embedding"
-                ).head()
-                _DIM_CACHE[sf_dir] = len(row[0])
+        row = read_table(spark, sf_dir, "embeddings").select("embedding").head()
+        _DIM_CACHE[sf_dir] = len(row[0])
     return _DIM_CACHE[sf_dir]
 
 
@@ -400,31 +394,24 @@ def _centroids(spark: SparkSession, sf_dir: str):
     """
     import numpy as np
 
-    from ..session import memo_lock
-
     if sf_dir in _CENTROID_CACHE:
         return _CENTROID_CACHE[sf_dir]
-    # double-checked per-key lock: concurrent searches (the
-    # overlap_materialize fan-out) build the shared quantizer once
-    with memo_lock(("centroids", sf_dir)):
-        if sf_dir in _CENTROID_CACHE:
-            return _CENTROID_CACHE[sf_dir]
-        rows = (
-            _emb(spark, sf_dir)
-            .select("label", F.posexplode("v").alias("pos", "x"))
-            .groupBy("label", "pos")
-            # round(avg, 6): engine-exact coarse quantizer (the oracle
-            # for emb_ivfpq_ann replays this assignment in SQL)
-            .agg(F.round(F.avg("x"), 6).alias("c"))
-            .collect()
-        )
-        k = max(r.label for r in rows) + 1
-        dim = max(r.pos for r in rows) + 1
-        C = np.zeros((k, dim))
-        for r in rows:
-            C[r.label, r.pos] = r.c
-        _CENTROID_CACHE[sf_dir] = C
-        return C
+    rows = (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        # round(avg, 6): engine-exact coarse quantizer (the oracle for
+        # emb_ivfpq_ann replays this assignment in SQL)
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .collect()
+    )
+    k = max(r.label for r in rows) + 1
+    dim = max(r.pos for r in rows) + 1
+    C = np.zeros((k, dim))
+    for r in rows:
+        C[r.label, r.pos] = r.c
+    _CENTROID_CACHE[sf_dir] = C
+    return C
 
 
 def _ivf_assigned_and_probes(
@@ -444,23 +431,8 @@ def _ivf_assigned_and_probes(
     assign pass."""
     import numpy as np
 
-    from ..session import memo_lock
-
     ck = (spark.sparkContext.applicationId, sf_dir, n_queries, n_probe)
     if ck in _IVF_PLUMBING_CACHE:
-        return _IVF_PLUMBING_CACHE[ck]
-    with memo_lock(("ivf_plumbing",) + ck):
-        return _ivf_assigned_and_probes_build(
-            spark, sf_dir, n_queries, n_probe, ck
-        )
-
-
-def _ivf_assigned_and_probes_build(
-    spark: SparkSession, sf_dir: str, n_queries: int, n_probe: int, ck
-) -> tuple[DataFrame, DataFrame]:
-    import numpy as np
-
-    if ck in _IVF_PLUMBING_CACHE:  # built while we waited on the lock
         return _IVF_PLUMBING_CACHE[ck]
     emb = _emb(spark, sf_dir)
     C = _centroids(spark, sf_dir)
@@ -520,10 +492,7 @@ def _ivf_assigned_and_probes_build(
     probe_df = spark.createDataFrame(
         probes, "qid long, qv array<double>, q_label int, cell int"
     )
-    # EAGER checkpoint (was lazy): the index materializes once inside
-    # the builder's lock, so concurrent overlapped searches read a
-    # finished table instead of racing to compute the same lazy RDD
-    out = (assigned.localCheckpoint(), probe_df)
+    out = (assigned.localCheckpoint(eager=False), probe_df)
     _IVF_PLUMBING_CACHE[ck] = out
     return out
 
@@ -758,7 +727,6 @@ def _residual_pq_tables(spark: SparkSession, sf_dir: str,
     """
     import numpy as np
 
-    from ..session import memo_lock
     from .kmeans import pq_train_codebooks
 
     ck = (
@@ -766,23 +734,6 @@ def _residual_pq_tables(spark: SparkSession, sf_dir: str,
         n_queries, n_probe, n_subspaces, n_codes, iters,
     )
     if ck in _RESIDUAL_PQ_CACHE:
-        return _RESIDUAL_PQ_CACHE[ck]
-    with memo_lock(("residual_pq",) + ck):
-        return _residual_pq_tables_build(
-            spark, sf_dir, n_queries, n_probe, n_subspaces, n_codes,
-            iters, ck,
-        )
-
-
-def _residual_pq_tables_build(spark: SparkSession, sf_dir: str,
-                              n_queries: int, n_probe: int,
-                              n_subspaces: int, n_codes: int,
-                              iters: int, ck):
-    import numpy as np
-
-    from .kmeans import pq_train_codebooks
-
-    if ck in _RESIDUAL_PQ_CACHE:  # built while we waited on the lock
         return _RESIDUAL_PQ_CACHE[ck]
     assigned, probe_df = _ivf_assigned_and_probes(
         spark, sf_dir, n_queries, n_probe
@@ -964,26 +915,19 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     search is individually pinned engine-exact, and this op's oracle
     composes their SQL verbatim as nested subqueries
     (__spark_entry__.oracle_sql).
-
-    r13 perf: the nine component searches are INDEPENDENT Spark job
-    chains, and run sequentially each one's stage tail (the last few
-    tasks of every stage) left most of the cluster idle — so they now
-    materialize through session.overlap_materialize (a small
-    inheritable-thread pool; guide §2.6 back-fill). Each search's
-    frame is the identical plan, merely computed under concurrency,
-    and the report assembly below consumes the eagerly-checkpointed
-    results in the same fixed order — bit-identical output. Shared
-    index structures (centroids, IVF plumbing, PQ codebooks/codes)
-    are built exactly once behind per-key memo locks in their
-    builders.
     """
-    from ..session import overlap_materialize
     from .relational8 import emb_pq_ann, emb_pq_rerank, emb_pq_trained_ann
 
     # the exact baseline feeds a semi-join AND the report spine for all
     # seven methods (14 plan references): checkpoint the tiny
     # n_queries x k frame once, or each reference re-runs the full
-    # brute-force corpus scan — measured as most of this op's cost.
+    # brute-force corpus scan — measured as most of this op's cost
+    exact = (
+        emb_cosine_topk(spark, sf_dir, n_queries, k)
+        .select("qid", "nid")
+        .localCheckpoint(eager=False)
+    )
+    out = None
     # PQ searches by asymmetric L2, scored against the cosine-exact
     # baseline — equivalent rankings because the embeddings are
     # unit-norm (L2^2 = 2 - 2cos). PQ-alone documents the
@@ -993,57 +937,47 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     # IS the PQ-alone top-k (same ordering), and the re-rank rescores
     # the same shortlist — checkpointed so neither consumer recomputes
     # the codes scan
-    (exact, sl, lsh, ivf, pqt, ivfpq, ivfpq_r, ivfpq_256,
-     ivfpq_r256) = overlap_materialize([
-        lambda: emb_cosine_topk(spark, sf_dir, n_queries, k).select(
-            "qid", "nid"),
-        lambda: emb_pq_ann(spark, sf_dir, n_queries, k=200),
-        lambda: emb_lsh_ann(spark, sf_dir, n_queries, k),
-        lambda: emb_ivf_ann(spark, sf_dir, n_queries, k),
-        # trained per-subspace codebooks vs the label-centroid ones,
-        # at the SAME scan fraction (codes-only, no rerank): the
-        # trained row is the codebook-quality A/B the retrain
-        # decision reads
-        lambda: emb_pq_trained_ann(spark, sf_dir, n_queries, k),
-        # the IVFADC composition: trained-PQ ranking confined to the
-        # probed cells — scan fraction multiplies both reductions
-        lambda: emb_ivfpq_ann(spark, sf_dir, n_queries, k),
-        # residual encoding A/B: same scan fraction, codebooks spent
-        # on the per-cell residual distribution — the row that decides
-        # whether residual retraining pays for this corpus
-        lambda: emb_ivfpq_residual_ann(spark, sf_dir, n_queries, k),
-        # the same A/B at the production 256-codes-per-subspace
-        # budget: the residual-vs-raw ordering is corpus- AND
-        # budget-dependent, so the retrain decision reads both rows
-        lambda: emb_ivfpq_ann(
-            spark, sf_dir, n_queries, k, n_codes=256),
-        lambda: emb_ivfpq_residual_ann(
-            spark, sf_dir, n_queries, k, n_codes=256),
-    ])
+    sl = emb_pq_ann(spark, sf_dir, n_queries, k=200).localCheckpoint(
+        eager=False
+    )
     pq = sl.where(F.col("rank") <= k).select(
         "qid", F.col("vec_id").alias("nid")
     )
-    # the re-rank depends on the materialized shortlist, so it runs
-    # after the overlapped wave — one small scan over the broadcast
-    # 200-row shortlist against the vector table
     pqr = emb_pq_rerank(
         spark, sf_dir, n_queries, k, shortlist_df=sl
     ).select("qid", F.col("vec_id").alias("nid"))
-    out = None
+    # trained per-subspace codebooks vs the label-centroid ones, at the
+    # SAME scan fraction (codes-only, no rerank): the trained row is
+    # the codebook-quality A/B the retrain decision reads
+    pqt = emb_pq_trained_ann(spark, sf_dir, n_queries, k).select(
+        "qid", F.col("vec_id").alias("nid")
+    )
     for method, res in (
-        ("lsh", lsh),
-        ("ivf", ivf),
+        ("lsh", emb_lsh_ann(spark, sf_dir, n_queries, k)),
+        ("ivf", emb_ivf_ann(spark, sf_dir, n_queries, k)),
         ("pq", pq),
         ("pq_rerank", pqr),
-        ("pq_trained", pqt.select(
+        ("pq_trained", pqt),
+        # the IVFADC composition: trained-PQ ranking confined to the
+        # probed cells — scan fraction multiplies both reductions
+        ("ivfpq", emb_ivfpq_ann(spark, sf_dir, n_queries, k).select(
             "qid", F.col("vec_id").alias("nid"))),
-        ("ivfpq", ivfpq.select("qid", F.col("vec_id").alias("nid"))),
-        ("ivfpq_residual", ivfpq_r.select(
-            "qid", F.col("vec_id").alias("nid"))),
-        ("ivfpq_256", ivfpq_256.select(
-            "qid", F.col("vec_id").alias("nid"))),
-        ("ivfpq_residual_256", ivfpq_r256.select(
-            "qid", F.col("vec_id").alias("nid"))),
+        # residual encoding A/B: same scan fraction, codebooks spent
+        # on the per-cell residual distribution — the row that decides
+        # whether residual retraining pays for this corpus
+        ("ivfpq_residual",
+         emb_ivfpq_residual_ann(spark, sf_dir, n_queries, k).select(
+             "qid", F.col("vec_id").alias("nid"))),
+        # the same A/B at the production 256-codes-per-subspace
+        # budget: the residual-vs-raw ordering is corpus- AND
+        # budget-dependent, so the retrain decision reads both rows
+        ("ivfpq_256",
+         emb_ivfpq_ann(spark, sf_dir, n_queries, k, n_codes=256).select(
+             "qid", F.col("vec_id").alias("nid"))),
+        ("ivfpq_residual_256",
+         emb_ivfpq_residual_ann(
+             spark, sf_dir, n_queries, k, n_codes=256
+         ).select("qid", F.col("vec_id").alias("nid"))),
     ):
         hits = (
             res.select("qid", "nid")

@@ -9,7 +9,6 @@ pandas exchange, and shuffle partitions sized from the environment.
 from __future__ import annotations
 
 import os
-import threading
 
 from pyspark.sql import SparkSession
 
@@ -169,63 +168,6 @@ def pin(df):
     once; downstream arithmetic is identical.
     """
     return df.localCheckpoint(eager=False)
-
-
-_MEMO_LOCKS: dict = {}
-_MEMO_LOCKS_GUARD = threading.Lock()
-
-
-def memo_lock(key):
-    """Per-key re-entrant lock for memoized index builders (PQ
-    codebooks, IVF plumbing, centroid matrices). overlap_materialize
-    runs searches in threads; without a lock, two searches sharing an
-    index would both miss the memo and build it twice. Per-KEY locks
-    keep independent builds (residual-16 vs residual-256) concurrent
-    while double-checked locking in each builder keeps every key
-    built exactly once."""
-    with _MEMO_LOCKS_GUARD:
-        return _MEMO_LOCKS.setdefault(key, threading.RLock())
-
-
-def overlap_materialize(thunks, max_workers: int = 4):
-    """Run independent DataFrame-producing thunks as CONCURRENT Spark
-    jobs and return their eagerly-checkpointed results in input order.
-
-    Spark's scheduler happily runs several jobs at once inside one
-    application; actions are only sequential because driver code calls
-    them sequentially. A composition like emb_ann_recall materializes
-    ~10 independent searches — run serially, each search's stage tail
-    (the last few tasks of every stage) leaves most of the cluster
-    idle. Submitting them from a small thread pool lets the next
-    search's tasks back-fill executors freed by the current one's tail
-    (FIFO scheduling = exactly that back-fill behaviour).
-
-    Each thunk is called IN the worker thread (so expensive eager
-    construction work — codebook training, index builds — overlaps
-    too) and its result is pinned with an eager localCheckpoint, so
-    the assembled downstream plan reads tiny materialized frames.
-    Shared memoized sub-structures must be guarded by locks in their
-    builders (the _MEMO_LOCK convention) so concurrent thunks build
-    them once. ``inheritable_thread_target`` propagates the caller's
-    job group/description into the pool threads, keeping per-query
-    job attribution intact.
-
-    Results are bit-identical to the sequential form: each thunk's
-    frame is the same plan, merely computed under concurrency, and
-    union/join assembly order is the caller's input order.
-    """
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark import inheritable_thread_target
-
-    @inheritable_thread_target
-    def _run(thunk):
-        return thunk().localCheckpoint()
-
-    if len(thunks) <= 1:
-        return [_run(t) for t in thunks]
-    with ThreadPoolExecutor(max_workers=min(max_workers, len(thunks))) as ex:
-        return list(ex.map(_run, thunks))
 
 
 def ensure_parallelism(spark: SparkSession, df):
