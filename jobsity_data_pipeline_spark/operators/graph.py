@@ -31,11 +31,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     graph diameter. Deterministic: min() over a fixed vertex set."""
     # self-loops fold the "keep my own label" case into the neighbor
     # min, so a round is ONE join + ONE min-aggregate (no left-join
-    # back). Edges are pre-partitioned on the per-round join key v:
-    # localCheckpoint preserves outputPartitioning (LogicalRDD) and
-    # labels come out of their groupBy hash-partitioned on id, so the
-    # round join is exchange-free on both sides — each round costs
-    # exactly one shuffle (the min-label groupBy).
+    # back). r13 note: the repartition("v") does NOT survive the
+    # checkpoint for PLANNING (a localCheckpoint comes back as a
+    # LogicalRDD with UnknownPartitioning, so every round's join
+    # re-exchanges this side) — but it still pays for itself as a
+    # LAYOUT pass: the union's natural partitioning is the
+    # concatenation of both children's (many uneven partitions), and
+    # every one of the diameter-many rounds launches one map task per
+    # checkpoint partition. Measured at sf0.1: removing it made the
+    # 11-round near-dup consumer ~0.8s SLOWER (6.0 -> 6.8) while
+    # saving only the single build-time exchange.
     nodes = edges.select(F.col("u").alias("id")).distinct()
     looped = (
         edges.union(nodes.select(F.col("id").alias("u"), F.col("id").alias("v")))
@@ -91,13 +96,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     # §2.4: fewer passes over the fat side)
     deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
     # degree is loop-invariant: attach it to the edge list ONCE so each
-    # iteration is exactly one join (ranks) + one aggregate; the join
-    # explicit repartition on u (a broadcast of deg would otherwise
-    # leave ed's partitioning unknown), and localCheckpoint preserves
-    # that partitioning (LogicalRDD) — so the per-round join against
-    # ranks (hash-partitioned on node by its groupBy) is exchange-free
-    # and each iteration costs one shuffle (the groupBy)
-    ed = edges.join(deg, "u").repartition(F.col("u")).localCheckpoint()
+    # iteration is exactly one join (ranks) + one aggregate. r13: the
+    # former repartition("u") before the checkpoint was WASTED work —
+    # a localCheckpoint comes back as a LogicalRDD with
+    # UnknownPartitioning (verified empirically: every round's join
+    # re-exchanges the edge side regardless), so the pre-shuffle
+    # bought nothing and cost one full edge-list exchange per call
+    ed = edges.join(deg, "u").localCheckpoint()
     n = deg.count()
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(1.0 / n).alias("rank")
