@@ -90,7 +90,14 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(gen, FEATURE_SCHEMA)
+    # r13 (guide §4.1): Spark cannot see which columns an opaque
+    # Python function touches and would otherwise ship (and compute)
+    # every MEDIA_SCHEMA column through the Arrow boundary — select
+    # exactly what gen reads so mime/width/height/duration_ms are
+    # pruned out of both the exchange and the upstream projection
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, FEATURE_SCHEMA
+    )
 
 
 def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
@@ -144,7 +151,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 rows, columns=["media_id", "frame_idx", "ts_ms", "n_bytes"]
             )
 
-    return media.mapInPandas(gen, FRAME_SCHEMA)
+    # r13 (guide §4.1): ship only the columns gen reads through the
+    # Python boundary (see extract_features)
+    return media.select(
+        "media_id", "kind", "duration_ms", "payload"
+    ).mapInPandas(gen, FRAME_SCHEMA)
 
 
 def media_features(spark, sf_dir: str) -> DataFrame:

@@ -98,7 +98,12 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return e.mapInPandas(gen, "vec_id long, cl int, v array<double>")
+    # r13 (guide §4.1): gen reads only (vec_id, v) — drop the label
+    # column before the Arrow boundary so it is neither serialized nor
+    # carried by the opaque node
+    return e.select("vec_id", "v").mapInPandas(
+        gen, "vec_id long, cl int, v array<double>"
+    )
 
 
 def _cluster_pairs(asg: DataFrame, tau: float,
