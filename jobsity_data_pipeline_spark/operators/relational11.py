@@ -468,14 +468,19 @@ def emb_kcenter_sample(spark: SparkSession, sf_dir: str,
 
     Engine-exact by the kmeans convention: chosen vectors act as
     6-dp-rounded centroids and distances are integer micro-units via
-    the shared pq_code_distances kernel, so the whole selection
-    unrolls into one lazy Catalyst plan a SQL oracle replays round
-    for round. Each round scores the corpus against ONLY the newly
-    chosen vector (broadcast, one scan) and keeps a running min — k
-    scans total, zero driver collects: the per-round argmax is an
-    in-plan TakeOrdered(1) frame (the BPE-trainer pattern), and
-    already-chosen ids are excluded by a broadcast anti-join against
-    the (<= k-row) picks frame.
+    the shared pq_code_distances kernel, so the selection replays
+    round for round in a SQL oracle. Each round scores the corpus
+    against ONLY the newly chosen vector (one scan of the pinned
+    coordinate frame) and keeps a running min. The per-round argmax
+    is O(1) state — (vec_id, mind6), two longs — so it crosses to the
+    DRIVER (head() on the deterministic desc-mind6/asc-id take-1, the
+    docs_bpe_encode bounded-state posture) and re-enters the next
+    round as literals: the chosen vector is selected by a pushed-down
+    id FILTER on the pinned frame instead of a broadcast join, and
+    already-chosen ids are excluded by an isin over <= k literals
+    instead of a broadcast anti-join. Integer micro-unit distances
+    make the hand-off exact by construction; the former per-round
+    eager 1-row checkpoint (and its scheduler job) is gone.
     """
     from .kmeans import pq_code_distances
 
@@ -483,51 +488,44 @@ def emb_kcenter_sample(spark: SparkSession, sf_dir: str,
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # materialize the exploded coordinates once: every round's scoring
-    # join and both pick->centroid projections reference this frame
+    # pass and every pick->centroid projection reference this frame
     x = e.select(
         "vec_id", F.posexplode("v").alias("pos", "x")
     ).localCheckpoint()
 
-    def cent_of(pick_frame: DataFrame, code: int) -> DataFrame:
-        return x.join(
-            F.broadcast(pick_frame.select("vec_id")), "vec_id"
-        ).select(
+    def cent_of(vid: int, code: int) -> DataFrame:
+        return x.where(F.col("vec_id") == F.lit(vid)).select(
             F.lit(0).alias("subspace"), F.lit(code).alias("code"),
             "pos", F.round("x", 6).alias("c"),
         )
 
-    seed = e.orderBy("vec_id").limit(1)
-    picks = seed.select(
-        F.lit(0).cast("long").alias("pick_rank"), "vec_id",
-        F.lit(None).cast("long").alias("d6"),
-    )
-    mind = pq_code_distances(x, cent_of(seed, 0), ["vec_id"]).select(
+    seed_id = int(e.orderBy("vec_id").limit(1).head()["vec_id"])
+    picked = [(0, seed_id, None)]  # (pick_rank, vec_id, d6)
+    mind = pq_code_distances(x, cent_of(seed_id, 0), ["vec_id"]).select(
         "vec_id", F.col("d6").alias("mind6")
     ).localCheckpoint(eager=False)
     for r in range(1, k):
-        # eager 1-row checkpoint: the pick is referenced three times
-        # (result row, new centroid, next round's exclusion) — pinning
-        # it costs one tiny cluster-side job and truncates the
-        # TakeOrdered lineage so rounds don't re-evaluate each other
-        pick = (
-            mind.join(F.broadcast(picks.select("vec_id")),
-                      "vec_id", "left_anti")
+        ids = [vid for _, vid, _ in picked]
+        row = (
+            mind.where(~F.col("vec_id").isin(ids))
             .orderBy(F.desc("mind6"), "vec_id")
             .limit(1)
-            .localCheckpoint()
+            .head()
         )
-        picks = picks.unionByName(pick.select(
-            F.lit(r).cast("long").alias("pick_rank"), "vec_id",
-            F.col("mind6").alias("d6"),
-        ))
-        dnew = pq_code_distances(x, cent_of(pick, r), ["vec_id"]).select(
-            "vec_id", F.col("d6").alias("dnew")
-        )
+        picked.append((r, int(row["vec_id"]), int(row["mind6"])))
+        if r == k - 1:
+            break
+        dnew = pq_code_distances(
+            x, cent_of(int(row["vec_id"]), r), ["vec_id"]
+        ).select("vec_id", F.col("d6").alias("dnew"))
         mind = (
             mind.join(dnew, "vec_id")
             .select("vec_id", F.least("mind6", "dnew").alias("mind6"))
             .localCheckpoint(eager=False)
         )
+    picks = spark.createDataFrame(
+        picked, "pick_rank long, vec_id long, d6 long"
+    )
     return picks.orderBy("pick_rank")
 
 
@@ -718,28 +716,52 @@ def _row_score(vcol, barr):
     )
 
 
-def _power_rounds(xc: DataFrame, barr0: DataFrame,
-                  rounds: int) -> DataFrame:
+def _dir_lit(arr: list) -> "F.Column":
+    """A collected unit direction re-embedded as a literal
+    array<double> — the exact IEEE doubles the in-plan 6-dp rounding
+    produced, so every expression consuming it computes bit-identically
+    to the former broadcast-1-row-frame form."""
+    return F.array(*[F.lit(float(x)) for x in arr])
+
+
+def _start_dir(spark: SparkSession, dim: int) -> list:
+    """The deterministic unit start vector as driver-side doubles:
+    round(1/sqrt(dim), 6) evaluated IN-PLAN on a 1-row frame so the
+    value carries F.round's half-up semantics (python round is
+    half-even — the documented parity trap), then replicated dim
+    times."""
+    v0 = spark.range(1).select(
+        F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 6).alias("b")
+    ).head()["b"]
+    return [float(v0)] * dim
+
+
+def _power_rounds(xc: DataFrame, b0: list, rounds: int) -> tuple:
     """``rounds`` power-iteration ascent steps on the centered array
     frame: per-row score (6-dp inline fold) -> per-pos weighted sum
     -> normalize FIRST, then round to 6 dp. The whole round state is
-    ONE 1-row frame (arr: the unit direction, nrm: the ||w||
-    eigenvalue estimate), so a round costs exactly one corpus pass +
-    one bounded aggregation pipeline: the only shuffle is the 64-row
-    per-pos partial aggregate, there is no corpus-keyed join (the
-    exploded form's s-join, gone), and the 1-row pin both truncates
-    the cross-round lineage and prevents the broadcast chain from
-    re-executing earlier rounds (unpinned: measured 2.5x).
-    Returns the final 1-row (arr, nrm)."""
-    cur = barr0
+    O(dim) — 64 loading doubles plus the ||w|| eigenvalue estimate —
+    so it crosses to the DRIVER once per round (head() on the 1-row
+    aggregate) and re-enters the next round's plan as a literal array
+    (the docs_bpe_encode bounded-state posture: the merge table there,
+    the direction vector here — never anything corpus-sized). A round
+    costs exactly one corpus pass + one bounded aggregation pipeline
+    (the only shuffle is the 64-row per-pos partial aggregate, no
+    corpus-keyed join), and the literal hand-off replaces the former
+    per-round broadcast-exchange future + lazy 1-row checkpoint —
+    measured 3 scheduler jobs per round down to 1, emb_top_pcs
+    9.7s -> see OPTIMIZATION_r13.md. Values are bit-identical to the
+    broadcast form: head() returns the exact IEEE doubles the in-plan
+    F.round produced, and literals reproduce them exactly.
+    Returns (arr: list of dim doubles, nrm: float)."""
+    cur, nrm = list(b0), None
     for _ in range(rounds):
-        scored = xc.crossJoin(
-            F.broadcast(cur.select("arr"))
-        ).select(
-            "v", _row_score(F.col("v"), F.col("arr")).alias("s")
-        )
-        cur = (
-            scored.select(F.posexplode("v").alias("pos", "x"), "s")
+        row = (
+            xc.select(
+                "v",
+                _row_score(F.col("v"), _dir_lit(cur)).alias("s"),
+            )
+            .select(F.posexplode("v").alias("pos", "x"), "s")
             .groupBy("pos")
             .agg(F.sum(F.col("x") * F.col("s")).alias("w"))
             .agg(
@@ -764,9 +786,11 @@ def _power_rounds(xc: DataFrame, barr0: DataFrame,
                 ).alias("arr"),
                 "nrm",
             )
-            .localCheckpoint(eager=False)
+            .head()
         )
-    return cur
+        cur = [float(x) for x in row["arr"]]
+        nrm = float(row["nrm"])
+    return cur, nrm
 
 
 def emb_top_pc(spark: SparkSession, sf_dir: str,
@@ -797,11 +821,14 @@ def emb_top_pc(spark: SparkSession, sf_dir: str,
     is a fixed, replayable ascent step either way: the Rayleigh
     quotient is monotonically non-decreasing.
 
-    Scale: each round is one corpus scan — a broadcast 64-row join
-    computes per-row scores s_i = <b, v_i - mean>, a posexplode
-    groupBy(pos) partial-agg reduces w = sum_i s_i (v_i - mean), and
-    only 64 doubles shuffle; the 1-row norm joins back in-plan (no
-    driver collect). Identical at 500 rows and 100 TB.
+    Scale: each round is one corpus scan — the 64-double direction
+    enters the scan as a LITERAL array (collected to the driver once
+    per round: O(dim) state, the docs_bpe_encode bounded-state
+    posture), per-row scores s_i = <b, v_i - mean> are an inline fold,
+    a posexplode groupBy(pos) partial-agg reduces
+    w = sum_i s_i (v_i - mean), and only 64 doubles shuffle. Nothing
+    corpus-sized ever approaches the driver. Identical at 500 rows
+    and 100 TB.
 
     ``cache_centered`` is the reuse-strategy choice for the centered
     exploded corpus each round consumes twice:
@@ -834,26 +861,18 @@ def emb_top_pc(spark: SparkSession, sf_dir: str,
         total_var = _total_var(xc)
     # deterministic unit start: 1/sqrt(dim) rounded to 6 dp IN-PLAN
     # (F.round is half-up like the oracle's; python round is half-even)
-    b0 = _as_array(
-        mean.select(
-            "pos",
-            F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 6)
-            .alias("b"),
-        ),
-        "b",
-    )
-    cur = _power_rounds(xc, b0, rounds)
+    b0 = _start_dir(spark, dim)
+    arr, nrm = _power_rounds(xc, b0, rounds)
     return (
-        cur.crossJoin(F.broadcast(total_var))
-        .select(
-            F.posexplode("arr").alias("pos", "loading"),
-            F.round(F.col("nrm") * 1e6, 0).cast("long").alias(
+        total_var.select(
+            F.posexplode(_dir_lit(arr)).alias("pos", "loading"),
+            F.round(F.lit(nrm) * 1e6, 0).cast("long").alias(
                 "eigenvalue_e6"
             ),
             # share of total variance: lambda / (tv / n_rows) ... both
             # sides scale by n, so lambda*n/tv — report lambda/tv in
             # micro-units (corpus-size-free comparisons use the ratio)
-            F.round(F.col("nrm") / F.col("tv") * 1e6, 0).cast("long")
+            F.round(F.lit(nrm) / F.col("tv") * 1e6, 0).cast("long")
             .alias("ev_share_e6"),
         )
         .orderBy("pos")
@@ -886,8 +905,10 @@ def emb_top_pcs(spark: SparkSession, sf_dir: str,
     on the same centered data.
 
     Scale: component j costs (rounds + 1) corpus scans — the same
-    per-round broadcast-join shape as emb_top_pc plus ONE deflation
-    pass producing the next residual frame. ``cache_centered``
+    per-round literal-direction shape as emb_top_pc (O(dim) driver
+    state per round, nothing corpus-sized near the driver) plus ONE
+    deflation pass producing the next residual frame, which the lazy
+    pin fuses into the next component's first round. ``cache_centered``
     carries emb_top_pc's cache-vs-recompute posture, but the DEFAULT
     flips to pinned here: unlike the single-component operator (whose
     centered frame a recompute posture re-derives ~12 times at
@@ -906,49 +927,37 @@ def emb_top_pcs(spark: SparkSession, sf_dir: str,
     else:
         xc, mean, dim = _centered_arrays(spark, sf_dir, cache=False)
         total_var = _total_var(xc)
-    b0 = _as_array(
-        mean.select(
-            "pos",
-            F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 6)
-            .alias("b"),
-        ),
-        "b",
-    )
-    outs = []
+    b0 = _start_dir(spark, dim)
+    outs = []  # driver-side (component, arr, nrm) — O(m * dim) state
     prev_residual = None  # the persisted residual one deflation behind
     for comp in range(1, components + 1):
-        cur = _power_rounds(xc, b0, rounds)
-        outs.append(
-            cur.select(
-                F.posexplode("arr").alias("pos", "loading"),
-                F.lit(comp).alias("component"),
-                F.round(F.col("nrm") * 1e6, 0).cast("long")
-                .alias("eigenvalue_e6"),
-                F.col("nrm").alias("_nrm"),
-            )
-        )
+        arr, nrm = _power_rounds(xc, b0, rounds)
+        outs.append((comp, arr, nrm))
         if comp < components:
             # deflate: subtract the found direction's projection —
-            # one corpus scan (inline 6-dp score, pointwise update on
-            # 6-dp inputs), no join
+            # one corpus scan (inline 6-dp score against the LITERAL
+            # direction, pointwise update on 6-dp inputs), no join
+            darr = _dir_lit(arr)
             xc = (
-                xc.crossJoin(F.broadcast(cur.select("arr")))
-                .select(
-                    "vec_id", "v", "arr",
-                    _row_score(F.col("v"), F.col("arr")).alias("s"),
+                xc.select(
+                    "vec_id", "v",
+                    _row_score(F.col("v"), darr).alias("s"),
                 )
                 .select(
                     "vec_id",
                     F.zip_with(
-                        "v", "arr", lambda a, c: a - F.col("s") * c
+                        "v", darr, lambda a, c: a - F.col("s") * c
                     ).alias("v"),
                 )
             )
             if cache_centered:
-                # eager checkpoint truncates lineage; the PRIOR
-                # checkpoint's RDD drops its last reference here and
-                # the ContextCleaner reclaims it
-                xc = xc.localCheckpoint()
+                # lazy checkpoint: the next component's first power
+                # round materializes the residual as a side effect of
+                # its own corpus pass (one pass instead of the former
+                # eager write + re-read); lineage truncates at
+                # materialization and the PRIOR checkpoint's RDD drops
+                # its last reference for the ContextCleaner
+                xc = xc.localCheckpoint(eager=False)
             else:
                 from pyspark import StorageLevel
 
@@ -966,18 +975,21 @@ def emb_top_pcs(spark: SparkSession, sf_dir: str,
                 if prev_residual is not None:
                     prev_residual.unpersist()
                 prev_residual = xc
-    all_b = outs[0]
-    for o in outs[1:]:
-        all_b = all_b.unionByName(o)
-    return (
-        all_b.crossJoin(F.broadcast(total_var))
-        .select(
-            "component", "pos", "loading", "eigenvalue_e6",
-            F.round(F.col("_nrm") / F.col("tv") * 1e6, 0).cast("long")
+    frames = [
+        total_var.select(
+            F.lit(comp).alias("component"),
+            F.posexplode(_dir_lit(arr)).alias("pos", "loading"),
+            F.round(F.lit(nrm) * 1e6, 0).cast("long")
+            .alias("eigenvalue_e6"),
+            F.round(F.lit(nrm) / F.col("tv") * 1e6, 0).cast("long")
             .alias("ev_share_e6"),
         )
-        .orderBy("component", "pos")
-    )
+        for comp, arr, nrm in outs
+    ]
+    all_b = frames[0]
+    for o in frames[1:]:
+        all_b = all_b.unionByName(o)
+    return all_b.orderBy("component", "pos")
 
 
 def emb_hard_negatives(spark: SparkSession, sf_dir: str,

@@ -569,8 +569,9 @@ def test_round6_plan_shapes(spark):
     assert "CartesianProduct" not in kc
     assert "Window" not in kc
 
-    # power iteration: per-round direction is a broadcast 64-row
-    # join; only the 1-row norm/eigenvalue frames cross-join
+    # power iteration: the per-round direction is an O(dim) driver
+    # literal (r13); the remaining BroadcastExchange is the one
+    # 64-row mean-centering join inside the total-variance lineage
     pc = _plan(R11.emb_top_pc(spark, SF_SMOKE, rounds=2))
     assert "CartesianProduct" not in pc
     assert "Window" not in pc

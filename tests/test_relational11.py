@@ -464,6 +464,38 @@ def test_hard_negatives_labels_and_bruteforce(spark):
         assert got == want
 
 
+def test_top_pc_plan_is_round_count_invariant(spark):
+    """r13 driver-state optimization gate: the power-iteration round
+    state crosses the driver as O(dim) literals (the docs_bpe_encode
+    bounded-state posture), so the RETURNED frame's compiled plan no
+    longer nests one broadcast subtree + checkpoint per round — its
+    node structure is independent of the round count. Under the old
+    broadcast-chain form the rounds=5 plan was strictly deeper than
+    the rounds=2 one."""
+    def plan_lines(rounds):
+        df = R11.emb_top_pc(spark, SF_SMOKE, rounds=rounds)
+        return len(
+            df._jdf.queryExecution().executedPlan().toString()
+            .splitlines()
+        )
+
+    assert plan_lines(2) == plan_lines(5)
+
+
+def test_kcenter_pick_states_are_driver_bounded(spark):
+    """r13 driver-state optimization gate: the k-center selection's
+    per-round argmax is O(1) driver state, so the RETURNED frame is a
+    k-row local relation — no join, no exchange, no corpus scan left
+    in the result plan (every corpus pass ran during construction,
+    against the pinned coordinate frame)."""
+    df = R11.emb_kcenter_sample(spark, SF_SMOKE, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Scan parquet" not in plan  # corpus never re-enters
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert df.count() == 3
+
+
 def test_top_pc_cache_postures_agree(spark):
     """The cache-vs-recompute strategy for the centered corpus is a
     pure performance choice: both paths must produce identical rows
