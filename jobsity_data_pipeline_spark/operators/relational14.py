@@ -522,8 +522,9 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str,
     du = ev.select("event_type", "user_id").distinct().localCheckpoint()
     # pin the |types|-row sketch frame: the pair self-join consumes it
     # twice, and without the pin each side would recompute the whole
-    # corpus-scale sketch aggregation (tiny state, the 1-row-pin
-    # convention of _power_rounds)
+    # corpus-scale sketch aggregation (metadata-sized state, the
+    # session.pin convention — the two references differ per leg, so
+    # ReusedExchange would not dedupe them)
     sk = kmv_sketches(du, k=k, n_salts=n_salts).localCheckpoint()
     est = kmv_pair_overlap(sk, k=k)
     exact = _pair_exact_audience(du, est).withColumn(
