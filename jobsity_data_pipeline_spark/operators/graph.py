@@ -42,12 +42,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # 11-round near-dup consumer ~0.8s SLOWER (6.0 -> 6.8) while
     # saving only the single build-time exchange.
     nodes = edges.select(F.col("u").alias("id")).distinct()
+    # r14: both seed frames are LAZY checkpoints — round 1's count is
+    # the materializing action, so the two up-front materialization
+    # jobs fold into it (the checkpointed partitions persist exactly as
+    # before; guide §2.4 fewer driver round-trips per iteration)
     looped = (
         edges.union(nodes.select(F.col("id").alias("u"), F.col("id").alias("v")))
         .repartition(F.col("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=False
+    )
     for _ in range(max_iter):
         # r13 perf: the convergence check rides the SAME join+aggregate
         # as the label update — the self-loop row (v == u) carries each
@@ -56,6 +62,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # the old form paid per round (one join + one count job fewer
         # per iteration; the changed-count now scans the checkpointed
         # node-sized frame)
+        # r14: the checkpoint is LAZY — the convergence count is the
+        # round's single materializing action (it computes and persists
+        # the full new_labels RDD, then counts the changed rows on
+        # top), so each round schedules ONE job where the eager form
+        # paid a materialization job plus a count job
         new_labels = (
             looped.join(labels, looped["v"] == labels["id"])
             .groupBy(F.col("u").alias("id"))
@@ -65,7 +76,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.when(F.col("v") == F.col("u"), F.col("label"))
                 ).alias("_old"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(
             F.col("label") != F.col("_old")

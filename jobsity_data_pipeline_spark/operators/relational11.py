@@ -499,7 +499,15 @@ def emb_kcenter_sample(spark: SparkSession, sf_dir: str,
             "pos", F.round("x", 6).alias("c"),
         )
 
-    seed_id = int(e.orderBy("vec_id").limit(1).head()["vec_id"])
+    seed_row = e.orderBy("vec_id").limit(1).head()
+    if seed_row is None:
+        # empty corpus: no seed to start from — empty frame, same
+        # schema (the old anti-join form's graceful degradation; r13
+        # ADVICE guard)
+        return spark.createDataFrame(
+            [], "pick_rank long, vec_id long, d6 long"
+        )
+    seed_id = int(seed_row["vec_id"])
     picked = [(0, seed_id, None)]  # (pick_rank, vec_id, d6)
     mind = pq_code_distances(x, cent_of(seed_id, 0), ["vec_id"]).select(
         "vec_id", F.col("d6").alias("mind6")
@@ -512,6 +520,11 @@ def emb_kcenter_sample(spark: SparkSession, sf_dir: str,
             .limit(1)
             .head()
         )
+        if row is None:
+            # k exceeds the corpus size: every vector is already
+            # picked — degrade to fewer rows like the old anti-join
+            # form instead of raising TypeError (r13 ADVICE guard)
+            break
         picked.append((r, int(row["vec_id"]), int(row["mind6"])))
         if r == k - 1:
             break
@@ -754,6 +767,12 @@ def _power_rounds(xc: DataFrame, b0: list, rounds: int) -> tuple:
     broadcast form: head() returns the exact IEEE doubles the in-plan
     F.round produced, and literals reproduce them exactly.
     Returns (arr: list of dim doubles, nrm: float)."""
+    if rounds < 1:
+        # rounds=0 would return nrm=None and downstream F.lit(None)
+        # arithmetic would silently emit null eigenvalue columns where
+        # the old broadcast form raised — fail loudly instead (r13
+        # ADVICE)
+        raise ValueError(f"_power_rounds needs rounds >= 1, got {rounds}")
     cur, nrm = list(b0), None
     for _ in range(rounds):
         row = (

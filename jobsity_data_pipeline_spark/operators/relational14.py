@@ -159,16 +159,35 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str,
       same deterministic double arithmetic on the same exact integers
       everywhere, re-rounded to 6 dp so nothing compounds.
 
-    Scale shape: ONE feature-extraction pass (explode + partial-agg
-    on doc_id, the docs_gopher_rules plan) pinned with
-    localCheckpoint (8 ints/doc — narrow; the emb_top_pcs pin
-    posture: executor-local, non-reliable truncation — swap for
-    persist(MEMORY_AND_DISK) on a real cluster run), then rounds+1
-    single-row aggregation jobs; only 9 longs leave the executors per
-    round. The model state (6 weights) is driver-carried bounded
-    state, the emb_kmeans_fit / events_markov_stationary convention.
+    Scale shape (r14): the per-round aggregate depends on a document
+    ONLY through its quantized feature vector (x0..x5, y_e6) — every
+    doc in a distinct-feature class contributes the identical p_e6,
+    prediction, agreement flag, and per-feature gradient term — so
+    the corpus first reduces ONCE to the sufficient statistic
+    (y_e6, x0..x5, cnt) (guide §2.3 "aggregate before you shuffle":
+    one feature-extraction pass + one partial-agg groupBy), and all
+    rounds+1 single-row aggregation jobs run against that
+    metadata-sized frame instead of re-scanning the per-doc frame
+    per round. Gradients stay EXACT integer sums (cnt-weighted terms
+    sum to the same integers term-for-term), so the trajectory is
+    bit-identical to the per-doc form — the Python replay test pins
+    it. The grouped frame is coalesce(1)+localCheckpoint pinned
+    (executor-local; swap for persist(MEMORY_AND_DISK) on a real
+    cluster run); only 9 longs leave the executors per round. The
+    model state (6 weights) is driver-carried bounded state, the
+    emb_kmeans_fit / events_markov_stationary convention.
     """
-    feats = _qc_features(spark, sf_dir).localCheckpoint()
+    # sufficient statistic: one row per distinct (label, feature)
+    # class with its multiplicity — bounded by the feature grid's
+    # quantization (and never larger than the corpus), and in practice
+    # metadata-sized because the features are capped permille integers
+    grouped = (
+        _qc_features(spark, sf_dir)
+        .groupBy("y_e6", *QC_XS)
+        .agg(F.count("*").alias("cnt"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
     w = [0.0] * len(QC_XS)
     out_rows = []
     for r in range(rounds + 1):
@@ -178,21 +197,26 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str,
             z = term if z is None else z + term
         p = F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
         p_e6 = F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long")
-        scored = feats.select("y_e6", *QC_XS, p_e6.alias("p_e6"))
+        scored = grouped.select(
+            "y_e6", *QC_XS, "cnt", p_e6.alias("p_e6")
+        )
         pred = F.col("p_e6") >= 500_000
         lbl = F.col("y_e6") == 1_000_000
+        cnt = F.col("cnt")
         aggs = [
-            F.count("*").alias("n"),
-            F.sum(pred.cast("long")).alias("pred_pos"),
-            F.sum((pred == lbl).cast("long")).alias("agree"),
+            F.sum(cnt).alias("n"),
+            F.sum(pred.cast("long") * cnt).alias("pred_pos"),
+            F.sum((pred == lbl).cast("long") * cnt).alias("agree"),
         ] + [
             F.sum(
-                (F.col("p_e6") - F.col("y_e6")) * F.col(x)
+                (F.col("p_e6") - F.col("y_e6")) * F.col(x) * cnt
             ).alias(f"g{j}")
             for j, x in enumerate(QC_XS)
         ]
         row = scored.agg(*aggs).collect()[0]
-        n = int(row["n"])
+        # sum() over an empty grouped frame is NULL where the per-doc
+        # count(*) was 0 — normalize so the empty-corpus break holds
+        n = int(row["n"] or 0)
         if n == 0:
             break  # empty corpus: zero trajectory rows (oracle matches)
         agree_pm = (2 * 1000 * int(row["agree"]) + n) // (2 * n)

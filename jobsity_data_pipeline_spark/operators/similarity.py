@@ -42,6 +42,14 @@ N_BLOCKS = 8
 _DIM_CACHE: dict[str, int] = {}
 # label-mean coarse-quantizer centroids per sf_dir (k x dim ndarray)
 _CENTROID_CACHE: dict[str, object] = {}
+# (app, sf_dir, n_planes) -> lazily checkpointed bucketed corpus: the
+# LSH signature table IS the index — production computes it once per
+# corpus snapshot and every search reads the stored table (the
+# _IVF_PLUMBING_CACHE convention). Without it each emb_lsh_ann call
+# paid the corpus Arrow pass TWICE: once for the query-row collect
+# (the vec_id filter cannot push through the opaque mapInPandas) and
+# once for the candidate join side (guide §4.1/§2.3).
+_BUCKETED_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
@@ -239,9 +247,17 @@ def _bucketed(spark: SparkSession, sf_dir: str,
     (floor(dot*1e6 + 0.5) >= 0, same floor form in the oracle SQL), so
     a vector sitting ULP-close to a hyperplane cannot flip buckets
     between engines/runs — what moved this op out of rows-only.
+
+    Memoized per (app, corpus, n_planes) as a lazily checkpointed
+    frame (see _BUCKETED_CACHE): one corpus Arrow pass per process,
+    not per reference — numerics unchanged, the same pass computed
+    once.
     """
     import numpy as np
 
+    ck = (spark.sparkContext.applicationId, sf_dir, n_planes)
+    if ck in _BUCKETED_CACHE:
+        return _BUCKETED_CACHE[ck]
     dim = _emb_dim(spark, sf_dir)
     planes = np.array([_hyperplane(p, dim) for p in range(n_planes)])
     emb = _emb(spark, sf_dir)
@@ -267,9 +283,11 @@ def _bucketed(spark: SparkSession, sf_dir: str,
                 }
             )
 
-    return emb.mapInPandas(
+    out = emb.mapInPandas(
         gen, "vec_id long, v array<double>, bucket long, label int"
-    )
+    ).localCheckpoint(eager=False)
+    _BUCKETED_CACHE[ck] = out
+    return out
 
 
 def emb_lsh_buckets(spark: SparkSession, sf_dir: str,
