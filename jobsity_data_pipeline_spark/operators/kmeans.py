@@ -21,6 +21,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def pq_dist_structs(vslice, codes: list[int],
+                    cb_block: list[list[float]]):
+    """Array-form twin of pq_code_distances for ONE subspace: an
+    array<struct<d6,code>> column with ``round(sum((x-c)^2)*1e6)`` as
+    BIGINT micro-units per codebook entry, computed as an in-row left
+    fold in pos order. Bit-identical to the hash-aggregate path: each
+    (group, subspace, code)'s rows arrive pos-ascending from a single
+    explode partition there, so its F.sum IS the same left-to-right
+    IEEE fold this expression performs. The codebook enters as ONE
+    literal array-of-arrays (driver-bounded state — subspaces x codes
+    x block doubles — the docs_bpe_encode / emb_top_pcs posture), so
+    the whole assignment is a scan-side projection: no posexplode
+    blow-up, no (corpus x codes)-row join, no aggregation exchange
+    (guide §2.3/§2.4; §8 "move decisions to lightweight proxies")."""
+    from ._pq import lit_ints, lit_matrix
+
+    cb_lit = lit_matrix(cb_block)
+    codes_lit = lit_ints(codes)
+    return F.zip_with(
+        cb_lit, codes_lit,
+        lambda carr, c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(vslice, carr, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ) * 1e6, 0
+            ).cast("long").alias("d6"),
+            c.alias("code"),
+        ),
+    )
+
+
+def pq_assign_code(vslice, codes: list[int],
+                   cb_block: list[list[float]]):
+    """Argmin code over pq_dist_structs — array_min on (d6, code)
+    structs is the same integer compare with ties to the lower code as
+    pq_nearest_code's min-struct aggregate."""
+    return F.array_min(pq_dist_structs(vslice, codes, cb_block))["code"]
+
+
 def pq_code_distances(x: DataFrame, cent: DataFrame,
                       group_cols: list[str]) -> DataFrame:
     """THE pinned PQ comparison quantity, defined once: per
@@ -188,10 +228,21 @@ def emb_kmeans_fit_exact(spark: SparkSession, sf_dir: str,
     point and a SQL twin is unaffordable.
 
     Init is the 6-dp-rounded label-mean centroid (no RNG); empty
-    cells keep their previous centroid via left-join coalesce. Per
-    round the corpus is scanned once and only k x dim centroid
-    scalars shuffle — identical at 500 rows and 100 TB. Returns
+    cells keep their previous centroid driver-side. Per round the
+    corpus is scanned once and only k x dim centroid scalars cross to
+    the driver — identical at 500 rows and 100 TB. Returns
     (cell, pos, centroid) like emb_kmeans_fit.
+
+    r14 shape: the k x dim round state is DRIVER-BOUNDED (the
+    kmeans_fit / pq_train_codebook_arrays posture), so assignment is
+    a scan-side projection against the literal centroid matrix
+    (pq_assign_code over the full dim as one "subspace") and each
+    round is ONE corpus pass + one k x dim partial-agg collect —
+    r13's lazy-chain form paid a (corpus x k)-row broadcast-join
+    blow-up, an argmin exchange, and a corpus-keyed re-join per round
+    (guide §2.3/§2.4). Distances/argmin are bit-identical
+    (pq_dist_structs); re-averages are the same round(avg, 6) with
+    the usual order-absorption.
     """
     from ..session import ensure_parallelism, read_table
 
@@ -201,40 +252,59 @@ def emb_kmeans_fit_exact(spark: SparkSession, sf_dir: str,
         "vec_id", F.col("embedding").cast("array<double>").alias("v"),
         "label",
     )
-    x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    cent = (
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    # the exact output schema of the former plan form (pos from
+    # posexplode is non-nullable) — createDataFrame must reproduce it
+    # so the declared schema is unchanged
+    out_schema = StructType([
+        StructField("cell", IntegerType(), True),
+        StructField("pos", IntegerType(), False),
+        StructField("centroid", DoubleType(), True),
+    ])
+    init_rows = (
         e.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(F.round(F.avg("x"), 6).alias("c"))
-        .select(
-            F.lit(0).alias("subspace"),
-            F.col("label").cast("int").alias("code"),
-            "pos", "c",
-        )
+        .collect()
     )
+    if not init_rows:
+        return spark.createDataFrame([], out_schema)
+    dim = max(r["pos"] for r in init_rows) + 1
+    cent: dict[int, list[float]] = {}
+    for r in init_rows:
+        cent.setdefault(int(r["label"]), [0.0] * dim)[r["pos"]] = float(
+            r["c"]
+        )
+    from ._pq import assign_codes_arrow
+
+    codes = sorted(cent)
     for _ in range(rounds):
-        d = pq_code_distances(x, cent, ["vec_id"])
-        assigned = pq_nearest_code(d, ["vec_id"])
+        # one "subspace" covering the full dim; positional argmin maps
+        # back through the ascending codes list (order-isomorphic
+        # tie-break)
+        assigned = assign_codes_arrow(
+            e, [[cent[c] for c in codes]], dim, micro=True,
+            keep_cols=["v"],
+        ).select(F.element_at("codes", 1).alias("ci"), "v")
         stats = (
-            x.join(assigned.select("vec_id", "code"), "vec_id")
-            .groupBy("code", "pos")
+            assigned.select("ci", F.posexplode("v").alias("pos", "x"))
+            .groupBy("ci", "pos")
             .agg(F.round(F.avg("x"), 6).alias("cn"))
+            .collect()
         )
-        cent = (
-            cent.join(stats, ["code", "pos"], "left")
-            .select(
-                "subspace", "code", "pos",
-                F.coalesce("cn", "c").alias("c"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return (
-        cent.select(
-            F.col("code").alias("cell"), "pos",
-            F.col("c").alias("centroid"),
-        )
-        .orderBy("cell", "pos")
-    )
+        new_cent = {c: list(arr) for c, arr in cent.items()}
+        for r in stats:
+            new_cent[codes[int(r["ci"])]][r["pos"]] = float(r["cn"])
+        cent = new_cent
+    rows = [
+        (int(c), pos, float(cent[c][pos]))
+        for c in codes
+        for pos in range(dim)
+    ]
+    return spark.createDataFrame(rows, out_schema).orderBy("cell", "pos")
 
 
 def pq_train_codebooks(spark: SparkSession, emb: DataFrame,
@@ -259,51 +329,88 @@ def pq_train_codebooks(spark: SparkSession, emb: DataFrame,
     trained ones can — measured in emb_ann_recall pq vs pq_trained).
 
     Returns a DataFrame (subspace, code, pos, c) with ``pos`` the
-    GLOBAL dimension index, ready for the ADC join on pos; only
-    n_subspaces x n_codes x block centroid scalars ever materialize
-    per round, never a vector.
+    GLOBAL dimension index (built from the arrays form below — kept
+    for callers/tests that want the frame shape).
     """
-    from pyspark.sql.window import Window
-
+    cb = pq_train_codebook_arrays(
+        spark, emb, n_subspaces=n_subspaces, n_codes=n_codes,
+        iters=iters, dim=dim,
+    )
     block = dim // n_subspaces
-    x = emb.select(
-        "vec_id", F.posexplode("v").alias("pos", "x")
-    ).withColumn("subspace", F.expr(f"pos div {block}").cast("int"))
-    # seeds: the n_codes lowest vec_ids -> code 0..n_codes-1 (the
-    # row_number window runs over an n_codes-row frame)
-    ids = (
-        emb.select("vec_id").orderBy("vec_id").limit(n_codes)
-        .select(
-            "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("int").alias("code"),
-        )
+    rows = [
+        (s, c, s * block + j, float(v))
+        for s, codes in enumerate(cb)
+        for c, arr in enumerate(codes)
+        for j, v in enumerate(arr)
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, pos int, c double"
     )
-    cent = (
-        x.join(F.broadcast(ids), "vec_id")
-        .select("subspace", "code", "pos", F.col("x").alias("c"))
-    )
-    # Distances compare as rounded micro-units (pq_code_distances) and
-    # re-averaged centroids round to 6 dp each round: the training is
-    # then engine-exact up to sums landing within ~1 ulp of a .5
-    # micro-unit boundary (a SQL oracle replays the same rounds), where unrounded partial-agg float order could flip
-    # a near-equidistant assignment between engines/runs.
+
+
+def pq_train_codebook_arrays(spark: SparkSession, emb: DataFrame,
+                             n_subspaces: int = 4, n_codes: int = 16,
+                             iters: int = 2,
+                             dim: int = 64) -> list[list[list[float]]]:
+    """pq_train_codebooks with the per-round codebook carried as
+    DRIVER-BOUNDED state (n_subspaces x n_codes x block doubles — the
+    emb_kmeans_fit / docs_bpe_encode posture) instead of a
+    lazily-checkpointed frame chain. Per round the corpus is scanned
+    ONCE: assignment is a scan-side projection against the literal
+    codebook (pq_assign_code — no posexplode x codes join, no argmin
+    exchange, no corpus-keyed re-join for the re-average), the
+    re-average is one partial-agg groupBy collecting only
+    subspaces x codes x block scalars, and empty codes keep their
+    previous centroid driver-side. r13's lazy-chain form paid three
+    corpus-scale shuffles plus a (corpus x codes)-row broadcast-join
+    blow-up per round (guide §2.3/§2.4).
+
+    Numerics: distances and argmin are bit-identical to the aggregate
+    form (pq_dist_structs); the re-averaged centroids are the same
+    round(avg, 6) over the same value sets — partial-sum order may
+    differ from the old join layout, the same order-absorption the
+    6-dp rounding has always provided between Spark and the SQL
+    oracle's replay. Returns cb[subspace][code] = block-length list.
+    """
+    block = dim // n_subspaces
+    # seeds: the n_codes lowest vec_ids -> code 0..n_codes-1, their
+    # subvectors collected (n_codes x dim doubles — bounded)
+    seed_rows = emb.select("vec_id", "v").orderBy("vec_id").limit(
+        n_codes
+    ).collect()
+    cb = [
+        [
+            [float(x) for x in r["v"][s * block:(s + 1) * block]]
+            for r in seed_rows
+        ]
+        for s in range(n_subspaces)
+    ]
+    from ._pq import assign_codes_arrow
+
     for _ in range(iters):
-        d = pq_code_distances(
-            x.select("vec_id", "pos", "x"), cent, ["vec_id"]
+        assigned = assign_codes_arrow(
+            emb, cb, block, micro=True, keep_cols=["v"]
         )
-        assigned = pq_nearest_code(d, ["vec_id"])
         stats = (
-            x.join(assigned, ["vec_id", "subspace"])
+            assigned.select(
+                F.col("codes").alias("_ca"),
+                F.posexplode("v").alias("pos", "x"),
+            )
+            .select(
+                F.expr(f"pos div {block}").cast("int").alias("subspace"),
+                F.element_at(
+                    "_ca", F.expr(f"pos div {block}").cast("int") + 1
+                ).alias("code"),
+                "pos", "x",
+            )
             .groupBy("subspace", "code", "pos")
             .agg(F.round(F.avg("x"), 6).alias("cn"))
+            .collect()
         )
-        cent = (
-            cent.join(stats, ["subspace", "code", "pos"], "left")
-            .select(
-                "subspace", "code", "pos",
-                F.coalesce("cn", "c").alias("c"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return cent
+        new_cb = [[list(arr) for arr in codes_s] for codes_s in cb]
+        for r in stats:
+            new_cb[r["subspace"]][r["code"]][
+                r["pos"] - r["subspace"] * block
+            ] = float(r["cn"])
+        cb = new_cb
+    return cb

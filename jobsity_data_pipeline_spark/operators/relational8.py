@@ -47,12 +47,16 @@ from .dedup import MAX_SHINGLE_DOC_FREQ
 # Trained PQ codebooks per (app, corpus dir, params) — see
 # emb_pq_trained_ann: codebooks belong to the corpus snapshot, and the
 # session cache is the stand-in for the persisted codebook table.
-_PQ_CODEBOOK_CACHE: dict[tuple, DataFrame] = {}
-# corpus codes per (app, corpus, params) and query distance tables per
-# (app, corpus, params, n_queries) — see trained_pq_tables: corpus
-# encoding is a per-snapshot artifact too
-_PQ_TABLES_CACHE: dict[tuple, DataFrame] = {}
-_PQ_QD_CACHE: dict[tuple, DataFrame] = {}
+# r14: stores the trained codebook ARRAYS (driver-bounded), not a
+# checkpointed frame — see trained_pq_arrays
+_PQ_CODEBOOK_CACHE: dict[tuple, list] = {}
+# query-side micro-unit distance tables per (app, corpus, params,
+# n_queries): (qids, flat long list) — driver-bounded literals
+_PQ_QD_CACHE: dict[tuple, tuple] = {}
+# corpus code tables per (app, corpus, params): lazily checkpointed
+# (vec_id, codes) — production encodes the corpus once per snapshot
+# and every ADC scan reads the stored codes
+_PQ_CODES_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -533,44 +537,56 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str,
     way). Output: per (subspace, code) occupancy and mean distortion —
     the codebook-quality report that decides when to retrain.
 
-    Fully Catalyst: posexplode the vectors once, join the
-    (dim-cardinality) centroid table on position, partial-agg the
-    squared residuals per (vector, subspace, code), then an argmin
-    struct-min per (vector, subspace). No pandas, no driver collect;
-    every aggregate map-side combines before its shuffle.
+    r14 shape: the label-centroid codebook is DRIVER-BOUNDED state
+    (k_labels x dim raw-double means — one aggregate+collect job,
+    memoized per (app, corpus)), so the per-(vector, subspace) argmin
+    is a scan-side projection against the literal codebook
+    (kmeans._pq raw-distance structs) and the only aggregation left is
+    the tiny per-(subspace, code) report — the former plan paid a
+    (corpus x codes)-row broadcast-join blow-up plus two corpus-scale
+    aggregation exchanges for the same argmin (guide §2.3/§2.4).
+    Distances are the identical in-row IEEE fold (each group's rows
+    arrived pos-ascending from one explode partition, so the old
+    F.sum WAS this left-to-right fold); argmin min-struct semantics
+    unchanged.
     """
-    emb = _t(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "x"
-        ),
-    )
-    cent = (
-        x.groupBy(F.col("label").alias("code"), "pos")
-        .agg(F.avg("x").alias("c"))
-    )
+    from ._pq import as_nullable, assign_codes_arrow, label_cent_raw
+
+    codes_l, cent = label_cent_raw(spark, sf_dir)
     block = 64 // n_subspaces  # testdata embeddings are 64-dim
-    j = x.join(F.broadcast(cent), "pos").select(
-        "vec_id",
-        F.expr(f"pos div {block}").cast("int").alias("subspace"),
-        "code",
-        ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("sq"),
+    cb = [
+        [arr[s * block:(s + 1) * block] for arr in cent]
+        for s in range(n_subspaces)
+    ]
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
     )
-    d = j.groupBy("vec_id", "subspace", "code").agg(
-        F.sum("sq").alias("d2")
+    # positional argmin maps back through the ascending label codes
+    codes_lit = F.lit([int(c) for c in codes_l]).cast("array<int>")
+    coded = assign_codes_arrow(
+        emb, cb, block, micro=False, keep_cols=[]
     )
-    assigned = d.groupBy("vec_id", "subspace").agg(
-        F.min(F.struct(F.col("d2"), F.col("code"))).alias("m")
-    )
+    per_sub = coded.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    as_nullable(F.lit(s).cast("int")).alias("subspace"),
+                    as_nullable(
+                        F.element_at(
+                            codes_lit, F.element_at("codes", s + 1) + 1
+                        )
+                    ).alias("code"),
+                    F.element_at("d2s", s + 1).alias("d2"),
+                )
+                for s in range(n_subspaces)
+            ])
+        ).alias("sm")
+    ).select("sm.subspace", "sm.code", "sm.d2")
     return (
-        assigned.groupBy(
-            "subspace", F.col("m.code").alias("code")
-        )
+        per_sub.groupBy("subspace", "code")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.avg("m.d2"), 6).alias("avg_distortion"),
+            F.round(F.avg("d2"), 6).alias("avg_distortion"),
         )
         .orderBy("subspace", "code")
     )
@@ -591,60 +607,62 @@ def emb_pq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     Deterministic end-to-end (codebooks are label-centroid blocks,
     argmin ties break on the smaller code, ranking ties on vec_id), so
     unlike the LSH/IVF paths this ANN variant is fully oracle-checked.
-    """
-    from pyspark.sql.window import Window
 
-    emb = _t(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "x"
-        ),
-    )
-    cent = (
-        x.groupBy(F.col("label").alias("code"), "pos")
-        .agg(F.avg("x").alias("c"))
-    )
-    block = 64 // n_subspaces
-    sub = F.expr(f"pos div {block}").cast("int")
-    d = (
-        x.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", sub.alias("subspace"), "code")
-        .agg(
-            F.sum(
-                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-            ).alias("d2")
-        )
-    )
-    codes = (
-        d.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("m"))
-        .select("vec_id", "subspace", F.col("m.code").alias("code"))
-    )
-    # query-side distance table: ||q_sub - codebook[sub][code]||^2 for
-    # every (query, subspace, code) — n_queries x n_subspaces x k_codes
-    # rows, always broadcastable
-    qd = (
-        x.where(F.col("vec_id") < n_queries)
-        .join(F.broadcast(cent), "pos")
-        .groupBy(
-            F.col("vec_id").alias("qid"), sub.alias("subspace"), "code"
-        )
-        .agg(
-            F.sum(
-                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-            ).alias("dq")
-        )
-    )
-    adc = (
-        codes.join(F.broadcast(qd), ["subspace", "code"])
-        .where(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("dq").alias("adc"))
+    r14 shape: codebook and query distance tables are DRIVER-BOUNDED
+    literals (see operators/_pq.py), so the whole ADC scan is ONE
+    scan-side projection — per corpus row, assign codes against the
+    literal codebook and sum the table lookups — feeding straight into
+    the mergeable top-k. The former plan paid a (corpus x codes)-row
+    broadcast-join blow-up plus three corpus-scale aggregation
+    exchanges (code distances, argmin, ADC sum) for the same numbers.
+    """
+    from ._pq import (
+        adc_lookup, assign_codes_arrow, dq_flat_raw, label_cent_raw,
+        lit_doubles, qid_explode, query_rows,
     )
     from .ranking import grouped_topk
 
+    codes_l, cent = label_cent_raw(spark, sf_dir)
+    block = 64 // n_subspaces
+    cb = [
+        [arr[s * block:(s + 1) * block] for arr in cent]
+        for s in range(n_subspaces)
+    ]
+    import numpy as np
+
+    qrows = query_rows(spark, sf_dir, n_queries)
+    n_c = len(codes_l)
+    dq = (
+        np.asarray(dq_flat_raw(qrows, cb, block), dtype="float64")
+        .reshape(len(qrows), n_subspaces, n_c)
+        if qrows
+        else np.zeros((0, n_subspaces, max(n_c, 1)), dtype="float64")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # assignment uses POSITIONAL code indices (codes_l is ascending, so
+    # position order == value order and the d2-then-code tie-break is
+    # isomorphic); the distance tables index by the same positions, so
+    # this stays correct even for non-contiguous label values. Raw
+    # (unrounded) distances key the argmin, as before; the per-query
+    # ADC sums come out of the same kernel pass (closure tables — no
+    # giant plan literal).
+    coded = assign_codes_arrow(
+        e, cb, block, micro=False, keep_cols=["vec_id"], adc_tables=dq
+    )
+    adc = (
+        coded.select(
+            "vec_id", "adcs",
+            qid_explode([q for q, _ in qrows]).alias("_q"),
+        )
+        .where(F.col("vec_id") != F.col("_q.qid"))
+        .select(
+            F.col("_q.qid").alias("qid"),
+            "vec_id",
+            F.element_at("adcs", F.col("_q.qidx") + 1).alias("adc"),
+        )
+    )
     return (
         grouped_topk(
             adc,
@@ -1435,74 +1453,53 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def trained_pq_tables(spark: SparkSession, sf_dir: str,
-                      n_queries: int = 8, n_subspaces: int = 4,
-                      n_codes: int = 16,
-                      iters: int = 2) -> tuple[DataFrame, DataFrame]:
-    """(codes, qd) over TRAINED per-subspace codebooks: ``codes`` =
-    (vec_id, subspace, code) for the corpus, ``qd`` = the per-query
-    ADC distance tables (qid, subspace, code, dq). Shared by
-    emb_pq_trained_ann (flat ADC scan) and similarity.emb_ivfpq_ann
-    (cell-pruned ADC scan)."""
-    from .kmeans import pq_train_codebooks
+def trained_pq_arrays(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8,
+    n_subspaces: int = 4, n_codes: int = 16, iters: int = 2,
+) -> tuple[list, list, list]:
+    """(cb, qids, qd_flat) over TRAINED per-subspace codebooks, all
+    DRIVER-BOUNDED: ``cb`` = the trained codebook arrays
+    (kmeans.pq_train_codebook_arrays), ``qids`` = the ascending query
+    ids, ``qd_flat`` = the per-query micro-unit ADC tables as one flat
+    long list (_pq.qd_flat_micro). Shared by emb_pq_trained_ann (flat
+    ADC scan) and similarity.emb_ivfpq_ann (cell-pruned ADC scan) —
+    corpus codes are no longer materialized as a table: every consumer
+    re-derives them per row from the literal codebook inside its own
+    scan projection, which replaces the former codes-table shuffle
+    join with arithmetic (guide §8: a production index stores codes
+    with the row; the projection is the in-session equivalent).
 
-    emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    # Codebooks are a property of the corpus snapshot, not the query:
-    # production trains them once per snapshot and every ADC scan
-    # reuses them. The in-session equivalent (same convention as
-    # dedup._PAIRS_CACHE) keys the trained frame on (app, corpus,
-    # params) so the recall gate's A/B row and repeated scans don't
-    # re-run Lloyd rounds.
+    Codebooks are a property of the corpus snapshot, not the query:
+    production trains them once per snapshot and every ADC scan reuses
+    them. The in-session equivalent (dedup._PAIRS_CACHE convention)
+    keys on (app, corpus, params); only the tiny query-side table
+    additionally keys on n_queries."""
+    from ._pq import qd_flat_micro, query_rows
+    from .kmeans import pq_train_codebook_arrays
+
     ck = (
         spark.sparkContext.applicationId, sf_dir, n_subspaces, n_codes,
         iters,
     )
-    if ck in _PQ_CODEBOOK_CACHE:
-        cent = _PQ_CODEBOOK_CACHE[ck]
-    else:
-        cent = pq_train_codebooks(
+    if ck not in _PQ_CODEBOOK_CACHE:
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        _PQ_CODEBOOK_CACHE[ck] = pq_train_codebook_arrays(
             spark, e, n_subspaces=n_subspaces, n_codes=n_codes,
             iters=iters,
-        ).localCheckpoint()
-        _PQ_CODEBOOK_CACHE[ck] = cent
-    # The corpus CODES are as much a per-snapshot artifact as the
-    # codebooks — production encodes the corpus once when the index is
-    # built and every ADC scan reads the stored codes. Cache the
-    # (codes, qd) tables under the same convention (checkpointed,
-    # keyed per app/corpus/params) so the two consumers sharing these
-    # params (emb_pq_trained_ann, emb_ivfpq_ann) and the recall
-    # gate's branches never re-derive the encode scan.
-    # codes are query-independent — cache under ck so consumers that
-    # differ only in n_queries still share the corpus encode; only the
-    # tiny query-side distance table keys on n_queries
+        )
+    cb = _PQ_CODEBOOK_CACHE[ck]
     qk = ck + (n_queries,)
-    if ck in _PQ_TABLES_CACHE and qk in _PQ_QD_CACHE:
-        return _PQ_TABLES_CACHE[ck], _PQ_QD_CACHE[qk]
-    from .kmeans import pq_code_distances, pq_nearest_code
-
-    x = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    # distances as integer micro-units (pq_code_distances): the code
-    # argmin and the downstream ADC sum are then engine-exact —
-    # integer sums are order-independent, so the oracle's SQL replay
-    # hash-matches (this is what moved these ops out of rows-only)
-    d = pq_code_distances(x, cent, ["vec_id"])
-    if ck not in _PQ_TABLES_CACHE:
-        _PQ_TABLES_CACHE[ck] = pq_nearest_code(d, ["vec_id"]).localCheckpoint(
-            eager=False
-        )
     if qk not in _PQ_QD_CACHE:
+        qrows = query_rows(spark, sf_dir, n_queries)
+        block = 64 // n_subspaces
         _PQ_QD_CACHE[qk] = (
-            d.where(F.col("vec_id") < n_queries)
-            .select(
-                F.col("vec_id").alias("qid"), "subspace", "code",
-                F.col("d6").alias("dq6"),
-            )
-            .localCheckpoint(eager=False)
+            [q for q, _ in qrows],
+            qd_flat_micro(spark, qrows, cb, block),
         )
-    return _PQ_TABLES_CACHE[ck], _PQ_QD_CACHE[qk]
+    qids, qd_flat = _PQ_QD_CACHE[qk]
+    return cb, qids, qd_flat
 
 
 def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
@@ -1521,17 +1518,53 @@ def emb_pq_trained_ann(spark: SparkSession, sf_dir: str,
     Oracle-checked since the training rounds were pinned engine-exact
     (rounded centroids + integer micro-unit distances): the ADC sum is
     an integer sum, order-independent in both engines.
+
+    r14 shape: codebook and distance tables are driver-bounded
+    literals (trained_pq_arrays), so the ADC scan is one projection —
+    per corpus row, assign codes and sum the four table lookups — with
+    no codes-table materialization, no broadcast join, and no ADC
+    aggregation exchange (guide §2.3/§2.4). Integer lookups sum to the
+    same longs the old join+sum produced.
     """
+    import numpy as np
+
+    from ._pq import assign_codes_arrow, qid_explode
     from .ranking import grouped_topk
 
-    codes, qd = trained_pq_tables(
+    cb, qids, qd_flat = trained_pq_arrays(
         spark, sf_dir, n_queries, n_subspaces, n_codes, iters
     )
+    block = 64 // n_subspaces
+    n_c = len(cb[0]) if cb and cb[0] else 0
+    qd = (
+        np.asarray(qd_flat, dtype="int64")
+        .reshape(len(qids), n_subspaces, n_c)
+        if qids
+        else np.zeros((0, n_subspaces, max(n_c, 1)), dtype="int64")
+    )
+    # the per-(row, query) ADC sums are a per-snapshot artifact like
+    # the codes themselves — memoized (vec_id, adcs), one kernel pass
+    ck = (
+        spark.sparkContext.applicationId, sf_dir, n_subspaces, n_codes,
+        iters, n_queries,
+    )
+    if ck not in _PQ_CODES_CACHE:
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        _PQ_CODES_CACHE[ck] = assign_codes_arrow(
+            e, cb, block, micro=True, keep_cols=["vec_id"],
+            adc_tables=qd,
+        ).select("vec_id", "adcs").localCheckpoint(eager=False)
+    coded = _PQ_CODES_CACHE[ck]
     adc = (
-        codes.join(F.broadcast(qd), ["subspace", "code"])
-        .where(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("dq6").alias("adc6"))
+        coded.select("vec_id", "adcs", qid_explode(qids).alias("_q"))
+        .where(F.col("vec_id") != F.col("_q.qid"))
+        .select(
+            F.col("_q.qid").alias("qid"),
+            "vec_id",
+            F.element_at("adcs", F.col("_q.qidx") + 1).alias("adc6"),
+        )
     )
     return (
         grouped_topk(

@@ -682,27 +682,60 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     all replay in SQL (exact up to the rare half-ulp micro-unit boundary residual noted in _ivf_assigned_and_probes). Recall vs the flat trained-PQ scan
     is measured side by side in emb_ann_recall (ivfpq probes
     ~n_probe/k_cells of the code table).
+
+    r14 shape: codebook and distance tables are driver-bounded
+    literals (relational8.trained_pq_arrays), so after the broadcast
+    probe prune each surviving row computes its codes from the literal
+    codebook and sums the table lookups IN the projection — the former
+    corpus-keyed codes-table join and the ADC aggregation exchange are
+    gone (guide §2.3/§2.4; a production IVFADC index stores the codes
+    on the assignment row, which this projection stands in for).
     """
+    import numpy as np
+
+    from ._pq import assign_codes_arrow
     from .ranking import grouped_topk
-    from .relational8 import trained_pq_tables
+    from .relational8 import trained_pq_arrays
 
     assigned, probe_df = _ivf_assigned_and_probes(
         spark, sf_dir, n_queries, n_probe
     )
-    codes, qd = trained_pq_tables(
+    cb, qids, qd_flat = trained_pq_arrays(
         spark, sf_dir, n_queries, n_codes=n_codes
     )
-    cand = (
-        assigned.select("vec_id", "cell")
-        .join(F.broadcast(probe_df.select("qid", "cell")), "cell")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
+    n_sub = len(cb)
+    block = 64 // n_sub if n_sub else 64
+    n_c = len(cb[0]) if cb and cb[0] else 0
+    qd = (
+        np.asarray(qd_flat, dtype="int64").reshape(len(qids), n_sub, n_c)
+        if qids
+        else np.zeros((0, max(n_sub, 1), max(n_c, 1)), dtype="int64")
     )
+    qidx = F.create_map(
+        *[x for i, q in enumerate(qids)
+          for x in (F.lit(int(q)), F.lit(i))]
+    )[F.col("qid")]
+    # codes AND per-query ADC sums computed ONCE per corpus on the
+    # assignment table, before the probe join (the index stores codes
+    # with the row; the distance tables ride the kernel closure, never
+    # the plan), memoized like the other per-snapshot artifacts
+    ck = (
+        spark.sparkContext.applicationId, sf_dir, n_queries, n_probe,
+        n_codes,
+    )
+    if ck not in _IVF_CODES_CACHE:
+        _IVF_CODES_CACHE[ck] = assign_codes_arrow(
+            assigned, cb, block, micro=True,
+            keep_cols=["vec_id", "cell"], adc_tables=qd,
+        ).select("vec_id", "cell", "adcs").localCheckpoint(eager=False)
+    coded = _IVF_CODES_CACHE[ck]
     adc = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(qd), ["qid", "subspace", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("dq6").alias("adc6"))
+        coded.join(F.broadcast(probe_df.select("qid", "cell")), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.element_at("adcs", qidx + 1).alias("adc6"),
+        )
     )
     return (
         grouped_topk(
@@ -725,14 +758,19 @@ _RESIDUAL_PQ_CACHE: dict[tuple, tuple] = {}
 # (app, sf_dir, n_queries, n_probe) -> (assigned, probe_df): the IVF
 # cell-assignment index + probe sets (see _ivf_assigned_and_probes)
 _IVF_PLUMBING_CACHE: dict[tuple, tuple] = {}
+# per-(app, corpus, params) stored code tables for the cell-pruned ADC
+# scans: lazily checkpointed (vec_id, cell, codes) — raw-vector codes
+# for emb_ivfpq_ann, residual codes for emb_ivfpq_residual_ann
+_IVF_CODES_CACHE: dict[tuple, "DataFrame"] = {}
+_RESID_CODES_CACHE: dict[tuple, "DataFrame"] = {}
 
 
-def _residual_pq_tables(spark: SparkSession, sf_dir: str,
+def _residual_pq_arrays(spark: SparkSession, sf_dir: str,
                         n_queries: int, n_probe: int,
                         n_subspaces: int = 4, n_codes: int = 16,
                         iters: int = 2):
-    """(codes, qd, assigned, probe_df) for RESIDUAL product
-    quantization: each vector is encoded as the PQ code of
+    """(cb, coarse, pairs, qd_flat, assigned, probe_df) for RESIDUAL
+    product quantization: each vector is encoded as the PQ code of
     ``v - C[cell(v)]`` (its offset from its coarse centroid), and each
     query carries one distance table PER PROBED CELL built from its
     own residual in that cell — the true FAISS IVFADC layout, where
@@ -742,79 +780,67 @@ def _residual_pq_tables(spark: SparkSession, sf_dir: str,
     Everything is pinned engine-exact like the raw-vector path:
     rounded coarse centroids, micro-unit distances, deterministic
     seeds — so the whole construction replays in SQL.
-    """
-    import numpy as np
 
-    from .kmeans import pq_train_codebooks
+    r14 shape: the residual projection is a zip_with against the
+    literal coarse-centroid matrix (bit-identical to the former Arrow
+    pass's elementwise numpy subtract), training carries its codebook
+    as driver-bounded arrays (kmeans.pq_train_codebook_arrays), and
+    the query tables collect to one flat literal list keyed by the
+    (qid, cell) probe pairs — the residual Arrow pass, the eager rv /
+    codebook checkpoints, and the codes/qd table materializations are
+    all gone (guide §2.3/§2.4). ``cb`` = residual codebook arrays,
+    ``coarse`` = the k x dim coarse matrix as lists, ``pairs`` = the
+    ordered (qid, cell) probe pairs, ``qd_flat[(pair*S + s)*C + code]``
+    = d6.
+    """
+    from ._pq import qd_flat_micro
+    from .kmeans import pq_train_codebook_arrays
 
     ck = (
         spark.sparkContext.applicationId, sf_dir, "residual",
         n_queries, n_probe, n_subspaces, n_codes, iters,
     )
-    if ck in _RESIDUAL_PQ_CACHE:
-        return _RESIDUAL_PQ_CACHE[ck]
     assigned, probe_df = _ivf_assigned_and_probes(
         spark, sf_dir, n_queries, n_probe
     )
+    if ck in _RESIDUAL_PQ_CACHE:
+        return _RESIDUAL_PQ_CACHE[ck] + (assigned, probe_df)
     C = _centroids(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(C)
-
-    def resid(batches):
-        import pandas as pd
-
-        cen = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.stack(pdf["v"].to_numpy())
-            R = A - cen[pdf["cell"].to_numpy()]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
-                    "v": list(R),
-                }
-            )
-
-    # train + encode both consume the residual frame: checkpoint once
-    rv = assigned.mapInPandas(
-        resid, "vec_id long, v array<double>"
-    ).localCheckpoint()
-    from .kmeans import pq_code_distances, pq_nearest_code
-
-    cent = pq_train_codebooks(
+    coarse = [[float(x) for x in row] for row in C]
+    rv = assigned.select("vec_id", _residual_col(coarse).alias("v"))
+    cb = pq_train_codebook_arrays(
         spark, rv, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters
-    ).localCheckpoint()
-    x = rv.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    d = pq_code_distances(x, cent, ["vec_id"])
-    codes = pq_nearest_code(d, ["vec_id"])
-
-    def qresid(batches):
-        import pandas as pd
-
-        cen = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.stack(pdf["qv"].to_numpy())
-            R = Q - cen[pdf["cell"].to_numpy()]
-            yield pd.DataFrame(
-                {
-                    "qid": pdf["qid"].to_numpy(dtype="int64"),
-                    "cell": pdf["cell"].to_numpy(dtype="int32"),
-                    "qr": list(R),
-                }
-            )
-
-    qr = probe_df.mapInPandas(
-        qresid, "qid long, cell int, qr array<double>"
     )
-    qd = pq_code_distances(
-        qr.select("qid", "cell", F.posexplode("qr").alias("pos", "x")),
-        cent, ["qid", "cell"],
-    ).withColumnRenamed("d6", "dq6")
-    out = (codes, qd, assigned, probe_df)
-    _RESIDUAL_PQ_CACHE[ck] = out
-    return out
+    # query residuals per probed cell, driver-side: probe_df's rows
+    # are already driver-built (tiny); numpy/python subtraction is the
+    # same exact elementwise IEEE op as the in-plan zip_with
+    block = 64 // n_subspaces
+    prows = sorted(
+        ((int(r["qid"]), int(r["cell"]), [float(x) for x in r["qv"]])
+         for r in probe_df.select("qid", "cell", "qv").collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    pairs = [(q, c) for q, c, _ in prows]
+    qres = [
+        (i, [qv[j] - coarse[cell][j] for j in range(len(qv))])
+        for i, (_q, cell, qv) in enumerate(prows)
+    ]
+    qd_flat = qd_flat_micro(spark, qres, cb, block)
+    _RESIDUAL_PQ_CACHE[ck] = (cb, coarse, pairs, qd_flat)
+    return cb, coarse, pairs, qd_flat, assigned, probe_df
+
+
+def _residual_col(coarse: list[list[float]]) -> "F.Column":
+    """v - coarse[cell] as a zip_with against the literal coarse
+    matrix — elementwise IEEE subtraction, bit-identical to the former
+    numpy Arrow pass (A - cen[cells])."""
+    from ._pq import lit_matrix
+
+    coarse_lit = lit_matrix(coarse)
+    return F.zip_with(
+        "v", F.element_at(coarse_lit, F.col("cell") + 1),
+        lambda a, b: a - b,
+    )
 
 
 def emb_ivfpq_residual_ann(spark: SparkSession, sf_dir: str,
@@ -847,23 +873,57 @@ def emb_ivfpq_residual_ann(spark: SparkSession, sf_dir: str,
     ivfpq_residual_256 rows (same pipeline, 256 codes per subspace,
     oracle-checked) so the residual-retraining decision reads a
     measured per-corpus number at both budgets.
+
+    r14 shape: after the broadcast probe prune each surviving row
+    derives its residual (zip_with vs the literal coarse matrix),
+    assigns codes against the literal residual codebook, and sums the
+    per-(qid, cell) table lookups in the projection — the residual
+    Arrow pass, codes-table join, and ADC aggregation exchange are
+    gone (see _residual_pq_arrays; guide §2.3/§2.4).
     """
+    import numpy as np
+
+    from ._pq import assign_codes_arrow
     from .ranking import grouped_topk
 
-    codes, qd, assigned, probe_df = _residual_pq_tables(
+    cb, coarse, pairs, qd_flat, assigned, probe_df = _residual_pq_arrays(
         spark, sf_dir, n_queries, n_probe, n_codes=n_codes
     )
-    cand = (
-        assigned.select("vec_id", "cell")
-        .join(F.broadcast(probe_df.select("qid", "cell")), "cell")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "cell", "vec_id")
+    n_sub = len(cb)
+    block = 64 // n_sub if n_sub else 64
+    n_c = len(cb[0]) if cb and cb[0] else 0
+    qd = (
+        np.asarray(qd_flat, dtype="int64").reshape(len(pairs), n_sub, n_c)
+        if pairs
+        else np.zeros((0, max(n_sub, 1), max(n_c, 1)), dtype="int64")
     )
+    # (qid, cell) -> ordinal of its distance table in the stack
+    pair_idx = F.create_map(
+        *[x for i, (q, c) in enumerate(pairs)
+          for x in (F.struct(F.lit(int(q)), F.lit(int(c))), F.lit(i))]
+    )[F.struct(F.col("qid").cast("int"), F.col("cell").cast("int"))]
+    # residual codes AND per-(qid, cell) ADC sums computed ONCE per
+    # corpus on the assignment table (residual derivation inside the
+    # same Arrow pass; a row's table entry for a pair whose cell it is
+    # not in is simply never read), memoized like the other
+    # per-snapshot artifacts
+    ck = (
+        spark.sparkContext.applicationId, sf_dir, n_queries, n_probe,
+        n_codes,
+    )
+    if ck not in _RESID_CODES_CACHE:
+        _RESID_CODES_CACHE[ck] = assign_codes_arrow(
+            assigned, cb, block, micro=True,
+            keep_cols=["vec_id", "cell"], coarse=coarse, adc_tables=qd,
+        ).select("vec_id", "cell", "adcs").localCheckpoint(eager=False)
+    coded = _RESID_CODES_CACHE[ck]
     adc = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(qd), ["qid", "cell", "subspace", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("dq6").alias("adc6"))
+        coded.join(F.broadcast(probe_df.select("qid", "cell")), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.element_at("adcs", pair_idx + 1).alias("adc6"),
+        )
     )
     return (
         grouped_topk(
